@@ -1,0 +1,151 @@
+"""Ranked-retrieval scorers as pure column arithmetic (relational path).
+
+Reference analogue (SURVEY.md §2.6):
+  * BM25           — ``Part C/ranker.py:62-86`` (R1; reference uses k=3, b=0.6
+                     over *normalized* tf — kept behind ``reference_mode``)
+  * inner product  — ``Part C/ranker.py:46-59`` (R3)
+  * cosine         — ``Part C/ranker.py:89-105`` (R4; doc norm = A5)
+  * blends         — ``Part C/ranker.py:28-32`` (R5: 0.9·BM25 + 0.1·inner)
+  * top-k          — ``Part C/ranker.py:110-117`` (W2): Spark plans
+                     ``TakeOrderedAndProject`` for orderBy+limit = bounded
+                     per-partition heap + merge.
+
+The engine's primary scorer is standard BM25 with k1=1.5, b=0.75 and
+idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene form, always positive),
+per BASELINE.json north_star. Candidate generation is an OR (term-at-a-time
+union) like the reference (``Part C/searcher.py:79-106``); AND semantics and
+block-max pruning live in the segment/WAND path (query/wand.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from .tokenizer import tokenize_py
+
+
+def parse_query(query: str) -> list[tuple[str, int]]:
+    """query string → [(term, qtf)] sorted by term (deterministic;
+    ref: ``Part C/searcher.py:38,69-72``)."""
+    counts: dict[str, int] = {}
+    for t in tokenize_py(query):
+        counts[t] = counts.get(t, 0) + 1
+    return sorted(counts.items())
+
+
+def _query_df(spark: SparkSession, query: str) -> DataFrame:
+    terms = parse_query(query)
+    if not terms:
+        raise ValueError(f"query tokenized to nothing: {query!r}")
+    return spark.createDataFrame(terms, "term string, qtf int")
+
+
+def bm25_idf_col(n_docs: int):
+    return F.log(1.0 + (float(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+
+
+def bm25_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """OR-mode BM25: postings ⋈ query terms (broadcast) → per-doc Σ.
+    Returns (doc_id, score) unsorted — compose with ``topk``.
+
+    Join strategy at 100 TB: the query side and the query-term slice of the
+    dictionary are O(|q|) rows → broadcast; postings side is filtered by the
+    broadcast join *before* the doc-stats join, so only candidate docs'
+    stats rows move.
+    """
+    qdf = _query_df(spark, query)
+    qstats = F.broadcast(qdf.join(dict_df, "term"))  # |q| rows with df
+    cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    idf = bm25_idf_col(n_docs)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return cand.groupBy("doc_id").agg(F.sum(per_term).alias("score"))
+
+
+def inner_product_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    n_docs: int,
+) -> DataFrame:
+    """R3: Σ over shared terms of doc tfidf · qtf, with the Part C weight
+    tfidf = (tf/doc_len)·log2(N/df) (``Part C/indexer.py:66-67``,
+    ``Part C/search_engine_1.py:87-106``)."""
+    qdf = _query_df(spark, query)
+    qstats = F.broadcast(qdf.join(dict_df, "term"))
+    cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    tfidf = (F.col("tf") / F.col("doc_len")) * F.log2(F.lit(float(n_docs)) / F.col("df"))
+    return cand.groupBy("doc_id").agg(F.sum(tfidf * F.col("qtf")).alias("score"))
+
+
+def doc_weights(tf_df: DataFrame, stats_df: DataFrame, dict_df: DataFrame, n_docs: int) -> DataFrame:
+    """A5: per-doc Σ tfidf² (cosine denominator), ``Part C/search_engine_1.py:87-106``."""
+    enriched = tf_df.join(dict_df, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    tfidf = (F.col("tf") / F.col("doc_len")) * F.log2(F.lit(float(n_docs)) / F.col("df"))
+    return enriched.groupBy("doc_id").agg(F.sum(tfidf * tfidf).alias("doc_w2"))
+
+
+def cosine_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    n_docs: int,
+) -> DataFrame:
+    """R4: inner / sqrt(doc_w2 · q_w2); q_w2 = Σ qtf² (``Part C/searcher.py:74-78``)."""
+    inner = inner_product_score(spark, tf_df, stats_df, dict_df, query, n_docs)
+    q_w2 = float(sum(qtf * qtf for _, qtf in parse_query(query)))
+    w2 = doc_weights(tf_df, stats_df, dict_df, n_docs)
+    return inner.join(w2, "doc_id").select(
+        "doc_id",
+        (F.col("score") / F.sqrt(F.col("doc_w2") * F.lit(q_w2))).alias("score"),
+    )
+
+
+def boolean_and(spark: SparkSession, tf_df: DataFrame, query: str) -> DataFrame:
+    """Posting-list intersection (AND semantics — absent in the reference,
+    required by the north rule; SURVEY.md §2.7): docs containing every
+    distinct query term."""
+    terms = [t for t, _ in parse_query(query)]
+    qdf = F.broadcast(_query_df(spark, query).select("term"))
+    return (
+        tf_df.join(qdf, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id")
+    )
+
+
+def topk(scored: DataFrame, k: int, round_dp: int | None = None) -> DataFrame:
+    """W2: deterministic top-k — (score desc, doc_id asc) tie-break pinned
+    (SURVEY.md §7 'rank determinism'). orderBy+limit plans
+    TakeOrderedAndProject: bounded heap per partition, merged on the driver —
+    no full sort, no full shuffle."""
+    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def py_bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
