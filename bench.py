@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Components (each timed, reported under "queries"):
+  index_build       — segment index build over documents (docs/sec derived)
+  query_wand        — 12 BM25 top-k queries via block-max WAND segments
+  query_vectorized  — same queries via the decode-all vectorized kernel
+  bm25_relational   — same queries via the pure-DataFrame relational path
+  dedup_minhash     — MinHash banding candidate pairs
+  dedup_exact       — exact hash dedup
+  simhash           — 60-bit SimHash for every doc
+  emb_cosine_topk   — brute-force cosine top-k over embeddings
+  text_stats        — token_count + quality + lang_id + fingerprint
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "spark join stream",
+    "hash merge sort table",
+    "window group order",
+    "customer order line",
+    "fast scan filter",
+    "big small value",
+    "batch stream vector",
+    "query table column",
+    "agg row key",
+    "slow sort window merge",
+    "data part group",
+    "spark table scan filter join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops import dedup, similarity, textstats
+    from searchengine_spark.postings import corpus_stats, dictionary, doc_stats, term_frequencies
+    from searchengine_spark.query.engine import SearchEngine
+    from searchengine_spark.scoring import bm25_score, topk
+    from searchengine_spark.session import get_spark
+    from searchengine_spark.entry_queries import _QUERY_VEC
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    embs.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    eng = SearchEngine(spark, os.path.join(idx_dir, "idx"))
+
+    def build():
+        eng.build_index_from_df(
+            docs, id_col="doc_id", text_col="text", range_bits=4, n_buckets=16, fresh=True
+        )
+
+    timed("index_build", build)
+    extra["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+    def run_queries(**kw):
+        def run():
+            lat = []
+            for q in BENCH_QUERIES:
+                t0 = time.perf_counter()
+                eng.search(q, k=100, **kw)
+                lat.append(time.perf_counter() - t0)
+            return lat
+
+        return run
+
+    lat = timed("query_wand", run_queries(use_wand=True))
+    lat.sort()
+    extra["query_p50_sec"] = round(lat[len(lat) // 2], 3)
+    extra["query_p95_sec"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
+    timed("query_vectorized", run_queries(use_wand=False))
+
+    def relational():
+        tf = term_frequencies(docs, "doc_id", "text").cache()
+        stats = doc_stats(tf)
+        dct = dictionary(tf)
+        n, avgdl = corpus_stats(stats)
+        for q in BENCH_QUERIES:
+            topk(bm25_score(spark, tf, stats, dct, q, n, avgdl), 100).collect()
+        tf.unpersist()
+
+    timed("bm25_relational", relational)
+
+    timed("dedup_minhash", lambda: dedup.minhash_band_pairs(docs).count())
+    timed("dedup_exact", lambda: dedup.exact_dedup(docs).count())
+    timed("simhash", lambda: dedup.simhash(docs).count())
+    timed("emb_cosine_topk", lambda: similarity.cosine_topk(embs, _QUERY_VEC, k=25).collect())
+
+    def text_stats():
+        textstats.token_count(docs).count()
+        textstats.quality_score(docs).count()
+        textstats.lang_id(docs).count()
+        textstats.fingerprint(docs).count()
+
+    timed("text_stats", text_stats)
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "searchengine_spark e2e bench (index build + BM25 top-k + pipeline ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Driver-contract query definitions: paired (Spark callable, DuckDB oracle
+SQL) per implemented operator from SURVEY.md §2 plus the training-data
+pipeline ops. Consumed by /root/repo/__spark_entry__.py.
+
+Column names and rounding are pinned identically on both sides: the driver
+sorts columns by name and hashes values, so every computed column is aliased
+the same way in the DataFrame code and the SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ops import dedup, similarity, textstats
+from .postings import dictionary, doc_stats, term_frequencies
+from .scoring import boolean_and, bm25_score, cosine_score, inner_product_score, parse_query
+from .tokenizer import STOPWORDS, TOKEN_PATTERN, duckdb_tokens_cte
+
+ROUND_DP = 5
+
+BM25_QUERY = "spark join stream"
+INNER_QUERY = "hash merge sort table"
+COSINE_QUERY = "window group order"
+AND_QUERY = "hash merge sort"
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # use_arrow_udf=False → pure-Catalyst tokenizer in driver checks (identical
+    # semantics to the Arrow UDF; equivalence is pytest-enforced)
+    return term_frequencies(_docs(spark, sf_dir), "doc_id", "text", use_arrow_udf=False)
+
+
+_TF_SQL = f"""
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM ({duckdb_tokens_cte("documents", "doc_id", "text")})
+GROUP BY doc_id, term
+"""
+
+_STATS_SQL = f"""
+SELECT doc_id, sum(tf)::BIGINT AS doc_len, max(tf)::BIGINT AS max_tf,
+       count(*)::BIGINT AS distinct_terms,
+       sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS singleton_terms
+FROM ({_TF_SQL}) GROUP BY doc_id
+"""
+
+_DICT_SQL = f"""
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM ({_TF_SQL}) GROUP BY term
+"""
+
+
+def _scoring_ctx(spark, sf_dir):
+    tf = _tf(spark, sf_dir)
+    stats = doc_stats(tf)
+    dct = dictionary(tf)
+    row = stats.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return tf, stats, dct, int(row["n"]), float(row["a"])
+
+
+def _bm25_sql(query: str, k1: float = 1.5, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t, _ in parse_query(query))
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term)
+SELECT tf.doc_id AS doc_id,
+       round(sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * ({k1} + 1.0))
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+FROM tf
+JOIN q USING (term)
+JOIN dict d USING (term)
+JOIN stats s ON s.doc_id = tf.doc_id
+CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
+def _inner_sql(query: str) -> str:
+    qterms = parse_query(query)
+    qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in qterms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term, qtf) AS (VALUES {qrows})
+SELECT tf.doc_id AS doc_id,
+       round(sum((tf.tf / s.doc_len) * log2(c.n / d.df) * q.qtf), {ROUND_DP}) AS score
+FROM tf
+JOIN q USING (term)
+JOIN dict d USING (term)
+JOIN stats s ON s.doc_id = tf.doc_id
+CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
+def _cosine_sql(query: str) -> str:
+    qterms = parse_query(query)
+    qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in qterms)
+    q_w2 = float(sum(qtf * qtf for _, qtf in qterms))
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (SELECT tf.doc_id, (tf.tf / s.doc_len) * log2(c.n / d.df) AS tfidf, tf.term
+      FROM tf JOIN dict d USING (term) JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c),
+dw AS (SELECT doc_id, sum(tfidf * tfidf) AS doc_w2 FROM w GROUP BY 1),
+q(term, qtf) AS (VALUES {qrows}),
+inner_s AS (
+  SELECT w.doc_id, sum(w.tfidf * q.qtf) AS inner_score
+  FROM w JOIN q USING (term) GROUP BY w.doc_id)
+SELECT i.doc_id AS doc_id,
+       round(i.inner_score / sqrt(dw.doc_w2 * {q_w2}), {ROUND_DP}) AS score
+FROM inner_s i JOIN dw USING (doc_id)
+"""
+
+
+def _and_sql(query: str) -> str:
+    terms = sorted({t for t, _ in parse_query(query)})
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+SELECT doc_id FROM ({_TF_SQL})
+WHERE term IN ({tl})
+GROUP BY doc_id HAVING count(*) = {len(terms)}
+"""
+
+
+# ---------------------------------------------------------------- callables
+
+def q_doc_tf(spark, sf_dir):
+    return _tf(spark, sf_dir)
+
+
+def q_doc_stats(spark, sf_dir):
+    return doc_stats(_tf(spark, sf_dir))
+
+
+def q_dictionary(spark, sf_dir):
+    return dictionary(_tf(spark, sf_dir))
+
+
+def q_corpus_stats(spark, sf_dir):
+    return doc_stats(_tf(spark, sf_dir)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_len"), ROUND_DP).alias("avgdl"),
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    return (
+        dictionary(_tf(spark, sf_dir))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_bm25_scores(spark, sf_dir):
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def q_inner_scores(spark, sf_dir):
+    tf, stats, dct, n, _ = _scoring_ctx(spark, sf_dir)
+    scored = inner_product_score(spark, tf, stats, dct, INNER_QUERY, n)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def q_cosine_scores(spark, sf_dir):
+    tf, stats, dct, n, _ = _scoring_ctx(spark, sf_dir)
+    scored = cosine_score(spark, tf, stats, dct, COSINE_QUERY, n)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def q_boolean_and(spark, sf_dir):
+    return boolean_and(spark, _tf(spark, sf_dir), AND_QUERY)
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), w=3, tau=0.2)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_band_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+_QUERY_VEC = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]  # deterministic
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_embs(spark, sf_dir), _QUERY_VEC, k=25)
+
+
+def q_emb_neardup(spark, sf_dir):
+    return similarity.cosine_neardup(_embs(spark, sf_dir), tau=0.3)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_assign(_embs(spark, sf_dir), n_planes=8, dim=64)
+
+
+def q_wand_topk(spark, sf_dir):
+    """Flagship segment path: build index → block-max WAND top-k.
+    Non-SQL-expressible (binary segments) → rows-only driver check; exact
+    rank identity vs the oracle is pytest-enforced."""
+    from .query.engine import SearchEngine
+
+    idx_dir = tempfile.mkdtemp(prefix="seidx_")
+    eng = SearchEngine(spark, f"{idx_dir}/idx")
+    eng.build_index_from_df(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", range_bits=3, n_buckets=8
+    )
+    return eng.search_df(BM25_QUERY, k=50)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "doc_tf": q_doc_tf,
+        "doc_stats": q_doc_stats,
+        "dictionary": q_dictionary,
+        "corpus_stats": q_corpus_stats,
+        "top_terms": q_top_terms,
+        "bm25_scores": q_bm25_scores,
+        "inner_scores": q_inner_scores,
+        "cosine_scores": q_cosine_scores,
+        "boolean_and": q_boolean_and,
+        "dedup_exact": q_exact_dedup,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_neardup": q_emb_neardup,
+        "lsh_buckets": q_lsh_buckets,
+        "wand_topk": q_wand_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "doc_tf": _TF_SQL,
+        "doc_stats": _STATS_SQL,
+        "dictionary": _DICT_SQL,
+        "corpus_stats": f"SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), {ROUND_DP}) AS avgdl FROM ({_STATS_SQL})",
+        "top_terms": f"SELECT term, df, cf FROM ({_DICT_SQL}) ORDER BY cf DESC, term ASC LIMIT 20",
+        "bm25_scores": _bm25_sql(BM25_QUERY),
+        "inner_scores": _inner_sql(INNER_QUERY),
+        "cosine_scores": _cosine_sql(COSINE_QUERY),
+        "boolean_and": _and_sql(AND_QUERY),
+        "dedup_exact": dedup.exact_dedup_sql("documents"),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
+        "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
+        "simhash": dedup.simhash_sql("documents"),
+        "token_count": textstats.token_count_sql("documents"),
+        "fingerprint": textstats.fingerprint_sql("documents"),
+        "lang_id": textstats.lang_id_sql("documents"),
+        "quality_score": textstats.quality_score_sql("documents"),
+        "emb_cosine_topk": similarity.cosine_topk_sql("embeddings", _QUERY_VEC, k=25),
+        "emb_neardup": similarity.cosine_neardup_sql("embeddings", tau=0.3),
+        "lsh_buckets": similarity.lsh_assign_sql("embeddings", n_planes=8, dim=64),
+        # "wand_topk": intentionally omitted — binary segment path, rows-only check
+    }

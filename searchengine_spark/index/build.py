@@ -1,0 +1,292 @@
+"""Resumable, salted, segment-partitioned inverted-index build.
+
+Reference analogue: the whole Part A batch pipeline (SURVEY.md §3.2) —
+first-letter posting dirs (``Part A/posting_file_factory.py:25-51``), 100k-doc
+chunk spill (``Part A/indexer.py:15,47-51``), BSBI pairwise merge
+(``Part A/merger.py:21-58``) — re-expressed as three Spark jobs:
+
+  Stage A  corpus → (term, doc_id, tf, doc_len) "staged" postings, written as
+           Parquet partitioned by ``bucket`` (term-hash — the scalable
+           analogue of first-letter dirs). Salting: ``doc_range`` =
+           high ``range_bits`` bits of the unsigned doc_id. A hot term
+           (df≈N: ``def``/``import``/license boilerplate) is split across
+           2^range_bits groups, defusing groupBy skew that AQE does not
+           handle (SURVEY.md §4 note 1). Because doc_range is the *unsigned
+           doc-id prefix*, concatenating a term's blocks in (doc_range,
+           block_id) order yields a globally doc-sorted posting list.
+  Stage B  dictionary (term, bucket, df, cf, idf, max_u) + meta.json
+           (n_docs, avgdl, params, input fingerprint).
+  Stage C  per bucket-wave: staged → groupBy(term, doc_range) →
+           applyInPandas numpy block encoder (codec.py) → Parquet segments
+           partitioned by bucket.
+
+Every stage appends to ``manifest.jsonl`` (segment id = bucket, term range,
+posting count, bytes) — the per-partition lineage the north rule requires.
+Resume = skip manifest-complete stages/buckets; kill/resume produces
+byte-identical segments (tests/test_index_resume.py).
+
+The merge step of the reference (``Part A/merger.py``) disappears: it is the
+shuffle performed by groupBy — SURVEY.md §4 table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import BM25_B, BM25_K1
+from ..postings import doc_stats, term_frequencies
+from .codec import BLOCK_SIZE, encode_blocks
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("term", StringType()),
+        StructField("doc_range", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("n_docs", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("max_u", DoubleType()),
+        StructField("doc_bytes", BinaryType()),
+        StructField("tf_bytes", BinaryType()),
+        StructField("dl_bytes", BinaryType()),
+    ]
+)
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+    range_bits: int
+    n_buckets: int
+    block_size: int
+    fingerprint: str
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexMeta":
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            return cls(**json.load(f))
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.jsonl")
+
+
+def read_manifest(index_dir: str) -> list[dict]:
+    p = _manifest_path(index_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _manifest_append(index_dir: str, row: dict) -> None:
+    with open(_manifest_path(index_dir), "a") as f:
+        f.write(json.dumps(row, sort_keys=True) + "\n")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, fn)) for fn in files)
+    return total
+
+
+def _encode_group_fn(k1: float, b: float, avgdl: float, block_size: int):
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        docs = pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        tfs = pdf["tf"].to_numpy(dtype="int64")[order].astype("uint64")
+        dls = pdf["doc_len"].to_numpy(dtype="int64")[order].astype("uint64")
+        blocks = encode_blocks(docs, tfs, dls, k1, b, avgdl, block_size)
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        doc_range = int(pdf["doc_range"].iloc[0])
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "term": term,
+                "doc_range": doc_range,
+                "block_id": range(len(blocks)),
+                "n_docs": [blk["n_docs"] for blk in blocks],
+                "first_doc": [blk["first_doc"] for blk in blocks],
+                "last_doc": [blk["last_doc"] for blk in blocks],
+                "max_u": [blk["max_u"] for blk in blocks],
+                "doc_bytes": [blk["doc_bytes"] for blk in blocks],
+                "tf_bytes": [blk["tf_bytes"] for blk in blocks],
+                "dl_bytes": [blk["dl_bytes"] for blk in blocks],
+            }
+        )
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    range_bits: int = 4,
+    n_buckets: int = 16,
+    block_size: int = BLOCK_SIZE,
+    n_waves: int = 1,
+    use_arrow_udf: bool = True,
+    fresh: bool = False,
+    _stop_after_waves: int | None = None,
+) -> IndexMeta:
+    """Build (or resume) the index at ``index_dir``. Returns meta."""
+    if fresh and os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    done = {(m["kind"], m.get("bucket")) for m in read_manifest(index_dir)}
+
+    staged_path = os.path.join(index_dir, "staged")
+    dict_path = os.path.join(index_dir, "dictionary")
+    stats_path = os.path.join(index_dir, "docstats")
+    seg_path = os.path.join(index_dir, "segments")
+
+    # ---- Stage A: staged postings + doc stats + meta -----------------------
+    if ("staged", None) not in done:
+        tf_df = term_frequencies(corpus, id_col, text_col, use_arrow_udf)
+        stats = doc_stats(tf_df)
+        stats.write.mode("overwrite").parquet(stats_path)
+        stats = spark.read.parquet(stats_path)
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+            F.expr("bit_xor(doc_id)").alias("fp"),
+        ).collect()[0]
+        meta = IndexMeta(
+            n_docs=int(agg["n"]),
+            avgdl=float(agg["avgdl"]),
+            k1=k1,
+            b=b,
+            range_bits=range_bits,
+            n_buckets=n_buckets,
+            block_size=block_size,
+            fingerprint=f"{agg['fp']:x}-{agg['n']}",
+        )
+        staged = (
+            tf_df.join(stats.select("doc_id", "doc_len"), "doc_id")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+            .withColumn(
+                "doc_range",
+                F.shiftrightunsigned(F.col("doc_id"), 64 - range_bits).cast("int"),
+            )
+        )
+        staged.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(staged_path)
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            f.write(IndexMeta.to_json(meta))
+        _manifest_append(
+            index_dir,
+            {"kind": "staged", "bucket": None, "n_postings": None, "bytes": _dir_bytes(staged_path)},
+        )
+    meta = IndexMeta.load(index_dir)
+
+    staged_df = spark.read.parquet(staged_path)
+
+    # ---- Stage B: dictionary ----------------------------------------------
+    if ("dictionary", None) not in done:
+        u_expr = (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / meta.avgdl)
+        )
+        dct = staged_df.groupBy("term").agg(
+            F.first("bucket").alias("bucket"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max(u_expr).alias("max_u"),
+        )
+        dct = dct.withColumn(
+            "idf", F.log(1.0 + (F.lit(float(meta.n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        dct.write.mode("overwrite").parquet(dict_path)
+        n_terms = spark.read.parquet(dict_path).count()
+        _manifest_append(
+            index_dir,
+            {"kind": "dictionary", "bucket": None, "n_terms": n_terms, "bytes": _dir_bytes(dict_path)},
+        )
+
+    # ---- Stage C: encode segments per bucket-wave --------------------------
+    done_buckets = {m["bucket"] for m in read_manifest(index_dir) if m["kind"] == "segment"}
+    pending = [bkt for bkt in range(n_buckets) if bkt not in done_buckets]
+    waves = [pending[i::n_waves] for i in range(n_waves)] if pending else []
+    encode = _encode_group_fn(k1, b, meta.avgdl, block_size)
+    for wave_i, wave in enumerate(waves):
+        if _stop_after_waves is not None and wave_i >= _stop_after_waves:
+            break  # test hook: simulate a killed build mid-way
+        if not wave:
+            continue
+        part = staged_df.filter(F.col("bucket").isin(wave))
+        enc = part.groupBy("bucket", "term", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
+        enc.write.mode("append").partitionBy("bucket").parquet(seg_path)
+        written = spark.read.parquet(seg_path).filter(F.col("bucket").isin(wave))
+        rows = (
+            written.groupBy("bucket")
+            .agg(
+                F.min("term").alias("term_min"),
+                F.max("term").alias("term_max"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum(F.length("doc_bytes") + F.length("tf_bytes") + F.length("dl_bytes")).alias("payload_bytes"),
+            )
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: r["bucket"]):
+            _manifest_append(
+                index_dir,
+                {
+                    "kind": "segment",
+                    "bucket": int(r["bucket"]),
+                    "term_min": r["term_min"],
+                    "term_max": r["term_max"],
+                    "n_blocks": int(r["n_blocks"]),
+                    "n_postings": int(r["n_postings"]),
+                    "bytes": int(r["payload_bytes"]),
+                    "fingerprint": meta.fingerprint,
+                },
+            )
+    return meta
+
+
+def index_is_complete(index_dir: str, n_buckets: int | None = None) -> bool:
+    rows = read_manifest(index_dir)
+    if not any(r["kind"] == "staged" for r in rows):
+        return False
+    if not any(r["kind"] == "dictionary" for r in rows):
+        return False
+    segs = {r["bucket"] for r in rows if r["kind"] == "segment"}
+    if n_buckets is None:
+        try:
+            n_buckets = IndexMeta.load(index_dir).n_buckets
+        except FileNotFoundError:
+            return False
+    return segs >= set(range(n_buckets))

@@ -1,0 +1,124 @@
+"""Delta-gap + varbyte posting-block codec with per-block max-score metadata.
+
+Numpy-vectorized throughout (north star: no per-row Python). The reference
+persists postings as pickled Python lists (``Part A/utils.py:36-42``,
+``Part A/indexer.py:93``); this codec is the scale-path replacement: postings
+sorted by unsigned doc_id, cut into BLOCK_SIZE-doc blocks, each block storing
+
+  * ``first_doc``   — absolute uint64 (column, not payload) → blocks are
+                      independently decodable, so they can be concatenated
+                      across doc-range salts and pruned individually
+  * ``doc_bytes``   — varbyte(deltas of the remaining n-1 docs)
+  * ``tf_bytes``    — varbyte(tf per doc)
+  * ``dl_bytes``    — varbyte(doc_len per doc; denormalized into the posting
+                      at build time like Part A — kills the query-time
+                      doc-stats join, SURVEY.md §2.4 J3)
+  * ``max_u``       — max over the block of the tf/dl-dependent BM25 factor
+                      u(tf,dl) = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl));
+                      block max score = idf(term)·max_u, with idf from the
+                      dictionary → block-max WAND needs no extra join.
+
+Varbyte: little-endian 7-bit groups, MSB=1 means "more bytes follow".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U7 = np.uint64(7)
+_MASK7 = np.uint64(0x7F)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    mat = np.empty((n, 10), dtype=np.uint8)
+    tmp = v.copy()
+    for i in range(10):
+        mat[:, i] = (tmp & _MASK7).astype(np.uint8)
+        tmp >>= _U7
+    nb = np.ones(n, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nb += (tmp != 0)
+        tmp >>= _U7
+    idx = np.arange(10)
+    used = idx[None, :] < nb[:, None]
+    cont = idx[None, :] < (nb - 1)[:, None]
+    mat = mat | (cont.astype(np.uint8) << 7)
+    return mat[used].tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode → uint64 array (exact, no float path)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = b < 128
+    n_vals = int(is_end.sum())
+    val_idx = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(is_end[:-1], out=val_idx[1:])
+    starts = np.flatnonzero(np.concatenate(([True], is_end[:-1])))
+    pos = np.arange(len(b), dtype=np.int64) - starts[val_idx]
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, val_idx, (b & np.uint8(0x7F)).astype(np.uint64) << (pos.astype(np.uint64) * _U7))
+    return out
+
+
+def bm25_u(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    """Term-independent BM25 factor; score = idf · u."""
+    tf = tf.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+
+def encode_blocks(
+    docs_u64: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Sorted-by-doc posting arrays → list of block dicts.
+
+    Caller guarantees ``docs_u64`` strictly increasing (uint64 order).
+    """
+    n = len(docs_u64)
+    out = []
+    for start in range(0, n, block_size):
+        d = docs_u64[start : start + block_size]
+        t = tfs[start : start + block_size]
+        dl = dls[start : start + block_size]
+        deltas = np.diff(d)
+        u = bm25_u(t, dl, k1, b, avgdl)
+        out.append(
+            {
+                "n_docs": int(len(d)),
+                "first_doc": int(d[0].view(np.int64)) if d.dtype == np.uint64 else int(d[0]),
+                "last_doc": int(d[-1].view(np.int64)) if d.dtype == np.uint64 else int(d[-1]),
+                "max_u": float(u.max()),
+                "doc_bytes": varbyte_encode(deltas),
+                "tf_bytes": varbyte_encode(t.astype(np.uint64)),
+                "dl_bytes": varbyte_encode(dl.astype(np.uint64)),
+            }
+        )
+    return out
+
+
+def decode_block(first_doc: int, n_docs: int, doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes):
+    """block → (docs_u64, tfs, dls) numpy arrays."""
+    first = np.uint64(np.int64(first_doc).view(np.uint64))
+    deltas = varbyte_decode(doc_bytes)
+    docs = np.empty(n_docs, dtype=np.uint64)
+    docs[0] = first
+    if n_docs > 1:
+        docs[1:] = first + np.cumsum(deltas, dtype=np.uint64)
+    tfs = varbyte_decode(tf_bytes)
+    dls = varbyte_decode(dl_bytes)
+    return docs, tfs, dls

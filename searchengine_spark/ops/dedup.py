@@ -1,0 +1,251 @@
+"""Deduplication operators for training-data pipelines: exact (hash groupBy),
+n-gram Jaccard, MinHash banding (LSH), SimHash.
+
+Design for 100 TB:
+  * exact dedup is one hash aggregation (map-side partial combine).
+  * n-gram Jaccard pairs is the *verification* kernel — quadratic in the
+    candidate set, so at scale it runs only on MinHash-band candidates, never
+    on the full corpus. Both entry points exist; the banded pipeline is
+    ``minhash_band_pairs`` → ``ngram_jaccard_pairs`` on the survivors.
+  * all hashes are md5-derived so the DuckDB oracle reproduces them exactly
+    (Spark ``md5``/``conv`` ≡ DuckDB ``md5``/hex-cast; verified).
+
+Everything is built-in JVM expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import STOPWORDS, TOKEN_PATTERN, tokenize_raw_expr
+
+ROUND_DP = 5
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_TOKS_SQL = (
+    f"[t FOR t IN regexp_extract_all(lower({{text}}), '{TOKEN_PATTERN}') "
+    f"IF t NOT IN ({_STOP_SQL})]"
+)
+
+
+# ---------------------------------------------------------------- exact dedup
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_md5, n_dups, keep_doc_id): one group per distinct raw text;
+    keeper = min doc_id."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({text_col}) AS text_md5,
+       count(*)::BIGINT AS n_dups,
+       min({id_col}) AS keep_doc_id
+FROM {table} GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------- shingles
+def shingles(df: DataFrame, w: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word w-gram shingles per doc over the regex token stream."""
+    toks = tokenize_raw_expr(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+def _shingles_sql(table: str, w: int, id_col: str, text_col: str) -> str:
+    toks = _TOKS_SQL.format(text=text_col)
+    return f"""
+SELECT DISTINCT {id_col} AS doc_id,
+       array_to_string(toks[i : i + {w - 1}], ' ') AS shingle
+FROM (SELECT {id_col}, {toks} AS toks FROM {table}),
+     unnest(range(1, greatest(len(toks) - {w} + 2, 1))) AS r(i)
+"""
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame, w: int = 3, tau: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ tau.
+    Self-equi-join on shingle; at scale, feed a candidate-restricted df."""
+    sh = shingles(df, w, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(j, ROUND_DP).alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, w: int = 3, tau: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    sh = _shingles_sql(table, w, id_col, text_col)
+    return f"""
+WITH sh AS ({sh}),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), {ROUND_DP}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), {ROUND_DP}) >= {tau}
+"""
+
+
+# ------------------------------------------------------------ MinHash banding
+def _mh_col(seed: int):
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+
+
+def minhash_signatures(
+    df: DataFrame, n_hashes: int = 8, w: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): per-seed minimum of md5(seed || shingle) —
+    lexicographic-min over hex strings is a valid MinHash family and is
+    bit-identical across engines."""
+    sh = shingles(df, w, id_col, text_col)
+    return sh.groupBy("doc_id").agg(*[_mh_col(s) for s in range(n_hashes)])
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    w: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band hash (band = md5 of
+    ``band_size`` consecutive minhashes). Output (doc_a, doc_b) distinct."""
+    sig = minhash_signatures(df, n_hashes, w, id_col, text_col)
+    n_bands = n_hashes // band_size
+    bands = []
+    for bi in range(n_bands):
+        cols = [f"mh{bi * band_size + j}" for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    allb = bands[0]
+    for b_ in bands[1:]:
+        allb = allb.unionAll(b_)
+    a = allb.alias("a")
+    b_ = allb.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_band_pairs_sql(
+    table: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    w: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    sh = _shingles_sql(table, w, id_col, text_col)
+    mh_cols = ", ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(n_hashes)
+    )
+    n_bands = n_hashes // band_size
+    band_rows = []
+    for bi in range(n_bands):
+        cols = " || '|' || ".join(f"mh{bi * band_size + j}" for j in range(band_size))
+        band_rows.append(f"SELECT doc_id, {bi} AS band, md5({cols}) AS band_hash FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sh AS ({sh}),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# ----------------------------------------------------------------- SimHash
+SIMHASH_BITS = 60  # 15 md5 hex chars → fits signed int64 in both engines
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 60-bit tf-weighted SimHash over the token stream.
+    term hash = int(md5(term)[:15], 16) — reproducible in SQL."""
+    toks = tokenize_raw_expr(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
+    )
+    bits = tf.select(
+        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    )
+    vote = F.sum(
+        F.when(F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+        .otherwise(-F.col("tf"))
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(vote.alias("vote"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = _TOKS_SQL.format(text=text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM toks GROUP BY doc_id, term),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM tf, unnest(range(0, {SIMHASH_BITS})) AS r(bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""

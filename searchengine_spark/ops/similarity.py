@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk``      — brute-force cosine top-k for one query vector: the
+                         exactness baseline. Dot products run JVM-side via
+                         zip_with + aggregate (no Python, no shuffle beyond
+                         the final TakeOrderedAndProject).
+* ``cosine_neardup``   — all pairs with cosine ≥ τ (embedding near-dup).
+                         Quadratic verification kernel — at 100 TB restrict
+                         to LSH candidates first.
+* ``lsh_assign``       — deterministic random-hyperplane bucket assignment
+                         (sign bits of dot products with md5-derived
+                         pseudo-random planes): the scale path. Bucketing is
+                         reproducible in SQL, so the oracle can verify it.
+
+All floats rounded at ROUND_DP for cross-engine hashing; embeddings cast to
+double before any math in BOTH engines (the parquet column is float32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 5
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 20, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k by cosine to a literal query vector (tie-break id asc)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    emb = _as_double(vec_col)
+    cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        df.select(F.col(id_col).alias("vec_id"), F.round(cos, ROUND_DP).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_sql(
+    table: str, query_vec: list[float], k: int = 20, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    ql = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
+    return f"""
+SELECT {id_col} AS vec_id,
+       round(list_dot_product({vec_col}::DOUBLE[], {ql})
+             / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
+                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+FROM {table}
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def cosine_neardup(
+    df: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_a, vec_b, cos) for all pairs with cosine ≥ τ (a < b)."""
+    base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    a = base.select(F.col("id").alias("vec_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.select("vec_a", "vec_b", F.round(cos, ROUND_DP).alias("cos")).filter(
+        F.col("cos") >= tau
+    )
+
+
+def cosine_neardup_sql(
+    table: str, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
+       round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
+             / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))
+                * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), {ROUND_DP}) AS cos
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
+            / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))
+               * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), {ROUND_DP}) >= {tau}
+"""
+
+
+# ------------------------------------------------- LSH (random hyperplanes)
+def _plane_val_expr(p: int, d: int):
+    """Deterministic pseudo-random plane component in [-1, 1):
+    (int(md5(f"{p}_{d}")[:8], 16) % 2000 - 1000) / 1000. Identical in SQL."""
+    h = F.conv(F.substring(F.md5(F.lit(f"{p}_{d}")), 1, 8), 16, 10).cast("long")
+    return ((h % 2000) - 1000) / F.lit(1000.0)
+
+
+def lsh_assign(
+    df: DataFrame, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, bucket): bucket = Σ_p (dot(v, plane_p) > 0) << p."""
+    emb = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[_plane_val_expr(p, d) for d in range(dim)])
+        bit = F.when(_dot(emb, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, p)
+    return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_assign_sql(
+    table: str, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    def plane(p: int) -> str:
+        vals = ", ".join(
+            f"((('0x' || substr(md5('{p}_{d}'), 1, 8))::BIGINT % 2000) - 1000) / 1000.0"
+            for d in range(dim)
+        )
+        return f"[{vals}]::DOUBLE[]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {plane(p)}) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"SELECT {id_col} AS vec_id, ({bits})::BIGINT AS bucket FROM {table}"

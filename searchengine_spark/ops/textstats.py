@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (marker-word heuristic), quality scoring, token counting,
+document fingerprinting.
+
+Every operator has (a) a Spark implementation using only built-in JVM
+expressions (whole-stage codegen, no Python in the hot path) and (b) a
+DuckDB SQL generator producing the semantically identical query for the
+driver's correctness gate. All floats are rounded at a pinned precision so
+the cross-engine value-hash is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import STOPWORDS, TOKEN_PATTERN, duckdb_tokens_cte, tokenize_raw_expr
+
+ROUND_DP = 5
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # deterministic marker-word sets; argmax hit-count, tie-break lang asc
+    "en": ("the", "and", "of", "to", "in", "is", "a", "value", "fast"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+}
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _ws_tokens_expr(text_col: str):
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_re_tokens): whitespace token count + regex
+    (BPE-ish identifier) token count after stopword removal."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _ws_tokens_expr(text_col).cast("long").alias("n_ws_tokens"),
+        F.size(tokenize_raw_expr(F.col(text_col))).cast("long").alias("n_re_tokens"),
+    )
+
+
+def token_count_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       CASE WHEN trim({text_col}) = '' THEN 0
+            ELSE len(string_split_regex(trim({text_col}), '\\s+')) END::BIGINT AS n_ws_tokens,
+       len([t FOR t IN regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}')
+            IF t NOT IN ({_STOP_SQL})])::BIGINT AS n_re_tokens
+FROM {table}
+"""
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized token stream
+    (reference analogue: none — pipeline op). Docs with identical token
+    streams collide by construction."""
+    toks = tokenize_raw_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+    )
+
+
+def fingerprint_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       md5(array_to_string([t FOR t IN regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}')
+                            IF t NOT IN ({_STOP_SQL})], ' ')) AS fp
+FROM {table}
+"""
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits over the
+    whitespace-lowered token stream; tie-break lang asc; no hits → 'und'."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hits = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    en, es = hits["en"], hits["es"]
+    pred = (
+        F.when((en == 0) & (es == 0), "und")
+        .when(en >= es, "en")  # tie → 'en' (lang asc)
+        .otherwise("es")
+    )
+    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+
+
+def lang_id_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    def marker_sql(markers: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        return (
+            f"len([w FOR w IN string_split_regex(lower(trim({text_col})), '\\s+') "
+            f"IF w IN ({lst})])"
+        )
+
+    en = marker_sql(_LANG_MARKERS["en"])
+    es = marker_sql(_LANG_MARKERS["es"])
+    return f"""
+SELECT {id_col} AS doc_id,
+       CASE WHEN {en} = 0 AND {es} = 0 THEN 'und'
+            WHEN {en} >= {es} THEN 'en'
+            ELSE 'es' END AS lang_pred
+FROM {table}
+"""
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + combined score (length / stopword ratio /
+    punctuation ratio), all built-in expressions."""
+    toks = tokenize_raw_expr(F.col(text_col))
+    lowered = F.lower(F.col(text_col))
+    n_tok = F.size(toks)
+    ws = _ws_tokens_expr(text_col)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    stop_ratio = stop_hits / F.greatest(ws, F.lit(1))
+    stripped = F.regexp_replace(lowered, "[a-z0-9 \\n\\t_]", "")
+    punct_ratio = F.length(stripped) / F.greatest(F.length(lowered), F.lit(1))
+    quality = (1.0 - stop_ratio) * F.log(1.0 + n_tok) / (1.0 + punct_ratio)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, ROUND_DP).alias("stop_ratio"),
+        F.round(punct_ratio, ROUND_DP).alias("punct_ratio"),
+        F.round(quality, ROUND_DP).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    ws = f"CASE WHEN trim({text_col}) = '' THEN 0 ELSE len(string_split_regex(trim({text_col}), '\\s+')) END"
+    stop_hits = (
+        f"len([w FOR w IN string_split_regex(lower(trim({text_col})), '\\s+') "
+        f"IF w IN ({_STOP_SQL})])"
+    )
+    return f"""
+SELECT {id_col} AS doc_id,
+       len({toks})::BIGINT AS n_tokens,
+       round({stop_hits} / greatest({ws}, 1), {ROUND_DP}) AS stop_ratio,
+       round(length(regexp_replace(lower({text_col}), '[a-z0-9 \\n\\t_]', '', 'g'))
+             / greatest(length(lower({text_col})), 1), {ROUND_DP}) AS punct_ratio,
+       round((1.0 - {stop_hits} / greatest({ws}, 1))
+             * ln(1.0 + len({toks}))
+             / (1.0 + length(regexp_replace(lower({text_col}), '[a-z0-9 \\n\\t_]', '', 'g'))
+                      / greatest(length(lower({text_col})), 1)), {ROUND_DP}) AS quality
+FROM {table}
+"""

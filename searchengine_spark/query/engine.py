@@ -1,0 +1,143 @@
+"""Segment-backed query engine: pruned scan → per-doc-range kernel →
+bounded-heap merge.
+
+API parity with the reference's Part C surface
+(``Part C/search_engine_1.py`` ``build_index_from_parquet`` / ``search``):
+
+    eng = SearchEngine(spark, index_dir)
+    eng.build_index_from_df(corpus_df)          # or resume
+    n, ranked = eng.search("query text", k=100)
+
+Query lifecycle (SURVEY.md §3.3 Spark lifecycle):
+  1. driver parses the query (same tokenizer as indexing;
+     ``Part C/searcher.py:38``), resolves terms against the dictionary —
+     a filtered Parquet read with an ``isin`` pushdown (J1; terms missing
+     from the dictionary are dropped like the reference does).
+  2. segment scan pruned twice: Parquet partition pruning on ``bucket``
+     (term-hash; the analogue of the reference's first-letter posting dirs)
+     + row-group predicate pushdown on ``term`` (J2).
+  3. per doc_range group (disjoint unsigned-doc-id ranges): block-max WAND or
+     vectorized exact kernel → ≤k local candidates from a bounded heap.
+  4. global merge: either ``orderBy(score desc, doc_id asc).limit(k)``
+     (Spark plans TakeOrderedAndProject — per-partition heap + driver merge)
+     or an explicit RDD ``treeReduce`` heap merge (north-star wording);
+     both produce identical results (tested).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..index.build import IndexMeta, build_index
+from ..scoring import parse_query
+from .wand import score_group_vectorized, score_group_wand
+
+RESULT_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("score", DoubleType())]
+)
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self._meta: IndexMeta | None = None
+
+    # -- build ---------------------------------------------------------------
+    def build_index_from_df(self, corpus: DataFrame, **kwargs) -> IndexMeta:
+        self._meta = build_index(self.spark, corpus, self.index_dir, **kwargs)
+        return self._meta
+
+    def build_index_from_parquet(self, path: str, **kwargs) -> IndexMeta:
+        """Reference-parity entry point (``Part C/search_engine_1.py:30``)."""
+        return self.build_index_from_df(self.spark.read.parquet(path), **kwargs)
+
+    # -- query ---------------------------------------------------------------
+    @property
+    def meta(self) -> IndexMeta:
+        if self._meta is None:
+            self._meta = IndexMeta.load(self.index_dir)
+        return self._meta
+
+    def _resolve_terms(self, query: str) -> list[dict]:
+        """J1: query terms ⋈ dictionary via filtered read (pushdown)."""
+        terms = [t for t, _ in parse_query(query)]
+        dict_df = self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+        rows = dict_df.filter(F.col("term").isin(terms)).collect()
+        return [r.asDict() for r in rows]
+
+    def search(
+        self,
+        query: str,
+        k: int = 100,
+        mode: str = "or",
+        use_wand: bool = True,
+        merge: str = "take_ordered",
+    ) -> list[tuple[int, float]]:
+        """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc)."""
+        meta = self.meta
+        dict_rows = self._resolve_terms(query)
+        if not dict_rows:
+            return []
+        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        terms = sorted(idf)
+
+        seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        blocks = seg.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+        kernel = score_group_wand if use_wand else score_group_vectorized
+        k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel(pdf, idf, k1, b, avgdl, k, mode)
+
+        cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
+
+        if merge == "tree_reduce":
+            # north-star wording: bounded min-heap per partition merged via
+            # treeReduce. Heap item = (score, -doc_id) so the min-heap evicts
+            # (lowest score, largest doc) first.
+            kk = k
+
+            def part_heap(rows):
+                h: list[tuple[float, int]] = []
+                for row in rows:
+                    item = (row["score"], -row["doc_id"])
+                    if len(h) < kk:
+                        heapq.heappush(h, item)
+                    elif item > h[0]:
+                        heapq.heapreplace(h, item)
+                yield h
+
+            def merge_heaps(a, b_):
+                h = a
+                for item in b_:
+                    if len(h) < kk:
+                        heapq.heappush(h, item)
+                    elif item > h[0]:
+                        heapq.heapreplace(h, item)
+                return h
+
+            heaps = cand.rdd.mapPartitions(part_heap)
+            final = heaps.treeReduce(merge_heaps) if not heaps.isEmpty() else []
+            items = sorted(final, key=lambda x: (-x[0], -x[1]))
+            return [(-nd, s) for s, nd in items]
+
+        rows = (
+            cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+    def search_df(self, query: str, k: int = 100, **kwargs) -> DataFrame:
+        rows = self.search(query, k, **kwargs)
+        return self.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in rows] or [], RESULT_SCHEMA
+        )

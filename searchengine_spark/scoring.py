@@ -73,7 +73,22 @@ def bm25_score(
     idf = bm25_idf_col(n_docs)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
     per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    return cand.groupBy("doc_id").agg(F.sum(per_term).alias("score"))
+    return _ordered_sum(cand, per_term)
+
+
+def _ordered_sum(cand: DataFrame, per_term) -> DataFrame:
+    """Per-doc Σ over query terms in sorted-term order → bit-stable scores
+    across parallelism levels and bit-identical to the Python oracle
+    (SURVEY.md §7 'rank determinism'). ≤|q| structs per doc, so the
+    collect_list is tiny."""
+    per = cand.select("doc_id", F.struct("term", per_term.alias("s")).alias("ts"))
+    return per.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("ts")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
 
 
 def inner_product_score(
@@ -91,7 +106,7 @@ def inner_product_score(
     qstats = F.broadcast(qdf.join(dict_df, "term"))
     cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
     tfidf = (F.col("tf") / F.col("doc_len")) * F.log2(F.lit(float(n_docs)) / F.col("df"))
-    return cand.groupBy("doc_id").agg(F.sum(tfidf * F.col("qtf")).alias("score"))
+    return _ordered_sum(cand, tfidf * F.col("qtf"))
 
 
 def doc_weights(tf_df: DataFrame, stats_df: DataFrame, dict_df: DataFrame, n_docs: int) -> DataFrame:

@@ -1,0 +1,141 @@
+"""Segment index build + WAND query path: rank identity vs oracle, WAND ==
+vectorized == relational, kill/resume determinism, manifest lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from searchengine_spark.corpus import corpus_df
+from searchengine_spark.index.build import IndexMeta, build_index, index_is_complete, read_manifest
+from searchengine_spark.oracle import OracleIndex
+from searchengine_spark.query.engine import SearchEngine
+
+QUERIES = [
+    "index merge posting",
+    "def return import",
+    "license apache version",
+    "block codec heap",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("idx"))
+    df = corpus_df(spark, 300, seed=7).cache()
+    oracle = OracleIndex.build(
+        [(r["doc_id"], r["content"]) for r in df.select("doc_id", "content").collect()]
+    )
+    eng = SearchEngine(spark, idx_dir)
+    meta = eng.build_index_from_df(df, range_bits=3, n_buckets=8, fresh=True)
+    yield eng, oracle, meta, df
+    df.unpersist()
+
+
+def test_meta_matches_oracle(built):
+    _, oracle, meta, _ = built
+    assert meta.n_docs == oracle.n_docs
+    assert abs(meta.avgdl - oracle.avgdl) < 1e-9
+
+
+def test_wand_rank_identity_vs_oracle(built):
+    eng, oracle, _, _ = built
+    for q in QUERIES:
+        want = oracle.bm25_topk(q, 15)
+        got = eng.search(q, k=15, use_wand=True)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (q, gd)
+
+
+def test_vectorized_equals_wand(built):
+    eng, _, _, _ = built
+    for q in QUERIES:
+        wand = eng.search(q, k=15, use_wand=True)
+        vec = eng.search(q, k=15, use_wand=False)
+        assert wand == vec, q
+
+
+def test_tree_reduce_merge_equals_take_ordered(built):
+    eng, _, _, _ = built
+    for q in QUERIES[:2]:
+        a = eng.search(q, k=15, merge="take_ordered")
+        b = eng.search(q, k=15, merge="tree_reduce")
+        assert [d for d, _ in a] == [d for d, _ in b]
+        for (_, sa), (_, sb) in zip(a, b):
+            assert abs(sa - sb) < 1e-12
+
+
+def test_and_mode_vs_oracle(built):
+    eng, oracle, _, _ = built
+    q = "def import return"
+    want_ids = set(oracle.boolean_and(q))
+    got = eng.search(q, k=10_000, mode="and", use_wand=True)
+    got_vec = eng.search(q, k=10_000, mode="and", use_wand=False)
+    assert {d for d, _ in got} == want_ids
+    assert got == got_vec
+    # AND scores must equal the OR scores for those docs
+    or_scores = dict(eng.search(q, k=10_000, mode="or", use_wand=False))
+    for d, s in got:
+        assert abs(s - or_scores[d]) < 1e-12
+
+
+def test_missing_terms_dropped(built):
+    eng, _, _, _ = built
+    assert eng.search("zzzznotaterm", k=5) == []
+    # mixed: unknown terms ignored, like the reference (Part C/searcher.py:59-66)
+    got = eng.search("index zzzznotaterm", k=5)
+    want = eng.search("index", k=5)
+    assert got == want
+
+
+def test_manifest_lineage(built):
+    eng, _, meta, _ = built
+    rows = read_manifest(eng.index_dir)
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"staged", "dictionary", "segment"}
+    segs = [r for r in rows if r["kind"] == "segment"]
+    assert {r["bucket"] for r in segs} == set(range(8))
+    for r in segs:
+        assert r["n_postings"] > 0 and r["bytes"] > 0
+        assert r["term_min"] <= r["term_max"]
+        assert r["fingerprint"] == meta.fingerprint
+    assert index_is_complete(eng.index_dir)
+
+
+def test_kill_resume_identical_segments(spark, tmp_path):
+    """Build in 4 waves but stop after wave 1 (simulated kill); resume must
+    complete the remaining buckets and produce results identical to a fresh
+    one-shot build."""
+    df = corpus_df(spark, 120, seed=11).cache()
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "partial")
+    build_index(spark, df, full_dir, range_bits=2, n_buckets=4, fresh=True)
+
+    # partial: monkeypatch-style — run with n_waves=4 but abort via exception
+    # after the first wave by truncating the pending list: easiest faithful
+    # simulation is to run wave 1 only (n_buckets=4, waves=[b0], others skipped)
+    build_index(spark, df, part_dir, range_bits=2, n_buckets=4, n_waves=4, fresh=True,
+                _stop_after_waves=1)
+    assert not index_is_complete(part_dir)
+    done_before = {m["bucket"] for m in read_manifest(part_dir) if m["kind"] == "segment"}
+    assert 0 < len(done_before) < 4
+
+    # resume
+    build_index(spark, df, part_dir, range_bits=2, n_buckets=4, n_waves=4)
+    assert index_is_complete(part_dir)
+
+    eng_full = SearchEngine(spark, full_dir)
+    eng_part = SearchEngine(spark, part_dir)
+    for q in QUERIES[:2]:
+        assert eng_full.search(q, k=10) == eng_part.search(q, k=10)
+
+    # identical segment content (order-insensitive)
+    a = spark.read.parquet(os.path.join(full_dir, "segments"))
+    b_ = spark.read.parquet(os.path.join(part_dir, "segments"))
+    cols = [c for c in a.columns]
+    assert a.count() == b_.count()
+    assert a.select(cols).exceptAll(b_.select(cols)).count() == 0
+    df.unpersist()
