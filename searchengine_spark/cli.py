@@ -1,0 +1,139 @@
+"""spark-submit entry point.
+
+Packaging (north rule: ships via ``spark-submit --py-files``):
+
+    python -m searchengine_spark.cli package --out dist/searchengine_spark.zip
+    spark-submit --py-files dist/searchengine_spark.zip \
+        $(python -c 'import searchengine_spark.cli as c, inspect; print(inspect.getfile(c))') \
+        build --input /data/corpus --index /data/index --buckets 256 --range-bits 8
+    spark-submit --py-files dist/searchengine_spark.zip ... search \
+        --index /data/index --query "inverted index merge" -k 100
+
+On a real cluster, master/deploy-mode/executor sizing come from spark-submit;
+``get_spark`` only sets engine-level conf (AQE, Arrow, shuffle partitions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import zipfile
+
+
+def _cmd_package(args) -> None:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = args.out
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "searchengine_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    print(json.dumps({"packaged": out, "bytes": os.path.getsize(out)}))
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("searchengine-cli", master=args.master)
+
+
+def _cmd_build(args) -> None:
+    spark = _spark(args)
+    from .corpus import corpus_df, with_doc_id
+    from .query.engine import SearchEngine
+
+    if args.synthetic:
+        corpus = corpus_df(spark, args.synthetic)
+    else:
+        corpus = with_doc_id(spark.read.parquet(args.input))
+    eng = SearchEngine(spark, args.index)
+    t0 = time.perf_counter()
+    meta = eng.build_index_from_df(
+        corpus,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_buckets=args.buckets,
+        range_bits=args.range_bits,
+        n_waves=args.waves,
+        fresh=args.fresh,
+    )
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "built": args.index,
+                "n_docs": meta.n_docs,
+                "avgdl": round(meta.avgdl, 3),
+                "sec": round(dt, 2),
+                "docs_per_sec": round(meta.n_docs / dt, 1),
+            }
+        )
+    )
+
+
+def _cmd_search(args) -> None:
+    spark = _spark(args)
+    from .query.engine import SearchEngine
+
+    eng = SearchEngine(spark, args.index)
+    t0 = time.perf_counter()
+    hits = eng.search(args.query, k=args.k, mode=args.mode, use_wand=not args.no_wand)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "k": args.k,
+                "mode": args.mode,
+                "sec": round(dt, 3),
+                "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
+            }
+        )
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="searchengine_spark")
+    p.add_argument("--master", default=None, help="override spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pk = sub.add_parser("package", help="zip the package for --py-files")
+    pk.add_argument("--out", default="dist/searchengine_spark.zip")
+    pk.set_defaults(fn=_cmd_package)
+
+    b = sub.add_parser("build", help="build or resume an index")
+    b.add_argument("--input", help="parquet corpus path (repo,path,commit,lang,content)")
+    b.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs instead")
+    b.add_argument("--index", required=True)
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--range-bits", type=int, default=6)
+    b.add_argument("--waves", type=int, default=1)
+    b.add_argument("--fresh", action="store_true")
+    b.set_defaults(fn=_cmd_build)
+
+    s = sub.add_parser("search", help="top-k BM25 query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=100)
+    s.add_argument("--mode", choices=["or", "and"], default="or")
+    s.add_argument("--no-wand", action="store_true")
+    s.set_defaults(fn=_cmd_search)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -217,16 +217,16 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     bits = tf.select(
         "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
     )
+    # shiftright/shiftleft builtins require a literal shift → use SQL exprs,
+    # which accept a column shift amount (still whole-stage codegen).
     vote = F.sum(
-        F.when(F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-        .otherwise(-F.col("tf"))
+        F.when(F.expr("(h >> cast(bit as int)) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
     )
     per_bit = bits.groupBy("doc_id", "bit").agg(vote.alias("vote"))
     return per_bit.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+            .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
 
