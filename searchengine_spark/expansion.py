@@ -1,0 +1,91 @@
+"""Query-expansion hooks (SURVEY.md §2.11 — the reference's six engine
+variants differ only here; ``Part C/searcher_spell_checker.py``,
+``searcher_thesaurus.py``, ``searcher_word_net.py``, ``searcher_glove.py``).
+
+In the reference these mutate the query-term dict before candidate
+generation; here they are driver-side *query rewriters*: a rewriter maps the
+parsed query terms to ``[(term, weight)]``. The engine folds the weight into
+the per-term idf (score contribution = weight·idf·u), which keeps both the
+relational and the WAND paths unchanged.
+
+nltk/spacy are not available in this environment, so:
+  * spell-check is a pure-Python edit-distance-≤2 match against the index
+    vocabulary (deterministic; same role as ``Part C/SpellChecker.py:10-24``)
+  * thesaurus/WordNet are a static synonym dict with the reference's 0.2
+    expansion weight (``Part C/searcher_thesaurus.py:40``)
+  * GloVe embedding expansion (``Part C/searcher_glove.py:68-100``) is out of
+    scope per SURVEY.md §1.1 (model row) — the hook signature supports it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from .scoring import parse_query
+
+Rewriter = Callable[[list[tuple[str, int]]], list[tuple[str, float]]]
+
+EXPANSION_WEIGHT = 0.2  # reference weight for expanded terms
+
+
+def identity_rewriter(qterms: list[tuple[str, int]]) -> list[tuple[str, float]]:
+    return [(t, 1.0) for t, _ in qterms]
+
+
+def _edits1(word: str) -> set[str]:
+    letters = "abcdefghijklmnopqrstuvwxyz_0123456789"
+    splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
+    deletes = [a + b[1:] for a, b in splits if b]
+    transposes = [a + b[1] + b[0] + b[2:] for a, b in splits if len(b) > 1]
+    replaces = [a + c + b[1:] for a, b in splits if b for c in letters]
+    inserts = [a + c + b for a, b in splits for c in letters]
+    return set(deletes + transposes + replaces + inserts)
+
+
+def make_spell_rewriter(vocab: set[str]) -> Rewriter:
+    """OOV terms → closest in-vocab term at edit distance ≤2 (deterministic:
+    distance-1 beats distance-2, ties broken lexicographically)."""
+
+    def correct(term: str) -> str:
+        if term in vocab:
+            return term
+        e1 = sorted(_edits1(term) & vocab)
+        if e1:
+            return e1[0]
+        for cand in sorted(_edits1(term)):
+            e2 = sorted(_edits1(cand) & vocab)
+            if e2:
+                return e2[0]
+        return term
+
+    def rewrite(qterms: list[tuple[str, int]]) -> list[tuple[str, float]]:
+        return [(correct(t), 1.0) for t, _ in qterms]
+
+    return rewrite
+
+
+def make_synonym_rewriter(
+    synonyms: dict[str, list[str]], weight: float = EXPANSION_WEIGHT
+) -> Rewriter:
+    """Append synonym terms at reduced weight (thesaurus/WordNet shape)."""
+
+    def rewrite(qterms: list[tuple[str, int]]) -> list[tuple[str, float]]:
+        out: dict[str, float] = {}
+        for t, _ in qterms:
+            out[t] = max(out.get(t, 0.0), 1.0)
+            for syn in synonyms.get(t, []):
+                if syn not in out:
+                    out[syn] = weight
+        return sorted(out.items())
+
+    return rewrite
+
+
+def rewrite_query(query: str, rewriter: Rewriter | None) -> list[tuple[str, float]]:
+    qterms = parse_query(query)
+    if rewriter is None:
+        return [(t, 1.0) for t, _ in qterms]
+    out: dict[str, float] = {}
+    for term, wgt in rewriter(qterms):
+        out[term] = max(out.get(term, 0.0), wgt)  # dedup, keep max weight
+    return sorted(out.items())

@@ -75,6 +75,53 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def bm25_reference_topk(
+        self, query: str, k: int | None = None, k1: float = 3.0, b: float = 0.6
+    ) -> list[tuple[object, float]]:
+        """Reference-parity BM25 (``Part C/ranker.py:62-86``): normalized tf,
+        idf=log2(N/df), numerator ntf·(ntf·(k+1)); dynamic k = round(0.9·n)
+        when k is None (``Part C/ranker.py:38-40``)."""
+        qterms = sorted(Counter(tokenize_py(query)).items())
+        scores: dict[object, float] = {}
+        avgdl = self.avgdl
+        n = self.n_docs
+        for term, _qtf in qterms:
+            if term not in self.postings:
+                continue
+            idf = math.log2(n / self.df[term])
+            for doc_id, tf in self.postings[term]:
+                dl = self.doc_len[doc_id]
+                ntf = tf / dl
+                num = ntf * (ntf * (k1 + 1.0))
+                den = ntf + k1 * (1.0 - b + b * dl / avgdl)
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * (num / den)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        if k is None:
+            k = round(0.9 * len(ranked))
+        return ranked[:k]
+
+    def inner_product(self, query: str) -> dict[object, float]:
+        """R3 with Part C weights: tfidf = (tf/dl)·log2(N/df), Σ tfidf·qtf."""
+        qterms = sorted(Counter(tokenize_py(query)).items())
+        scores: dict[object, float] = {}
+        for term, qtf in qterms:
+            if term not in self.postings:
+                continue
+            idf = math.log2(self.n_docs / self.df[term])
+            for doc_id, tf in self.postings[term]:
+                w = (tf / self.doc_len[doc_id]) * idf
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * qtf
+        return scores
+
+    def blended_partc_topk(self, query: str, k: int) -> list[tuple[object, float]]:
+        """R5: 0.9·BM25_ref + 0.1·inner (``Part C/ranker.py:28-32``)."""
+        bm = dict(self.bm25_reference_topk(query, k=10**9))
+        ip = self.inner_product(query)
+        docs = set(bm) | set(ip)
+        blended = {d: 0.9 * bm.get(d, 0.0) + 0.1 * ip.get(d, 0.0) for d in docs}
+        ranked = sorted(blended.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def boolean_and(self, query: str) -> list[object]:
         qterms = sorted(set(tokenize_py(query)))
         if not qterms:

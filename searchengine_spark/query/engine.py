@@ -66,12 +66,23 @@ class SearchEngine:
             self._meta = IndexMeta.load(self.index_dir)
         return self._meta
 
-    def _resolve_terms(self, query: str) -> list[dict]:
-        """J1: query terms ⋈ dictionary via filtered read (pushdown)."""
-        terms = [t for t, _ in parse_query(query)]
+    def _resolve_terms(self, query: str, rewriter=None) -> list[dict]:
+        """J1: query terms ⋈ dictionary via filtered read (pushdown).
+        A rewriter (expansion.py) may add/correct terms with weights; the
+        weight is folded into idf so both kernels stay unchanged."""
+        from ..expansion import rewrite_query
+
+        weighted = rewrite_query(query, rewriter)
+        terms = [t for t, _ in weighted]
+        wmap = dict(weighted)
         dict_df = self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
         rows = dict_df.filter(F.col("term").isin(terms)).collect()
-        return [r.asDict() for r in rows]
+        out = []
+        for r in rows:
+            d = r.asDict()
+            d["idf"] = float(d["idf"]) * wmap[d["term"]]
+            out.append(d)
+        return out
 
     def search(
         self,
@@ -80,10 +91,11 @@ class SearchEngine:
         mode: str = "or",
         use_wand: bool = True,
         merge: str = "take_ordered",
+        rewriter=None,
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc)."""
         meta = self.meta
-        dict_rows = self._resolve_terms(query)
+        dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
             return []
         idf = {r["term"]: float(r["idf"]) for r in dict_rows}

@@ -149,6 +149,102 @@ def boolean_and(spark: SparkSession, tf_df: DataFrame, query: str) -> DataFrame:
     )
 
 
+def bm25_reference_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 3.0,
+    b: float = 0.6,
+) -> DataFrame:
+    """Reference-parity BM25 (R1, ``Part C/ranker.py:62-86``): postings carry
+    *normalized* tf = raw_tf/doc_len (``Part C/indexer.py:66-75``),
+    idf = log2(N/df), numerator = ntf·(ntf·(k+1)) [the reference's shipped
+    formula, quirk included], k=3, b=0.6. avgdl here is the reference's avdl
+    over raw doc lengths."""
+    qdf = _query_df(spark, query)
+    qstats = F.broadcast(qdf.join(dict_df, "term"))
+    cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    ntf = F.col("tf") / F.col("doc_len")
+    idf = F.log2(F.lit(float(n_docs)) / F.col("df"))
+    num = ntf * (ntf * (k1 + 1.0))
+    den = ntf + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    return _ordered_sum(cand, idf * (num / den))
+
+
+def blended_score_partc(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """R5 (``Part C/ranker.py:28-32``): 0.9·BM25_ref + 0.1·inner-product."""
+    bm = bm25_reference_score(spark, tf_df, stats_df, dict_df, query, n_docs, avgdl)
+    inner = inner_product_score(spark, tf_df, stats_df, dict_df, query, n_docs)
+    return (
+        bm.withColumnRenamed("score", "bm")
+        .join(inner.withColumnRenamed("score", "ip"), "doc_id", "outer")
+        .fillna(0.0)
+        .select("doc_id", (0.9 * F.col("bm") + 0.1 * F.col("ip")).alias("score"))
+    )
+
+
+def blended_score_parta(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    n_docs: int,
+) -> DataFrame:
+    """R6+R8 legacy Part A mode (``Part A/ranker.py:22-27``,
+    ``Part A/merger.py:68-80``): per-posting weight
+    w = round(0.8·(tf/max_tf)·idf + 0.2·(tf/doc_len)·idf, 3) with
+    idf = log10(N/df) (3-dp rounding is part of reference semantics);
+    score = 0.5·cosine + 0.5·inner."""
+    qterms = parse_query(query)
+    qdf = _query_df(spark, query)
+    qstats = F.broadcast(qdf.join(dict_df, "term"))
+    enriched = tf_df.join(dict_df, "term").join(
+        stats_df.select("doc_id", "doc_len", "max_tf"), "doc_id"
+    )
+    idf = F.log10(F.lit(float(n_docs)) / F.col("df"))
+    w = F.round(
+        0.8 * (F.col("tf") / F.col("max_tf")) * idf
+        + 0.2 * (F.col("tf") / F.col("doc_len")) * idf,
+        3,
+    )
+    weighted = enriched.withColumn("w", w)
+    doc_w2 = weighted.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("doc_w2"))
+    cand = weighted.join(qstats.select("term", "qtf"), "term")
+    inner = _ordered_sum(cand, F.col("w") * F.col("qtf")).withColumnRenamed("score", "ip")
+    q_w2 = float(sum(qtf * qtf for _, qtf in qterms))
+    return inner.join(doc_w2, "doc_id").select(
+        "doc_id",
+        (
+            0.5 * (F.col("ip") / F.sqrt(F.col("doc_w2") * F.lit(q_w2))) + 0.5 * F.col("ip")
+        ).alias("score"),
+    )
+
+
+def dynamic_k(n_candidates: int) -> int:
+    """W3 (``Part C/ranker.py:38-40``): k=None → round(0.9·n_candidates)."""
+    return round(0.9 * n_candidates)
+
+
+def anomaly_cutoff(scored: DataFrame, n_std: float = 1.0) -> DataFrame:
+    """W5 (``Part C/ranker_glove.py:181-202``): keep score > mean − n·std."""
+    stats = scored.agg(F.avg("score").alias("m"), F.stddev_pop("score").alias("s")).collect()[0]
+    thr = float(stats["m"]) - n_std * float(stats["s"] or 0.0)
+    return scored.filter(F.col("score") > thr)
+
+
 def topk(scored: DataFrame, k: int, round_dp: int | None = None) -> DataFrame:
     """W2: deterministic top-k — (score desc, doc_id asc) tie-break pinned
     (SURVEY.md §7 'rank determinism'). orderBy+limit plans

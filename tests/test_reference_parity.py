@@ -1,0 +1,109 @@
+"""Reference-parity scoring modes (R1 quirk formula, R5 blend, W3 dynamic k,
+W5 anomaly cutoff) and query-expansion hooks (§2.11) — Spark vs extended
+pure-Python oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.corpus import corpus_df
+from searchengine_spark.expansion import (
+    identity_rewriter,
+    make_spell_rewriter,
+    make_synonym_rewriter,
+    rewrite_query,
+)
+from searchengine_spark.oracle import OracleIndex
+from searchengine_spark.postings import corpus_stats, dictionary, doc_stats, term_frequencies
+from searchengine_spark.scoring import (
+    anomaly_cutoff,
+    blended_score_partc,
+    bm25_reference_score,
+    dynamic_k,
+    topk,
+)
+
+QUERIES = ["index merge posting", "def return import", "license apache version"]
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    df = corpus_df(spark, 200, seed=13).cache()
+    oracle = OracleIndex.build(
+        [(r["doc_id"], r["content"]) for r in df.select("doc_id", "content").collect()]
+    )
+    tf = term_frequencies(df, "doc_id", "content").cache()
+    stats = doc_stats(tf)
+    dct = dictionary(tf)
+    n, avgdl = corpus_stats(stats)
+    yield spark, tf, stats, dct, n, avgdl, oracle
+    tf.unpersist()
+    df.unpersist()
+
+
+def test_bm25_reference_mode(ctx):
+    spark, tf, stats, dct, n, avgdl, oracle = ctx
+    for q in QUERIES:
+        want = oracle.bm25_reference_topk(q, k=15)
+        got = topk(bm25_reference_score(spark, tf, stats, dct, q, n, avgdl), 15).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q
+        for r, (_, ws) in zip(got, want):
+            assert abs(r["score"] - ws) < 1e-9
+
+
+def test_blended_partc(ctx):
+    spark, tf, stats, dct, n, avgdl, oracle = ctx
+    for q in QUERIES[:2]:
+        want = oracle.blended_partc_topk(q, 15)
+        got = topk(blended_score_partc(spark, tf, stats, dct, q, n, avgdl), 15).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q
+        for r, (_, ws) in zip(got, want):
+            assert abs(r["score"] - ws) < 1e-9
+
+
+def test_dynamic_k(ctx):
+    _, _, _, _, _, _, oracle = ctx
+    ranked = oracle.bm25_reference_topk("def return", k=None)
+    full = oracle.bm25_reference_topk("def return", k=10**9)
+    assert len(ranked) == round(0.9 * len(full))
+
+
+def test_anomaly_cutoff(spark):
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)] + [(99, -100.0)], "doc_id int, score double"
+    )
+    kept = anomaly_cutoff(scored, n_std=1.0).collect()
+    assert all(r["score"] > -100.0 for r in kept)
+    assert len(kept) < 11
+
+
+def test_spell_rewriter():
+    vocab = {"index", "merge", "posting", "block"}
+    rw = make_spell_rewriter(vocab)
+    out = rewrite_query("indx mrge posting", rw)
+    assert ("index", 1.0) in out and ("merge", 1.0) in out and ("posting", 1.0) in out
+
+
+def test_synonym_rewriter():
+    rw = make_synonym_rewriter({"index": ["posting"]})
+    out = dict(rewrite_query("index", rw))
+    assert out == {"index": 1.0, "posting": 0.2}
+
+
+def test_rewriter_in_engine(spark, tmp_path):
+    from searchengine_spark.query.engine import SearchEngine
+
+    df = corpus_df(spark, 100, seed=3)
+    eng = SearchEngine(spark, str(tmp_path / "idx"))
+    eng.build_index_from_df(df, range_bits=2, n_buckets=4, fresh=True)
+    base = eng.search("index merge", k=10, rewriter=identity_rewriter)
+    plain = eng.search("index merge", k=10)
+    assert base == plain
+    # misspelled query + spell rewriter == clean query
+    vocab = {r["term"] for r in spark.read.parquet(str(tmp_path / "idx/dictionary")).select("term").collect()}
+    fixed = eng.search("indx mrge", k=10, rewriter=make_spell_rewriter(vocab))
+    assert fixed == plain
+    # synonym expansion changes candidate set but stays deterministic
+    syn = eng.search("index", k=10, rewriter=make_synonym_rewriter({"index": ["merge"]}))
+    assert syn == eng.search("index", k=10, rewriter=make_synonym_rewriter({"index": ["merge"]}))
