@@ -54,14 +54,17 @@ def main() -> None:
     from searchengine_spark.ops import dedup, similarity, textstats
     from searchengine_spark.postings import corpus_stats, dictionary, doc_stats, term_frequencies
     from searchengine_spark.query.engine import SearchEngine
-    from searchengine_spark.scoring import bm25_score, topk
+    from searchengine_spark.scoring import bm25_score_batch
     from searchengine_spark.session import get_spark
     from searchengine_spark.entry_queries import _QUERY_VEC
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # the sf parquet is a single small file → 1 input split; repartition to
+    # model the many-split layout a real 100 TB table has (all map work would
+    # otherwise run on one core)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus).cache()
     n_docs = docs.count()
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus).cache()
     embs.count()
 
     timings: dict[str, float] = {}
@@ -75,6 +78,19 @@ def main() -> None:
 
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     eng = SearchEngine(spark, os.path.join(idx_dir, "idx"))
+
+    # untimed warmup: exercise every code path (codegen JIT, Python worker
+    # pool, parquet writers) on a small slice so timed sections measure the
+    # engine, not JVM cold start
+    warm_docs = docs.limit(500).cache()
+    warm_docs.count()
+    warm_eng = SearchEngine(spark, os.path.join(idx_dir, "warm"))
+    warm_eng.build_index_from_df(
+        warm_docs, id_col="doc_id", text_col="text", range_bits=2, n_buckets=4, fresh=True
+    )
+    warm_eng.search(BENCH_QUERIES[0], k=10)
+    dedup.minhash_band_pairs(warm_docs).count()
+    warm_docs.unpersist()
 
     def build():
         eng.build_index_from_df(
@@ -102,13 +118,17 @@ def main() -> None:
     timed("query_vectorized", run_queries(use_wand=False))
 
     def relational():
+        # throughput shape: one job scores the whole 12-query batch (the
+        # postings scan + joins amortize across the batch — the plan we'd
+        # run at 100 TB, vs one Spark job per query)
         tf = term_frequencies(docs, "doc_id", "text").cache()
-        stats = doc_stats(tf)
-        dct = dictionary(tf)
+        stats = doc_stats(tf).cache()
+        dct = dictionary(tf).cache()
         n, avgdl = corpus_stats(stats)
-        for q in BENCH_QUERIES:
-            topk(bm25_score(spark, tf, stats, dct, q, n, avgdl), 100).collect()
-        tf.unpersist()
+        batch = {f"q{i:02d}": q for i, q in enumerate(BENCH_QUERIES)}
+        bm25_score_batch(spark, tf, stats, dct, batch, n, avgdl, k=100).collect()
+        for d in (tf, stats, dct):
+            d.unpersist()
 
     timed("bm25_relational", relational)
 

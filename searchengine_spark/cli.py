@@ -55,7 +55,11 @@ def _cmd_build(args) -> None:
     if args.synthetic:
         corpus = corpus_df(spark, args.synthetic)
     else:
-        corpus = with_doc_id(spark.read.parquet(args.input))
+        corpus = spark.read.parquet(args.input)
+        if args.id_col not in corpus.columns:
+            # (repo,path,commit,lang,content) source table → derive the
+            # surrogate 64-bit doc_id (input_hint schema)
+            corpus = with_doc_id(corpus)
     eng = SearchEngine(spark, args.index)
     t0 = time.perf_counter()
     meta = eng.build_index_from_df(

@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 
 from .ops import dedup, similarity, textstats
 from .postings import dictionary, doc_stats, term_frequencies
-from .scoring import boolean_and, bm25_score, cosine_score, inner_product_score, parse_query
+from .scoring import (
+    bm25_score,
+    bm25_score_batch,
+    boolean_and,
+    cosine_score,
+    inner_product_score,
+    parse_query,
+)
 from .tokenizer import STOPWORDS, TOKEN_PATTERN, duckdb_tokens_cte
 
 ROUND_DP = 5
@@ -26,6 +33,13 @@ BM25_QUERY = "spark join stream"
 INNER_QUERY = "hash merge sort table"
 COSINE_QUERY = "window group order"
 AND_QUERY = "hash merge sort"
+BATCH_QUERIES = {
+    "q01": BM25_QUERY,
+    "q02": INNER_QUERY,
+    "q03": COSINE_QUERY,
+    "q04": "customer order line",
+}
+BATCH_K = 10
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
@@ -134,6 +148,37 @@ FROM inner_s i JOIN dw USING (doc_id)
 """
 
 
+def _bm25_batch_sql(queries: dict[str, str], k: int, k1: float = 1.5, b: float = 0.75) -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{t}', {qtf})"
+        for qid, q in sorted(queries.items())
+        for t, qtf in parse_query(q)
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf) AS (VALUES {qrows}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * ({k1} + 1.0))
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _and_sql(query: str) -> str:
     terms = sorted({t for t, _ in parse_query(query)})
     tl = ", ".join(f"'{t}'" for t in terms)
@@ -177,6 +222,24 @@ def q_bm25_scores(spark, sf_dir):
     tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
     scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
     return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def q_bm25_batch_topk(spark, sf_dir):
+    """Batched multi-query BM25 top-k: one job for the whole query batch.
+    Rank is computed over the ROUNDED score (+doc_id tie-break) so the rank
+    column is engine-independent."""
+    from pyspark.sql import Window
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score_batch(spark, tf, stats, dct, BATCH_QUERIES, n, avgdl)
+    rounded = scored.select(
+        "query_id", "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BATCH_K)
+    )
 
 
 def q_inner_scores(spark, sf_dir):
@@ -264,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "top_terms": q_top_terms,
         "bm25_scores": q_bm25_scores,
+        "bm25_batch_topk": q_bm25_batch_topk,
         "inner_scores": q_inner_scores,
         "cosine_scores": q_cosine_scores,
         "boolean_and": q_boolean_and,
@@ -290,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": f"SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), {ROUND_DP}) AS avgdl FROM ({_STATS_SQL})",
         "top_terms": f"SELECT term, df, cf FROM ({_DICT_SQL}) ORDER BY cf DESC, term ASC LIMIT 20",
         "bm25_scores": _bm25_sql(BM25_QUERY),
+        "bm25_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
         "inner_scores": _inner_sql(INNER_QUERY),
         "cosine_scores": _cosine_sql(COSINE_QUERY),
         "boolean_and": _and_sql(AND_QUERY),

@@ -50,18 +50,26 @@ FROM {table} GROUP BY 1
 
 
 # ------------------------------------------------------------------- shingles
-def shingles(df: DataFrame, w: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word w-gram shingles per doc over the regex token stream."""
-    toks = tokenize_raw_expr(F.col(text_col))
-    sh = F.when(
+def shingle_array(text_col, w: int = 3):
+    """Column expr: word w-gram shingle array over the regex token stream
+    (with repeats; empty array when the doc has fewer than w tokens)."""
+    toks = tokenize_raw_expr(text_col)
+    return F.when(
         F.size(toks) >= w,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - w),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, w: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word w-gram shingles per doc over the regex token stream."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")).distinct()
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingle_array(F.col(text_col), w)).alias("shingle"),
+        ).distinct()
     )
 
 
@@ -123,18 +131,31 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), {ROUND_DP}) >= {tau}
 
 
 # ------------------------------------------------------------ MinHash banding
-def _mh_col(seed: int):
-    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
-
-
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 8, w: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): per-seed minimum of md5(seed || shingle) —
     lexicographic-min over hex strings is a valid MinHash family and is
-    bit-identical across engines."""
-    sh = shingles(df, w, id_col, text_col)
-    return sh.groupBy("doc_id").agg(*[_mh_col(s) for s in range(n_hashes)])
+    bit-identical across engines.
+
+    Computed entirely MAP-SIDE: ``array_min(transform(shingles, md5(...)))``
+    per row — no explode, no shuffle (min over repeated shingles equals min
+    over the distinct set, so skipping dedup is exact). At 100 TB this is the
+    difference between 0 shuffles and shuffling ~200 shingle rows per doc."""
+    # NOTE: the 8 sibling transforms use SQL-parsed lambdas with UNIQUE
+    # variable names (s0..s7). Python-side ``F.transform(col, lambda s: ...)``
+    # gives every sibling the same lambda-variable name, and Spark 4.1 then
+    # cross-binds them inside one projection → silently wrong hashes (caught
+    # by the DuckDB oracle; repro kept in tests/test_entry_contract.py).
+    sh = shingle_array(F.col(text_col), w)
+    row = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(F.size("sh") > 0)
+    mh = [
+        F.expr(
+            f"array_min(transform(sh, s{seed} -> md5(concat('{seed}:', s{seed}))))"
+        ).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+    return row.select("doc_id", *mh)
 
 
 def minhash_band_pairs(
@@ -144,30 +165,51 @@ def minhash_band_pairs(
     w: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band hash (band = md5 of
-    ``band_size`` consecutive minhashes). Output (doc_a, doc_b) distinct."""
+    ``band_size`` consecutive minhashes). Output (doc_a, doc_b) distinct.
+
+    Single-pass bucket design (no self-join): each signature row explodes to
+    its n_bands (band, band_hash) keys, one shuffle groups docs per bucket,
+    and pairs are generated *inside* the bucket with array combinators — the
+    expensive shingle→signature lineage is computed exactly once, versus
+    2·n_bands times for the naive self-join. ``max_bucket`` caps degenerate
+    buckets (near-identical boilerplate at 100 TB would otherwise go
+    quadratic); capped buckets keep their ``max_bucket`` smallest doc_ids,
+    and at the default the cap is unreachable at test scale, keeping the
+    DuckDB oracle exact."""
     sig = minhash_signatures(df, n_hashes, w, id_col, text_col)
     n_bands = n_hashes // band_size
-    bands = []
-    for bi in range(n_bands):
-        cols = [f"mh{bi * band_size + j}" for j in range(band_size)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[f"mh{bi * band_size + j}" for j in range(band_size)])
+            ).alias("band_hash"),
         )
-    allb = bands[0]
-    for b_ in bands[1:]:
-        allb = allb.unionAll(b_)
-    a = allb.alias("a")
-    b_ = allb.alias("b")
+        for bi in range(n_bands)
+    ]
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_hash")
+    buckets = exploded.groupBy("band", "band_hash").agg(
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_bucket).alias("ids")
+    )
+    # all ordered pairs (ids[i], ids[j]) with i < j, ids pre-sorted ascending
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -91,6 +91,55 @@ def _ordered_sum(cand: DataFrame, per_term) -> DataFrame:
     )
 
 
+def bm25_score_batch(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    queries: dict[str, str],
+    n_docs: int,
+    avgdl: float,
+    k: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batched BM25: score every query of a batch in ONE job —
+    (query_id, doc_id, score[, rank]). The throughput shape for 100 TB: the
+    postings scan, doc-stats join, and shuffle are amortized across the whole
+    query batch instead of one Spark job per query; the query side stays a
+    broadcast (|batch|·|q| rows). With ``k`` set, a per-query window row_number
+    cut yields ranked top-k (W2/W4 batched)."""
+    rows = [
+        (qid, t, qtf) for qid, q in sorted(queries.items()) for t, qtf in parse_query(q)
+    ]
+    if not rows:
+        raise ValueError("empty query batch")
+    qdf = spark.createDataFrame(rows, "query_id string, term string, qtf int")
+    qstats = F.broadcast(qdf.join(dict_df, "term"))
+    cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    idf = bm25_idf_col(n_docs)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    per = cand.select(
+        "query_id", "doc_id", F.struct("term", per_term.alias("s")).alias("ts")
+    )
+    scored = per.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("ts")), F.lit(0.0), lambda acc, x: acc + x["s"]
+        ).alias("score")
+    )
+    if k is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def inner_product_score(
     spark: SparkSession,
     tf_df: DataFrame,
