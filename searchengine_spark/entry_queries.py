@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import dedup, similarity, textstats
+from .ops import dedup, multimodal, similarity, textstats
 from .postings import dictionary, doc_stats, term_frequencies
 from .scoring import (
     bm25_score,
@@ -290,6 +290,24 @@ def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 
 
+def q_media_metadata(spark, sf_dir):
+    return multimodal.media_metadata(multimodal.text_as_media(_docs(spark, sf_dir)))
+
+
+def q_media_decode(spark, sf_dir):
+    return multimodal.decode_media(multimodal.text_as_media(_docs(spark, sf_dir)))
+
+
+def q_media_frames(spark, sf_dir):
+    return multimodal.frame_sample(multimodal.text_as_media(_docs(spark, sf_dir)))
+
+
+def q_media_features(spark, sf_dir):
+    """Feature-extraction plumbing (array<float> stub embeddings) — float32
+    output → rows-only driver check; exact values pytest-checked."""
+    return multimodal.extract_features(multimodal.text_as_media(_docs(spark, sf_dir)))
+
+
 _QUERY_VEC = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]  # deterministic
 
 
@@ -339,6 +357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
+        "media_metadata": q_media_metadata,
+        "media_decode": q_media_decode,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
         "lsh_buckets": q_lsh_buckets,
@@ -366,6 +388,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textstats.fingerprint_sql("documents"),
         "lang_id": textstats.lang_id_sql("documents"),
         "quality_score": textstats.quality_score_sql("documents"),
+        "media_metadata": multimodal.media_metadata_sql("documents"),
+        "media_decode": multimodal.decode_media_sql("documents"),
+        "media_frames": multimodal.frame_sample_sql("documents"),
+        # "media_features": float32 array output — rows-only check
         "emb_cosine_topk": similarity.cosine_topk_sql("embeddings", _QUERY_VEC, k=25),
         "emb_neardup": similarity.cosine_neardup_sql("embeddings", tau=0.3),
         "lsh_buckets": similarity.lsh_assign_sql("embeddings", n_planes=8, dim=64),
