@@ -26,6 +26,7 @@ from .scoring import (
     parse_query,
 )
 from .tokenizer import STOPWORDS, TOKEN_PATTERN, duckdb_tokens_cte
+from .tweetparser import entity_tokens_sql
 
 ROUND_DP = 5
 
@@ -308,6 +309,47 @@ def q_media_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.text_as_media(_docs(spark, sf_dir)))
 
 
+def q_entity_tokens(spark, sf_dir):
+    from .tweetparser import entity_tokens
+
+    return entity_tokens(_docs(spark, sf_dir), min_df=2)
+
+
+def q_tweet_tokens(spark, sf_dir):
+    """Tweet-mode tokenizer (SURVEY §2.2 T5-T14) term frequencies — the
+    534-line rule parser re-expressed; rule pipeline not SQL-expressible →
+    rows-only driver check; golden cases pytest-enforced."""
+    from .tweetparser import tweet_tokenize
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(tweet_tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def q_streaming_ingest(spark, sf_dir):
+    """Structured-Streaming incremental index (availableNow drain of a temp
+    corpus drop) — returns per-epoch manifest rows; rows-only check."""
+    import tempfile
+
+    from . import streaming as st
+
+    base = tempfile.mkdtemp(prefix="se_stream_")
+    drops, idx, ckpt = f"{base}/drops", f"{base}/idx", f"{base}/ckpt"
+    docs = _docs(spark, sf_dir).limit(200)
+    docs.write.mode("overwrite").parquet(drops)
+    st.incremental_index(
+        st.stream_corpus(spark, drops, docs.schema), idx, ckpt, n_buckets=4, range_bits=2
+    )
+    rows = [
+        (int(e["epoch"]), int(e["n_docs"]), int(e["n_blocks"]))
+        for e in st.ingest.read_stream_manifest(idx)
+    ]
+    return spark.createDataFrame(rows, "epoch long, n_docs long, n_blocks long")
+
+
 _QUERY_VEC = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]  # deterministic
 
 
@@ -321,6 +363,10 @@ def q_emb_neardup(spark, sf_dir):
 
 def q_lsh_buckets(spark, sf_dir):
     return similarity.lsh_assign(_embs(spark, sf_dir), n_planes=8, dim=64)
+
+
+def q_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(_embs(spark, sf_dir), _QUERY_VEC, k=10, hamming=1)
 
 
 def q_wand_topk(spark, sf_dir):
@@ -357,6 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
+        "entity_tokens": q_entity_tokens,
+        "tweet_tokens": q_tweet_tokens,
+        "streaming_ingest": q_streaming_ingest,
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
@@ -364,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
         "lsh_buckets": q_lsh_buckets,
+        "lsh_topk": q_lsh_topk,
         "wand_topk": q_wand_topk,
     }
 
@@ -388,6 +438,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textstats.fingerprint_sql("documents"),
         "lang_id": textstats.lang_id_sql("documents"),
         "quality_score": textstats.quality_score_sql("documents"),
+        "entity_tokens": entity_tokens_sql("documents", min_df=2),
+        # "tweet_tokens", "streaming_ingest": rows-only (non-SQL-expressible)
         "media_metadata": multimodal.media_metadata_sql("documents"),
         "media_decode": multimodal.decode_media_sql("documents"),
         "media_frames": multimodal.frame_sample_sql("documents"),
@@ -395,5 +447,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": similarity.cosine_topk_sql("embeddings", _QUERY_VEC, k=25),
         "emb_neardup": similarity.cosine_neardup_sql("embeddings", tau=0.3),
         "lsh_buckets": similarity.lsh_assign_sql("embeddings", n_planes=8, dim=64),
+        "lsh_topk": similarity.lsh_topk_sql("embeddings", _QUERY_VEC, k=10, hamming=1),
         # "wand_topk": intentionally omitted — binary segment path, rows-only check
     }

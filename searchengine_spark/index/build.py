@@ -176,7 +176,15 @@ def build_index(
 
     # ---- Stage A: staged postings + doc stats + meta -----------------------
     if ("staged", None) not in done:
-        tf_df = term_frequencies(corpus, id_col, text_col, use_arrow_udf)
+        from pyspark import StorageLevel
+
+        # tf feeds BOTH the doc-stats write and the staged-postings write;
+        # persisting it avoids tokenizing the corpus twice (the dominant
+        # stage-A cost). MEMORY_AND_DISK: at 100 TB the tf relation spills
+        # to executor-local disk instead of OOMing.
+        tf_df = term_frequencies(corpus, id_col, text_col, use_arrow_udf).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         stats = doc_stats(tf_df)
         stats.write.mode("overwrite").parquet(stats_path)
         stats = spark.read.parquet(stats_path)
@@ -204,6 +212,7 @@ def build_index(
             )
         )
         staged.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(staged_path)
+        tf_df.unpersist()
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
             f.write(IndexMeta.to_json(meta))
         _manifest_append(

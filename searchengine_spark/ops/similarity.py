@@ -115,6 +115,91 @@ def lsh_assign(
     return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:
+    """Driver-side bucket of a query vector — bit-identical to lsh_assign
+    (same md5-derived planes, float64 math)."""
+    import hashlib
+
+    bucket = 0
+    for p in range(n_planes):
+        dot = 0.0
+        for d, v in enumerate(query_vec):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
+            dot += float(v) * ((h % 2000) - 1000) / 1000.0
+        if dot > 0:
+            bucket += 1 << p
+    return bucket
+
+
+def _probe_buckets(center: int, n_planes: int, hamming: int) -> list[int]:
+    out = {center}
+    if hamming >= 1:
+        out |= {center ^ (1 << p) for p in range(n_planes)}
+    if hamming >= 2:
+        out |= {
+            center ^ (1 << p) ^ (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        }
+    return sorted(out)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_planes: int = 8,
+    dim: int = 64,
+    hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: prune to the query's LSH bucket ± ``hamming`` bit
+    flips (multi-probe), brute-force cosine inside. The 100 TB path: the
+    bucket filter is a partition-prunable predicate when embeddings are
+    written partitioned/bucketed by LSH bucket, so the scan touches
+    (n_probes/2^n_planes) of the data instead of all of it."""
+    probes = _probe_buckets(query_bucket(query_vec, n_planes), n_planes, hamming)
+    assigned = lsh_assign(df, n_planes, dim, id_col, vec_col).filter(
+        F.col("bucket").isin(probes)
+    )
+    cand = df.join(
+        assigned.select(F.col("vec_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def lsh_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 20,
+    n_planes: int = 8,
+    dim: int = 64,
+    hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    probes = ", ".join(
+        str(b) for b in _probe_buckets(query_bucket(query_vec, n_planes), n_planes, hamming)
+    )
+    assign = lsh_assign_sql(table, n_planes, dim, id_col, vec_col)
+    ql = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH assigned AS ({assign}),
+cand AS (
+  SELECT t.* FROM {table} t
+  JOIN assigned a ON a.vec_id = t.{id_col}
+  WHERE a.bucket IN ({probes}))
+SELECT {id_col} AS vec_id,
+       round(list_dot_product({vec_col}::DOUBLE[], {ql})
+             / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
+                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+FROM cand
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def lsh_assign_sql(
     table: str, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

@@ -1,0 +1,6 @@
+from .ingest import (  # noqa: F401
+    incremental_index,
+    stream_corpus,
+    streaming_term_counts,
+    streaming_window_stats,
+)

@@ -1,0 +1,45 @@
+"""T16 opt-in stemmer: pure / UDF / Catalyst-expr three-way equality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.stemming import stem_expr, stem_py, stem_tokens_udf
+
+CASES = [
+    ("caresses", "caress"),
+    ("ponies", "poni"),
+    ("running", "runn"),
+    ("joined", "join"),
+    ("quickly", "quick"),
+    ("tables", "table"),
+    ("national", "national"),      # 'ational' guard: stem 'n' too short → unchanged, stops
+    ("rational", "rational"),      # same guard ('r'); matched-suffix-stop semantics
+    ("conditional", "condition"),
+    ("optimization", "optimize"),
+    ("agreement", "agree"),        # 'ement' → 'e': agre + e
+    ("ss", "ss"),                  # too short for any rule
+    ("ing", "ing"),                # suffix-only token stays
+    ("xs", "xs"),                  # no vowel in stem → unchanged
+]
+
+
+@pytest.mark.parametrize(("word", "expected"), CASES)
+def test_stem_py_cases(word, expected):
+    assert stem_py(word) == expected
+
+
+def test_one_rule_only():
+    # 'ments' fires (→'ment'); the later 'ment' rule must NOT also fire
+    assert stem_py("payments") == "payment"
+
+
+def test_three_way_equality(spark):
+    words = [w for w, _ in CASES] + ["payments", "flying", "cries", "classes"]
+    df = spark.createDataFrame([(words,)], "toks array<string>")
+    via_expr = df.select(stem_expr(F.col("toks")).alias("s")).collect()[0]["s"]
+    via_udf = df.select(stem_tokens_udf(F.col("toks")).alias("s")).collect()[0]["s"]
+    via_py = [stem_py(w) for w in words]
+    assert via_expr == via_py
+    assert via_udf == via_py
