@@ -99,6 +99,11 @@ def main() -> None:
 
     timed("index_build", build)
     extra["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+    from searchengine_spark.index.build import read_manifest
+
+    mrows = [m for m in read_manifest(eng.index_dir) if m["kind"] == "metrics"]
+    if mrows:
+        extra["build_stages_sec"] = mrows[-1]["stages_sec"]
 
     def run_queries(**kw):
         def run():

@@ -40,32 +40,38 @@ from pyspark.sql import functions as F  # noqa: E402
 from searchengine_spark.query.engine import SearchEngine  # noqa: E402
 from searchengine_spark.session import get_spark  # noqa: E402
 
-REPLICATE = int(os.environ.get("SCALING_REPLICATE", "48"))
+N_FILES = int(os.environ.get("SCALING_FILES", "150000"))
 TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
 LEVELS = [int(c) for c in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = ["spark join stream", "hash merge sort table", "window group order",
-           "customer order line", "fast scan filter"]
+CORPUS_DIR = os.environ.get("SCALING_CORPUS_DIR", "")
+# query terms drawn from the synthetic corpus identifier pools (corpus.py)
+QUERIES = ["index merge query", "token parse rank", "buffer stream batch",
+           "shard node graph", "cache heap block"]
 
 
-def run_level(cores: int) -> dict:
+def prepare_corpus() -> str:
+    """Materialize the input-hint-shaped synthetic corpus ONCE (distributed
+    generation) so every level reads identical bytes."""
+    out = tempfile.mkdtemp(prefix="scale_corpus_") + "/corpus"
+    spark = get_spark("scaling-prep", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    from searchengine_spark.corpus import corpus_df_dist
+
+    corpus_df_dist(spark, N_FILES, partitions=64).write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def run_level(cores: int, corpus_dir: str) -> dict:
     spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    reps = spark.range(REPLICATE).select(F.col("id").alias("rep"))
-    big = (
-        docs.crossJoin(reps)
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
-        .drop("rep")
-        .repartition(max(cores, 8))
-        .cache()
-    )
+    big = spark.read.parquet(corpus_dir).repartition(max(cores, 16)).cache()
     n = big.count()
 
     idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
     eng = SearchEngine(spark, os.path.join(idx_dir, "idx"))
     t0 = time.perf_counter()
-    eng.build_index_from_df(big, id_col="doc_id", text_col="text",
+    eng.build_index_from_df(big, id_col="doc_id", text_col="content",
                             range_bits=5, n_buckets=32, fresh=True)
     build_sec = time.perf_counter() - t0
 
@@ -97,10 +103,11 @@ def run_level(cores: int) -> dict:
 
 
 def main() -> None:
+    corpus_dir = CORPUS_DIR or prepare_corpus()
     trials: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for t in range(TRIALS):
         for cores in LEVELS:
-            r = run_level(cores)
+            r = run_level(cores, corpus_dir)
             trials[cores].append(r)
             print(json.dumps({"trial": t, **{k: v for k, v in r.items() if k != "top1"}}),
                   file=sys.stderr, flush=True)

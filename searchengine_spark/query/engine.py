@@ -49,9 +49,15 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self._meta: IndexMeta | None = None
+        self._dict_df: DataFrame | None = None
+        self._seg_df: DataFrame | None = None
 
     # -- build ---------------------------------------------------------------
     def build_index_from_df(self, corpus: DataFrame, **kwargs) -> IndexMeta:
+        if self._dict_df is not None:  # invalidate across rebuilds
+            self._dict_df.unpersist()
+            self._dict_df = None
+        self._seg_df = None
         self._meta = build_index(self.spark, corpus, self.index_dir, **kwargs)
         return self._meta
 
@@ -75,8 +81,14 @@ class SearchEngine:
         weighted = rewrite_query(query, rewriter)
         terms = [t for t, _ in weighted]
         wmap = dict(weighted)
-        dict_df = self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
-        rows = dict_df.filter(F.col("term").isin(terms)).collect()
+        if self._dict_df is None:
+            # cached across searches: the dictionary is the small hot side
+            # (term, bucket, df, cf, idf, max_u) — on a cluster this is the
+            # broadcast analogue of the reference's in-memory inverted_idx
+            self._dict_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "dictionary")
+            ).cache()
+        rows = self._dict_df.filter(F.col("term").isin(terms)).collect()
         out = []
         for r in rows:
             d = r.asDict()
@@ -102,8 +114,14 @@ class SearchEngine:
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
         terms = sorted(idf)
 
-        seg = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
-        blocks = seg.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        if self._seg_df is None:
+            # reused handle: parquet file listing runs once per engine, not
+            # per query (data itself stays on disk — partition pruning below
+            # keeps each query's scan to its terms' buckets)
+            self._seg_df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        blocks = self._seg_df.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
 
         kernel = score_group_wand if use_wand else score_group_vectorized
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl

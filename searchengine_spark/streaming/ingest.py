@@ -96,7 +96,7 @@ def incremental_index(
             )
         )
         encode = _encode_group_fn(1.5, 0.75, float(agg["avgdl"]), 128)
-        enc = staged.groupBy("bucket", "term", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
+        enc = staged.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
         out = os.path.join(index_dir, "segments", f"epoch={epoch_id}")
         enc.write.mode("overwrite").partitionBy("bucket").parquet(out)
         n_blocks = spark.read.parquet(out).count()

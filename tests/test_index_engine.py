@@ -95,7 +95,9 @@ def test_manifest_lineage(built):
     eng, _, meta, _ = built
     rows = read_manifest(eng.index_dir)
     kinds = {r["kind"] for r in rows}
-    assert kinds == {"staged", "dictionary", "segment"}
+    assert kinds == {"staged", "dictionary", "segment", "metrics"}
+    (mrow,) = [r for r in rows if r["kind"] == "metrics"]
+    assert mrow["total_sec"] > 0 and "a1_tf_stats" in mrow["stages_sec"]
     segs = [r for r in rows if r["kind"] == "segment"]
     assert {r["bucket"] for r in segs} == set(range(8))
     for r in segs:
