@@ -309,10 +309,24 @@ def q_media_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.text_as_media(_docs(spark, sf_dir)))
 
 
+# The sf documents table is all-lowercase → zero Capitalized pairs; a 0-row
+# oracle match is vacuous, so the entity operator is checked over a
+# deterministic literal fixture on BOTH sides (same pattern as the literal
+# query vectors used by the similarity entries).
+ENTITY_FIXTURE = [
+    (1, "President Biden met Angela Merkel in Berlin today"),
+    (2, "Angela Merkel praised President Biden after the summit"),
+    (3, "lower case text with no entities at all"),
+    (4, "Grand Canyon appears exactly once so it is dropped"),
+    (5, "President Biden again and Pacific Ocean with Pacific Ocean twice in one doc"),
+]
+
+
 def q_entity_tokens(spark, sf_dir):
     from .tweetparser import entity_tokens
 
-    return entity_tokens(_docs(spark, sf_dir), min_df=2)
+    df = spark.createDataFrame(ENTITY_FIXTURE, "doc_id long, text string")
+    return entity_tokens(df, min_df=2)
 
 
 def q_tweet_tokens(spark, sf_dir):
@@ -438,7 +452,13 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textstats.fingerprint_sql("documents"),
         "lang_id": textstats.lang_id_sql("documents"),
         "quality_score": textstats.quality_score_sql("documents"),
-        "entity_tokens": entity_tokens_sql("documents", min_df=2),
+        "entity_tokens": entity_tokens_sql("fixture", min_df=2).replace(
+            "WITH cand AS",
+            "WITH fixture(doc_id, text) AS (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in ENTITY_FIXTURE)
+            + "), cand AS",
+            1,
+        ),
         # "tweet_tokens", "streaming_ingest": rows-only (non-SQL-expressible)
         "media_metadata": multimodal.media_metadata_sql("documents"),
         "media_decode": multimodal.decode_media_sql("documents"),

@@ -81,6 +81,61 @@ def make_synonym_rewriter(
     return rewrite
 
 
+def make_embedding_rewriter(
+    vectors: dict[str, list[float]],
+    n_neighbors: int = 2,
+    max_query_terms: int = 5,
+    weight: float = EXPANSION_WEIGHT,
+) -> Rewriter:
+    """GloVe-style expansion (``Part C/searcher_glove.py:68-100`` shape):
+    queries with fewer than ``max_query_terms`` terms get each term's
+    ``n_neighbors`` nearest vocabulary terms by euclidean distance appended
+    at reduced weight. Deterministic: ties broken by (distance, term).
+
+    ``vectors`` is the word-embedding table (term → float list). In the
+    reference this is the 100k-row GloVe ``model.txt`` loaded in-process; on
+    a cluster the same dict arrives via a broadcast (queries are rewritten
+    driver-side either way). Brute-force scan per query term — |vocab| · dim
+    flops, driver-side, exactly like the reference."""
+
+    def neighbors(term: str) -> list[str]:
+        v = vectors.get(term)
+        if v is None:
+            return []
+        scored = []
+        for cand, cv in vectors.items():
+            if cand == term:
+                continue
+            d = sum((a - b) ** 2 for a, b in zip(v, cv))
+            scored.append((d, cand))
+        scored.sort()
+        return [c for _, c in scored[:n_neighbors]]
+
+    def rewrite(qterms: list[tuple[str, int]]) -> list[tuple[str, float]]:
+        out: dict[str, float] = {t: 1.0 for t, _ in qterms}
+        if len(qterms) < max_query_terms:
+            for t, _ in qterms:
+                for nb in neighbors(t):
+                    if nb not in out:
+                        out[nb] = weight
+        return sorted(out.items())
+
+    return rewrite
+
+
+def hash_term_vectors(vocab: list[str], dim: int = 16) -> dict[str, list[float]]:
+    """Deterministic stand-in embedding table (md5-derived floats in [-1, 1))
+    — the container has no GloVe model; swapping in a real ``model.txt``
+    loader touches only this function's caller."""
+    import hashlib
+
+    out = {}
+    for term in vocab:
+        digest = hashlib.md5(term.encode()).digest()
+        out[term] = [digest[i % 16] / 128.0 - 1.0 for i in range(dim)]
+    return out
+
+
 def rewrite_query(query: str, rewriter: Rewriter | None) -> list[tuple[str, float]]:
     qterms = parse_query(query)
     if rewriter is None:

@@ -107,3 +107,37 @@ def test_rewriter_in_engine(spark, tmp_path):
     # synonym expansion changes candidate set but stays deterministic
     syn = eng.search("index", k=10, rewriter=make_synonym_rewriter({"index": ["merge"]}))
     assert syn == eng.search("index", k=10, rewriter=make_synonym_rewriter({"index": ["merge"]}))
+
+
+def test_embedding_rewriter():
+    from searchengine_spark.expansion import hash_term_vectors, make_embedding_rewriter
+
+    vocab = ["index", "merge", "posting", "block", "codec", "stream"]
+    vecs = hash_term_vectors(vocab)
+    rw = make_embedding_rewriter(vecs, n_neighbors=2)
+    out = dict(rewrite_query("index", rw))
+    assert out["index"] == 1.0
+    expanded = {t for t, w in out.items() if w == 0.2}
+    assert len(expanded) == 2 and expanded <= set(vocab) - {"index"}
+    # deterministic
+    assert rewrite_query("index", rw) == rewrite_query("index", rw)
+    # >= max_query_terms → no expansion (reference: only short queries expand)
+    out_long = dict(rewrite_query("index merge posting block codec", rw))
+    assert all(w == 1.0 for w in out_long.values())
+
+
+def test_embedding_rewriter_in_engine(spark, tmp_path):
+    from searchengine_spark.expansion import hash_term_vectors, make_embedding_rewriter
+    from searchengine_spark.query.engine import SearchEngine
+
+    df = corpus_df(spark, 100, seed=3)
+    eng = SearchEngine(spark, str(tmp_path / "gidx"))
+    eng.build_index_from_df(df, range_bits=2, n_buckets=4, fresh=True)
+    vocab = [
+        r["term"]
+        for r in spark.read.parquet(str(tmp_path / "gidx/dictionary")).select("term").collect()
+    ]
+    rw = make_embedding_rewriter(hash_term_vectors(vocab), n_neighbors=2)
+    hits = eng.search("index", k=10, rewriter=rw)
+    assert hits == eng.search("index", k=10, rewriter=rw)
+    assert len(hits) > 0
