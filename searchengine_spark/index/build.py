@@ -53,7 +53,7 @@ from pyspark.sql.types import (
 
 from .. import BM25_B, BM25_K1
 from ..postings import doc_stats, term_frequencies
-from .codec import BLOCK_SIZE, encode_blocks
+from .codec import BLOCK_SIZE
 
 BLOCK_SCHEMA = StructType(
     [
@@ -130,6 +130,8 @@ def _encode_group_fn(k1: float, b: float, avgdl: float, block_size: int):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        from .codec import encode_terms_blocks
+
         bucket = int(pdf["bucket"].iloc[0])
         doc_range = int(pdf["doc_range"].iloc[0])
         docs_all = pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
@@ -141,31 +143,28 @@ def _encode_group_fn(k1: float, b: float, avgdl: float, block_size: int):
         dls_all = pdf["doc_len"].to_numpy(dtype="int64")[order].astype("uint64")
 
         bounds = np.flatnonzero(terms_all[1:] != terms_all[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(terms_all)]))
+        starts = np.concatenate(([0], bounds)).astype(np.int64)
+        ends = np.concatenate((bounds, [len(terms_all)])).astype(np.int64)
 
-        cols: dict[str, list] = {
-            "term": [], "block_id": [], "n_docs": [], "first_doc": [],
-            "last_doc": [], "max_u": [], "doc_bytes": [], "tf_bytes": [], "dl_bytes": [],
-        }
-        for s, e in zip(starts, ends):
-            term = terms_all[s]
-            blocks = encode_blocks(
-                docs_all[s:e], tfs_all[s:e], dls_all[s:e], k1, b, avgdl, block_size
-            )
-            for bi, blk in enumerate(blocks):
-                cols["term"].append(term)
-                cols["block_id"].append(bi)
-                cols["n_docs"].append(blk["n_docs"])
-                cols["first_doc"].append(blk["first_doc"])
-                cols["last_doc"].append(blk["last_doc"])
-                cols["max_u"].append(blk["max_u"])
-                cols["doc_bytes"].append(blk["doc_bytes"])
-                cols["tf_bytes"].append(blk["tf_bytes"])
-                cols["dl_bytes"].append(blk["dl_bytes"])
-        return pd.DataFrame({"bucket": bucket, **cols, "doc_range": doc_range})[
-            [f.name for f in BLOCK_SCHEMA.fields]
-        ]
+        blk = encode_terms_blocks(
+            docs_all, tfs_all, dls_all, starts, ends, k1, b, avgdl, block_size
+        )
+        term_values = terms_all[starts]
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "term": term_values[blk["term_idx"]],
+                "doc_range": doc_range,
+                "block_id": blk["block_id"],
+                "n_docs": blk["n_docs"],
+                "first_doc": blk["first_doc"],
+                "last_doc": blk["last_doc"],
+                "max_u": blk["max_u"],
+                "doc_bytes": blk["doc_bytes"],
+                "tf_bytes": blk["tf_bytes"],
+                "dl_bytes": blk["dl_bytes"],
+            }
+        )[[f.name for f in BLOCK_SCHEMA.fields]]
 
     return encode
 

@@ -31,12 +31,14 @@ _U7 = np.uint64(7)
 _MASK7 = np.uint64(0x7F)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def varbyte_encode_with_counts(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varbyte encode of a uint64 array → (packed bytes,
+    per-value byte counts). The counts let callers slice the packed stream
+    at arbitrary value boundaries without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     mat = np.empty((n, 10), dtype=np.uint8)
     tmp = v.copy()
     for i in range(10):
@@ -51,7 +53,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     used = idx[None, :] < nb[:, None]
     cont = idx[None, :] < (nb - 1)[:, None]
     mat = mat | (cont.astype(np.uint8) << 7)
-    return mat[used].tobytes()
+    return mat[used].tobytes(), nb
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    return varbyte_encode_with_counts(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
@@ -109,6 +116,88 @@ def encode_blocks(
             }
         )
     return out
+
+
+def encode_terms_blocks(
+    docs_u64: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_starts: np.ndarray,
+    term_ends: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Fully vectorized multi-term block encoder.
+
+    Input: posting arrays sorted by (term, doc) — contiguous per-term slices
+    [term_starts[i], term_ends[i]) with term_ends[i] == term_starts[i+1].
+    Output: dict of per-block columns (term_idx, block_id, n_docs, first_doc,
+    last_doc, max_u, doc_bytes, tf_bytes, dl_bytes) — byte-identical to
+    calling ``encode_blocks`` per term (property-tested), but with every loop
+    replaced by numpy except the final per-block byte-slicing. This is the
+    stage-C hot kernel: per-block work is two memoryview slices, not a pandas
+    group round-trip.
+    """
+    n = len(docs_u64)
+    lens = (term_ends - term_starts).astype(np.int64)
+    nb_blocks = (lens + block_size - 1) // block_size
+    total = int(nb_blocks.sum())
+    term_of_block = np.repeat(np.arange(len(lens)), nb_blocks)
+    block_id = np.arange(total) - np.repeat(np.cumsum(nb_blocks) - nb_blocks, nb_blocks)
+    bstart = term_starts[term_of_block] + block_id * block_size
+    bend = np.minimum(bstart + block_size, term_ends[term_of_block])
+
+    u = bm25_u(tfs, dls, k1, b, avgdl)
+    max_u = np.maximum.reduceat(u, bstart) if total else np.zeros(0)
+
+    signed = docs_u64.view(np.int64)
+    first_doc = signed[bstart]
+    last_doc = signed[bend - 1]
+    n_docs = (bend - bstart).astype(np.int32)
+
+    # deltas: d[i] = docs[i+1] - docs[i]; block rows [s, e) need d[s .. e-2]
+    # (block-first docs are carried in first_doc, not the payload)
+    d_all = np.diff(docs_u64) if n > 1 else np.zeros(0, dtype=np.uint64)
+    keep = np.ones(max(n - 1, 0), dtype=bool)
+    keep[bend[:-1] - 1] = False  # drop the cross-block/cross-term gaps
+    if total and bend[-1] - 1 < len(keep):
+        keep[bend[-1] - 1] = False
+    deltas = d_all[keep]
+
+    doc_buf, doc_nb = varbyte_encode_with_counts(deltas)
+    tf_buf, tf_nb = varbyte_encode_with_counts(tfs.astype(np.uint64))
+    dl_buf, dl_nb = varbyte_encode_with_counts(dls.astype(np.uint64))
+
+    # byte offsets per block for each stream
+    def offsets(nb_per_value: np.ndarray, counts_per_block: np.ndarray) -> np.ndarray:
+        ends_vals = np.cumsum(counts_per_block)
+        starts_vals = ends_vals - counts_per_block
+        cum = np.concatenate(([0], np.cumsum(nb_per_value)))
+        return cum[starts_vals], cum[ends_vals]
+
+    dv_counts = (n_docs.astype(np.int64) - 1)
+    doc_s, doc_e = offsets(doc_nb, dv_counts)
+    tf_s, tf_e = offsets(tf_nb, n_docs.astype(np.int64))
+    dl_s, dl_e = offsets(dl_nb, n_docs.astype(np.int64))
+
+    mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
+    doc_bytes = [bytes(mv_doc[s:e]) for s, e in zip(doc_s, doc_e)]
+    tf_bytes = [bytes(mv_tf[s:e]) for s, e in zip(tf_s, tf_e)]
+    dl_bytes = [bytes(mv_dl[s:e]) for s, e in zip(dl_s, dl_e)]
+
+    return {
+        "term_idx": term_of_block,
+        "block_id": block_id.astype(np.int32),
+        "n_docs": n_docs,
+        "first_doc": first_doc,
+        "last_doc": last_doc,
+        "max_u": max_u.astype(np.float64),
+        "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes,
+        "dl_bytes": dl_bytes,
+    }
 
 
 def decode_block(first_doc: int, n_docs: int, doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes):

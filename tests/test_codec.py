@@ -66,3 +66,47 @@ def test_max_u_bounds_scores():
     u = bm25_u(tf, dl, 1.5, 0.75, 100.0)
     assert (u <= 1.5 + 1.0 + 1e-12).all()
     assert u.max() == max(u)
+
+
+def test_encode_terms_blocks_matches_per_term():
+    """The vectorized multi-term kernel must be BYTE-identical to the
+    per-term reference encoder, including single-doc terms, block-boundary
+    terms, and the cross-term delta exclusions."""
+    import numpy as np
+
+    from searchengine_spark.index.codec import encode_blocks, encode_terms_blocks
+
+    rng = np.random.default_rng(7)
+    k1, b, avgdl, bs = 1.5, 0.75, 37.5, 8
+    docs_l, tfs_l, dls_l, starts, ends = [], [], [], [], []
+    pos = 0
+    for n in [1, 7, 8, 9, 23, 2, 40]:  # straddle block boundaries
+        d = np.sort(rng.choice(np.arange(1, 10_000, dtype=np.uint64), n, replace=False))
+        docs_l.append(d)
+        tfs_l.append(rng.integers(1, 50, n).astype(np.uint64))
+        dls_l.append(rng.integers(10, 500, n).astype(np.uint64))
+        starts.append(pos)
+        pos += n
+        ends.append(pos)
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+
+    got = encode_terms_blocks(
+        docs, tfs, dls, np.array(starts), np.array(ends), k1, b, avgdl, bs
+    )
+    gi = 0
+    for ti, (s, e) in enumerate(zip(starts, ends)):
+        expected = encode_blocks(docs[s:e], tfs[s:e], dls[s:e], k1, b, avgdl, bs)
+        for bi, blk in enumerate(expected):
+            assert got["term_idx"][gi] == ti
+            assert got["block_id"][gi] == bi
+            assert int(got["n_docs"][gi]) == blk["n_docs"]
+            assert int(got["first_doc"][gi]) == blk["first_doc"]
+            assert int(got["last_doc"][gi]) == blk["last_doc"]
+            assert float(got["max_u"][gi]) == blk["max_u"]
+            assert got["doc_bytes"][gi] == blk["doc_bytes"]
+            assert got["tf_bytes"][gi] == blk["tf_bytes"]
+            assert got["dl_bytes"][gi] == blk["dl_bytes"]
+            gi += 1
+    assert gi == len(got["block_id"])
