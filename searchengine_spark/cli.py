@@ -106,6 +106,47 @@ def _cmd_search(args) -> None:
     )
 
 
+def _cmd_eval(args) -> None:
+    """Reference benchmark-harness parity (SURVEY.md §3.3,
+    ``Part C/test_part_c_students_old.py``): per query run top-k, join qrels,
+    emit MAP / P@5 / P@10 / P@50 / recall."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .metrics import mean_average_precision, precision_at_k, recall
+    from .query.engine import SearchEngine
+    from .sources import read_queries_tsv, read_qrels_csv
+
+    eng = SearchEngine(spark, args.index)
+    queries = read_queries_tsv(spark, args.queries).collect()
+    qrels = read_qrels_csv(spark, args.qrels)
+
+    rows, lat = [], []
+    for q in queries:
+        t0 = time.perf_counter()
+        hits = eng.search(q["keywords"], k=args.k)
+        lat.append(time.perf_counter() - t0)
+        rows += [
+            (int(q["query_id"]), str(doc), float(score), rank + 1)
+            for rank, (doc, score) in enumerate(hits)
+        ]
+    results = spark.createDataFrame(
+        rows, "query int, doc_id string, score double, rank int"
+    )
+    out = {
+        "n_queries": len(queries),
+        "map": round(mean_average_precision(results, qrels), 4),
+        "query_p50_sec": round(sorted(lat)[len(lat) // 2], 3) if lat else None,
+        "query_max_sec": round(max(lat), 3) if lat else None,
+    }
+    for kk in (5, 10, 50):
+        pk = precision_at_k(results, qrels, kk).agg(F.avg("p_at_k")).collect()[0][0]
+        out[f"p_at_{kk}"] = round(float(pk), 4) if pk is not None else None
+    rec = recall(results, qrels).agg(F.avg("recall")).collect()[0][0]
+    out["recall"] = round(float(rec), 4) if rec is not None else None
+    print(json.dumps(out))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="searchengine_spark")
     p.add_argument("--master", default=None, help="override spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -134,6 +175,13 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--mode", choices=["or", "and"], default="or")
     s.add_argument("--no-wand", action="store_true")
     s.set_defaults(fn=_cmd_search)
+
+    e = sub.add_parser("eval", help="run a query file against qrels → MAP/P@k/recall")
+    e.add_argument("--index", required=True)
+    e.add_argument("--queries", required=True, help="TSV: query_id, information_need, keywords")
+    e.add_argument("--qrels", required=True, help="CSV: query, doc_id, y_true")
+    e.add_argument("-k", type=int, default=100)
+    e.set_defaults(fn=_cmd_eval)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -40,3 +40,35 @@ def test_build_then_search(tmp_path, capsys, spark):
     res_and = json.loads(capsys.readouterr().out)
     and_scores = [h["score"] for h in res_and["hits"]]
     assert and_scores == sorted(and_scores, reverse=True)
+
+
+def test_eval_harness(tmp_path, capsys, spark):
+    """§3.3 harness parity: build → query file → qrels join → MAP/P@k/recall."""
+    idx = str(tmp_path / "eidx")
+    cli.main(["build", "--synthetic", "120", "--index", idx,
+              "--buckets", "4", "--range-bits", "2", "--fresh"])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
+    top = json.loads(capsys.readouterr().out)["hits"]
+    assert top
+
+    qtsv = tmp_path / "queries.tsv"
+    qtsv.write_text(
+        "query_id\tinformation_need\tkeywords\n"
+        "1\tfind index merge docs\tindex merge\n"
+        "2\tfind posting block docs\tposting block\n"
+    )
+    qcsv = tmp_path / "qrels.csv"
+    qcsv.write_text(
+        "query,doc_id,y_true\n"
+        + f"1,{top[0]['doc_id']},1\n"
+        + f"1,{top[1]['doc_id']},0\n"
+        + "2,999999999,1\n"  # relevant doc never retrieved → recall < 1 for q2
+    )
+    cli.main(["eval", "--index", idx, "--queries", str(qtsv), "--qrels", str(qcsv), "-k", "20"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_queries"] == 2
+    assert 0.0 < out["map"] <= 1.0
+    for key in ("p_at_5", "p_at_10", "p_at_50", "recall"):
+        assert out[key] is None or 0.0 <= out[key] <= 1.0
