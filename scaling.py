@@ -5,7 +5,8 @@ efficiency from N to 4N executors).
 No real cluster exists in this sandbox, so per driver instructions the same
 index-build + query job runs at two parallelism levels on the same input and
 we report throughput at both plus efficiency = throughput_4N/(4·throughput_N).
-Two N→4N pairs are measured: local[2]→local[8] and local[8]→local[32].
+Adjacent-level pairs are measured (default levels 2,8,32; override with
+SCALING_LEVELS, e.g. 1,4,32).
 
 Methodology notes (both matter on this VM):
   * trials are INTERLEAVED across levels and the per-level BEST is used —
@@ -15,8 +16,8 @@ Methodology notes (both matter on this VM):
     share ONE VM's DRAM bandwidth, and the string-heavy tokenize/shuffle
     stages saturate it around 8 threads (a cache-resident CPU probe scales
     to ~22× on the same box). On a real 4N-executor cluster each executor
-    brings its own memory bandwidth, so the 2→8 pair — below the bandwidth
-    ceiling — is the one that predicts multi-executor scaling.
+    brings its own memory bandwidth, so the lowest pair — below the
+    bandwidth ceiling — is the one that predicts multi-executor scaling.
 
 The input is the sf documents table replicated REPLICATE× with remapped
 doc_ids (pure Spark, deterministic) so the job is compute-bound rather than
@@ -166,7 +167,7 @@ def main() -> None:
             "tokenize/shuffle stages saturate it near 8 threads (a cache-resident\n"
             "CPU probe scales ~22× on this box, so cores are not the limit). On a\n"
             "real cluster each executor contributes its own memory bandwidth, so\n"
-            "the below-ceiling pair (2→8) is the one that predicts multi-executor\n"
+            "the lowest below-ceiling pair is the one that predicts multi-executor\n"
             "scaling; the 8→32 pair is reported for transparency and is an\n"
             "artifact of single-box bandwidth, not of the plan's shuffle structure\n"
             "(per-stage timings show the salted encode and segment write stages\n"

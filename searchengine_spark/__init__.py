@@ -8,7 +8,12 @@ Subpackages:
   scoring     — BM25 / inner-product / cosine scorers (ref: Part C/ranker.py)
   index       — varbyte+delta block codec, salted segment build, manifests (ref: Part A/merger.py, posting_file_factory.py)
   query       — segment pruning, block-max WAND, bounded-heap top-k (ref: Part C/searcher.py)
-  ops         — dedup / similarity / text-stats for training-data pipelines
+  ops         — dedup / similarity / text-stats / multimodal for training-data pipelines
+  streaming   — Structured-Streaming incremental ingestion (foreachBatch segments)
+  tweetparser — tweet-mode parity parser (SURVEY §2.2 T5-T15)
+  expansion   — query rewriters: spell / synonym / embedding 2-NN (§2.11)
+  stemming    — opt-in T16 stemmer (py / Arrow UDF / Catalyst expr)
+  metrics     — MAP / P@k / recall as DataFrame ops
   oracle      — pure-Python rank-identity oracle
 """
 
