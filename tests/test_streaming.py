@@ -106,3 +106,47 @@ def test_streaming_window_stats(spark, tmp_path):
         (str(r["window"]["start"]), r["n_docs"]) for r in spark.sql("SELECT * FROM win_stats").collect()
     }
     assert res == {("2026-01-01 00:00:00", 2), ("2026-01-01 00:00:10", 1)}
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates across micro-batches are
+    dropped via the state store; restart on the same checkpoint does not
+    re-emit."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.streaming.dedup import streaming_exact_dedup
+
+    d = str(tmp_path / "dd_drops")
+    ckpt = str(tmp_path / "dd_ckpt")
+    rows1 = [(1, "alpha body"), (2, "beta body"), (3, "alpha body")]
+    rows2 = [(4, "alpha body"), (5, "gamma body"), (6, "beta body")]
+
+    sink = str(tmp_path / "dd_sink")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["doc_id"], r["text_md5"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # batch 1: in-batch duplicate (1,3) → keeper 1 (smallest doc_id)
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(d)
+    got1 = drain()
+    assert {i for i, _ in got1} == {1, 2}
+
+    # batch 2 on the SAME checkpoint: state survives the restart — alpha and
+    # beta are already seen, only gamma's keeper is newly emitted
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode("append").parquet(d)
+    got2 = drain()
+    assert {i for i, _ in got2} == {1, 2, 5}
