@@ -383,6 +383,14 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_embs(spark, sf_dir), _QUERY_VEC, k=10, hamming=1)
 
 
+def q_ivf_assign(spark, sf_dir):
+    return similarity.ivf_assign(_embs(spark, sf_dir), n_lists=16, dim=64)
+
+
+def q_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_embs(spark, sf_dir), _QUERY_VEC, k=10, nprobe=4)
+
+
 def q_wand_topk(spark, sf_dir):
     """Flagship segment path: build index → block-max WAND top-k.
     Non-SQL-expressible (binary segments) → rows-only driver check; exact
@@ -428,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "wand_topk": q_wand_topk,
     }
 
@@ -468,5 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": similarity.cosine_neardup_sql("embeddings", tau=0.3),
         "lsh_buckets": similarity.lsh_assign_sql("embeddings", n_planes=8, dim=64),
         "lsh_topk": similarity.lsh_topk_sql("embeddings", _QUERY_VEC, k=10, hamming=1),
+        "ivf_assign": similarity.ivf_assign_sql("embeddings", n_lists=16, dim=64),
+        "ivf_topk": similarity.ivf_topk_sql("embeddings", _QUERY_VEC, k=10, nprobe=4),
         # "wand_topk": intentionally omitted — binary segment path, rows-only check
     }

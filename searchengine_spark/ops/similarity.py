@@ -200,6 +200,128 @@ LIMIT {k}
 """
 
 
+# ------------------------------------------------- IVF (coarse quantizer)
+def _centroid(c: int, dim: int) -> list[float]:
+    """Deterministic centroid c: md5-derived components in [-1, 1) — a
+    training-free coarse quantizer (same family as the LSH planes). In
+    production the literals are replaced by k-means centroids trained on a
+    sample; every downstream expression is unchanged."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"ivf_{c}_{d}".encode()).hexdigest()[:8], 16)
+        out.append(((h % 2000) - 1000) / 1000.0)
+    return out
+
+
+def _sqdist(a, cvec: list[float]):
+    c = F.array(*[F.lit(v) for v in cvec])
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ivf_assign(
+    df: DataFrame, n_lists: int = 16, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, list_id): nearest-centroid (argmin squared L2) inverted-file
+    assignment. At 100 TB the table is written partitioned by list_id, so a
+    probe reads nprobe/n_lists of the data (partition pruning)."""
+    # argmin via array_min + array_position — LINEAR expression tree (a
+    # chained when() argmin re-references the accumulated expression per
+    # centroid and grows 2^n nodes; same failure class as the stemmer's
+    # when-chain, see stemming.stem_expr)
+    emb = _as_double(vec_col)
+    dists = F.array(*[_sqdist(emb, _centroid(c, dim)) for c in range(n_lists)])
+    base = df.select(F.col(id_col).alias("vec_id"), dists.alias("dists"))
+    return base.select(
+        "vec_id",
+        (F.array_position(F.col("dists"), F.array_min(F.col("dists"))) - 1)
+        .cast("int")
+        .alias("list_id"),
+    )
+
+
+def _query_lists(query_vec: list[float], n_lists: int, nprobe: int) -> list[int]:
+    dim = len(query_vec)
+    dists = []
+    for c in range(n_lists):
+        cv = _centroid(c, dim)
+        dists.append((sum((a - b) ** 2 for a, b in zip(query_vec, cv)), c))
+    dists.sort()
+    return sorted(c for _, c in dists[:nprobe])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF probing: brute-force cosine only inside the
+    ``nprobe`` inverted lists nearest to the query."""
+    probes = _query_lists(query_vec, n_lists, nprobe)
+    dim = len(query_vec)
+    assigned = ivf_assign(df, n_lists, dim, id_col, vec_col).filter(
+        F.col("list_id").isin(probes)
+    )
+    cand = df.join(
+        assigned.select(F.col("vec_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_assign_sql(
+    table: str, n_lists: int = 16, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    def cent(c: int) -> str:
+        return "[" + ", ".join(f"{v!r}" for v in _centroid(c, dim)) + "]::DOUBLE[]"
+
+    def dist(c: int) -> str:
+        return f"list_distance({vec_col}::DOUBLE[], {cent(c)})"
+
+    # argmin via list_position over the distances list (squared vs plain L2
+    # are argmin-equivalent; DuckDB list_distance is the L2 norm)
+    dists = ", ".join(dist(c) for c in range(n_lists))
+    return f"""
+SELECT {id_col} AS vec_id,
+       (list_position([{dists}], list_min([{dists}])) - 1)::INT AS list_id
+FROM {table}
+"""
+
+
+def ivf_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 20,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    probes = ", ".join(str(c) for c in _query_lists(query_vec, n_lists, nprobe))
+    assign = ivf_assign_sql(table, n_lists, len(query_vec), id_col, vec_col)
+    ql = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH assigned AS ({assign}),
+cand AS (
+  SELECT t.* FROM {table} t
+  JOIN assigned a ON a.vec_id = t.{id_col}
+  WHERE a.list_id IN ({probes}))
+SELECT {id_col} AS vec_id,
+       round(list_dot_product({vec_col}::DOUBLE[], {ql})
+             / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
+                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+FROM cand
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def lsh_assign_sql(
     table: str, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:
