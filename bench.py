@@ -141,6 +141,8 @@ def main() -> None:
     timed("dedup_exact", lambda: dedup.exact_dedup(docs).count())
     timed("simhash", lambda: dedup.simhash(docs).count())
     timed("emb_cosine_topk", lambda: similarity.cosine_topk(embs, _QUERY_VEC, k=25).collect())
+    timed("ann_lsh_topk", lambda: similarity.lsh_topk(embs, _QUERY_VEC, k=25).collect())
+    timed("ann_ivf_topk", lambda: similarity.ivf_topk(embs, _QUERY_VEC, k=25).collect())
 
     def text_stats():
         textstats.token_count(docs).count()

@@ -95,11 +95,17 @@ WHERE round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
 
 
 # ------------------------------------------------- LSH (random hyperplanes)
-def _plane_val_expr(p: int, d: int):
+def _plane_val(p: int, d: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1):
-    (int(md5(f"{p}_{d}")[:8], 16) % 2000 - 1000) / 1000. Identical in SQL."""
-    h = F.conv(F.substring(F.md5(F.lit(f"{p}_{d}")), 1, 8), 16, 10).cast("long")
-    return ((h % 2000) - 1000) / F.lit(1000.0)
+    (int(md5(f"{p}_{d}")[:8], 16) % 2000 - 1000) / 1000. Computed driver-side
+    and inlined as a literal — building it as 512 md5 expressions made the
+    plan an order of magnitude slower to analyze/compile for identical
+    values. The DuckDB oracle still derives it from md5 symbolically, which
+    cross-checks this Python derivation exactly."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
+    return ((h % 2000) - 1000) / 1000.0
 
 
 def lsh_assign(
@@ -109,7 +115,7 @@ def lsh_assign(
     emb = _as_double(vec_col)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[_plane_val_expr(p, d) for d in range(dim)])
+        plane = F.array(*[F.lit(_plane_val(p, d)) for d in range(dim)])
         bit = F.when(_dot(emb, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, p)
     return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
