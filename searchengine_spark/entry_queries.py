@@ -465,7 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_tokens": entity_tokens_sql("fixture", min_df=2).replace(
             "WITH cand AS",
             "WITH fixture(doc_id, text) AS (VALUES "
-            + ", ".join(f"({i}, '{t}')" for i, t in ENTITY_FIXTURE)
+            + ", ".join(f"({i}::BIGINT, '{t}')" for i, t in ENTITY_FIXTURE)
             + "), cand AS",
             1,
         ),
