@@ -1,13 +1,16 @@
 """spark-submit entry point.
 
-Packaging (north rule: ships via ``spark-submit --py-files``):
+Packaging (north rule: ships via ``spark-submit --py-files``; verified
+end-to-end in this sandbox):
 
     python -m searchengine_spark.cli package --out dist/searchengine_spark.zip
-    spark-submit --py-files dist/searchengine_spark.zip \
-        $(python -c 'import searchengine_spark.cli as c, inspect; print(inspect.getfile(c))') \
+    spark-submit --py-files dist/searchengine_spark.zip submit_entry.py \
         build --input /data/corpus --index /data/index --buckets 256 --range-bits 8
-    spark-submit --py-files dist/searchengine_spark.zip ... search \
-        --index /data/index --query "inverted index merge" -k 100
+    spark-submit --py-files dist/searchengine_spark.zip submit_entry.py \
+        search --index /data/index --query "inverted index merge" -k 100
+
+(``submit_entry.py`` at the repo root is the primary resource — the package
+itself rides in the zip on every executor's sys.path.)
 
 On a real cluster, master/deploy-mode/executor sizing come from spark-submit;
 ``get_spark`` only sets engine-level conf (AQE, Arrow, shuffle partitions).
