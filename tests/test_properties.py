@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): codec roundtrips, tokenizer
+implementation equivalence, multi-term encoder identity, stemmer invariants.
+These cover the input space the fixed-seed tests can't enumerate."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.index.codec import (
+    decode_block,
+    encode_blocks,
+    encode_terms_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+from searchengine_spark.stemming import stem_py
+from searchengine_spark.tokenizer import tokenize_py
+
+# ------------------------------------------------------------------ varbyte
+
+u64 = st.integers(min_value=0, max_value=2**64 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(u64, max_size=300))
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varbyte_decode(varbyte_encode(arr)).tolist() == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(u64, min_size=1, max_size=200))
+def test_varbyte_length_bound(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    buf = varbyte_encode(arr)
+    assert len(buf) <= 10 * len(vals)
+    # every encoded value terminates (last byte of stream has MSB clear)
+    assert buf[-1] < 128
+
+
+# ------------------------------------------------------------- block codec
+
+posting_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**63 - 2),  # doc id (signed range)
+        st.integers(min_value=1, max_value=10_000),  # tf
+        st.integers(min_value=1, max_value=100_000),  # dl
+    ),
+    min_size=1,
+    max_size=400,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(posting_lists, st.integers(min_value=1, max_value=64))
+def test_block_roundtrip(postings, block_size):
+    postings.sort()
+    docs = np.array([p[0] for p in postings], dtype=np.uint64)
+    tfs = np.array([p[1] for p in postings], dtype=np.uint64)
+    dls = np.array([p[2] for p in postings], dtype=np.uint64)
+    blocks = encode_blocks(docs, tfs, dls, 1.5, 0.75, 50.0, block_size)
+    out_d, out_t, out_dl = [], [], []
+    for blk in blocks:
+        d, t, dl = decode_block(
+            blk["first_doc"], blk["n_docs"], blk["doc_bytes"], blk["tf_bytes"], blk["dl_bytes"]
+        )
+        assert len(d) == blk["n_docs"]
+        assert int(d[-1].view(np.int64)) == blk["last_doc"]
+        out_d += d.tolist()
+        out_t += t.tolist()
+        out_dl += dl.tolist()
+    assert out_d == docs.tolist()
+    assert out_t == tfs.tolist()
+    assert out_dl == dls.tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(posting_lists, min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=32),
+)
+def test_multi_term_encoder_identity(term_lists, block_size):
+    """encode_terms_blocks ≡ per-term encode_blocks for arbitrary shapes."""
+    docs_l, tfs_l, dls_l, starts, ends = [], [], [], [], []
+    pos = 0
+    for plist in term_lists:
+        plist.sort()
+        docs_l += [p[0] for p in plist]
+        tfs_l += [p[1] for p in plist]
+        dls_l += [p[2] for p in plist]
+        starts.append(pos)
+        pos += len(plist)
+        ends.append(pos)
+    docs = np.array(docs_l, dtype=np.uint64)
+    tfs = np.array(tfs_l, dtype=np.uint64)
+    dls = np.array(dls_l, dtype=np.uint64)
+    got = encode_terms_blocks(
+        docs, tfs, dls, np.array(starts), np.array(ends), 1.5, 0.75, 40.0, block_size
+    )
+    gi = 0
+    for ti, (s, e) in enumerate(zip(starts, ends)):
+        for bi, blk in enumerate(
+            encode_blocks(docs[s:e], tfs[s:e], dls[s:e], 1.5, 0.75, 40.0, block_size)
+        ):
+            assert got["term_idx"][gi] == ti and got["block_id"][gi] == bi
+            assert got["doc_bytes"][gi] == blk["doc_bytes"]
+            assert got["tf_bytes"][gi] == blk["tf_bytes"]
+            assert got["dl_bytes"][gi] == blk["dl_bytes"]
+            assert float(got["max_u"][gi]) == blk["max_u"]
+            gi += 1
+    assert gi == len(got["block_id"])
+
+
+# ---------------------------------------------------------------- tokenizer
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_tokenizer_total_and_stable(text):
+    toks = tokenize_py(text)
+    assert toks == tokenize_py(text)
+    for t in toks:
+        assert len(t) >= 2 and t == t.lower()
+        assert t not in ("the", "and", "of")
+
+
+# ------------------------------------------------------------------ stemmer
+
+@settings(max_examples=300, deadline=None)
+@given(st.from_regex(r"[a-z]{1,20}", fullmatch=True))
+def test_stemmer_invariants(word):
+    out = stem_py(word)
+    assert out == stem_py(out) or len(stem_py(out)) <= len(out)  # shrinks or stable-ish
+    assert len(out) <= len(word) + 1  # 'ies'→'i', 'ement'→'e' never grow >1
+    assert out.islower() or out == word
