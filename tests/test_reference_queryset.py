@@ -1,0 +1,79 @@
+"""Rank identity on the REFERENCE query set (north rule: "reproducing
+rank-identical top-k docIDs and BM25 scores against the reference query set
+from the original repo's searcher tests").
+
+The 35 queries of ``Part C/data/queries_train.tsv`` (the set the reference's
+harness ``test_part_c_students_old.py:66,124-149`` runs) are fed verbatim to
+this engine over a deterministic synthetic corpus whose vocabulary is seeded
+from those queries' own keywords, so every query has real candidates. For
+each query, BOTH Spark execution paths (block-max WAND and the vectorized
+exact kernel) must return top-k (doc_id, score) identical to the pure-Python
+oracle — docIDs exactly, scores to 1e-9.
+"""
+
+from __future__ import annotations
+
+import csv
+import random
+
+import pytest
+
+from searchengine_spark.oracle import OracleIndex
+from searchengine_spark.query.engine import SearchEngine
+from searchengine_spark.tokenizer import tokenize_py
+
+QUERIES_TSV = "/root/reference/Part C/data/queries_train.tsv"
+K = 20
+
+
+def load_reference_queries() -> list[str]:
+    with open(QUERIES_TSV, newline="") as f:
+        rows = list(csv.DictReader(f, delimiter="\t"))
+    assert len(rows) == 35
+    return [r["keywords"] for r in rows]
+
+
+def build_query_seeded_corpus(keywords: list[str], n_docs: int = 300, seed: int = 17):
+    """Deterministic docs mixing the reference queries' own vocabulary with
+    filler, so candidate sets are non-trivial for every query."""
+    vocab = sorted({t for q in keywords for t in tokenize_py(q)})
+    filler = [f"filler{i}" for i in range(40)]
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(8, 60)
+        words = [
+            rng.choice(vocab) if rng.random() < 0.6 else rng.choice(filler)
+            for _ in range(n)
+        ]
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    queries = load_reference_queries()
+    rows = build_query_seeded_corpus(queries)
+    oracle = OracleIndex.build(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = SearchEngine(spark, str(tmp_path_factory.mktemp("refq") / "idx"))
+    eng.build_index_from_df(
+        df, id_col="doc_id", text_col="text", range_bits=3, n_buckets=8, fresh=True
+    )
+    return queries, oracle, eng
+
+
+def test_reference_queries_rank_identical(setup):
+    queries, oracle, eng = setup
+    n_nonempty = 0
+    for q in queries:
+        expected = oracle.bm25_topk(q, K)
+        got_wand = eng.search(q, k=K, use_wand=True)
+        got_vec = eng.search(q, k=K, use_wand=False)
+        assert [d for d, _ in got_wand] == [d for d, _ in expected], q
+        assert [d for d, _ in got_vec] == [d for d, _ in expected], q
+        for (gd, gs), (ed, es) in zip(got_wand, expected):
+            assert gd == ed and abs(gs - es) < 1e-9, (q, gd, gs, ed, es)
+        n_nonempty += bool(expected)
+    # the corpus seeding must make this a real test, not 35 empty result sets
+    assert n_nonempty >= 30
