@@ -77,3 +77,42 @@ def test_reference_queries_rank_identical(setup):
         n_nonempty += bool(expected)
     # the corpus seeding must make this a real test, not 35 empty result sets
     assert n_nonempty >= 30
+
+
+def test_reference_queries_parity_mode(setup, spark):
+    """Same 35 queries through the REFERENCE-parity scorer (Part C quirk
+    formula, k=3, b=0.6 over normalized tf) — relational path vs oracle."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.postings import (
+        corpus_stats,
+        dictionary,
+        doc_stats,
+        term_frequencies,
+    )
+    from searchengine_spark.scoring import bm25_reference_score, topk
+
+    queries, oracle, eng = setup
+    rows = [(d, " ".join(t for t, c in cnt.items() for _ in range(c)))
+            for d, cnt in oracle.tf.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = term_frequencies(df, "doc_id", "text", use_arrow_udf=False).cache()
+    stats = doc_stats(tf).cache()
+    dct = dictionary(tf).cache()
+    n, avgdl = corpus_stats(stats)
+    checked = 0
+    for q in queries[:12]:  # relational path is a Spark job per query
+        expected = oracle.bm25_reference_topk(q, K)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in topk(
+                bm25_reference_score(spark, tf, stats, dct, q, n, avgdl), K
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert abs(gs - es) < 1e-9, (q, gd)
+        checked += bool(expected)
+    for d in (tf, stats, dct):
+        d.unpersist()
+    assert checked >= 10
