@@ -228,18 +228,67 @@ def _sqdist(a, cvec: list[float]):
     )
 
 
+def ivf_train(
+    df: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 5,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids: deterministic sample (first ``sample`` rows by
+    vec_id) → driver-side numpy Lloyd iterations. At 100 TB the sample is
+    what you train on anyway (k-means over a bounded sample, assignment over
+    everything); the returned literals feed ``ivf_assign``/``ivf_topk``
+    unchanged. Deterministic: ordered sample, first-k-distinct init, ties in
+    assignment break to the lowest centroid index."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("i"), _as_double(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    # init: first n_lists distinct vectors
+    seen: list[np.ndarray] = []
+    for v in x:
+        if all(not np.array_equal(v, s) for s in seen):
+            seen.append(v)
+        if len(seen) == n_lists:
+            break
+    cents = np.stack(seen) if len(seen) == n_lists else np.resize(x, (n_lists, x.shape[1]))
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
 def ivf_assign(
-    df: DataFrame, n_lists: int = 16, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    n_lists: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, list_id): nearest-centroid (argmin squared L2) inverted-file
-    assignment. At 100 TB the table is written partitioned by list_id, so a
+    assignment. ``centroids`` defaults to the deterministic hash quantizer
+    (oracle-reproducible); pass ``ivf_train(...)`` output for the trained
+    variant. At 100 TB the table is written partitioned by list_id, so a
     probe reads nprobe/n_lists of the data (partition pruning)."""
     # argmin via array_min + array_position — LINEAR expression tree (a
     # chained when() argmin re-references the accumulated expression per
     # centroid and grows 2^n nodes; same failure class as the stemmer's
     # when-chain, see stemming.stem_expr)
+    cvecs = centroids if centroids is not None else [_centroid(c, dim) for c in range(n_lists)]
     emb = _as_double(vec_col)
-    dists = F.array(*[_sqdist(emb, _centroid(c, dim)) for c in range(n_lists)])
+    dists = F.array(*[_sqdist(emb, cv) for cv in cvecs])
     base = df.select(F.col(id_col).alias("vec_id"), dists.alias("dists"))
     return base.select(
         "vec_id",
@@ -249,11 +298,14 @@ def ivf_assign(
     )
 
 
-def _query_lists(query_vec: list[float], n_lists: int, nprobe: int) -> list[int]:
+def _query_lists(
+    query_vec: list[float], n_lists: int, nprobe: int,
+    centroids: list[list[float]] | None = None,
+) -> list[int]:
     dim = len(query_vec)
+    cvecs = centroids if centroids is not None else [_centroid(c, dim) for c in range(n_lists)]
     dists = []
-    for c in range(n_lists):
-        cv = _centroid(c, dim)
+    for c, cv in enumerate(cvecs):
         dists.append((sum((a - b) ** 2 for a, b in zip(query_vec, cv)), c))
     dists.sort()
     return sorted(c for _, c in dists[:nprobe])
@@ -267,12 +319,13 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probing: brute-force cosine only inside the
     ``nprobe`` inverted lists nearest to the query."""
-    probes = _query_lists(query_vec, n_lists, nprobe)
+    probes = _query_lists(query_vec, n_lists, nprobe, centroids)
     dim = len(query_vec)
-    assigned = ivf_assign(df, n_lists, dim, id_col, vec_col).filter(
+    assigned = ivf_assign(df, n_lists, dim, id_col, vec_col, centroids).filter(
         F.col("list_id").isin(probes)
     )
     cand = df.join(

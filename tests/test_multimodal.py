@@ -109,3 +109,37 @@ def test_text_payload_matches_duckdb_oracle(spark, sf_dir):
         got = sorted(tuple(r) for r in spark_df.toPandas().itertuples(index=False, name=None))
         exp = sorted(tuple(r) for r in con.execute(sql).df().itertuples(index=False, name=None))
         assert got == exp
+
+
+def test_ivf_trained_clusters(spark):
+    """Trained IVF on clustered data: cluster members land in the same list,
+    probing the query's cluster recovers the brute-force top-k."""
+    import random
+
+    from searchengine_spark.ops import similarity
+
+    rng = random.Random(5)
+    centers = [[5.0 if d % 3 == c else -2.0 for d in range(16)] for c in range(3)]
+    rows = []
+    for i in range(120):
+        c = i % 3
+        rows.append(
+            (i, [centers[c][d] + rng.uniform(-0.3, 0.3) for d in range(16)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train(df, n_lists=3, n_iter=5, sample=120)
+    assert len(cents) == 3 and all(len(c) == 16 for c in cents)
+    assigned = {r["vec_id"]: r["list_id"] for r in
+                similarity.ivf_assign(df, n_lists=3, dim=16, centroids=cents).collect()}
+    # every true cluster maps to exactly one list
+    for c in range(3):
+        lists = {assigned[i] for i in range(120) if i % 3 == c}
+        assert len(lists) == 1, (c, lists)
+
+    q = [centers[1][d] + 0.1 for d in range(16)]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(df, q, k=10, n_lists=3, nprobe=1, centroids=cents).collect()]
+    assert approx == exact  # query's cluster contains the entire true top-10
+    # determinism of training
+    assert cents == similarity.ivf_train(df, n_lists=3, n_iter=5, sample=120)
