@@ -259,6 +259,54 @@ def q_boolean_and(spark, sf_dir):
     return boolean_and(spark, _tf(spark, sf_dir), AND_QUERY)
 
 
+PHRASE_QUERY = "customer order"
+PHRASE_K = 15
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase top-k; ranked on the ROUNDED score (+doc_id tie-break)
+    so the k-boundary is engine-independent."""
+    from .scoring import phrase_match_col
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    terms = [t for t, _ in parse_query(PHRASE_QUERY)]
+    matches = (
+        _docs(spark, sf_dir)
+        .filter(phrase_match_col(F.col("text"), terms))
+        .select("doc_id")
+    )
+    scored = bm25_score(spark, tf, stats, dct, " ".join(terms), n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    return (
+        scored.join(matches, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PHRASE_K)
+    )
+
+
+def _phrase_sql(phrase: str, k: int) -> str:
+    terms = [t for t, _ in parse_query(phrase)]
+    needle = " " + " ".join(terms) + " "
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    bm25 = _bm25_sql(" ".join(terms))
+    return f"""
+WITH scored AS ({bm25}),
+matches AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ' ' || array_to_string({toks}, ' ') || ' ' AS joined
+    FROM documents)
+  WHERE position('{needle}' IN joined) > 0)
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s JOIN matches USING (doc_id)
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -417,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inner_scores": q_inner_scores,
         "cosine_scores": q_cosine_scores,
         "boolean_and": q_boolean_and,
+        "phrase_topk": q_phrase_topk,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -454,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "inner_scores": _inner_sql(INNER_QUERY),
         "cosine_scores": _cosine_sql(COSINE_QUERY),
         "boolean_and": _and_sql(AND_QUERY),
+        "phrase_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),

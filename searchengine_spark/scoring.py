@@ -198,6 +198,54 @@ def boolean_and(spark: SparkSession, tf_df: DataFrame, query: str) -> DataFrame:
     )
 
 
+def phrase_match_col(text_col, phrase_terms: list[str]):
+    """Boolean column: the tokenized text contains ``phrase_terms`` ADJACENT
+    and in order. Token-space substring via delimiter framing — pure
+    Catalyst, reproducible in SQL, no UDF. The phrase capability the
+    reference lacks (its parser discards order, SURVEY.md §2.2) but a
+    complete engine needs; at scale this is the verification step over
+    AND-candidates (boolean_and / WAND AND-mode), never a full scan."""
+    from .tokenizer import tokenize_raw_expr
+
+    # adjacency is over the FILTERED token stream, so stopwords between
+    # phrase words do not break the phrase ("merge the sort" matches
+    # "merge sort") — the classic stopword-tolerant phrase semantics.
+    joined = F.concat(F.lit(" "), F.array_join(tokenize_raw_expr(text_col), " "), F.lit(" "))
+    needle = " " + " ".join(phrase_terms) + " "
+    return joined.contains(needle)
+
+
+def phrase_topk(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    phrase: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase top-k: filter docs containing the phrase (adjacency
+    verify), BM25-score them on the phrase's terms, return (doc_id, score)
+    top-k. Candidate generation composes with boolean_and upstream; here the
+    verify+score runs in one job."""
+    terms = [t for t, _ in parse_query(phrase)]
+    if not terms:
+        raise ValueError(f"phrase tokenized to nothing: {phrase!r}")
+    matches = corpus_df.filter(phrase_match_col(F.col(text_col), terms)).select(
+        F.col(id_col).alias("doc_id")
+    )
+    scored = bm25_score(spark, tf_df, stats_df, dict_df, " ".join(terms), n_docs, avgdl)
+    return (
+        scored.join(matches, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_reference_score(
     spark: SparkSession,
     tf_df: DataFrame,

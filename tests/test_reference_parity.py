@@ -141,3 +141,41 @@ def test_embedding_rewriter_in_engine(spark, tmp_path):
     hits = eng.search("index", k=10, rewriter=rw)
     assert hits == eng.search("index", k=10, rewriter=rw)
     assert len(hits) > 0
+
+
+def test_phrase_match_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.scoring import phrase_match_col
+
+    rows = [
+        (1, "the merge sort routine"),       # adjacent → match ("the" is a stopword)
+        (2, "merge the sort"),               # stopword between → ADJACENT after filter
+        (3, "sort merge"),                   # wrong order → no match
+        (4, "supermerge sortx"),             # substring traps → no match
+        (5, "merge sorting"),                # different token → no match
+        (6, "alpha merge sort beta"),        # interior → match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in df.filter(phrase_match_col(F.col("text"), ["merge", "sort"])).collect()
+    }
+    assert got == {1, 2, 6}
+
+
+def test_phrase_topk_subset_of_and(spark):
+    from searchengine_spark.entry_queries import q_boolean_and, q_phrase_topk
+
+    sf = "/root/testdata/sf0.001"
+    phrase_ids = {r["doc_id"] for r in q_phrase_topk(spark, sf).collect()}
+    # phrase docs necessarily contain BOTH terms → subset of unrestricted AND
+    # over those same terms (recompute AND for the phrase's terms)
+    from searchengine_spark.postings import term_frequencies
+    from searchengine_spark.scoring import boolean_and
+
+    tf = term_frequencies(
+        spark.read.parquet(f"{sf}/documents.parquet"), "doc_id", "text", use_arrow_udf=False
+    )
+    and_ids = {r["doc_id"] for r in boolean_and(spark, tf, "customer order").collect()}
+    assert phrase_ids <= and_ids
