@@ -180,6 +180,79 @@ WHERE rank <= {k}
 """
 
 
+def _bm25_reference_sql(query: str, k1: float = 3.0, b: float = 0.6) -> str:
+    """R1 quirk BM25 (``Part C/ranker.py:62-86``): normalized tf, log2 idf,
+    numerator ntf·(ntf·(k+1)) — the reference's shipped formula as-is."""
+    terms = ", ".join(f"'{t}'" for t, _ in parse_query(query))
+    ntf = "(tf.tf / s.doc_len)"
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term)
+SELECT tf.doc_id AS doc_id,
+       round(sum(log2(c.n / d.df)
+                 * ({ntf} * ({ntf} * ({k1} + 1.0)))
+                 / ({ntf} + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+FROM tf JOIN q USING (term) JOIN dict d USING (term)
+JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
+def _blended_partc_sql(query: str, k1: float = 3.0, b: float = 0.6) -> str:
+    """R5 (``Part C/ranker.py:28-32``): 0.9·BM25_ref + 0.1·inner-product."""
+    qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in parse_query(query))
+    ntf = "(tf / doc_len)"
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term, qtf) AS (VALUES {qrows}),
+cand AS (
+  SELECT tf.doc_id, tf.tf, s.doc_len, d.df, c.n, c.avgdl, q.qtf
+  FROM tf JOIN q USING (term) JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c),
+bm AS (
+  SELECT doc_id,
+         sum(log2(n / df) * ({ntf} * ({ntf} * ({k1} + 1.0)))
+             / ({ntf} + {k1} * (1.0 - {b} + {b} * doc_len / avgdl))) AS s
+  FROM cand GROUP BY 1),
+ip AS (SELECT doc_id, sum({ntf} * log2(n / df) * qtf) AS s FROM cand GROUP BY 1)
+SELECT coalesce(bm.doc_id, ip.doc_id) AS doc_id,
+       round(0.9 * coalesce(bm.s, 0) + 0.1 * coalesce(ip.s, 0), {ROUND_DP}) AS score
+FROM bm FULL JOIN ip ON bm.doc_id = ip.doc_id
+"""
+
+
+def _blended_parta_sql(query: str) -> str:
+    """R6+R8 legacy Part A (``Part A/ranker.py:22-27``): 3dp-rounded posting
+    weight, score = 0.5·cosine + 0.5·inner."""
+    qterms = parse_query(query)
+    qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in qterms)
+    q_w2 = float(sum(qtf * qtf for _, qtf in qterms))
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len, max(tf) AS max_tf FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         round(0.8 * (tf.tf / s.max_tf) * log10(c.n / d.df)
+               + 0.2 * (tf.tf / s.doc_len) * log10(c.n / d.df), 3) AS w
+  FROM tf JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c),
+dw AS (SELECT doc_id, sum(w * w) AS doc_w2 FROM w GROUP BY 1),
+q(term, qtf) AS (VALUES {qrows}),
+ip AS (SELECT w.doc_id, sum(w.w * q.qtf) AS ip FROM w JOIN q USING (term) GROUP BY 1)
+SELECT ip.doc_id AS doc_id,
+       round(0.5 * (ip.ip / sqrt(dw.doc_w2 * {q_w2})) + 0.5 * ip.ip, {ROUND_DP}) AS score
+FROM ip JOIN dw ON dw.doc_id = ip.doc_id
+"""
+
+
 def _and_sql(query: str) -> str:
     terms = sorted({t for t, _ in parse_query(query)})
     tl = ", ".join(f"'{t}'" for t in terms)
@@ -252,6 +325,30 @@ def q_inner_scores(spark, sf_dir):
 def q_cosine_scores(spark, sf_dir):
     tf, stats, dct, n, _ = _scoring_ctx(spark, sf_dir)
     scored = cosine_score(spark, tf, stats, dct, COSINE_QUERY, n)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def q_bm25_reference(spark, sf_dir):
+    from .scoring import bm25_reference_score
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_reference_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def q_blended_partc(spark, sf_dir):
+    from .scoring import blended_score_partc
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = blended_score_partc(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def q_blended_parta(spark, sf_dir):
+    from .scoring import blended_score_parta
+
+    tf, stats, dct, n, _ = _scoring_ctx(spark, sf_dir)
+    scored = blended_score_parta(spark, tf, stats, dct, INNER_QUERY, n)
     return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
 
 
@@ -352,9 +449,9 @@ def q_media_frames(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Feature-extraction plumbing (array<float> stub embeddings) — float32
-    output → rows-only driver check; exact values pytest-checked."""
-    return multimodal.extract_features(multimodal.text_as_media(_docs(spark, sf_dir)))
+    """Feature-extraction plumbing, exploded to hashable scalar rows
+    (doc_id, dim, value) — full value-hash check vs the sha256-math twin."""
+    return multimodal.extract_features_long(multimodal.text_as_media(_docs(spark, sf_dir)))
 
 
 # The sf documents table is all-lowercase → zero Capitalized pairs; a 0-row
@@ -439,10 +536,18 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_embs(spark, sf_dir), _QUERY_VEC, k=10, nprobe=4)
 
 
+WAND_K = 50
+
+
 def q_wand_topk(spark, sf_dir):
-    """Flagship segment path: build index → block-max WAND top-k.
-    Non-SQL-expressible (binary segments) → rows-only driver check; exact
-    rank identity vs the oracle is pytest-enforced."""
+    """Flagship segment path: build index → block-max WAND top-k. The
+    expected output IS SQL-expressible (BM25 top-k, same math as _bm25_sql +
+    ORDER BY/LIMIT), so this entry gets a full driver hash check: fetch a tie
+    buffer past k from the exact-score kernel, then re-rank on the ROUNDED
+    score (+doc_id tie-break) so the k-boundary is engine-independent (same
+    pattern as bm25_batch_topk)."""
+    from pyspark.sql import Window
+
     from .query.engine import SearchEngine
 
     idx_dir = tempfile.mkdtemp(prefix="seidx_")
@@ -450,7 +555,14 @@ def q_wand_topk(spark, sf_dir):
     eng.build_index_from_df(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text", range_bits=3, n_buckets=8
     )
-    return eng.search_df(BM25_QUERY, k=50)
+    raw = eng.search_df(BM25_QUERY, k=WAND_K + 25)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        raw.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WAND_K)
+        .drop("rn")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -464,6 +576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_topk": q_bm25_batch_topk,
         "inner_scores": q_inner_scores,
         "cosine_scores": q_cosine_scores,
+        "bm25_reference": q_bm25_reference,
+        "blended_partc": q_blended_partc,
+        "blended_parta": q_blended_parta,
         "boolean_and": q_boolean_and,
         "phrase_topk": q_phrase_topk,
         "dedup_exact": q_exact_dedup,
@@ -523,12 +638,18 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": multimodal.media_metadata_sql("documents"),
         "media_decode": multimodal.decode_media_sql("documents"),
         "media_frames": multimodal.frame_sample_sql("documents"),
-        # "media_features": float32 array output — rows-only check
+        "media_features": multimodal.extract_features_sql("documents"),
         "emb_cosine_topk": similarity.cosine_topk_sql("embeddings", _QUERY_VEC, k=25),
         "emb_neardup": similarity.cosine_neardup_sql("embeddings", tau=0.3),
         "lsh_buckets": similarity.lsh_assign_sql("embeddings", n_planes=8, dim=64),
         "lsh_topk": similarity.lsh_topk_sql("embeddings", _QUERY_VEC, k=10, hamming=1),
         "ivf_assign": similarity.ivf_assign_sql("embeddings", n_lists=16, dim=64),
         "ivf_topk": similarity.ivf_topk_sql("embeddings", _QUERY_VEC, k=10, nprobe=4),
-        # "wand_topk": intentionally omitted — binary segment path, rows-only check
+        "wand_topk": f"""
+SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
+ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
+""",
+        "bm25_reference": _bm25_reference_sql(BM25_QUERY),
+        "blended_partc": _blended_partc_sql(BM25_QUERY),
+        "blended_parta": _blended_parta_sql(INNER_QUERY),
     }

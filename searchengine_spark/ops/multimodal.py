@@ -227,7 +227,12 @@ def extract_features(
 ) -> DataFrame:
     """Fixed-width float feature vector per media item (deterministic stub:
     bytes of sha256(payload) → [-1, 1) floats). Output feeds
-    ops.similarity.cosine_topk unchanged — the real model swap is local."""
+    ops.similarity.cosine_topk unchanged — the real model swap is local.
+
+    Values are byte/128 − 1: dyadic with denominator 128, so float32 storage
+    is EXACT and casts losslessly to double — which is what lets the DuckDB
+    oracle (``extract_features_sql``) value-hash-match the whole mapInPandas
+    path bit-for-bit."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -237,10 +242,26 @@ def extract_features(
             for i, p in zip(pdf[id_col], pdf[bin_col]):
                 digest = hashlib.sha256(bytes(p)).digest()
                 ids.append(int(i))
-                feats.append([round(digest[j % 32] / 128.0 - 1.0, 6) for j in range(dim)])
+                feats.append([digest[j % 32] / 128.0 - 1.0 for j in range(dim)])
             yield pd.DataFrame({"doc_id": ids, "feature": feats})
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=_FEAT_SCHEMA)
+
+
+def extract_features_long(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id", dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Driver-checkable projection of ``extract_features``: exploded
+    (doc_id, dim, value) rows — scalar columns hash cleanly (array<float>
+    columns crash pandas-side canonicalizers; CORRECTNESS_r01 media_features)."""
+    feats = extract_features(df, bin_col, id_col, dim)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim", "value")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("value").cast("double").alias("value"),
+    )
 
 
 # ------------------------------------------------------------------- oracles
@@ -292,4 +313,17 @@ d AS (
 SELECT doc_id, fi::INT AS frame_idx, (fi * {every_ms})::BIGINT AS timestamp_ms,
        substr(sha256(hx || ':' || fi), 1, 16) AS frame_sha
 FROM d, unnest(range(0, n)) AS r(fi)
+"""
+
+
+def extract_features_sql(
+    table: str, dim: int = FEATURE_DIM, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Twin of extract_features_long: byte j of sha256(payload) = hex chars
+    2j+1..2j+2; value = byte/128 − 1 (exact double on both sides)."""
+    return f"""
+SELECT {id_col} AS doc_id, fi::INT AS dim,
+       (('0x' || substr(h, (fi % 32) * 2 + 1, 2))::INT / 128.0 - 1.0) AS value
+FROM (SELECT {id_col}, sha256({text_col}) AS h FROM {table}),
+     unnest(range(0, {dim})) AS r(fi)
 """

@@ -57,19 +57,26 @@ def tokenize_expr(col: Column) -> Column:
     return F.array_except(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
 
 
+def _dedupe_keep_order(ts: list[str]) -> list[str]:
+    seen: set[str] = set()
+    out = []
+    for t in ts:
+        if t not in _STOPSET and t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched tokenizer (north-star UDF surface).
 
-    Note: ``array_except`` (used by tokenize_expr) dedupes; this one must too
-    so both implementations agree — it doesn't matter for tf computation
-    because tf is counted from the *non-deduped* token stream; see
-    ``postings.term_frequencies`` which uses the raw findall via
-    ``tokenize_raw_udf``.
+    ``array_except`` (used by tokenize_expr) dedupes keeping first-occurrence
+    order, so this one does too — the two are exactly interchangeable
+    (tested). tf computation uses the *non-deduped* stream instead; see
+    ``postings.term_frequencies`` / ``tokenize_raw_udf``.
     """
-    return texts.str.lower().str.findall(TOKEN_PATTERN).map(
-        lambda ts: [t for t in ts if t not in _STOPSET]
-    )
+    return texts.str.lower().str.findall(TOKEN_PATTERN).map(_dedupe_keep_order)
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -61,6 +61,16 @@ def test_query_matches_oracle(spark, duck, key):
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # the driver canonicalizes EVERY entry's result (rows-only included) with
+    # a pandas sort that dies on unhashable cells — forbid non-scalar columns
+    # (CORRECTNESS_r01 media_features regression guard)
+    for row in spark_rows[:50]:
+        for v in row:
+            assert not isinstance(v, (list, dict, set, bytearray)), (
+                f"{key}: non-scalar value {type(v).__name__} would crash the "
+                f"driver canonicalizer — project to scalar columns"
+            )
+
     sql = entry_mod.oracle_sql().get(key)
     if sql is None:
         assert len(spark_rows) > 0, f"{key}: rows-only check failed (0 rows)"

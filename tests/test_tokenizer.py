@@ -51,8 +51,15 @@ def test_deduped_impls_agree(spark):
         .orderBy("i")
         .collect()
     )
-    for row in got:
-        assert sorted(set(row["udf"])) == sorted(set(row["expr"]))
+    for row, (text, want) in zip(got, CASES):
+        # exact: same elements, same (first-occurrence) order
+        assert row["udf"] == row["expr"], f"dedupe mismatch on {text!r}"
+        assert row["expr"] == _dedupe_keep_order_ref(want), text
+
+
+def _dedupe_keep_order_ref(ts: list[str]) -> list[str]:
+    seen: set[str] = set()
+    return [t for t in ts if not (t in seen or seen.add(t))]
 
 
 def test_duckdb_cte_matches_py():
