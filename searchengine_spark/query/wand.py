@@ -173,6 +173,9 @@ class _TopK:
         )
 
 
+_U64_MAX = (1 << 64) - 1
+
+
 def score_group_wand(
     pdf: pd.DataFrame,
     idf: dict[str, float],
@@ -183,31 +186,45 @@ def score_group_wand(
     mode: str = "or",
 ) -> pd.DataFrame:
     """Block-Max WAND top-k within one doc_range group; result identical to
-    ``score_group_vectorized`` (tested, incl. exact-tie cases)."""
+    ``score_group_vectorized`` (tested, incl. exact-tie cases).
+
+    OR mode is a fully VECTORIZED block-max formulation (replaces the classic
+    doc-at-a-time CPython pivot loop, which benchmarked slower than the
+    exhaustive numpy kernel — pruning only pays once the per-iteration
+    constant factor is gone):
+
+      1. interval sweep: all block [first_doc, last_doc] ranges decompose the
+         doc-id axis into intervals; one numpy event sweep gives each
+         interval's score upper bound Σ idf·block_max_u over active blocks.
+         Rare terms enter the sweep as exact per-doc point impacts instead of
+         block ranges (hybrid events) — see the inline comment.
+      2. score intervals in DESCENDING bound order, a chunk at a time: decode
+         only blocks overlapping the chunk (cached), accumulate exact scores
+         with unique + fancy-index adds in ascending-term order.
+      3. after each chunk θ = k-th best exact score so far; stop as soon as
+         the next interval's bound is strictly below θ — every unscored doc
+         lies in some remaining interval and is bounded by it, so it can
+         neither beat θ nor tie-win (strict inequality).
+
+    Python cost is O(#chunks) ≈ O(#blocks/64) — each doc and block is touched
+    only by numpy. Accumulation per doc happens in ascending-term order, so
+    scores are bit-identical to the exhaustive kernel and the Python oracle.
+    Small groups (θ can't fill before the end) skip straight to the
+    exhaustive kernel — measured crossover, see BENCH_SCALING.md."""
     terms = sorted(pdf["term"].unique())
-    cursors = [
-        _TermCursor(term, sub, idf[term] * float(sub["max_u"].max()))
-        for term, sub in _blocks_by_term(pdf).items()
-    ]
     topk = _TopK(k)
 
-    def score_doc(doc: int) -> float:
-        s = 0.0
-        for c in cursors:  # ascending term order (cursors built sorted)
-            if c.exhausted:
-                continue
-            if c.cur_doc() <= doc:
-                c.skip_to(doc, idf[c.term], k1, b, avgdl)
-            if c.at(doc):
-                s += float(c.scores[c.pi])
-        return s
-
-    def advance_past(doc: int) -> None:
-        for c in cursors:
-            if not c.exhausted and c.cur_doc() <= doc:
-                c.skip_to(doc + 1, idf[c.term], k1, b, avgdl)
-
     if mode == "and":
+        cursors = [
+            _TermCursor(term, sub, idf[term] * float(sub["max_u"].max()))
+            for term, sub in _blocks_by_term(pdf).items()
+        ]
+
+        def advance_past(doc: int) -> None:
+            for c in cursors:
+                if not c.exhausted and c.cur_doc() <= doc:
+                    c.skip_to(doc + 1, idf[c.term], k1, b, avgdl)
+
         while True:
             live = [c for c in cursors if not c.exhausted]
             if len(live) < len(terms):
@@ -225,41 +242,125 @@ def score_group_wand(
                 advance_past(target)
         return topk.to_pdf()
 
-    # ---- OR mode: block-max WAND ------------------------------------------
-    while True:
-        live = sorted((c for c in cursors if not c.exhausted), key=_TermCursor.cur_doc)
-        if not live:
-            break
-        th = topk.theta()
-        acc_ub = 0.0
-        pivot_i = None
-        for i, c in enumerate(live):
-            acc_ub += c.ub
-            if acc_ub >= th:  # >= : exact ties can still win via doc_id tie-break
-                pivot_i = i
+    # ---- OR mode: interval-sweep block-max pruning ------------------------
+    if int(pdf["n_docs"].sum()) <= max(1024, 8 * k):
+        return score_group_vectorized(pdf, idf, k1, b, avgdl, k, mode)
+
+    # global block table in ascending-(term, doc) order
+    sub = pdf.sort_values(["term", "doc_range", "block_id"])
+    rows = list(sub.itertuples(index=False))
+    first = sub["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+    last = sub["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+    n_docs_arr = sub["n_docs"].to_numpy(dtype=np.int64)
+    ubs = sub["term"].map(idf).to_numpy(dtype=np.float64) * sub["max_u"].to_numpy(
+        dtype=np.float64
+    )
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode_j(j: int) -> tuple[np.ndarray, np.ndarray]:
+        ent = decoded.get(j)
+        if ent is None:
+            r = rows[j]
+            d, t, dl = decode_block(
+                r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
+            )
+            ent = (d, float(idf[r.term]) * bm25_u(t, dl, k1, b, avgdl))
+            decoded[j] = ent
+        return ent
+
+    # 1. event sweep → per-interval upper bound. HYBRID events: a RARE term's
+    # few postings are decoded up front and enter the sweep as exact per-doc
+    # point impacts (width-1), so a sparse high-idf block spanning the whole
+    # id range cannot poison every interval's bound — this is what recovers
+    # classic WAND's "skip between the rare term's postings" behaviour.
+    # Common terms stay as [first, last] ranges bounded by idf·block_max_u.
+    per_term = sub.groupby("term")["n_docs"].sum()
+    sparse_terms = set(per_term[per_term <= max(256, 2 * k)].index)
+    sparse_mask = sub["term"].isin(sparse_terms).to_numpy()
+    dense_idx = np.flatnonzero(~sparse_mask)
+    ev_start = [first[dense_idx]]
+    ev_end = [np.minimum(last[dense_idx] + np.uint64(1), np.uint64(_U64_MAX))]
+    ev_w = [ubs[dense_idx]]
+    # conservative clamp: a block ending at U64_MAX stays active to the end
+    end_w = [np.where(last[dense_idx] == np.uint64(_U64_MAX), 0.0, -ubs[dense_idx])]
+    for j in np.flatnonzero(sparse_mask):
+        d, s = decode_j(int(j))
+        ev_start.append(d)
+        ev_end.append(np.minimum(d + np.uint64(1), np.uint64(_U64_MAX)))
+        ev_w.append(s)
+        end_w.append(np.where(d == np.uint64(_U64_MAX), 0.0, -s))
+    starts = np.concatenate(ev_start)
+    ends = np.concatenate(ev_end)
+    bnd = np.unique(np.concatenate([starts, ends]))
+    n_int = len(bnd) - 1
+    if n_int <= 0:
+        return pd.DataFrame(
+            {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
+        )
+    delta = np.zeros(len(bnd) + 1, dtype=np.float64)
+    np.add.at(delta, np.searchsorted(bnd, starts, side="left"), np.concatenate(ev_w))
+    np.add.at(delta, np.searchsorted(bnd, ends, side="left"), np.concatenate(end_w))
+    ub_sum = np.cumsum(delta)[:n_int]  # bound for interval [bnd[i], bnd[i+1])
+
+    # block j is active over intervals [bi_start[j], bi_end[j]]
+    bi_start = np.searchsorted(bnd, first, side="left")
+    bi_end = np.searchsorted(bnd, last, side="right") - 1
+
+    # 2./3. descending-bound chunks with exact scoring and θ cutoff
+    order = np.argsort(-ub_sum, kind="stable")
+    got_docs: list[np.ndarray] = []
+    got_scores: list[np.ndarray] = []
+    n_scored = 0
+    theta = -np.inf
+    # first chunk small so θ exists BEFORE most intervals are touched (a
+    # block interval holds ≤ BLOCK_SIZE docs, so 8 intervals ≈ up to ~1k
+    # docs — plenty to fill any practical k); growth keeps iterations O(log)
+    chunk_sz = 8
+    ptr = 0
+    while ptr < n_int:
+        if n_scored >= k and ub_sum[order[ptr]] < theta:
+            break  # strict: a bound tying θ could still win on doc_id
+        chunk = order[ptr : ptr + chunk_sz]
+        ptr += chunk_sz
+        # geometric growth: iteration overhead stays O(log) when θ cannot
+        # prune (flat bounds), full pruning granularity when it can
+        chunk_sz *= 4
+        if n_scored >= k:
+            chunk = chunk[ub_sum[chunk] >= theta]
+            if len(chunk) == 0:
                 break
-        if pivot_i is None:
-            break  # Σ all ubs < θ strictly — nothing left can enter the heap
-        pivot_doc = live[pivot_i].cur_doc()
-        if live[0].cur_doc() < pivot_doc:
-            # docs below the pivot are covered only by the strict prefix whose
-            # Σ ub < θ strictly → can never enter the heap: skip them.
-            for c in live:
-                if c.cur_doc() < pivot_doc:
-                    c.skip_to(pivot_doc, idf[c.term], k1, b, avgdl)
-            continue
-        # all prefix cursors sit exactly at pivot_doc
-        counted = [c for c in live if c.cur_doc() == pivot_doc]
-        bm = sum(c.block_max(idf[c.term]) for c in counted)
-        if bm < th:  # strict: a tie could still win on doc_id
-            safe_to = min(c.block_last() for c in counted)
-            uncounted = [c for c in live if c.cur_doc() > pivot_doc]
-            if uncounted:
-                safe_to = min(safe_to, min(c.cur_doc() for c in uncounted) - 1)
-            for c in counted:
-                c.skip_to(safe_to + 1, idf[c.term], k1, b, avgdl)
-            continue
-        s = score_doc(pivot_doc)
-        topk.consider(pivot_doc, s)
-        advance_past(pivot_doc)
-    return topk.to_pdf()
+        mask = np.zeros(n_int, dtype=bool)
+        mask[chunk] = True
+        cum = np.concatenate(([0], np.cumsum(mask)))
+        need = np.flatnonzero(cum[bi_end + 1] - cum[bi_start] > 0)
+        parts = []
+        for j in need:  # ascending block order == ascending term order
+            d, s = decode_j(int(j))
+            keep = mask[np.searchsorted(bnd, d, side="right") - 1]
+            if keep.any():
+                parts.append((d[keep], s[keep]))
+        if parts:
+            all_docs = np.concatenate([p[0] for p in parts])
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            off = 0
+            for d, s in parts:
+                # docs unique within a part → plain fancy-index add; per-doc
+                # adds arrive in ascending-term order (bit-stable)
+                acc[inv[off : off + len(d)]] += s
+                off += len(d)
+            got_docs.append(uniq)
+            got_scores.append(acc)
+            n_scored += len(uniq)
+            if n_scored >= k:
+                allsc = np.concatenate(got_scores)
+                theta = float(np.partition(allsc, len(allsc) - k)[len(allsc) - k])
+    if not got_docs:
+        return pd.DataFrame(
+            {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
+        )
+    docs = np.concatenate(got_docs)
+    scores = np.concatenate(got_scores)
+    signed = docs.view(np.int64)
+    idx = np.lexsort((signed, -scores))[:k]
+    return pd.DataFrame({"doc_id": signed[idx], "score": scores[idx]})

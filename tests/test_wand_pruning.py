@@ -1,0 +1,105 @@
+"""Block-max pruning actually engages: on an idf-skewed corpus (rare
+high-impact term + ubiquitous low-impact terms) the WAND kernel must decode
+only a fraction of the blocks while returning results identical to the
+exhaustive kernel. Runs the kernels in-process on the real segment parquet
+(the executor-side monkeypatch wouldn't cross the Python-worker boundary)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.build import build_index
+from searchengine_spark.query import wand as W
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark, tmp_path_factory):
+    # 3000 docs of pure boilerplate; 20 docs (ids 0,5,...,95 — clustered in
+    # the low-id region) additionally carry the rare term "needle" with a
+    # high tf. idf(needle) ≈ ln(3000/20) >> idf(hay) ≈ ln(1 + tiny).
+    rows = []
+    for i in range(3000):
+        words = ["hay"] * 3 + ["grass"] * 2 + [f"filler{i % 7}"]
+        if i < 100 and i % 5 == 0:
+            words += ["needle"] * 8
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path_factory.mktemp("widx") / "idx")
+    build_index(
+        spark, df, idx, id_col="doc_id", text_col="text",
+        range_bits=1, n_buckets=2, fresh=True,
+    )
+    return idx
+
+
+def _group_blocks(spark, idx, terms):
+    from searchengine_spark.index.build import IndexMeta
+
+    meta = IndexMeta.load(idx)
+    dct = spark.read.parquet(f"{idx}/dictionary").filter(F.col("term").isin(terms))
+    idf = {r["term"]: float(r["idf"]) for r in dct.collect()}
+    seg = spark.read.parquet(f"{idx}/segments").filter(F.col("term").isin(sorted(idf)))
+    pdfs = [g for _, g in seg.toPandas().groupby("doc_range")]
+    return meta, idf, pdfs
+
+
+def test_pruning_skips_most_blocks_and_stays_exact(spark, skewed_index):
+    meta, idf, pdfs = _group_blocks(spark, skewed_index, ["needle", "hay", "grass"])
+    assert idf["needle"] > 10 * idf["hay"]
+    total_blocks = sum(len(p) for p in pdfs)
+    assert total_blocks > 20  # enough dense blocks for pruning to matter
+
+    decoded = [0]
+    orig = W.decode_block
+
+    def counting(*a):
+        decoded[0] += 1
+        return orig(*a)
+
+    W.decode_block = counting
+    try:
+        wand_out = [
+            W.score_group_wand(p, idf, meta.k1, meta.b, meta.avgdl, 10) for p in pdfs
+        ]
+    finally:
+        W.decode_block = orig
+    vect_out = [
+        W.score_group_vectorized(p, idf, meta.k1, meta.b, meta.avgdl, 10) for p in pdfs
+    ]
+    for a, b in zip(wand_out, vect_out):
+        assert a.equals(b)
+    # top-10 is entirely needle docs (θ >> hay-only bounds) → the hay/grass
+    # blocks outside the needle region must never be decoded
+    assert decoded[0] < total_blocks * 0.5, (decoded[0], total_blocks)
+
+
+def test_fallback_identity_on_small_groups(spark, skewed_index):
+    """Below the crossover the kernel delegates to the exhaustive path —
+    same results (the kernels' identity on big groups is covered above and
+    by test_rank_identity)."""
+    meta, idf, pdfs = _group_blocks(spark, skewed_index, ["needle"])
+    for p in pdfs:
+        a = W.score_group_wand(p, idf, meta.k1, meta.b, meta.avgdl, 5)
+        b = W.score_group_vectorized(p, idf, meta.k1, meta.b, meta.avgdl, 5)
+        assert a.equals(b)
+        assert (a["score"].to_numpy() > 0).all()
+        assert len(a) == 5
+
+
+def test_tie_safety_under_pruning(spark, tmp_path):
+    """Exact score ties at the θ boundary are resolved by doc_id on both
+    kernels — pruning must not drop a tying doc. All docs share identical
+    text → identical scores → the top-k is the k smallest doc_ids."""
+    rows = [(i, "alpha beta gamma") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_index(spark, df, idx, id_col="doc_id", text_col="text",
+                range_bits=1, n_buckets=2, fresh=True)
+    meta, idf, pdfs = _group_blocks(spark, idx, ["alpha", "beta"])
+    for p in pdfs:
+        a = W.score_group_wand(p, idf, meta.k1, meta.b, meta.avgdl, 7)
+        b = W.score_group_vectorized(p, idf, meta.k1, meta.b, meta.avgdl, 7)
+        assert a.equals(b)
+        assert list(a["doc_id"]) == sorted(a["doc_id"])  # ties → id asc
