@@ -517,7 +517,21 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
-    return similarity.cosine_neardup(_embs(spark, sf_dir), tau=0.3)
+    # allow_full_scan: this entry IS the small-corpus exactness baseline the
+    # LSH-composed path (emb_neardup_lsh) is judged against
+    return similarity.cosine_neardup(_embs(spark, sf_dir), tau=0.3, allow_full_scan=True)
+
+
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Scale path: LSH-bucket candidates → pair-driven cosine verify (no
+    cross join anywhere — plan-tested)."""
+    return similarity.cosine_neardup_lsh(_embs(spark, sf_dir), tau=0.3, n_planes=8, dim=64)
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup dedup: banding candidates → n-gram Jaccard verify
+    → connected components keeper assignment."""
+    return dedup.dedup_pipeline(_docs(spark, sf_dir), w=3, tau=0.2)
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -584,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_pipeline": q_dedup_pipeline,
         "simhash": q_simhash,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -598,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
@@ -622,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
+        "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),
         "simhash": dedup.simhash_sql("documents"),
         "token_count": textstats.token_count_sql("documents"),
         "fingerprint": textstats.fingerprint_sql("documents"),
@@ -641,6 +658,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features": multimodal.extract_features_sql("documents"),
         "emb_cosine_topk": similarity.cosine_topk_sql("embeddings", _QUERY_VEC, k=25),
         "emb_neardup": similarity.cosine_neardup_sql("embeddings", tau=0.3),
+        "emb_neardup_lsh": similarity.cosine_neardup_lsh_sql(
+            "embeddings", tau=0.3, n_planes=8, dim=64
+        ),
         "lsh_buckets": similarity.lsh_assign_sql("embeddings", n_planes=8, dim=64),
         "lsh_topk": similarity.lsh_topk_sql("embeddings", _QUERY_VEC, k=10, hamming=1),
         "ivf_assign": similarity.ivf_assign_sql("embeddings", n_lists=16, dim=64),

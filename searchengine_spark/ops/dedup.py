@@ -85,20 +85,43 @@ FROM (SELECT {id_col}, {toks} AS toks FROM {table}),
 
 # ------------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(
-    df: DataFrame, w: int = 3, tau: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    w: int = 3,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard ≥ tau.
-    Self-equi-join on shingle; at scale, feed a candidate-restricted df."""
+
+    With ``candidates`` (a (doc_a, doc_b) df, doc_a < doc_b — e.g.
+    ``minhash_band_pairs`` output) the kernel is PAIR-DRIVEN: each candidate
+    pair joins its two shingle sets directly, so cost is linear in
+    Σ pair shingles — the 100 TB path. Without candidates it falls back to
+    the full shingle self-join, which is quadratic in docs-per-shingle: an
+    exactness baseline for small corpora, never the corpus-scale interface
+    (compose with ``minhash_band_pairs`` → ``dedup_pipeline``)."""
     sh = shingles(df, w, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if candidates is not None:
+        sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(sha, "doc_a")
+            .join(shb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
@@ -239,6 +262,182 @@ bands AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def band_bucket_stats(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    w: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(band, band_hash, n_docs, capped): observability twin of
+    ``minhash_band_pairs`` — no silent caps. A bucket with n_docs >
+    ``max_bucket`` has its candidate pairs truncated to the smallest doc_ids;
+    run this (or ``dedup_pipeline(..., log_capped=True)``) to see how many
+    buckets the approximation touched before trusting the pair set."""
+    sig = minhash_signatures(df, n_hashes, w, id_col, text_col)
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[f"mh{bi * band_size + j}" for j in range(band_size)])
+            ).alias("band_hash"),
+        )
+        for bi in range(n_bands)
+    ]
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_hash")
+    return (
+        exploded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("capped", F.col("n_docs") > max_bucket)
+    )
+
+
+# --------------------------------------------------- components + pipeline
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs → keeper assignment:
+    (doc_id, keep_doc_id) with keep_doc_id = min doc_id of the component.
+
+    Iterative min-label propagation in DataFrames: each round every node
+    takes the min of its own and its neighbours' labels;
+    ``localCheckpoint`` truncates the lineage each round (an iterative
+    self-join otherwise doubles the plan per iteration). Convergence =
+    Σ labels stops decreasing (labels are monotone non-increasing), checked
+    with one tiny agg per round. Duplicate clusters have small diameter in
+    practice, so rounds ≈ 3-5; at 10^12 docs swap in the alternating
+    large-star/small-star variant (same output) and a reliable checkpoint
+    dir — the per-round shape (one shuffle join + one agg) is unchanged."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("doc_b"), "label"), "doc_b"
+            )
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("doc_a").alias("doc_id"), "nbr_label")
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("label").alias("keep_doc_id"))
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    w: int = 3,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 10_000,
+    log_capped: bool = False,
+) -> DataFrame:
+    """The dedup operator a training-data user actually runs, end to end:
+    MinHash-LSH banding (candidate generation, single shuffle) → pair-driven
+    n-gram Jaccard ≥ tau (verification, linear in candidate pairs) →
+    connected components (keeper assignment). Output (doc_id, keep_doc_id)
+    for every doc in a verified duplicate cluster; anti-join
+    ``doc_id != keep_doc_id`` rows against the corpus to drop duplicates.
+    No full-corpus self-join anywhere (plan-tested)."""
+    cand = minhash_band_pairs(
+        df, n_hashes, band_size, w, id_col, text_col, max_bucket
+    )
+    if log_capped:
+        import logging
+
+        n_capped = (
+            band_bucket_stats(df, n_hashes, band_size, w, id_col, text_col, max_bucket)
+            .filter(F.col("capped"))
+            .count()
+        )
+        if n_capped:
+            logging.getLogger(__name__).warning(
+                "minhash banding capped %d bucket(s) at max_bucket=%d — "
+                "candidate pairs are approximate for those buckets",
+                n_capped,
+                max_bucket,
+            )
+    verified = ngram_jaccard_pairs(df, w, tau, id_col, text_col, candidates=cand)
+    return dedup_components(verified.select("doc_a", "doc_b"))
+
+
+def dedup_pipeline_sql(
+    table: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    w: int = 3,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of ``dedup_pipeline``: banding + pair-driven Jaccard +
+    transitive closure via a recursive CTE, keeper = min(doc) per component."""
+    sh = _shingles_sql(table, w, id_col, text_col)
+    mh_cols = ", ".join(f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(n_hashes))
+    n_bands = n_hashes // band_size
+    band_rows = []
+    for bi in range(n_bands):
+        cols = " || '|' || ".join(f"mh{bi * band_size + j}" for j in range(band_size))
+        band_rows.append(f"SELECT doc_id, {bi} AS band, md5({cols}) AS band_hash FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH RECURSIVE sh AS ({sh}),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), {ROUND_DP}) >= {tau}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified),
+reach(doc, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r)
+SELECT doc AS doc_id, min(r) AS keep_doc_id FROM reach GROUP BY 1
 """
 
 

@@ -66,17 +66,105 @@ LIMIT {k}
 
 
 def cosine_neardup(
-    df: DataFrame, tau: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
-    """(vec_a, vec_b, cos) for all pairs with cosine ≥ τ (a < b)."""
+    """(vec_a, vec_b, cos) for pairs with cosine ≥ τ (a < b).
+
+    With ``candidates`` (a (vec_a, vec_b) df, e.g. ``lsh_candidate_pairs``)
+    this is the pair-driven verification kernel — linear in candidate pairs,
+    the 100 TB path (``cosine_neardup_lsh`` composes the two). Without
+    candidates it is an all-pairs cross join: refuse unless
+    ``allow_full_scan=True`` (small-corpus exactness baseline only)."""
     base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    a = base.select(F.col("id").alias("vec_a"), F.col("v").alias("va"))
-    b = base.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    if candidates is not None:
+        pairs = (
+            candidates.select("vec_a", "vec_b")
+            .join(base.select(F.col("id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+            .join(base.select(F.col("id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        )
+    else:
+        if not allow_full_scan:
+            raise ValueError(
+                "cosine_neardup without candidates is an O(n²) cross join — "
+                "pass candidates=lsh_candidate_pairs(df) (see "
+                "cosine_neardup_lsh) or allow_full_scan=True for a "
+                "small-corpus exactness baseline"
+            )
+        a = base.select(F.col("id").alias("vec_a"), F.col("v").alias("va"))
+        b = base.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return pairs.select("vec_a", "vec_b", F.round(cos, ROUND_DP).alias("cos")).filter(
         F.col("cos") >= tau
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b) pairs sharing an LSH bucket (a < b): the candidate
+    generator for near-dup verification. One shuffle on the bucket key; at
+    10^9+ vectors write the table partitioned by bucket and this becomes a
+    co-partitioned self-join with no extra exchange."""
+    assigned = lsh_assign(df, n_planes, dim, id_col, vec_col)
+    x = assigned.select(F.col("vec_id").alias("vec_a"), "bucket")
+    y = assigned.select(F.col("vec_id").alias("vec_b"), "bucket")
+    return x.join(y, "bucket").filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b"
+    )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    tau: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucket candidates → pair-driven
+    cosine verification. Recall is bounded by bucket collocation (raise it
+    with fewer planes or multi-probe); precision is exact (every emitted pair
+    passed the real cosine test)."""
+    cand = lsh_candidate_pairs(df, n_planes, dim, id_col, vec_col)
+    return cosine_neardup(df, tau, id_col, vec_col, candidates=cand)
+
+
+def cosine_neardup_lsh_sql(
+    table: str,
+    tau: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    assign = lsh_assign_sql(table, n_planes, dim, id_col, vec_col)
+    cos = (
+        f"round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])"
+        f" / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))"
+        f" * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), {ROUND_DP})"
+    )
+    return f"""
+WITH assigned AS ({assign}),
+cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM assigned x JOIN assigned y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT c.vec_a, c.vec_b, {cos} AS cos
+FROM cand c
+JOIN {table} a ON a.{id_col} = c.vec_a
+JOIN {table} b ON b.{id_col} = c.vec_b
+WHERE {cos} >= {tau}
+"""
 
 
 def cosine_neardup_sql(

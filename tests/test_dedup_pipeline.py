@@ -1,0 +1,90 @@
+"""End-to-end near-dup pipeline: banding candidates → pair-driven Jaccard
+verification → connected-components keeper assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.ops import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    base = "spark engine builds partitioned posting segments with salted shuffle keys"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " and adaptive query execution"),  # near dup of 1/2
+        (4, "completely different text about embedding similarity search methods here"),
+        (5, "another unrelated document mentioning streaming watermark semantics only"),
+        (6, "completely different text about embedding similarity search methods here"),  # dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pair_driven_jaccard_matches_full_scan_on_candidates(spark, dup_corpus):
+    cand = dedup.minhash_band_pairs(dup_corpus)
+    restricted = dedup.ngram_jaccard_pairs(dup_corpus, w=3, tau=0.2, candidates=cand)
+    full = dedup.ngram_jaccard_pairs(dup_corpus, w=3, tau=0.2)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in restricted.collect()}
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in full.collect()}
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert got == {p: j for p, j in want.items() if p in cand_set}
+    # LSH recall on exact/near dups: the interesting pairs survived banding
+    assert (1, 2) in got and (4, 6) in got
+
+
+def test_components_keeper_assignment(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["keep_doc_id"] for r in dedup.dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_chain_converges(spark):
+    # a 12-node path graph needs several propagation rounds — exercises the
+    # fixpoint detection, not just one hop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["keep_doc_id"] for r in dedup.dedup_components(pairs).collect()}
+    assert got == {i: 100 for i in range(100, 113)}
+
+
+def test_pipeline_end_to_end(spark, dup_corpus):
+    out = {r["doc_id"]: r["keep_doc_id"] for r in
+           dedup.dedup_pipeline(dup_corpus, w=3, tau=0.2).collect()}
+    # docs 1/2/3 collapse to keeper 1; 4/6 to keeper 4; 5 has no dup → absent
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[4] == 4 and out[6] == 4
+    assert 5 not in out
+
+
+def test_bucket_cap_observability(spark, dup_corpus):
+    stats = dedup.band_bucket_stats(dup_corpus, max_bucket=1)
+    rows = stats.collect()
+    assert all(r["n_docs"] >= 1 for r in rows)
+    # the dup docs share band buckets → capping at 1 doc/bucket is visible
+    assert any(r["capped"] for r in rows)
+    assert not any(
+        r["capped"] for r in dedup.band_bucket_stats(dup_corpus, max_bucket=10_000).collect()
+    )
+
+
+def test_neardup_requires_candidates_or_optin(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="cross join"):
+        similarity.cosine_neardup(df, tau=0.5)
+    full = similarity.cosine_neardup(df, tau=0.5, allow_full_scan=True)
+    lsh = similarity.cosine_neardup_lsh(df, tau=0.5, n_planes=4, dim=2)
+    fp = {(r["vec_a"], r["vec_b"]): r["cos"] for r in full.collect()}
+    lp = {(r["vec_a"], r["vec_b"]): r["cos"] for r in lsh.collect()}
+    # LSH output is a subset of the exact pairs with identical cosines
+    assert set(lp) <= set(fp)
+    assert all(fp[p] == c for p, c in lp.items())
+    # these two near-identical vectors share every hyperplane side → found
+    assert (1, 2) in lp

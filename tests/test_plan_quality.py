@@ -79,6 +79,23 @@ def test_minhash_signatures_are_map_side(docs):
     assert "HashAggregate" not in plan
 
 
+def test_composed_neardup_paths_have_no_cross_join(spark, docs, sf_dir):
+    """The candidate-composed pipelines must never plan a CartesianProduct /
+    BroadcastNestedLoopJoin — the quadratic kernels are gated behind explicit
+    candidate dfs (VERDICT r1 #8)."""
+    from searchengine_spark.ops import dedup, similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh_plan = plan_of(similarity.cosine_neardup_lsh(embs, tau=0.3, n_planes=8, dim=64))
+    assert "CartesianProduct" not in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+
+    cand = dedup.minhash_band_pairs(docs)
+    verify_plan = plan_of(dedup.ngram_jaccard_pairs(docs, w=3, tau=0.2, candidates=cand))
+    assert "CartesianProduct" not in verify_plan
+    assert "BroadcastNestedLoopJoin" not in verify_plan
+
+
 def test_tokenizer_expr_stays_in_codegen(docs):
     from searchengine_spark.tokenizer import tokenize_raw_expr
 
