@@ -488,25 +488,32 @@ def q_tweet_tokens(spark, sf_dir):
     )
 
 
+STREAM_DOC_CUT = 200  # deterministic drop subset: doc_id < cut
+
+
 def q_streaming_ingest(spark, sf_dir):
     """Structured-Streaming incremental index (availableNow drain of a temp
-    corpus drop) — returns per-epoch manifest rows; rows-only check."""
+    corpus drop) — returns the MERGED streamed dictionary (term, df, cf),
+    which DuckDB reproduces from the same doc subset: a full value-hash check
+    of the foreachBatch encode+merge path, not just a row count."""
+    import os
     import tempfile
 
     from . import streaming as st
+    from .index.build import IndexMeta
 
     base = tempfile.mkdtemp(prefix="se_stream_")
     drops, idx, ckpt = f"{base}/drops", f"{base}/idx", f"{base}/ckpt"
-    docs = _docs(spark, sf_dir).limit(200)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < STREAM_DOC_CUT)
     docs.write.mode("overwrite").parquet(drops)
     st.incremental_index(
         st.stream_corpus(spark, drops, docs.schema), idx, ckpt, n_buckets=4, range_bits=2
     )
-    rows = [
-        (int(e["epoch"]), int(e["n_docs"]), int(e["n_blocks"]))
-        for e in st.ingest.read_stream_manifest(idx)
-    ]
-    return spark.createDataFrame(rows, "epoch long, n_docs long, n_blocks long")
+    meta = IndexMeta.load(idx)
+    return (
+        spark.read.parquet(os.path.join(idx, meta.dictionary_dir))
+        .select("term", "df", "cf")
+    )
 
 
 _QUERY_VEC = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]  # deterministic
@@ -651,7 +658,14 @@ def oracle_sql() -> dict[str, str]:
             + "), cand AS",
             1,
         ),
-        # "tweet_tokens", "streaming_ingest": rows-only (non-SQL-expressible)
+        # "tweet_tokens": rows-only (534-line rule parser, non-SQL-expressible)
+        "streaming_ingest": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM ({duckdb_tokens_cte(f"(SELECT * FROM documents WHERE doc_id < {STREAM_DOC_CUT}) AS sub", "doc_id", "text")})
+  GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
         "media_metadata": multimodal.media_metadata_sql("documents"),
         "media_decode": multimodal.decode_media_sql("documents"),
         "media_frames": multimodal.frame_sample_sql("documents"),

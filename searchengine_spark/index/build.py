@@ -65,6 +65,8 @@ BLOCK_SCHEMA = StructType(
         StructField("first_doc", LongType()),
         StructField("last_doc", LongType()),
         StructField("max_u", DoubleType()),
+        StructField("max_tf", LongType()),
+        StructField("min_dl", LongType()),
         StructField("doc_bytes", BinaryType()),
         StructField("tf_bytes", BinaryType()),
         StructField("dl_bytes", BinaryType()),
@@ -82,6 +84,15 @@ class IndexMeta:
     n_buckets: int
     block_size: int
     fingerprint: str
+    # streamed-index fields (batch indexes keep the defaults):
+    # dictionary_dir points at the CURRENT merged dictionary (epoch merges
+    # write a fresh dir and swap via meta.json — readers follow the pointer);
+    # stream_epochs > 0 switches the engine to avgdl-robust block bounds;
+    # total_len (exact int Σ doc_len) lets the running avgdl update without
+    # float drift.
+    dictionary_dir: str = "dictionary"
+    stream_epochs: int = 0
+    total_len: int = 0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -160,6 +171,8 @@ def _encode_group_fn(k1: float, b: float, avgdl: float, block_size: int):
                 "first_doc": blk["first_doc"],
                 "last_doc": blk["last_doc"],
                 "max_u": blk["max_u"],
+                "max_tf": blk["max_tf"],
+                "min_dl": blk["min_dl"],
                 "doc_bytes": blk["doc_bytes"],
                 "tf_bytes": blk["tf_bytes"],
                 "dl_bytes": blk["dl_bytes"],
@@ -221,6 +234,7 @@ def build_index(
         agg = stats.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("tot"),
             F.expr("bit_xor(doc_id)").alias("fp"),
         ).collect()[0]
         meta = IndexMeta(
@@ -232,6 +246,7 @@ def build_index(
             n_buckets=n_buckets,
             block_size=block_size,
             fingerprint=f"{agg['fp']:x}-{agg['n']}",
+            total_len=int(agg["tot"]),
         )
         staged = (
             tf_df.join(stats.select("doc_id", "doc_len"), "doc_id")
@@ -267,6 +282,9 @@ def build_index(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("cf"),
             F.max(u_expr).alias("max_u"),
+            # mergeable bound ingredients (epoch-merge path, streaming/ingest)
+            F.max("tf").alias("max_tf"),
+            F.min("doc_len").alias("min_dl"),
         )
         dct = dct.withColumn(
             "idf", F.log(1.0 + (F.lit(float(meta.n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))

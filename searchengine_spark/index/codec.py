@@ -110,6 +110,8 @@ def encode_blocks(
                 "first_doc": int(d[0].view(np.int64)) if d.dtype == np.uint64 else int(d[0]),
                 "last_doc": int(d[-1].view(np.int64)) if d.dtype == np.uint64 else int(d[-1]),
                 "max_u": float(u.max()),
+                "max_tf": int(t.max()),
+                "min_dl": int(dl.min()),
                 "doc_bytes": varbyte_encode(deltas),
                 "tf_bytes": varbyte_encode(t.astype(np.uint64)),
                 "dl_bytes": varbyte_encode(dl.astype(np.uint64)),
@@ -151,6 +153,12 @@ def encode_terms_blocks(
 
     u = bm25_u(tfs, dls, k1, b, avgdl)
     max_u = np.maximum.reduceat(u, bstart) if total else np.zeros(0)
+    # avgdl-independent bound ingredients: u is ↑ in tf and ↓ in dl, so
+    # u(max_tf, min_dl, any_avgdl) ≥ max block u under that avgdl — this is
+    # what keeps block-max pruning SAFE when epochs encoded under different
+    # running avgdl are queried together (streaming/ingest.py)
+    max_tf = np.maximum.reduceat(tfs, bstart).astype(np.int64) if total else np.zeros(0, np.int64)
+    min_dl = np.minimum.reduceat(dls, bstart).astype(np.int64) if total else np.zeros(0, np.int64)
 
     signed = docs_u64.view(np.int64)
     first_doc = signed[bstart]
@@ -194,6 +202,8 @@ def encode_terms_blocks(
         "first_doc": first_doc,
         "last_doc": last_doc,
         "max_u": max_u.astype(np.float64),
+        "max_tf": max_tf,
+        "min_dl": min_dl,
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
         "dl_bytes": dl_bytes,

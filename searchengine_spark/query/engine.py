@@ -49,16 +49,15 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self._meta: IndexMeta | None = None
+        self._meta_sig: tuple[int, int] | None = None
         self._dict_df: DataFrame | None = None
         self._seg_df: DataFrame | None = None
 
     # -- build ---------------------------------------------------------------
     def build_index_from_df(self, corpus: DataFrame, **kwargs) -> IndexMeta:
-        if self._dict_df is not None:  # invalidate across rebuilds
-            self._dict_df.unpersist()
-            self._dict_df = None
-        self._seg_df = None
+        self.refresh()
         self._meta = build_index(self.spark, corpus, self.index_dir, **kwargs)
+        self._meta_sig = self._stat_meta()
         return self._meta
 
     def build_index_from_parquet(self, path: str, **kwargs) -> IndexMeta:
@@ -66,10 +65,27 @@ class SearchEngine:
         return self.build_index_from_df(self.spark.read.parquet(path), **kwargs)
 
     # -- query ---------------------------------------------------------------
+    def refresh(self) -> None:
+        """Drop cached dictionary/segment handles — next search re-reads the
+        on-disk index. Called automatically when meta.json changes on disk
+        (rebuilds or streamed epochs from another process)."""
+        if self._dict_df is not None:
+            self._dict_df.unpersist()
+        self._dict_df = None
+        self._seg_df = None
+        self._meta = None
+
+    def _stat_meta(self) -> tuple[int, int]:
+        st = os.stat(os.path.join(self.index_dir, "meta.json"))
+        return (st.st_mtime_ns, st.st_size)
+
     @property
     def meta(self) -> IndexMeta:
-        if self._meta is None:
+        sig = self._stat_meta()
+        if self._meta is None or sig != self._meta_sig:
+            self.refresh()
             self._meta = IndexMeta.load(self.index_dir)
+            self._meta_sig = sig
         return self._meta
 
     def _resolve_terms(self, query: str, rewriter=None) -> list[dict]:
@@ -84,9 +100,10 @@ class SearchEngine:
         if self._dict_df is None:
             # cached across searches: the dictionary is the small hot side
             # (term, bucket, df, cf, idf, max_u) — on a cluster this is the
-            # broadcast analogue of the reference's in-memory inverted_idx
+            # broadcast analogue of the reference's in-memory inverted_idx.
+            # meta.dictionary_dir follows the streamed epoch-merge pointer.
             self._dict_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "dictionary")
+                os.path.join(self.index_dir, self.meta.dictionary_dir)
             ).cache()
         rows = self._dict_df.filter(F.col("term").isin(terms)).collect()
         out = []
@@ -125,6 +142,17 @@ class SearchEngine:
 
         kernel = score_group_wand if use_wand else score_group_vectorized
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        if meta.stream_epochs:
+            # streamed epochs were encoded under their own running avgdl, so
+            # the stored max_u may UNDER-estimate u at query time (unsafe for
+            # pruning). Rebind max_u to the avgdl-robust bound
+            # u(max_tf, min_dl, current avgdl) ≥ true block max — JVM-side
+            # column rewrite, kernels unchanged. Exact scores are unaffected
+            # (they decode raw tf/dl).
+            u_robust = (F.col("max_tf") * (k1 + 1.0)) / (
+                F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl)
+            )
+            blocks = blocks.withColumn("max_u", u_robust)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return kernel(pdf, idf, k1, b, avgdl, k, mode)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -31,28 +32,49 @@ from pyspark.sql.types import (
 OUT_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("text_md5", StringType())]
 )
-STATE_SCHEMA = StructType([StructField("seen", StringType())])  # '|'-joined md5s
+# state = ONE binary value per shard: the sorted concatenation of raw 16-byte
+# md5 digests. Fixed-width binary + numpy searchsorted keeps the per-batch
+# cost at O(|state| memcpy + |batch|·log|state|) — no string split/join/sort,
+# no Python set churn, half the bytes of hex. (applyInPandasWithState can
+# only REPLACE a key's state, so the O(|state|) rewrite per touched shard is
+# an API floor; the 10^12 path is transformWithState's incremental ListState
+# appends on the RocksDB store — same sharding, same emit logic.)
+STATE_SCHEMA = StructType([StructField("seen", BinaryType())])
+
+_D = 16  # raw md5 digest width
 
 
 def _dedup_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    seen: set[str] = set()
+    import numpy as np
+
+    seen = np.empty(0, dtype=f"S{_D}")
     if state.exists:
         (packed,) = state.get
         if packed:
-            seen = set(packed.split("|"))
+            seen = np.frombuffer(bytes(packed), dtype=f"S{_D}")  # sorted
     out_ids, out_md5 = [], []
+    fresh: list[bytes] = []
     for pdf in pdfs:
-        for _, row in (
-            pdf.sort_values("doc_id").drop_duplicates("text_md5", keep="first").iterrows()
-        ):
-            h = row["text_md5"]
-            if h not in seen:
-                seen.add(h)
-                out_ids.append(int(row["doc_id"]))
-                out_md5.append(h)
-    state.update(("|".join(sorted(seen)),))
+        batch = pdf.sort_values("doc_id").drop_duplicates("text_md5", keep="first")
+        if not len(batch):
+            continue
+        raw = np.array([bytes.fromhex(h) for h in batch["text_md5"]], dtype=f"S{_D}")
+        pos = np.searchsorted(seen, raw)
+        present = (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)] == raw) if len(seen) else np.zeros(len(raw), dtype=bool)
+        # duplicates across pdfs within one batch: track newly-admitted too
+        if fresh:
+            fr = np.sort(np.array(fresh, dtype=f"S{_D}"))
+            p2 = np.searchsorted(fr, raw)
+            present |= (p2 < len(fr)) & (fr[np.minimum(p2, len(fr) - 1)] == raw)
+        for i in np.flatnonzero(~present):
+            out_ids.append(int(batch["doc_id"].iloc[i]))
+            out_md5.append(batch["text_md5"].iloc[i])
+            fresh.append(bytes(raw[i]))
+    if fresh:
+        merged = np.sort(np.concatenate([seen, np.array(fresh, dtype=f"S{_D}")]))
+        state.update((merged.tobytes(),))
     yield pd.DataFrame({"doc_id": out_ids, "text_md5": out_md5})
 
 

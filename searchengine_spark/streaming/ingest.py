@@ -66,27 +66,68 @@ def incremental_index(
     range_bits: int = 3,
     await_termination: bool = True,
 ):
-    """Continuously append posting segments for each micro-batch of new docs.
+    """Continuously append a QUERYABLE index: each micro-batch encodes its
+    segments under ``segments/epoch=<id>`` AND merges the index-level state —
+    dictionary (df/cf/max_tf/min_dl summed/maxed/minned across epochs, idf
+    recomputed under the new corpus size) and meta.json (running n_docs and
+    exact-integer total_len → running avgdl) — so ``SearchEngine`` answers
+    over everything ingested so far, rank-identical to a batch build of the
+    union (tests/test_streaming.py). The merged dictionary is written to a
+    fresh ``dictionary_e<epoch>`` dir and swapped in via the meta.json
+    pointer (readers never see a half-written dictionary); the engine's
+    meta-fingerprint check picks the new epoch up automatically.
 
-    Each epoch writes segments under ``segments/epoch=<id>`` plus a manifest
-    line, so the stream's output composes with the batch index layout and the
-    query engine can include streamed segments by reading the manifest.
+    Correctness notes:
+      * segments are encoded under the epoch's running avgdl; stored block
+        max_u is therefore stale for older epochs — the engine switches to
+        the avgdl-robust bound u(max_tf, min_dl, current avgdl) when
+        ``meta.stream_epochs > 0`` (engine.py), so pruning stays exact.
+      * BM25 constants come from the package-level BM25_K1/BM25_B — the same
+        pair every epoch and the batch builder use.
+      * foreachBatch is at-least-once: a replayed epoch is detected in the
+        manifest and skipped wholesale (segment overwrite was already
+        idempotent; the manifest/meta/dictionary merge must not run twice).
+      * doc_ids are assumed append-only unique across epochs (dedup upstream
+        with streaming.dedup) — df/total_len merges count each doc once.
+
     Trigger(availableNow=True) drains what exists then stops — the test and
     backfill mode; pass await_termination=False for a live continuous query.
     """
-    from ..index.build import BLOCK_SCHEMA, _encode_group_fn, _manifest_append
+    from .. import BM25_B, BM25_K1
+    from ..index.build import (
+        BLOCK_SCHEMA,
+        IndexMeta,
+        _encode_group_fn,
+        _manifest_append,
+    )
+    from ..index.codec import BLOCK_SIZE
 
     os.makedirs(index_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if any(e["epoch"] == int(epoch_id) for e in read_stream_manifest(index_dir)):
+            return  # at-least-once replay — already fully applied
         tf = term_frequencies(batch_df, id_col, text_col, use_arrow_udf=False)
         stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         agg = stats.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
         ).collect()[0]
         if not agg["n"]:
             return
+        meta_path = os.path.join(index_dir, "meta.json")
+        if os.path.exists(meta_path):
+            prev = IndexMeta.load(index_dir)
+            n_docs = prev.n_docs + int(agg["n"])
+            total_len = prev.total_len + int(agg["tot"])
+            stream_epochs = prev.stream_epochs + 1
+        else:
+            prev = None
+            n_docs = int(agg["n"])
+            total_len = int(agg["tot"])
+            stream_epochs = 1
+        avgdl = total_len / n_docs
+
         staged = (
             tf.join(stats, "doc_id")
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
@@ -95,11 +136,64 @@ def incremental_index(
                 F.shiftrightunsigned(F.col("doc_id"), 64 - range_bits).cast("int"),
             )
         )
-        encode = _encode_group_fn(1.5, 0.75, float(agg["avgdl"]), 128)
+        encode = _encode_group_fn(BM25_K1, BM25_B, avgdl, BLOCK_SIZE)
         enc = staged.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
         out = os.path.join(index_dir, "segments", f"epoch={epoch_id}")
         enc.write.mode("overwrite").partitionBy("bucket").parquet(out)
         n_blocks = spark.read.parquet(out).count()
+
+        # ---- merge dictionary across epochs -------------------------------
+        batch_dict = staged.groupBy("term").agg(
+            F.first("bucket").alias("bucket"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+            F.min("doc_len").alias("min_dl"),
+        )
+        cols = ["term", "bucket", "df", "cf", "max_tf", "min_dl"]
+        if prev is not None:
+            old = spark.read.parquet(os.path.join(index_dir, prev.dictionary_dir))
+            merged = (
+                old.select(*cols)
+                .unionByName(batch_dict.select(*cols))
+                .groupBy("term")
+                .agg(
+                    F.first("bucket").alias("bucket"),
+                    F.sum("df").alias("df"),
+                    F.sum("cf").alias("cf"),
+                    F.max("max_tf").alias("max_tf"),
+                    F.min("min_dl").alias("min_dl"),
+                )
+            )
+        else:
+            merged = batch_dict
+        idf = F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        u_robust = (F.col("max_tf") * (BM25_K1 + 1.0)) / (
+            F.col("max_tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("min_dl") / avgdl)
+        )
+        dict_dir = f"dictionary_e{int(epoch_id)}"
+        merged.withColumn("idf", idf).withColumn("max_u", u_robust).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, dict_dir))
+
+        # ---- swap meta pointer (small atomic-enough write, readers follow)
+        meta = IndexMeta(
+            n_docs=n_docs,
+            avgdl=avgdl,
+            k1=BM25_K1,
+            b=BM25_B,
+            range_bits=range_bits,
+            n_buckets=n_buckets,
+            block_size=BLOCK_SIZE,
+            fingerprint=f"stream-{int(epoch_id)}-{n_docs}",
+            dictionary_dir=dict_dir,
+            stream_epochs=stream_epochs,
+            total_len=total_len,
+        )
+        with open(meta_path, "w") as f:
+            f.write(meta.to_json())
         _manifest_append(
             index_dir,
             {
@@ -108,6 +202,7 @@ def incremental_index(
                 "epoch": int(epoch_id),
                 "n_docs": int(agg["n"]),
                 "n_blocks": int(n_blocks),
+                "dictionary_dir": dict_dir,
                 "ts": time.time(),
             },
         )

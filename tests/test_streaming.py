@@ -57,6 +57,69 @@ def test_incremental_index_resume_no_reprocess(spark, tmp_path, drop_dir):
     assert n2 == n1 == 60
 
 
+def test_streamed_index_is_queryable_and_matches_batch(spark, tmp_path):
+    """The round-1 gap: ingest two drops → SearchEngine answers over BOTH
+    epochs, rank-identical (scores included) to a batch build of the union,
+    picking the second epoch up through the meta fingerprint without an
+    explicit refresh; WAND (avgdl-robust bounds) == vectorized."""
+    from searchengine_spark.query.engine import SearchEngine
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 80
+    )
+    d = str(tmp_path / "qdrops")
+    idx = str(tmp_path / "qidx")
+    ckpt = str(tmp_path / "qckpt")
+    q = "spark join stream"
+
+    src.filter(F.col("doc_id") < 40).write.parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
+                         n_buckets=4, range_bits=2)
+    eng = SearchEngine(spark, idx)
+    hits1 = eng.search(q, k=20)
+    assert hits1 and all(i < 40 for i, _ in hits1)
+
+    src.filter(F.col("doc_id") >= 40).write.mode("append").parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
+                         n_buckets=4, range_bits=2)
+    hits2 = eng.search(q, k=20)  # no explicit refresh — meta change detected
+
+    bidx = str(tmp_path / "bidx")
+    beng = SearchEngine(spark, bidx)
+    beng.build_index_from_df(src, id_col="doc_id", text_col="text",
+                             range_bits=2, n_buckets=4)
+    assert hits2 == beng.search(q, k=20)
+    ids = {i for i, _ in hits2}
+    assert any(i < 40 for i in ids) and any(i >= 40 for i in ids)
+    assert eng.search(q, k=20, use_wand=False) == hits2
+
+
+def test_streamed_manifest_idempotent_and_meta_consistent(spark, tmp_path, drop_dir):
+    """Replay protection: re-running a drained stream adds no manifest lines;
+    meta carries exact running totals and the dictionary pointer resolves."""
+    import os
+
+    from searchengine_spark.index.build import IndexMeta
+
+    d, schema = drop_dir
+    idx = str(tmp_path / "midx")
+    ckpt = str(tmp_path / "mckpt")
+    st.incremental_index(st.stream_corpus(spark, d, schema), idx, ckpt,
+                         n_buckets=4, range_bits=2)
+    lines1 = st.ingest.read_stream_manifest(idx)
+    st.incremental_index(st.stream_corpus(spark, d, schema), idx, ckpt,
+                         n_buckets=4, range_bits=2)
+    assert st.ingest.read_stream_manifest(idx) == lines1  # no duplicate rows
+    meta = IndexMeta.load(idx)
+    assert meta.stream_epochs == len(lines1)
+    assert meta.n_docs == sum(e["n_docs"] for e in lines1) == 60
+    assert abs(meta.avgdl - meta.total_len / meta.n_docs) < 1e-12
+    dct = spark.read.parquet(os.path.join(idx, meta.dictionary_dir))
+    assert {"term", "bucket", "df", "cf", "max_tf", "min_dl", "idf", "max_u"} <= set(
+        dct.columns
+    )
+
+
 def test_streaming_term_counts_matches_batch(spark, tmp_path, drop_dir):
     d, schema = drop_dir
     stream = st.stream_corpus(spark, d, schema)
