@@ -116,13 +116,22 @@ def main() -> None:
     tops = {json.dumps(r["top1"]) for rs in trials.values() for r in rs}
     assert len(tops) == 1, f"results differ across parallelism levels: {tops}"
 
-    best = {
-        c: {
-            **max(rs, key=lambda r: r["build_docs_per_sec"]),
-            "queries_per_sec": max(r["queries_per_sec"] for r in rs),
+    # per-METRIC bests, reported as explicitly-labeled fields (not one
+    # spliced pseudo-row): build_* comes wholly from the best-build trial,
+    # query_* wholly from the best-query trial of the same level
+    best = {}
+    for c, rs in trials.items():
+        bb = max(rs, key=lambda r: r["build_docs_per_sec"])
+        bq = max(rs, key=lambda r: r["queries_per_sec"])
+        best[c] = {
+            "cores": c,
+            "n_docs": bb["n_docs"],
+            "build_sec": bb["build_sec"],
+            "build_docs_per_sec": bb["build_docs_per_sec"],
+            "query_batch_sec": bq["query_batch_sec"],
+            "queries_per_sec": bq["queries_per_sec"],
+            "top1": bb["top1"],
         }
-        for c, rs in trials.items()
-    }
 
     pairs = []
     for lo_c, hi_c in zip(LEVELS, LEVELS[1:]):
@@ -149,7 +158,9 @@ def main() -> None:
         f.write("Per driver instructions the two-cluster-size criterion is evidenced by\n")
         f.write("running the same index-build + concurrent-query job at several local[N]\n")
         f.write(f"levels on identical input ({best[LEVELS[0]]['n_docs']} docs), "
-                f"best of {TRIALS} interleaved trials per level.\n\n")
+                f"per-metric best of {TRIALS} interleaved trials per level\n")
+        f.write("(build columns from the best-build trial, query columns from the\n")
+        f.write("best-query trial — whole-trial values, never mixed within a metric).\n\n")
         f.write("| level | docs | build sec | build docs/s | 20-query batch sec | q/s |\n")
         f.write("|---|---|---|---|---|---|\n")
         for c in LEVELS:

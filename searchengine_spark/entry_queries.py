@@ -228,8 +228,10 @@ FROM bm FULL JOIN ip ON bm.doc_id = ip.doc_id
 
 
 def _blended_parta_sql(query: str) -> str:
-    """R6+R8 legacy Part A (``Part A/ranker.py:22-27``): 3dp-rounded posting
-    weight, score = 0.5·cosine + 0.5·inner."""
+    """R6+R8+R9 legacy Part A (``Part A/ranker.py:22-27``,
+    ``Part A/searcher.py:70``, ``Part A/merger.py:68-81``): 0.8/0.2
+    index-time doc norm (rounded 3dp, unsquared quirk), 0.6/0.4 query-time
+    posting weight (rounded 3dp before idf), 0.5·cosine + 0.5·inner."""
     qterms = parse_query(query)
     qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in qterms)
     q_w2 = float(sum(qtf * qtf for _, qtf in qterms))
@@ -238,17 +240,23 @@ WITH tf AS ({_TF_SQL}),
 stats AS (SELECT doc_id, sum(tf) AS doc_len, max(tf) AS max_tf FROM tf GROUP BY 1),
 corpus AS (SELECT count(*) AS n FROM stats),
 dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dw AS (
+  SELECT tf.doc_id,
+         round(sum((0.8 * (tf.tf / s.max_tf) + 0.2 * (tf.tf / s.doc_len))
+                   * log10(c.n / d.df)), 3) AS doc_w
+  FROM tf JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c
+  GROUP BY 1),
+q(term, qtf) AS (VALUES {qrows}),
 w AS (
   SELECT tf.doc_id, tf.term,
-         round(0.8 * (tf.tf / s.max_tf) * log10(c.n / d.df)
-               + 0.2 * (tf.tf / s.doc_len) * log10(c.n / d.df), 3) AS w
-  FROM tf JOIN dict d USING (term)
+         round(0.6 * (tf.tf / s.max_tf) + 0.4 * (tf.tf / s.doc_len), 3)
+           * log10(c.n / d.df) AS w
+  FROM tf JOIN q USING (term) JOIN dict d USING (term)
   JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c),
-dw AS (SELECT doc_id, sum(w * w) AS doc_w2 FROM w GROUP BY 1),
-q(term, qtf) AS (VALUES {qrows}),
 ip AS (SELECT w.doc_id, sum(w.w * q.qtf) AS ip FROM w JOIN q USING (term) GROUP BY 1)
 SELECT ip.doc_id AS doc_id,
-       round(0.5 * (ip.ip / sqrt(dw.doc_w2 * {q_w2})) + 0.5 * ip.ip, {ROUND_DP}) AS score
+       round(0.5 * (ip.ip / sqrt(dw.doc_w * {q_w2})) + 0.5 * ip.ip, {ROUND_DP}) AS score
 FROM ip JOIN dw ON dw.doc_id = ip.doc_id
 """
 
@@ -350,6 +358,82 @@ def q_blended_parta(spark, sf_dir):
     tf, stats, dct, n, _ = _scoring_ctx(spark, sf_dir)
     scored = blended_score_parta(spark, tf, stats, dct, INNER_QUERY, n)
     return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+GLOVE_DIM = 8
+
+
+def _glove_vectors_for(terms: list[str]) -> dict[str, list[float]]:
+    from .expansion import hash_term_vectors
+
+    return hash_term_vectors(sorted(terms), dim=GLOVE_DIM)
+
+
+def q_glove_rerank(spark, sf_dir):
+    """R7 'best' variant: 0.1·BM25_glove + 0.9·inner, euclidean re-rank
+    against the query embedding. Embeddings are the deterministic md5-derived
+    stand-in over the index vocabulary (hash_term_vectors) so the DuckDB twin
+    reproduces the whole pipeline including the re-rank."""
+    from . import glove
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    vocab = [r["term"] for r in dct.select("term").collect()]
+    vectors = _glove_vectors_for(vocab)
+    scored = glove.glove_rerank(spark, tf, stats, dct, BM25_QUERY, n, avgdl, vectors)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def _glove_rerank_sql(query: str, dim: int = GLOVE_DIM, k1: float = 1.5, b: float = 0.8) -> str:
+    from .glove import query_vector
+
+    qterms = parse_query(query)
+    qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in qterms)
+    # query embedding computed by the same driver-side code the Spark entry
+    # uses, inlined as literals (vocabulary = every index term, so all query
+    # words that reach the dictionary are in-vocab)
+    qvec = query_vector(query, _glove_vectors_for([t for t, _ in qterms]))
+    qvals = ", ".join(f"({i}, {v!r})" for i, v in enumerate(qvec))
+    hashval = f"(('0x' || substr(md5(tf.term), (d2.dim % 16) * 2 + 1, 2))::INT / 128.0 - 1.0)"
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term, qtf) AS (VALUES {qrows}),
+cand AS (
+  SELECT tf.doc_id, tf.tf, s.doc_len, d.df, c.n, c.avgdl, q.qtf
+  FROM tf JOIN q USING (term) JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c),
+bm AS (
+  SELECT doc_id,
+         sum(log2(n / df) * (tf * (tf * ({k1} + 1.0)))
+             / (tf + {k1} * (1.0 - {b} + {b} * doc_len / avgdl))) AS bm
+  FROM cand GROUP BY 1),
+ip AS (SELECT doc_id, sum((tf / doc_len) * log2(n / df) * qtf) AS ip FROM cand GROUP BY 1),
+total AS (
+  SELECT coalesce(bm.doc_id, ip.doc_id) AS doc_id,
+         0.1 * coalesce(bm.bm, 0) + 0.9 * coalesce(ip.ip, 0) AS total
+  FROM bm FULL JOIN ip ON bm.doc_id = ip.doc_id),
+dvec AS (
+  SELECT tf.doc_id, d2.dim, sum({hashval}) AS s
+  FROM tf, (SELECT unnest(range(0, {dim})) AS dim) d2
+  GROUP BY 1, 2),
+qv(dim, v) AS (VALUES {qvals}),
+eu AS (
+  SELECT dv.doc_id,
+         sqrt(sum((dv.s / st.doc_len - qv.v) * (dv.s / st.doc_len - qv.v))) AS eu
+  FROM dvec dv
+  JOIN stats st ON st.doc_id = dv.doc_id
+  JOIN qv ON qv.dim = dv.dim
+  GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.total, 1.0 / e.eu AS rank
+  FROM total t JOIN eu e ON e.doc_id = t.doc_id),
+m AS (SELECT max(rank) AS mr, max(total) AS mt FROM scored)
+SELECT doc_id,
+       round(0.95 * (rank / m.mr) + 0.05 * (total / m.mt), {ROUND_DP}) AS score
+FROM scored, m
+"""
 
 
 def q_boolean_and(spark, sf_dir):
@@ -600,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_reference": q_bm25_reference,
         "blended_partc": q_blended_partc,
         "blended_parta": q_blended_parta,
+        "glove_rerank": q_glove_rerank,
         "boolean_and": q_boolean_and,
         "phrase_topk": q_phrase_topk,
         "dedup_exact": q_exact_dedup,
@@ -686,4 +771,5 @@ ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
         "bm25_reference": _bm25_reference_sql(BM25_QUERY),
         "blended_partc": _blended_partc_sql(BM25_QUERY),
         "blended_parta": _blended_parta_sql(INNER_QUERY),
+        "glove_rerank": _glove_rerank_sql(BM25_QUERY),
     }

@@ -300,11 +300,21 @@ def blended_score_parta(
     query: str,
     n_docs: int,
 ) -> DataFrame:
-    """R6+R8 legacy Part A mode (``Part A/ranker.py:22-27``,
-    ``Part A/merger.py:68-80``): per-posting weight
-    w = round(0.8·(tf/max_tf)·idf + 0.2·(tf/doc_len)·idf, 3) with
-    idf = log10(N/df) (3-dp rounding is part of reference semantics);
-    score = 0.5·cosine + 0.5·inner."""
+    """R6+R8+R9 legacy Part A mode, faithful to the shipped code path:
+
+      * index-time doc norm (``Part A/merger.py:68-81``): doc_w = Σ over the
+        doc's terms of (0.8·tf/max_tf + 0.2·tf/doc_len)·idf, idf=log10(N/df),
+        rounded to 3dp. (The reference rounds the RUNNING sum after every
+        posting — iteration-order-dependent and thus not reproducible in a
+        declarative engine; we round once at the end. It also calls this
+        "doc_weight_squared" but never squares — quirk kept as shipped.)
+      * query-time posting weight (``Part A/searcher.py:70``, R9):
+        w = round(0.6·tf/max_tf + 0.4·tf/doc_len, 3)·idf — note the 3dp
+        rounding happens BEFORE the idf multiply.
+      * inner = Σ w·qtf; cosine = inner/sqrt(doc_w·Σqtf²)
+        (``Part A/ranker.py:41-71``); score = 0.5·cosine + 0.5·inner
+        (``Part A/ranker.py:22-27``).
+    """
     qterms = parse_query(query)
     qdf = _query_df(spark, query)
     qstats = F.broadcast(qdf.join(dict_df, "term"))
@@ -312,20 +322,26 @@ def blended_score_parta(
         stats_df.select("doc_id", "doc_len", "max_tf"), "doc_id"
     )
     idf = F.log10(F.lit(float(n_docs)) / F.col("df"))
-    w = F.round(
-        0.8 * (F.col("tf") / F.col("max_tf")) * idf
-        + 0.2 * (F.col("tf") / F.col("doc_len")) * idf,
-        3,
+    w_idx = (
+        0.8 * (F.col("tf") / F.col("max_tf")) + 0.2 * (F.col("tf") / F.col("doc_len"))
+    ) * idf
+    doc_w = enriched.groupBy("doc_id").agg(F.round(F.sum(w_idx), 3).alias("doc_w"))
+    cand = tf_df.join(qstats, "term").join(
+        stats_df.select("doc_id", "doc_len", "max_tf"), "doc_id"
     )
-    weighted = enriched.withColumn("w", w)
-    doc_w2 = weighted.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("doc_w2"))
-    cand = weighted.join(qstats.select("term", "qtf"), "term")
-    inner = _ordered_sum(cand, F.col("w") * F.col("qtf")).withColumnRenamed("score", "ip")
+    w_q = (
+        F.round(
+            0.6 * (F.col("tf") / F.col("max_tf")) + 0.4 * (F.col("tf") / F.col("doc_len")),
+            3,
+        )
+        * F.log10(F.lit(float(n_docs)) / F.col("df"))
+    )
+    inner = _ordered_sum(cand, w_q * F.col("qtf")).withColumnRenamed("score", "ip")
     q_w2 = float(sum(qtf * qtf for _, qtf in qterms))
-    return inner.join(doc_w2, "doc_id").select(
+    return inner.join(doc_w, "doc_id").select(
         "doc_id",
         (
-            0.5 * (F.col("ip") / F.sqrt(F.col("doc_w2") * F.lit(q_w2))) + 0.5 * F.col("ip")
+            0.5 * (F.col("ip") / F.sqrt(F.col("doc_w") * F.lit(q_w2))) + 0.5 * F.col("ip")
         ).alias("score"),
     )
 
