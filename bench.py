@@ -137,7 +137,29 @@ def main() -> None:
 
     timed("bm25_relational", relational)
 
+    # positional build + index-native phrase queries (separate component so
+    # index_build stays comparable across rounds)
+    peng = SearchEngine(spark, os.path.join(idx_dir, "pidx"))
+
+    def build_positional():
+        peng.build_index_from_df(
+            docs, id_col="doc_id", text_col="text", range_bits=4, n_buckets=16,
+            with_positions=True, fresh=True,
+        )
+
+    timed("index_build_positional", build_positional)
+
+    PHRASES = ["customer order", "spark join", "window group order", "hash merge"]
+
+    def phrase_queries():
+        for ph in PHRASES:
+            peng.search_phrase(ph, k=50)
+
+    peng.search_phrase(PHRASES[0], k=10)  # warm
+    timed("query_phrase", phrase_queries)
+
     timed("dedup_minhash", lambda: dedup.minhash_band_pairs(docs).count())
+    timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs, w=3, tau=0.2).count())
     timed("dedup_exact", lambda: dedup.exact_dedup(docs).count())
     timed("simhash", lambda: dedup.simhash(docs).count())
     timed("emb_cosine_topk", lambda: similarity.cosine_topk(embs, _QUERY_VEC, k=25).collect())

@@ -72,6 +72,7 @@ def _cmd_build(args) -> None:
         n_buckets=args.buckets,
         range_bits=args.range_bits,
         n_waves=args.waves,
+        with_positions=args.positions,
         fresh=args.fresh,
     )
     dt = time.perf_counter() - t0
@@ -94,7 +95,10 @@ def _cmd_search(args) -> None:
 
     eng = SearchEngine(spark, args.index)
     t0 = time.perf_counter()
-    hits = eng.search(args.query, k=args.k, mode=args.mode, use_wand=not args.no_wand)
+    if args.mode == "phrase":
+        hits = eng.search_phrase(args.query, k=args.k)
+    else:
+        hits = eng.search(args.query, k=args.k, mode=args.mode, use_wand=not args.no_wand)
     dt = time.perf_counter() - t0
     print(
         json.dumps(
@@ -168,6 +172,8 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--range-bits", type=int, default=6)
     b.add_argument("--waves", type=int, default=1)
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (enables --mode phrase)")
     b.add_argument("--fresh", action="store_true")
     b.set_defaults(fn=_cmd_build)
 
@@ -175,7 +181,7 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=100)
-    s.add_argument("--mode", choices=["or", "and"], default="or")
+    s.add_argument("--mode", choices=["or", "and", "phrase"], default="or")
     s.add_argument("--no-wand", action="store_true")
     s.set_defaults(fn=_cmd_search)
 

@@ -449,8 +449,10 @@ def q_phrase_topk(spark, sf_dir):
     so the k-boundary is engine-independent."""
     from .scoring import phrase_match_col
 
+    from .tokenizer import tokenize_py
+
     tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
-    terms = [t for t, _ in parse_query(PHRASE_QUERY)]
+    terms = tokenize_py(PHRASE_QUERY)  # phrase ORDER preserved (no sort)
     matches = (
         _docs(spark, sf_dir)
         .filter(phrase_match_col(F.col("text"), terms))
@@ -467,7 +469,9 @@ def q_phrase_topk(spark, sf_dir):
 
 
 def _phrase_sql(phrase: str, k: int) -> str:
-    terms = [t for t, _ in parse_query(phrase)]
+    from .tokenizer import tokenize_py
+
+    terms = tokenize_py(phrase)  # phrase ORDER preserved (no sort)
     needle = " " + " ".join(terms) + " "
     toks = (
         f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
@@ -486,6 +490,34 @@ FROM scored s JOIN matches USING (doc_id)
 ORDER BY s.score DESC, s.doc_id ASC
 LIMIT {k}
 """
+
+
+def q_phrase_index_topk(spark, sf_dir):
+    """Index-NATIVE exact phrase: positional segments → AND intersect →
+    adjacency verify on decoded positions → BM25. Checked against the SAME
+    text-scan SQL oracle as phrase_topk — the index path must reproduce the
+    text-derived truth exactly (rounded re-rank, tie buffer past k)."""
+    from pyspark.sql import Window
+
+    from .query.engine import SearchEngine
+
+    idx_dir = tempfile.mkdtemp(prefix="seidxp_")
+    eng = SearchEngine(spark, f"{idx_dir}/idx")
+    eng.build_index_from_df(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        range_bits=3, n_buckets=8, with_positions=True,
+    )
+    rows = eng.search_phrase(PHRASE_QUERY, k=PHRASE_K + 10)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows] or [], "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PHRASE_K)
+        .drop("rn")
+    )
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -687,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glove_rerank": q_glove_rerank,
         "boolean_and": q_boolean_and,
         "phrase_topk": q_phrase_topk,
+        "phrase_index_topk": q_phrase_index_topk,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -727,6 +760,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_scores": _cosine_sql(COSINE_QUERY),
         "boolean_and": _and_sql(AND_QUERY),
         "phrase_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
+        # index-native phrase must reproduce the text-scan truth exactly
+        "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),

@@ -52,7 +52,7 @@ from pyspark.sql.types import (
 )
 
 from .. import BM25_B, BM25_K1
-from ..postings import doc_stats, term_frequencies
+from ..postings import doc_stats, term_frequencies, term_positions
 from .codec import BLOCK_SIZE
 
 BLOCK_SCHEMA = StructType(
@@ -70,6 +70,7 @@ BLOCK_SCHEMA = StructType(
         StructField("doc_bytes", BinaryType()),
         StructField("tf_bytes", BinaryType()),
         StructField("dl_bytes", BinaryType()),
+        StructField("pos_bytes", BinaryType()),  # null unless with_positions
     ]
 )
 
@@ -93,6 +94,9 @@ class IndexMeta:
     dictionary_dir: str = "dictionary"
     stream_epochs: int = 0
     total_len: int = 0
+    # positional index: blocks carry a pos_bytes stream (per-posting token
+    # positions) enabling index-native exact-phrase queries
+    has_positions: bool = False
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -172,12 +176,22 @@ def _encode_group_fn(k1: float, b: float, avgdl: float, block_size: int):
         tfs_all = pdf["tf"].to_numpy(dtype="int64")[order].astype("uint64")
         dls_all = pdf["doc_len"].to_numpy(dtype="int64")[order].astype("uint64")
 
+        positions_flat = None
+        if "positions" in pdf.columns:
+            plists = pdf["positions"].to_numpy()[order]
+            positions_flat = (
+                np.concatenate([np.asarray(p, dtype=np.uint64) for p in plists])
+                if len(plists)
+                else np.zeros(0, dtype=np.uint64)
+            )
+
         bounds = np.flatnonzero(terms_all[1:] != terms_all[:-1]) + 1
         starts = np.concatenate(([0], bounds)).astype(np.int64)
         ends = np.concatenate((bounds, [len(terms_all)])).astype(np.int64)
 
         blk = encode_terms_blocks(
-            docs_all, tfs_all, dls_all, starts, ends, k1, b, avgdl, block_size
+            docs_all, tfs_all, dls_all, starts, ends, k1, b, avgdl, block_size,
+            positions_flat=positions_flat,
         )
         term_values = terms_all[starts]
         return pd.DataFrame(
@@ -195,6 +209,9 @@ def _encode_group_fn(k1: float, b: float, avgdl: float, block_size: int):
                 "doc_bytes": blk["doc_bytes"],
                 "tf_bytes": blk["tf_bytes"],
                 "dl_bytes": blk["dl_bytes"],
+                "pos_bytes": blk["pos_bytes"]
+                if blk["pos_bytes"] is not None
+                else [None] * len(blk["block_id"]),
             }
         )[[f.name for f in BLOCK_SCHEMA.fields]]
 
@@ -214,6 +231,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     n_waves: int = 1,
     use_arrow_udf: bool = True,
+    with_positions: bool = False,
     fresh: bool = False,
     _stop_after_waves: int | None = None,
 ) -> IndexMeta:
@@ -242,7 +260,8 @@ def build_index(
         # stage-A cost). MEMORY_AND_DISK: at 100 TB the tf relation spills
         # to executor-local disk instead of OOMing.
         t0 = time.perf_counter()
-        tf_df = term_frequencies(corpus, id_col, text_col, use_arrow_udf).persist(
+        tf_source = term_positions if with_positions else term_frequencies
+        tf_df = tf_source(corpus, id_col, text_col, use_arrow_udf).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         stats = doc_stats(tf_df)
@@ -268,6 +287,7 @@ def build_index(
             block_size=block_size,
             fingerprint=f"{agg['fp']:x}-{agg['n']}",
             total_len=int(agg["tot"]),
+            has_positions=with_positions,
         )
         staged = (
             tf_df.join(stats.select("doc_id", "doc_len"), "doc_id")
@@ -329,12 +349,18 @@ def build_index(
             break  # test hook: simulate a killed build mid-way
         if not wave:
             continue
+        from pyspark import StorageLevel
+
         part = staged_df.filter(F.col("bucket").isin(wave))
         enc = part.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
+        # persist the encoded blocks so the manifest stats aggregate reads
+        # the (compact) cache instead of re-scanning the just-written parquet
+        # per wave — at thousands of buckets the re-read was an extra full
+        # segment scan per wave (VERDICT r1 watch item)
+        enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
         enc.write.mode("append").partitionBy("bucket").parquet(seg_path)
-        written = spark.read.parquet(seg_path).filter(F.col("bucket").isin(wave))
         rows = (
-            written.groupBy("bucket")
+            enc.groupBy("bucket")
             .agg(
                 F.min("term").alias("term_min"),
                 F.max("term").alias("term_max"),
@@ -344,6 +370,7 @@ def build_index(
             )
             .collect()
         )
+        enc.unpersist()
         for r in sorted(rows, key=lambda r: r["bucket"]):
             _manifest_append(
                 index_dir,

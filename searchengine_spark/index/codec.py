@@ -130,6 +130,7 @@ def encode_terms_blocks(
     b: float,
     avgdl: float,
     block_size: int = BLOCK_SIZE,
+    positions_flat: np.ndarray | None = None,
 ) -> dict:
     """Fully vectorized multi-term block encoder.
 
@@ -195,6 +196,26 @@ def encode_terms_blocks(
     tf_bytes = [bytes(mv_tf[s:e]) for s, e in zip(tf_s, tf_e)]
     dl_bytes = [bytes(mv_dl[s:e]) for s, e in zip(dl_s, dl_e)]
 
+    pos_bytes = None
+    if positions_flat is not None:
+        # positional stream: per posting row, tf position values (indices in
+        # the filtered token stream), delta-gapped WITHIN the row, first one
+        # absolute. Row boundaries are implicit — they are the tf values the
+        # tf stream already carries, so decode needs no extra metadata.
+        cumtf = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+        pf = np.ascontiguousarray(positions_flat, dtype=np.uint64)
+        pd_ = pf.copy()
+        if len(pf) > 1:
+            pd_[1:] = pf[1:] - pf[:-1]  # wraps across rows; overwritten below
+        row_starts = cumtf[:-1]
+        pd_[row_starts] = pf[row_starts]
+        pos_buf, pos_nb = varbyte_encode_with_counts(pd_)
+        cumnb = np.concatenate(([0], np.cumsum(pos_nb)))
+        ps = cumnb[cumtf[bstart]]
+        pe = cumnb[cumtf[bend]]
+        mv_pos = memoryview(pos_buf)
+        pos_bytes = [bytes(mv_pos[s:e]) for s, e in zip(ps, pe)]
+
     return {
         "term_idx": term_of_block,
         "block_id": block_id.astype(np.int32),
@@ -207,7 +228,22 @@ def encode_terms_blocks(
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
         "dl_bytes": dl_bytes,
+        "pos_bytes": pos_bytes,
     }
+
+
+def decode_block_positions(tfs: np.ndarray, pos_bytes: bytes):
+    """positional stream of one block → (flat absolute positions, cumtf).
+    Row r (the block's r-th posting) owns ``flat[cumtf[r]:cumtf[r+1]]`` —
+    ascending 0-based indices in the doc's filtered token stream."""
+    flat = varbyte_decode(pos_bytes)
+    cumtf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    if len(flat) == 0:
+        return flat, cumtf
+    c = np.cumsum(flat, dtype=np.uint64)
+    starts = cumtf[:-1]
+    base = np.repeat(c[starts] - flat[starts], tfs.astype(np.int64))
+    return c - base, cumtf
 
 
 def decode_block(first_doc: int, n_docs: int, doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes):

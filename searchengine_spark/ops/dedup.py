@@ -317,7 +317,9 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()  # materialize ONCE — every propagation round joins
+    # against sym, and without this the full upstream pipeline (banding +
+    # jaccard verification) would re-run per round
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()

@@ -38,6 +38,30 @@ def term_frequencies(
     )
 
 
+def term_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_arrow_udf: bool = False,
+) -> DataFrame:
+    """corpus → (doc_id, term, tf, positions): positions are 0-based indices
+    in the FILTERED token stream — the same stream the phrase-adjacency
+    semantics are defined over (scoring.phrase_match_col), so "merge sort"
+    matches "merge the sort". Superset of ``term_frequencies`` output; feeds
+    the positional index build (``build_index(with_positions=True)``)."""
+    tok = tokenize_raw_udf(F.col(text_col)) if use_arrow_udf else tokenize_raw_expr(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tok.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
 def doc_stats(tf_df: DataFrame) -> DataFrame:
     """(doc_id, term, tf) → per-doc stats (A1). doc_len = Σtf (token count
     after stopword removal, matching ``Part A/parser_module.py:277``)."""

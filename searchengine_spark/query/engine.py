@@ -194,6 +194,43 @@ class SearchEngine:
         )
         return [(r["doc_id"], r["score"]) for r in rows]
 
+    def search_phrase(self, phrase: str, k: int = 100) -> list[tuple[int, float]]:
+        """Index-native exact-phrase top-k (requires
+        ``build_index_from_df(..., with_positions=True)``): AND intersection
+        → positional adjacency verify → BM25 over the phrase's terms, all on
+        the segment streams — the corpus text is never re-read. Results are
+        rank-identical to the relational ``scoring.phrase_topk`` (tested)."""
+        from ..tokenizer import tokenize_py
+        from .phrase import score_group_phrase
+
+        meta = self.meta
+        if not meta.has_positions:
+            raise ValueError(
+                "index was built without positions — rebuild with "
+                "with_positions=True for index-native phrase queries"
+            )
+        phrase_terms = tokenize_py(phrase)
+        if not phrase_terms:
+            return []
+        dict_rows = self._resolve_terms(" ".join(sorted(set(phrase_terms))))
+        if len(dict_rows) < len(set(phrase_terms)):
+            return []  # a phrase term is absent from the corpus → no match
+        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        if self._seg_df is None:
+            self._seg_df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        blocks = self._seg_df.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(sorted(idf))
+        )
+        k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_group_phrase(pdf, idf, k1, b, avgdl, k, phrase_terms)
+
+        cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
+        rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
     def search_df(self, query: str, k: int = 100, **kwargs) -> DataFrame:
         rows = self.search(query, k, **kwargs)
         return self.spark.createDataFrame(

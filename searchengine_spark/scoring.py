@@ -231,8 +231,12 @@ def phrase_topk(
     """Exact-phrase top-k: filter docs containing the phrase (adjacency
     verify), BM25-score them on the phrase's terms, return (doc_id, score)
     top-k. Candidate generation composes with boolean_and upstream; here the
-    verify+score runs in one job."""
-    terms = [t for t, _ in parse_query(phrase)]
+    verify+score runs in one job.
+
+    Phrase order is preserved (tokenize_py, NOT parse_query — parse_query
+    sorts terms, which silently turned "spark join" into the phrase
+    "join spark"; caught by the positional-index identity test)."""
+    terms = tokenize_py(phrase)
     if not terms:
         raise ValueError(f"phrase tokenized to nothing: {phrase!r}")
     matches = corpus_df.filter(phrase_match_col(F.col(text_col), terms)).select(
