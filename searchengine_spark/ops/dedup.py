@@ -336,14 +336,19 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("doc_a").alias("doc_id"), "nbr_label")
         )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path halving): label ← label(label). Min-labels
+        # only decrease, so this is exact and turns diameter-bound rounds
+        # into log-bound rounds on chain-shaped duplicate clusters.
+        hop = labels.select(F.col("doc_id").alias("label"), F.col("label").alias("gl"))
         labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            labels.join(hop, "label", "left")
+            .select("doc_id", F.coalesce(F.col("gl"), F.col("label")).alias("label"))
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]

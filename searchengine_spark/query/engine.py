@@ -31,7 +31,7 @@ import os
 from functools import reduce
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -193,6 +193,77 @@ class SearchEngine:
             cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         )
         return [(r["doc_id"], r["score"]) for r in rows]
+
+    def search_batch(
+        self, queries: dict[str, str], k: int = 100, rewriter=None
+    ) -> dict[str, list[tuple[int, float]]]:
+        """Batched segment search: ONE dictionary lookup, ONE pruned segment
+        scan, and ONE job score the whole query batch — each term's blocks
+        decode once per group and are shared by every query touching them.
+        This is the segment-path throughput shape for a cluster: per-query
+        driver overhead (term resolution round-trip, job submission, result
+        merge) is the Amdahl term that caps per-query scaling, and batching
+        amortizes it to O(1) per batch. Per-query results are identical to
+        ``search(..., use_wand=False)`` (tested)."""
+        from pyspark.sql.types import StringType
+
+        from ..expansion import rewrite_query
+
+        meta = self.meta
+        per_q = {qid: rewrite_query(q, rewriter) for qid, q in queries.items()}
+        union_terms = sorted({t for w in per_q.values() for t, _ in w})
+        if not union_terms:
+            return {qid: [] for qid in queries}
+        if self._dict_df is None:
+            self._dict_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, self.meta.dictionary_dir)
+            ).cache()
+        rows = self._dict_df.filter(F.col("term").isin(union_terms)).collect()
+        base_idf = {r["term"]: float(r["idf"]) for r in rows}
+        buckets = sorted({int(r["bucket"]) for r in rows})
+        idfs = {
+            qid: {t: base_idf[t] * w for t, w in weighted if t in base_idf}
+            for qid, weighted in per_q.items()
+        }
+        live_terms = sorted({t for m in idfs.values() for t in m})
+        if not live_terms:
+            return {qid: [] for qid in queries}
+
+        if self._seg_df is None:
+            self._seg_df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        blocks = self._seg_df.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
+        )
+        k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        if meta.stream_epochs:
+            u_robust = (F.col("max_tf") * (k1 + 1.0)) / (
+                F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl)
+            )
+            blocks = blocks.withColumn("max_u", u_robust)
+
+        from .wand import score_group_multi
+
+        batch_schema = StructType(
+            [StructField("query_id", StringType())] + list(RESULT_SCHEMA.fields)
+        )
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_group_multi(pdf, idfs, k1, b, avgdl, k)
+
+        cand = blocks.groupBy("doc_range").applyInPandas(run_group, batch_schema)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        pdf = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .toPandas()  # Arrow batch transfer: |batch|·k rows land driver-
+            # side in one columnar hop instead of |batch|·k py4j Row objects
+            # — the collect path was the batch's dominant serial term
+        )
+        pdf = pdf.sort_values(["query_id", "rn"])
+        out: dict[str, list[tuple[int, float]]] = {qid: [] for qid in queries}
+        for qid, doc, score in zip(pdf["query_id"], pdf["doc_id"], pdf["score"]):
+            out[qid].append((int(doc), float(score)))
+        return out
 
     def search_phrase(self, phrase: str, k: int = 100) -> list[tuple[int, float]]:
         """Index-native exact-phrase top-k (requires

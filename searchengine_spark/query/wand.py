@@ -92,6 +92,74 @@ def score_group_vectorized(
     return pd.DataFrame({"doc_id": signed[idx], "score": acc[idx]})
 
 
+def score_group_multi(
+    pdf: pd.DataFrame,
+    idfs: dict[str, dict[str, float]],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Batched exact OR scoring for MANY queries over one doc_range group:
+    every term's blocks are decoded ONCE and shared by all queries touching
+    it — the per-query cost collapses to one numpy accumulate + top-k. Output
+    (query_id, doc_id, score), ≤k rows per query; per-query floats are
+    bit-identical to ``score_group_vectorized`` (same multiply-then-add
+    sequence in ascending-term order)."""
+    all_terms = sorted(pdf["term"].unique())
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, sub in _blocks_by_term(pdf).items():
+        docs, tfs, dls = _decode_term(sub)
+        per_term[term] = (docs, bm25_u(tfs, dls, k1, b, avgdl))
+    # ONE unique over the union doc set; every query reuses the per-term
+    # inverse slices — the per-query cost drops to memset + fancy adds, no
+    # per-query sort (was the dominant batch cost)
+    uniq, inv = np.unique(
+        np.concatenate([per_term[t][0] for t in all_terms]), return_inverse=True
+    )
+    signed_all = uniq.view(np.int64)
+    inv_of: dict[str, np.ndarray] = {}
+    off = 0
+    for t in all_terms:
+        n_t = len(per_term[t][0])
+        inv_of[t] = inv[off : off + n_t]
+        off += n_t
+    out_q: list[str] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    touched = np.zeros(len(uniq), dtype=bool)
+    for qid in sorted(idfs):
+        idf = idfs[qid]
+        terms = [t for t in all_terms if t in idf]
+        if not terms:
+            continue
+        acc[:] = 0.0
+        touched[:] = False
+        for t in terms:  # ascending-term accumulation == single-query kernel
+            iv = inv_of[t]
+            acc[iv] += idf[t] * per_term[t][1]
+            touched[iv] = True
+        tidx = np.flatnonzero(touched)
+        sc = acc[tidx]
+        sg = signed_all[tidx]
+        idx = np.lexsort((sg, -sc))[:k]
+        out_q.extend([qid] * len(idx))
+        out_d.append(sg[idx])
+        out_s.append(sc[idx])
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": [], "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+        )
+    return pd.DataFrame(
+        {
+            "query_id": out_q,
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
 class _TermCursor:
     """Cursor over one term's doc-sorted blocks with lazy decode."""
 

@@ -218,6 +218,89 @@ def incremental_index(
     return q
 
 
+def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
+    """Fold all streamed epochs into the canonical batch segment layout.
+
+    High epoch counts fragment posting lists (one short block run per term
+    per epoch) and force the looser avgdl-robust pruning bound. Compaction
+    decodes every epoch's blocks back to posting rows executor-side
+    (mapInPandas — postings never collect to the driver), re-encodes them
+    with the standard salted group kernel under the CURRENT meta avgdl, and
+    atomically swaps the segments dir (everything folded into ``epoch=0``).
+    After the swap ``stream_epochs`` is 0: the engine reverts to the tight
+    stored max_u bound (valid again — every block is now encoded under
+    meta.avgdl). Further streamed epochs keep appending on top (the first
+    one flips the engine back to robust bounds, which remain valid because
+    compacted blocks carry max_tf/min_dl too). Assumes the ingest invariant
+    (append-only unique doc_ids); positions are not carried by the
+    streaming path, so the compacted index is position-free.
+    """
+    import shutil
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..index.build import BLOCK_SCHEMA, IndexMeta, _encode_group_fn, _manifest_append
+    from ..index.codec import decode_block
+
+    meta = IndexMeta.load(index_dir)
+    if not meta.stream_epochs:
+        return meta
+    seg_dir = os.path.join(index_dir, "segments")
+    blocks = spark.read.parquet(seg_dir)
+
+    def to_rows(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            cols = {k: [] for k in ("bucket", "doc_range", "term", "doc_id", "tf", "doc_len")}
+            for r in pdf.itertuples(index=False):
+                d, t, dl = decode_block(
+                    r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
+                )
+                n = len(d)
+                cols["bucket"].extend([int(r.bucket)] * n)
+                cols["doc_range"].extend([int(r.doc_range)] * n)
+                cols["term"].extend([r.term] * n)
+                cols["doc_id"].extend(d.view("int64").tolist())
+                cols["tf"].extend(t.astype("int64").tolist())
+                cols["doc_len"].extend(dl.astype("int64").tolist())
+            yield pd.DataFrame(cols)
+
+    postings = blocks.mapInPandas(
+        to_rows, "bucket int, doc_range int, term string, doc_id long, tf long, doc_len long"
+    )
+    encode = _encode_group_fn(meta.k1, meta.b, meta.avgdl, meta.block_size)
+    enc = postings.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
+    tmp_dir = os.path.join(index_dir, "segments_compacting")
+    # keep the streamed epoch=<id>/bucket=<id> layout (as epoch 0) so later
+    # epochs from the live stream can keep appending without mixing
+    # partition depths in one directory
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(tmp_dir, "epoch=0")
+    )
+    n_blocks = spark.read.parquet(tmp_dir).count()
+
+    old_dir = os.path.join(index_dir, "segments_precompact")
+    os.rename(seg_dir, old_dir)
+    os.rename(tmp_dir, seg_dir)
+    shutil.rmtree(old_dir)
+
+    folded = meta.stream_epochs
+    meta.stream_epochs = 0
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        f.write(meta.to_json())
+    _manifest_append(
+        index_dir,
+        {
+            "kind": "compaction",
+            "bucket": None,
+            "epochs_folded": folded,
+            "n_blocks": int(n_blocks),
+            "ts": time.time(),
+        },
+    )
+    return meta
+
+
 def streaming_term_counts(stream_df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Continuously-maintained (term, cf) aggregate — write with

@@ -163,3 +163,24 @@ def test_auto_range_bits_knob(spark, tmp_path):
     build_index(spark, df, str(tmp_path / "ai"), id_col="doc_id", text_col="text",
                 n_buckets=2, fresh=True)
     assert IndexMeta.load(str(tmp_path / "ai")).range_bits == 4
+
+
+def test_search_batch_matches_per_query(spark, tmp_path):
+    """Batched segment search returns per-query results identical to the
+    sequential kernel path (same floats), including empty/stopword queries."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from searchengine_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, str(tmp_path / "bidx"))
+    eng.build_index_from_df(docs, id_col="doc_id", text_col="text",
+                            range_bits=2, n_buckets=4, fresh=True)
+    queries = {
+        "q1": "spark join stream",
+        "q2": "hash merge sort table",
+        "q3": "window group order",
+        "q4": "the of to",  # stopword-only → empty
+        "q5": "zzznotaterm",  # OOV → empty
+    }
+    got = eng.search_batch(queries, k=25)
+    for qid, q in queries.items():
+        assert got[qid] == eng.search(q, k=25, use_wand=False), qid

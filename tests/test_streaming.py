@@ -94,6 +94,57 @@ def test_streamed_index_is_queryable_and_matches_batch(spark, tmp_path):
     assert eng.search(q, k=20, use_wand=False) == hits2
 
 
+def test_compaction_folds_epochs_preserving_results(spark, tmp_path):
+    """compact_streamed_index: epochs fold into one, results identical before
+    and after, engine flips back to tight bounds, and the stream can keep
+    appending afterwards."""
+    import os
+
+    from searchengine_spark.index.build import IndexMeta
+    from searchengine_spark.query.engine import SearchEngine
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    d = str(tmp_path / "cdrops")
+    idx = str(tmp_path / "cidx")
+    ckpt = str(tmp_path / "cckpt")
+    q = "spark join stream"
+
+    src.filter(F.col("doc_id") < 20).write.parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
+                         n_buckets=4, range_bits=2)
+    src.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).write.mode(
+        "append"
+    ).parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
+                         n_buckets=4, range_bits=2)
+    eng = SearchEngine(spark, idx)
+    before = eng.search(q, k=20)
+    assert before
+
+    st.ingest.compact_streamed_index(spark, idx)
+    meta = IndexMeta.load(idx)
+    assert meta.stream_epochs == 0
+    parts = sorted(
+        p for p in os.listdir(os.path.join(idx, "segments")) if p.startswith("epoch=")
+    )
+    assert parts == ["epoch=0"]
+    after = eng.search(q, k=20)  # auto-refresh via meta fingerprint
+    assert after == before
+    assert eng.search(q, k=20, use_wand=False) == before
+
+    # the stream keeps appending on top of the compacted index
+    src.filter(F.col("doc_id") >= 40).write.mode("append").parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
+                         n_buckets=4, range_bits=2)
+    assert IndexMeta.load(idx).stream_epochs == 1
+    final = eng.search(q, k=50)
+    assert {i for i, _ in final} >= {i for i, _ in before}
+    assert any(i >= 40 for i, _ in final)
+    assert eng.search(q, k=50, use_wand=False) == final
+
+
 def test_streamed_manifest_idempotent_and_meta_consistent(spark, tmp_path, drop_dir):
     """Replay protection: re-running a drained stream adds no manifest lines;
     meta carries exact running totals and the dictionary pointer resolves."""
