@@ -122,6 +122,15 @@ def main() -> None:
     extra["query_p95_sec"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
     timed("query_vectorized", run_queries(use_wand=False))
 
+    # batched segment search: whole 12-query batch in ONE job (the cluster
+    # throughput shape — dictionary lookup, scan, and decode amortized)
+    qbatch = {f"q{i:02d}": q for i, q in enumerate(BENCH_QUERIES)}
+    eng.search_batch({"w": BENCH_QUERIES[0]}, k=10)  # warm
+    timed("query_wand_batch", lambda: eng.search_batch(qbatch, k=100))
+    extra["batch_queries_per_sec"] = round(
+        len(qbatch) / timings["query_wand_batch"], 1
+    )
+
     def relational():
         # throughput shape: one job scores the whole 12-query batch (the
         # postings scan + joins amortize across the batch — the plan we'd

@@ -492,6 +492,35 @@ LIMIT {k}
 """
 
 
+def q_wand_batch_topk(spark, sf_dir):
+    """Batched segment search (one job for the whole query batch — the
+    cluster throughput shape) must reproduce the relational batch-BM25 SQL
+    oracle exactly: per query, fetch a tie buffer, re-rank on the ROUNDED
+    score, cut at k (same boundary discipline as bm25_batch_topk)."""
+    from pyspark.sql import Window
+
+    from .query.engine import SearchEngine
+
+    idx_dir = tempfile.mkdtemp(prefix="seidxb_")
+    eng = SearchEngine(spark, f"{idx_dir}/idx")
+    eng.build_index_from_df(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", range_bits=3, n_buckets=8
+    )
+    out = eng.search_batch(BATCH_QUERIES, k=BATCH_K + 15)
+    rows = [
+        (qid, int(d), float(s))
+        for qid, hits in out.items()
+        for d, s in hits
+    ]
+    df = spark.createDataFrame(rows, "query_id string, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("query_id", "doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BATCH_K)
+    )
+
+
 def q_phrase_index_topk(spark, sf_dir):
     """Index-NATIVE exact phrase: positional segments → AND intersect →
     adjacency verify on decoded positions → BM25. Checked against the SAME
@@ -720,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": q_boolean_and,
         "phrase_topk": q_phrase_topk,
         "phrase_index_topk": q_phrase_index_topk,
+        "wand_batch_topk": q_wand_batch_topk,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -807,4 +837,6 @@ ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
         "blended_partc": _blended_partc_sql(BM25_QUERY),
         "blended_parta": _blended_parta_sql(INNER_QUERY),
         "glove_rerank": _glove_rerank_sql(BM25_QUERY),
+        # segment batch path reproduces the relational batch oracle
+        "wand_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
     }
