@@ -370,9 +370,11 @@ def score_group_wand(
     np.add.at(delta, np.searchsorted(bnd, ends, side="left"), np.concatenate(end_w))
     ub_sum = np.cumsum(delta)[:n_int]  # bound for interval [bnd[i], bnd[i+1])
 
-    # block j is active over intervals [bi_start[j], bi_end[j]]
+    # block j is active over intervals [bi_start[j], bi_end[j]]; the clamp
+    # covers the U64_MAX corner (a doc_id of exactly 2^64-1 — possible from
+    # xxhash64 — would otherwise index one past the last interval)
     bi_start = np.searchsorted(bnd, first, side="left")
-    bi_end = np.searchsorted(bnd, last, side="right") - 1
+    bi_end = np.minimum(np.searchsorted(bnd, last, side="right") - 1, n_int - 1)
 
     # 2./3. descending-bound chunks with exact scoring and θ cutoff
     order = np.argsort(-ub_sum, kind="stable")
@@ -404,7 +406,7 @@ def score_group_wand(
         parts = []
         for j in need:  # ascending block order == ascending term order
             d, s = decode_j(int(j))
-            keep = mask[np.searchsorted(bnd, d, side="right") - 1]
+            keep = mask[np.minimum(np.searchsorted(bnd, d, side="right") - 1, n_int - 1)]
             if keep.any():
                 parts.append((d[keep], s[keep]))
         if parts:

@@ -88,6 +88,27 @@ def test_fallback_identity_on_small_groups(spark, skewed_index):
         assert len(a) == 5
 
 
+def test_u64max_doc_id_survives_sweep(spark, tmp_path):
+    """doc_id = -1 (unsigned 2^64-1, reachable from xxhash64) sits exactly on
+    the last interval boundary of the event sweep — the clamped mapping must
+    keep it scoreable, identical to the exhaustive kernel."""
+    rows = [(-(i + 1), "alpha beta common words here") for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_index(spark, df, idx, id_col="doc_id", text_col="text",
+                range_bits=1, n_buckets=2, fresh=True)
+    meta, idf, pdfs = _group_blocks(spark, idx, ["alpha", "beta"])
+    assert sum(int(p["n_docs"].sum()) for p in pdfs) > 1024  # sweep engages
+    for p in pdfs:
+        a = W.score_group_wand(p, idf, meta.k1, meta.b, meta.avgdl, 10)
+        b = W.score_group_vectorized(p, idf, meta.k1, meta.b, meta.avgdl, 10)
+        assert a.equals(b)
+    # ties everywhere (identical docs) → top-10 = 10 smallest signed ids,
+    # and the most-negative ids are the LARGEST unsigned (sweep tail)
+    top = W.score_group_wand(pdfs[0], idf, meta.k1, meta.b, meta.avgdl, 10)
+    assert list(top["doc_id"]) == sorted(r[0] for r in rows)[:10]
+
+
 def test_tie_safety_under_pruning(spark, tmp_path):
     """Exact score ties at the θ boundary are resolved by doc_id on both
     kernels — pruning must not drop a tying doc. All docs share identical
