@@ -128,23 +128,26 @@ def _cmd_eval(args) -> None:
     queries = read_queries_tsv(spark, args.queries).collect()
     qrels = read_qrels_csv(spark, args.qrels)
 
-    rows, lat = [], []
-    for q in queries:
-        t0 = time.perf_counter()
-        hits = eng.search(q["keywords"], k=args.k)
-        lat.append(time.perf_counter() - t0)
-        rows += [
-            (int(q["query_id"]), str(doc), float(score), rank + 1)
-            for rank, (doc, score) in enumerate(hits)
-        ]
+    # the whole query file runs as ONE batched segment job (scan + decode +
+    # driver overhead amortized across the file — see SearchEngine.search_batch)
+    t0 = time.perf_counter()
+    hits_by_q = eng.search_batch(
+        {str(q["query_id"]): q["keywords"] for q in queries}, k=args.k
+    )
+    batch_sec = time.perf_counter() - t0
+    rows = [
+        (int(qid), str(doc), float(score), rank + 1)
+        for qid, hits in hits_by_q.items()
+        for rank, (doc, score) in enumerate(hits)
+    ]
     results = spark.createDataFrame(
         rows, "query int, doc_id string, score double, rank int"
     )
     out = {
         "n_queries": len(queries),
         "map": round(mean_average_precision(results, qrels), 4),
-        "query_p50_sec": round(sorted(lat)[len(lat) // 2], 3) if lat else None,
-        "query_max_sec": round(max(lat), 3) if lat else None,
+        "batch_sec": round(batch_sec, 3),
+        "queries_per_sec": round(len(queries) / batch_sec, 2) if batch_sec else None,
     }
     for kk in (5, 10, 50):
         pk = precision_at_k(results, qrels, kk).agg(F.avg("p_at_k")).collect()[0][0]
