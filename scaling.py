@@ -77,7 +77,7 @@ def run_level(cores: int, corpus_dir: str) -> dict:
 
     eng.search(QUERIES[0], k=100)  # warm the query path
 
-    # query THROUGHPUT: the 20-query batch runs as ONE batched segment job
+    # query THROUGHPUT: a 200-query batch runs as ONE batched segment job
     # (search_batch: one dictionary lookup, one pruned scan, blocks decoded
     # once per group for the whole batch). Per-query driver overhead is a
     # constant Amdahl term that neither executor cores nor a client-side

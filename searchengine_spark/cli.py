@@ -131,12 +131,15 @@ def _cmd_eval(args) -> None:
     # the whole query file runs as ONE batched segment job (scan + decode +
     # driver overhead amortized across the file — see SearchEngine.search_batch)
     t0 = time.perf_counter()
+    # keys carry the row index so duplicate query_id rows in the TSV are
+    # each evaluated rather than silently collapsed by the dict
     hits_by_q = eng.search_batch(
-        {str(q["query_id"]): q["keywords"] for q in queries}, k=args.k
+        {f"{i}:{q['query_id']}": q["keywords"] for i, q in enumerate(queries)},
+        k=args.k,
     )
     batch_sec = time.perf_counter() - t0
     rows = [
-        (int(qid), str(doc), float(score), rank + 1)
+        (int(qid.split(":", 1)[1]), str(doc), float(score), rank + 1)
         for qid, hits in hits_by_q.items()
         for rank, (doc, score) in enumerate(hits)
     ]

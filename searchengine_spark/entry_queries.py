@@ -377,8 +377,12 @@ def q_glove_rerank(spark, sf_dir):
     from . import glove
 
     tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
-    vocab = [r["term"] for r in dct.select("term").collect()]
-    vectors = _glove_vectors_for(vocab)
+    vocab = {r["term"] for r in dct.select("term").collect()}
+    # include the query's own terms so an OOV query word contributes the same
+    # hash vector on BOTH sides (the SQL twin derives qvec from query terms
+    # alone — without this a query term absent from the corpus would diverge)
+    vocab |= {t for t, _ in parse_query(BM25_QUERY)}
+    vectors = _glove_vectors_for(sorted(vocab))
     scored = glove.glove_rerank(spark, tf, stats, dct, BM25_QUERY, n, avgdl, vectors)
     return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
 

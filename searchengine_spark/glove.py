@@ -172,6 +172,12 @@ def glove_rerank(
     m = scored.agg(
         F.max("rank").alias("mr"), F.max("total").alias("mt")
     ).collect()[0]
+    if m["mr"] is None:  # zero candidate docs (query words in-model but not
+        # in-corpus) — nothing to normalize against, return the empty base
+        ranked = total.select("doc_id", F.col("total").alias("score")).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return ranked.limit(k) if k else ranked
     max_rank, max_total = float(m["mr"]), float(m["mt"])
     final = 0.95 * (F.col("rank") / max_rank) + 0.05 * (F.col("total") / max_total)
     ranked = scored.select("doc_id", final.alias("score")).orderBy(

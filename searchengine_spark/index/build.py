@@ -126,6 +126,17 @@ def auto_range_bits(
     return max(lo, min(hi, math.ceil(math.log2(n_docs / target_docs_per_range))))
 
 
+def write_meta_atomic(index_dir: str, meta: "IndexMeta") -> None:
+    """meta.json via temp-file + os.replace: readers that auto-refresh on the
+    meta fingerprint (SearchEngine.meta) must never observe a truncated
+    file mid-write."""
+    path = os.path.join(index_dir, "meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(meta.to_json())
+    os.replace(tmp, path)
+
+
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.jsonl")
 
@@ -302,8 +313,7 @@ def build_index(
         staged.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(staged_path)
         tf_df.unpersist()
         _mark("a3_staged_write", t0)
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            f.write(IndexMeta.to_json(meta))
+        write_meta_atomic(index_dir, meta)
         _manifest_append(
             index_dir,
             {"kind": "staged", "bucket": None, "n_postings": None, "bytes": _dir_bytes(staged_path)},

@@ -244,7 +244,11 @@ def minhash_band_pairs_sql(
     w: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 10_000,
 ) -> str:
+    """Twin of minhash_band_pairs INCLUDING the max_bucket cap (smallest
+    ``max_bucket`` doc_ids per band bucket) — without mirroring the cap the
+    oracle diverges on any corpus with a degenerate hot bucket."""
     sh = _shingles_sql(table, w, id_col, text_col)
     mh_cols = ", ".join(
         f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(n_hashes)
@@ -258,10 +262,15 @@ def minhash_band_pairs_sql(
     return f"""
 WITH sh AS ({sh}),
 sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({bands})
+bands AS ({bands}),
+ranked AS (
+  SELECT doc_id, band, band_hash,
+         row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+  FROM bands)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM ranked a JOIN ranked b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}
 """
 
 
@@ -406,9 +415,11 @@ def dedup_pipeline_sql(
     tau: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 10_000,
 ) -> str:
-    """Oracle twin of ``dedup_pipeline``: banding + pair-driven Jaccard +
-    transitive closure via a recursive CTE, keeper = min(doc) per component."""
+    """Oracle twin of ``dedup_pipeline``: banding (with the same max_bucket
+    cap) + pair-driven Jaccard + transitive closure via a recursive CTE,
+    keeper = min(doc) per component."""
     sh = _shingles_sql(table, w, id_col, text_col)
     mh_cols = ", ".join(f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(n_hashes))
     n_bands = n_hashes // band_size
@@ -421,10 +432,15 @@ def dedup_pipeline_sql(
 WITH RECURSIVE sh AS ({sh}),
 sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
+ranked AS (
+  SELECT doc_id, band, band_hash,
+         row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+  FROM bands),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket}),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter

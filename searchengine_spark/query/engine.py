@@ -97,21 +97,49 @@ class SearchEngine:
         weighted = rewrite_query(query, rewriter)
         terms = [t for t, _ in weighted]
         wmap = dict(weighted)
-        if self._dict_df is None:
-            # cached across searches: the dictionary is the small hot side
-            # (term, bucket, df, cf, idf, max_u) — on a cluster this is the
-            # broadcast analogue of the reference's in-memory inverted_idx.
-            # meta.dictionary_dir follows the streamed epoch-merge pointer.
-            self._dict_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, self.meta.dictionary_dir)
-            ).cache()
-        rows = self._dict_df.filter(F.col("term").isin(terms)).collect()
+        rows = self._load_dict().filter(F.col("term").isin(terms)).collect()
         out = []
         for r in rows:
             d = r.asDict()
             d["idf"] = float(d["idf"]) * wmap[d["term"]]
             out.append(d)
         return out
+
+    def _load_dict(self) -> DataFrame:
+        """Cached dictionary handle — the small hot side (term, bucket, df,
+        cf, idf, max_u); on a cluster this is the broadcast analogue of the
+        reference's in-memory inverted_idx. meta.dictionary_dir follows the
+        streamed epoch-merge pointer."""
+        if self._dict_df is None:
+            self._dict_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, self.meta.dictionary_dir)
+            ).cache()
+        return self._dict_df
+
+    def _pruned_blocks(self, buckets: list[int], terms: list[str]) -> DataFrame:
+        """Segment blocks for (buckets, terms) with a VALID max_u pruning
+        bound. The cached parquet handle lists files once per engine;
+        partition pruning keeps each query's scan to its terms' buckets.
+        For a streamed index (epochs encoded under their own running avgdl —
+        stored max_u may UNDER-estimate u at query time, unsafe for pruning)
+        max_u is rebound to the avgdl-robust u(max_tf, min_dl, current
+        avgdl) ≥ true block max. JVM-side column rewrite; kernels and exact
+        scores (decoded raw tf/dl) are unaffected."""
+        if self._seg_df is None:
+            self._seg_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "segments")
+            )
+        blocks = self._seg_df.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        meta = self.meta
+        if meta.stream_epochs:
+            k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+            u_robust = (F.col("max_tf") * (k1 + 1.0)) / (
+                F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl)
+            )
+            blocks = blocks.withColumn("max_u", u_robust)
+        return blocks
 
     def search(
         self,
@@ -130,29 +158,9 @@ class SearchEngine:
         idf = {r["term"]: float(r["idf"]) for r in dict_rows}
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
         terms = sorted(idf)
-
-        if self._seg_df is None:
-            # reused handle: parquet file listing runs once per engine, not
-            # per query (data itself stays on disk — partition pruning below
-            # keeps each query's scan to its terms' buckets)
-            self._seg_df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
-        blocks = self._seg_df.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
-
+        blocks = self._pruned_blocks(buckets, terms)
         kernel = score_group_wand if use_wand else score_group_vectorized
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
-        if meta.stream_epochs:
-            # streamed epochs were encoded under their own running avgdl, so
-            # the stored max_u may UNDER-estimate u at query time (unsafe for
-            # pruning). Rebind max_u to the avgdl-robust bound
-            # u(max_tf, min_dl, current avgdl) ≥ true block max — JVM-side
-            # column rewrite, kernels unchanged. Exact scores are unaffected
-            # (they decode raw tf/dl).
-            u_robust = (F.col("max_tf") * (k1 + 1.0)) / (
-                F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl)
-            )
-            blocks = blocks.withColumn("max_u", u_robust)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return kernel(pdf, idf, k1, b, avgdl, k, mode)
@@ -214,11 +222,7 @@ class SearchEngine:
         union_terms = sorted({t for w in per_q.values() for t, _ in w})
         if not union_terms:
             return {qid: [] for qid in queries}
-        if self._dict_df is None:
-            self._dict_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, self.meta.dictionary_dir)
-            ).cache()
-        rows = self._dict_df.filter(F.col("term").isin(union_terms)).collect()
+        rows = self._load_dict().filter(F.col("term").isin(union_terms)).collect()
         base_idf = {r["term"]: float(r["idf"]) for r in rows}
         buckets = sorted({int(r["bucket"]) for r in rows})
         idfs = {
@@ -228,18 +232,8 @@ class SearchEngine:
         live_terms = sorted({t for m in idfs.values() for t in m})
         if not live_terms:
             return {qid: [] for qid in queries}
-
-        if self._seg_df is None:
-            self._seg_df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
-        blocks = self._seg_df.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
-        )
+        blocks = self._pruned_blocks(buckets, live_terms)
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
-        if meta.stream_epochs:
-            u_robust = (F.col("max_tf") * (k1 + 1.0)) / (
-                F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl)
-            )
-            blocks = blocks.withColumn("max_u", u_robust)
 
         from .wand import score_group_multi
 
@@ -288,11 +282,7 @@ class SearchEngine:
             return []  # a phrase term is absent from the corpus → no match
         idf = {r["term"]: float(r["idf"]) for r in dict_rows}
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
-        if self._seg_df is None:
-            self._seg_df = self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
-        blocks = self._seg_df.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(sorted(idf))
-        )
+        blocks = self._pruned_blocks(buckets, sorted(idf))
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:

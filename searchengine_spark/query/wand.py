@@ -39,10 +39,15 @@ def _u2s(doc: int) -> int:
 
 
 def _blocks_by_term(pdf: pd.DataFrame) -> dict[str, pd.DataFrame]:
-    return {
-        term: sub.sort_values(["doc_range", "block_id"])
-        for term, sub in pdf.groupby("term", sort=True)
-    }
+    """Per-term blocks in UNSIGNED first_doc order. For a batch index this
+    equals (doc_range, block_id) order; for a multi-epoch streamed index it
+    is the only ordering that keeps cursor-based iteration monotone (epochs'
+    blocks interleave within a doc_range)."""
+    out: dict[str, pd.DataFrame] = {}
+    for term, sub in pdf.groupby("term", sort=True):
+        fd = sub["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+        out[term] = sub.iloc[np.argsort(fd, kind="stable")]
+    return out
 
 
 def _decode_term(sub: pd.DataFrame):
@@ -283,9 +288,20 @@ def score_group_wand(
     topk = _TopK(k)
 
     if mode == "and":
+        by_term = _blocks_by_term(pdf)
+        # _TermCursor needs each term's blocks globally doc-sorted AND
+        # disjoint. A multi-epoch streamed index violates this (epochs'
+        # doc-id ranges interleave within one doc_range) — cursor skipping
+        # would silently drop matches. Detect and use the merge-based
+        # exhaustive kernel, which is overlap-safe.
+        for sub in by_term.values():
+            first = sub["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+            last = sub["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+            if len(first) > 1 and (first[1:] <= last[:-1]).any():
+                return score_group_vectorized(pdf, idf, k1, b, avgdl, k, mode)
         cursors = [
             _TermCursor(term, sub, idf[term] * float(sub["max_u"].max()))
-            for term, sub in _blocks_by_term(pdf).items()
+            for term, sub in by_term.items()
         ]
 
         def advance_past(doc: int) -> None:

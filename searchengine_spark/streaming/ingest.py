@@ -99,15 +99,68 @@ def incremental_index(
         IndexMeta,
         _encode_group_fn,
         _manifest_append,
+        write_meta_atomic,
     )
     from ..index.codec import BLOCK_SIZE
 
     os.makedirs(index_dir, exist_ok=True)
 
+    def _manifest_state() -> tuple[list[dict], list[dict]]:
+        """(all stream_epoch lines, stream_epoch lines since the last
+        compaction marker) — the crash-consistent view of the index state."""
+        from ..index.build import read_manifest
+
+        full = read_manifest(index_dir)
+        last_c = -1
+        for i, m in enumerate(full):
+            if m.get("kind") == "compaction":
+                last_c = i
+        epochs_all = [m for m in full if m.get("kind") == "stream_epoch"]
+        epochs_since = [
+            m for m in full[last_c + 1 :] if m.get("kind") == "stream_epoch"
+        ]
+        return epochs_all, epochs_since
+
+    def _meta_from_manifest(
+        epochs_all: list[dict], epochs_since: list[dict]
+    ) -> IndexMeta | None:
+        """Post-state of the last committed epoch, derived purely from the
+        manifest — the recovery source of truth. None for pre-upgrade
+        manifests without running totals."""
+        if not epochs_all or "n_docs_total" not in epochs_all[-1]:
+            return None
+        last = epochs_all[-1]
+        n = int(last["n_docs_total"])
+        tot = int(last["total_len_total"])
+        return IndexMeta(
+            n_docs=n,
+            avgdl=tot / n,
+            k1=BM25_K1,
+            b=BM25_B,
+            range_bits=range_bits,
+            n_buckets=n_buckets,
+            block_size=BLOCK_SIZE,
+            fingerprint=f"stream-{int(last['epoch'])}-{n}",
+            dictionary_dir=last["dictionary_dir"],
+            stream_epochs=len(epochs_since),
+            total_len=tot,
+        )
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if any(e["epoch"] == int(epoch_id) for e in read_stream_manifest(index_dir)):
-            return  # at-least-once replay — already fully applied
+        epochs_all, epochs_since = _manifest_state()
+        meta_path = os.path.join(index_dir, "meta.json")
+        if any(e["epoch"] == int(epoch_id) for e in epochs_all):
+            # at-least-once replay — the manifest line is the COMMIT POINT.
+            # A crash between that append and the meta swap leaves meta one
+            # epoch behind: repair it from the manifest (idempotent).
+            recovered = _meta_from_manifest(epochs_all, epochs_since)
+            stale = (not os.path.exists(meta_path)) or (
+                IndexMeta.load(index_dir).stream_epochs != len(epochs_since)
+            )
+            if stale and recovered is not None:
+                write_meta_atomic(index_dir, recovered)
+            return
         tf = term_frequencies(batch_df, id_col, text_col, use_arrow_udf=False)
         stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         agg = stats.agg(
@@ -115,14 +168,17 @@ def incremental_index(
         ).collect()[0]
         if not agg["n"]:
             return
-        meta_path = os.path.join(index_dir, "meta.json")
-        if os.path.exists(meta_path):
+        # previous post-state comes from the MANIFEST (crash-consistent),
+        # not from meta.json (which may lag by one epoch after a crash);
+        # pre-upgrade manifests without totals fall back to meta
+        prev = _meta_from_manifest(epochs_all, epochs_since)
+        if prev is None and os.path.exists(meta_path):
             prev = IndexMeta.load(index_dir)
+        if prev is not None:
             n_docs = prev.n_docs + int(agg["n"])
             total_len = prev.total_len + int(agg["tot"])
             stream_epochs = prev.stream_epochs + 1
         else:
-            prev = None
             n_docs = int(agg["n"])
             total_len = int(agg["tot"])
             stream_epochs = 1
@@ -178,7 +234,25 @@ def incremental_index(
             "overwrite"
         ).parquet(os.path.join(index_dir, dict_dir))
 
-        # ---- swap meta pointer (small atomic-enough write, readers follow)
+        # ---- COMMIT: manifest line (with post-state totals) first, then the
+        # atomic meta swap. Everything before the append is idempotent
+        # (overwrite writes); a crash before it → full redo with identical
+        # inputs; a crash after it → the replay guard repairs meta from this
+        # line. This is what makes "the merge must not run twice" true.
+        _manifest_append(
+            index_dir,
+            {
+                "kind": "stream_epoch",
+                "bucket": None,
+                "epoch": int(epoch_id),
+                "n_docs": int(agg["n"]),
+                "n_blocks": int(n_blocks),
+                "dictionary_dir": dict_dir,
+                "n_docs_total": n_docs,
+                "total_len_total": total_len,
+                "ts": time.time(),
+            },
+        )
         meta = IndexMeta(
             n_docs=n_docs,
             avgdl=avgdl,
@@ -192,20 +266,7 @@ def incremental_index(
             stream_epochs=stream_epochs,
             total_len=total_len,
         )
-        with open(meta_path, "w") as f:
-            f.write(meta.to_json())
-        _manifest_append(
-            index_dir,
-            {
-                "kind": "stream_epoch",
-                "bucket": None,
-                "epoch": int(epoch_id),
-                "n_docs": int(agg["n"]),
-                "n_blocks": int(n_blocks),
-                "dictionary_dir": dict_dir,
-                "ts": time.time(),
-            },
-        )
+        write_meta_atomic(index_dir, meta)
 
     q = (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -286,8 +347,10 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
 
     folded = meta.stream_epochs
     meta.stream_epochs = 0
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        f.write(meta.to_json())
+    from ..index.build import write_meta_atomic
+
+    # marker first (commit point — later epochs derive their state relative
+    # to it), then the atomic meta swap
     _manifest_append(
         index_dir,
         {
@@ -298,6 +361,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
             "ts": time.time(),
         },
     )
+    write_meta_atomic(index_dir, meta)
     return meta
 
 

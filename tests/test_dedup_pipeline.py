@@ -73,6 +73,34 @@ def test_bucket_cap_observability(spark, dup_corpus):
     )
 
 
+def test_bucket_cap_mirrored_in_sql_oracle(spark, dup_corpus, tmp_path):
+    """With a tiny max_bucket the cap actually truncates — Spark and the
+    DuckDB twin must truncate IDENTICALLY (smallest doc_ids per bucket)."""
+    import duckdb
+
+    pq = str(tmp_path / "docs.parquet")
+    dup_corpus.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    for cap in (2, 10_000):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_band_pairs(dup_corpus, max_bucket=cap).collect()
+        }
+        exp = {
+            (a, b)
+            for a, b in con.execute(
+                dedup.minhash_band_pairs_sql("documents", max_bucket=cap)
+            ).fetchall()
+        }
+        assert got == exp, cap
+    # cap=2 must differ from uncapped on this corpus (3 near-dup docs share
+    # buckets) — proves the cap is exercised, not vacuous
+    capped = dedup.minhash_band_pairs(dup_corpus, max_bucket=2).count()
+    full = dedup.minhash_band_pairs(dup_corpus, max_bucket=10_000).count()
+    assert capped < full
+
+
 def test_neardup_requires_candidates_or_optin(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.1])], "vec_id long, embedding array<float>"

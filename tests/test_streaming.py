@@ -94,6 +94,35 @@ def test_streamed_index_is_queryable_and_matches_batch(spark, tmp_path):
     assert eng.search(q, k=20, use_wand=False) == hits2
 
 
+def test_streamed_and_mode_across_interleaved_epochs(spark, tmp_path):
+    """Regression (round-2 review): epochs whose doc-id ranges interleave
+    within one doc_range break the AND cursor's sorted-blocks invariant —
+    doc 5 (epoch 2) lies between epoch 1's docs {0, 10} and was silently
+    dropped by mode='and', use_wand=True."""
+    from searchengine_spark.query.engine import SearchEngine
+
+    d = str(tmp_path / "adrops")
+    idx = str(tmp_path / "aidx")
+    ckpt = str(tmp_path / "ackpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(0, "apple banana"), (10, "apple banana")], schema
+                          ).write.parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, schema), idx, ckpt,
+                         n_buckets=2, range_bits=1)
+    spark.createDataFrame([(5, "apple banana")], schema).write.mode("append").parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, schema), idx, ckpt,
+                         n_buckets=2, range_bits=1)
+    eng = SearchEngine(spark, idx)
+    wand = eng.search("apple banana", k=10, mode="and", use_wand=True)
+    vect = eng.search("apple banana", k=10, mode="and", use_wand=False)
+    assert {i for i, _ in wand} == {0, 5, 10}
+    assert wand == vect
+    # OR mode too, for completeness
+    assert eng.search("apple banana", k=10) == eng.search(
+        "apple banana", k=10, use_wand=False
+    )
+
+
 def test_compaction_folds_epochs_preserving_results(spark, tmp_path):
     """compact_streamed_index: epochs fold into one, results identical before
     and after, engine flips back to tight bounds, and the stream can keep
