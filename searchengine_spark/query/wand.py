@@ -362,15 +362,28 @@ def score_group_wand(
     sparse_terms = set(per_term[per_term <= max(256, 2 * k)].index)
     sparse_mask = sub["term"].isin(sparse_terms).to_numpy()
     dense_idx = np.flatnonzero(~sparse_mask)
+    def _excl_end(last_arr: np.ndarray) -> np.ndarray:
+        # exclusive end boundary last+1 WITHOUT uint64 wraparound: for
+        # last == U64_MAX the block has no end event (weight 0 below keeps it
+        # active through the final interval) but U64_MAX itself must still
+        # enter bnd so the trailing region is a real interval — otherwise a
+        # trailing block whose first_doc equals the max boundary would get
+        # bi_start == n_int and silently vanish from every chunk and bound.
+        return np.where(
+            last_arr == np.uint64(_U64_MAX),
+            np.uint64(_U64_MAX),
+            last_arr + np.uint64(1),
+        )
+
     ev_start = [first[dense_idx]]
-    ev_end = [np.minimum(last[dense_idx] + np.uint64(1), np.uint64(_U64_MAX))]
+    ev_end = [_excl_end(last[dense_idx])]
     ev_w = [ubs[dense_idx]]
     # conservative clamp: a block ending at U64_MAX stays active to the end
     end_w = [np.where(last[dense_idx] == np.uint64(_U64_MAX), 0.0, -ubs[dense_idx])]
     for j in np.flatnonzero(sparse_mask):
         d, s = decode_j(int(j))
         ev_start.append(d)
-        ev_end.append(np.minimum(d + np.uint64(1), np.uint64(_U64_MAX)))
+        ev_end.append(_excl_end(d))
         ev_w.append(s)
         end_w.append(np.where(d == np.uint64(_U64_MAX), 0.0, -s))
     starts = np.concatenate(ev_start)
@@ -382,14 +395,18 @@ def score_group_wand(
             {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
         )
     delta = np.zeros(len(bnd) + 1, dtype=np.float64)
-    np.add.at(delta, np.searchsorted(bnd, starts, side="left"), np.concatenate(ev_w))
+    # start indices clamped to the last interval: a start exactly at the max
+    # boundary (only possible for the U64_MAX corner, where its end weight is
+    # 0) merges into the final interval instead of falling off the sweep
+    si = np.minimum(np.searchsorted(bnd, starts, side="left"), n_int - 1)
+    np.add.at(delta, si, np.concatenate(ev_w))
     np.add.at(delta, np.searchsorted(bnd, ends, side="left"), np.concatenate(end_w))
     ub_sum = np.cumsum(delta)[:n_int]  # bound for interval [bnd[i], bnd[i+1])
 
-    # block j is active over intervals [bi_start[j], bi_end[j]]; the clamp
-    # covers the U64_MAX corner (a doc_id of exactly 2^64-1 — possible from
+    # block j is active over intervals [bi_start[j], bi_end[j]]; the clamps
+    # cover the U64_MAX corner (a doc_id of exactly 2^64-1 — possible from
     # xxhash64 — would otherwise index one past the last interval)
-    bi_start = np.searchsorted(bnd, first, side="left")
+    bi_start = np.minimum(np.searchsorted(bnd, first, side="left"), n_int - 1)
     bi_end = np.minimum(np.searchsorted(bnd, last, side="right") - 1, n_int - 1)
 
     # 2./3. descending-bound chunks with exact scoring and θ cutoff

@@ -91,8 +91,19 @@ def test_fallback_identity_on_small_groups(spark, skewed_index):
 def test_u64max_doc_id_survives_sweep(spark, tmp_path):
     """doc_id = -1 (unsigned 2^64-1, reachable from xxhash64) sits exactly on
     the last interval boundary of the event sweep — the clamped mapping must
-    keep it scoreable, identical to the exhaustive kernel."""
-    rows = [(-(i + 1), "alpha beta common words here") for i in range(1500)]
+    keep it scoreable, identical to the exhaustive kernel.
+
+    The TRAILING block (unsigned-largest ids, i.e. signed -1..-50) carries a
+    boosted tf so its docs MUST make the top-k on score alone: the trailing
+    block's end event used to wrap (last+1 == 0) and its first_doc equals the
+    max event boundary, so the old sweep dropped the whole block — with a
+    uniform corpus the tie-break masked that; the boost makes it observable."""
+    rows = []
+    for i in range(1500):
+        text = "alpha beta common words here"
+        if i < 50:  # signed ids -1..-50 == the unsigned-largest (trailing) docs
+            text = " ".join(["alpha"] * 8) + " beta common words here"
+        rows.append((-(i + 1), text))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     idx = str(tmp_path / "idx")
     build_index(spark, df, idx, id_col="doc_id", text_col="text",
@@ -103,10 +114,11 @@ def test_u64max_doc_id_survives_sweep(spark, tmp_path):
         a = W.score_group_wand(p, idf, meta.k1, meta.b, meta.avgdl, 10)
         b = W.score_group_vectorized(p, idf, meta.k1, meta.b, meta.avgdl, 10)
         assert a.equals(b)
-    # ties everywhere (identical docs) → top-10 = 10 smallest signed ids,
-    # and the most-negative ids are the LARGEST unsigned (sweep tail)
+    # boosted docs strictly outscore the rest; ties among them break by
+    # signed doc_id asc → expect the 10 most-negative of the boosted ids
     top = W.score_group_wand(pdfs[0], idf, meta.k1, meta.b, meta.avgdl, 10)
-    assert list(top["doc_id"]) == sorted(r[0] for r in rows)[:10]
+    boosted = sorted(-(i + 1) for i in range(50))
+    assert list(top["doc_id"]) == boosted[:10]
 
 
 def test_tie_safety_under_pruning(spark, tmp_path):
