@@ -160,6 +160,20 @@ def _cmd_eval(args) -> None:
     print(json.dumps(out))
 
 
+def _cmd_refbench(args) -> None:
+    """Run the reference repo's own acceptance benchmark (refbench.py):
+    real 8,726-tweet corpus + 35 queries + graded labels → MAP/P@k/recall
+    for the faithful best-engine scorer family, vs the published band."""
+    spark = _spark(args)
+    from .refbench import data_available, run_refbench
+
+    if not data_available(args.data_dir):
+        print(json.dumps({"err": f"benchmark data not found under {args.data_dir}"}))
+        sys.exit(2)
+    out = run_refbench(spark, args.data_dir, nltk_stopwords=not args.minimal_stopwords)
+    print(json.dumps(out))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="searchengine_spark")
     p.add_argument("--master", default=None, help="override spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -197,6 +211,16 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--qrels", required=True, help="CSV: query, doc_id, y_true")
     e.add_argument("-k", type=int, default=100)
     e.set_defaults(fn=_cmd_eval)
+
+    rb = sub.add_parser(
+        "refbench", help="run the reference's own benchmark data end-to-end"
+    )
+    from .refbench import REF_DATA_DIR
+
+    rb.add_argument("--data-dir", default=REF_DATA_DIR)
+    rb.add_argument("--minimal-stopwords", action="store_true",
+                    help="use the engine's 17-word set instead of nltk's")
+    rb.set_defaults(fn=_cmd_refbench)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,369 @@
+"""The reference's OWN acceptance benchmark, end-to-end on its real data.
+
+The reference repo ships an 8,726-tweet corpus
+(``Part C/data/benchmark_data_train.snappy.parquet``), 35 queries
+(``queries_train.tsv``) and graded labels (``benchmark_lbls_train.csv``),
+plus the harness that grades an engine on them
+(``Part C/test_part_c_students_old.py:99-195``): build the index (<60 s),
+run every query (<10 s each, ALL matching docs returned ranked), inner-join
+the labels, and report MAP / precision / P@5 / P@10 / P@50 / recall with
+``Part C/metrics.py``. Published results for the "best" engine variant
+(``Part C/test_results.txt``): MAP 0.6767 for the pure-BM25 config and
+~0.706 for the cosine/inner blends.
+
+This module runs the SAME protocol through the Spark engine:
+
+  * corpus: ``full_text`` + the expanded-URL field, exactly the two fields
+    the reference parses (``Part C/parser_module.py:241-280`` — the other
+    columns are read but never tokenized), through the tweet-mode tokenizer
+    (tweetparser.py, T5-T15).
+  * scorers: the faithful "search_engine_best" family, pinned to the shipped
+    code (NOT the docstring): BM25 over *normalized* tf (ntf = tf/doc_len)
+    with k=1.5, b=0.8, idf=log2(N/df) and the ``ntf·(ntf·(k+1))`` numerator
+    quirk (``Part C/ranker_glove.py:119-143`` — ``common_terms_tf`` is
+    ``doc[6]``, the normalized tf list from
+    ``Part C/searcher_glove.py:138-152``); inner product Σ ntf·log10(N/df)·qtf
+    (``ranker_glove.py:104-117`` over the ``doc[5]`` weights computed in
+    ``Part C/search_engine_best.py:107-122``); cosine = inner/sqrt(doc_w2·q_w2)
+    (``ranker_glove.py:146-168``). Query tf is ALWAYS 1 per distinct term —
+    ``parse_sentence`` returns a dict, so iterating it can never repeat a key
+    (``searcher_glove.py:112-126``); q_w2 = #query terms found in the
+    dictionary (``searcher_glove.py:128-131``).
+  * NOT reproduced (impossible without the model): the GloVe euclidean
+    re-rank and <5-term query expansion — the reference repo ships no
+    ``model/model.txt`` (only ``vocab.txt``), and without it the shipped code
+    itself degrades to exactly this base ordering
+    (``ranker_glove.py:43-49``: the re-rank is gated on
+    ``Ranker.query_vector.any()``). Published numbers DID use the downloaded
+    model, so our MAP is expected near, not exactly at, the published band.
+  * metrics: a faithful re-implementation of ``Part C/metrics.py`` —
+    labels inner-joined (unlabeled retrieved docs are DROPPED, not counted
+    as misses), MAP = mean over queries of [mean over relevant *retrieved*
+    positions of precision within the labeled-only ranking]. This is NOT
+    standard trec AP (denominator is relevant-retrieved, not total
+    relevant) — reproduced quirk-for-quirk because the published numbers
+    are defined by it. One deviation: ties are broken (score desc,
+    tweet_id asc) instead of the reference's dict-insertion order, which is
+    not reproducible declaratively.
+
+Scale shape (100 TB stance): ONE broadcast-join batch job scores all 35
+queries × all scorers in a single shuffle — the per-term partial sums ride
+one sort_array'd struct aggregate, so adding a scorer adds a column, not a
+job. doc_w2 is a corpus-wide index-time artifact (computed once, joined).
+The labels/metrics side is |results|-sized, done in pandas like the
+reference harness itself.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .postings import corpus_stats, dictionary, doc_stats
+from .tweetparser import NLTK_STOPWORDS, tweet_tokenize, tweet_tokenize_py
+
+REF_DATA_DIR = "/root/reference/Part C/data"
+
+BENCH_PARQUET = "benchmark_data_train.snappy.parquet"
+QUERIES_TSV = "queries_train.tsv"
+LABELS_CSV = "benchmark_lbls_train.csv"
+
+# Published bands for the best-engine variant (Part C/test_results.txt):
+PUBLISHED_MAP_BM25 = 0.6767
+PUBLISHED_MAP_BLEND = 0.706
+
+
+def data_available(data_dir: str = REF_DATA_DIR) -> bool:
+    return os.path.exists(os.path.join(data_dir, BENCH_PARQUET))
+
+
+def load_benchmark(spark: SparkSession, data_dir: str = REF_DATA_DIR):
+    """→ (corpus_df(tweet_id, text), queries_pdf, labels_pdf).
+
+    text = full_text + the urls field cleaned the way the reference does
+    (``Part C/parser_module.py:252-265``): strip JSON punctuation, split the
+    short:long pairs so each URL is its own whitespace token for the URL rule
+    (T5/T9) to consume."""
+    corpus = (
+        spark.read.parquet(os.path.join(data_dir, BENCH_PARQUET))
+        .select(
+            F.col("tweet_id").cast("string").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.col("full_text"),
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.coalesce(F.col("urls"), F.lit("")), r'[{}"\[\]]', ""
+                    ),
+                    r":http",
+                    " http",
+                ),
+            ).alias("text"),
+        )
+    )
+    queries = pd.read_csv(os.path.join(data_dir, QUERIES_TSV), sep="\t")
+    labels = pd.read_csv(
+        os.path.join(data_dir, LABELS_CSV),
+        dtype={"query": int, "tweet": str, "y_true": float},
+    )
+    labels["y_true"] = labels["y_true"].astype(int)
+    return corpus, queries, labels
+
+
+def tweet_tf(corpus: DataFrame, nltk_stopwords: bool = True) -> DataFrame:
+    """(doc_id, text) → (doc_id, term, tf) via the tweet-mode tokenizer with
+    the reference-faithful nltk stopword set (``parser_module.py:14``);
+    empty parses dropped (T19). ``nltk_stopwords=False`` keeps the engine's
+    minimal set instead (measured: slightly BETTER MAP — the claim-like
+    queries benefit from "more"/"than"-style terms the reference filters)."""
+    return (
+        corpus.select(
+            "doc_id",
+            tweet_tokenize(F.col("text"), nltk_stopwords=nltk_stopwords).alias("tokens"),
+        )
+        .filter(F.size("tokens") > 0)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def best_doc_w2(tf_df: DataFrame, stats_df: DataFrame, dict_df: DataFrame,
+                n_docs: int) -> DataFrame:
+    """(doc_id, doc_w2): Σ over the doc's terms of (ntf·log10(N/df))²,
+    rounded to 3dp (``Part C/search_engine_best.py:107-122``; the reference
+    rounds the RUNNING sum each step — order-dependent, rounded once here,
+    same deviation as scoring.blended_score_parta)."""
+    enriched = tf_df.join(dict_df.select("term", "df"), "term").join(
+        stats_df.select("doc_id", "doc_len"), "doc_id"
+    )
+    w = (F.col("tf") / F.col("doc_len")) * F.log10(F.lit(float(n_docs)) / F.col("df"))
+    return enriched.groupBy("doc_id").agg(F.round(F.sum(w * w), 3).alias("doc_w2"))
+
+
+def best_scores_batch(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query_terms: dict[int, list[str]],
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """All queries × the best-engine scorer family in ONE job.
+
+    Returns (query_id, doc_id, bm25, inner, cosine): every doc sharing ≥1
+    dictionary term with the query (the reference returns ALL candidates,
+    ``searcher_glove.py:40-49``). Per-term pieces are summed in ascending
+    term order via the sort_array'd struct aggregate (bit-stable across
+    parallelism, same device as scoring._ordered_sum)."""
+    rows = sorted(
+        {(qid, t) for qid, terms in query_terms.items() for t in terms}
+    )
+    if not rows:
+        raise ValueError("empty query batch")
+    qdf = spark.createDataFrame(rows, "query_id int, term string")
+    qstats = F.broadcast(qdf.join(dict_df.select("term", "df"), "term"))
+    # q_w2 = Σ qtf² over matched terms; qtf ≡ 1 (dict iteration can't repeat)
+    qw2 = F.broadcast(
+        qdf.join(dict_df.select("term"), "term")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("q_w2"))
+    )
+    cand = tf_df.join(qstats, "term").join(
+        stats_df.select("doc_id", "doc_len"), "doc_id"
+    )
+    ntf = F.col("tf") / F.col("doc_len")
+    idf2 = F.log2(F.lit(float(n_docs)) / F.col("df"))
+    idf10 = F.log10(F.lit(float(n_docs)) / F.col("df"))
+    k1, b = 1.5, 0.8
+    bm = idf2 * (ntf * (ntf * (k1 + 1.0))) / (
+        ntf + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    )
+    w_inner = ntf * idf10  # ·qtf with qtf = 1
+    per = cand.select(
+        "query_id",
+        "doc_id",
+        F.struct(F.col("term"), bm.alias("bm"), w_inner.alias("ip")).alias("ts"),
+    )
+    agg = per.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("ts")), F.lit(0.0), lambda a, x: a + x["bm"]
+        ).alias("bm25"),
+        F.aggregate(
+            F.sort_array(F.collect_list("ts")), F.lit(0.0), lambda a, x: a + x["ip"]
+        ).alias("inner"),
+    )
+    w2 = best_doc_w2(tf_df, stats_df, dict_df, n_docs)
+    return (
+        agg.join(w2, "doc_id")
+        .join(qw2, "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25",
+            "inner",
+            (F.col("inner") / F.sqrt(F.col("doc_w2") * F.col("q_w2"))).alias("cosine"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ metrics
+# Faithful re-implementation of Part C/metrics.py over the harness's
+# inner-joined frame (Part C/test_part_c_students_old.py:155-185).
+
+
+def label_results(ranked: pd.DataFrame, labels: pd.DataFrame) -> pd.DataFrame:
+    """results (query, tweet) in rank order → inner-joined with labels,
+    preserving rank order per query (pandas inner merge keeps left order),
+    exactly ``pd.merge(..., how='inner')`` in the harness (:156)."""
+    return ranked.merge(labels, on=["query", "tweet"], how="inner")
+
+
+def ref_map(labeled: pd.DataFrame) -> float:
+    """``Part C/metrics.py:64-78``: per query, AP = mean over the relevant
+    rows of precision-at-that-row *within the labeled subsequence*; MAP =
+    mean over queries that retrieved ≥1 labeled doc."""
+    aps = []
+    for _, sub in labeled.groupby("query", sort=True):
+        y = sub["y_true"].to_numpy()
+        rel = np.flatnonzero(y == 1)
+        if len(rel) == 0:
+            aps.append(0.0)
+            continue
+        prec_at = np.cumsum(y)[rel] / (rel + 1)
+        aps.append(float(prec_at.mean()))
+    return float(np.mean(aps)) if aps else 0.0
+
+
+def ref_precision(labeled: pd.DataFrame, head: int | None = None) -> float:
+    """``Part C/metrics.py:7-19``: mean over queries of the labeled rows'
+    y_true mean; ``head`` reproduces ``groupby('query').head(n)`` for P@n."""
+    df = labeled.groupby("query").head(head) if head else labeled
+    per = df.groupby("query")["y_true"].mean()
+    return float(per.mean()) if len(per) else 0.0
+
+
+def ref_recall(labeled: pd.DataFrame, labels: pd.DataFrame) -> float:
+    """``Part C/metrics.py:36-47``: mean over ALL labeled queries of
+    (relevant retrieved / relevant total)."""
+    totals = labels.groupby("query")["y_true"].sum()
+    got = labeled[labeled["y_true"] == 1].groupby("query")["y_true"].count()
+    per = [
+        float(got.get(q, 0)) / tot for q, tot in totals.items() if tot > 0
+    ]
+    return float(np.mean(per)) if per else 0.0
+
+
+def ref_metrics(ranked: pd.DataFrame, labels: pd.DataFrame) -> dict:
+    lab = label_results(ranked, labels)
+    return {
+        "map": round(ref_map(lab), 4),
+        "precision": round(ref_precision(lab), 4),
+        "p_at_5": round(ref_precision(lab, 5), 4),
+        "p_at_10": round(ref_precision(lab, 10), 4),
+        "p_at_50": round(ref_precision(lab, 50), 4),
+        "recall": round(ref_recall(lab, labels), 4),
+    }
+
+
+# --------------------------------------------------------------- end-to-end
+
+#: scorer mixes from Part C/test_results.txt config lines (weights over the
+#: best-engine family); "bm25" is the published-0.6767 config, "cosine" and
+#: the cosine/inner mixes are the published-~0.706 configs. Note the SHIPPED
+#: code's 0.1·BM25+0.9·inner blend (``ranker_glove.py:30-35``) passes the doc
+#: KEY to ``inner_product`` — ``relevant_doc[1]`` indexes the tweet-id
+#: string, so the inner term is always 0 and the shipped blend ranks
+#: identically to pure BM25; the published non-BM25 rows came from edited
+#: weights, which these mixes reproduce with the CORRECT inner product.
+#: ``remove_anomalies``/``get_threshold`` (ranker_glove.py:181-207) are dead
+#: code — never called — so full candidate lists are the graded protocol.
+MIXES = {
+    "bm25": lambda d: d["bm25"],
+    "cosine": lambda d: d["cosine"],
+    "inner": lambda d: d["inner"],
+    "cos_inner_50_50": lambda d: 0.5 * d["cosine"] + 0.5 * d["inner"],
+    "cos_inner_10_90": lambda d: 0.1 * d["cosine"] + 0.9 * d["inner"],
+}
+
+
+def run_refbench(
+    spark: SparkSession, data_dir: str = REF_DATA_DIR, nltk_stopwords: bool = True
+) -> dict:
+    """Build + batch-query + metrics; returns the harness report."""
+    corpus, queries, labels = load_benchmark(spark, data_dir)
+
+    t0 = time.perf_counter()
+    tf = tweet_tf(corpus, nltk_stopwords=nltk_stopwords)
+    tf.persist()
+    stats = doc_stats(tf)
+    stats.persist()
+    dct = dictionary(tf)
+    dct.persist()
+    n_docs, avgdl = corpus_stats(stats)  # materializes tf/stats
+    dct.count()
+    build_sec = time.perf_counter() - t0
+
+    qstop = NLTK_STOPWORDS if nltk_stopwords else None
+    qterms = {
+        int(r["query_id"]): sorted(
+            set(
+                tweet_tokenize_py(str(r["keywords"]), qstop)
+                if qstop
+                else tweet_tokenize_py(str(r["keywords"]))
+            )
+        )
+        for _, r in queries.iterrows()
+    }
+
+    t0 = time.perf_counter()
+    scored = best_scores_batch(spark, tf, stats, dct, qterms, n_docs, avgdl)
+    pdf = scored.toPandas()
+    batch_sec = time.perf_counter() - t0
+
+    # single-query latency through the same path (the reference's <10 s/query
+    # bound is per sequential query)
+    q0 = next(iter(qterms))
+    t0 = time.perf_counter()
+    best_scores_batch(
+        spark, tf, stats, dct, {q0: qterms[q0]}, n_docs, avgdl
+    ).toPandas()
+    single_query_sec = time.perf_counter() - t0
+
+    out = {
+        "data_dir": data_dir,
+        "stopwords": "nltk" if nltk_stopwords else "minimal",
+        "n_docs": n_docs,
+        "avgdl": round(avgdl, 3),
+        "n_queries": len(qterms),
+        "build_sec": round(build_sec, 2),
+        "batch_sec": round(batch_sec, 2),
+        "per_query_sec": round(batch_sec / max(len(qterms), 1), 3),
+        "single_query_sec": round(single_query_sec, 3),
+        "published": {"bm25": PUBLISHED_MAP_BM25, "blend": PUBLISHED_MAP_BLEND},
+        "scorers": {},
+    }
+    for name, mix in MIXES.items():
+        sub = pdf[["query_id", "doc_id"]].copy()
+        sub["score"] = mix(pdf)
+        sub = sub.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True]
+        )
+        ranked = sub.rename(columns={"query_id": "query", "doc_id": "tweet"})[
+            ["query", "tweet"]
+        ]
+        m = ref_metrics(ranked, labels)
+        m["n_results"] = int(len(ranked))
+        m["queries_with_results"] = int(ranked["query"].nunique())
+        out["scorers"][name] = m
+
+    tf.unpersist()
+    stats.unpersist()
+    dct.unpersist()
+    return out

@@ -28,11 +28,14 @@ from . import BM25_B, BM25_K1
 from .tokenizer import tokenize_py
 
 
-def parse_query(query: str) -> list[tuple[str, int]]:
+def parse_query(query: str | list[str]) -> list[tuple[str, int]]:
     """query string → [(term, qtf)] sorted by term (deterministic;
-    ref: ``Part C/searcher.py:38,69-72``)."""
+    ref: ``Part C/searcher.py:38,69-72``). A pre-tokenized list is accepted
+    verbatim so alternate front-ends (e.g. the tweet-mode parser in
+    refbench.py) can feed every scorer without re-tokenizing."""
     counts: dict[str, int] = {}
-    for t in tokenize_py(query):
+    toks = query if isinstance(query, list) else tokenize_py(query)
+    for t in toks:
         counts[t] = counts.get(t, 0) + 1
     return sorted(counts.items())
 

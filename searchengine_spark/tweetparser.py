@@ -44,6 +44,28 @@ from .tokenizer import STOPWORDS
 
 _STOPSET = frozenset(STOPWORDS)
 
+# The reference filters with nltk's English stopword list
+# (``Part C/parser_module.py:14`` — ``stopwords.words('english')``). nltk is
+# not a dependency here, so the standard 179-entry list is inlined (it is
+# public, stable since nltk 3.x). Used by the tweet-mode pipeline when
+# reference-faithful filtering matters (refbench.py); the code-mode engine
+# keeps its minimal 17-word set (tokenizer.py).
+NLTK_STOPWORDS = frozenset("""
+i me my myself we our ours ourselves you you're you've you'll you'd your
+yours yourself yourselves he him his himself she she's her hers herself it
+it's its itself they them their theirs themselves what which who whom this
+that that'll these those am is are was were be been being have has had
+having do does did doing a an the and but if or because as until while of
+at by for with about against between into through during before after
+above below to from up down in out on off over under again further then
+once here there when where why how all any both each few more most other
+some such no nor not only own same so than too very s t can will just don
+don't should should've now d ll m o re ve y ain aren aren't couldn
+couldn't didn didn't doesn doesn't hadn hadn't hasn hasn't haven haven't
+isn isn't ma mightn mightn't mustn mustn't needn needn't shan shan't
+shouldn shouldn't wasn wasn't weren weren't won won't wouldn wouldn't
+""".split())
+
 # ---------------------------------------------------------------- patterns
 _URL_RE = re.compile(r"https?://\S+")
 _HASHTAG_RE = re.compile(r"#\w+")
@@ -107,12 +129,15 @@ def _hashtag_tokens(tag: str) -> list[str]:
     return [tag.lower()] + [p for p in parts if len(p) > 1]
 
 
-def tweet_tokenize_py(text: str) -> list[str]:
+def tweet_tokenize_py(text: str, stopset: frozenset[str] = _STOPSET) -> list[str]:
     """The tweet-mode token spec (pure Python = oracle for the UDF).
 
     Order: date tokens → percent/scale normalization → pull special tokens
     (URLs/hashtags/mentions) → strip RT + 19-20-digit tweet ids → plain words
-    (len>1, lowercased, domain-normalized) → number bucketing."""
+    (len>1, lowercased, domain-normalized) → number bucketing.
+
+    ``stopset`` defaults to the engine's minimal set; pass
+    ``NLTK_STOPWORDS`` for reference-faithful filtering (refbench.py)."""
     toks: list[str] = []
     rest = text
 
@@ -138,7 +163,7 @@ def tweet_tokenize_py(text: str) -> list[str]:
 
     for w in _WORD_RE.findall(rest):
         lw = w.lower()
-        if len(lw) <= 1 or lw in _STOPSET:  # T3 (reference: nltk english set)
+        if len(lw) <= 1 or lw in stopset:  # T3 (reference: nltk english set)
             continue
         toks.append(DOMAIN_MAP.get(lw, lw))  # T12
 
@@ -157,8 +182,16 @@ def tweet_tokenize_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: tweet_tokenize_py(t) if isinstance(t, str) else [])
 
 
-def tweet_tokenize(col: Column) -> Column:
-    return tweet_tokenize_udf(col)
+@F.pandas_udf(ArrayType(StringType()))
+def tweet_tokenize_nltk_udf(texts: pd.Series) -> pd.Series:
+    """Same pipeline with the reference-faithful nltk stopword set."""
+    return texts.map(
+        lambda t: tweet_tokenize_py(t, NLTK_STOPWORDS) if isinstance(t, str) else []
+    )
+
+
+def tweet_tokenize(col: Column, nltk_stopwords: bool = False) -> Column:
+    return tweet_tokenize_nltk_udf(col) if nltk_stopwords else tweet_tokenize_udf(col)
 
 
 # ------------------------------------------------------------------- T15
