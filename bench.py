@@ -175,6 +175,14 @@ def main() -> None:
     timed("ann_lsh_topk", lambda: similarity.lsh_topk(embs, _QUERY_VEC, k=25).collect())
     timed("ann_ivf_topk", lambda: similarity.ivf_topk(embs, _QUERY_VEC, k=25).collect())
 
+    # stored ANN layouts: write once (timed), then the partition-pruned read
+    # path — the 100 TB probe shape (scan touches only the probed buckets)
+    ann_dir = os.path.join(idx_dir, "ann")
+    timed("ann_lsh_write", lambda: similarity.lsh_write(embs, f"{ann_dir}/lsh", n_planes=8, dim=64))
+    timed("ann_lsh_stored_topk", lambda: similarity.lsh_stored_topk(spark, f"{ann_dir}/lsh", _QUERY_VEC, k=25).collect())
+    timed("ann_ivf_write", lambda: similarity.ivf_write(embs, f"{ann_dir}/ivf", n_lists=16, dim=64))
+    timed("ann_ivf_stored_topk", lambda: similarity.ivf_stored_topk(spark, f"{ann_dir}/ivf", _QUERY_VEC, k=25).collect())
+
     def text_stats():
         textstats.token_count(docs).count()
         textstats.quality_score(docs).count()

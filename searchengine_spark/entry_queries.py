@@ -9,6 +9,8 @@ the same way in the DataFrame code and the SQL.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -43,6 +45,37 @@ BATCH_QUERIES = {
 BATCH_K = 10
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp + registered cleanup — driver runs no longer leak temp state
+    (each correctness run used to leave 4+ orphaned index/stream dirs)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+_SHARED_INDEX: dict[tuple[str, bool], str] = {}
+
+
+def _shared_index(spark: SparkSession, sf_dir: str, positional: bool = False):
+    """ONE index build per (sf_dir, positional) per process, shared by every
+    segment-path entry (wand_topk / wand_batch_topk / phrase_index_topk) —
+    a driver correctness run used to rebuild the same index three times."""
+    from .query.engine import SearchEngine
+
+    key = (sf_dir, positional)
+    path = _SHARED_INDEX.get(key)
+    if path is None:
+        path = _tmpdir("seidx_shared_") + "/idx"
+        eng = SearchEngine(spark, path)
+        eng.build_index_from_df(
+            _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            range_bits=3, n_buckets=8, with_positions=positional,
+        )
+        _SHARED_INDEX[key] = path
+        return eng
+    return SearchEngine(spark, path)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,13 +536,7 @@ def q_wand_batch_topk(spark, sf_dir):
     score, cut at k (same boundary discipline as bm25_batch_topk)."""
     from pyspark.sql import Window
 
-    from .query.engine import SearchEngine
-
-    idx_dir = tempfile.mkdtemp(prefix="seidxb_")
-    eng = SearchEngine(spark, f"{idx_dir}/idx")
-    eng.build_index_from_df(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text", range_bits=3, n_buckets=8
-    )
+    eng = _shared_index(spark, sf_dir)
     out = eng.search_batch(BATCH_QUERIES, k=BATCH_K + 15)
     rows = [
         (qid, int(d), float(s))
@@ -532,14 +559,7 @@ def q_phrase_index_topk(spark, sf_dir):
     text-derived truth exactly (rounded re-rank, tie buffer past k)."""
     from pyspark.sql import Window
 
-    from .query.engine import SearchEngine
-
-    idx_dir = tempfile.mkdtemp(prefix="seidxp_")
-    eng = SearchEngine(spark, f"{idx_dir}/idx")
-    eng.build_index_from_df(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        range_bits=3, n_buckets=8, with_positions=True,
-    )
+    eng = _shared_index(spark, sf_dir, positional=True)
     rows = eng.search_phrase(PHRASE_QUERY, k=PHRASE_K + 10)
     df = spark.createDataFrame(
         [(int(d), float(s)) for d, s in rows] or [], "doc_id long, score double"
@@ -646,12 +666,11 @@ def q_streaming_ingest(spark, sf_dir):
     which DuckDB reproduces from the same doc subset: a full value-hash check
     of the foreachBatch encode+merge path, not just a row count."""
     import os
-    import tempfile
 
     from . import streaming as st
     from .index.build import IndexMeta
 
-    base = tempfile.mkdtemp(prefix="se_stream_")
+    base = _tmpdir("se_stream_")
     drops, idx, ckpt = f"{base}/drops", f"{base}/idx", f"{base}/ckpt"
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < STREAM_DOC_CUT)
     docs.write.mode("overwrite").parquet(drops)
@@ -706,6 +725,39 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_embs(spark, sf_dir), _QUERY_VEC, k=10, nprobe=4)
 
 
+_ANN_LAYOUTS: dict[tuple[str, str], str] = {}
+
+
+def _ann_layout(spark, sf_dir: str, kind: str) -> str:
+    """Write the stored ANN layout once per (sf_dir, kind) per process."""
+    key = (sf_dir, kind)
+    path = _ANN_LAYOUTS.get(key)
+    if path is None:
+        path = _tmpdir(f"seann_{kind}_") + "/" + kind
+        if kind == "lsh":
+            similarity.lsh_write(_embs(spark, sf_dir), path, n_planes=8, dim=64)
+        else:
+            similarity.ivf_write(_embs(spark, sf_dir), path, n_lists=16, dim=64)
+        _ANN_LAYOUTS[key] = path
+    return path
+
+
+def q_lsh_stored_topk(spark, sf_dir):
+    """The 100 TB ANN read path: query a MATERIALIZED bucket-partitioned
+    layout (partition-pruned scan, no per-query re-assignment) — must equal
+    the compute-per-query lsh_topk oracle exactly."""
+    return similarity.lsh_stored_topk(
+        spark, _ann_layout(spark, sf_dir, "lsh"), _QUERY_VEC, k=10, hamming=1
+    )
+
+
+def q_ivf_stored_topk(spark, sf_dir):
+    """Same for IVF: list_id-partitioned layout + persisted centroids."""
+    return similarity.ivf_stored_topk(
+        spark, _ann_layout(spark, sf_dir, "ivf"), _QUERY_VEC, k=10, nprobe=4
+    )
+
+
 WAND_K = 50
 
 
@@ -718,13 +770,7 @@ def q_wand_topk(spark, sf_dir):
     pattern as bm25_batch_topk)."""
     from pyspark.sql import Window
 
-    from .query.engine import SearchEngine
-
-    idx_dir = tempfile.mkdtemp(prefix="seidx_")
-    eng = SearchEngine(spark, f"{idx_dir}/idx")
-    eng.build_index_from_df(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text", range_bits=3, n_buckets=8
-    )
+    eng = _shared_index(spark, sf_dir)
     raw = eng.search_df(BM25_QUERY, k=WAND_K + 25)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -777,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "lsh_stored_topk": q_lsh_stored_topk,
+        "ivf_stored_topk": q_ivf_stored_topk,
         "wand_topk": q_wand_topk,
     }
 
@@ -833,6 +881,13 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         "lsh_topk": similarity.lsh_topk_sql("embeddings", _QUERY_VEC, k=10, hamming=1),
         "ivf_assign": similarity.ivf_assign_sql("embeddings", n_lists=16, dim=64),
         "ivf_topk": similarity.ivf_topk_sql("embeddings", _QUERY_VEC, k=10, nprobe=4),
+        # the stored layouts must reproduce the compute-per-query truth
+        "lsh_stored_topk": similarity.lsh_topk_sql(
+            "embeddings", _QUERY_VEC, k=10, hamming=1
+        ),
+        "ivf_stored_topk": similarity.ivf_topk_sql(
+            "embeddings", _QUERY_VEC, k=10, nprobe=4
+        ),
         "wand_topk": f"""
 SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
 ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}

@@ -310,30 +310,50 @@ def band_bucket_stats(
 
 
 # --------------------------------------------------- components + pipeline
-def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_components(
+    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over duplicate pairs → keeper assignment:
     (doc_id, keep_doc_id) with keep_doc_id = min doc_id of the component.
 
     Iterative min-label propagation in DataFrames: each round every node
-    takes the min of its own and its neighbours' labels;
-    ``localCheckpoint`` truncates the lineage each round (an iterative
-    self-join otherwise doubles the plan per iteration). Convergence =
-    Σ labels stops decreasing (labels are monotone non-increasing), checked
-    with one tiny agg per round. Duplicate clusters have small diameter in
-    practice, so rounds ≈ 3-5; at 10^12 docs swap in the alternating
-    large-star/small-star variant (same output) and a reliable checkpoint
-    dir — the per-round shape (one shuffle join + one agg) is unchanged."""
+    takes the min of its own and its neighbours' labels; a checkpoint
+    truncates the lineage each round (an iterative self-join otherwise
+    doubles the plan per iteration). Convergence = Σ labels stops decreasing
+    (labels are monotone non-increasing), checked with one tiny agg per
+    round. Duplicate clusters have small diameter in practice, so rounds
+    ≈ 3-5.
+
+    Durability: the default ``localCheckpoint`` stores blocks on executors —
+    fast, but one lost executor kills a long run. Pass ``checkpoint_dir``
+    (HDFS/S3 path on a cluster) for RELIABLE checkpoints: each round's
+    labels are written to fault-tolerant storage and the lineage is cut
+    there, so the run survives executor loss — the required mode at 10^12
+    edges. Same output either way (pytest-pinned)."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ck(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ck(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = pairs.select("doc_a", "doc_b")
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()  # materialize ONCE — every propagation round joins
+    sym = ck(
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )  # materialize ONCE — every propagation round joins
     # against sym, and without this the full upstream pipeline (banding +
     # jaccard verification) would re-run per round
-    labels = (
+    labels = ck(
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -355,10 +375,9 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # only decrease, so this is exact and turns diameter-bound rounds
         # into log-bound rounds on chain-shaped duplicate clusters.
         hop = labels.select(F.col("doc_id").alias("label"), F.col("label").alias("gl"))
-        labels = (
+        labels = ck(
             labels.join(hop, "label", "left")
             .select("doc_id", F.coalesce(F.col("gl"), F.col("label")).alias("label"))
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -377,6 +396,7 @@ def dedup_pipeline(
     text_col: str = "text",
     max_bucket: int = 10_000,
     log_capped: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The dedup operator a training-data user actually runs, end to end:
     MinHash-LSH banding (candidate generation, single shuffle) → pair-driven
@@ -384,7 +404,9 @@ def dedup_pipeline(
     connected components (keeper assignment). Output (doc_id, keep_doc_id)
     for every doc in a verified duplicate cluster; anti-join
     ``doc_id != keep_doc_id`` rows against the corpus to drop duplicates.
-    No full-corpus self-join anywhere (plan-tested)."""
+    No full-corpus self-join anywhere (plan-tested). ``checkpoint_dir``
+    switches the component rounds to reliable checkpoints (see
+    ``dedup_components``) — required for executor-loss survival at scale."""
     cand = minhash_band_pairs(
         df, n_hashes, band_size, w, id_col, text_col, max_bucket
     )
@@ -404,7 +426,9 @@ def dedup_pipeline(
                 max_bucket,
             )
     verified = ngram_jaccard_pairs(df, w, tau, id_col, text_col, candidates=cand)
-    return dedup_components(verified.select("doc_a", "doc_b"))
+    return dedup_components(
+        verified.select("doc_a", "doc_b"), checkpoint_dir=checkpoint_dir
+    )
 
 
 def dedup_pipeline_sql(

@@ -294,6 +294,124 @@ LIMIT {k}
 """
 
 
+# ------------------------------------------------- stored ANN layouts
+# The 100 TB read path: assignment happens ONCE at write time and the table
+# is laid out partitioned by the coarse key (LSH bucket / IVF list), so a
+# probe reads nprobe/n_lists (or n_probes/2^n_planes) of the data via
+# partition pruning instead of scanning and re-assigning everything per
+# query. A meta sidecar pins the quantizer (planes are derivation-stable;
+# IVF centroids are persisted verbatim) so readers can never probe with a
+# different quantizer than the writer used.
+
+
+def _ann_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_ann_meta.json")
+
+
+def _write_ann_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = _ann_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _ann_meta_path(path))
+
+
+def read_ann_meta(path: str) -> dict:
+    import json
+
+    with open(_ann_meta_path(path)) as f:
+        return json.load(f)
+
+
+def lsh_write(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH layout: rows + their bucket, written
+    ``partitionBy(bucket)`` (≤ 2^n_planes directories). The pre-write
+    ``repartition(bucket)`` clusters each bucket into one task's output
+    instead of every task writing a sliver of every bucket — without it a
+    T-task write emits up to T·2^n_planes small files, the classic
+    partitioned-write file explosion (at 100 TB you'd repartition(N, bucket)
+    with N sized to the per-file target)."""
+    assigned = lsh_assign(df, n_planes, dim, id_col, vec_col)
+    out = df.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
+    out.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _write_ann_meta(
+        path, {"kind": "lsh", "n_planes": n_planes, "dim": dim,
+               "id_col": id_col, "vec_col": vec_col}
+    )
+
+
+def lsh_stored_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    hamming: int = 1,
+) -> DataFrame:
+    """Top-k over a ``lsh_write`` layout. The probe-bucket IN-filter lands in
+    the scan's PartitionFilters (plan-tested), so only
+    |probes|/2^n_planes of the stored bytes are read — no per-query
+    re-assignment of the full table."""
+    meta = read_ann_meta(path)
+    assert meta["kind"] == "lsh", f"not an LSH layout: {path}"
+    probes = _probe_buckets(
+        query_bucket(query_vec, meta["n_planes"]), meta["n_planes"], hamming
+    )
+    stored = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return cosine_topk(stored, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
+def ivf_write(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Materialize the IVF layout partitioned by list_id; the centroids the
+    writer used are persisted in the meta sidecar (trained or hash-derived),
+    so probe selection is always consistent with the stored assignment."""
+    cvecs = centroids if centroids is not None else [_centroid(c, dim) for c in range(n_lists)]
+    assigned = ivf_assign(df, n_lists, dim, id_col, vec_col, cvecs)
+    out = df.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
+    # one clustered write per list (see lsh_write on the file-explosion why)
+    out.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(path)
+    _write_ann_meta(
+        path,
+        {"kind": "ivf", "n_lists": n_lists, "dim": dim, "id_col": id_col,
+         "vec_col": vec_col, "centroids": cvecs},
+    )
+
+
+def ivf_stored_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k over an ``ivf_write`` layout: nearest-nprobe list_ids from the
+    PERSISTED centroids → partition-pruned scan → exact cosine inside."""
+    meta = read_ann_meta(path)
+    assert meta["kind"] == "ivf", f"not an IVF layout: {path}"
+    probes = _query_lists(query_vec, meta["n_lists"], nprobe, meta["centroids"])
+    stored = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    return cosine_topk(stored, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
 # ------------------------------------------------- IVF (coarse quantizer)
 def _centroid(c: int, dim: int) -> list[float]:
     """Deterministic centroid c: md5-derived components in [-1, 1) — a

@@ -53,6 +53,34 @@ def test_components_chain_converges(spark):
     assert got == {i: 100 for i in range(100, 113)}
 
 
+def test_components_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir switches the rounds to RELIABLE checkpoints (survive
+    executor loss — the 10^12-edge requirement): output identical to the
+    localCheckpoint default, and the checkpoint data actually lands in the
+    directory (lineage is cut there, not on executor block storage)."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)] + [(1, 2), (2, 3)],
+        "doc_a long, doc_b long",
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    reliable = {
+        r["doc_id"]: r["keep_doc_id"]
+        for r in dedup.dedup_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    default = {
+        r["doc_id"]: r["keep_doc_id"]
+        for r in dedup.dedup_components(pairs).collect()
+    }
+    assert reliable == default
+    assert reliable[111] == 100 and reliable[3] == 1
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert written, "no reliable checkpoint files written"
+
+
 def test_pipeline_end_to_end(spark, dup_corpus):
     out = {r["doc_id"]: r["keep_doc_id"] for r in
            dedup.dedup_pipeline(dup_corpus, w=3, tau=0.2).collect()}
