@@ -94,6 +94,12 @@ class IndexMeta:
     dictionary_dir: str = "dictionary"
     stream_epochs: int = 0
     total_len: int = 0
+    # segments_dir follows the same pointer discipline as dictionary_dir:
+    # compaction writes a fresh versioned dir and swaps it in via meta.json —
+    # a live reader keeps a consistent view and a crash mid-compaction can
+    # never leave the index without a segments directory (the old rename
+    # protocol had exactly that window)
+    segments_dir: str = "segments"
     # positional index: blocks carry a pos_bytes stream (per-posting token
     # positions) enabling index-native exact-phrase queries
     has_positions: bool = False

@@ -52,6 +52,11 @@ class SearchEngine:
         self._meta_sig: tuple[int, int] | None = None
         self._dict_df: DataFrame | None = None
         self._seg_df: DataFrame | None = None
+        # term → base dictionary row (None = known-absent): repeated query
+        # terms skip the per-query dictionary collect — one of the two
+        # driver round-trips in the sequential search() hot path
+        self._term_cache: dict[str, dict | None] = {}
+        self._term_cache_cap = 65536
 
     # -- build ---------------------------------------------------------------
     def build_index_from_df(self, corpus: DataFrame, **kwargs) -> IndexMeta:
@@ -74,6 +79,7 @@ class SearchEngine:
         self._dict_df = None
         self._seg_df = None
         self._meta = None
+        self._term_cache = {}
 
     def _stat_meta(self) -> tuple[int, int]:
         st = os.stat(os.path.join(self.index_dir, "meta.json"))
@@ -91,17 +97,33 @@ class SearchEngine:
     def _resolve_terms(self, query: str, rewriter=None) -> list[dict]:
         """J1: query terms ⋈ dictionary via filtered read (pushdown).
         A rewriter (expansion.py) may add/correct terms with weights; the
-        weight is folded into idf so both kernels stay unchanged."""
+        weight is folded into idf so both kernels stay unchanged.
+
+        Dictionary rows are memoized per engine (negative entries included)
+        so repeated terms across sequential queries cost zero Spark jobs —
+        the cache is dropped with the other handles on ``refresh()``
+        (meta-fingerprint change), so streamed epochs can never serve stale
+        df/idf."""
         from ..expansion import rewrite_query
 
+        self.meta  # trigger the staleness check → refresh clears the cache
         weighted = rewrite_query(query, rewriter)
-        terms = [t for t, _ in weighted]
         wmap = dict(weighted)
-        rows = self._load_dict().filter(F.col("term").isin(terms)).collect()
+        missing = [t for t, _ in weighted if t not in self._term_cache]
+        if missing:
+            rows = self._load_dict().filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: r.asDict() for r in rows}
+            if len(self._term_cache) + len(missing) > self._term_cache_cap:
+                self._term_cache.clear()
+            for t in missing:
+                self._term_cache[t] = found.get(t)
         out = []
-        for r in rows:
-            d = r.asDict()
-            d["idf"] = float(d["idf"]) * wmap[d["term"]]
+        for t, _ in weighted:
+            base = self._term_cache.get(t)
+            if base is None:
+                continue
+            d = dict(base)
+            d["idf"] = float(d["idf"]) * wmap[t]
             out.append(d)
         return out
 
@@ -127,7 +149,7 @@ class SearchEngine:
         scores (decoded raw tf/dl) are unaffected."""
         if self._seg_df is None:
             self._seg_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "segments")
+                os.path.join(self.index_dir, self.meta.segments_dir)
             )
         blocks = self._seg_df.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
@@ -203,7 +225,8 @@ class SearchEngine:
         return [(r["doc_id"], r["score"]) for r in rows]
 
     def search_batch(
-        self, queries: dict[str, str], k: int = 100, rewriter=None
+        self, queries: dict[str, str], k: int = 100, rewriter=None,
+        prune: bool = False,
     ) -> dict[str, list[tuple[int, float]]]:
         """Batched segment search: ONE dictionary lookup, ONE pruned segment
         scan, and ONE job score the whole query batch — each term's blocks
@@ -212,7 +235,12 @@ class SearchEngine:
         driver overhead (term resolution round-trip, job submission, result
         merge) is the Amdahl term that caps per-query scaling, and batching
         amortizes it to O(1) per batch. Per-query results are identical to
-        ``search(..., use_wand=False)`` (tested)."""
+        ``search(..., use_wand=False)`` (tested).
+
+        ``prune=True`` routes each query through the block-max sweep with a
+        batch-shared decode cache (see ``score_group_multi``) — the right
+        choice on idf-skewed corpora where θ cutoffs skip whole blocks;
+        exhaustive (default) wins when bounds are flat."""
         from pyspark.sql.types import StringType
 
         from ..expansion import rewrite_query
@@ -242,7 +270,7 @@ class SearchEngine:
         )
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_group_multi(pdf, idfs, k1, b, avgdl, k)
+            return score_group_multi(pdf, idfs, k1, b, avgdl, k, prune=prune)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, batch_schema)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..postings import term_frequencies
+from ..postings import term_frequencies, term_positions
 
 
 def stream_corpus(
@@ -65,6 +65,7 @@ def incremental_index(
     n_buckets: int = 8,
     range_bits: int = 3,
     await_termination: bool = True,
+    with_positions: bool = False,
 ):
     """Continuously append a QUERYABLE index: each micro-batch encodes its
     segments under ``segments/epoch=<id>`` AND merges the index-level state —
@@ -89,6 +90,10 @@ def incremental_index(
         idempotent; the manifest/meta/dictionary merge must not run twice).
       * doc_ids are assumed append-only unique across epochs (dedup upstream
         with streaming.dedup) — df/total_len merges count each doc once.
+      * ``with_positions=True`` stages per-posting token positions and the
+        epoch encoder emits pos_bytes (same kernel as the positional batch
+        build) — ``search_phrase`` works over streamed indexes, and
+        compaction preserves the positional stream.
 
     Trigger(availableNow=True) drains what exists then stops — the test and
     backfill mode; pass await_termination=False for a live continuous query.
@@ -105,9 +110,10 @@ def incremental_index(
 
     os.makedirs(index_dir, exist_ok=True)
 
-    def _manifest_state() -> tuple[list[dict], list[dict]]:
+    def _manifest_state() -> tuple[list[dict], list[dict], dict | None]:
         """(all stream_epoch lines, stream_epoch lines since the last
-        compaction marker) — the crash-consistent view of the index state."""
+        compaction marker, last compaction marker) — the crash-consistent
+        view of the index state."""
         from ..index.build import read_manifest
 
         full = read_manifest(index_dir)
@@ -119,10 +125,10 @@ def incremental_index(
         epochs_since = [
             m for m in full[last_c + 1 :] if m.get("kind") == "stream_epoch"
         ]
-        return epochs_all, epochs_since
+        return epochs_all, epochs_since, (full[last_c] if last_c >= 0 else None)
 
     def _meta_from_manifest(
-        epochs_all: list[dict], epochs_since: list[dict]
+        epochs_all: list[dict], epochs_since: list[dict], compaction: dict | None
     ) -> IndexMeta | None:
         """Post-state of the last committed epoch, derived purely from the
         manifest — the recovery source of truth. None for pre-upgrade
@@ -144,24 +150,27 @@ def incremental_index(
             dictionary_dir=last["dictionary_dir"],
             stream_epochs=len(epochs_since),
             total_len=tot,
+            segments_dir=(compaction or {}).get("segments_dir", "segments"),
+            has_positions=with_positions,
         )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        epochs_all, epochs_since = _manifest_state()
+        epochs_all, epochs_since, compaction = _manifest_state()
         meta_path = os.path.join(index_dir, "meta.json")
         if any(e["epoch"] == int(epoch_id) for e in epochs_all):
             # at-least-once replay — the manifest line is the COMMIT POINT.
             # A crash between that append and the meta swap leaves meta one
             # epoch behind: repair it from the manifest (idempotent).
-            recovered = _meta_from_manifest(epochs_all, epochs_since)
+            recovered = _meta_from_manifest(epochs_all, epochs_since, compaction)
             stale = (not os.path.exists(meta_path)) or (
                 IndexMeta.load(index_dir).stream_epochs != len(epochs_since)
             )
             if stale and recovered is not None:
                 write_meta_atomic(index_dir, recovered)
             return
-        tf = term_frequencies(batch_df, id_col, text_col, use_arrow_udf=False)
+        tf_source = term_positions if with_positions else term_frequencies
+        tf = tf_source(batch_df, id_col, text_col, use_arrow_udf=False)
         stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         agg = stats.agg(
             F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
@@ -171,7 +180,7 @@ def incremental_index(
         # previous post-state comes from the MANIFEST (crash-consistent),
         # not from meta.json (which may lag by one epoch after a crash);
         # pre-upgrade manifests without totals fall back to meta
-        prev = _meta_from_manifest(epochs_all, epochs_since)
+        prev = _meta_from_manifest(epochs_all, epochs_since, compaction)
         if prev is None and os.path.exists(meta_path):
             prev = IndexMeta.load(index_dir)
         if prev is not None:
@@ -194,7 +203,8 @@ def incremental_index(
         )
         encode = _encode_group_fn(BM25_K1, BM25_B, avgdl, BLOCK_SIZE)
         enc = staged.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
-        out = os.path.join(index_dir, "segments", f"epoch={epoch_id}")
+        seg_rel = prev.segments_dir if prev is not None else "segments"
+        out = os.path.join(index_dir, seg_rel, f"epoch={epoch_id}")
         enc.write.mode("overwrite").partitionBy("bucket").parquet(out)
         n_blocks = spark.read.parquet(out).count()
 
@@ -265,6 +275,8 @@ def incremental_index(
             dictionary_dir=dict_dir,
             stream_epochs=stream_epochs,
             total_len=total_len,
+            segments_dir=seg_rel,
+            has_positions=with_positions,
         )
         write_meta_atomic(index_dir, meta)
 
@@ -285,72 +297,115 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     High epoch counts fragment posting lists (one short block run per term
     per epoch) and force the looser avgdl-robust pruning bound. Compaction
     decodes every epoch's blocks back to posting rows executor-side
-    (mapInPandas — postings never collect to the driver), re-encodes them
+    (mapInPandas — postings never collect to the driver; the decode kernel
+    is numpy repeat/concatenate, no per-posting Python), re-encodes them
     with the standard salted group kernel under the CURRENT meta avgdl, and
-    atomically swaps the segments dir (everything folded into ``epoch=0``).
-    After the swap ``stream_epochs`` is 0: the engine reverts to the tight
-    stored max_u bound (valid again — every block is now encoded under
-    meta.avgdl). Further streamed epochs keep appending on top (the first
-    one flips the engine back to robust bounds, which remain valid because
-    compacted blocks carry max_tf/min_dl too). Assumes the ingest invariant
-    (append-only unique doc_ids); positions are not carried by the
-    streaming path, so the compacted index is position-free.
-    """
+    swaps the result in. After the swap ``stream_epochs`` is 0: the engine
+    reverts to the tight stored max_u bound (valid again — every block is
+    now encoded under meta.avgdl). Further streamed epochs keep appending on
+    top (the first one flips the engine back to robust bounds, which remain
+    valid because compacted blocks carry max_tf/min_dl too). Assumes the
+    ingest invariant (append-only unique doc_ids). A positional streamed
+    index (``with_positions=True`` ingest) keeps its positional stream —
+    pos_bytes are decoded and re-encoded alongside tf/dl.
+
+    Swap protocol (reader-safe + crash-safe): the compacted segments are
+    written to a fresh VERSIONED dir ``segments_c<K>``; the manifest
+    compaction marker (commit point) then the atomic meta.json swap flip
+    ``meta.segments_dir`` to it. The live segments dir is never renamed, so
+    a crash at ANY point leaves a readable index (pre-commit: old state;
+    post-commit: new state — the old rename protocol had a window with NO
+    segments dir, and a concurrent reader could catch a half-swapped
+    layout). An engine holding the old handle keeps reading the old dir
+    until its meta-fingerprint refresh. Retention: the previous segments
+    dir survives one more compaction (grace for in-flight readers); dirs
+    two generations old are deleted here."""
     import shutil
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
-    from ..index.build import BLOCK_SCHEMA, IndexMeta, _encode_group_fn, _manifest_append
-    from ..index.codec import decode_block
+    from ..index.build import (
+        BLOCK_SCHEMA,
+        IndexMeta,
+        _encode_group_fn,
+        _manifest_append,
+        read_manifest,
+        write_meta_atomic,
+    )
+    from ..index.codec import decode_block, decode_block_positions
 
     meta = IndexMeta.load(index_dir)
     if not meta.stream_epochs:
         return meta
-    seg_dir = os.path.join(index_dir, "segments")
+    seg_dir = os.path.join(index_dir, meta.segments_dir)
     blocks = spark.read.parquet(seg_dir)
+    has_pos = meta.has_positions
 
     def to_rows(batches: Iterator) -> Iterator:
         for pdf in batches:
-            cols = {k: [] for k in ("bucket", "doc_range", "term", "doc_id", "tf", "doc_len")}
+            if not len(pdf):
+                continue
+            docs_l, tfs_l, dls_l = [], [], []
+            pos_rows: list = []
             for r in pdf.itertuples(index=False):
                 d, t, dl = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
-                n = len(d)
-                cols["bucket"].extend([int(r.bucket)] * n)
-                cols["doc_range"].extend([int(r.doc_range)] * n)
-                cols["term"].extend([r.term] * n)
-                cols["doc_id"].extend(d.view("int64").tolist())
-                cols["tf"].extend(t.astype("int64").tolist())
-                cols["doc_len"].extend(dl.astype("int64").tolist())
-            yield pd.DataFrame(cols)
+                docs_l.append(d.view(np.int64))
+                tfs_l.append(t.astype(np.int64))
+                dls_l.append(dl.astype(np.int64))
+                if has_pos:
+                    flat, cumtf = decode_block_positions(t, r.pos_bytes)
+                    # per-posting position arrays (row r owns flat[cumtf[r]:
+                    # cumtf[r+1]]) — np.split keeps this a slice, not a copy
+                    pos_rows.extend(
+                        np.split(flat.astype(np.int64), cumtf[1:-1])
+                    )
+            nd = pdf["n_docs"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "bucket": np.repeat(pdf["bucket"].to_numpy(dtype=np.int32), nd),
+                    "doc_range": np.repeat(
+                        pdf["doc_range"].to_numpy(dtype=np.int32), nd
+                    ),
+                    "term": np.repeat(pdf["term"].to_numpy(), nd),
+                    "doc_id": np.concatenate(docs_l),
+                    "tf": np.concatenate(tfs_l),
+                    "doc_len": np.concatenate(dls_l),
+                }
+            )
+            if has_pos:
+                out["positions"] = pos_rows
+            yield out
 
-    postings = blocks.mapInPandas(
-        to_rows, "bucket int, doc_range int, term string, doc_id long, tf long, doc_len long"
-    )
+    schema = "bucket int, doc_range int, term string, doc_id long, tf long, doc_len long"
+    if has_pos:
+        schema += ", positions array<long>"
+    postings = blocks.mapInPandas(to_rows, schema)
     encode = _encode_group_fn(meta.k1, meta.b, meta.avgdl, meta.block_size)
     enc = postings.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
-    tmp_dir = os.path.join(index_dir, "segments_compacting")
+
+    n_compactions = sum(
+        1 for m in read_manifest(index_dir) if m.get("kind") == "compaction"
+    )
+    new_rel = f"segments_c{n_compactions + 1}"
     # keep the streamed epoch=<id>/bucket=<id> layout (as epoch 0) so later
     # epochs from the live stream can keep appending without mixing
     # partition depths in one directory
     enc.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(tmp_dir, "epoch=0")
+        os.path.join(index_dir, new_rel, "epoch=0")
     )
-    n_blocks = spark.read.parquet(tmp_dir).count()
+    n_blocks = spark.read.parquet(os.path.join(index_dir, new_rel)).count()
 
-    old_dir = os.path.join(index_dir, "segments_precompact")
-    os.rename(seg_dir, old_dir)
-    os.rename(tmp_dir, seg_dir)
-    shutil.rmtree(old_dir)
-
+    prev_rel = meta.segments_dir
     folded = meta.stream_epochs
     meta.stream_epochs = 0
-    from ..index.build import write_meta_atomic
+    meta.segments_dir = new_rel
 
     # marker first (commit point — later epochs derive their state relative
-    # to it), then the atomic meta swap
+    # to it AND find the segments dir through it), then the atomic meta swap
     _manifest_append(
         index_dir,
         {
@@ -358,10 +413,19 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
             "bucket": None,
             "epochs_folded": folded,
             "n_blocks": int(n_blocks),
+            "segments_dir": new_rel,
+            "prev_segments_dir": prev_rel,
             "ts": time.time(),
         },
     )
     write_meta_atomic(index_dir, meta)
+
+    # two-generation retention: the dir we just superseded stays for
+    # in-flight readers; anything older than it goes now
+    keep = {new_rel, prev_rel}
+    for name in os.listdir(index_dir):
+        if (name == "segments" or name.startswith("segments_c")) and name not in keep:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     return meta
 
 

@@ -184,3 +184,29 @@ def test_search_batch_matches_per_query(spark, tmp_path):
     got = eng.search_batch(queries, k=25)
     for qid, q in queries.items():
         assert got[qid] == eng.search(q, k=25, use_wand=False), qid
+    # prune=True (batch-shared decode cache + per-query θ sweeps) is result-
+    # identical on this corpus too
+    pruned = eng.search_batch(queries, k=25, prune=True)
+    assert pruned == got
+
+
+def test_term_cache_skips_dictionary_roundtrip(built):
+    """Repeated query terms are served from the engine's term cache — the
+    dictionary collect must not run again for an identical query (one of
+    the two per-query driver round-trips in the sequential hot path).
+    Invalidation-on-epoch is covered by the streamed tests (search results
+    update without an explicit refresh)."""
+    eng, _, _, _ = built
+    q = QUERIES[0]
+    first = eng.search(q, k=10)
+
+    orig = eng._load_dict
+
+    def boom():
+        raise AssertionError("dictionary collect ran for cached terms")
+
+    eng._load_dict = boom
+    try:
+        assert eng.search(q, k=10) == first
+    finally:
+        eng._load_dict = orig

@@ -155,23 +155,85 @@ def test_compaction_folds_epochs_preserving_results(spark, tmp_path):
     st.ingest.compact_streamed_index(spark, idx)
     meta = IndexMeta.load(idx)
     assert meta.stream_epochs == 0
+    # pointer swap, not rename: compacted segments live in a fresh versioned
+    # dir; the superseded dir is RETAINED one generation for live readers
+    assert meta.segments_dir == "segments_c1"
     parts = sorted(
-        p for p in os.listdir(os.path.join(idx, "segments")) if p.startswith("epoch=")
+        p
+        for p in os.listdir(os.path.join(idx, meta.segments_dir))
+        if p.startswith("epoch=")
     )
     assert parts == ["epoch=0"]
+    assert os.path.isdir(os.path.join(idx, "segments"))  # grace retention
     after = eng.search(q, k=20)  # auto-refresh via meta fingerprint
     assert after == before
     assert eng.search(q, k=20, use_wand=False) == before
 
-    # the stream keeps appending on top of the compacted index
+    # the stream keeps appending on top of the compacted index (in the NEW dir)
     src.filter(F.col("doc_id") >= 40).write.mode("append").parquet(d)
     st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
                          n_buckets=4, range_bits=2)
     assert IndexMeta.load(idx).stream_epochs == 1
+    new_parts = os.listdir(os.path.join(idx, "segments_c1"))
+    assert len([p for p in new_parts if p.startswith("epoch=")]) == 2
     final = eng.search(q, k=50)
     assert {i for i, _ in final} >= {i for i, _ in before}
     assert any(i >= 40 for i, _ in final)
     assert eng.search(q, k=50, use_wand=False) == final
+
+    # a SECOND compaction expires the two-generation-old dir
+    st.ingest.compact_streamed_index(spark, idx)
+    meta2 = IndexMeta.load(idx)
+    assert meta2.segments_dir == "segments_c2"
+    assert os.path.isdir(os.path.join(idx, "segments_c1"))  # previous kept
+    assert not os.path.exists(os.path.join(idx, "segments"))  # expired
+    assert eng.search(q, k=50) == final
+
+
+def test_streamed_positions_phrase_matches_batch(spark, tmp_path):
+    """VERDICT r2 ask #4: with_positions=True carries the positional stream
+    through streamed epochs — search_phrase over a two-epoch streamed index
+    must equal a positional BATCH build of the union; and compaction must
+    PRESERVE the positional stream (phrase results identical after folding)."""
+    from searchengine_spark.index.build import IndexMeta
+    from searchengine_spark.query.engine import SearchEngine
+
+    # split at 60 so the phrase occurs on BOTH sides (docs 2/34 in epoch 1,
+    # 95/96/... in epoch 2) — the cross-epoch assert below is non-vacuous
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 130
+    )
+    d = str(tmp_path / "pdrops")
+    idx = str(tmp_path / "pidx")
+    ckpt = str(tmp_path / "pckpt")
+    phrase = "spark join"
+
+    src.filter(F.col("doc_id") < 60).write.parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
+                         n_buckets=4, range_bits=2, with_positions=True)
+    src.filter(F.col("doc_id") >= 60).write.mode("append").parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, src.schema), idx, ckpt,
+                         n_buckets=4, range_bits=2, with_positions=True)
+    assert IndexMeta.load(idx).has_positions
+
+    eng = SearchEngine(spark, idx)
+    streamed = eng.search_phrase(phrase, k=20)
+
+    bidx = str(tmp_path / "pbidx")
+    beng = SearchEngine(spark, bidx)
+    beng.build_index_from_df(src, id_col="doc_id", text_col="text",
+                             range_bits=2, n_buckets=4, with_positions=True)
+    batch = beng.search_phrase(phrase, k=20)
+    assert streamed == batch
+    assert streamed  # non-vacuous: the phrase occurs in the corpus
+    ids = {i for i, _ in streamed}
+    assert any(i < 60 for i in ids) and any(i >= 60 for i in ids)
+
+    # compaction keeps the positional stream
+    st.ingest.compact_streamed_index(spark, idx)
+    meta = IndexMeta.load(idx)
+    assert meta.stream_epochs == 0 and meta.has_positions
+    assert eng.search_phrase(phrase, k=20) == batch
 
 
 def test_streamed_manifest_idempotent_and_meta_consistent(spark, tmp_path, drop_dir):
