@@ -104,13 +104,44 @@ def score_group_multi(
     b: float,
     avgdl: float,
     k: int,
+    prune: bool = False,
 ) -> pd.DataFrame:
     """Batched exact OR scoring for MANY queries over one doc_range group:
     every term's blocks are decoded ONCE and shared by all queries touching
     it — the per-query cost collapses to one numpy accumulate + top-k. Output
     (query_id, doc_id, score), ≤k rows per query; per-query floats are
     bit-identical to ``score_group_vectorized`` (same multiply-then-add
-    sequence in ascending-term order)."""
+    sequence in ascending-term order).
+
+    ``prune=True`` runs each query through the interval-sweep block-max
+    kernel instead, with the block DECODE cache shared across the batch
+    (idf-independent (docs, u) arrays): on idf-skewed corpora a query stops
+    after its θ cutoff and skips blocks outright — <100% of its blocks
+    decoded (pytest-proven) — while tie-breaks and float order stay
+    identical to the exhaustive batch. On uniform corpora pruning cannot
+    engage (bounds are flat), so exhaustive stays the throughput default."""
+    if prune:
+        raw_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        term_rows = {t: sub for t, sub in pdf.groupby("term", sort=False)}
+        outs = []
+        for qid in sorted(idfs):
+            idf = idfs[qid]
+            subs = [term_rows[t] for t in sorted(idf) if t in term_rows]
+            if not subs:
+                continue
+            qpdf = pd.concat(subs)
+            if int(qpdf["n_docs"].sum()) <= max(1024, 8 * k):
+                res = score_group_vectorized(qpdf, idf, k1, b, avgdl, k)
+            else:
+                res = _or_sweep(qpdf, idf, k1, b, avgdl, k, raw_cache)
+            res.insert(0, "query_id", qid)
+            outs.append(res)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
     all_terms = sorted(pdf["term"].unique())
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
@@ -329,13 +360,29 @@ def score_group_wand(
     # ---- OR mode: interval-sweep block-max pruning ------------------------
     if int(pdf["n_docs"].sum()) <= max(1024, 8 * k):
         return score_group_vectorized(pdf, idf, k1, b, avgdl, k, mode)
+    return _or_sweep(pdf, idf, k1, b, avgdl, k, {})
 
+
+def _or_sweep(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    raw_cache: dict[int, tuple[np.ndarray, np.ndarray]],
+) -> pd.DataFrame:
+    """The vectorized interval-sweep block-max OR kernel (steps 1-3 of the
+    ``score_group_wand`` docstring). ``raw_cache`` maps pdf row LABELS to the
+    decoded (docs, u) arrays (idf-independent) so a batch caller can share
+    one decode across many queries touching the same blocks; pass ``{}`` for
+    the single-query path."""
     # global block table in ascending-(term, doc) order
     sub = pdf.sort_values(["term", "doc_range", "block_id"])
     rows = list(sub.itertuples(index=False))
+    labels = sub.index.to_numpy()
     first = sub["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
     last = sub["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-    n_docs_arr = sub["n_docs"].to_numpy(dtype=np.int64)
     ubs = sub["term"].map(idf).to_numpy(dtype=np.float64) * sub["max_u"].to_numpy(
         dtype=np.float64
     )
@@ -344,11 +391,16 @@ def score_group_wand(
     def decode_j(j: int) -> tuple[np.ndarray, np.ndarray]:
         ent = decoded.get(j)
         if ent is None:
-            r = rows[j]
-            d, t, dl = decode_block(
-                r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
-            )
-            ent = (d, float(idf[r.term]) * bm25_u(t, dl, k1, b, avgdl))
+            lbl = int(labels[j])
+            raw = raw_cache.get(lbl)
+            if raw is None:
+                r = rows[j]
+                d, t, dl = decode_block(
+                    r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
+                )
+                raw = (d, bm25_u(t, dl, k1, b, avgdl))
+                raw_cache[lbl] = raw
+            ent = (raw[0], float(idf[rows[j].term]) * raw[1])
             decoded[j] = ent
         return ent
 

@@ -7,6 +7,7 @@ exhaustive kernel. Runs the kernels in-process on the real segment parquet
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -119,6 +120,52 @@ def test_u64max_doc_id_survives_sweep(spark, tmp_path):
     top = W.score_group_wand(pdfs[0], idf, meta.k1, meta.b, meta.avgdl, 10)
     boosted = sorted(-(i + 1) for i in range(50))
     assert list(top["doc_id"]) == boosted[:10]
+
+
+def test_pruned_batch_kernel_matches_exhaustive_and_skips_blocks(
+    spark, skewed_index
+):
+    """score_group_multi(prune=True): per-query sweep with a batch-shared
+    decode cache — identical results to the exhaustive batch kernel, and on
+    the skewed corpus the batch decodes <100% of the blocks its queries
+    touch (θ cutoffs skip the hay-only regions)."""
+    meta, idf, pdfs = _group_blocks(spark, skewed_index, ["needle", "hay", "grass"])
+    idfs = {
+        "q1": {"needle": idf["needle"], "hay": idf["hay"]},
+        "q2": {"needle": idf["needle"], "grass": idf["grass"]},
+        "q3": {"hay": idf["hay"], "grass": idf["grass"]},
+    }
+    decoded = [0]
+    orig = W.decode_block
+
+    def counting(*a):
+        decoded[0] += 1
+        return orig(*a)
+
+    W.decode_block = counting
+    try:
+        pruned = [
+            W.score_group_multi(p, idfs, meta.k1, meta.b, meta.avgdl, 10, prune=True)
+            for p in pdfs
+        ]
+    finally:
+        W.decode_block = orig
+    n_decoded = decoded[0]
+    exhaustive = [
+        W.score_group_multi(p, idfs, meta.k1, meta.b, meta.avgdl, 10) for p in pdfs
+    ]
+
+    def norm(frames):
+        out = pd.concat(frames, ignore_index=True)
+        return out.sort_values(["query_id", "score", "doc_id"],
+                               ascending=[True, False, True]).reset_index(drop=True)
+
+    a, b_ = norm(pruned), norm(exhaustive)
+    assert a.equals(b_), (a.head(), b_.head())
+    # q1/q2 are needle-dominated → their hay/grass blocks outside the needle
+    # region never decode; cache sharing means each block decodes ≤ once
+    total_blocks = sum(len(p) for p in pdfs)
+    assert n_decoded < total_blocks, (n_decoded, total_blocks)
 
 
 def test_tie_safety_under_pruning(spark, tmp_path):
