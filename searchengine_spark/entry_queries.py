@@ -47,6 +47,23 @@ BATCH_K = 10
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
+def _term_normalization_sql() -> str:
+    from .lemma import lemma_sql_case
+    from .stemming import stem_sql_case
+
+    words = ", ".join(
+        f"('{w}')" for line in NORMALIZATION_FIXTURE for w in line.split()
+    )
+    return f"""
+SELECT term,
+       {stem_sql_case('term')} AS stem,
+       {lemma_sql_case('term')} AS lemma
+FROM (SELECT DISTINCT term FROM (
+  SELECT term FROM ({_TF_SQL})
+  UNION ALL SELECT * FROM (VALUES {words}) fx(term)))
+"""
+
+
 def _tmpdir(prefix: str) -> str:
     """mkdtemp + registered cleanup — driver runs no longer leak temp state
     (each correctness run used to leave 4+ orphaned index/stream dirs)."""
@@ -573,6 +590,36 @@ def q_phrase_index_topk(spark, sf_dir):
     )
 
 
+# every suffix rule + irregular + guard case fires at least once (the sf
+# corpus vocabulary alone is ~29 code tokens with few suffixes)
+NORMALIZATION_FIXTURE = (
+    "studies wolves classes matches wishes boxes quizzes policemen dogs",
+    "went children women mice feet people better worst said goes running",
+    "amen gas class sses ties ss ionization relational fulness statements",
+    "ingly hopelessly tested testing arguments management achievement",
+)
+
+
+def q_term_normalization(spark, sf_dir):
+    """T16 + T17 over the real corpus vocabulary UNION a rule-covering word
+    fixture: every distinct term with its stem and lemma — upgrades both
+    opt-in normalizers from pytest-only golden checks to a full driver
+    value-hash against the DuckDB CASE-chain twins."""
+    from .lemma import lemma_expr
+    from .stemming import stem_expr
+
+    extra = spark.createDataFrame(
+        [(w,) for line in NORMALIZATION_FIXTURE for w in line.split()],
+        "term string",
+    )
+    terms = _tf(spark, sf_dir).select("term").union(extra).distinct()
+    return terms.select(
+        "term",
+        F.element_at(stem_expr(F.array(F.col("term"))), 1).alias("stem"),
+        F.element_at(lemma_expr(F.array(F.col("term"))), 1).alias("lemma"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -800,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_index_topk": q_phrase_index_topk,
         "wand_batch_topk": q_wand_batch_topk,
+        "term_normalization": q_term_normalization,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
@@ -844,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         # index-native phrase must reproduce the text-scan truth exactly
         "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
+        "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),

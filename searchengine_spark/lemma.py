@@ -108,3 +108,23 @@ def lemma_expr(token_array: Column) -> Column:
         return F.coalesce(irr_map.getItem(tok), *cands, tok)
 
     return F.transform(token_array, one)
+
+
+def lemma_sql_case(col: str) -> str:
+    """DuckDB twin of ``lemma_py``: irregular lookup (inline VALUES map)
+    then the suffix CASE chain. Powers the driver's `term_normalization`
+    hash check."""
+    irr = ", ".join(f"('{k}', '{v}')" for k, v in sorted(IRREGULAR.items()))
+    whens = []
+    for suf, rep, min_len in RULES:
+        stem = f"substr({col}, 1, length({col}) - {len(suf)})"
+        guard = f"length({stem}) >= {min_len} AND regexp_matches({stem}, '[aeiouy]')"
+        ruled = f"CASE WHEN {guard} THEN {stem} || '{rep}' ELSE {col} END"
+        if suf == "s":
+            ruled = f"CASE WHEN {col} LIKE '%ss' THEN {col} ELSE {ruled} END"
+        whens.append(f"WHEN {col} LIKE '%{suf}' THEN {ruled}")
+    chain = "CASE " + " ".join(whens) + f" ELSE {col} END"
+    return (
+        f"coalesce((SELECT lemma FROM (VALUES {irr}) irr(word, lemma) "
+        f"WHERE irr.word = {col}), {chain})"
+    )

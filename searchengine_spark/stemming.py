@@ -96,3 +96,18 @@ def stem_expr(token_array: Column) -> Column:
         return F.coalesce(*cands, tok)
 
     return F.transform(token_array, one)
+
+
+def stem_sql_case(col: str) -> str:
+    """DuckDB twin of ``stem_py`` as one CASE chain (first matching suffix
+    fires; guard failure keeps the word — same one-rule discipline). Powers
+    the driver's `term_normalization` hash check."""
+    whens = []
+    for suf, rep, min_len in _RULES:
+        stem = f"substr({col}, 1, length({col}) - {len(suf)})"
+        guard = f"length({stem}) >= {min_len} AND regexp_matches({stem}, '[aeiouy]')"
+        whens.append(
+            f"WHEN {col} LIKE '%{suf}' THEN "
+            f"CASE WHEN {guard} THEN {stem} || '{rep}' ELSE {col} END"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE {col} END"
