@@ -215,9 +215,9 @@ def main(argv: list[str] | None = None) -> None:
     rb = sub.add_parser(
         "refbench", help="run the reference's own benchmark data end-to-end"
     )
-    from .refbench import REF_DATA_DIR
-
-    rb.add_argument("--data-dir", default=REF_DATA_DIR)
+    # default inlined (mirrors refbench.REF_DATA_DIR) — importing refbench
+    # here would load pandas/numpy at argparse time for EVERY subcommand
+    rb.add_argument("--data-dir", default="/root/reference/Part C/data")
     rb.add_argument("--minimal-stopwords", action="store_true",
                     help="use the engine's 17-word set instead of nltk's")
     rb.set_defaults(fn=_cmd_refbench)

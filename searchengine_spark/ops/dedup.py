@@ -332,7 +332,23 @@ def dedup_components(
     edges. Same output either way (pytest-pinned)."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        # NOTE: setCheckpointDir is CONTEXT-GLOBAL — only repoint it when it
+        # differs, so an application that already owns a (possibly more
+        # fault-tolerant) checkpoint dir keeps it for its own checkpoints
+        sc = spark.sparkContext
+        current = sc.getCheckpointDir()
+        if current is None or current.rstrip("/") != checkpoint_dir.rstrip("/"):
+            if current is not None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "dedup_components repoints the context checkpoint dir "
+                    "%s -> %s (setCheckpointDir is global; later "
+                    "df.checkpoint() calls in this application follow it)",
+                    current,
+                    checkpoint_dir,
+                )
+            sc.setCheckpointDir(checkpoint_dir)
 
         def ck(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)

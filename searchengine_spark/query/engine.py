@@ -109,17 +109,25 @@ class SearchEngine:
         self.meta  # trigger the staleness check → refresh clears the cache
         weighted = rewrite_query(query, rewriter)
         wmap = dict(weighted)
-        missing = [t for t, _ in weighted if t not in self._term_cache]
+        # resolve THIS query fully before any eviction: a cap-triggered
+        # clear() must never turn the current query's already-cached terms
+        # into silent dictionary misses (they'd be indistinguishable from
+        # negative entries and the query would score without them)
+        resolved = {
+            t: self._term_cache[t] for t, _ in weighted if t in self._term_cache
+        }
+        missing = [t for t, _ in weighted if t not in resolved]
         if missing:
             rows = self._load_dict().filter(F.col("term").isin(missing)).collect()
             found = {r["term"]: r.asDict() for r in rows}
+            for t in missing:
+                resolved[t] = found.get(t)
             if len(self._term_cache) + len(missing) > self._term_cache_cap:
                 self._term_cache.clear()
-            for t in missing:
-                self._term_cache[t] = found.get(t)
+            self._term_cache.update(resolved)
         out = []
         for t, _ in weighted:
-            base = self._term_cache.get(t)
+            base = resolved.get(t)
             if base is None:
                 continue
             d = dict(base)

@@ -191,13 +191,17 @@ def best_scores_batch(
         "doc_id",
         F.struct(F.col("term"), bm.alias("bm"), w_inner.alias("ip")).alias("ts"),
     )
-    agg = per.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.sort_array(F.collect_list("ts")), F.lit(0.0), lambda a, x: a + x["bm"]
-        ).alias("bm25"),
-        F.aggregate(
-            F.sort_array(F.collect_list("ts")), F.lit(0.0), lambda a, x: a + x["ip"]
-        ).alias("inner"),
+    # collect+sort the per-term structs ONCE, then two cheap array folds —
+    # a sort_array(collect_list(...)) per aggregate would double the work on
+    # the job's widest relation
+    lists = per.groupBy("query_id", "doc_id").agg(
+        F.sort_array(F.collect_list("ts")).alias("ts")
+    )
+    agg = lists.select(
+        "query_id",
+        "doc_id",
+        F.aggregate("ts", F.lit(0.0), lambda a, x: a + x["bm"]).alias("bm25"),
+        F.aggregate("ts", F.lit(0.0), lambda a, x: a + x["ip"]).alias("inner"),
     )
     w2 = best_doc_w2(tf_df, stats_df, dict_df, n_docs)
     return (

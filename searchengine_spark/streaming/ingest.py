@@ -151,14 +151,34 @@ def incremental_index(
             stream_epochs=len(epochs_since),
             total_len=tot,
             segments_dir=(compaction or {}).get("segments_dir", "segments"),
-            has_positions=with_positions,
+            # recover the index's ACTUAL positional state from the manifest,
+            # not this run's flag (pre-upgrade lines lack the field)
+            has_positions=bool(last.get("has_positions", with_positions)),
         )
+
+    import hashlib
+
+    stream_id = hashlib.md5(
+        os.path.realpath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         epochs_all, epochs_since, compaction = _manifest_state()
         meta_path = os.path.join(index_dir, "meta.json")
-        if any(e["epoch"] == int(epoch_id) for e in epochs_all):
+        hit = [e for e in epochs_all if e["epoch"] == int(epoch_id)]
+        if hit:
+            if hit[-1].get("stream_id", stream_id) != stream_id:
+                # a FRESH checkpoint restarts epoch ids at 0; treating the
+                # collision as a replay would silently DROP this batch's
+                # docs (observed: new drops vanish when a new checkpoint is
+                # pointed at an old index). Refuse loudly instead.
+                raise ValueError(
+                    f"epoch {int(epoch_id)} already committed to "
+                    f"{index_dir} by a different checkpoint "
+                    f"(stream {hit[-1]['stream_id']}); reuse the original "
+                    "checkpoint dir, or start a fresh index"
+                )
             # at-least-once replay — the manifest line is the COMMIT POINT.
             # A crash between that append and the meta swap leaves meta one
             # epoch behind: repair it from the manifest (idempotent).
@@ -169,6 +189,18 @@ def incremental_index(
             if stale and recovered is not None:
                 write_meta_atomic(index_dir, recovered)
             return
+        if epochs_all and "has_positions" in epochs_all[-1] and bool(
+            epochs_all[-1]["has_positions"]
+        ) != with_positions:
+            # a restart flipping with_positions would mix positional and
+            # position-free epochs in one index: phrase/compaction would
+            # crash on pos_bytes=None blocks (False→True) or silently drop
+            # the positional stream at the next compaction (True→False)
+            raise ValueError(
+                f"index at {index_dir} was streamed with has_positions="
+                f"{epochs_all[-1]['has_positions']}; restart with the same "
+                f"with_positions flag (got {with_positions})"
+            )
         tf_source = term_positions if with_positions else term_frequencies
         tf = tf_source(batch_df, id_col, text_col, use_arrow_udf=False)
         stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
@@ -249,6 +281,23 @@ def incremental_index(
         # (overwrite writes); a crash before it → full redo with identical
         # inputs; a crash after it → the replay guard repairs meta from this
         # line. This is what makes "the merge must not run twice" true.
+        #
+        # Compaction race guard: seg_rel/prev came from the batch-START
+        # manifest snapshot. If a concurrent compact_streamed_index
+        # committed since, this epoch's segments sit in the SUPERSEDED dir
+        # and its dictionary merge misses the fold — committing would lose
+        # the epoch when retention deletes that dir. Abort pre-commit: the
+        # stream fails, nothing was committed, and the restarted query
+        # replays the batch against the post-compaction state.
+        _, _, compaction_now = _manifest_state()
+        if (compaction_now or {}).get("segments_dir") != (compaction or {}).get(
+            "segments_dir"
+        ):
+            raise RuntimeError(
+                "a compaction committed while this epoch was encoding; "
+                "restart the stream (checkpoint replays the batch against "
+                "the compacted index)"
+            )
         _manifest_append(
             index_dir,
             {
@@ -260,6 +309,8 @@ def incremental_index(
                 "dictionary_dir": dict_dir,
                 "n_docs_total": n_docs,
                 "total_len_total": total_len,
+                "has_positions": with_positions,
+                "stream_id": stream_id,
                 "ts": time.time(),
             },
         )

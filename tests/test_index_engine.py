@@ -210,3 +210,23 @@ def test_term_cache_skips_dictionary_roundtrip(built):
         assert eng.search(q, k=10) == first
     finally:
         eng._load_dict = orig
+
+
+def test_term_cache_eviction_keeps_current_query(built):
+    """Cap-triggered eviction must not drop the CURRENT query's cached
+    terms mid-resolution — they would read as negative (absent) entries and
+    the query would silently score without them (round-3 review finding)."""
+    eng, _, _, _ = built
+    q = QUERIES[1]
+    want = eng.search(q, k=10)
+    # force the next resolution to trip the cap: cache holds q's terms plus
+    # filler, cap is just below cache+missing
+    eng.search(q, k=10)  # ensure q's terms cached
+    eng._term_cache["__filler__"] = None
+    eng._term_cache_cap = len(eng._term_cache)  # any new term trips clear()
+    mixed = q + " zzznotaterm"  # one uncached term forces the evict path
+    got_mixed = eng.search(mixed, k=10)
+    assert got_mixed == want  # OOV term contributes nothing; cached terms kept
+    # and the cache still serves the original query correctly afterwards
+    assert eng.search(q, k=10) == want
+    eng._term_cache_cap = 65536

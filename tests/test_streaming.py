@@ -236,6 +236,43 @@ def test_streamed_positions_phrase_matches_batch(spark, tmp_path):
     assert eng.search_phrase(phrase, k=20) == batch
 
 
+def test_streamed_positions_flag_flip_refused(spark, tmp_path):
+    """Restarting an ingest with the opposite with_positions flag would mix
+    positional and position-free epochs (crash on decode or silent stream
+    loss at compaction) — the second run must refuse (round-3 review)."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "fdrops")
+    idx = str(tmp_path / "fidx")
+    ckpt = str(tmp_path / "fckpt")  # SAME checkpoint: the restart scenario
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(0, "apple banana")], schema).write.parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, schema), idx, ckpt,
+                         n_buckets=2, range_bits=1, with_positions=True)
+    spark.createDataFrame([(1, "apple pear")], schema).write.mode("append").parquet(d)
+    with _pytest.raises(Exception, match="has_positions"):
+        st.incremental_index(st.stream_corpus(spark, d, schema), idx, ckpt,
+                             n_buckets=2, range_bits=1, with_positions=False)
+
+
+def test_fresh_checkpoint_on_existing_index_refused(spark, tmp_path):
+    """A NEW checkpoint restarts epoch ids at 0; the old replay guard
+    treated the collision as a replay and silently dropped the batch's docs
+    — it must refuse instead (round-3 review follow-up)."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "sdrops")
+    idx = str(tmp_path / "sidx")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(0, "apple banana")], schema).write.parquet(d)
+    st.incremental_index(st.stream_corpus(spark, d, schema), idx,
+                         str(tmp_path / "sck1"), n_buckets=2, range_bits=1)
+    spark.createDataFrame([(1, "apple pear")], schema).write.mode("append").parquet(d)
+    with _pytest.raises(Exception, match="different checkpoint"):
+        st.incremental_index(st.stream_corpus(spark, d, schema), idx,
+                             str(tmp_path / "sck2"), n_buckets=2, range_bits=1)
+
+
 def test_streamed_manifest_idempotent_and_meta_consistent(spark, tmp_path, drop_dir):
     """Replay protection: re-running a drained stream adds no manifest lines;
     meta carries exact running totals and the dictionary pointer resolves."""
