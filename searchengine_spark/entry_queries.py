@@ -600,6 +600,62 @@ NORMALIZATION_FIXTURE = (
 )
 
 
+PRF_K_DOCS, PRF_M_TERMS, PRF_BETA = 10, 5, 0.4
+
+
+def q_bm25_prf(spark, sf_dir):
+    """Pseudo-relevance-feedback BM25 (§2.11 corpus-driven rewriter): base
+    top-k docs → pooled expansion terms → weighted rescore. Fully
+    SQL-expressible, so the whole two-stage pipeline is value-hash-checked."""
+    from .scoring import bm25_prf_score
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    out = bm25_prf_score(
+        spark, tf, stats, dct, BM25_QUERY, n, avgdl,
+        k_docs=PRF_K_DOCS, m_terms=PRF_M_TERMS, beta=PRF_BETA,
+    )
+    return out.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def _bm25_prf_sql(query: str, k1: float = 1.5, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t, _ in parse_query(query))
+    score = (
+        f"ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))"
+        f" * (tf.tf * ({k1} + 1.0))"
+        f" / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))"
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+base AS (
+  SELECT tf.doc_id AS doc_id, round(sum({score}), 6) AS score
+  FROM tf JOIN q USING (term) JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c
+  GROUP BY tf.doc_id),
+topd AS (SELECT doc_id FROM base ORDER BY score DESC, doc_id ASC LIMIT {PRF_K_DOCS}),
+pooled AS (
+  SELECT tf.term AS term,
+         round(sum((tf.tf / s.doc_len) * log10(c.n / d.df)), 6) AS w
+  FROM tf JOIN topd USING (doc_id) JOIN dict d ON d.term = tf.term
+  JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c
+  GROUP BY tf.term),
+expq AS (
+  SELECT term, 1.0 AS w FROM q
+  UNION ALL
+  SELECT term, {PRF_BETA} AS w FROM (
+    SELECT term FROM pooled WHERE term NOT IN (SELECT term FROM q)
+    ORDER BY w DESC, term ASC LIMIT {PRF_M_TERMS}))
+SELECT tf.doc_id AS doc_id,
+       round(sum(expq.w * {score}), {ROUND_DP}) AS score
+FROM tf JOIN expq USING (term) JOIN dict d ON d.term = tf.term
+JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
 def q_term_normalization(spark, sf_dir):
     """T16 + T17 over the real corpus vocabulary UNION a rule-covering word
     fixture: every distinct term with its stem and lemma — upgrades both
@@ -847,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_index_topk": q_phrase_index_topk,
         "wand_batch_topk": q_wand_batch_topk,
+        "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -892,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         # index-native phrase must reproduce the text-scan truth exactly
         "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
+        "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

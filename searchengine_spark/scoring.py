@@ -353,6 +353,98 @@ def blended_score_parta(
     )
 
 
+def prf_expanded_terms(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str | list[str],
+    n_docs: int,
+    avgdl: float,
+    k_docs: int = 10,
+    m_terms: int = 5,
+    beta: float = 0.4,
+) -> list[tuple[str, float]]:
+    """Pseudo-relevance-feedback expansion (Rocchio/RM-style): run the base
+    BM25 query, pool the top ``k_docs`` documents' terms by
+    Σ ntf·log10(N/df), and return the original terms at weight 1.0 plus the
+    ``m_terms`` best NEW terms at weight ``beta``.
+
+    The corpus-driven member of the §2.11 rewriter family (spell /
+    thesaurus / embedding rewriters are query-side only — this one reads
+    the collection). Determinism for the driver oracle: doc top-k ties
+    break (score desc, doc_id asc); term ranking uses the pooled weight
+    rounded to 6dp, ties (weight desc, term asc).
+
+    Measured on the reference's real benchmark (BASELINE.md): recall +1pp,
+    P@5/P@10 up ~1pp, MAP flat — tweet-length documents give PRF little to
+    pool from; it is shipped as capability, not as a benchmark win."""
+    base = bm25_score(spark, tf_df, stats_df, dict_df, query, n_docs, avgdl)
+    # selection on the ROUNDED score (ties → doc_id asc) so the chosen
+    # feedback set is engine-independent (same discipline as wand_topk)
+    top = (
+        base.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k_docs)
+    )
+    pooled = (
+        tf_df.join(F.broadcast(top.select("doc_id")), "doc_id")
+        .join(dict_df.select("term", "df"), "term")
+        .join(stats_df.select("doc_id", "doc_len"), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("tf") / F.col("doc_len"))
+                    * F.log10(F.lit(float(n_docs)) / F.col("df"))
+                ),
+                6,
+            ).alias("w")
+        )
+    )
+    orig = [t for t, _ in parse_query(query)]
+    new = (
+        pooled.filter(~F.col("term").isin(orig))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(m_terms)
+        .collect()
+    )
+    return [(t, 1.0) for t in orig] + [(r["term"], beta) for r in new]
+
+
+def bm25_prf_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str | list[str],
+    n_docs: int,
+    avgdl: float,
+    k_docs: int = 10,
+    m_terms: int = 5,
+    beta: float = 0.4,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 over the PRF-expanded weighted query: per-term score × its
+    expansion weight, summed in ascending-term order. Two Spark jobs total
+    (base top-k + pooled-term collect), then one scoring job — the same
+    broadcast-candidate shape as ``bm25_score`` at any scale."""
+    weighted = prf_expanded_terms(
+        spark, tf_df, stats_df, dict_df, query, n_docs, avgdl, k_docs, m_terms, beta
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(sorted(weighted), "term string, w double").join(
+            dict_df, "term"
+        )
+    )
+    cand = tf_df.join(qdf, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    idf = bm25_idf_col(n_docs)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    per_term = F.col("w") * idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return _ordered_sum(cand, per_term)
+
+
 def dynamic_k(n_candidates: int) -> int:
     """W3 (``Part C/ranker.py:38-40``): k=None → round(0.9·n_candidates)."""
     return round(0.9 * n_candidates)

@@ -179,3 +179,35 @@ def test_phrase_topk_subset_of_and(spark):
     )
     and_ids = {r["doc_id"] for r in boolean_and(spark, tf, "customer order").collect()}
     assert phrase_ids <= and_ids
+
+
+def test_prf_expansion_semantics(spark, sf_dir):
+    """PRF rewriter (§2.11 corpus-driven member): originals at weight 1.0,
+    exactly m NEW terms at beta, and beta=0 degrades to plain BM25 on the
+    base candidate set."""
+    from searchengine_spark.postings import corpus_stats, dictionary, doc_stats, term_frequencies
+    from searchengine_spark.scoring import bm25_prf_score, bm25_score, parse_query, prf_expanded_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = term_frequencies(docs, "doc_id", "text").cache()
+    stats = doc_stats(tf)
+    dct = dictionary(tf)
+    n, avgdl = corpus_stats(stats)
+    q = "spark join stream"
+    weighted = prf_expanded_terms(spark, tf, stats, dct, q, n, avgdl, m_terms=4)
+    orig = {t for t, _ in parse_query(q)}
+    ones = {t for t, w in weighted if w == 1.0}
+    betas = [(t, w) for t, w in weighted if w != 1.0]
+    assert ones == orig
+    assert len(betas) == 4 and all(w == 0.4 for _, w in betas)
+    assert not any(t in orig for t, _ in betas)
+
+    # beta=0: expansion terms contribute nothing → scores equal plain BM25
+    # for every doc the plain query retrieves
+    plain = {r["doc_id"]: r["score"] for r in bm25_score(
+        spark, tf, stats, dct, q, n, avgdl).collect()}
+    zero = {r["doc_id"]: r["score"] for r in bm25_prf_score(
+        spark, tf, stats, dct, q, n, avgdl, m_terms=4, beta=0.0).collect()}
+    for d, s in plain.items():
+        assert abs(zero[d] - s) < 1e-9
+    tf.unpersist()
