@@ -186,14 +186,23 @@ class SearchEngine:
         if not dict_rows:
             return []
         idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        if mode == "and":
+            from ..expansion import rewrite_query
+
+            # conjunctive semantics are over the PARSED query: a term absent
+            # from the dictionary occurs in no document, so the intersection
+            # is empty (matches scoring.boolean_and and the Python oracle)
+            if {t for t, _ in rewrite_query(query, rewriter)} - set(idf):
+                return []
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
         terms = sorted(idf)
         blocks = self._pruned_blocks(buckets, terms)
         kernel = score_group_wand if use_wand else score_group_vectorized
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        n_query_terms = len(terms)  # global-AND guard (see kernel docstring)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return kernel(pdf, idf, k1, b, avgdl, k, mode)
+            return kernel(pdf, idf, k1, b, avgdl, k, mode, n_query_terms)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
 

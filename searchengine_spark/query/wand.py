@@ -8,9 +8,10 @@ top-k):
   * ``score_group_vectorized`` — decode every candidate block, numpy
     score+aggregate. Exact OR/AND semantics, no pruning; the throughput
     baseline at small selectivity.
-  * ``score_group_wand``       — Block-Max WAND (Ding & Suel, WSDM'11):
-    doc-at-a-time pivoting on per-term upper bounds (idf·max_u(term)) with
-    per-block upper bounds for block skipping; bounded min-heap of size k.
+  * ``score_group_wand``       — the pruned paths: OR = vectorized
+    interval-sweep Block-Max pruning (after Ding & Suel's block-max idea,
+    WSDM'11, re-shaped for numpy); AND = vectorized rare-term-driven
+    candidate intersection with block skipping (``_and_vectorized``).
 
 Both accumulate each doc's score over its matching terms in ascending-term
 order, so scores are bit-identical to each other and to the Python oracle
@@ -25,17 +26,10 @@ Reference analogue: term-at-a-time candidate accumulation
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 
 from ..index.codec import bm25_u, decode_block
-
-
-def _u2s(doc: int) -> int:
-    """unsigned doc value → signed int64 (the stored doc_id)."""
-    return doc - (1 << 64) if doc >= (1 << 63) else doc
 
 
 def _blocks_by_term(pdf: pd.DataFrame) -> dict[str, pd.DataFrame]:
@@ -60,6 +54,12 @@ def _decode_term(sub: pd.DataFrame):
     return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l)
 
 
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
+    )
+
+
 def score_group_vectorized(
     pdf: pd.DataFrame,
     idf: dict[str, float],
@@ -68,10 +68,21 @@ def score_group_vectorized(
     avgdl: float,
     k: int,
     mode: str = "or",
+    n_query_terms: int | None = None,
 ) -> pd.DataFrame:
     """Exact OR (or AND) top-k within one doc_range group. Columns in:
-    BLOCK_SCHEMA; out: (doc_id:int64, score:float64)."""
+    BLOCK_SCHEMA; out: (doc_id:int64, score:float64).
+
+    ``n_query_terms``: the FULL query's term count. AND semantics are
+    global — a doc_range group holding blocks for only a subset of the
+    query terms can contain no conjunctive match (its docs lack the absent
+    terms entirely), so the group must return empty. Without this guard the
+    kernel silently ANDed the present subset (found round 3: a doc with
+    only 'apple' surfaced for 'apple AND banana' from a range 'banana'
+    never reaches)."""
     terms = sorted(pdf["term"].unique())
+    if mode == "and" and n_query_terms is not None and len(terms) < n_query_terms:
+        return _empty_result()
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
         docs, tfs, dls = _decode_term(sub)
@@ -196,85 +207,78 @@ def score_group_multi(
     )
 
 
-class _TermCursor:
-    """Cursor over one term's doc-sorted blocks with lazy decode."""
+def _and_vectorized(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Vectorized conjunctive (AND) kernel with rare-term-driven block
+    skipping — replaces the round-2 Python doc-at-a-time cursor loop.
 
-    __slots__ = ("term", "blocks", "ub", "bi", "docs", "scores", "pi", "exhausted")
+    1. decode the SMALLEST term fully: its docs are the only possible
+       matches (candidate set, sorted).
+    2. for each remaining term in ascending-size order, decode ONLY the
+       blocks whose [first_doc, last_doc] range contains a surviving
+       candidate (two searchsorted calls over all blocks — no per-block
+       Python), then keep candidates present in that term via one
+       merge-membership pass; surviving state shrinks monotonically.
+    3. final score = Σ over ASCENDING term order of idf·u (bit-identical
+       to the exhaustive kernel's accumulation); top-k by (score desc,
+       signed doc_id asc).
 
-    def __init__(self, term: str, sub: pd.DataFrame, term_ub: float):
-        self.term = term
-        self.blocks = list(sub.itertuples(index=False))
-        self.ub = term_ub
-        self.bi = 0
-        self.docs = None
-        self.scores = None
-        self.pi = 0
-        self.exhausted = not self.blocks
+    Overlap-safe: blocks may interleave across streamed epochs — only
+    per-term doc UNIQUENESS is assumed (append-only ingest invariant), and
+    each term's decoded docs are sorted here, not trusted."""
+    by_term = _blocks_by_term(pdf)
+    terms = sorted(by_term)
+    sizes = {t: int(by_term[t]["n_docs"].sum()) for t in terms}
+    filt_order = sorted(terms, key=lambda t: (sizes[t], t))
 
-    def cur_doc(self) -> int:
-        """Smallest unsigned doc this cursor can still produce (no decode needed)."""
-        if self.docs is not None:
-            return int(self.docs[self.pi])
-        row = self.blocks[self.bi]
-        return int(np.int64(row.first_doc).view(np.uint64))
+    rare = filt_order[0]
+    d0, tf0, dl0 = _decode_term(by_term[rare])
+    srt = np.argsort(d0)  # uint64 order
+    cand = d0[srt]
+    scores: dict[str, np.ndarray] = {
+        rare: (idf[rare] * bm25_u(tf0, dl0, k1, b, avgdl))[srt]
+    }
+    for t in filt_order[1:]:
+        sub = by_term[t]
+        first = sub["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+        last = sub["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+        lo = np.searchsorted(cand, first, side="left")
+        hi = np.searchsorted(cand, last, side="right")
+        need = np.flatnonzero(lo < hi)  # block holds ≥1 surviving candidate
+        if len(need) == 0:
+            return _empty_result()
+        docs_l, u_l = [], []
+        for row in sub.iloc[need].itertuples(index=False):
+            dd, tt, ll = decode_block(
+                row.first_doc, row.n_docs, row.doc_bytes, row.tf_bytes, row.dl_bytes
+            )
+            docs_l.append(dd)
+            u_l.append(bm25_u(tt, ll, k1, b, avgdl))
+        dt = np.concatenate(docs_l)
+        ut = idf[t] * np.concatenate(u_l)
+        s2 = np.argsort(dt)
+        dt, ut = dt[s2], ut[s2]
+        pos = np.searchsorted(dt, cand)
+        ok = (pos < len(dt)) & (dt[np.minimum(pos, len(dt) - 1)] == cand)
+        if not ok.any():
+            return _empty_result()
+        cand = cand[ok]
+        for prev in scores:
+            scores[prev] = scores[prev][ok]
+        scores[t] = ut[pos[ok]]
 
-    def block_max(self, idf: float) -> float:
-        return idf * float(self.blocks[self.bi].max_u)
-
-    def block_last(self) -> int:
-        return int(np.int64(self.blocks[self.bi].last_doc).view(np.uint64))
-
-    def _decode(self, idf, k1, b, avgdl):
-        if self.docs is None:
-            row = self.blocks[self.bi]
-            d, t, dl = decode_block(row.first_doc, row.n_docs, row.doc_bytes, row.tf_bytes, row.dl_bytes)
-            self.docs = d
-            self.scores = idf * bm25_u(t, dl, k1, b, avgdl)
-
-    def skip_to(self, target: int, idf, k1, b, avgdl) -> None:
-        """Advance to first doc >= target: block-granular skip (no decode),
-        then in-block binary search."""
-        while not self.exhausted and self.block_last() < target:
-            self.bi += 1
-            self.docs = None
-            self.pi = 0
-            if self.bi >= len(self.blocks):
-                self.exhausted = True
-                return
-        if self.exhausted:
-            return
-        self._decode(idf, k1, b, avgdl)
-        self.pi = int(np.searchsorted(self.docs, np.uint64(target), side="left"))
-        if self.pi >= len(self.docs):  # can't happen if block_last >= target
-            self.skip_to(target, idf, k1, b, avgdl)
-
-    def at(self, doc: int) -> bool:
-        return (not self.exhausted) and self.docs is not None and int(self.docs[self.pi]) == doc
-
-
-class _TopK:
-    """Bounded min-heap with (score desc, signed doc asc) ordering."""
-
-    def __init__(self, k: int):
-        self.k = k
-        self.heap: list[tuple[float, int]] = []  # (score, -signed_doc)
-
-    def consider(self, doc_unsigned: int, score: float) -> None:
-        item = (score, -_u2s(doc_unsigned))
-        if len(self.heap) < self.k:
-            heapq.heappush(self.heap, item)
-        elif item > self.heap[0]:
-            heapq.heapreplace(self.heap, item)
-
-    def theta(self) -> float:
-        return self.heap[0][0] if len(self.heap) >= self.k else -np.inf
-
-    def to_pdf(self) -> pd.DataFrame:
-        items = sorted(self.heap, key=lambda x: (-x[0], -x[1]))
-        return pd.DataFrame(
-            {"doc_id": np.array([-nd for _, nd in items], dtype=np.int64),
-             "score": np.array([s for s, _ in items], dtype=np.float64)}
-        )
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for t in terms:  # ascending-term accumulation == exhaustive kernel
+        acc += scores[t]
+    signed = cand.view(np.int64)
+    idx = np.lexsort((signed, -acc))[:k]
+    return pd.DataFrame({"doc_id": signed[idx], "score": acc[idx]})
 
 
 _U64_MAX = (1 << 64) - 1
@@ -288,6 +292,7 @@ def score_group_wand(
     avgdl: float,
     k: int,
     mode: str = "or",
+    n_query_terms: int | None = None,
 ) -> pd.DataFrame:
     """Block-Max WAND top-k within one doc_range group; result identical to
     ``score_group_vectorized`` (tested, incl. exact-tie cases).
@@ -316,46 +321,12 @@ def score_group_wand(
     Small groups (θ can't fill before the end) skip straight to the
     exhaustive kernel — measured crossover, see BENCH_SCALING.md."""
     terms = sorted(pdf["term"].unique())
-    topk = _TopK(k)
 
     if mode == "and":
-        by_term = _blocks_by_term(pdf)
-        # _TermCursor needs each term's blocks globally doc-sorted AND
-        # disjoint. A multi-epoch streamed index violates this (epochs'
-        # doc-id ranges interleave within one doc_range) — cursor skipping
-        # would silently drop matches. Detect and use the merge-based
-        # exhaustive kernel, which is overlap-safe.
-        for sub in by_term.values():
-            first = sub["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-            last = sub["last_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-            if len(first) > 1 and (first[1:] <= last[:-1]).any():
-                return score_group_vectorized(pdf, idf, k1, b, avgdl, k, mode)
-        cursors = [
-            _TermCursor(term, sub, idf[term] * float(sub["max_u"].max()))
-            for term, sub in by_term.items()
-        ]
-
-        def advance_past(doc: int) -> None:
-            for c in cursors:
-                if not c.exhausted and c.cur_doc() <= doc:
-                    c.skip_to(doc + 1, idf[c.term], k1, b, avgdl)
-
-        while True:
-            live = [c for c in cursors if not c.exhausted]
-            if len(live) < len(terms):
-                break
-            target = max(c.cur_doc() for c in live)
-            for c in cursors:
-                c.skip_to(target, idf[c.term], k1, b, avgdl)
-            if any(c.exhausted for c in cursors):
-                break
-            if all(c.at(target) for c in cursors):
-                s = 0.0
-                for c in cursors:
-                    s += float(c.scores[c.pi])
-                topk.consider(target, s)
-                advance_past(target)
-        return topk.to_pdf()
+        # global-AND guard: a group missing any query term can't match
+        if n_query_terms is not None and len(terms) < n_query_terms:
+            return _empty_result()
+        return _and_vectorized(pdf, idf, k1, b, avgdl, k)
 
     # ---- OR mode: interval-sweep block-max pruning ------------------------
     if int(pdf["n_docs"].sum()) <= max(1024, 8 * k):

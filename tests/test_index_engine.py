@@ -82,6 +82,78 @@ def test_and_mode_vs_oracle(built):
         assert abs(s - or_scores[d]) < 1e-12
 
 
+def test_and_mode_is_global_across_ranges(spark, tmp_path):
+    """Regression (round 3): a doc_range holding blocks for only a SUBSET
+    of the query terms must contribute nothing to AND — the old kernels
+    ANDed the present subset, so a doc with only 'apple' surfaced for
+    'apple banana' from a range 'banana' never reaches."""
+    rows = [(1, "apple apple orange"), (2**62, "apple banana")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = SearchEngine(spark, str(tmp_path / "gidx"))
+    eng.build_index_from_df(df, id_col="doc_id", text_col="text",
+                            range_bits=2, n_buckets=2, fresh=True)
+    for wand in (True, False):
+        got = eng.search("apple banana", k=10, mode="and", use_wand=wand)
+        assert [d for d, _ in got] == [2**62], ("wand" if wand else "vect")
+    # OOV term in an AND query → empty (oracle/relational semantics)
+    assert eng.search("apple zzznotaterm", k=10, mode="and") == []
+
+
+def test_and_vectorized_skips_blocks(spark, tmp_path):
+    """The AND kernel must DECODE only blocks that can hold a candidate:
+    rare term 'needle' (few docs) AND dense term 'hay' (every doc) — hay
+    blocks outside the needle docs' ranges never decode."""
+    import numpy as np
+
+    from searchengine_spark.index.build import build_index
+    from searchengine_spark.query import wand as W
+
+    rows = []
+    for i in range(3000):
+        text = "hay grass straw"
+        if i in (10, 1500, 2990):
+            text += " needle"
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "andskip")
+    build_index(spark, df, idx, id_col="doc_id", text_col="text",
+                range_bits=1, n_buckets=2, fresh=True)
+    from searchengine_spark.index.build import IndexMeta
+    from pyspark.sql import functions as F
+
+    meta = IndexMeta.load(idx)
+    dct = spark.read.parquet(f"{idx}/dictionary").filter(
+        F.col("term").isin(["needle", "hay"]))
+    idf = {r["term"]: float(r["idf"]) for r in dct.collect()}
+    seg = spark.read.parquet(f"{idx}/segments").filter(
+        F.col("term").isin(sorted(idf)))
+    pdfs = [g for _, g in seg.toPandas().groupby("doc_range")]
+    total_blocks = sum(len(p) for p in pdfs)
+    decoded = [0]
+    orig = W.decode_block
+
+    def counting(*a):
+        decoded[0] += 1
+        return orig(*a)
+
+    W.decode_block = counting
+    try:
+        outs = [
+            W.score_group_wand(p, idf, meta.k1, meta.b, meta.avgdl, 10,
+                               mode="and", n_query_terms=2)
+            for p in pdfs
+        ]
+    finally:
+        W.decode_block = orig
+    got = sorted(
+        int(d) for o in outs for d in o["doc_id"].to_numpy()
+    )
+    assert got == [10, 1500, 2990]
+    # 3000 docs of 'hay' ≈ 24 blocks; only the ≤3 needle-overlapping ones
+    # (plus needle's own) may decode
+    assert decoded[0] < total_blocks * 0.5, (decoded[0], total_blocks)
+
+
 def test_missing_terms_dropped(built):
     eng, _, _, _ = built
     assert eng.search("zzzznotaterm", k=5) == []
