@@ -135,3 +135,83 @@ def test_stemmer_invariants(word):
     assert out == stem_py(out) or len(stem_py(out)) <= len(out)  # shrinks or stable-ish
     assert len(out) <= len(word) + 1  # 'ies'→'i', 'ement'→'e' never grow >1
     assert out.islower() or out == word
+
+
+# -------------------------------------------------------------- AND kernel
+
+_and_docs = st.dictionaries(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),  # signed doc ids
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "a": st.integers(1, 5),
+            "b": st.integers(1, 5),
+            "c": st.integers(1, 5),
+        },
+    ).filter(lambda ts: ts),  # every doc carries ≥1 term
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_and_docs, st.integers(min_value=1, max_value=10))
+def test_and_kernel_matches_bruteforce(docs, k):
+    """The vectorized conjunctive kernel == brute-force set intersection +
+    ascending-term score sum, on random corpora whose per-term posting runs
+    are SPLIT into two interleaved 'epochs' (overlapping block ranges — the
+    streamed-index shape) and tiny blocks (forces multi-block skipping)."""
+    import pandas as pd
+
+    from searchengine_spark.index.codec import bm25_u as _u
+    from searchengine_spark.query import wand as W
+
+    k1, b, avgdl = 1.5, 0.75, max(
+        1.0, sum(sum(ts.values()) for ts in docs.values()) / len(docs)
+    )
+    terms = sorted({t for ts in docs.values() for t in ts})
+    idf = {t: 1.0 + i * 0.37 for i, t in enumerate(terms)}
+    dls = {d: sum(ts.values()) for d, ts in docs.items()}
+
+    rows = []
+    for t in terms:
+        posting = sorted(
+            (int(np.int64(d).astype(np.uint64)), docs[d][t], dls[d])
+            for d in docs
+            if t in docs[d]
+        )
+        for run in (posting[0::2], posting[1::2]):  # interleaved epochs
+            if not run:
+                continue
+            darr = np.array([p[0] for p in run], dtype=np.uint64)
+            tarr = np.array([p[1] for p in run], dtype=np.uint64)
+            larr = np.array([p[2] for p in run], dtype=np.uint64)
+            for i, blk in enumerate(
+                encode_blocks(darr, tarr, larr, k1, b, avgdl, block_size=3)
+            ):
+                rows.append(
+                    {"term": t, "doc_range": 0, "block_id": i, **blk}
+                )
+    pdf = pd.DataFrame(rows)
+
+    inter = [d for d, ts in docs.items() if all(t in ts for t in terms)]
+    expect = {
+        d: sum(
+            idf[t] * float(_u(np.array([docs[d][t]]), np.array([dls[d]]),
+                             k1, b, avgdl)[0])
+            for t in terms
+        )
+        for d in inter
+    }
+
+    got_and = W.score_group_wand(
+        pdf, idf, k1, b, avgdl, k, mode="and", n_query_terms=len(terms)
+    )
+    got_vec = W.score_group_vectorized(
+        pdf, idf, k1, b, avgdl, k, mode="and", n_query_terms=len(terms)
+    )
+    assert got_and.equals(got_vec)
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert list(got_and["doc_id"]) == [d for d, _ in want]
+    for (_, ws), gs in zip(want, got_and["score"]):
+        assert abs(ws - gs) < 1e-9
