@@ -122,6 +122,13 @@ def main() -> None:
     extra["query_p95_sec"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
     timed("query_vectorized", run_queries(use_wand=False))
 
+    # conjunctive path: vectorized rare-term-driven intersection kernel
+    def and_queries():
+        for q in BENCH_QUERIES[:6]:
+            eng.search(q, k=100, mode="and")
+
+    timed("query_and", and_queries)
+
     # batched segment search: whole 12-query batch in ONE job (the cluster
     # throughput shape — dictionary lookup, scan, and decode amortized)
     qbatch = {f"q{i:02d}": q for i, q in enumerate(BENCH_QUERIES)}

@@ -243,7 +243,7 @@ class SearchEngine:
 
     def search_batch(
         self, queries: dict[str, str], k: int = 100, rewriter=None,
-        prune: bool = False,
+        prune: bool = False, mode: str = "or",
     ) -> dict[str, list[tuple[int, float]]]:
         """Batched segment search: ONE dictionary lookup, ONE pruned segment
         scan, and ONE job score the whole query batch — each term's blocks
@@ -274,6 +274,16 @@ class SearchEngine:
             qid: {t: base_idf[t] * w for t, w in weighted if t in base_idf}
             for qid, weighted in per_q.items()
         }
+        if mode == "and":
+            # conjunctive semantics over the PARSED query: any term missing
+            # from the dictionary empties that query (see search())
+            idfs = {
+                qid: m
+                for qid, m in idfs.items()
+                if len(m) == len(per_q[qid]) and m
+            }
+            if not idfs:
+                return {qid: [] for qid in queries}
         live_terms = sorted({t for m in idfs.values() for t in m})
         if not live_terms:
             return {qid: [] for qid in queries}
@@ -287,7 +297,8 @@ class SearchEngine:
         )
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_group_multi(pdf, idfs, k1, b, avgdl, k, prune=prune)
+            return score_group_multi(pdf, idfs, k1, b, avgdl, k, prune=prune,
+                                     mode=mode)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, batch_schema)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

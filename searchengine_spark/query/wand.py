@@ -116,6 +116,7 @@ def score_group_multi(
     avgdl: float,
     k: int,
     prune: bool = False,
+    mode: str = "or",
 ) -> pd.DataFrame:
     """Batched exact OR scoring for MANY queries over one doc_range group:
     every term's blocks are decoded ONCE and shared by all queries touching
@@ -130,7 +131,32 @@ def score_group_multi(
     after its θ cutoff and skips blocks outright — <100% of its blocks
     decoded (pytest-proven) — while tie-breaks and float order stay
     identical to the exhaustive batch. On uniform corpora pruning cannot
-    engage (bounds are flat), so exhaustive stays the throughput default."""
+    engage (bounds are flat), so exhaustive stays the throughput default.
+
+    ``mode='and'`` runs each query's conjunctive kernel with the shared
+    decode cache; a query whose term set is not fully present in this group
+    contributes nothing (global-AND guard — the engine additionally empties
+    queries with out-of-dictionary terms before the job)."""
+    if mode == "and":
+        raw_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        term_rows = {t: sub for t, sub in pdf.groupby("term", sort=False)}
+        outs = []
+        for qid in sorted(idfs):
+            idf = idfs[qid]
+            subs = [term_rows[t] for t in sorted(idf) if t in term_rows]
+            if not subs or len(subs) < len(idf):
+                continue  # a term has no blocks here → no conjunctive match
+            res = _and_vectorized(
+                pd.concat(subs), idf, k1, b, avgdl, k, raw_cache
+            )
+            res.insert(0, "query_id", qid)
+            outs.append(res)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
     if prune:
         raw_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         term_rows = {t: sub for t, sub in pdf.groupby("term", sort=False)}
@@ -214,6 +240,7 @@ def _and_vectorized(
     b: float,
     avgdl: float,
     k: int,
+    raw_cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> pd.DataFrame:
     """Vectorized conjunctive (AND) kernel with rare-term-driven block
     skipping — replaces the round-2 Python doc-at-a-time cursor loop.
@@ -231,19 +258,39 @@ def _and_vectorized(
 
     Overlap-safe: blocks may interleave across streamed epochs — only
     per-term doc UNIQUENESS is assumed (append-only ingest invariant), and
-    each term's decoded docs are sorted here, not trusted."""
+    each term's decoded docs are sorted here, not trusted. ``raw_cache``
+    (pdf row label → decoded (docs, u)) lets a batch caller share decodes
+    across queries, same contract as ``_or_sweep``."""
+    if raw_cache is None:
+        raw_cache = {}
     by_term = _blocks_by_term(pdf)
     terms = sorted(by_term)
     sizes = {t: int(by_term[t]["n_docs"].sum()) for t in terms}
     filt_order = sorted(terms, key=lambda t: (sizes[t], t))
 
+    def decode_rows(sub: pd.DataFrame, positions: np.ndarray):
+        docs_l, u_l = [], []
+        labels = sub.index.to_numpy()
+        rows = list(sub.itertuples(index=False))
+        for j in positions:
+            lbl = int(labels[j])
+            raw = raw_cache.get(lbl)
+            if raw is None:
+                r = rows[int(j)]
+                dd, tt, ll = decode_block(
+                    r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
+                )
+                raw = (dd, bm25_u(tt, ll, k1, b, avgdl))
+                raw_cache[lbl] = raw
+            docs_l.append(raw[0])
+            u_l.append(raw[1])
+        return np.concatenate(docs_l), np.concatenate(u_l)
+
     rare = filt_order[0]
-    d0, tf0, dl0 = _decode_term(by_term[rare])
+    d0, u0 = decode_rows(by_term[rare], np.arange(len(by_term[rare])))
     srt = np.argsort(d0)  # uint64 order
     cand = d0[srt]
-    scores: dict[str, np.ndarray] = {
-        rare: (idf[rare] * bm25_u(tf0, dl0, k1, b, avgdl))[srt]
-    }
+    scores: dict[str, np.ndarray] = {rare: (idf[rare] * u0)[srt]}
     for t in filt_order[1:]:
         sub = by_term[t]
         first = sub["first_doc"].to_numpy(dtype=np.int64).view(np.uint64)
@@ -253,15 +300,8 @@ def _and_vectorized(
         need = np.flatnonzero(lo < hi)  # block holds ≥1 surviving candidate
         if len(need) == 0:
             return _empty_result()
-        docs_l, u_l = [], []
-        for row in sub.iloc[need].itertuples(index=False):
-            dd, tt, ll = decode_block(
-                row.first_doc, row.n_docs, row.doc_bytes, row.tf_bytes, row.dl_bytes
-            )
-            docs_l.append(dd)
-            u_l.append(bm25_u(tt, ll, k1, b, avgdl))
-        dt = np.concatenate(docs_l)
-        ut = idf[t] * np.concatenate(u_l)
+        dt, ut_raw = decode_rows(sub, need)
+        ut = idf[t] * ut_raw
         s2 = np.argsort(dt)
         dt, ut = dt[s2], ut[s2]
         pos = np.searchsorted(dt, cand)

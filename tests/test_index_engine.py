@@ -260,6 +260,10 @@ def test_search_batch_matches_per_query(spark, tmp_path):
     # identical on this corpus too
     pruned = eng.search_batch(queries, k=25, prune=True)
     assert pruned == got
+    # batch AND == sequential AND per query (incl. OOV → empty)
+    got_and = eng.search_batch(queries, k=25, mode="and")
+    for qid, q in queries.items():
+        assert got_and[qid] == eng.search(q, k=25, mode="and"), qid
 
 
 def test_term_cache_skips_dictionary_roundtrip(built):
