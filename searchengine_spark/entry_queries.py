@@ -136,10 +136,11 @@ def _scoring_ctx(spark, sf_dir):
     return tf, stats, dct, int(row["n"]), float(row["a"])
 
 
-def _bm25_sql(query: str, k1: float = 1.5, b: float = 0.75) -> str:
+def _bm25_sql(query: str, k1: float = 1.5, b: float = 0.75,
+              tf_sql: str | None = None) -> str:
     terms = ", ".join(f"'{t}'" for t, _ in parse_query(query))
     return f"""
-WITH tf AS ({_TF_SQL}),
+WITH tf AS ({tf_sql or _TF_SQL}),
 stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
 corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
 dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -884,6 +885,86 @@ def q_wand_topk(spark, sf_dir):
     )
 
 
+# -- document deletion (tombstones + compaction) ------------------------------
+# Deterministic dead set: every doc_id ≡ 0 (mod DELETE_MOD) — dense enough
+# that the base query's top-k MUST contain dead docs, so a broken tombstone
+# filter is observable as a hash mismatch. The subset cap keeps the two
+# extra index builds cheap in a driver correctness run.
+DELETE_MOD = 7
+DELETE_SUBSET = 3000
+DELETE_K = 40
+_DELETES_IDX: dict[tuple[str, bool], str] = {}
+
+
+def _deletes_engine(spark, sf_dir: str, compacted: bool):
+    """Index over doc_id < DELETE_SUBSET with doc_id % DELETE_MOD == 0
+    tombstoned; ``compacted=True`` additionally folds the tombstones into a
+    physical rewrite (stats + dictionary rebuilt). One build per
+    (sf_dir, compacted) per process."""
+    from .query.engine import SearchEngine
+    from .streaming.ingest import compact_streamed_index
+
+    key = (sf_dir, compacted)
+    path = _DELETES_IDX.get(key)
+    if path is None:
+        path = _tmpdir("seidx_del_") + "/idx"
+        corpus = _docs(spark, sf_dir).filter(F.col("doc_id") < DELETE_SUBSET)
+        eng = SearchEngine(spark, path)
+        eng.build_index_from_df(
+            corpus, id_col="doc_id", text_col="text", range_bits=3, n_buckets=8
+        )
+        dead = [
+            int(r["doc_id"])
+            for r in corpus.filter(F.col("doc_id") % DELETE_MOD == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        eng.delete_docs(dead)
+        if compacted:
+            compact_streamed_index(spark, path)
+        _DELETES_IDX[key] = path
+        return eng
+    return SearchEngine(spark, path)
+
+
+def _topk_rounded(spark, hits, k: int) -> DataFrame:
+    """(doc_id, score) list → rounded re-rank cut at k (the tie-buffer
+    discipline every top-k driver entry uses)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def q_delete_search(spark, sf_dir):
+    """Lucene-style tombstoned deletes: dead docs vanish from results
+    IMMEDIATELY while segments stay immutable — so the oracle is BM25 under
+    FULL-corpus statistics with dead docs excluded only from the result set
+    (until-merge semantics; `tests/test_deletes.py`)."""
+    eng = _deletes_engine(spark, sf_dir, compacted=False)
+    return _topk_rounded(
+        spark, eng.search(BM25_QUERY, k=DELETE_K + 25), DELETE_K
+    )
+
+
+def q_delete_compact_search(spark, sf_dir):
+    """Deletes folded by compaction: the physical rewrite drops dead
+    postings AND rebuilds n_docs/avgdl/df/idf, so the oracle is BM25
+    computed from scratch over the SURVIVING corpus only."""
+    eng = _deletes_engine(spark, sf_dir, compacted=True)
+    return _topk_rounded(
+        spark, eng.search(BM25_QUERY, k=DELETE_K + 25), DELETE_K
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_tf": q_doc_tf,
@@ -931,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_stored_topk": q_lsh_stored_topk,
         "ivf_stored_topk": q_ivf_stored_topk,
         "wand_topk": q_wand_topk,
+        "delete_search": q_delete_search,
+        "delete_compact_search": q_delete_compact_search,
     }
 
 
@@ -998,6 +1081,17 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         "wand_topk": f"""
 SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
 ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
+""",
+        # tombstones: FULL-subset stats, dead docs dropped from results only
+        "delete_search": f"""
+SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY, tf_sql=f"SELECT * FROM ({_TF_SQL}) WHERE doc_id < {DELETE_SUBSET}")})
+WHERE doc_id % {DELETE_MOD} <> 0
+ORDER BY score DESC, doc_id ASC LIMIT {DELETE_K}
+""",
+        # compacted: stats recomputed over the surviving corpus only
+        "delete_compact_search": f"""
+SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY, tf_sql=f"SELECT * FROM ({_TF_SQL}) WHERE doc_id < {DELETE_SUBSET} AND doc_id % {DELETE_MOD} <> 0")})
+ORDER BY score DESC, doc_id ASC LIMIT {DELETE_K}
 """,
         "bm25_reference": _bm25_reference_sql(BM25_QUERY),
         "blended_partc": _blended_partc_sql(BM25_QUERY),

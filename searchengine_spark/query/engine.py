@@ -57,6 +57,7 @@ class SearchEngine:
         # driver round-trips in the sequential search() hot path
         self._term_cache: dict[str, dict | None] = {}
         self._term_cache_cap = 65536
+        self._tomb: "object" = None  # (sig, sorted-u64 array | None)
 
     # -- build ---------------------------------------------------------------
     def build_index_from_df(self, corpus: DataFrame, **kwargs) -> IndexMeta:
@@ -80,6 +81,7 @@ class SearchEngine:
         self._seg_df = None
         self._meta = None
         self._term_cache = {}
+        self._tomb = None
 
     def _stat_meta(self) -> tuple[int, int]:
         st = os.stat(os.path.join(self.index_dir, "meta.json"))
@@ -93,6 +95,55 @@ class SearchEngine:
             self._meta = IndexMeta.load(self.index_dir)
             self._meta_sig = sig
         return self._meta
+
+    # -- deletion (tombstones) ------------------------------------------------
+    def delete_docs(self, doc_ids) -> int:
+        """Tombstone documents: excluded from every query (or/and/batch/
+        phrase) IMMEDIATELY, without touching the immutable segments —
+        Lucene-style deletes. Corpus statistics (df/idf/avgdl) keep counting
+        deleted docs until ``compact_streamed_index`` physically removes
+        them and rebuilds the dictionary/meta (standard until-merge
+        semantics, documented). Tombstones append as parquet under
+        ``tombstones/``; readers pick them up via a directory fingerprint,
+        so deletes propagate across engine handles like meta changes do."""
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return 0
+        df = self.spark.createDataFrame([(d,) for d in ids], "doc_id long")
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.index_dir, "tombstones")
+        )
+        self._tomb = None
+        return len(ids)
+
+    def _tombstones(self):
+        """Sorted uint64 tombstone array (or None), cached against the
+        tombstone dir fingerprint. Collected to the driver and shipped with
+        the kernel closure — fine to ~10^7 deletes; past that, compact."""
+        import numpy as np
+
+        path = os.path.join(self.index_dir, "tombstones")
+        if not os.path.isdir(path):
+            self._tomb = None
+            return None
+        names = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        sig = tuple(
+            (n, os.stat(os.path.join(path, n)).st_mtime_ns) for n in names
+        )
+        if self._tomb is not None and self._tomb[0] == sig:
+            return self._tomb[1]
+        if not names:
+            arr = None
+        else:
+            pdf = self.spark.read.parquet(path).toPandas()
+            arr = np.unique(
+                pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+            )
+            arr = arr if len(arr) else None
+        self._tomb = (sig, arr)
+        return arr
 
     def _resolve_terms(self, query: str, rewriter=None) -> list[dict]:
         """J1: query terms ⋈ dictionary via filtered read (pushdown).
@@ -200,9 +251,10 @@ class SearchEngine:
         kernel = score_group_wand if use_wand else score_group_vectorized
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
         n_query_terms = len(terms)  # global-AND guard (see kernel docstring)
+        excluded = self._tombstones()
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return kernel(pdf, idf, k1, b, avgdl, k, mode, n_query_terms)
+            return kernel(pdf, idf, k1, b, avgdl, k, mode, n_query_terms, excluded)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
 
@@ -296,9 +348,11 @@ class SearchEngine:
             [StructField("query_id", StringType())] + list(RESULT_SCHEMA.fields)
         )
 
+        excluded = self._tombstones()
+
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return score_group_multi(pdf, idfs, k1, b, avgdl, k, prune=prune,
-                                     mode=mode)
+                                     mode=mode, excluded=excluded)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, batch_schema)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -340,9 +394,11 @@ class SearchEngine:
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
         blocks = self._pruned_blocks(buckets, sorted(idf))
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        excluded = self._tombstones()
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_group_phrase(pdf, idf, k1, b, avgdl, k, phrase_terms)
+            return score_group_phrase(pdf, idf, k1, b, avgdl, k, phrase_terms,
+                                      excluded)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
         rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..index.codec import bm25_u, decode_block, decode_block_positions
-from .wand import _blocks_by_term
+from .wand import _blocks_by_term, _not_excluded
 
 
 def _ragged_gather(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -42,11 +42,13 @@ def score_group_phrase(
     avgdl: float,
     k: int,
     phrase_terms: list[str],
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One doc_range group → ≤k (doc_id, score) rows for docs containing the
     phrase (adjacent in the filtered token stream), BM25-scored over the
     phrase's DISTINCT terms in ascending-term order (bit-identical to the
-    relational scorer / SQL oracle)."""
+    relational scorer / SQL oracle). ``excluded``: sorted uint64 tombstones
+    dropped from the candidate set."""
     distinct = sorted(set(phrase_terms))
     per_term: dict[str, tuple] = {}
     for term, sub in _blocks_by_term(pdf).items():
@@ -60,12 +62,19 @@ def score_group_phrase(
             tfs_l.append(t)
             dls_l.append(dl)
             pos_l.append(flat)
-        per_term[term] = (
-            np.concatenate(docs_l),
-            np.concatenate(tfs_l),
-            np.concatenate(dls_l),
-            np.concatenate(pos_l),
-        )
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        flat = np.concatenate(pos_l)
+        # searchsorted below needs GLOBALLY doc-sorted postings; interleaved
+        # streamed epochs violate block-order sortedness, so re-sort the
+        # concatenation (ragged position slices permuted with their rows)
+        if len(docs) > 1 and np.any(docs[1:] < docs[:-1]):
+            order = np.argsort(docs, kind="stable")
+            cumtf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+            sel = _ragged_gather(cumtf[order], tfs[order].astype(np.int64))
+            docs, tfs, dls, flat = docs[order], tfs[order], dls[order], flat[sel]
+        per_term[term] = (docs, tfs, dls, flat)
     if any(t not in per_term for t in distinct):
         return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
 
@@ -75,6 +84,11 @@ def score_group_phrase(
         common = np.intersect1d(common, per_term[t][0], assume_unique=True)
         if len(common) == 0:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+    keep = _not_excluded(common, excluded)
+    if keep is not None:
+        common = common[keep]
+    if len(common) == 0:
+        return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
 
     # positional verify in the (doc_slot << 32 | pos) space
     def gpos(term: str) -> np.ndarray:

@@ -54,6 +54,20 @@ def _decode_term(sub: pd.DataFrame):
     return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l)
 
 
+def _not_excluded(docs: np.ndarray, excluded: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask against a SORTED uint64 tombstone array (None if
+    nothing to drop). Tombstoned docs are filtered at decode time in every
+    kernel — segments stay immutable (Lucene-style deletes: corpus stats
+    keep counting deleted docs until compaction physically removes them)."""
+    if excluded is None or len(excluded) == 0:
+        return None
+    pos = np.searchsorted(excluded, docs)
+    hit = (pos < len(excluded)) & (
+        excluded[np.minimum(pos, len(excluded) - 1)] == docs
+    )
+    return ~hit if hit.any() else None
+
+
 def _empty_result() -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
@@ -69,9 +83,11 @@ def score_group_vectorized(
     k: int,
     mode: str = "or",
     n_query_terms: int | None = None,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact OR (or AND) top-k within one doc_range group. Columns in:
-    BLOCK_SCHEMA; out: (doc_id:int64, score:float64).
+    BLOCK_SCHEMA; out: (doc_id:int64, score:float64). ``excluded``: sorted
+    uint64 tombstones, dropped at decode time (see ``_not_excluded``).
 
     ``n_query_terms``: the FULL query's term count. AND semantics are
     global — a doc_range group holding blocks for only a subset of the
@@ -86,6 +102,9 @@ def score_group_vectorized(
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
         docs, tfs, dls = _decode_term(sub)
+        keep = _not_excluded(docs, excluded)
+        if keep is not None:
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         per_term[term] = (docs, idf[term] * bm25_u(tfs, dls, k1, b, avgdl))
 
     all_docs = np.concatenate([per_term[t][0] for t in terms])
@@ -117,6 +136,7 @@ def score_group_multi(
     k: int,
     prune: bool = False,
     mode: str = "or",
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Batched exact OR scoring for MANY queries over one doc_range group:
     every term's blocks are decoded ONCE and shared by all queries touching
@@ -147,7 +167,7 @@ def score_group_multi(
             if not subs or len(subs) < len(idf):
                 continue  # a term has no blocks here → no conjunctive match
             res = _and_vectorized(
-                pd.concat(subs), idf, k1, b, avgdl, k, raw_cache
+                pd.concat(subs), idf, k1, b, avgdl, k, raw_cache, excluded
             )
             res.insert(0, "query_id", qid)
             outs.append(res)
@@ -168,9 +188,11 @@ def score_group_multi(
                 continue
             qpdf = pd.concat(subs)
             if int(qpdf["n_docs"].sum()) <= max(1024, 8 * k):
-                res = score_group_vectorized(qpdf, idf, k1, b, avgdl, k)
+                res = score_group_vectorized(
+                    qpdf, idf, k1, b, avgdl, k, excluded=excluded
+                )
             else:
-                res = _or_sweep(qpdf, idf, k1, b, avgdl, k, raw_cache)
+                res = _or_sweep(qpdf, idf, k1, b, avgdl, k, raw_cache, excluded)
             res.insert(0, "query_id", qid)
             outs.append(res)
         if not outs:
@@ -183,6 +205,9 @@ def score_group_multi(
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
         docs, tfs, dls = _decode_term(sub)
+        keep = _not_excluded(docs, excluded)
+        if keep is not None:
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         per_term[term] = (docs, bm25_u(tfs, dls, k1, b, avgdl))
     # ONE unique over the union doc set; every query reuses the per-term
     # inverse slices — the per-query cost drops to memset + fancy adds, no
@@ -241,6 +266,7 @@ def _and_vectorized(
     avgdl: float,
     k: int,
     raw_cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Vectorized conjunctive (AND) kernel with rare-term-driven block
     skipping — replaces the round-2 Python doc-at-a-time cursor loop.
@@ -280,6 +306,9 @@ def _and_vectorized(
                 dd, tt, ll = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
+                keep = _not_excluded(dd, excluded)
+                if keep is not None:
+                    dd, tt, ll = dd[keep], tt[keep], ll[keep]
                 raw = (dd, bm25_u(tt, ll, k1, b, avgdl))
                 raw_cache[lbl] = raw
             docs_l.append(raw[0])
@@ -333,6 +362,7 @@ def score_group_wand(
     k: int,
     mode: str = "or",
     n_query_terms: int | None = None,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Block-Max WAND top-k within one doc_range group; result identical to
     ``score_group_vectorized`` (tested, incl. exact-tie cases).
@@ -366,12 +396,14 @@ def score_group_wand(
         # global-AND guard: a group missing any query term can't match
         if n_query_terms is not None and len(terms) < n_query_terms:
             return _empty_result()
-        return _and_vectorized(pdf, idf, k1, b, avgdl, k)
+        return _and_vectorized(pdf, idf, k1, b, avgdl, k, excluded=excluded)
 
     # ---- OR mode: interval-sweep block-max pruning ------------------------
     if int(pdf["n_docs"].sum()) <= max(1024, 8 * k):
-        return score_group_vectorized(pdf, idf, k1, b, avgdl, k, mode)
-    return _or_sweep(pdf, idf, k1, b, avgdl, k, {})
+        return score_group_vectorized(
+            pdf, idf, k1, b, avgdl, k, mode, excluded=excluded
+        )
+    return _or_sweep(pdf, idf, k1, b, avgdl, k, {}, excluded)
 
 
 def _or_sweep(
@@ -382,6 +414,7 @@ def _or_sweep(
     avgdl: float,
     k: int,
     raw_cache: dict[int, tuple[np.ndarray, np.ndarray]],
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """The vectorized interval-sweep block-max OR kernel (steps 1-3 of the
     ``score_group_wand`` docstring). ``raw_cache`` maps pdf row LABELS to the
@@ -409,6 +442,9 @@ def _or_sweep(
                 d, t, dl = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
+                keep = _not_excluded(d, excluded)
+                if keep is not None:
+                    d, t, dl = d[keep], t[keep], dl[keep]
                 raw = (d, bm25_u(t, dl, k1, b, avgdl))
                 raw_cache[lbl] = raw
             ent = (raw[0], float(idf[rows[j].term]) * raw[1])

@@ -133,6 +133,33 @@ def incremental_index(
         """Post-state of the last committed epoch, derived purely from the
         manifest — the recovery source of truth. None for pre-upgrade
         manifests without running totals."""
+        if (
+            compaction is not None
+            and not epochs_since
+            and "n_docs_total" in compaction
+        ):
+            # a tombstone-applying compaction is the LATEST commit: it
+            # shrank the corpus and rebuilt the dictionary, so the next
+            # epoch must resume from ITS totals, not the last epoch's
+            n = int(compaction["n_docs_total"])
+            tot = int(compaction["total_len_total"])
+            return IndexMeta(
+                n_docs=n,
+                avgdl=(tot / n) if n else 1.0,
+                k1=BM25_K1,
+                b=BM25_B,
+                range_bits=range_bits,
+                n_buckets=n_buckets,
+                block_size=BLOCK_SIZE,
+                fingerprint=f"stream-compact-{n}",
+                dictionary_dir=compaction["dictionary_dir"],
+                stream_epochs=0,
+                total_len=tot,
+                segments_dir=compaction.get("segments_dir", "segments"),
+                has_positions=bool(
+                    compaction.get("has_positions", with_positions)
+                ),
+            )
         if not epochs_all or "n_docs_total" not in epochs_all[-1]:
             return None
         last = epochs_all[-1]
@@ -376,6 +403,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
 
     import numpy as np
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from ..index.build import (
         BLOCK_SCHEMA,
@@ -386,9 +414,25 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
         write_meta_atomic,
     )
     from ..index.codec import decode_block, decode_block_positions
+    from ..query.wand import _not_excluded
 
     meta = IndexMeta.load(index_dir)
-    if not meta.stream_epochs:
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb_files = (
+        sorted(
+            os.path.join(tomb_dir, n)
+            for n in os.listdir(tomb_dir)
+            if n.endswith(".parquet")
+        )
+        if os.path.isdir(tomb_dir)
+        else []
+    )
+    tomb = None
+    if tomb_files:
+        tpdf = spark.read.parquet(*tomb_files).toPandas()
+        t_arr = np.unique(tpdf["doc_id"].to_numpy(dtype="int64").view("uint64"))
+        tomb = t_arr if len(t_arr) else None
+    if not meta.stream_epochs and tomb is None:
         return meta
     seg_dir = os.path.join(index_dir, meta.segments_dir)
     blocks = spark.read.parquet(seg_dir)
@@ -400,28 +444,37 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
                 continue
             docs_l, tfs_l, dls_l = [], [], []
             pos_rows: list = []
-            for r in pdf.itertuples(index=False):
+            n_kept = np.empty(len(pdf), dtype=np.int64)
+            for i, r in enumerate(pdf.itertuples(index=False)):
                 d, t, dl = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
+                keep = _not_excluded(d, tomb)
+                if has_pos:
+                    flat, cumtf = decode_block_positions(t, r.pos_bytes)
+                    # per-posting position arrays (row j owns flat[cumtf[j]:
+                    # cumtf[j+1]]) — np.split keeps this a slice, not a copy
+                    parts = np.split(flat.astype(np.int64), cumtf[1:-1])
+                    pos_rows.extend(
+                        parts
+                        if keep is None
+                        else [p for p, kk in zip(parts, keep) if kk]
+                    )
+                if keep is not None:
+                    d, t, dl = d[keep], t[keep], dl[keep]
+                n_kept[i] = len(d)
                 docs_l.append(d.view(np.int64))
                 tfs_l.append(t.astype(np.int64))
                 dls_l.append(dl.astype(np.int64))
-                if has_pos:
-                    flat, cumtf = decode_block_positions(t, r.pos_bytes)
-                    # per-posting position arrays (row r owns flat[cumtf[r]:
-                    # cumtf[r+1]]) — np.split keeps this a slice, not a copy
-                    pos_rows.extend(
-                        np.split(flat.astype(np.int64), cumtf[1:-1])
-                    )
-            nd = pdf["n_docs"].to_numpy(dtype=np.int64)
             out = pd.DataFrame(
                 {
-                    "bucket": np.repeat(pdf["bucket"].to_numpy(dtype=np.int32), nd),
-                    "doc_range": np.repeat(
-                        pdf["doc_range"].to_numpy(dtype=np.int32), nd
+                    "bucket": np.repeat(
+                        pdf["bucket"].to_numpy(dtype=np.int32), n_kept
                     ),
-                    "term": np.repeat(pdf["term"].to_numpy(), nd),
+                    "doc_range": np.repeat(
+                        pdf["doc_range"].to_numpy(dtype=np.int32), n_kept
+                    ),
+                    "term": np.repeat(pdf["term"].to_numpy(), n_kept),
                     "doc_id": np.concatenate(docs_l),
                     "tf": np.concatenate(tfs_l),
                     "doc_len": np.concatenate(dls_l),
@@ -435,12 +488,56 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     if has_pos:
         schema += ", positions array<long>"
     postings = blocks.mapInPandas(to_rows, schema)
-    encode = _encode_group_fn(meta.k1, meta.b, meta.avgdl, meta.block_size)
-    enc = postings.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
 
+    new_n_docs, new_total_len, new_avgdl = meta.n_docs, meta.total_len, meta.avgdl
+    dict_rel = meta.dictionary_dir
     n_compactions = sum(
         1 for m in read_manifest(index_dir) if m.get("kind") == "compaction"
     )
+    if tomb is not None:
+        # physical removal changes the corpus: recompute n_docs/avgdl from
+        # the SURVIVING postings and rebuild the dictionary under them —
+        # df/idf stop counting deleted docs from here on (the Lucene
+        # "deletes apply at merge" point)
+        postings.persist()
+        surv = (
+            postings.select("doc_id", "doc_len")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot"))
+            .collect()[0]
+        )
+        new_n_docs = int(surv["n"] or 0)
+        new_total_len = int(surv["tot"] or 0)
+        new_avgdl = (new_total_len / new_n_docs) if new_n_docs else 1.0
+        u_expr = (F.col("tf") * (meta.k1 + 1.0)) / (
+            F.col("tf")
+            + meta.k1 * (1.0 - meta.b + meta.b * F.col("doc_len") / new_avgdl)
+        )
+        dct = (
+            postings.groupBy("term")
+            .agg(
+                F.first("bucket").alias("bucket"),
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("cf"),
+                F.max(u_expr).alias("max_u"),
+                F.max("tf").alias("max_tf"),
+                F.min("doc_len").alias("min_dl"),
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    1.0
+                    + (F.lit(float(new_n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+            )
+        )
+        dict_rel = f"dictionary_c{n_compactions + 1}"
+        dct.write.mode("overwrite").parquet(os.path.join(index_dir, dict_rel))
+
+    encode = _encode_group_fn(meta.k1, meta.b, new_avgdl, meta.block_size)
+    enc = postings.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
+
     new_rel = f"segments_c{n_compactions + 1}"
     # keep the streamed epoch=<id>/bucket=<id> layout (as epoch 0) so later
     # epochs from the live stream can keep appending without mixing
@@ -454,6 +551,16 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     folded = meta.stream_epochs
     meta.stream_epochs = 0
     meta.segments_dir = new_rel
+    if tomb is not None:
+        # physical removal is the point where the corpus statistics change:
+        # the queryable state flips to the surviving-docs n/avgdl and the
+        # rebuilt dictionary in one commit
+        meta.n_docs = new_n_docs
+        meta.total_len = new_total_len
+        meta.avgdl = new_avgdl
+        meta.dictionary_dir = dict_rel
+        meta.fingerprint = f"{meta.fingerprint}-del{len(tomb)}"
+        postings.unpersist()
 
     # marker first (commit point — later epochs derive their state relative
     # to it AND find the segments dir through it), then the atomic meta swap
@@ -466,10 +573,25 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
             "n_blocks": int(n_blocks),
             "segments_dir": new_rel,
             "prev_segments_dir": prev_rel,
+            # post-state totals + dictionary: recovery and the NEXT epoch
+            # resume from here when this marker is the latest commit
+            "n_docs_total": meta.n_docs,
+            "total_len_total": meta.total_len,
+            "dictionary_dir": meta.dictionary_dir,
+            "has_positions": bool(has_pos),
+            "tombstones_applied": int(len(tomb)) if tomb is not None else 0,
             "ts": time.time(),
         },
     )
     write_meta_atomic(index_dir, meta)
+    # the tombstones this compaction consumed are now physically applied;
+    # files appended by concurrent delete_docs() calls are NOT in tomb_files
+    # and survive for the next compaction
+    for p in tomb_files:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
 
     # two-generation retention: the dir we just superseded stays for
     # in-flight readers; anything older than it goes now
