@@ -955,6 +955,28 @@ def q_delete_search(spark, sf_dir):
     )
 
 
+FILTER_LANG = "en"
+
+
+def q_filtered_search(spark, sf_dir):
+    """Metadata-filtered search: restrict the segment path to an allow-set
+    derived from a metadata predicate (lang = 'en') while scores keep
+    corpus-wide statistics — so the oracle is plain full-corpus BM25 with
+    the predicate applied to the RESULT set only. Reuses the shared index
+    (filters never mutate it)."""
+    eng = _shared_index(spark, sf_dir)
+    allow = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == FILTER_LANG)
+        .select("doc_id")
+    )
+    return _topk_rounded(
+        spark,
+        eng.search(BM25_QUERY, k=DELETE_K + 25, doc_filter=allow),
+        DELETE_K,
+    )
+
+
 def q_delete_compact_search(spark, sf_dir):
     """Deletes folded by compaction: the physical rewrite drops dead
     postings AND rebuilds n_docs/avgdl/df/idf, so the oracle is BM25
@@ -1013,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_stored_topk": q_ivf_stored_topk,
         "wand_topk": q_wand_topk,
         "delete_search": q_delete_search,
+        "filtered_search": q_filtered_search,
         "delete_compact_search": q_delete_compact_search,
     }
 
@@ -1086,6 +1109,12 @@ ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
         "delete_search": f"""
 SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY, tf_sql=f"SELECT * FROM ({_TF_SQL}) WHERE doc_id < {DELETE_SUBSET}")})
 WHERE doc_id % {DELETE_MOD} <> 0
+ORDER BY score DESC, doc_id ASC LIMIT {DELETE_K}
+""",
+        # filtered search: full-corpus stats, predicate on the result set
+        "filtered_search": f"""
+SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}')
 ORDER BY score DESC, doc_id ASC LIMIT {DELETE_K}
 """,
         # compacted: stats recomputed over the surviving corpus only

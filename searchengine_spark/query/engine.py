@@ -37,7 +37,7 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..index.build import IndexMeta, build_index
 from ..scoring import parse_query
-from .wand import score_group_vectorized, score_group_wand
+from .wand import DocMask, score_group_vectorized, score_group_wand
 
 RESULT_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("score", DoubleType())]
@@ -145,6 +145,26 @@ class SearchEngine:
         self._tomb = (sig, arr)
         return arr
 
+    def _doc_mask(self, doc_filter=None) -> "DocMask | None":
+        """Combine tombstones with an optional filtered-search allow-set
+        into the decode-time kernel mask. ``doc_filter``: iterable of doc_ids
+        or a single-column DataFrame (collected — the small-allow-set path;
+        push big predicates through the relational scorer as joins
+        instead)."""
+        import numpy as np
+
+        excluded = self._tombstones()
+        included = None
+        if doc_filter is not None:
+            if isinstance(doc_filter, DataFrame):
+                ids = [int(r[0]) for r in doc_filter.collect()]
+            else:
+                ids = [int(d) for d in doc_filter]
+            included = np.unique(np.asarray(ids, dtype=np.int64).view("uint64"))
+        if excluded is None and included is None:
+            return None
+        return DocMask(excluded, included)
+
     def _resolve_terms(self, query: str, rewriter=None) -> list[dict]:
         """J1: query terms ⋈ dictionary via filtered read (pushdown).
         A rewriter (expansion.py) may add/correct terms with weights; the
@@ -230,8 +250,11 @@ class SearchEngine:
         use_wand: bool = True,
         merge: str = "take_ordered",
         rewriter=None,
+        doc_filter=None,
     ) -> list[tuple[int, float]]:
-        """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc)."""
+        """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc).
+        ``doc_filter``: restrict results to these doc_ids (metadata-filtered
+        search; scores keep corpus-wide statistics — see ``DocMask``)."""
         meta = self.meta
         dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
@@ -251,10 +274,10 @@ class SearchEngine:
         kernel = score_group_wand if use_wand else score_group_vectorized
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
         n_query_terms = len(terms)  # global-AND guard (see kernel docstring)
-        excluded = self._tombstones()
+        mask = self._doc_mask(doc_filter)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return kernel(pdf, idf, k1, b, avgdl, k, mode, n_query_terms, excluded)
+            return kernel(pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
 
@@ -295,7 +318,7 @@ class SearchEngine:
 
     def search_batch(
         self, queries: dict[str, str], k: int = 100, rewriter=None,
-        prune: bool = False, mode: str = "or",
+        prune: bool = False, mode: str = "or", doc_filter=None,
     ) -> dict[str, list[tuple[int, float]]]:
         """Batched segment search: ONE dictionary lookup, ONE pruned segment
         scan, and ONE job score the whole query batch — each term's blocks
@@ -348,11 +371,11 @@ class SearchEngine:
             [StructField("query_id", StringType())] + list(RESULT_SCHEMA.fields)
         )
 
-        excluded = self._tombstones()
+        mask = self._doc_mask(doc_filter)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return score_group_multi(pdf, idfs, k1, b, avgdl, k, prune=prune,
-                                     mode=mode, excluded=excluded)
+                                     mode=mode, mask=mask)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, batch_schema)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -369,7 +392,8 @@ class SearchEngine:
             out[qid].append((int(doc), float(score)))
         return out
 
-    def search_phrase(self, phrase: str, k: int = 100) -> list[tuple[int, float]]:
+    def search_phrase(self, phrase: str, k: int = 100,
+                      doc_filter=None) -> list[tuple[int, float]]:
         """Index-native exact-phrase top-k (requires
         ``build_index_from_df(..., with_positions=True)``): AND intersection
         → positional adjacency verify → BM25 over the phrase's terms, all on
@@ -394,11 +418,11 @@ class SearchEngine:
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
         blocks = self._pruned_blocks(buckets, sorted(idf))
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
-        excluded = self._tombstones()
+        mask = self._doc_mask(doc_filter)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return score_group_phrase(pdf, idf, k1, b, avgdl, k, phrase_terms,
-                                      excluded)
+                                      mask)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
         rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..index.codec import bm25_u, decode_block, decode_block_positions
-from .wand import _blocks_by_term, _not_excluded
+from .wand import DocMask, _blocks_by_term, _keep
 
 
 def _ragged_gather(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -42,13 +42,14 @@ def score_group_phrase(
     avgdl: float,
     k: int,
     phrase_terms: list[str],
-    excluded: np.ndarray | None = None,
+    mask: DocMask | None = None,
 ) -> pd.DataFrame:
     """One doc_range group → ≤k (doc_id, score) rows for docs containing the
     phrase (adjacent in the filtered token stream), BM25-scored over the
     phrase's DISTINCT terms in ascending-term order (bit-identical to the
-    relational scorer / SQL oracle). ``excluded``: sorted uint64 tombstones
-    dropped from the candidate set."""
+    relational scorer / SQL oracle). ``mask``: decode-time doc mask
+    (tombstones and/or filtered-search allow-set) applied to the candidate
+    intersection."""
     distinct = sorted(set(phrase_terms))
     per_term: dict[str, tuple] = {}
     for term, sub in _blocks_by_term(pdf).items():
@@ -84,7 +85,7 @@ def score_group_phrase(
         common = np.intersect1d(common, per_term[t][0], assume_unique=True)
         if len(common) == 0:
             return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
-    keep = _not_excluded(common, excluded)
+    keep = _keep(common, mask)
     if keep is not None:
         common = common[keep]
     if len(common) == 0:

@@ -26,6 +26,8 @@ Reference analogue: term-at-a-time candidate accumulation
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 
@@ -68,6 +70,40 @@ def _not_excluded(docs: np.ndarray, excluded: np.ndarray | None) -> np.ndarray |
     return ~hit if hit.any() else None
 
 
+class DocMask(NamedTuple):
+    """Decode-time document mask shipped in the kernel closure:
+    ``excluded`` = sorted-u64 tombstones (deletes), ``included`` = sorted-u64
+    allow-set (metadata-filtered search: only these docs may score; corpus
+    statistics intentionally stay corpus-wide, the standard filtered-search
+    semantics). Both are the deliberate small-state path — ~10^7 ids ≈ 80 MB
+    closure is the practical bound; arbitrary large predicates belong on the
+    relational scorer as joins (`scoring.bm25_score` + semi-join)."""
+
+    excluded: "np.ndarray | None" = None
+    included: "np.ndarray | None" = None
+
+
+def _keep(docs: np.ndarray, mask: "DocMask | None") -> np.ndarray | None:
+    """Boolean keep-mask for one decoded posting run under ``mask`` (None =
+    keep everything). Block max_u pruning bounds stay valid: filtering only
+    shrinks a block's doc set, so stored maxima remain upper bounds."""
+    if mask is None:
+        return None
+    keep = _not_excluded(docs, mask.excluded)
+    inc = mask.included
+    if inc is not None:
+        pos = np.searchsorted(inc, docs)
+        hit = (
+            ((pos < len(inc)) & (inc[np.minimum(pos, max(len(inc) - 1, 0))] == docs))
+            if len(inc)
+            else np.zeros(len(docs), dtype=bool)
+        )
+        keep = hit if keep is None else (keep & hit)
+        if keep.all():
+            return None
+    return keep
+
+
 def _empty_result() -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
@@ -83,11 +119,11 @@ def score_group_vectorized(
     k: int,
     mode: str = "or",
     n_query_terms: int | None = None,
-    excluded: np.ndarray | None = None,
+    mask: DocMask | None = None,
 ) -> pd.DataFrame:
     """Exact OR (or AND) top-k within one doc_range group. Columns in:
-    BLOCK_SCHEMA; out: (doc_id:int64, score:float64). ``excluded``: sorted
-    uint64 tombstones, dropped at decode time (see ``_not_excluded``).
+    BLOCK_SCHEMA; out: (doc_id:int64, score:float64). ``mask``: decode-time
+    doc mask — tombstones and/or filtered-search allow-set (see ``DocMask``).
 
     ``n_query_terms``: the FULL query's term count. AND semantics are
     global — a doc_range group holding blocks for only a subset of the
@@ -102,7 +138,7 @@ def score_group_vectorized(
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
         docs, tfs, dls = _decode_term(sub)
-        keep = _not_excluded(docs, excluded)
+        keep = _keep(docs, mask)
         if keep is not None:
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         per_term[term] = (docs, idf[term] * bm25_u(tfs, dls, k1, b, avgdl))
@@ -136,7 +172,7 @@ def score_group_multi(
     k: int,
     prune: bool = False,
     mode: str = "or",
-    excluded: np.ndarray | None = None,
+    mask: DocMask | None = None,
 ) -> pd.DataFrame:
     """Batched exact OR scoring for MANY queries over one doc_range group:
     every term's blocks are decoded ONCE and shared by all queries touching
@@ -167,7 +203,7 @@ def score_group_multi(
             if not subs or len(subs) < len(idf):
                 continue  # a term has no blocks here → no conjunctive match
             res = _and_vectorized(
-                pd.concat(subs), idf, k1, b, avgdl, k, raw_cache, excluded
+                pd.concat(subs), idf, k1, b, avgdl, k, raw_cache, mask
             )
             res.insert(0, "query_id", qid)
             outs.append(res)
@@ -189,10 +225,10 @@ def score_group_multi(
             qpdf = pd.concat(subs)
             if int(qpdf["n_docs"].sum()) <= max(1024, 8 * k):
                 res = score_group_vectorized(
-                    qpdf, idf, k1, b, avgdl, k, excluded=excluded
+                    qpdf, idf, k1, b, avgdl, k, mask=mask
                 )
             else:
-                res = _or_sweep(qpdf, idf, k1, b, avgdl, k, raw_cache, excluded)
+                res = _or_sweep(qpdf, idf, k1, b, avgdl, k, raw_cache, mask)
             res.insert(0, "query_id", qid)
             outs.append(res)
         if not outs:
@@ -205,7 +241,7 @@ def score_group_multi(
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
         docs, tfs, dls = _decode_term(sub)
-        keep = _not_excluded(docs, excluded)
+        keep = _keep(docs, mask)
         if keep is not None:
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         per_term[term] = (docs, bm25_u(tfs, dls, k1, b, avgdl))
@@ -266,7 +302,7 @@ def _and_vectorized(
     avgdl: float,
     k: int,
     raw_cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
-    excluded: np.ndarray | None = None,
+    mask: DocMask | None = None,
 ) -> pd.DataFrame:
     """Vectorized conjunctive (AND) kernel with rare-term-driven block
     skipping — replaces the round-2 Python doc-at-a-time cursor loop.
@@ -306,7 +342,7 @@ def _and_vectorized(
                 dd, tt, ll = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
-                keep = _not_excluded(dd, excluded)
+                keep = _keep(dd, mask)
                 if keep is not None:
                     dd, tt, ll = dd[keep], tt[keep], ll[keep]
                 raw = (dd, bm25_u(tt, ll, k1, b, avgdl))
@@ -362,7 +398,7 @@ def score_group_wand(
     k: int,
     mode: str = "or",
     n_query_terms: int | None = None,
-    excluded: np.ndarray | None = None,
+    mask: DocMask | None = None,
 ) -> pd.DataFrame:
     """Block-Max WAND top-k within one doc_range group; result identical to
     ``score_group_vectorized`` (tested, incl. exact-tie cases).
@@ -396,14 +432,14 @@ def score_group_wand(
         # global-AND guard: a group missing any query term can't match
         if n_query_terms is not None and len(terms) < n_query_terms:
             return _empty_result()
-        return _and_vectorized(pdf, idf, k1, b, avgdl, k, excluded=excluded)
+        return _and_vectorized(pdf, idf, k1, b, avgdl, k, mask=mask)
 
     # ---- OR mode: interval-sweep block-max pruning ------------------------
     if int(pdf["n_docs"].sum()) <= max(1024, 8 * k):
         return score_group_vectorized(
-            pdf, idf, k1, b, avgdl, k, mode, excluded=excluded
+            pdf, idf, k1, b, avgdl, k, mode, mask=mask
         )
-    return _or_sweep(pdf, idf, k1, b, avgdl, k, {}, excluded)
+    return _or_sweep(pdf, idf, k1, b, avgdl, k, {}, mask)
 
 
 def _or_sweep(
@@ -414,7 +450,7 @@ def _or_sweep(
     avgdl: float,
     k: int,
     raw_cache: dict[int, tuple[np.ndarray, np.ndarray]],
-    excluded: np.ndarray | None = None,
+    mask: DocMask | None = None,
 ) -> pd.DataFrame:
     """The vectorized interval-sweep block-max OR kernel (steps 1-3 of the
     ``score_group_wand`` docstring). ``raw_cache`` maps pdf row LABELS to the
@@ -442,7 +478,7 @@ def _or_sweep(
                 d, t, dl = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
-                keep = _not_excluded(d, excluded)
+                keep = _keep(d, mask)
                 if keep is not None:
                     d, t, dl = d[keep], t[keep], dl[keep]
                 raw = (d, bm25_u(t, dl, k1, b, avgdl))
@@ -531,14 +567,16 @@ def _or_sweep(
             chunk = chunk[ub_sum[chunk] >= theta]
             if len(chunk) == 0:
                 break
-        mask = np.zeros(n_int, dtype=bool)
-        mask[chunk] = True
-        cum = np.concatenate(([0], np.cumsum(mask)))
+        in_chunk = np.zeros(n_int, dtype=bool)
+        in_chunk[chunk] = True
+        cum = np.concatenate(([0], np.cumsum(in_chunk)))
         need = np.flatnonzero(cum[bi_end + 1] - cum[bi_start] > 0)
         parts = []
         for j in need:  # ascending block order == ascending term order
             d, s = decode_j(int(j))
-            keep = mask[np.minimum(np.searchsorted(bnd, d, side="right") - 1, n_int - 1)]
+            keep = in_chunk[
+                np.minimum(np.searchsorted(bnd, d, side="right") - 1, n_int - 1)
+            ]
             if keep.any():
                 parts.append((d[keep], s[keep]))
         if parts:

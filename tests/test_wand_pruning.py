@@ -183,3 +183,33 @@ def test_tie_safety_under_pruning(spark, tmp_path):
         b = W.score_group_vectorized(p, idf, meta.k1, meta.b, meta.avgdl, 7)
         assert a.equals(b)
         assert list(a["doc_id"]) == sorted(a["doc_id"])  # ties → id asc
+
+
+def test_mask_reaches_the_sweep_kernel(spark, skewed_index):
+    """Regression: `_or_sweep` had a local chunk array shadowing the new
+    `mask` parameter inside the decode closure — tombstones/filters were
+    silently ignored (and crashed on DocMask) EXACTLY when the group was big
+    enough for the sweep to engage. Drive the sweep path (>1024 postings)
+    with both mask halves and demand kernel identity + correct membership."""
+    meta, idf, pdfs = _group_blocks(spark, skewed_index, ["needle", "hay", "grass"])
+    assert sum(int(p["n_docs"].sum()) for p in pdfs) > 1024
+    dead = np.array([0, 5, 10], dtype=np.int64).view(np.uint64)
+    allow = np.sort(
+        np.arange(0, 3000, 2, dtype=np.int64).view(np.uint64)
+    )  # even ids only
+    for mask in (
+        W.DocMask(excluded=dead),
+        W.DocMask(included=allow),
+        W.DocMask(excluded=dead, included=allow),
+    ):
+        for p in pdfs:
+            a = W.score_group_wand(p, idf, meta.k1, meta.b, meta.avgdl, 10,
+                                   mask=mask)
+            b = W.score_group_vectorized(p, idf, meta.k1, meta.b, meta.avgdl,
+                                         10, mask=mask)
+            assert a.equals(b)
+            ids = set(a["doc_id"].tolist())
+            if mask.excluded is not None:
+                assert ids.isdisjoint({0, 5, 10})
+            if mask.included is not None:
+                assert all(d % 2 == 0 for d in ids)
