@@ -97,6 +97,9 @@ def _cmd_search(args) -> None:
     t0 = time.perf_counter()
     if args.mode == "phrase":
         hits = eng.search_phrase(args.query, k=args.k)
+    elif args.mode == "near":
+        hits = eng.search_near(args.query, window=args.window, k=args.k,
+                               ordered=args.ordered)
     else:
         hits = eng.search(args.query, k=args.k, mode=args.mode, use_wand=not args.no_wand)
     dt = time.perf_counter() - t0
@@ -201,8 +204,12 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=100)
-    s.add_argument("--mode", choices=["or", "and", "phrase"], default="or")
+    s.add_argument("--mode", choices=["or", "and", "phrase", "near"], default="or")
     s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--window", type=int, default=5,
+                   help="near mode: max token span between query terms")
+    s.add_argument("--ordered", action="store_true",
+                   help="near mode: require terms in query order")
     s.set_defaults(fn=_cmd_search)
 
     e = sub.add_parser("eval", help="run a query file against qrels → MAP/P@k/recall")

@@ -591,6 +591,57 @@ def q_phrase_index_topk(spark, sf_dir):
     )
 
 
+NEAR_WINDOW = 3
+
+
+def q_near_topk(spark, sf_dir):
+    """Index-native proximity (NEAR): the phrase terms within a 3-token
+    window of the filtered stream, any order — a strict superset of the
+    exact phrase's matches, scored by the same BM25, so the oracle is the
+    phrase oracle with adjacency relaxed to |Δpos| ≤ window (positions via
+    DuckDB generate_subscripts on the tokenizer twin)."""
+    from pyspark.sql import Window
+
+    eng = _shared_index(spark, sf_dir, positional=True)
+    rows = eng.search_near(PHRASE_QUERY, window=NEAR_WINDOW, k=PHRASE_K + 10)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows] or [], "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PHRASE_K)
+        .drop("rn")
+    )
+
+
+def _near_sql(query: str, window: int, k: int) -> str:
+    """Unordered 2-term NEAR twin: tokenizer positions via
+    generate_subscripts, pairwise |Δpos| ≤ window, BM25 join like phrase."""
+    from .tokenizer import tokenize_py
+
+    t1, t2 = sorted(set(tokenize_py(query)))
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    bm25 = _bm25_sql(" ".join(sorted(set(tokenize_py(query)))))
+    return f"""
+WITH scored AS ({bm25}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)),
+matches AS (
+  SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+  WHERE a.term = '{t1}' AND b.term = '{t2}' AND abs(a.p - b.p) <= {window})
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s JOIN matches USING (doc_id)
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 # every suffix rule + irregular + guard case fires at least once (the sf
 # corpus vocabulary alone is ~29 code tokens with few suffixes)
 NORMALIZATION_FIXTURE = (
@@ -1005,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": q_boolean_and,
         "phrase_topk": q_phrase_topk,
         "phrase_index_topk": q_phrase_index_topk,
+        "near_topk": q_near_topk,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1055,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         # index-native phrase must reproduce the text-scan truth exactly
         "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
+        "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

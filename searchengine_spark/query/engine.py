@@ -392,6 +392,36 @@ class SearchEngine:
             out[qid].append((int(doc), float(score)))
         return out
 
+    def _positional_query(self, query: str, k: int, doc_filter,
+                          make_kernel) -> list[tuple[int, float]]:
+        """Shared scaffolding for positional (phrase / NEAR) queries:
+        positions check, tokenize, dictionary resolve, pruned block scan,
+        one applyInPandas kernel per doc_range, global top-k merge.
+        ``make_kernel(terms, idf, k1, b, avgdl, mask)`` returns the
+        per-group pdf→pdf kernel."""
+        from ..tokenizer import tokenize_py
+
+        meta = self.meta
+        if not meta.has_positions:
+            raise ValueError(
+                "index was built without positions — rebuild with "
+                "with_positions=True for index-native positional queries"
+            )
+        terms = tokenize_py(query)
+        if not terms:
+            return []
+        dict_rows = self._resolve_terms(" ".join(sorted(set(terms))))
+        if len(dict_rows) < len(set(terms)):
+            return []  # a query term is absent from the corpus → no match
+        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        blocks = self._pruned_blocks(buckets, sorted(idf))
+        mask = self._doc_mask(doc_filter)
+        run_group = make_kernel(terms, idf, meta.k1, meta.b, meta.avgdl, mask)
+        cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
+        rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
     def search_phrase(self, phrase: str, k: int = 100,
                       doc_filter=None) -> list[tuple[int, float]]:
         """Index-native exact-phrase top-k (requires
@@ -399,34 +429,37 @@ class SearchEngine:
         → positional adjacency verify → BM25 over the phrase's terms, all on
         the segment streams — the corpus text is never re-read. Results are
         rank-identical to the relational ``scoring.phrase_topk`` (tested)."""
-        from ..tokenizer import tokenize_py
         from .phrase import score_group_phrase
 
-        meta = self.meta
-        if not meta.has_positions:
-            raise ValueError(
-                "index was built without positions — rebuild with "
-                "with_positions=True for index-native phrase queries"
-            )
-        phrase_terms = tokenize_py(phrase)
-        if not phrase_terms:
-            return []
-        dict_rows = self._resolve_terms(" ".join(sorted(set(phrase_terms))))
-        if len(dict_rows) < len(set(phrase_terms)):
-            return []  # a phrase term is absent from the corpus → no match
-        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
-        buckets = sorted({int(r["bucket"]) for r in dict_rows})
-        blocks = self._pruned_blocks(buckets, sorted(idf))
-        k1, b, avgdl = meta.k1, meta.b, meta.avgdl
-        mask = self._doc_mask(doc_filter)
+        def make_kernel(terms, idf, k1, b, avgdl, mask):
+            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_group_phrase(pdf, idf, k1, b, avgdl, k, terms,
+                                          mask)
+            return run_group
 
-        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_group_phrase(pdf, idf, k1, b, avgdl, k, phrase_terms,
-                                      mask)
+        return self._positional_query(phrase, k, doc_filter, make_kernel)
 
-        cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
-        rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        return [(r["doc_id"], r["score"]) for r in rows]
+    def search_near(self, query: str, window: int, k: int = 100,
+                    ordered: bool = False,
+                    doc_filter=None) -> list[tuple[int, float]]:
+        """Index-native proximity top-k: docs where the query terms co-occur
+        within a ``window``-token span of the filtered token stream
+        (``ordered=True`` additionally requires query order — phrase with
+        slop). Candidates from posting intersection, spans verified on the
+        decoded position streams, BM25-scored like phrase — the corpus text
+        is never re-read. See ``query.phrase.score_group_near``."""
+        from .phrase import score_group_near
+
+        if window < 0:
+            raise ValueError("window must be >= 0 tokens")
+
+        def make_kernel(terms, idf, k1, b, avgdl, mask):
+            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_group_near(pdf, idf, k1, b, avgdl, k, terms,
+                                        window, ordered, mask)
+            return run_group
+
+        return self._positional_query(query, k, doc_filter, make_kernel)
 
     def search_df(self, query: str, k: int = 100, **kwargs) -> DataFrame:
         rows = self.search(query, k, **kwargs)

@@ -1,4 +1,5 @@
-"""Index-native exact-phrase top-k over the positional segment stream.
+"""Index-native exact-phrase and proximity (NEAR) top-k over the positional
+segment stream.
 
 The relational path (``scoring.phrase_topk``) verifies adjacency by
 re-tokenizing the corpus text — a full scan per phrase. With a positional
@@ -13,6 +14,15 @@ j's positions map to ``(j << 32) | pos``; a phrase of terms t_0..t_{m-1}
 matches wherever successive ``np.intersect1d(valid + 1, P_i)`` stay
 non-empty (the +1 can never cross a doc boundary — doc slots are 2^32
 apart). Repeated phrase terms need no special casing.
+
+``score_group_near`` generalizes the same space to proximity search:
+unordered NEAR(w) (all terms within a w-token span, any order) via a
+sliding-window label-coverage sweep, ordered NEAR(w) (terms in query order
+within w) via a prefix-max chain-start DP — both O(total positions), no
+per-doc Python loop. Doc isolation is free for the same reason as phrase:
+slots are 2^32 apart and w << 2^32, and the unordered sweep additionally
+clamps each window's left bound to its slot start so a short prefix can
+never read the previous doc's positions.
 """
 
 from __future__ import annotations
@@ -23,6 +33,8 @@ import pandas as pd
 from ..index.codec import bm25_u, decode_block, decode_block_positions
 from .wand import DocMask, _blocks_by_term, _keep
 
+_EMPTY = {"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+
 
 def _ragged_gather(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Indices selecting rows' ragged slices: concat of
@@ -32,6 +44,86 @@ def _ragged_gather(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     excl = np.cumsum(counts) - counts
     return np.repeat(starts, counts) + (np.arange(total) - np.repeat(excl, counts))
+
+
+def _decode_positional(pdf: pd.DataFrame) -> dict[str, tuple]:
+    """Decode every term's blocks in this group into globally doc-sorted
+    (docs, tfs, dls, flat_positions) streams. Interleaved streamed epochs
+    violate block-order sortedness, so the concatenation is re-sorted (the
+    ragged position slices permuted with their rows) when needed."""
+    per_term: dict[str, tuple] = {}
+    for term, sub in _blocks_by_term(pdf).items():
+        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for row in sub.itertuples(index=False):
+            d, t, dl = decode_block(
+                row.first_doc, row.n_docs, row.doc_bytes, row.tf_bytes, row.dl_bytes
+            )
+            flat, _ = decode_block_positions(t, row.pos_bytes)
+            docs_l.append(d)
+            tfs_l.append(t)
+            dls_l.append(dl)
+            pos_l.append(flat)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        flat = np.concatenate(pos_l)
+        if len(docs) > 1 and np.any(docs[1:] < docs[:-1]):
+            order = np.argsort(docs, kind="stable")
+            cumtf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+            sel = _ragged_gather(cumtf[order], tfs[order].astype(np.int64))
+            docs, tfs, dls, flat = docs[order], tfs[order], dls[order], flat[sel]
+        per_term[term] = (docs, tfs, dls, flat)
+    return per_term
+
+
+def _and_candidates(
+    per_term: dict[str, tuple], distinct: list[str], mask: DocMask | None
+) -> np.ndarray:
+    """Posting-list intersection across the distinct terms, then the
+    decode-time doc mask (tombstones / filtered-search allow-set)."""
+    common = per_term[distinct[0]][0]
+    for t in distinct[1:]:
+        common = np.intersect1d(common, per_term[t][0], assume_unique=True)
+        if len(common) == 0:
+            return common
+    keep = _keep(common, mask)
+    if keep is not None:
+        common = common[keep]
+    return common
+
+
+def _gpos(per_term: dict[str, tuple], term: str, common: np.ndarray) -> np.ndarray:
+    """``term``'s positions inside the candidate docs, mapped to the global
+    ``(candidate_slot << 32) | pos`` space (sorted by construction)."""
+    docs, tfs, _, flat = per_term[term]
+    rows = np.searchsorted(docs, common)
+    cumtf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    cnt = tfs[rows].astype(np.int64)
+    sel = _ragged_gather(cumtf[rows], cnt)
+    slots = np.repeat(np.arange(len(common), dtype=np.uint64) << np.uint64(32), cnt)
+    return slots + flat[sel]
+
+
+def _score_matched(
+    per_term: dict[str, tuple],
+    distinct: list[str],
+    matched: np.ndarray,
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """BM25 over the distinct terms in ascending-term order — the same float
+    accumulation order as the relational scorer / SQL oracle."""
+    acc = np.zeros(len(matched), dtype=np.float64)
+    for t in distinct:
+        docs, tfs, dls, _ = per_term[t]
+        rows = np.searchsorted(docs, matched)
+        acc += idf[t] * bm25_u(tfs[rows], dls[rows], k1, b, avgdl)
+    signed = matched.view(np.int64)
+    order = np.lexsort((signed, -acc))[:k]
+    return pd.DataFrame({"doc_id": signed[order], "score": acc[order]})
 
 
 def score_group_phrase(
@@ -51,70 +143,104 @@ def score_group_phrase(
     (tombstones and/or filtered-search allow-set) applied to the candidate
     intersection."""
     distinct = sorted(set(phrase_terms))
-    per_term: dict[str, tuple] = {}
-    for term, sub in _blocks_by_term(pdf).items():
-        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for row in sub.itertuples(index=False):
-            d, t, dl = decode_block(
-                row.first_doc, row.n_docs, row.doc_bytes, row.tf_bytes, row.dl_bytes
-            )
-            flat, _ = decode_block_positions(t, row.pos_bytes)
-            docs_l.append(d)
-            tfs_l.append(t)
-            dls_l.append(dl)
-            pos_l.append(flat)
-        docs = np.concatenate(docs_l)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
-        flat = np.concatenate(pos_l)
-        # searchsorted below needs GLOBALLY doc-sorted postings; interleaved
-        # streamed epochs violate block-order sortedness, so re-sort the
-        # concatenation (ragged position slices permuted with their rows)
-        if len(docs) > 1 and np.any(docs[1:] < docs[:-1]):
-            order = np.argsort(docs, kind="stable")
-            cumtf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-            sel = _ragged_gather(cumtf[order], tfs[order].astype(np.int64))
-            docs, tfs, dls, flat = docs[order], tfs[order], dls[order], flat[sel]
-        per_term[term] = (docs, tfs, dls, flat)
+    per_term = _decode_positional(pdf)
     if any(t not in per_term for t in distinct):
-        return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
-
-    # AND candidates across distinct terms
-    common = per_term[distinct[0]][0]
-    for t in distinct[1:]:
-        common = np.intersect1d(common, per_term[t][0], assume_unique=True)
-        if len(common) == 0:
-            return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
-    keep = _keep(common, mask)
-    if keep is not None:
-        common = common[keep]
+        return pd.DataFrame(_EMPTY)
+    common = _and_candidates(per_term, distinct, mask)
     if len(common) == 0:
-        return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+        return pd.DataFrame(_EMPTY)
 
-    # positional verify in the (doc_slot << 32 | pos) space
-    def gpos(term: str) -> np.ndarray:
-        docs, tfs, _, flat = per_term[term]
-        rows = np.searchsorted(docs, common)
-        cumtf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-        cnt = tfs[rows].astype(np.int64)
-        sel = _ragged_gather(cumtf[rows], cnt)
-        slots = np.repeat(np.arange(len(common), dtype=np.uint64) << np.uint64(32), cnt)
-        return slots + flat[sel]
-
-    valid = gpos(phrase_terms[0])
+    valid = _gpos(per_term, phrase_terms[0], common)
     for term in phrase_terms[1:]:
-        valid = np.intersect1d(valid + np.uint64(1), gpos(term))
+        valid = np.intersect1d(valid + np.uint64(1), _gpos(per_term, term, common))
         if len(valid) == 0:
-            return pd.DataFrame({"doc_id": np.zeros(0, np.int64), "score": np.zeros(0)})
+            return pd.DataFrame(_EMPTY)
     match_slots = np.unique(valid >> np.uint64(32)).astype(np.int64)
     matched = common[match_slots]
+    return _score_matched(per_term, distinct, matched, idf, k1, b, avgdl, k)
 
-    # BM25 over distinct terms, ascending order (same floats as the oracle)
-    acc = np.zeros(len(matched), dtype=np.float64)
-    for t in distinct:
-        docs, tfs, dls, _ = per_term[t]
-        rows = np.searchsorted(docs, matched)
-        acc += idf[t] * bm25_u(tfs[rows], dls[rows], k1, b, avgdl)
-    signed = matched.view(np.int64)
-    order = np.lexsort((signed, -acc))[:k]
-    return pd.DataFrame({"doc_id": signed[order], "score": acc[order]})
+
+def score_group_near(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    terms: list[str],
+    window: int,
+    ordered: bool = False,
+    mask: DocMask | None = None,
+) -> pd.DataFrame:
+    """One doc_range group → ≤k (doc_id, score) rows for docs where the
+    query terms co-occur within a ``window``-token span of the filtered
+    token stream (positions are post-stopword indices, like phrase):
+
+    * unordered (default): ∃ one position per DISTINCT term with
+      max-min ≤ window. Verified by a sliding-window sweep over the merged
+      label-tagged position stream — per right endpoint r, the window
+      [max(pos_r - window, doc start), pos_r] must cover all labels, which
+      the per-label prefix-count arrays answer in O(1) per endpoint.
+    * ordered: ∃ positions p_0 < p_1 < … < p_{m-1}, one per QUERY term in
+      query order (repeats kept), with p_{m-1} - p_0 ≤ window. Verified by
+      a chain DP: f(p) = the maximal chain start over chains ending at p,
+      computed per term as a prefix-max of the previous term's f gathered
+      via searchsorted; positions with f(p) < p - window are pruned each
+      step (the span never shrinks). Phrase ≡ ordered NEAR with adjacency
+      instead of <, window = m-1.
+
+    Scoring and tie-break are identical to phrase: BM25 over the distinct
+    terms, (score desc, doc_id asc)."""
+    distinct = sorted(set(terms))
+    per_term = _decode_positional(pdf)
+    if any(t not in per_term for t in distinct):
+        return pd.DataFrame(_EMPTY)
+    common = _and_candidates(per_term, distinct, mask)
+    if len(common) == 0:
+        return pd.DataFrame(_EMPTY)
+
+    if len(distinct) == 1 and not (ordered and len(terms) > 1):
+        # single distinct term: every candidate trivially matches
+        matched = common
+    elif ordered:
+        # chain DP over the QUERY-order terms (duplicates kept). Global
+        # positions are < len(common)·2^32 (slots are candidate indices),
+        # so int64 arithmetic is exact; cross-doc chains are impossible
+        # because window < 2^32 ≤ inter-slot distance.
+        prev = _gpos(per_term, terms[0], common).astype(np.int64)
+        f = prev.copy()  # chain of length 1 starts at itself
+        for term in terms[1:]:
+            cur = _gpos(per_term, term, common).astype(np.int64)
+            if len(prev) == 0 or len(cur) == 0:
+                return pd.DataFrame(_EMPTY)
+            best = np.maximum.accumulate(f)
+            idx = np.searchsorted(prev, cur, side="left") - 1
+            fc = np.where(idx >= 0, best[np.maximum(idx, 0)], np.int64(-1))
+            keep = (idx >= 0) & (fc >= cur - window)
+            prev, f = cur[keep], fc[keep]
+            if len(prev) == 0:
+                return pd.DataFrame(_EMPTY)
+        matched = common[np.unique(prev >> np.int64(32))]
+    else:
+        m = len(distinct)
+        pos_parts = [_gpos(per_term, t, common).astype(np.int64) for t in distinct]
+        G = np.concatenate(pos_parts)
+        L = np.repeat(np.arange(m), [len(p) for p in pos_parts])
+        order = np.argsort(G, kind="stable")
+        G, L = G[order], L[order]
+        # left bound per endpoint, clamped to the doc's slot start so a
+        # position < window into a doc can't pull in the previous doc
+        lb = np.maximum(G - window, (G >> np.int64(32)) << np.int64(32))
+        li = np.searchsorted(G, lb, side="left")
+        ok = np.ones(len(G), dtype=bool)
+        r1 = np.arange(1, len(G) + 1)
+        for c in range(m):
+            C = np.concatenate(([0], np.cumsum(L == c)))
+            ok &= (C[r1] - C[li]) > 0
+        if not ok.any():
+            return pd.DataFrame(_EMPTY)
+        matched = common[np.unique(G[ok] >> np.int64(32))]
+
+    if len(matched) == 0:
+        return pd.DataFrame(_EMPTY)
+    return _score_matched(per_term, distinct, matched, idf, k1, b, avgdl, k)
