@@ -591,6 +591,77 @@ def q_phrase_index_topk(spark, sf_dir):
     )
 
 
+BM25F_QUERY = "small gear large"  # 'small'/'large' live in BOTH part fields
+BM25F_K = 20
+BM25F_K1, BM25F_B, BM25F_WN, BM25F_WT = 1.2, 0.75, 2.0, 1.0
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F fielded retrieval over the part table's two text fields
+    (p_name weight 2, p_type weight 1): per-field length norm → weighted tf
+    → one saturation, document-level df. The (k1+1) numerator makes the
+    single-field case reduce exactly to BM25 (tests/test_fielded.py)."""
+    from pyspark.sql import Window
+
+    from .fielded import bm25f_score
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    scored = bm25f_score(
+        spark, part, "p_partkey",
+        {"p_name": BM25F_WN, "p_type": BM25F_WT},
+        BM25F_QUERY, k1=BM25F_K1, b=BM25F_B,
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25F_K)
+        .drop("rn")
+    )
+
+
+def _bm25f_sql(query: str, k: int) -> str:
+    from .tokenizer import tokenize_py
+
+    terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(query))))
+
+    def toks(col: str) -> str:
+        return (
+            f"[t FOR t IN regexp_extract_all(lower({col}), '{TOKEN_PATTERN}') "
+            f"IF t NOT IN ({_STOP_SQL})]"
+        )
+
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM part),
+raw AS (
+  SELECT p_partkey AS doc_id, 'p_name' AS field, unnest({toks('p_name')}) AS term FROM part
+  UNION ALL
+  SELECT p_partkey AS doc_id, 'p_type' AS field, unnest({toks('p_type')}) AS term FROM part),
+ftf AS (SELECT doc_id, field, term, count(*) AS tf FROM raw GROUP BY 1, 2, 3),
+flen AS (SELECT doc_id, field, sum(tf) AS flen FROM ftf GROUP BY 1, 2),
+avgf AS (SELECT field, sum(flen) * 1.0 / (SELECT n FROM n) AS avgfl FROM flen GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+dictf AS (SELECT term, count(DISTINCT doc_id) AS df FROM ftf JOIN q USING (term) GROUP BY 1),
+wtf AS (
+  SELECT f.doc_id, f.term,
+         sum((CASE f.field WHEN 'p_name' THEN {BM25F_WN} ELSE {BM25F_WT} END)
+             * f.tf / (1.0 + {BM25F_B} * (l.flen / a.avgfl - 1.0))) AS wtf
+  FROM ftf f JOIN q USING (term)
+  JOIN flen l ON l.doc_id = f.doc_id AND l.field = f.field
+  JOIN avgf a ON a.field = f.field
+  GROUP BY 1, 2),
+scored AS (
+  SELECT w.doc_id AS doc_id,
+         round(sum(ln(1.0 + ((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+                   * ({BM25F_K1} + 1.0) * w.wtf / ({BM25F_K1} + w.wtf)), {ROUND_DP}) AS score
+  FROM wtf w JOIN dictf d USING (term)
+  GROUP BY 1)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 NEAR_WINDOW = 3
 
 
@@ -1057,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_index_topk": q_phrase_index_topk,
         "near_topk": q_near_topk,
+        "bm25f_topk": q_bm25f_topk,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1108,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         # index-native phrase must reproduce the text-scan truth exactly
         "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
+        "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

@@ -1,0 +1,146 @@
+"""BM25F fielded retrieval: brute-force oracle on the part table, exact
+reduction to standard BM25 in the single-field case, and field-weight
+monotonicity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark import BM25_B, BM25_K1
+from searchengine_spark.fielded import bm25f_score
+from searchengine_spark.tokenizer import tokenize_py
+
+PART = "/root/testdata/sf0.001/part.parquet"
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+QUERY = "small gear large"
+FIELDS = {"p_name": 2.0, "p_type": 1.0}
+K1, B = 1.2, 0.75
+
+
+def _brute_bm25f(rows, fields, query, k1, b):
+    """Pure-Python BM25F over collected rows (field norm → weighted tf →
+    saturation, document-level df)."""
+    terms = sorted(set(tokenize_py(query)))
+    n = len(rows)
+    tf = {}   # (doc, field, term) -> tf
+    flen = {}  # (doc, field) -> len
+    for r in rows:
+        for f_name in fields:
+            toks = tokenize_py(r[f_name])
+            flen[(r["p_partkey"], f_name)] = len(toks)
+            for t in toks:
+                key = (r["p_partkey"], f_name, t)
+                tf[key] = tf.get(key, 0) + 1
+    avgfl = {
+        f_name: sum(flen[(r["p_partkey"], f_name)] for r in rows) / n
+        for f_name in fields
+    }
+    df = {
+        t: sum(
+            1 for r in rows
+            if any(tf.get((r["p_partkey"], f_name, t)) for f_name in fields)
+        )
+        for t in terms
+    }
+    out = {}
+    for r in rows:
+        d = r["p_partkey"]
+        score = 0.0
+        for t in terms:
+            wtf = 0.0
+            for f_name, w in fields.items():
+                raw = tf.get((d, f_name, t), 0)
+                if raw:
+                    norm = 1.0 + b * (flen[(d, f_name)] / avgfl[f_name] - 1.0)
+                    wtf += w * raw / norm
+            if wtf:
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                score += idf * (k1 + 1.0) * wtf / (k1 + wtf)
+        if score:
+            out[d] = score
+    return out
+
+
+@pytest.fixture(scope="module")
+def part_rows(spark):
+    return spark.read.parquet(PART).collect()
+
+
+def test_bm25f_matches_brute_force(spark, part_rows):
+    want = _brute_bm25f(part_rows, FIELDS, QUERY, K1, B)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_score(
+            spark, spark.read.parquet(PART), "p_partkey", FIELDS, QUERY,
+            k1=K1, b=B,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-12)
+
+
+def test_single_field_reduces_to_bm25(spark):
+    """BM25F over one field with weight 1.0 IS standard BM25 (the (k1+1)
+    numerator makes the algebra exact, not just rank-equal)."""
+    from searchengine_spark.postings import (
+        corpus_stats, dictionary, doc_stats, term_frequencies,
+    )
+    from searchengine_spark.scoring import bm25_score
+
+    docs = spark.read.parquet(DOCS).filter(F.col("doc_id") < 300)
+    tf = term_frequencies(docs)
+    stats = doc_stats(tf)
+    n, avgdl = corpus_stats(stats)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score(
+            spark, tf, stats, dictionary(tf), "spark join stream", n, avgdl,
+            k1=BM25_K1, b=BM25_B,
+        ).collect()
+    }
+    # NOTE: bm25f's N is count(df) rows; docs whose text parses empty are
+    # still corpus members in both paths (term_frequencies drops them from
+    # tf only), so the scalars agree.
+    assert docs.count() == n
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_score(
+            spark, docs, "doc_id", {"text": 1.0}, "spark join stream",
+            k1=BM25_K1, b=BM25_B,
+        ).collect()
+    }
+    assert set(got) == set(base)
+    for d, s in base.items():
+        assert got[d] == pytest.approx(s, rel=1e-12)
+
+
+def test_field_weight_monotonicity(spark, part_rows):
+    """Raising the name weight must (weakly) raise every score of docs that
+    match in the name field and leave type-only matchers unchanged."""
+    pdf = spark.read.parquet(PART)
+    lo = {r["doc_id"]: r["score"]
+          for r in bm25f_score(spark, pdf, "p_partkey",
+                               {"p_name": 1.0, "p_type": 1.0}, QUERY).collect()}
+    hi = {r["doc_id"]: r["score"]
+          for r in bm25f_score(spark, pdf, "p_partkey",
+                               {"p_name": 4.0, "p_type": 1.0}, QUERY).collect()}
+    assert set(lo) == set(hi)
+    qterms = set(tokenize_py(QUERY))
+    for r in part_rows:
+        d = r["p_partkey"]
+        if d not in lo:
+            continue
+        name_match = bool(qterms & set(tokenize_py(r["p_name"])))
+        if name_match:
+            assert hi[d] > lo[d]
+        else:
+            assert hi[d] == pytest.approx(lo[d], rel=1e-12)
+
+
+def test_rejects_empty_fields(spark):
+    with pytest.raises(ValueError):
+        bm25f_score(spark, spark.read.parquet(PART), "p_partkey", {}, QUERY)
