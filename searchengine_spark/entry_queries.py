@@ -662,6 +662,61 @@ LIMIT {k}
 """
 
 
+WILDCARD_PATTERN = "s*"  # matches 6 corpus terms; cap keeps the top 4 by df
+WILDCARD_MAX_EXP = 4
+WILDCARD_K = 40
+
+
+def q_wildcard_topk(spark, sf_dir):
+    """Dictionary-backed wildcard search (Lucene WildcardQuery analogue):
+    glob pattern → matching dictionary terms capped at max_expansions by
+    (df desc, term asc) → BM25 OR over the expansion on the segment path.
+    The cap is deliberately smaller than the match set (6 terms match
+    ``s*``), so a wrong expansion ordering is a hash mismatch."""
+    eng = _shared_index(spark, sf_dir)
+    return _topk_rounded(
+        spark,
+        eng.search_wildcard(
+            WILDCARD_PATTERN, k=WILDCARD_K + 25, max_expansions=WILDCARD_MAX_EXP
+        ),
+        WILDCARD_K,
+    )
+
+
+def _wildcard_sql(pattern: str, max_exp: int, k: int,
+                  k1: float = 1.5, b: float = 0.75) -> str:
+    """SQL twin: same glob→regex translation, same (df desc, term asc) cap,
+    then plain BM25 over the expanded term set."""
+    import re
+
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c)
+        for c in pattern.lower()
+    ) + "$"
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT term FROM dict WHERE regexp_matches(term, '{rx}')
+      ORDER BY df DESC, term ASC LIMIT {max_exp}),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * ({k1} + 1.0))
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 NEAR_WINDOW = 3
 
 
@@ -1129,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_index_topk": q_phrase_index_topk,
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
+        "wildcard_topk": q_wildcard_topk,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1181,6 +1237,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
+        "wildcard_topk": _wildcard_sql(
+            WILDCARD_PATTERN, WILDCARD_MAX_EXP, WILDCARD_K
+        ),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

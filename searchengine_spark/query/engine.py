@@ -461,6 +461,59 @@ class SearchEngine:
 
         return self._positional_query(query, k, doc_filter, make_kernel)
 
+    # -- wildcard / prefix queries ---------------------------------------------
+    def expand_pattern(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """Dictionary-backed wildcard expansion (Lucene ``PrefixQuery`` /
+        ``WildcardQuery`` analogue): glob ``*`` (any run) / ``?`` (one char)
+        against the term dictionary, capped at ``max_expansions`` by
+        (df desc, term asc) — the top-terms rewrite discipline, keeping the
+        expanded OR bounded no matter how promiscuous the pattern. The
+        literal prefix before the first wildcard is pushed down to the
+        dictionary parquet scan as a ``StartsWith`` filter, so ``ind*`` reads
+        only matching row groups instead of the whole vocabulary."""
+        import re
+
+        pattern = pattern.lower()
+        head = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern
+        ) + "$"
+        d = self._load_dict()
+        if head:
+            d = d.filter(F.col("term").startswith(head))
+        rows = (
+            d.filter(F.col("term").rlike(rx))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = 100,
+        max_expansions: int = 50,
+        doc_filter=None,
+        use_wand: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Top-k BM25 over the OR of the dictionary terms matching a glob
+        pattern (each expanded term keeps its own idf — Lucene's scoring
+        boolean rewrite). A pattern matching nothing returns []."""
+        terms = self.expand_pattern(pattern, max_expansions)
+        if not terms:
+            return []
+        expanded = [(t, 1.0) for t in terms]
+        return self.search(
+            pattern,
+            k=k,
+            use_wand=use_wand,
+            doc_filter=doc_filter,
+            rewriter=lambda _qterms: expanded,
+        )
+
     def search_df(self, query: str, k: int = 100, **kwargs) -> DataFrame:
         rows = self.search(query, k, **kwargs)
         return self.spark.createDataFrame(
