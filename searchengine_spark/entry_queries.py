@@ -717,6 +717,67 @@ LIMIT {k}
 """
 
 
+FUZZY_TERM = "sprt"  # d1: sort (boost .75); d2: part, spark (boost .5, df tie)
+FUZZY_MAX_EDITS = 2
+FUZZY_MAX_EXP = 2  # < match set (3), so cap ordering is hash-checked
+FUZZY_K = 40
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """Dictionary-backed fuzzy search (Lucene FuzzyQuery analogue):
+    Levenshtein expansion capped by (dist asc, df desc, term asc), each
+    match weighted by the classic similarity boost
+    1 - dist/min(len(q), len(t)) folded into idf. 'sprt' matches sort/part/
+    spark; part and spark tie on df so the term-asc tiebreak, the cap, AND
+    the per-term boosts are all visible in the value hash."""
+    eng = _shared_index(spark, sf_dir)
+    return _topk_rounded(
+        spark,
+        eng.search_fuzzy(
+            FUZZY_TERM, k=FUZZY_K + 25,
+            max_edits=FUZZY_MAX_EDITS, max_expansions=FUZZY_MAX_EXP,
+        ),
+        FUZZY_K,
+    )
+
+
+def _fuzzy_sql(term: str, max_edits: int, max_exp: int, k: int,
+               k1: float = 1.5, b: float = 0.75) -> str:
+    """SQL twin: same length band, thresholded distance, boost formula,
+    and (dist asc, df desc, term asc) cap; BM25 with idf scaled by boost."""
+    qlen = len(term)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT term, df, levenshtein(term, '{term}') AS dist,
+         1.0 - levenshtein(term, '{term}')::DOUBLE
+               / least(length(term), {qlen}) AS boost
+  FROM dict
+  WHERE abs(length(term) - {qlen}) <= {max_edits}
+    AND levenshtein(term, '{term}') <= {max_edits}
+    AND 1.0 - levenshtein(term, '{term}')::DOUBLE
+        / least(length(term), {qlen}) > 0
+  ORDER BY dist ASC, df DESC, term ASC LIMIT {max_exp}),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(q.boost
+                   * ln(1.0 + (c.n - q.df + 0.5) / (q.df + 0.5))
+                   * (tf.tf * ({k1} + 1.0))
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 NEAR_WINDOW = 3
 
 
@@ -1185,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
         "wildcard_topk": q_wildcard_topk,
+        "fuzzy_topk": q_fuzzy_topk,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1239,6 +1301,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
         "wildcard_topk": _wildcard_sql(
             WILDCARD_PATTERN, WILDCARD_MAX_EXP, WILDCARD_K
+        ),
+        "fuzzy_topk": _fuzzy_sql(
+            FUZZY_TERM, FUZZY_MAX_EDITS, FUZZY_MAX_EXP, FUZZY_K
         ),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),

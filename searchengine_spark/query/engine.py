@@ -514,6 +514,72 @@ class SearchEngine:
             rewriter=lambda _qterms: expanded,
         )
 
+    # -- fuzzy queries ---------------------------------------------------------
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> list[tuple[str, float]]:
+        """Dictionary-backed fuzzy expansion (Lucene ``FuzzyQuery``
+        analogue): terms within ``max_edits`` Levenshtein distance of
+        ``term``, capped at ``max_expansions`` by (distance asc, df desc,
+        term asc), each weighted by the classic Lucene similarity boost
+        ``1 - dist / min(len(term), len(match))`` (exact match → 1.0;
+        non-positive boosts dropped). ``prefix_length`` requires that many
+        leading chars to match exactly and is pushed down to the dictionary
+        parquet scan as a ``StartsWith`` filter; the length band
+        ``|len(match) - len(term)| ≤ max_edits`` prunes JVM-side before the
+        O(len²) distance, and Spark's thresholded ``levenshtein`` bails out
+        early past ``max_edits``. Returns [(term, boost)]."""
+        term = term.lower()
+        d = self._load_dict()
+        if prefix_length > 0:
+            d = d.filter(F.col("term").startswith(term[:prefix_length]))
+        dist = F.levenshtein(F.col("term"), F.lit(term), max_edits)
+        boost = 1.0 - dist / F.least(F.length("term"), F.lit(len(term)))
+        rows = (
+            d.filter(
+                (F.length("term") >= len(term) - max_edits)
+                & (F.length("term") <= len(term) + max_edits)
+            )
+            .withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)  # thresholded levenshtein → -1 past cap
+            .withColumn("boost", boost)
+            .filter(F.col("boost") > 0)
+            .select("term", "df", "dist", "boost")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return sorted((r["term"], float(r["boost"])) for r in rows)
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 100,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+        doc_filter=None,
+        use_wand: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Top-k BM25 over the fuzzy expansion of a single term; each
+        expanded term scores with its own idf scaled by the similarity
+        boost (folded into idf by ``_resolve_terms``, so both kernels and
+        the WAND bounds stay valid — a boost < 1 only shrinks max_u)."""
+        expanded = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
+        if not expanded:
+            return []
+        return self.search(
+            term,
+            k=k,
+            use_wand=use_wand,
+            doc_filter=doc_filter,
+            rewriter=lambda _qterms: expanded,
+        )
+
     def search_df(self, query: str, k: int = 100, **kwargs) -> DataFrame:
         rows = self.search(query, k, **kwargs)
         return self.spark.createDataFrame(
