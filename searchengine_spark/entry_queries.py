@@ -778,6 +778,69 @@ LIMIT {k}
 """
 
 
+MLT_DOC_ID = 285  # 29 distinct terms incl. rare 'dup' — idf must dominate
+MLT_MAX_TERMS = 5  # < 29, so the tf·idf selection ordering is hash-checked
+MLT_K = 40
+
+
+def q_mlt_topk(spark, sf_dir):
+    """MoreLikeThis: top tf·idf terms of a source document → BM25 OR over
+    the selection, source excluded. max_terms far below the doc's distinct
+    term count makes the selection ordering itself part of the hash; the
+    rare high-idf term 'dup' must beat every high-tf common term."""
+    eng = _shared_index(spark, sf_dir)
+    text = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == MLT_DOC_ID)
+        .select("text")
+        .collect()[0][0]
+    )
+    return _topk_rounded(
+        spark,
+        eng.more_like_this(
+            text, k=MLT_K + 25, max_terms=MLT_MAX_TERMS,
+            exclude_doc_id=MLT_DOC_ID,
+        ),
+        MLT_K,
+    )
+
+
+def _mlt_sql(doc_id: int, max_terms: int, k: int,
+             k1: float = 1.5, b: float = 0.75) -> str:
+    """SQL twin: same tf·idf selection (rounded to 6 dp, term-asc ties),
+    plain BM25 over the selected terms, source doc excluded."""
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df,
+                ln(1.0 + ((SELECT count(*) FROM stats) - count(*) + 0.5)
+                       / (count(*) + 0.5)) AS idf
+         FROM tf GROUP BY 1),
+sel AS (
+  SELECT s.term
+  FROM tf s JOIN dict d USING (term)
+  WHERE s.doc_id = {doc_id}
+  ORDER BY round(s.tf * d.idf, 6) DESC, s.term ASC
+  LIMIT {max_terms}),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(d.idf
+                   * (tf.tf * ({k1} + 1.0))
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+  FROM tf
+  JOIN sel USING (term)
+  JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  WHERE tf.doc_id != {doc_id}
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 NEAR_WINDOW = 3
 
 
@@ -1247,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "mlt_topk": q_mlt_topk,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1305,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": _fuzzy_sql(
             FUZZY_TERM, FUZZY_MAX_EDITS, FUZZY_MAX_EXP, FUZZY_K
         ),
+        "mlt_topk": _mlt_sql(MLT_DOC_ID, MLT_MAX_TERMS, MLT_K),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

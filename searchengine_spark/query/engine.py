@@ -580,6 +580,54 @@ class SearchEngine:
             rewriter=lambda _qterms: expanded,
         )
 
+    # -- more-like-this --------------------------------------------------------
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 100,
+        max_terms: int = 25,
+        exclude_doc_id: int | None = None,
+        doc_filter=None,
+        use_wand: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Similar-document retrieval (Lucene ``MoreLikeThis`` analogue):
+        tokenize the source text (one doc — driver-side is the right place),
+        pick its ``max_terms`` most characteristic terms by tf·idf (rounded
+        to 6 dp before ordering so the selection is reproducible across
+        float implementations; ties break term-asc), then run a BM25 OR over
+        the selection. ``exclude_doc_id`` drops the source document itself
+        from the results (the standard MLT contract). The tf·idf selection
+        costs one dictionary lookup (term-cached); the search is the normal
+        pruned segment path."""
+        from collections import Counter
+
+        from ..tokenizer import tokenize_py
+
+        tf = Counter(tokenize_py(text))
+        if not tf:
+            return []
+        rows = self._resolve_terms(" ".join(sorted(tf)))
+        scored = sorted(
+            (
+                (-round(tf[r["term"]] * float(r["idf"]), 6), r["term"])
+                for r in rows
+            ),
+        )
+        selected = [(t, 1.0) for _, t in scored[:max_terms]]
+        if not selected:
+            return []
+        extra = 1 if exclude_doc_id is not None else 0
+        hits = self.search(
+            " ".join(t for t, _ in selected),
+            k=k + extra,
+            use_wand=use_wand,
+            doc_filter=doc_filter,
+            rewriter=lambda _qterms: selected,
+        )
+        if exclude_doc_id is not None:
+            hits = [(d, s) for d, s in hits if d != exclude_doc_id]
+        return hits[:k]
+
     def search_df(self, query: str, k: int = 100, **kwargs) -> DataFrame:
         rows = self.search(query, k, **kwargs)
         return self.spark.createDataFrame(
