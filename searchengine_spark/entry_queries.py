@@ -841,6 +841,42 @@ LIMIT {k}
 """
 
 
+FACET_QUERY = "dup stream"  # dup is rare (df≈25), stream common — skewed union
+
+
+def q_facet_lang_or(spark, sf_dir):
+    """Facet counts over the FULL OR-match set (Solr/ES facet semantics):
+    matched doc_ids from the index kernels ⋈ document metadata, grouped by
+    lang. Distributed end-to-end — the match set never hits the driver."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.facet_counts(FACET_QUERY, docs, "lang", mode="or")
+
+
+def q_facet_source_and(spark, sf_dir):
+    """Same surface in AND mode: the intersection kernel (rare-term
+    candidate set) feeds the facet aggregation, grouped by source."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.facet_counts(FACET_QUERY, docs, "source", mode="and")
+
+
+def _facet_sql(query_terms: list[str], facet_col: str, mode: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    if mode == "and":
+        matched = f"""SELECT doc_id FROM tf WHERE term IN ({terms})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(query_terms)}"""
+    else:
+        matched = f"SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})"
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS ({matched})
+SELECT d.{facet_col} AS {facet_col}, count(*) AS n
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 NEAR_WINDOW = 3
 
 
@@ -1311,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "mlt_topk": q_mlt_topk,
+        "facet_lang_or": q_facet_lang_or,
+        "facet_source_and": q_facet_source_and,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1370,6 +1408,8 @@ def oracle_sql() -> dict[str, str]:
             FUZZY_TERM, FUZZY_MAX_EDITS, FUZZY_MAX_EXP, FUZZY_K
         ),
         "mlt_topk": _mlt_sql(MLT_DOC_ID, MLT_MAX_TERMS, MLT_K),
+        "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
+        "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

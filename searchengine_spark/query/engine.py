@@ -580,6 +580,62 @@ class SearchEngine:
             rewriter=lambda _qterms: expanded,
         )
 
+    # -- matched set / facets ----------------------------------------------------
+    def matching_docs(
+        self, query: str, mode: str = "or", rewriter=None, doc_filter=None
+    ) -> DataFrame:
+        """FULL matched set of a boolean query as a distributed
+        DataFrame[doc_id] — never collected to the driver (a web-scale match
+        set is unbounded; downstream consumers aggregate it). Same term
+        resolution, bucket/term-pruned segment scan, tombstone masking, and
+        cross-range AND guard as ``search``; only the kernel differs (set
+        union/intersection instead of top-k scoring)."""
+        from .wand import MATCH_SCHEMA, matched_group
+
+        from ..expansion import rewrite_query
+
+        dict_rows = self._resolve_terms(query, rewriter)
+        empty = self.spark.createDataFrame([], MATCH_SCHEMA)
+        if not dict_rows:
+            return empty
+        terms = sorted({r["term"] for r in dict_rows})
+        if mode == "and" and (
+            {t for t, _ in rewrite_query(query, rewriter)} - set(terms)
+        ):
+            return empty
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        blocks = self._pruned_blocks(buckets, terms)
+        n_query_terms = len(terms)
+        mask = self._doc_mask(doc_filter)
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return matched_group(pdf, mode, n_query_terms, mask)
+
+        return blocks.groupBy("doc_range").applyInPandas(run_group, MATCH_SCHEMA)
+
+    def facet_counts(
+        self,
+        query: str,
+        metadata: DataFrame,
+        facet_col: str,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Facet counts over the FULL match set (Solr/Elasticsearch facet
+        semantics — not top-k-limited): matched doc_ids ⋈ metadata on
+        doc_id, then count per facet value. Both sides stay distributed: the
+        join shuffles on doc_id (ranges already partition the matched side
+        evenly) and the count aggregates with map-side partials, so the
+        plan survives a match set of any size. Returns
+        DataFrame[facet_col, n]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        return (
+            m.join(metadata.select("doc_id", facet_col), "doc_id")
+            .groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     # -- more-like-this --------------------------------------------------------
     def more_like_this(
         self,

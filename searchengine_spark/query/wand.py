@@ -110,6 +110,43 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
+MATCH_SCHEMA = "doc_id long"
+
+
+def matched_group(
+    pdf: pd.DataFrame,
+    mode: str,
+    n_query_terms: int,
+    mask: DocMask | None = None,
+) -> pd.DataFrame:
+    """Matched-SET kernel (no scoring): all doc_ids in one doc_range group
+    that match the query terms under ``mode`` ("or" = union, "and" =
+    intersection). Unlike the top-k kernels this returns the FULL match —
+    the input to set-shaped downstream ops (facet counts, match
+    cardinality) that aggregate distributively afterwards, so nothing here
+    is k-bounded. Same cross-range AND guard as the scoring kernels: a
+    group missing any query term can contain no conjunctive match."""
+    by_term = _blocks_by_term(pdf)
+    if mode == "and" and len(by_term) < n_query_terms:
+        return pd.DataFrame({"doc_id": np.zeros(0, dtype=np.int64)})
+    per_term: list[np.ndarray] = []
+    for term in sorted(by_term):
+        docs, _, _ = _decode_term(by_term[term])
+        keep = _keep(docs, mask)
+        if keep is not None:
+            docs = docs[keep]
+        per_term.append(np.unique(docs))
+    if mode == "and":
+        out = per_term[0]
+        for d in per_term[1:]:
+            out = np.intersect1d(out, d, assume_unique=True)
+            if len(out) == 0:
+                break
+    else:
+        out = np.unique(np.concatenate(per_term)) if per_term else np.zeros(0, "uint64")
+    return pd.DataFrame({"doc_id": out.astype(np.uint64).view(np.int64)})
+
+
 def score_group_vectorized(
     pdf: pd.DataFrame,
     idf: dict[str, float],

@@ -1,0 +1,88 @@
+"""Matched-set extraction + facet counts over the FULL match set
+(Solr/Elasticsearch facet semantics): distributed end-to-end, aggregated
+with map-side partials — the match set never hits the driver.
+
+Reference parity note: the reference has no facets; engine-hardening
+surface kept honest by the facet_lang_or / facet_source_and driver
+entries' DuckDB twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.postings import term_frequencies
+from searchengine_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 150)
+
+
+@pytest.fixture()
+def eng(spark, corpus, tmp_path):
+    e = SearchEngine(spark, str(tmp_path / "idx"))
+    e.build_index_from_df(corpus, id_col="doc_id", text_col="text",
+                          n_buckets=4, range_bits=2)
+    return e
+
+
+def _truth_matched(spark, corpus, terms, mode):
+    tf = term_frequencies(corpus)
+    m = tf.filter(F.col("term").isin(terms))
+    if mode == "and":
+        return {
+            r[0]
+            for r in m.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .select("doc_id")
+            .collect()
+        }
+    return {r[0] for r in m.select("doc_id").distinct().collect()}
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_matching_docs_equals_tf_truth(spark, corpus, eng, mode):
+    got = {r[0] for r in eng.matching_docs("spark stream", mode).collect()}
+    want = _truth_matched(spark, corpus, ["spark", "stream"], mode)
+    assert got == want and got
+
+
+def test_and_with_oov_term_is_empty(eng):
+    assert eng.matching_docs("spark qqqq", "and").count() == 0
+    # OR mode ignores the OOV term
+    assert eng.matching_docs("spark qqqq", "or").count() > 0
+
+
+def test_facet_counts_match_join_truth(spark, corpus, eng):
+    got = {
+        (r["lang"], r["n"])
+        for r in eng.facet_counts("spark stream", corpus, "lang").collect()
+    }
+    matched = _truth_matched(spark, corpus, ["spark", "stream"], "or")
+    truth = (
+        corpus.filter(F.col("doc_id").isin(list(matched)))
+        .groupBy("lang")
+        .count()
+    )
+    want = {(r["lang"], r["count"]) for r in truth.collect()}
+    assert got == want
+
+
+def test_deleted_docs_leave_the_match_set(eng, corpus):
+    before = {r[0] for r in eng.matching_docs("spark", "or").collect()}
+    victim = sorted(before)[0]
+    eng.delete_docs([victim])
+    after = {r[0] for r in eng.matching_docs("spark", "or").collect()}
+    assert after == before - {victim}
+
+
+def test_doc_filter_restricts_match_set(eng):
+    base = sorted(r[0] for r in eng.matching_docs("spark", "or").collect())
+    allow = set(base[::2])
+    got = {r[0] for r in eng.matching_docs("spark", "or", doc_filter=allow).collect()}
+    assert got == allow
