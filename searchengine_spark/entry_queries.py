@@ -877,6 +877,53 @@ GROUP BY 1
 """
 
 
+EXPLAIN_QUERY = "dup stream"
+EXPLAIN_DOCS = [7, 45, 285, 400]
+
+
+def q_explain_scores(spark, sf_dir):
+    """Lucene-style explain(): per-(doc, term) BM25 breakdown — tf/dl from
+    the decoded postings, df/idf from the dictionary, contribution as a JVM
+    expression. Hash-checks the entire scoring decomposition, not just the
+    top-k sums."""
+    eng = _shared_index(spark, sf_dir)
+    df = eng.explain(EXPLAIN_QUERY, EXPLAIN_DOCS)
+    return df.select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        "df",
+        F.round("idf", ROUND_DP).alias("idf"),
+        F.round("contribution", ROUND_DP).alias("contribution"),
+    )
+
+
+def _explain_sql(query_terms: list[str], doc_ids: list[int],
+                 k1: float = 1.5, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    ids = ", ".join(str(d) for d in doc_ids)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df,
+                ln(1.0 + ((SELECT count(*) FROM stats) - count(*) + 0.5)
+                       / (count(*) + 0.5)) AS idf
+         FROM tf GROUP BY 1)
+SELECT t.doc_id AS doc_id, t.term AS term, t.tf AS tf, s.doc_len AS dl,
+       d.df AS df, round(d.idf, {ROUND_DP}) AS idf,
+       round(d.idf * (t.tf * ({k1} + 1.0))
+             / (t.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl)),
+             {ROUND_DP}) AS contribution
+FROM tf t
+JOIN stats s ON s.doc_id = t.doc_id
+JOIN dict d ON d.term = t.term
+CROSS JOIN corpus c
+WHERE t.doc_id IN ({ids}) AND t.term IN ({terms})
+"""
+
+
 NEAR_WINDOW = 3
 
 
@@ -1349,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
         "facet_source_and": q_facet_source_and,
+        "explain_scores": q_explain_scores,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1410,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_topk": _mlt_sql(MLT_DOC_ID, MLT_MAX_TERMS, MLT_K),
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
+        "explain_scores": _explain_sql(EXPLAIN_QUERY.split(), EXPLAIN_DOCS),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

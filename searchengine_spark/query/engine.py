@@ -636,6 +636,52 @@ class SearchEngine:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    # -- score explain ---------------------------------------------------------
+    def explain(self, query: str, doc_ids, rewriter=None) -> DataFrame:
+        """Per-(doc, term) BM25 score breakdown for the given docs (Lucene
+        ``explain()`` analogue): tf and dl come straight off the decoded
+        postings (what the index physically scored), df/idf from the
+        dictionary, and the saturation + contribution arithmetic is a JVM
+        expression — summing ``contribution`` per doc reproduces ``search``
+        scores exactly. Returns DataFrame[doc_id, term, tf, dl, df, idf,
+        contribution]. Diagnostic surface: sized for a handful of docs (the
+        allow-set mask), not a full-corpus scan."""
+        from .wand import EXPLAIN_SCHEMA, explain_group
+
+        dict_rows = self._resolve_terms(query, rewriter)
+        raw_empty = self.spark.createDataFrame(
+            [], EXPLAIN_SCHEMA + ", df long, idf double, contribution double"
+        )
+        if not dict_rows:
+            return raw_empty
+        terms = sorted({r["term"] for r in dict_rows})
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        blocks = self._pruned_blocks(buckets, terms)
+        mask = self._doc_mask(doc_ids)
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return explain_group(pdf, mask)
+
+        raw = blocks.groupBy("doc_range").applyInPandas(run_group, EXPLAIN_SCHEMA)
+        meta = self.meta
+        dict_df = self.spark.createDataFrame(
+            [(r["term"], int(r["df"]), float(r["idf"])) for r in dict_rows],
+            "term string, df long, idf double",
+        )
+        u = (F.col("tf") * (meta.k1 + 1.0)) / (
+            F.col("tf")
+            + meta.k1 * (1.0 - meta.b + meta.b * F.col("dl") / meta.avgdl)
+        )
+        return raw.join(F.broadcast(dict_df), "term").select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            "df",
+            "idf",
+            (F.col("idf") * u).alias("contribution"),
+        )
+
     # -- more-like-this --------------------------------------------------------
     def more_like_this(
         self,

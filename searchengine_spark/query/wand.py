@@ -111,6 +111,44 @@ def _empty_result() -> pd.DataFrame:
 
 
 MATCH_SCHEMA = "doc_id long"
+EXPLAIN_SCHEMA = "doc_id long, term string, tf long, dl long"
+
+
+def explain_group(pdf: pd.DataFrame, mask: DocMask | None = None) -> pd.DataFrame:
+    """Raw per-(doc, term) posting facts for one doc_range group — the
+    decode half of a Lucene-style ``explain()``. Scoring arithmetic happens
+    JVM-side afterwards (idf join + saturation expression), so this kernel
+    only surfaces what is physically in the index: tf and dl per posting,
+    restricted to ``mask.included`` (the docs being explained)."""
+    by_term = _blocks_by_term(pdf)
+    parts: list[pd.DataFrame] = []
+    for term in sorted(by_term):
+        docs, tfs, dls = _decode_term(by_term[term])
+        keep = _keep(docs, mask)
+        if keep is not None:
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if len(docs) == 0:
+            continue
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": docs.astype(np.uint64).view(np.int64),
+                    "term": term,
+                    "tf": tfs.astype(np.int64),
+                    "dl": dls.astype(np.int64),
+                }
+            )
+        )
+    if not parts:
+        return pd.DataFrame(
+            {
+                "doc_id": np.zeros(0, np.int64),
+                "term": pd.Series([], dtype=str),
+                "tf": np.zeros(0, np.int64),
+                "dl": np.zeros(0, np.int64),
+            }
+        )
+    return pd.concat(parts, ignore_index=True)
 
 
 def matched_group(
