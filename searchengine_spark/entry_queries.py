@@ -877,6 +877,29 @@ GROUP BY 1
 """
 
 
+SUGGEST_PREFIX = "s"  # completes to 6 terms; n=4 makes the df cap observable
+SUGGEST_N = 4
+
+
+def q_suggest(spark, sf_dir):
+    """Autocomplete: top-df completions of a prefix from the dictionary
+    (df desc, term asc), prefix pushed down to the parquet scan."""
+    eng = _shared_index(spark, sf_dir)
+    rows = eng.suggest(SUGGEST_PREFIX, n=SUGGEST_N)
+    return spark.createDataFrame(rows, "term string, df long")
+
+
+def _suggest_sql(prefix: str, n: int) -> str:
+    return f"""
+WITH tf AS ({_TF_SQL}),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT term, df FROM dict
+WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC
+LIMIT {n}
+"""
+
+
 EXPLAIN_QUERY = "dup stream"
 EXPLAIN_DOCS = [7, 45, 285, 400]
 
@@ -1397,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_or": q_facet_lang_or,
         "facet_source_and": q_facet_source_and,
         "explain_scores": q_explain_scores,
+        "suggest": q_suggest,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1459,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "explain_scores": _explain_sql(EXPLAIN_QUERY.split(), EXPLAIN_DOCS),
+        "suggest": _suggest_sql(SUGGEST_PREFIX, SUGGEST_N),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

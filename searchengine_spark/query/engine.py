@@ -555,6 +555,22 @@ class SearchEngine:
         )
         return sorted((r["term"], float(r["boost"])) for r in rows)
 
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete: the ``n`` highest-df dictionary terms completing
+        ``prefix`` (df desc, term asc), as [(term, df)]. The prefix is
+        pushed down to the dictionary parquet scan as ``StartsWith``; the
+        dictionary side is the broadcast-small side of the index, so this
+        is a sub-scan of one small table however large the corpus."""
+        rows = (
+            self._load_dict()
+            .filter(F.col("term").startswith(prefix.lower()))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
     def search_fuzzy(
         self,
         term: str,

@@ -77,6 +77,18 @@ def test_search_equals_or_over_expansion(eng):
         assert got == want
 
 
+def test_suggest_is_df_ranked_prefix_completion(eng):
+    vocab = _vocab_df(eng)
+    matches = sorted(
+        (t for t in vocab if t.startswith("s")),
+        key=lambda t: (-vocab[t], t),
+    )
+    assert len(matches) > 3
+    got = eng.suggest("s", n=3)
+    assert got == [(t, vocab[t]) for t in matches[:3]]
+    assert eng.suggest("zzz") == []
+
+
 def test_wildcard_respects_doc_filter(eng):
     base = eng.search_wildcard("s*", k=500, max_expansions=4)
     allow = {d for d, _ in base[::3]}
