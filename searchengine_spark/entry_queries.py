@@ -877,6 +877,52 @@ GROUP BY 1
 """
 
 
+SNIPPET_QUERY = "dup stream spark"
+SNIPPET_WINDOW = 6
+
+
+def q_snippets(spark, sf_dir):
+    """Best-window snippet offsets over the FULL OR-match set from the
+    positional index (Lucene highlighter analogue): per matching doc, the
+    window-token span with the most distinct query terms (ties: more total
+    matches, then leftmost). start/end/n_terms/n_matches are all integers,
+    so the window-selection logic is hash-checked end to end."""
+    eng = _shared_index(spark, sf_dir, positional=True)
+    return eng.snippets(SNIPPET_QUERY, window=SNIPPET_WINDOW)
+
+
+def _snippet_sql(query_terms: list[str], window: int) -> str:
+    """SQL twin: tokenizer positions via generate_subscripts (1-based →
+    -1), anchor windows at every match, count matches and distinct terms
+    per window with correlated subqueries, pick the per-doc best by
+    (n_terms desc, n_matches desc, start asc)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS p
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)),
+m AS (SELECT doc_id, term, p FROM pos WHERE term IN ({terms})),
+win AS (
+  SELECT a.doc_id, a.p AS start,
+         max(b.p) AS "end",
+         count(DISTINCT b.term) AS n_terms,
+         count(*) AS n_matches
+  FROM m a JOIN m b ON a.doc_id = b.doc_id
+       AND b.p >= a.p AND b.p < a.p + {window}
+  GROUP BY a.doc_id, a.p),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY n_terms DESC, n_matches DESC, start ASC) AS rn
+  FROM win)
+SELECT doc_id, start, "end", n_terms, n_matches FROM best WHERE rn = 1
+"""
+
+
 SUGGEST_PREFIX = "s"  # completes to 6 terms; n=4 makes the df cap observable
 SUGGEST_N = 4
 
@@ -1421,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source_and": q_facet_source_and,
         "explain_scores": q_explain_scores,
         "suggest": q_suggest,
+        "snippets": q_snippets,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1484,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "explain_scores": _explain_sql(EXPLAIN_QUERY.split(), EXPLAIN_DOCS),
         "suggest": _suggest_sql(SUGGEST_PREFIX, SUGGEST_N),
+        "snippets": _snippet_sql(SNIPPET_QUERY.split(), SNIPPET_WINDOW),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),

@@ -461,6 +461,45 @@ class SearchEngine:
 
         return self._positional_query(query, k, doc_filter, make_kernel)
 
+    # -- snippets / highlighting -------------------------------------------------
+    def snippets(
+        self, query: str, window: int = 8, doc_filter=None, rewriter=None
+    ) -> DataFrame:
+        """Best-window snippet offsets for every doc matching ≥1 query term
+        (Lucene highlighter analogue, OR semantics): per doc, the
+        ``window``-token span with the most distinct query terms (ties:
+        more total matches, then leftmost), as DataFrame[doc_id, start,
+        end, n_terms, n_matches] — start/end are 0-based positions in the
+        filtered token stream, the offsets a text-side renderer slices.
+        Needs a positional index; runs distributed (one kernel per
+        doc_range), so highlighting a full match set is one job, not a
+        per-doc loop."""
+        from ..tokenizer import tokenize_py
+        from .phrase import SNIPPET_SCHEMA, snippet_group
+
+        meta = self.meta
+        if not meta.has_positions:
+            raise ValueError(
+                "index was built without positions — rebuild with "
+                "with_positions=True for snippet extraction"
+            )
+        empty = self.spark.createDataFrame([], SNIPPET_SCHEMA)
+        terms = tokenize_py(query)
+        if not terms:
+            return empty
+        dict_rows = self._resolve_terms(" ".join(sorted(set(terms))), rewriter)
+        if not dict_rows:
+            return empty
+        resolved = sorted({r["term"] for r in dict_rows})
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        blocks = self._pruned_blocks(buckets, resolved)
+        mask = self._doc_mask(doc_filter)
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return snippet_group(pdf, resolved, window, mask)
+
+        return blocks.groupBy("doc_range").applyInPandas(run_group, SNIPPET_SCHEMA)
+
     # -- wildcard / prefix queries ---------------------------------------------
     def expand_pattern(self, pattern: str, max_expansions: int = 50) -> list[str]:
         """Dictionary-backed wildcard expansion (Lucene ``PrefixQuery`` /

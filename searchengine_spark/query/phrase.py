@@ -244,3 +244,89 @@ def score_group_near(
     if len(matched) == 0:
         return pd.DataFrame(_EMPTY)
     return _score_matched(per_term, distinct, matched, idf, k1, b, avgdl, k)
+
+
+SNIPPET_SCHEMA = "doc_id long, start long, end long, n_terms long, n_matches long"
+
+_SNIPPET_EMPTY = {
+    "doc_id": np.zeros(0, np.int64),
+    "start": np.zeros(0, np.int64),
+    "end": np.zeros(0, np.int64),
+    "n_terms": np.zeros(0, np.int64),
+    "n_matches": np.zeros(0, np.int64),
+}
+
+
+def _gpos_union(per_term: dict[str, tuple], term: str, docs_u: np.ndarray) -> np.ndarray:
+    """``term``'s positions across the docs it shares with ``docs_u`` (a
+    sorted union — the term need not cover every doc, unlike ``_gpos``'s
+    intersection contract), in the global ``(slot << 32) | pos`` space."""
+    docs, tfs, _, flat = per_term[term]
+    slot = np.searchsorted(docs_u, docs)
+    has = (slot < len(docs_u)) & (
+        docs_u[np.minimum(slot, max(len(docs_u) - 1, 0))] == docs
+    )
+    rows = np.nonzero(has)[0]
+    if len(rows) == 0:
+        return np.zeros(0, np.int64)
+    cumtf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    cnt = tfs[rows].astype(np.int64)
+    sel = _ragged_gather(cumtf[rows], cnt)
+    slots = np.repeat(slot[rows].astype(np.int64) << np.int64(32), cnt)
+    return slots + flat[sel].astype(np.int64)
+
+
+def snippet_group(
+    pdf: pd.DataFrame,
+    terms: list[str],
+    window: int,
+    mask: DocMask | None = None,
+) -> pd.DataFrame:
+    """Best-window snippet kernel (Lucene highlighter analogue) for one
+    doc_range group: for every doc matching ≥1 query term, pick the
+    ``window``-token span holding the most DISTINCT query terms (ties:
+    more total matches, then leftmost), anchored at a match position.
+    Returns one row per doc: (doc_id, start, end, n_terms, n_matches)
+    where start/end are the first/last matched 0-based token positions
+    inside the chosen span — the offsets a text-side highlighter slices.
+
+    Fully vectorized sweep over the ``(slot << 32) | pos`` space: every
+    anchor's span count is two searchsorted's per term (windows can't
+    cross doc slots — window << 2^32), the per-doc winner is one lexsort.
+    O(P log P) for P total positions, no per-doc Python loop."""
+    per_term = _decode_positional(pdf)
+    present = sorted(t for t in set(terms) if t in per_term)
+    if not present:
+        return pd.DataFrame(_SNIPPET_EMPTY)
+    docs_u = np.unique(np.concatenate([per_term[t][0] for t in present]))
+    keep = _keep(docs_u, mask)
+    if keep is not None:
+        docs_u = docs_u[keep]
+    if len(docs_u) == 0:
+        return pd.DataFrame(_SNIPPET_EMPTY)
+    pos_parts = [_gpos_union(per_term, t, docs_u) for t in present]
+    G = np.concatenate(pos_parts)
+    G.sort(kind="stable")
+    hi = np.searchsorted(G, G + window, side="left")
+    n_matches = hi - np.arange(len(G))
+    n_terms = np.zeros(len(G), dtype=np.int64)
+    for P in pos_parts:
+        n_terms += np.searchsorted(P, G + window, side="left") > np.searchsorted(
+            P, G, side="left"
+        )
+    # per-slot best anchor: (n_terms desc, n_matches desc, position asc)
+    slot = G >> np.int64(32)
+    order = np.lexsort((G, -n_matches, -n_terms, slot))
+    first = np.unique(slot[order], return_index=True)[1]
+    best = order[first]
+    starts = G[best] & np.int64(0xFFFFFFFF)
+    ends = G[hi[best] - 1] & np.int64(0xFFFFFFFF)
+    return pd.DataFrame(
+        {
+            "doc_id": docs_u[slot[best]].astype(np.uint64).view(np.int64),
+            "start": starts,
+            "end": ends,
+            "n_terms": n_terms[best],
+            "n_matches": n_matches[best],
+        }
+    )
