@@ -100,6 +100,18 @@ def _cmd_search(args) -> None:
     elif args.mode == "near":
         hits = eng.search_near(args.query, window=args.window, k=args.k,
                                ordered=args.ordered)
+    elif args.mode == "wildcard":
+        hits = eng.search_wildcard(args.query, k=args.k,
+                                   max_expansions=args.max_expansions,
+                                   use_wand=not args.no_wand)
+    elif args.mode == "fuzzy":
+        hits = eng.search_fuzzy(args.query, k=args.k,
+                                max_edits=args.max_edits,
+                                max_expansions=args.max_expansions,
+                                use_wand=not args.no_wand)
+    elif args.mode == "mlt":
+        hits = eng.more_like_this(args.query, k=args.k,
+                                  use_wand=not args.no_wand)
     else:
         hits = eng.search(args.query, k=args.k, mode=args.mode, use_wand=not args.no_wand)
     dt = time.perf_counter() - t0
@@ -111,6 +123,23 @@ def _cmd_search(args) -> None:
                 "mode": args.mode,
                 "sec": round(dt, 3),
                 "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
+            }
+        )
+    )
+
+
+def _cmd_suggest(args) -> None:
+    spark = _spark(args)
+    from .query.engine import SearchEngine
+
+    eng = SearchEngine(spark, args.index)
+    print(
+        json.dumps(
+            {
+                "prefix": args.prefix,
+                "suggestions": [
+                    {"term": t, "df": df} for t, df in eng.suggest(args.prefix, args.n)
+                ],
             }
         )
     )
@@ -204,13 +233,29 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=100)
-    s.add_argument("--mode", choices=["or", "and", "phrase", "near"], default="or")
+    s.add_argument(
+        "--mode",
+        choices=["or", "and", "phrase", "near", "wildcard", "fuzzy", "mlt"],
+        default="or",
+        help="wildcard: --query is a glob (ind*); fuzzy: a single term; "
+        "mlt: a source text to find similar docs for",
+    )
+    s.add_argument("--max-expansions", type=int, default=50,
+                   help="wildcard/fuzzy expansion cap")
+    s.add_argument("--max-edits", type=int, default=2,
+                   help="fuzzy Levenshtein budget")
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--window", type=int, default=5,
                    help="near mode: max token span between query terms")
     s.add_argument("--ordered", action="store_true",
                    help="near mode: require terms in query order")
     s.set_defaults(fn=_cmd_search)
+
+    sg = sub.add_parser("suggest", help="autocomplete: df-ranked prefix completions")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("-n", type=int, default=10)
+    sg.set_defaults(fn=_cmd_suggest)
 
     e = sub.add_parser("eval", help="run a query file against qrels → MAP/P@k/recall")
     e.add_argument("--index", required=True)
