@@ -877,6 +877,25 @@ GROUP BY 1
 """
 
 
+PAGE_QUERY = "spark stream join"
+PAGE_SIZE = 25
+
+
+def q_search_after(spark, sf_dir):
+    """Deep pagination (Elasticsearch search_after semantics): page 2 is
+    fetched with only the (score, doc_id) cursor of page 1's last hit — no
+    offset re-scan, no server-side scroll state, and the cursor filter runs
+    inside the kernels BEFORE group-local top-k so any page depth stays
+    exact. The entry returns page1 ⧺ page2: hash-equality with the plain
+    top-50 SQL proves the pages tile the ranking seamlessly (no overlap, no
+    gap) without depending on where the float page boundary lands."""
+    eng = _shared_index(spark, sf_dir)
+    page1 = eng.search(PAGE_QUERY, k=PAGE_SIZE)
+    cursor = page1[-1]
+    page2 = eng.search(PAGE_QUERY, k=PAGE_SIZE + 15, after=cursor)
+    return _topk_rounded(spark, page1 + page2, 2 * PAGE_SIZE)
+
+
 SNIPPET_QUERY = "dup stream spark"
 SNIPPET_WINDOW = 6
 
@@ -1468,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_scores": q_explain_scores,
         "suggest": q_suggest,
         "snippets": q_snippets,
+        "search_after": q_search_after,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1581,6 +1601,11 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         "wand_topk": f"""
 SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
 ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
+""",
+        # two cursor-tiled pages must equal the plain top-2k
+        "search_after": f"""
+SELECT doc_id, score FROM ({_bm25_sql(PAGE_QUERY)})
+ORDER BY score DESC, doc_id ASC LIMIT {2 * PAGE_SIZE}
 """,
         # tombstones: FULL-subset stats, dead docs dropped from results only
         "delete_search": f"""

@@ -251,10 +251,19 @@ class SearchEngine:
         merge: str = "take_ordered",
         rewriter=None,
         doc_filter=None,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc).
         ``doc_filter``: restrict results to these doc_ids (metadata-filtered
-        search; scores keep corpus-wide statistics — see ``DocMask``)."""
+        search; scores keep corpus-wide statistics — see ``DocMask``).
+        ``after``: deep-pagination cursor — the LAST RESULT TUPLE (doc_id,
+        score) of the previous page (``hits[-1]`` verbatim); only results strictly after it in result
+        order return (Elasticsearch search_after semantics: state lives in
+        the cursor, no server-side scroll, and per-group top-k truncation
+        stays exact at ANY page depth because the filter runs inside the
+        kernels before selection). Pagination routes through the exhaustive
+        kernels: block-max pruning optimizes the unfiltered-top-k objective
+        and is disabled for cursored pages."""
         meta = self.meta
         dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
@@ -271,13 +280,24 @@ class SearchEngine:
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
         terms = sorted(idf)
         blocks = self._pruned_blocks(buckets, terms)
-        kernel = score_group_wand if use_wand else score_group_vectorized
+        kernel = (
+            score_group_wand if use_wand and after is None else score_group_vectorized
+        )
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
         n_query_terms = len(terms)  # global-AND guard (see kernel docstring)
         mask = self._doc_mask(doc_filter)
 
-        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return kernel(pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask)
+        if after is not None:
+
+            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_group_vectorized(
+                    pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask, after
+                )
+
+        else:
+
+            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                return kernel(pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
 

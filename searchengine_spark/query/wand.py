@@ -110,6 +110,22 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
+def _after_filter(
+    signed: np.ndarray, acc: np.ndarray, after: "tuple[int, float] | None"
+) -> np.ndarray:
+    """Keep-mask for search_after pagination: rows strictly AFTER the
+    cursor in result order (score desc, signed doc_id asc). The cursor is a
+    ``(doc_id, score)`` RESULT tuple — exactly what ``search`` returns, so
+    ``hits[-1]`` is a valid cursor verbatim. Cursor scores come from a
+    previous page of the same float pipeline, so the equality compare is
+    bit-exact. Filtering happens BEFORE the group-local top-k — that's what
+    makes per-group truncation safe at any page depth."""
+    if after is None:
+        return np.ones(len(acc), dtype=bool)
+    a_d, a_s = int(after[0]), float(after[1])
+    return (acc < a_s) | ((acc == a_s) & (signed > a_d))
+
+
 MATCH_SCHEMA = "doc_id long"
 EXPLAIN_SCHEMA = "doc_id long, term string, tf long, dl long"
 
@@ -195,10 +211,13 @@ def score_group_vectorized(
     mode: str = "or",
     n_query_terms: int | None = None,
     mask: DocMask | None = None,
+    after: "tuple[int, float] | None" = None,
 ) -> pd.DataFrame:
     """Exact OR (or AND) top-k within one doc_range group. Columns in:
     BLOCK_SCHEMA; out: (doc_id:int64, score:float64). ``mask``: decode-time
     doc mask — tombstones and/or filtered-search allow-set (see ``DocMask``).
+    ``after``: search_after cursor, a (doc_id, score) result tuple — only
+    rows strictly after it in result order survive the group-local top-k.
 
     ``n_query_terms``: the FULL query's term count. AND semantics are
     global — a doc_range group holding blocks for only a subset of the
@@ -234,6 +253,9 @@ def score_group_vectorized(
         keep = hits == len(terms)
         uniq, acc = uniq[keep], acc[keep]
     signed = uniq.view(np.int64)
+    if after is not None:
+        keep = _after_filter(signed, acc, after)
+        signed, acc = signed[keep], acc[keep]
     idx = np.lexsort((signed, -acc))[:k]
     return pd.DataFrame({"doc_id": signed[idx], "score": acc[idx]})
 
@@ -378,6 +400,7 @@ def _and_vectorized(
     k: int,
     raw_cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
     mask: DocMask | None = None,
+    after: "tuple[int, float] | None" = None,
 ) -> pd.DataFrame:
     """Vectorized conjunctive (AND) kernel with rare-term-driven block
     skipping — replaces the round-2 Python doc-at-a-time cursor loop.
@@ -457,6 +480,9 @@ def _and_vectorized(
     for t in terms:  # ascending-term accumulation == exhaustive kernel
         acc += scores[t]
     signed = cand.view(np.int64)
+    if after is not None:
+        keep = _after_filter(signed, acc, after)
+        signed, acc = signed[keep], acc[keep]
     idx = np.lexsort((signed, -acc))[:k]
     return pd.DataFrame({"doc_id": signed[idx], "score": acc[idx]})
 
