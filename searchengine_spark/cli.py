@@ -128,6 +128,50 @@ def _cmd_search(args) -> None:
     )
 
 
+def _cmd_append(args) -> None:
+    spark = _spark(args)
+    from .streaming.ingest import append_docs
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.input)
+    epoch = append_docs(
+        df, args.index, id_col=args.id_col, text_col=args.text_col,
+        n_buckets=args.buckets, range_bits=args.range_bits,
+        with_positions=args.positions,
+    )
+    print(
+        json.dumps(
+            {
+                "appended": args.index,
+                "epoch": epoch,
+                "n_docs": df.count(),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
+def _cmd_update(args) -> None:
+    spark = _spark(args)
+    from .query.engine import SearchEngine
+
+    t0 = time.perf_counter()
+    eng = SearchEngine(spark, args.index)
+    n = eng.update_docs(
+        spark.read.parquet(args.input),
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    print(
+        json.dumps(
+            {
+                "updated": args.index,
+                "n_docs": n,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
 def _cmd_suggest(args) -> None:
     spark = _spark(args)
     from .query.engine import SearchEngine
@@ -250,6 +294,23 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--ordered", action="store_true",
                    help="near mode: require terms in query order")
     s.set_defaults(fn=_cmd_search)
+
+    ap = sub.add_parser("append", help="batch-append docs as a new epoch (creates the index if absent)")
+    ap.add_argument("--input", required=True, help="parquet corpus to append")
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--range-bits", type=int, default=6)
+    ap.add_argument("--positions", action="store_true")
+    ap.set_defaults(fn=_cmd_append)
+
+    up = sub.add_parser("update", help="replace docs in place (delete old version + append new epoch)")
+    up.add_argument("--input", required=True, help="parquet of replacement docs")
+    up.add_argument("--index", required=True)
+    up.add_argument("--id-col", default="doc_id")
+    up.add_argument("--text-col", default="content")
+    up.set_defaults(fn=_cmd_update)
 
     sg = sub.add_parser("suggest", help="autocomplete: df-ranked prefix completions")
     sg.add_argument("--index", required=True)

@@ -877,6 +877,94 @@ GROUP BY 1
 """
 
 
+UPDATE_MOD = 50  # docs with doc_id % 50 == 0 get replaced in place
+UPDATE_TEXT = "dup merge dup sort vector"
+UPDATE_QUERY = "dup merge stream"
+UPDATE_K = 40
+_UPDATE_INDEX: dict[str, str] = {}
+
+
+def _update_index(spark, sf_dir):
+    """Epoch-layout index over the sf corpus with doc_id % UPDATE_MOD == 0
+    replaced in place via update_docs — built once per driver run."""
+    from .query.engine import SearchEngine
+    from .streaming.ingest import append_docs
+
+    path = _UPDATE_INDEX.get(sf_dir)
+    if path is None:
+        path = _tmpdir("seidx_upd_") + "/idx"
+        docs = _docs(spark, sf_dir)
+        append_docs(docs, path, n_buckets=8, range_bits=3)
+        eng = SearchEngine(spark, path)
+        updates = docs.filter(F.col("doc_id") % UPDATE_MOD == 0).select(
+            "doc_id", F.lit(UPDATE_TEXT).alias("text")
+        )
+        eng.update_docs(updates)
+        _UPDATE_INDEX[sf_dir] = path
+        return eng
+    return SearchEngine(spark, path)
+
+
+def q_update_search(spark, sf_dir):
+    """In-place document update (Lucene updateDocument semantics): updated
+    docs score ONLY their new version (old postings die via the epoch
+    watermark), while corpus statistics count both versions until
+    compaction — the standard until-merge behaviour, mirrored exactly by
+    the twin's stats-corpus/live-corpus split. Hash equality proves both
+    the replacement AND the documented stats drift."""
+    eng = _update_index(spark, sf_dir)
+    return _topk_rounded(
+        spark, eng.search(UPDATE_QUERY, k=UPDATE_K + 25), UPDATE_K
+    )
+
+
+def _update_sql(query_terms: list[str], k: int,
+                k1: float = 1.5, b: float = 0.75) -> str:
+    from .tokenizer import duckdb_tokens_cte
+
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    # each VERSION of a doc is its own pseudo-doc for statistics (vid) —
+    # that's exactly what the engine's per-epoch dictionary merge sums
+    tf_stats = duckdb_tokens_cte("stats_corpus", "vid", "text")
+    tf_live = duckdb_tokens_cte("live_corpus", "doc_id", "text")
+    return f"""
+WITH upd AS (
+  SELECT doc_id, '{UPDATE_TEXT}' AS text FROM documents
+  WHERE doc_id % {UPDATE_MOD} = 0),
+stats_corpus AS (
+  SELECT doc_id * 2 AS vid, text FROM documents
+  UNION ALL SELECT doc_id * 2 + 1 AS vid, text FROM upd),
+live_corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {UPDATE_MOD} <> 0
+  UNION ALL SELECT doc_id, text FROM upd),
+tfs AS (SELECT doc_id AS vid, term, count(*)::BIGINT AS tf FROM ({tf_stats})
+        GROUP BY 1, term),
+tfl AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({tf_live})
+        GROUP BY doc_id, term),
+-- stats count BOTH versions of an updated doc (until-merge semantics)
+corpus AS (
+  SELECT count(*) AS n, sum(doc_len) AS tot,
+         sum(doc_len) / count(*) AS avgdl
+  FROM (SELECT vid, sum(tf) AS doc_len FROM tfs GROUP BY 1) x),
+dict AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+live_stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tfl GROUP BY 1),
+scored AS (
+  SELECT t.doc_id AS doc_id,
+         round(sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * ({k1} + 1.0))
+                   / (t.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+  FROM tfl t
+  JOIN (SELECT unnest([{terms}]) AS term) q USING (term)
+  JOIN dict d USING (term)
+  JOIN live_stats s ON s.doc_id = t.doc_id
+  CROSS JOIN corpus c
+  GROUP BY t.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 PAGE_QUERY = "spark stream join"
 PAGE_SIZE = 25
 
@@ -1488,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": q_suggest,
         "snippets": q_snippets,
         "search_after": q_search_after,
+        "update_search": q_update_search,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1602,6 +1691,7 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
 SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
 ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
 """,
+        "update_search": _update_sql(UPDATE_QUERY.split(), UPDATE_K),
         # two cursor-tiled pages must equal the plain top-2k
         "search_after": f"""
 SELECT doc_id, score FROM ({_bm25_sql(PAGE_QUERY)})

@@ -106,26 +106,80 @@ class SearchEngine:
         semantics, documented). Tombstones append as parquet under
         ``tombstones/``; readers pick them up via a directory fingerprint,
         so deletes propagate across engine handles like meta changes do."""
+        return self._write_tombstones(doc_ids, wm=None)
+
+    def _write_tombstones(self, doc_ids, wm: int | None) -> int:
+        """Append tombstone rows. ``wm=None`` → plain delete (dead in every
+        epoch); ``wm=E`` → update tombstone (dead only in epochs ≤ E, so a
+        re-added version in a later epoch survives)."""
         ids = sorted({int(d) for d in doc_ids})
         if not ids:
             return 0
-        df = self.spark.createDataFrame([(d,) for d in ids], "doc_id long")
+        df = self.spark.createDataFrame(
+            [(d, wm) for d in ids], "doc_id long, wm long"
+        )
         df.coalesce(1).write.mode("append").parquet(
             os.path.join(self.index_dir, "tombstones")
         )
         self._tomb = None
         return len(ids)
 
+    def update_docs(
+        self,
+        updates: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> int:
+        """Replace documents in place (Lucene ``updateDocument`` analogue):
+        write epoch-watermarked tombstones for the incoming doc_ids (their
+        OLD postings — every epoch up to now — die at decode time), then
+        append the new versions as a fresh epoch via ``append_docs``. The
+        new epoch's id is > the watermark, so the new version is the one
+        that scores; phrase/NEAR/snippets see only the new position stream.
+
+        Stats semantics (standard Lucene until-merge behaviour, documented):
+        dictionary df/cf and n_docs/avgdl count BOTH versions until
+        ``compact_streamed_index`` physically drops the superseded postings
+        and rebuilds exact statistics. Requires an epoch-layout index
+        (``append_docs``/``incremental_index`` builds, or a compacted one).
+        Returns the number of updated docs."""
+        from ..streaming.ingest import _manifest_state, append_docs
+
+        ids = [int(r[0]) for r in updates.select(id_col).collect()]
+        if not ids:
+            return 0
+        epochs_all, _, compaction = _manifest_state(self.index_dir)
+        wm = max(
+            [int(e["epoch"]) for e in epochs_all]
+            + ([0] if compaction is not None else [])
+            or [-1]
+        )
+        if wm < 0:
+            raise ValueError(
+                "update_docs needs an existing epoch-layout index "
+                "(nothing committed yet — use append_docs to create one)"
+            )
+        self._write_tombstones(ids, wm=wm)
+        append_docs(updates, self.index_dir, id_col=id_col, text_col=text_col)
+        return len(ids)
+
     def _tombstones(self):
-        """Sorted uint64 tombstone array (or None), cached against the
-        tombstone dir fingerprint. Collected to the driver and shipped with
-        the kernel closure — fine to ~10^7 deletes; past that, compact."""
+        """(plain, upd, upd_wm): ``plain`` = sorted-u64 ids dead everywhere
+        (deletes); ``upd``/``upd_wm`` = sorted-u64 updated ids + parallel
+        int64 epoch watermarks (dead only in epochs ≤ wm — the superseded
+        versions). Cached against the tombstone dir fingerprint. Collected
+        to the driver and shipped with the kernel closure — fine to ~10^7
+        entries; past that, compact. A doc both deleted and updated is
+        plain-dead (the delete wins: it came after the update, or the
+        update's new version was itself deleted). Pre-upgrade tombstone
+        files (no ``wm`` column) read as plain deletes."""
         import numpy as np
 
+        empty = (None, None, None)
         path = os.path.join(self.index_dir, "tombstones")
         if not os.path.isdir(path):
             self._tomb = None
-            return None
+            return empty
         names = sorted(
             n for n in os.listdir(path) if n.endswith(".parquet")
         )
@@ -135,15 +189,38 @@ class SearchEngine:
         if self._tomb is not None and self._tomb[0] == sig:
             return self._tomb[1]
         if not names:
-            arr = None
+            out = empty
         else:
-            pdf = self.spark.read.parquet(path).toPandas()
-            arr = np.unique(
-                pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+            pdf = (
+                self.spark.read.schema("doc_id long, wm long")
+                .parquet(path)
+                .toPandas()
             )
-            arr = arr if len(arr) else None
-        self._tomb = (sig, arr)
-        return arr
+            ids = pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+            wm = pdf["wm"].to_numpy(dtype="float64")  # NaN = plain delete
+            plain_ids = np.unique(ids[np.isnan(wm)])
+            um = ~np.isnan(wm)
+            upd, upd_wm = None, None
+            if um.any():
+                uid, uw = ids[um], wm[um].astype(np.int64)
+                # keep the HIGHEST watermark per doc (latest update wins)
+                order = np.lexsort((uw, uid))
+                uid, uw = uid[order], uw[order]
+                last = np.concatenate((uid[1:] != uid[:-1], [True]))
+                upd, upd_wm = uid[last], uw[last]
+                if len(plain_ids):
+                    # a plain delete overrides any update of the same doc
+                    keep = ~np.isin(upd, plain_ids)
+                    upd, upd_wm = upd[keep], upd_wm[keep]
+                if len(upd) == 0:
+                    upd, upd_wm = None, None
+            out = (
+                plain_ids if len(plain_ids) else None,
+                upd,
+                upd_wm,
+            )
+        self._tomb = (sig, out)
+        return out
 
     def _doc_mask(self, doc_filter=None) -> "DocMask | None":
         """Combine tombstones with an optional filtered-search allow-set
@@ -153,7 +230,7 @@ class SearchEngine:
         instead)."""
         import numpy as np
 
-        excluded = self._tombstones()
+        excluded, upd, upd_wm = self._tombstones()
         included = None
         if doc_filter is not None:
             if isinstance(doc_filter, DataFrame):
@@ -161,9 +238,9 @@ class SearchEngine:
             else:
                 ids = [int(d) for d in doc_filter]
             included = np.unique(np.asarray(ids, dtype=np.int64).view("uint64"))
-        if excluded is None and included is None:
+        if excluded is None and included is None and upd is None:
             return None
-        return DocMask(excluded, included)
+        return DocMask(excluded, included, upd, upd_wm)
 
     def _resolve_terms(self, query: str, rewriter=None) -> list[dict]:
         """J1: query terms ⋈ dictionary via filtered read (pushdown).

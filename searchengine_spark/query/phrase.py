@@ -46,11 +46,19 @@ def _ragged_gather(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return np.repeat(starts, counts) + (np.arange(total) - np.repeat(excl, counts))
 
 
-def _decode_positional(pdf: pd.DataFrame) -> dict[str, tuple]:
+def _decode_positional(
+    pdf: pd.DataFrame, mask: "DocMask | None" = None
+) -> dict[str, tuple]:
     """Decode every term's blocks in this group into globally doc-sorted
     (docs, tfs, dls, flat_positions) streams. Interleaved streamed epochs
     violate block-order sortedness, so the concatenation is re-sorted (the
-    ragged position slices permuted with their rows) when needed."""
+    ragged position slices permuted with their rows) when needed. ``mask``
+    applies ONLY the per-block update-tombstone filter here (superseded
+    versions of updated docs must vanish BEFORE position streams
+    concatenate, or adjacency could match across mixed versions); plain
+    tombstones/allow-sets stay at the callers' doc-level ``_keep``."""
+    from .wand import _alive_in_epoch, _block_epoch
+
     per_term: dict[str, tuple] = {}
     for term, sub in _blocks_by_term(pdf).items():
         docs_l, tfs_l, dls_l, pos_l = [], [], [], []
@@ -59,6 +67,12 @@ def _decode_positional(pdf: pd.DataFrame) -> dict[str, tuple]:
                 row.first_doc, row.n_docs, row.doc_bytes, row.tf_bytes, row.dl_bytes
             )
             flat, _ = decode_block_positions(t, row.pos_bytes)
+            alive = _alive_in_epoch(d, _block_epoch(row), mask)
+            if alive is not None:
+                rows_kept = np.flatnonzero(alive)
+                cumtf = np.concatenate(([0], np.cumsum(t.astype(np.int64))))
+                sel = _ragged_gather(cumtf[rows_kept], t[rows_kept].astype(np.int64))
+                d, t, dl, flat = d[alive], t[alive], dl[alive], flat[sel]
             docs_l.append(d)
             tfs_l.append(t)
             dls_l.append(dl)
@@ -143,7 +157,7 @@ def score_group_phrase(
     (tombstones and/or filtered-search allow-set) applied to the candidate
     intersection."""
     distinct = sorted(set(phrase_terms))
-    per_term = _decode_positional(pdf)
+    per_term = _decode_positional(pdf, mask)
     if any(t not in per_term for t in distinct):
         return pd.DataFrame(_EMPTY)
     common = _and_candidates(per_term, distinct, mask)
@@ -192,7 +206,7 @@ def score_group_near(
     Scoring and tie-break are identical to phrase: BM25 over the distinct
     terms, (score desc, doc_id asc)."""
     distinct = sorted(set(terms))
-    per_term = _decode_positional(pdf)
+    per_term = _decode_positional(pdf, mask)
     if any(t not in per_term for t in distinct):
         return pd.DataFrame(_EMPTY)
     common = _and_candidates(per_term, distinct, mask)
@@ -294,7 +308,7 @@ def snippet_group(
     anchor's span count is two searchsorted's per term (windows can't
     cross doc slots — window << 2^32), the per-doc winner is one lexsort.
     O(P log P) for P total positions, no per-doc Python loop."""
-    per_term = _decode_positional(pdf)
+    per_term = _decode_positional(pdf, mask)
     present = sorted(t for t in set(terms) if t in per_term)
     if not present:
         return pd.DataFrame(_SNIPPET_EMPTY)

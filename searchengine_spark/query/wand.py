@@ -46,10 +46,17 @@ def _blocks_by_term(pdf: pd.DataFrame) -> dict[str, pd.DataFrame]:
     return out
 
 
-def _decode_term(sub: pd.DataFrame):
+def _decode_term(sub: pd.DataFrame, mask: "DocMask | None" = None):
+    """Decode one term's blocks. ``mask`` here applies ONLY the per-block
+    update-tombstone filter (epoch-dependent, so it cannot wait for the
+    term-concatenated array); plain tombstones and allow-sets stay at the
+    callers' term-level ``_keep``."""
     docs_l, tfs_l, dls_l = [], [], []
     for row in sub.itertuples(index=False):
         d, t, dl = decode_block(row.first_doc, row.n_docs, row.doc_bytes, row.tf_bytes, row.dl_bytes)
+        alive = _alive_in_epoch(d, _block_epoch(row), mask)
+        if alive is not None:
+            d, t, dl = d[alive], t[alive], dl[alive]
         docs_l.append(d)
         tfs_l.append(t)
         dls_l.append(dl)
@@ -77,10 +84,48 @@ class DocMask(NamedTuple):
     statistics intentionally stay corpus-wide, the standard filtered-search
     semantics). Both are the deliberate small-state path — ~10^7 ids ≈ 80 MB
     closure is the practical bound; arbitrary large predicates belong on the
-    relational scorer as joins (`scoring.bm25_score` + semi-join)."""
+    relational scorer as joins (`scoring.bm25_score` + semi-join).
+
+    ``upd``/``upd_wm`` carry UPDATE tombstones (Lucene updateDocument
+    semantics): ``upd`` is a sorted-u64 array of re-added doc_ids and
+    ``upd_wm`` the parallel int64 epoch watermarks — a posting for
+    ``upd[i]`` is dead iff its block's epoch ≤ ``upd_wm[i]``, so the doc's
+    OLD version (committed at or before the update) vanishes while the NEW
+    version (a later epoch) scores. Unlike ``excluded`` this filter is
+    per-BLOCK (epoch is a block property), so it runs inside the decode
+    loops, not on term-concatenated arrays."""
 
     excluded: "np.ndarray | None" = None
     included: "np.ndarray | None" = None
+    upd: "np.ndarray | None" = None
+    upd_wm: "np.ndarray | None" = None
+
+
+def _alive_in_epoch(
+    docs: np.ndarray, epoch: "int | None", mask: "DocMask | None"
+) -> np.ndarray | None:
+    """Keep-mask (or None) for one BLOCK's decoded docs under the update
+    tombstones: drops postings of updated docs whose block epoch is at or
+    below the doc's update watermark (the superseded version). ``epoch`` is
+    the block's epoch partition value; None (a batch-built index with no
+    epoch layout) means updates cannot exist — kept total by treating every
+    watermark as covering it (an updated doc's old version in a pre-epoch
+    layout is unreachable anyway because update_docs requires the epoch
+    layout)."""
+    if mask is None or mask.upd is None or len(mask.upd) == 0:
+        return None
+    pos = np.searchsorted(mask.upd, docs)
+    pos_c = np.minimum(pos, len(mask.upd) - 1)
+    hit = (pos < len(mask.upd)) & (mask.upd[pos_c] == docs)
+    if epoch is not None:
+        hit &= np.int64(epoch) <= mask.upd_wm[pos_c]
+    return ~hit if hit.any() else None
+
+
+def _block_epoch(row) -> "int | None":
+    """Epoch partition value of a block row (None for batch layouts)."""
+    e = getattr(row, "epoch", None)
+    return None if e is None else int(e)
 
 
 def _keep(docs: np.ndarray, mask: "DocMask | None") -> np.ndarray | None:
@@ -139,7 +184,7 @@ def explain_group(pdf: pd.DataFrame, mask: DocMask | None = None) -> pd.DataFram
     by_term = _blocks_by_term(pdf)
     parts: list[pd.DataFrame] = []
     for term in sorted(by_term):
-        docs, tfs, dls = _decode_term(by_term[term])
+        docs, tfs, dls = _decode_term(by_term[term], mask)
         keep = _keep(docs, mask)
         if keep is not None:
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
@@ -185,7 +230,7 @@ def matched_group(
         return pd.DataFrame({"doc_id": np.zeros(0, dtype=np.int64)})
     per_term: list[np.ndarray] = []
     for term in sorted(by_term):
-        docs, _, _ = _decode_term(by_term[term])
+        docs, _, _ = _decode_term(by_term[term], mask)
         keep = _keep(docs, mask)
         if keep is not None:
             docs = docs[keep]
@@ -231,7 +276,7 @@ def score_group_vectorized(
         return _empty_result()
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
-        docs, tfs, dls = _decode_term(sub)
+        docs, tfs, dls = _decode_term(sub, mask)
         keep = _keep(docs, mask)
         if keep is not None:
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
@@ -337,7 +382,7 @@ def score_group_multi(
     all_terms = sorted(pdf["term"].unique())
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, sub in _blocks_by_term(pdf).items():
-        docs, tfs, dls = _decode_term(sub)
+        docs, tfs, dls = _decode_term(sub, mask)
         keep = _keep(docs, mask)
         if keep is not None:
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
@@ -440,6 +485,9 @@ def _and_vectorized(
                 dd, tt, ll = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
+                alive = _alive_in_epoch(dd, _block_epoch(r), mask)
+                if alive is not None:
+                    dd, tt, ll = dd[alive], tt[alive], ll[alive]
                 keep = _keep(dd, mask)
                 if keep is not None:
                     dd, tt, ll = dd[keep], tt[keep], ll[keep]
@@ -579,6 +627,9 @@ def _or_sweep(
                 d, t, dl = decode_block(
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
+                alive = _alive_in_epoch(d, _block_epoch(r), mask)
+                if alive is not None:
+                    d, t, dl = d[alive], t[alive], dl[alive]
                 keep = _keep(d, mask)
                 if keep is not None:
                     d, t, dl = d[keep], t[keep], dl[keep]

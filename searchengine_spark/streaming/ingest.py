@@ -56,6 +56,329 @@ def stream_corpus(
     )
 
 
+def _manifest_state(index_dir: str) -> tuple[list[dict], list[dict], dict | None]:
+    """(all stream_epoch lines, stream_epoch lines since the last
+    compaction marker, last compaction marker) — the crash-consistent
+    view of the index state."""
+    from ..index.build import read_manifest
+
+    full = read_manifest(index_dir)
+    last_c = -1
+    for i, m in enumerate(full):
+        if m.get("kind") == "compaction":
+            last_c = i
+    epochs_all = [m for m in full if m.get("kind") == "stream_epoch"]
+    epochs_since = [
+        m for m in full[last_c + 1 :] if m.get("kind") == "stream_epoch"
+    ]
+    return epochs_all, epochs_since, (full[last_c] if last_c >= 0 else None)
+
+
+def _meta_from_manifest(
+    epochs_all: list[dict],
+    epochs_since: list[dict],
+    compaction: dict | None,
+    range_bits: int,
+    n_buckets: int,
+    with_positions: bool,
+):
+    """Post-state of the last committed epoch, derived purely from the
+    manifest — the recovery source of truth. None for pre-upgrade
+    manifests without running totals."""
+    from .. import BM25_B, BM25_K1
+    from ..index.build import IndexMeta
+    from ..index.codec import BLOCK_SIZE
+
+    if (
+        compaction is not None
+        and not epochs_since
+        and "n_docs_total" in compaction
+    ):
+        # a tombstone-applying compaction is the LATEST commit: it
+        # shrank the corpus and rebuilt the dictionary, so the next
+        # epoch must resume from ITS totals, not the last epoch's
+        n = int(compaction["n_docs_total"])
+        tot = int(compaction["total_len_total"])
+        return IndexMeta(
+            n_docs=n,
+            avgdl=(tot / n) if n else 1.0,
+            k1=BM25_K1,
+            b=BM25_B,
+            range_bits=range_bits,
+            n_buckets=n_buckets,
+            block_size=BLOCK_SIZE,
+            fingerprint=f"stream-compact-{n}",
+            dictionary_dir=compaction["dictionary_dir"],
+            stream_epochs=0,
+            total_len=tot,
+            segments_dir=compaction.get("segments_dir", "segments"),
+            has_positions=bool(
+                compaction.get("has_positions", with_positions)
+            ),
+        )
+    if not epochs_all or "n_docs_total" not in epochs_all[-1]:
+        return None
+    last = epochs_all[-1]
+    n = int(last["n_docs_total"])
+    tot = int(last["total_len_total"])
+    return IndexMeta(
+        n_docs=n,
+        avgdl=tot / n,
+        k1=BM25_K1,
+        b=BM25_B,
+        range_bits=range_bits,
+        n_buckets=n_buckets,
+        block_size=BLOCK_SIZE,
+        fingerprint=f"stream-{int(last['epoch'])}-{n}",
+        dictionary_dir=last["dictionary_dir"],
+        stream_epochs=len(epochs_since),
+        total_len=tot,
+        segments_dir=(compaction or {}).get("segments_dir", "segments"),
+        # recover the index's ACTUAL positional state from the manifest,
+        # not this run's flag (pre-upgrade lines lack the field)
+        has_positions=bool(last.get("has_positions", with_positions)),
+    )
+
+
+def _commit_epoch(
+    batch_df: DataFrame,
+    index_dir: str,
+    epoch_id: int,
+    stream_id: str,
+    *,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    range_bits: int,
+    with_positions: bool,
+) -> None:
+    """Encode + commit ONE epoch of documents into the index — the shared
+    core of the streaming foreachBatch path and the batch ``append_docs``
+    path. Commit protocol: everything before the manifest append is an
+    idempotent overwrite; the manifest line (with post-state totals) is the
+    commit point; the atomic meta swap follows (a crash in between is
+    repaired from the manifest by the replay guard / append allocator)."""
+    from .. import BM25_B, BM25_K1
+    from ..index.build import (
+        BLOCK_SCHEMA,
+        IndexMeta,
+        _encode_group_fn,
+        _manifest_append,
+        write_meta_atomic,
+    )
+    from ..index.codec import BLOCK_SIZE
+
+    spark = batch_df.sparkSession
+    epochs_all, epochs_since, compaction = _manifest_state(index_dir)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if epochs_all and "has_positions" in epochs_all[-1] and bool(
+        epochs_all[-1]["has_positions"]
+    ) != with_positions:
+        # a restart flipping with_positions would mix positional and
+        # position-free epochs in one index: phrase/compaction would
+        # crash on pos_bytes=None blocks (False→True) or silently drop
+        # the positional stream at the next compaction (True→False)
+        raise ValueError(
+            f"index at {index_dir} was streamed with has_positions="
+            f"{epochs_all[-1]['has_positions']}; restart with the same "
+            f"with_positions flag (got {with_positions})"
+        )
+    tf_source = term_positions if with_positions else term_frequencies
+    tf = tf_source(batch_df, id_col, text_col, use_arrow_udf=False)
+    stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
+    ).collect()[0]
+    if not agg["n"]:
+        return
+    # previous post-state comes from the MANIFEST (crash-consistent),
+    # not from meta.json (which may lag by one epoch after a crash);
+    # pre-upgrade manifests without totals fall back to meta
+    prev = _meta_from_manifest(
+        epochs_all, epochs_since, compaction, range_bits, n_buckets, with_positions
+    )
+    if prev is None and os.path.exists(meta_path):
+        prev = IndexMeta.load(index_dir)
+    if prev is not None:
+        n_docs = prev.n_docs + int(agg["n"])
+        total_len = prev.total_len + int(agg["tot"])
+        stream_epochs = prev.stream_epochs + 1
+    else:
+        n_docs = int(agg["n"])
+        total_len = int(agg["tot"])
+        stream_epochs = 1
+    avgdl = total_len / n_docs
+
+    staged = (
+        tf.join(stats, "doc_id")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            "doc_range",
+            F.shiftrightunsigned(F.col("doc_id"), 64 - range_bits).cast("int"),
+        )
+    )
+    encode = _encode_group_fn(BM25_K1, BM25_B, avgdl, BLOCK_SIZE)
+    enc = staged.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
+    seg_rel = prev.segments_dir if prev is not None else "segments"
+    out = os.path.join(index_dir, seg_rel, f"epoch={epoch_id}")
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    n_blocks = spark.read.parquet(out).count()
+
+    # ---- merge dictionary across epochs -------------------------------
+    batch_dict = staged.groupBy("term").agg(
+        F.first("bucket").alias("bucket"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+        F.min("doc_len").alias("min_dl"),
+    )
+    cols = ["term", "bucket", "df", "cf", "max_tf", "min_dl"]
+    if prev is not None:
+        old = spark.read.parquet(os.path.join(index_dir, prev.dictionary_dir))
+        merged = (
+            old.select(*cols)
+            .unionByName(batch_dict.select(*cols))
+            .groupBy("term")
+            .agg(
+                F.first("bucket").alias("bucket"),
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
+        )
+    else:
+        merged = batch_dict
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    u_robust = (F.col("max_tf") * (BM25_K1 + 1.0)) / (
+        F.col("max_tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("min_dl") / avgdl)
+    )
+    dict_dir = f"dictionary_e{int(epoch_id)}"
+    merged.withColumn("idf", idf).withColumn("max_u", u_robust).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, dict_dir))
+
+    # ---- COMMIT: manifest line (with post-state totals) first, then the
+    # atomic meta swap. Everything before the append is idempotent
+    # (overwrite writes); a crash before it → full redo with identical
+    # inputs; a crash after it → the replay guard repairs meta from this
+    # line. This is what makes "the merge must not run twice" true.
+    #
+    # Compaction race guard: seg_rel/prev came from the batch-START
+    # manifest snapshot. If a concurrent compact_streamed_index
+    # committed since, this epoch's segments sit in the SUPERSEDED dir
+    # and its dictionary merge misses the fold — committing would lose
+    # the epoch when retention deletes that dir. Abort pre-commit: the
+    # stream fails, nothing was committed, and the restarted query
+    # replays the batch against the post-compaction state.
+    _, _, compaction_now = _manifest_state(index_dir)
+    if (compaction_now or {}).get("segments_dir") != (compaction or {}).get(
+        "segments_dir"
+    ):
+        raise RuntimeError(
+            "a compaction committed while this epoch was encoding; "
+            "restart the stream (checkpoint replays the batch against "
+            "the compacted index)"
+        )
+    _manifest_append(
+        index_dir,
+        {
+            "kind": "stream_epoch",
+            "bucket": None,
+            "epoch": int(epoch_id),
+            "n_docs": int(agg["n"]),
+            "n_blocks": int(n_blocks),
+            "dictionary_dir": dict_dir,
+            "n_docs_total": n_docs,
+            "total_len_total": total_len,
+            "has_positions": with_positions,
+            "stream_id": stream_id,
+            "ts": time.time(),
+        },
+    )
+    meta = IndexMeta(
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=BM25_K1,
+        b=BM25_B,
+        range_bits=range_bits,
+        n_buckets=n_buckets,
+        block_size=BLOCK_SIZE,
+        fingerprint=f"stream-{int(epoch_id)}-{n_docs}",
+        dictionary_dir=dict_dir,
+        stream_epochs=stream_epochs,
+        total_len=total_len,
+        segments_dir=seg_rel,
+        has_positions=with_positions,
+    )
+    write_meta_atomic(index_dir, meta)
+
+
+def append_docs(
+    corpus_df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    range_bits: int = 3,
+    with_positions: bool = False,
+) -> int:
+    """Batch-append documents to an epoch-layout index (Lucene
+    ``addDocuments`` analogue): one ``_commit_epoch`` call with a freshly
+    allocated epoch id (max committed + 1) — the exact commit protocol the
+    streaming path uses (manifest line = commit point, atomic meta swap,
+    merged dictionary), so the result is indistinguishable from one more
+    streamed micro-batch and ``SearchEngine`` picks it up via the meta
+    fingerprint. On an empty/nonexistent index this CREATES the index
+    (epoch 0).
+
+    Doc_ids must not repeat across epochs (same ingest invariant as the
+    streaming path) — for replacing an existing doc use
+    ``SearchEngine.update_docs``, which pairs an append with an
+    epoch-watermarked tombstone.
+
+    Not for use concurrently with a LIVE streaming query on the same index:
+    the stream's checkpoint-assigned epoch ids could collide with an
+    allocated one, which the commit guard refuses loudly (availableNow
+    drain-then-append sequencing is fine). Returns the committed epoch id."""
+    os.makedirs(index_dir, exist_ok=True)
+    epochs_all, _, compaction = _manifest_state(index_dir)
+    if (
+        not epochs_all
+        and compaction is None
+        and os.path.exists(os.path.join(index_dir, "meta.json"))
+    ):
+        # a batch build lays segments out as bucket=<b> directly; dropping
+        # epoch=<id> dirs next to them would corrupt partition discovery
+        raise ValueError(
+            f"index at {index_dir} is a batch build with no epoch layout; "
+            "append/update need an epoch-layout index — build it via "
+            "incremental_index/append_docs from the start, or run "
+            "compact_streamed_index once to convert"
+        )
+    next_id = 0
+    if epochs_all:
+        next_id = max(int(e["epoch"]) for e in epochs_all) + 1
+    if compaction is not None:
+        # compacted layout keeps its fold under epoch=0
+        next_id = max(next_id, 1)
+    if epochs_all or compaction is not None:
+        # geometry is pinned by the existing index, not the caller
+        from ..index.build import IndexMeta
+
+        meta = IndexMeta.load(index_dir)
+        n_buckets, range_bits = meta.n_buckets, meta.range_bits
+        with_positions = meta.has_positions
+    _commit_epoch(
+        corpus_df, index_dir, next_id, "batch-append",
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        range_bits=range_bits, with_positions=with_positions,
+    )
+    return next_id
+
+
 def incremental_index(
     stream_df: DataFrame,
     index_dir: str,
@@ -98,90 +421,9 @@ def incremental_index(
     Trigger(availableNow=True) drains what exists then stops — the test and
     backfill mode; pass await_termination=False for a live continuous query.
     """
-    from .. import BM25_B, BM25_K1
-    from ..index.build import (
-        BLOCK_SCHEMA,
-        IndexMeta,
-        _encode_group_fn,
-        _manifest_append,
-        write_meta_atomic,
-    )
-    from ..index.codec import BLOCK_SIZE
+    from ..index.build import IndexMeta, write_meta_atomic
 
     os.makedirs(index_dir, exist_ok=True)
-
-    def _manifest_state() -> tuple[list[dict], list[dict], dict | None]:
-        """(all stream_epoch lines, stream_epoch lines since the last
-        compaction marker, last compaction marker) — the crash-consistent
-        view of the index state."""
-        from ..index.build import read_manifest
-
-        full = read_manifest(index_dir)
-        last_c = -1
-        for i, m in enumerate(full):
-            if m.get("kind") == "compaction":
-                last_c = i
-        epochs_all = [m for m in full if m.get("kind") == "stream_epoch"]
-        epochs_since = [
-            m for m in full[last_c + 1 :] if m.get("kind") == "stream_epoch"
-        ]
-        return epochs_all, epochs_since, (full[last_c] if last_c >= 0 else None)
-
-    def _meta_from_manifest(
-        epochs_all: list[dict], epochs_since: list[dict], compaction: dict | None
-    ) -> IndexMeta | None:
-        """Post-state of the last committed epoch, derived purely from the
-        manifest — the recovery source of truth. None for pre-upgrade
-        manifests without running totals."""
-        if (
-            compaction is not None
-            and not epochs_since
-            and "n_docs_total" in compaction
-        ):
-            # a tombstone-applying compaction is the LATEST commit: it
-            # shrank the corpus and rebuilt the dictionary, so the next
-            # epoch must resume from ITS totals, not the last epoch's
-            n = int(compaction["n_docs_total"])
-            tot = int(compaction["total_len_total"])
-            return IndexMeta(
-                n_docs=n,
-                avgdl=(tot / n) if n else 1.0,
-                k1=BM25_K1,
-                b=BM25_B,
-                range_bits=range_bits,
-                n_buckets=n_buckets,
-                block_size=BLOCK_SIZE,
-                fingerprint=f"stream-compact-{n}",
-                dictionary_dir=compaction["dictionary_dir"],
-                stream_epochs=0,
-                total_len=tot,
-                segments_dir=compaction.get("segments_dir", "segments"),
-                has_positions=bool(
-                    compaction.get("has_positions", with_positions)
-                ),
-            )
-        if not epochs_all or "n_docs_total" not in epochs_all[-1]:
-            return None
-        last = epochs_all[-1]
-        n = int(last["n_docs_total"])
-        tot = int(last["total_len_total"])
-        return IndexMeta(
-            n_docs=n,
-            avgdl=tot / n,
-            k1=BM25_K1,
-            b=BM25_B,
-            range_bits=range_bits,
-            n_buckets=n_buckets,
-            block_size=BLOCK_SIZE,
-            fingerprint=f"stream-{int(last['epoch'])}-{n}",
-            dictionary_dir=last["dictionary_dir"],
-            stream_epochs=len(epochs_since),
-            total_len=tot,
-            segments_dir=(compaction or {}).get("segments_dir", "segments"),
-            # recover the index's ACTUAL positional state from the manifest,
-            # not this run's flag (pre-upgrade lines lack the field)
-            has_positions=bool(last.get("has_positions", with_positions)),
-        )
 
     import hashlib
 
@@ -190,8 +432,7 @@ def incremental_index(
     ).hexdigest()[:12]
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        epochs_all, epochs_since, compaction = _manifest_state()
+        epochs_all, epochs_since, compaction = _manifest_state(index_dir)
         meta_path = os.path.join(index_dir, "meta.json")
         hit = [e for e in epochs_all if e["epoch"] == int(epoch_id)]
         if hit:
@@ -209,154 +450,21 @@ def incremental_index(
             # at-least-once replay — the manifest line is the COMMIT POINT.
             # A crash between that append and the meta swap leaves meta one
             # epoch behind: repair it from the manifest (idempotent).
-            recovered = _meta_from_manifest(epochs_all, epochs_since, compaction)
+            recovered = _meta_from_manifest(
+                epochs_all, epochs_since, compaction,
+                range_bits, n_buckets, with_positions,
+            )
             stale = (not os.path.exists(meta_path)) or (
                 IndexMeta.load(index_dir).stream_epochs != len(epochs_since)
             )
             if stale and recovered is not None:
                 write_meta_atomic(index_dir, recovered)
             return
-        if epochs_all and "has_positions" in epochs_all[-1] and bool(
-            epochs_all[-1]["has_positions"]
-        ) != with_positions:
-            # a restart flipping with_positions would mix positional and
-            # position-free epochs in one index: phrase/compaction would
-            # crash on pos_bytes=None blocks (False→True) or silently drop
-            # the positional stream at the next compaction (True→False)
-            raise ValueError(
-                f"index at {index_dir} was streamed with has_positions="
-                f"{epochs_all[-1]['has_positions']}; restart with the same "
-                f"with_positions flag (got {with_positions})"
-            )
-        tf_source = term_positions if with_positions else term_frequencies
-        tf = tf_source(batch_df, id_col, text_col, use_arrow_udf=False)
-        stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-        agg = stats.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
-        ).collect()[0]
-        if not agg["n"]:
-            return
-        # previous post-state comes from the MANIFEST (crash-consistent),
-        # not from meta.json (which may lag by one epoch after a crash);
-        # pre-upgrade manifests without totals fall back to meta
-        prev = _meta_from_manifest(epochs_all, epochs_since, compaction)
-        if prev is None and os.path.exists(meta_path):
-            prev = IndexMeta.load(index_dir)
-        if prev is not None:
-            n_docs = prev.n_docs + int(agg["n"])
-            total_len = prev.total_len + int(agg["tot"])
-            stream_epochs = prev.stream_epochs + 1
-        else:
-            n_docs = int(agg["n"])
-            total_len = int(agg["tot"])
-            stream_epochs = 1
-        avgdl = total_len / n_docs
-
-        staged = (
-            tf.join(stats, "doc_id")
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-            .withColumn(
-                "doc_range",
-                F.shiftrightunsigned(F.col("doc_id"), 64 - range_bits).cast("int"),
-            )
+        _commit_epoch(
+            batch_df, index_dir, int(epoch_id), stream_id,
+            id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+            range_bits=range_bits, with_positions=with_positions,
         )
-        encode = _encode_group_fn(BM25_K1, BM25_B, avgdl, BLOCK_SIZE)
-        enc = staged.groupBy("bucket", "doc_range").applyInPandas(encode, BLOCK_SCHEMA)
-        seg_rel = prev.segments_dir if prev is not None else "segments"
-        out = os.path.join(index_dir, seg_rel, f"epoch={epoch_id}")
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(out)
-        n_blocks = spark.read.parquet(out).count()
-
-        # ---- merge dictionary across epochs -------------------------------
-        batch_dict = staged.groupBy("term").agg(
-            F.first("bucket").alias("bucket"),
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("cf"),
-            F.max("tf").alias("max_tf"),
-            F.min("doc_len").alias("min_dl"),
-        )
-        cols = ["term", "bucket", "df", "cf", "max_tf", "min_dl"]
-        if prev is not None:
-            old = spark.read.parquet(os.path.join(index_dir, prev.dictionary_dir))
-            merged = (
-                old.select(*cols)
-                .unionByName(batch_dict.select(*cols))
-                .groupBy("term")
-                .agg(
-                    F.first("bucket").alias("bucket"),
-                    F.sum("df").alias("df"),
-                    F.sum("cf").alias("cf"),
-                    F.max("max_tf").alias("max_tf"),
-                    F.min("min_dl").alias("min_dl"),
-                )
-            )
-        else:
-            merged = batch_dict
-        idf = F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        )
-        u_robust = (F.col("max_tf") * (BM25_K1 + 1.0)) / (
-            F.col("max_tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("min_dl") / avgdl)
-        )
-        dict_dir = f"dictionary_e{int(epoch_id)}"
-        merged.withColumn("idf", idf).withColumn("max_u", u_robust).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, dict_dir))
-
-        # ---- COMMIT: manifest line (with post-state totals) first, then the
-        # atomic meta swap. Everything before the append is idempotent
-        # (overwrite writes); a crash before it → full redo with identical
-        # inputs; a crash after it → the replay guard repairs meta from this
-        # line. This is what makes "the merge must not run twice" true.
-        #
-        # Compaction race guard: seg_rel/prev came from the batch-START
-        # manifest snapshot. If a concurrent compact_streamed_index
-        # committed since, this epoch's segments sit in the SUPERSEDED dir
-        # and its dictionary merge misses the fold — committing would lose
-        # the epoch when retention deletes that dir. Abort pre-commit: the
-        # stream fails, nothing was committed, and the restarted query
-        # replays the batch against the post-compaction state.
-        _, _, compaction_now = _manifest_state()
-        if (compaction_now or {}).get("segments_dir") != (compaction or {}).get(
-            "segments_dir"
-        ):
-            raise RuntimeError(
-                "a compaction committed while this epoch was encoding; "
-                "restart the stream (checkpoint replays the batch against "
-                "the compacted index)"
-            )
-        _manifest_append(
-            index_dir,
-            {
-                "kind": "stream_epoch",
-                "bucket": None,
-                "epoch": int(epoch_id),
-                "n_docs": int(agg["n"]),
-                "n_blocks": int(n_blocks),
-                "dictionary_dir": dict_dir,
-                "n_docs_total": n_docs,
-                "total_len_total": total_len,
-                "has_positions": with_positions,
-                "stream_id": stream_id,
-                "ts": time.time(),
-            },
-        )
-        meta = IndexMeta(
-            n_docs=n_docs,
-            avgdl=avgdl,
-            k1=BM25_K1,
-            b=BM25_B,
-            range_bits=range_bits,
-            n_buckets=n_buckets,
-            block_size=BLOCK_SIZE,
-            fingerprint=f"stream-{int(epoch_id)}-{n_docs}",
-            dictionary_dir=dict_dir,
-            stream_epochs=stream_epochs,
-            total_len=total_len,
-            segments_dir=seg_rel,
-            has_positions=with_positions,
-        )
-        write_meta_atomic(index_dir, meta)
 
     q = (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -414,7 +522,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
         write_meta_atomic,
     )
     from ..index.codec import decode_block, decode_block_positions
-    from ..query.wand import _not_excluded
+    from ..query.wand import DocMask, _alive_in_epoch, _not_excluded
 
     meta = IndexMeta.load(index_dir)
     tomb_dir = os.path.join(index_dir, "tombstones")
@@ -427,16 +535,36 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
         if os.path.isdir(tomb_dir)
         else []
     )
-    tomb = None
+    tomb, upd, upd_wm = None, None, None
     if tomb_files:
-        tpdf = spark.read.parquet(*tomb_files).toPandas()
-        t_arr = np.unique(tpdf["doc_id"].to_numpy(dtype="int64").view("uint64"))
+        tpdf = (
+            spark.read.schema("doc_id long, wm long")
+            .parquet(*tomb_files)
+            .toPandas()
+        )
+        ids = tpdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+        wms = tpdf["wm"].to_numpy(dtype="float64")  # NaN = plain delete
+        t_arr = np.unique(ids[np.isnan(wms)])
         tomb = t_arr if len(t_arr) else None
-    if not meta.stream_epochs and tomb is None:
+        um = ~np.isnan(wms)
+        if um.any():
+            uid, uw = ids[um], wms[um].astype(np.int64)
+            order = np.lexsort((uw, uid))
+            uid, uw = uid[order], uw[order]
+            last = np.concatenate((uid[1:] != uid[:-1], [True]))
+            upd, upd_wm = uid[last], uw[last]
+            if tomb is not None:
+                keep = ~np.isin(upd, tomb)
+                upd, upd_wm = upd[keep], upd_wm[keep]
+            if len(upd) == 0:
+                upd, upd_wm = None, None
+    if not meta.stream_epochs and tomb is None and upd is None:
         return meta
     seg_dir = os.path.join(index_dir, meta.segments_dir)
     blocks = spark.read.parquet(seg_dir)
     has_pos = meta.has_positions
+    drop_mask = DocMask(upd=upd, upd_wm=upd_wm) if upd is not None else None
+    any_drop = tomb is not None or upd is not None
 
     def to_rows(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -450,6 +578,12 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
                     r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
                 )
                 keep = _not_excluded(d, tomb)
+                e = getattr(r, "epoch", None)
+                alive = _alive_in_epoch(
+                    d, None if e is None else int(e), drop_mask
+                )
+                if alive is not None:
+                    keep = alive if keep is None else (keep & alive)
                 if has_pos:
                     flat, cumtf = decode_block_positions(t, r.pos_bytes)
                     # per-posting position arrays (row j owns flat[cumtf[j]:
@@ -494,7 +628,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     n_compactions = sum(
         1 for m in read_manifest(index_dir) if m.get("kind") == "compaction"
     )
-    if tomb is not None:
+    if any_drop:
         # physical removal changes the corpus: recompute n_docs/avgdl from
         # the SURVIVING postings and rebuild the dictionary under them —
         # df/idf stop counting deleted docs from here on (the Lucene
@@ -551,7 +685,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     folded = meta.stream_epochs
     meta.stream_epochs = 0
     meta.segments_dir = new_rel
-    if tomb is not None:
+    if any_drop:
         # physical removal is the point where the corpus statistics change:
         # the queryable state flips to the surviving-docs n/avgdl and the
         # rebuilt dictionary in one commit
@@ -559,7 +693,10 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
         meta.total_len = new_total_len
         meta.avgdl = new_avgdl
         meta.dictionary_dir = dict_rel
-        meta.fingerprint = f"{meta.fingerprint}-del{len(tomb)}"
+        n_dead = (0 if tomb is None else len(tomb)) + (
+            0 if upd is None else len(upd)
+        )
+        meta.fingerprint = f"{meta.fingerprint}-del{n_dead}"
         postings.unpersist()
 
     # marker first (commit point — later epochs derive their state relative
@@ -579,7 +716,8 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
             "total_len_total": meta.total_len,
             "dictionary_dir": meta.dictionary_dir,
             "has_positions": bool(has_pos),
-            "tombstones_applied": int(len(tomb)) if tomb is not None else 0,
+            "tombstones_applied": (0 if tomb is None else int(len(tomb)))
+            + (0 if upd is None else int(len(upd))),
             "ts": time.time(),
         },
     )
