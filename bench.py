@@ -129,6 +129,13 @@ def main() -> None:
 
     timed("query_and", and_queries)
 
+    # boolean NOT (Lucene MUST_NOT): in-kernel veto, exhaustive kernels
+    def not_queries():
+        for q in BENCH_QUERIES[:6]:
+            eng.search(q, k=100, exclude="hash window")
+
+    timed("query_not", not_queries)
+
     # batched segment search: whole 12-query batch in ONE job (the cluster
     # throughput shape — dictionary lookup, scan, and decode amortized)
     qbatch = {f"q{i:02d}": q for i, q in enumerate(BENCH_QUERIES)}

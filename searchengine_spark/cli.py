@@ -113,7 +113,8 @@ def _cmd_search(args) -> None:
         hits = eng.more_like_this(args.query, k=args.k,
                                   use_wand=not args.no_wand)
     else:
-        hits = eng.search(args.query, k=args.k, mode=args.mode, use_wand=not args.no_wand)
+        hits = eng.search(args.query, k=args.k, mode=args.mode,
+                          use_wand=not args.no_wand, exclude=args.exclude)
     dt = time.perf_counter() - t0
     print(
         json.dumps(
@@ -166,6 +167,47 @@ def _cmd_update(args) -> None:
             {
                 "updated": args.index,
                 "n_docs": n,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
+def _cmd_delete(args) -> None:
+    spark = _spark(args)
+    from .query.engine import SearchEngine
+
+    t0 = time.perf_counter()
+    eng = SearchEngine(spark, args.index)
+    if args.ids:
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    else:
+        rows = spark.read.parquet(args.input).select(args.id_col).collect()
+        ids = [r[0] for r in rows]
+    n = eng.delete_docs(ids)
+    print(
+        json.dumps(
+            {
+                "deleted": args.index,
+                "n_docs": n,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
+def _cmd_compact(args) -> None:
+    spark = _spark(args)
+    from .streaming.ingest import compact_streamed_index
+
+    t0 = time.perf_counter()
+    meta = compact_streamed_index(spark, args.index)
+    print(
+        json.dumps(
+            {
+                "compacted": args.index,
+                "n_docs": meta.n_docs,
+                "avgdl": round(meta.avgdl, 3),
                 "sec": round(time.perf_counter() - t0, 3),
             }
         )
@@ -289,6 +331,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--max-edits", type=int, default=2,
                    help="fuzzy Levenshtein budget")
     s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--exclude", default="",
+                   help="boolean NOT: drop docs containing any of these terms (or/and modes)")
     s.add_argument("--window", type=int, default=5,
                    help="near mode: max token span between query terms")
     s.add_argument("--ordered", action="store_true",
@@ -311,6 +355,17 @@ def main(argv: list[str] | None = None) -> None:
     up.add_argument("--id-col", default="doc_id")
     up.add_argument("--text-col", default="content")
     up.set_defaults(fn=_cmd_update)
+
+    dl = sub.add_parser("delete", help="tombstone docs (removed from queries now, folded at compact)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", default="", help="comma-separated doc ids")
+    dl.add_argument("--input", default="", help="parquet of ids to delete (alternative to --ids)")
+    dl.add_argument("--id-col", default="doc_id")
+    dl.set_defaults(fn=_cmd_delete)
+
+    cp = sub.add_parser("compact", help="fold epochs + tombstones into the canonical batch layout")
+    cp.add_argument("--index", required=True)
+    cp.set_defaults(fn=_cmd_compact)
 
     sg = sub.add_parser("suggest", help="autocomplete: df-ranked prefix completions")
     sg.add_argument("--index", required=True)

@@ -1445,6 +1445,33 @@ def q_wand_topk(spark, sf_dir):
     )
 
 
+NOT_EXCLUDE = "hash window"
+NOT_K = 40
+
+
+def q_boolean_not(spark, sf_dir):
+    """Boolean NOT (Lucene MUST_NOT; absent in the reference's query
+    surface): BM25 OR over the positive terms with documents containing ANY
+    excluded term vetoed inside the kernel — the excluded terms' blocks land
+    in the same doc_range group (range salting keys on doc_id), so the veto
+    costs extra block decodes, not an anti-join shuffle. Tie buffer past k +
+    rounded re-rank, same boundary discipline as every top-k entry."""
+    eng = _shared_index(spark, sf_dir)
+    hits = eng.search(BM25_QUERY, k=NOT_K + 25, exclude=NOT_EXCLUDE)
+    return _topk_rounded(spark, hits, NOT_K)
+
+
+def _boolean_not_sql() -> str:
+    ex = ", ".join(f"'{t}'" for t, _ in parse_query(NOT_EXCLUDE))
+    return f"""
+SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
+WHERE doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM ({_TF_SQL}) WHERE term IN ({ex}))
+ORDER BY score DESC, doc_id ASC
+LIMIT {NOT_K}
+"""
+
+
 # -- document deletion (tombstones + compaction) ------------------------------
 # Deterministic dead set: every doc_id ≡ 0 (mod DELETE_MOD) — dense enough
 # that the base query's top-k MUST contain dead docs, so a broken tombstone
@@ -1577,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "search_after": q_search_after,
         "update_search": q_update_search,
+        "boolean_not": q_boolean_not,
         "wand_batch_topk": q_wand_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
@@ -1692,6 +1720,7 @@ SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
 ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
 """,
         "update_search": _update_sql(UPDATE_QUERY.split(), UPDATE_K),
+        "boolean_not": _boolean_not_sql(),
         # two cursor-tiled pages must equal the plain top-2k
         "search_after": f"""
 SELECT doc_id, score FROM ({_bm25_sql(PAGE_QUERY)})

@@ -329,8 +329,19 @@ class SearchEngine:
         rewriter=None,
         doc_filter=None,
         after: tuple[int, float] | None = None,
+        exclude: str = "",
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc).
+        ``exclude``: boolean NOT (Lucene MUST_NOT) — documents containing
+        ANY of these (tokenized) terms are dropped from the result; they
+        add nothing to the score. Exclusion wins over a term that also
+        appears in the positive query (in ``mode="and"`` that contradiction
+        returns []); OOV exclude terms occur in no document and are no-ops.
+        The veto is resolved entirely in-group (doc_range salting co-locates
+        a doc's postings for every term), so NOT costs one extra term's
+        blocks in the scan, not a shuffle or an anti-join. NOT queries run
+        the exhaustive kernels: block-max pruning optimizes the unfiltered
+        objective (reference §2.10 has no NOT — Lucene MUST_NOT semantics).
         ``doc_filter``: restrict results to these doc_ids (metadata-filtered
         search; scores keep corpus-wide statistics — see ``DocMask``).
         ``after``: deep-pagination cursor — the LAST RESULT TUPLE (doc_id,
@@ -345,30 +356,44 @@ class SearchEngine:
         dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
             return []
-        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        ex_rows = self._resolve_terms(exclude) if exclude else []
+        ex_terms = frozenset(r["term"] for r in ex_rows)
+        idf = {
+            r["term"]: float(r["idf"])
+            for r in dict_rows
+            if r["term"] not in ex_terms  # exclusion wins (kernel contract)
+        }
+        if not idf:
+            return []
         if mode == "and":
             from ..expansion import rewrite_query
 
             # conjunctive semantics are over the PARSED query: a term absent
             # from the dictionary occurs in no document, so the intersection
-            # is empty (matches scoring.boolean_and and the Python oracle)
+            # is empty (matches scoring.boolean_and and the Python oracle);
+            # a term that is also excluded is a contradiction
             if {t for t, _ in rewrite_query(query, rewriter)} - set(idf):
                 return []
-        buckets = sorted({int(r["bucket"]) for r in dict_rows})
-        terms = sorted(idf)
+        buckets = sorted(
+            {int(r["bucket"]) for r in dict_rows} | {int(r["bucket"]) for r in ex_rows}
+        )
+        terms = sorted(set(idf) | ex_terms)
         blocks = self._pruned_blocks(buckets, terms)
         kernel = (
-            score_group_wand if use_wand and after is None else score_group_vectorized
+            score_group_wand
+            if use_wand and after is None and not ex_terms
+            else score_group_vectorized
         )
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
-        n_query_terms = len(terms)  # global-AND guard (see kernel docstring)
+        n_query_terms = len(idf)  # global-AND guard (see kernel docstring)
         mask = self._doc_mask(doc_filter)
 
-        if after is not None:
+        if after is not None or ex_terms:
 
             def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 return score_group_vectorized(
-                    pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask, after
+                    pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask,
+                    after, ex_terms or None,
                 )
 
         else:

@@ -257,6 +257,7 @@ def score_group_vectorized(
     n_query_terms: int | None = None,
     mask: DocMask | None = None,
     after: "tuple[int, float] | None" = None,
+    exclude_terms: "frozenset[str] | None" = None,
 ) -> pd.DataFrame:
     """Exact OR (or AND) top-k within one doc_range group. Columns in:
     BLOCK_SCHEMA; out: (doc_id:int64, score:float64). ``mask``: decode-time
@@ -264,19 +265,39 @@ def score_group_vectorized(
     ``after``: search_after cursor, a (doc_id, score) result tuple — only
     rows strictly after it in result order survive the group-local top-k.
 
-    ``n_query_terms``: the FULL query's term count. AND semantics are
-    global — a doc_range group holding blocks for only a subset of the
+    ``exclude_terms``: boolean NOT (Lucene MUST_NOT) — a doc containing ANY
+    of these terms is dropped. Their blocks arrive in the same pdf (same
+    doc_range: range salting keys on doc_id, so a doc's postings for every
+    term land in one group — the veto is complete with zero extra shuffle)
+    but contribute no score; exclusion wins over a term that is also a
+    positive query term. The per-block update watermark applies to the
+    veto decode too: a SUPERSEDED version's occurrence of an excluded term
+    must not veto the live doc.
+
+    ``n_query_terms``: the FULL query's POSITIVE term count. AND semantics
+    are global — a doc_range group holding blocks for only a subset of the
     query terms can contain no conjunctive match (its docs lack the absent
     terms entirely), so the group must return empty. Without this guard the
     kernel silently ANDed the present subset (found round 3: a doc with
     only 'apple' surfaced for 'apple AND banana' from a range 'banana'
     never reaches)."""
-    terms = sorted(pdf["term"].unique())
+    ex = exclude_terms or frozenset()
+    by_term = _blocks_by_term(pdf)
+    terms = sorted(t for t in by_term if t not in ex)
     if mode == "and" and n_query_terms is not None and len(terms) < n_query_terms:
         return _empty_result()
+    if not terms:
+        return _empty_result()
+    not_docs: np.ndarray | None = None
+    if ex:
+        parts = [
+            _decode_term(by_term[t], mask)[0] for t in sorted(ex) if t in by_term
+        ]
+        if parts:
+            not_docs = np.unique(np.concatenate(parts))
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for term, sub in _blocks_by_term(pdf).items():
-        docs, tfs, dls = _decode_term(sub, mask)
+    for term in terms:
+        docs, tfs, dls = _decode_term(by_term[term], mask)
         keep = _keep(docs, mask)
         if keep is not None:
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
@@ -297,6 +318,10 @@ def score_group_vectorized(
     if mode == "and":
         keep = hits == len(terms)
         uniq, acc = uniq[keep], acc[keep]
+    if not_docs is not None:
+        keep = _not_excluded(uniq, not_docs)
+        if keep is not None:
+            uniq, acc = uniq[keep], acc[keep]
     signed = uniq.view(np.int64)
     if after is not None:
         keep = _after_filter(signed, acc, after)

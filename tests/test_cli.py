@@ -72,3 +72,41 @@ def test_eval_harness(tmp_path, capsys, spark):
     assert 0.0 < out["map"] <= 1.0
     for key in ("p_at_5", "p_at_10", "p_at_50", "recall"):
         assert out[key] is None or 0.0 <= out[key] <= 1.0
+
+
+def test_lifecycle_delete_compact(tmp_path, capsys, spark):
+    """Index lifecycle via CLI: append (creates) -> delete -> compact; the
+    deleted doc is gone from queries immediately and physically after
+    compaction, with stats rebuilt exactly."""
+    from searchengine_spark.corpus import corpus_df
+
+    docs = corpus_df(spark, 80)
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "lidx")
+
+    cli.main(["append", "--input", src, "--index", idx,
+              "--id-col", "doc_id", "--text-col", "content",
+              "--buckets", "4", "--range-bits", "2"])
+    appended = json.loads(capsys.readouterr().out)
+    assert appended["epoch"] == 0 and appended["n_docs"] == 80
+
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
+    top = json.loads(capsys.readouterr().out)["hits"]
+    assert top
+    victim = top[0]["doc_id"]
+
+    cli.main(["delete", "--index", idx, "--ids", str(victim)])
+    assert json.loads(capsys.readouterr().out)["n_docs"] == 1
+
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
+    after = json.loads(capsys.readouterr().out)["hits"]
+    assert victim not in [h["doc_id"] for h in after]
+
+    cli.main(["compact", "--index", idx])
+    compacted = json.loads(capsys.readouterr().out)
+    assert compacted["n_docs"] == 79
+
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
+    post = json.loads(capsys.readouterr().out)["hits"]
+    assert victim not in [h["doc_id"] for h in post]
