@@ -387,6 +387,125 @@ def q_cosine_scores(spark, sf_dir):
     return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
 
 
+LM_MU = 2000.0
+COLLAPSE_FIELD = "source"
+COLLAPSE_K = 10
+RECENCY_HALF_LIFE = 90.0
+RECENCY_AGE_MOD = 365  # documents carry no timestamp: age := doc_id % 365
+RECENCY_K = 20
+
+
+def q_lm_dirichlet(spark, sf_dir):
+    """Query-likelihood with Dirichlet smoothing (Lucene LMDirichlet form)."""
+    from .scoring import lm_dirichlet_score
+
+    tf, stats, dct, n, _ = _scoring_ctx(spark, sf_dir)
+    total_cf = int(dct.agg(F.sum("cf").alias("c")).collect()[0]["c"])
+    scored = lm_dirichlet_score(spark, tf, stats, dct, BM25_QUERY, total_cf, mu=LM_MU)
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def _lm_dirichlet_sql(query: str, mu: float) -> str:
+    qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in parse_query(query))
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+dict AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+corpus AS (SELECT sum(cf) AS c FROM dict),
+q(term, qtf) AS (VALUES {qrows})
+SELECT tf.doc_id AS doc_id,
+       round(sum(q.qtf * greatest(0.0,
+                 ln(1.0 + tf.tf / ({mu} * d.cf / c.c))
+                 + ln({mu} / (s.doc_len + {mu})))), {ROUND_DP}) AS score
+FROM tf
+JOIN q USING (term)
+JOIN dict d USING (term)
+JOIN stats s ON s.doc_id = tf.doc_id
+CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
+def q_collapse_topk(spark, sf_dir):
+    """Field collapsing: best doc per source, then global top-k. Collapse
+    runs over the ROUNDED score so rank decisions are engine-independent."""
+    from .scoring import collapse_topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    return collapse_topk(
+        scored, _docs(spark, sf_dir), COLLAPSE_FIELD, COLLAPSE_K, round_dp=ROUND_DP
+    )
+
+
+def _collapse_sql(query: str, field: str, k: int) -> str:
+    return f"""
+WITH scored AS ({_bm25_sql(query)}),
+j AS (SELECT d.{field} AS {field}, s.doc_id, s.score
+      FROM scored s JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY {field}
+                                   ORDER BY score DESC, doc_id ASC) AS rn FROM j)
+SELECT {field}, doc_id, score FROM r WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def q_recency_topk(spark, sf_dir):
+    """Exponential time-decay blend. The corpus has no timestamp column, so
+    age is derived deterministically as doc_id % RECENCY_AGE_MOD on both
+    sides — the operator itself takes any (doc_id, age) relation."""
+    from .scoring import recency_blend, topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    age = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % RECENCY_AGE_MOD).cast("double").alias("age")
+    )
+    blended = recency_blend(scored, age, RECENCY_HALF_LIFE, round_dp=ROUND_DP)
+    return topk(blended, RECENCY_K)
+
+
+def _recency_sql(query: str, half_life: float, age_mod: int, k: int) -> str:
+    import math as _math
+
+    lam = _math.log(2.0) / half_life
+    return f"""
+WITH scored AS ({_bm25_sql(query)})
+SELECT doc_id,
+       round(score * exp(-({lam!r}) * (doc_id % {age_mod})), {ROUND_DP}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def q_hit_counts(spark, sf_dir):
+    """Batched total-hits counting: (query_id, or_hits, and_hits) for the
+    whole batch in one job."""
+    from .scoring import hit_counts
+
+    return hit_counts(spark, _tf(spark, sf_dir), BATCH_QUERIES)
+
+
+def _hit_counts_sql(queries: dict[str, str]) -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{t}', {len(parse_query(q))})"
+        for qid, q in sorted(queries.items())
+        for t, _ in parse_query(q)
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+q(query_id, term, n_terms) AS (VALUES {qrows}),
+pd AS (SELECT q.query_id, tf.doc_id, count(*) AS matched, max(q.n_terms) AS n_terms
+       FROM tf JOIN q USING (term) GROUP BY 1, 2)
+SELECT query_id,
+       count(*)::BIGINT AS or_hits,
+       sum(CASE WHEN matched = n_terms THEN 1 ELSE 0 END)::BIGINT AS and_hits
+FROM pd GROUP BY query_id
+"""
+
+
 def q_bm25_reference(spark, sf_dir):
     from .scoring import bm25_reference_score
 
@@ -1583,6 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "bm25_scores": q_bm25_scores,
         "bm25_batch_topk": q_bm25_batch_topk,
+        "lm_dirichlet": q_lm_dirichlet,
+        "collapse_topk": q_collapse_topk,
+        "recency_topk": q_recency_topk,
+        "hit_counts": q_hit_counts,
         "inner_scores": q_inner_scores,
         "cosine_scores": q_cosine_scores,
         "bm25_reference": q_bm25_reference,
@@ -1649,6 +1772,12 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": f"SELECT term, df, cf FROM ({_DICT_SQL}) ORDER BY cf DESC, term ASC LIMIT 20",
         "bm25_scores": _bm25_sql(BM25_QUERY),
         "bm25_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
+        "lm_dirichlet": _lm_dirichlet_sql(BM25_QUERY, LM_MU),
+        "collapse_topk": _collapse_sql(BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K),
+        "recency_topk": _recency_sql(
+            BM25_QUERY, RECENCY_HALF_LIFE, RECENCY_AGE_MOD, RECENCY_K
+        ),
+        "hit_counts": _hit_counts_sql(BATCH_QUERIES),
         "inner_scores": _inner_sql(INNER_QUERY),
         "cosine_scores": _cosine_sql(COSINE_QUERY),
         "boolean_and": _and_sql(AND_QUERY),

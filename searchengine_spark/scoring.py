@@ -472,3 +472,133 @@ def topk(scored: DataFrame, k: int, round_dp: int | None = None) -> DataFrame:
 
 def py_bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Ranking extensions beyond the reference's scorer family: language-model
+# smoothing, field collapsing, recency decay, and batched hit counting.
+# These are the standard fulltext-engine surfaces (Lucene
+# LMDirichletSimilarity, Elasticsearch `collapse`, function-score `exp`
+# decay, `_count`) a user of any production index expects next to BM25.
+# All stay pure column arithmetic — same 100 TB join shapes as bm25_score.
+# ---------------------------------------------------------------------------
+
+LM_MU = 2000.0
+
+
+def lm_dirichlet_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    total_cf: int,
+    mu: float = LM_MU,
+) -> DataFrame:
+    """Query-likelihood scoring with Dirichlet smoothing (Lucene
+    ``LMDirichletSimilarity`` form, matched-terms-only with the per-term
+    clamp to ≥0):
+
+        score(q, d) = Σ_t qtf · max(0, ln(1 + tf/(μ·cf_t/C)) + ln(μ/(dl+μ)))
+
+    ``total_cf`` is C = Σ cf over the dictionary (total token count) — a
+    scalar computed once per corpus, broadcast into the expression. Join
+    shape is identical to ``bm25_score``: |q|-row broadcast against the
+    postings, stats joined only for candidate docs."""
+    qdf = _query_df(spark, query)
+    qstats = F.broadcast(qdf.join(dict_df, "term"))
+    cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    p_c = F.col("cf") / F.lit(float(total_cf))
+    per_term = F.col("qtf") * F.greatest(
+        F.lit(0.0),
+        F.log(1.0 + F.col("tf") / (mu * p_c)) + F.log(F.lit(mu) / (F.col("doc_len") + mu)),
+    )
+    return _ordered_sum(cand, per_term)
+
+
+def collapse_topk(
+    scored: DataFrame,
+    docs_df: DataFrame,
+    group_col: str,
+    k: int,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Field collapsing (Elasticsearch ``collapse``, Solr ``group.main``):
+    keep only the single best doc per ``group_col`` value, then global
+    top-k. Returns (group, doc_id, score).
+
+    Plan at 100 TB: the window partitions by the collapse key — one shuffle
+    on a key whose cardinality (hosts, langs, sources) is far below doc
+    count, then TakeOrderedAndProject for the final k. No join back to the
+    full corpus: only candidate docs' metadata rows move (scored is already
+    |candidates|-sized)."""
+    from pyspark.sql import Window
+
+    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    joined = scored.select("doc_id", score.alias("score")).join(
+        docs_df.select("doc_id", F.col(group_col).alias("grp")), "doc_id"
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("grp").alias(group_col), "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def recency_blend(
+    scored: DataFrame,
+    age_df: DataFrame,
+    half_life: float,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Exponential time-decay blend (Elasticsearch function-score ``exp``
+    decay): blended = score · exp(−ln2 · age/half_life), so a doc one
+    half-life old scores half its text relevance. ``age_df`` is
+    (doc_id, age) in any unit consistent with ``half_life``.
+
+    The decay is a deterministic column product — no extra shuffle beyond
+    the (candidate-sized) join with the age column."""
+    lam = math.log(2.0) / float(half_life)
+    blended = F.col("score") * F.exp(-F.lit(lam) * F.col("age"))
+    out = F.round(blended, round_dp) if round_dp is not None else blended
+    return scored.join(age_df, "doc_id").select("doc_id", out.alias("score"))
+
+
+def hit_counts(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    queries: dict[str, str],
+) -> DataFrame:
+    """Total-hits counting (Elasticsearch ``_count`` / Lucene
+    ``TotalHitCountCollector``) for a whole query batch in ONE job:
+    (query_id, or_hits, and_hits). or_hits = docs matching ≥1 term;
+    and_hits = docs matching every query term (conjunctive). A query with
+    out-of-vocabulary terms still counts OR hits but has and_hits = 0,
+    matching the engine's conjunctive OOV rule (query/wand.py).
+
+    One broadcast join + one (query_id, doc_id) aggregation — the count
+    never materializes per-doc rows on the driver."""
+    rows = [
+        (qid, t, len(parse_query(q)))
+        for qid, q in sorted(queries.items())
+        for t, _ in parse_query(q)
+    ]
+    if not rows:
+        raise ValueError("empty query batch")
+    qdf = F.broadcast(
+        spark.createDataFrame(rows, "query_id string, term string, n_terms int")
+    )
+    per_doc = (
+        tf_df.join(qdf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("matched"), F.first("n_terms").alias("n_terms"))
+    )
+    return per_doc.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("or_hits"),
+        F.sum(F.when(F.col("matched") == F.col("n_terms"), 1).otherwise(0)).alias(
+            "and_hits"
+        ),
+    )

@@ -1,0 +1,153 @@
+"""Ranking extensions beyond the reference scorer family: Dirichlet LM
+scoring, field collapsing, recency decay, batched hit counts — each checked
+against a brute-force pure-Python oracle on a real corpus slice.
+
+Reference parity note: the reference ships only BM25/inner/cosine blends
+(``Part C/ranker.py``); these are engine-hardening surfaces a fulltext index
+is expected to carry (Lucene LMDirichletSimilarity, Elasticsearch collapse /
+function-score decay / _count). Driver entries lm_dirichlet / collapse_topk /
+recency_topk / hit_counts pin them to DuckDB twins at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.postings import corpus_stats, dictionary, doc_stats, term_frequencies
+from searchengine_spark.scoring import (
+    bm25_score,
+    collapse_topk,
+    hit_counts,
+    lm_dirichlet_score,
+    parse_query,
+    recency_blend,
+    topk,
+)
+from searchengine_spark.tokenizer import tokenize_py
+
+QUERY = "spark join stream table"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, corpus):
+    tf = term_frequencies(corpus, use_arrow_udf=False).cache()
+    stats = doc_stats(tf).cache()
+    dct = dictionary(tf).cache()
+    n, avgdl = corpus_stats(stats)
+    return tf, stats, dct, n, avgdl
+
+
+@pytest.fixture(scope="module")
+def py_index(corpus):
+    """Brute-force in-memory index of the slice."""
+    docs = {r["doc_id"]: tokenize_py(r["text"]) for r in corpus.collect()}
+    docs = {d: t for d, t in docs.items() if t}
+    tf = {d: Counter(t) for d, t in docs.items()}
+    df: Counter = Counter()
+    cf: Counter = Counter()
+    for c in tf.values():
+        for t, n in c.items():
+            df[t] += 1
+            cf[t] += n
+    return docs, tf, df, cf
+
+
+def test_lm_dirichlet_matches_bruteforce(spark, ctx, py_index):
+    tf_df, stats, dct, n, _ = ctx
+    _, tf, df, cf = py_index
+    total_cf = sum(cf.values())
+    mu = 2000.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in lm_dirichlet_score(spark, tf_df, stats, dct, QUERY, total_cf, mu=mu).collect()
+    }
+    qterms = parse_query(QUERY)
+    want = {}
+    for d, c in tf.items():
+        dl = sum(c.values())
+        s = 0.0
+        matched = False
+        for t, qtf in qterms:
+            if c.get(t):
+                matched = True
+                s += qtf * max(
+                    0.0,
+                    math.log(1.0 + c[t] / (mu * cf[t] / total_cf))
+                    + math.log(mu / (dl + mu)),
+                )
+        if matched:
+            want[d] = s
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_collapse_keeps_best_per_group(spark, ctx, corpus):
+    tf_df, stats, dct, n, avgdl = ctx
+    scored = bm25_score(spark, tf_df, stats, dct, QUERY, n, avgdl)
+    out = collapse_topk(scored, corpus, "source", k=5, round_dp=5).collect()
+    # brute force: best (rounded score, -doc_id) per source
+    rows = (
+        scored.select("doc_id", F.round("score", 5).alias("score"))
+        .join(corpus.select("doc_id", "source"), "doc_id")
+        .collect()
+    )
+    best: dict[str, tuple] = {}
+    for r in rows:
+        key = (-r["score"], r["doc_id"])
+        if r["source"] not in best or key < best[r["source"]]:
+            best[r["source"]] = key
+    want = sorted(((neg_s, d, src) for src, (neg_s, d) in best.items()))[:5]
+    got = [(-r["score"], r["doc_id"], r["source"]) for r in out]
+    assert got == want
+    # one row per group, globally ordered
+    assert len({r["source"] for r in out}) == len(out)
+
+
+def test_recency_blend_decays(spark, ctx, corpus):
+    tf_df, stats, dct, n, avgdl = ctx
+    scored = bm25_score(spark, tf_df, stats, dct, QUERY, n, avgdl).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+    age = corpus.select("doc_id", (F.col("doc_id") % 100).cast("double").alias("age"))
+    out = {r["doc_id"]: r["score"] for r in recency_blend(scored, age, half_life=50.0).collect()}
+    base = {r["doc_id"]: r["score"] for r in scored.collect()}
+    lam = math.log(2.0) / 50.0
+    assert set(out) == set(base)
+    for d, s in base.items():
+        assert out[d] == pytest.approx(s * math.exp(-lam * (d % 100)), rel=1e-12)
+    # a doc exactly one half-life old scores half its text relevance
+    one_hl = [d for d in base if d % 100 == 50]
+    for d in one_hl:
+        assert out[d] == pytest.approx(base[d] / 2.0, rel=1e-12)
+    assert topk(recency_blend(scored, age, 50.0), 5).count() == 5
+
+
+def test_hit_counts_or_and(spark, ctx, py_index):
+    tf_df = ctx[0]
+    _, tf, _, _ = py_index
+    queries = {"q1": QUERY, "q2": "customer order", "q3": "zzznotaterm spark"}
+    got = {r["query_id"]: (r["or_hits"], r["and_hits"]) for r in hit_counts(spark, tf_df, queries).collect()}
+    for qid, q in queries.items():
+        terms = [t for t, _ in parse_query(q)]
+        or_hits = sum(1 for c in tf.values() if any(c.get(t) for t in terms))
+        and_hits = sum(1 for c in tf.values() if all(c.get(t) for t in terms))
+        assert got[qid] == (or_hits, and_hits), qid
+    # OOV term kills the conjunctive count but not the OR count
+    assert got["q3"][1] == 0 and got["q3"][0] > 0
+
+
+def test_hit_counts_empty_batch_raises(spark, ctx):
+    with pytest.raises(ValueError):
+        hit_counts(spark, ctx[0], {})
