@@ -1519,6 +1519,8 @@ def _ann_layout(spark, sf_dir: str, kind: str) -> str:
         path = _tmpdir(f"seann_{kind}_") + "/" + kind
         if kind == "lsh":
             similarity.lsh_write(_embs(spark, sf_dir), path, n_planes=8, dim=64)
+        elif kind == "sq":
+            similarity.sq_write(_embs(spark, sf_dir), path)
         else:
             similarity.ivf_write(_embs(spark, sf_dir), path, n_lists=16, dim=64)
         _ANN_LAYOUTS[key] = path
@@ -1538,6 +1540,31 @@ def q_ivf_stored_topk(spark, sf_dir):
     """Same for IVF: list_id-partitioned layout + persisted centroids."""
     return similarity.ivf_stored_topk(
         spark, _ann_layout(spark, sf_dir, "ivf"), _QUERY_VEC, k=10, nprobe=4
+    )
+
+
+SQ_K = 25
+
+
+def q_sq_quantize(spark, sf_dir):
+    """SQ8 codec pinned bit-for-bit: exploded (vec_id, dim, qval) rows."""
+    quant = similarity.sq_quantize(_embs(spark, sf_dir))
+    return quant.select(
+        "vec_id", F.posexplode("qvec").alias("dim", "qval")
+    ).select("vec_id", "dim", "qval")
+
+
+def q_sq_topk(spark, sf_dir):
+    """Approximate cosine top-k over int8-quantized vectors (quantize on
+    the fly — the recall baseline for the stored layout)."""
+    return similarity.sq_topk(_embs(spark, sf_dir), _QUERY_VEC, k=SQ_K)
+
+
+def q_sq_stored_topk(spark, sf_dir):
+    """The compression read path: int8 parquet layout, scale column pruned
+    (cosine is scale-invariant) — must equal sq_topk exactly."""
+    return similarity.sq_stored_topk(
+        spark, _ann_layout(spark, sf_dir, "sq"), _QUERY_VEC, k=SQ_K
     )
 
 
@@ -1756,6 +1783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "lsh_stored_topk": q_lsh_stored_topk,
         "ivf_stored_topk": q_ivf_stored_topk,
+        "sq_quantize": q_sq_quantize,
+        "sq_topk": q_sq_topk,
+        "sq_stored_topk": q_sq_stored_topk,
         "wand_topk": q_wand_topk,
         "delete_search": q_delete_search,
         "filtered_search": q_filtered_search,
@@ -1844,6 +1874,10 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         "ivf_stored_topk": similarity.ivf_topk_sql(
             "embeddings", _QUERY_VEC, k=10, nprobe=4
         ),
+        "sq_quantize": similarity.sq_quantize_sql("embeddings"),
+        "sq_topk": similarity.sq_topk_sql("embeddings", _QUERY_VEC, k=SQ_K),
+        # the int8 stored layout must reproduce the on-the-fly truth
+        "sq_stored_topk": similarity.sq_topk_sql("embeddings", _QUERY_VEC, k=SQ_K),
         "wand_topk": f"""
 SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
 ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}

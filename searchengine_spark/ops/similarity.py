@@ -603,3 +603,175 @@ def lsh_assign_sql(
         for p in range(n_planes)
     )
     return f"SELECT {id_col} AS vec_id, ({bits})::BIGINT AS bucket FROM {table}"
+
+
+# ------------------------------------------------ scalar quantization (SQ8)
+# int8 symmetric per-vector quantization — the 4× memory-compression read
+# path for 100 TB embedding tables (float32 → int8; the scan reads a quarter
+# of the bytes, and integer dot products are exact in doubles so the scoring
+# is bit-reproducible across engines). Codec: scale = max|x|/127,
+# q_i = floor(x_i/scale + 0.5) ∈ [-127, 127]. Scales CANCEL in cosine
+# (cos(s·a, t·b) = cos(a, b)), so the cosine reader prunes the scale column
+# entirely; scale is stored for dot-product / L2 reconstruction.
+
+SQ_LEVELS = 127
+
+
+def sq_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, scale, qvec array<int>) — deterministic symmetric int8
+    codec. A zero vector quantizes to all-zero qvec with scale 0. SQL
+    lambdas with unique variable names (sibling Python lambdas in one
+    projection silently cross-bind in PySpark 4.1)."""
+    emb = f"cast({vec_col} as array<double>)"
+    with_scale = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_emb"),
+        (F.expr(f"array_max(transform({emb}, sqa -> abs(sqa)))") / SQ_LEVELS).alias("scale"),
+    )
+    qvec = F.expr(
+        "CASE WHEN scale > 0 THEN "
+        "  transform(cast(_emb as array<double>), sqq -> cast(floor(sqq / scale + 0.5) as int)) "
+        "ELSE transform(cast(_emb as array<double>), sqz -> 0) END"
+    )
+    return with_scale.select("vec_id", "scale", qvec.alias("qvec"))
+
+
+def sq_py_quantize(vec: list[float]) -> tuple[float, list[int]]:
+    """The identical codec driver-side, for query vectors."""
+    import math
+
+    mx = max(abs(float(v)) for v in vec) if vec else 0.0
+    scale = mx / SQ_LEVELS
+    if scale == 0.0:
+        return 0.0, [0] * len(vec)
+    return scale, [int(math.floor(float(v) / scale + 0.5)) for v in vec]
+
+
+def _sq_cos_topk(quant: DataFrame, q_ints: list[int], k: int) -> DataFrame:
+    """Top-k by quantized cosine: integer dot and norms (exact in doubles —
+    every partial sum is an integer ≪ 2^53, so fold order is irrelevant),
+    one FP division at the end. Selects only (vec_id, qvec) — the scale
+    column is pruned from the scan."""
+    import math
+
+    qn = math.sqrt(float(sum(v * v for v in q_ints)))
+    if qn == 0.0:
+        raise ValueError("query vector quantized to zero")
+    qlit = "array(" + ", ".join(str(int(v)) for v in q_ints) + ")"
+    dot = F.expr(
+        f"aggregate(zip_with(qvec, {qlit}, (sqd, sqe) -> cast(sqd as double) * sqe), "
+        "cast(0.0 as double), (sqacc, sqx) -> sqacc + sqx)"
+    )
+    dnorm = F.sqrt(
+        F.expr(
+            "aggregate(qvec, cast(0.0 as double), "
+            "(sqn, sqy) -> sqn + cast(sqy as double) * sqy)"
+        )
+    )
+    return (
+        quant.select("vec_id", dot.alias("_dot"), dnorm.alias("_dn"))
+        .filter(F.col("_dn") > 0)
+        .select("vec_id", F.round(F.col("_dot") / (F.col("_dn") * qn), ROUND_DP).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors, quantizing on
+    the fly — the exactness/recall baseline for the stored layout."""
+    _, q_ints = sq_py_quantize(query_vec)
+    return _sq_cos_topk(sq_quantize(df, id_col, vec_col), q_ints, k)
+
+
+def sq_write(
+    df: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Materialize the SQ8 layout: (vec_id, scale, qvec array<tinyint>) —
+    a quarter of the float32 bytes. Values are in [-127, 127] by
+    construction, so the tinyint cast is lossless."""
+    out = sq_quantize(df, id_col, vec_col).select(
+        "vec_id", "scale", F.col("qvec").cast("array<tinyint>").alias("qvec")
+    )
+    out.write.mode("overwrite").parquet(path)
+    _write_ann_meta(path, {"kind": "sq8", "levels": SQ_LEVELS, "id_col": id_col})
+
+
+def sq_stored_topk(spark, path: str, query_vec: list[float], k: int = 20) -> DataFrame:
+    """Top-k over a ``sq_write`` layout: identical results to ``sq_topk``
+    (the codec is deterministic), but the scan reads int8 instead of
+    float32 and prunes the scale column (cosine is scale-invariant)."""
+    meta = read_ann_meta(path)
+    assert meta["kind"] == "sq8", f"not an SQ8 layout: {path}"
+    _, q_ints = sq_py_quantize(query_vec)
+    stored = spark.read.parquet(path).select(
+        "vec_id", F.col("qvec").cast("array<int>").alias("qvec")
+    )
+    return _sq_cos_topk(stored, q_ints, k)
+
+
+def _sq_quant_cte(table: str, vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    return f"""
+  SELECT {id_col} AS vec_id,
+         list_max(list_transform({vec_col}::DOUBLE[], sqa -> abs(sqa))) / {SQ_LEVELS}.0 AS scale,
+         {vec_col}::DOUBLE[] AS emb
+  FROM {table}
+"""
+
+
+def sq_quantize_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """Exploded (vec_id, dim, qval) twin — integers, so the driver hash
+    checks the codec bit-for-bit."""
+    return f"""
+WITH s AS ({_sq_quant_cte(table, vec_col, id_col)}),
+q AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(emb, sqq -> CAST(floor(sqq / scale + 0.5) AS INT))
+              ELSE list_transform(emb, sqz -> 0) END AS qvec
+  FROM s)
+SELECT vec_id,
+       CAST(generate_subscripts(qvec, 1) - 1 AS INT) AS dim,
+       unnest(qvec) AS qval
+FROM q
+"""
+
+
+def sq_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    import math
+
+    _, q_ints = sq_py_quantize(query_vec)
+    qn = math.sqrt(float(sum(v * v for v in q_ints)))
+    ql = "[" + ", ".join(str(int(v)) for v in q_ints) + "]::DOUBLE[]"
+    return f"""
+WITH s AS ({_sq_quant_cte(table, vec_col, id_col)}),
+q AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(emb, sqq -> floor(sqq / scale + 0.5))
+              ELSE list_transform(emb, sqz -> 0.0) END AS qvec
+  FROM s)
+SELECT vec_id,
+       round(list_dot_product(qvec, {ql})
+             / (sqrt(list_dot_product(qvec, qvec)) * {qn!r}), {ROUND_DP}) AS cos
+FROM q
+WHERE list_dot_product(qvec, qvec) > 0
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""

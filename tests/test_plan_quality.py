@@ -101,3 +101,39 @@ def test_tokenizer_expr_stays_in_codegen(docs):
 
     plan = plan_of(docs.select(tokenize_raw_expr(F.col("text")).alias("t")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_dirichlet_query_join_is_broadcast(spark, docs):
+    from searchengine_spark.postings import dictionary, doc_stats, term_frequencies
+    from searchengine_spark.scoring import lm_dirichlet_score
+
+    tf = term_frequencies(docs, "doc_id", "text", use_arrow_udf=False)
+    plan = plan_of(
+        lm_dirichlet_score(spark, tf, doc_stats(tf), dictionary(tf), "spark join", 5000)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_collapse_plans_bounded_heap_after_window(spark, docs):
+    """Collapse = one window shuffle on the low-cardinality key, then
+    TakeOrderedAndProject for the global k — never a full Sort."""
+    from searchengine_spark.postings import dictionary, doc_stats, term_frequencies
+    from searchengine_spark.scoring import bm25_score, collapse_topk
+
+    tf = term_frequencies(docs, "doc_id", "text", use_arrow_udf=False)
+    scored = bm25_score(spark, tf, doc_stats(tf), dictionary(tf), "spark join", 100, 50.0)
+    plan = plan_of(collapse_topk(scored, docs, "source", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+
+
+def test_sq_quantize_stays_jvm_side(spark, docs, sf_dir):
+    """The SQ8 codec is pure Catalyst expressions — no Python/Arrow eval in
+    the plan (UDFs would put int8 quantization of a 100 TB table on the
+    slow path)."""
+    from searchengine_spark.ops import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(similarity.sq_quantize(embs))
+    assert "Python" not in plan and "Arrow" not in plan.replace("ArrowEvalPython", "Python")

@@ -392,3 +392,90 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     spark.createDataFrame(rows2, "doc_id long, text string").write.mode("append").parquet(d)
     got2 = drain()
     assert {i for i, _ in got2} == {1, 2, 5}
+
+
+def test_tws_dedup_processor_kernel(spark):
+    """transformWithState ListState processor: same first-seen semantics as
+    the applyInPandasWithState path, but state writes are APPENDS of only
+    the new digests (the 10^12-scale property). Driven directly against a
+    fake ListState — the streaming wiring needs protobuf (absent here)."""
+    import pandas as pd
+
+    from searchengine_spark.streaming.dedup import DedupListStateProcessor
+
+    class FakeListState:
+        def __init__(self):
+            self.rows = []
+            self.append_calls = []
+
+        def get(self):
+            return iter([{"digest": d} for (d,) in self.rows])
+
+        def appendList(self, vals):
+            self.append_calls.append(list(vals))
+            self.rows.extend(vals)
+
+    proc = DedupListStateProcessor()
+    proc.seen = FakeListState()
+
+    def md5(text):
+        import hashlib
+
+        return hashlib.md5(text.encode()).hexdigest()
+
+    b1 = pd.DataFrame({"doc_id": [3, 1, 2], "text_md5": [md5("alpha"), md5("alpha"), md5("beta")]})
+    out1 = pd.concat(list(proc.handleInputRows(("aa",), iter([b1]))))
+    # in-batch duplicate: keeper is the smallest doc_id
+    assert sorted(out1["doc_id"]) == [1, 2]
+    assert len(proc.seen.append_calls) == 1 and len(proc.seen.append_calls[0]) == 2
+
+    b2 = pd.DataFrame({"doc_id": [4, 5], "text_md5": [md5("alpha"), md5("gamma")]})
+    out2 = pd.concat(list(proc.handleInputRows(("aa",), iter([b2]))))
+    # cross-batch duplicate dropped via state; ONLY gamma's digest appended
+    assert sorted(out2["doc_id"]) == [5]
+    assert len(proc.seen.append_calls[1]) == 1
+
+    # empty batch: no emit rows, no state append
+    out3 = pd.concat(list(proc.handleInputRows(("aa",), iter([b2.iloc[:0]]))))
+    assert len(out3) == 0 and len(proc.seen.append_calls) == 2
+
+
+def test_tws_wiring_gated_or_runs(spark, tmp_path):
+    """In this sandbox (no protobuf) the TWS entry point refuses loudly; on
+    an environment that has it, it must produce the same results as the
+    applyInPandasWithState path."""
+    from searchengine_spark.streaming.dedup import (
+        _tws_available,
+        streaming_exact_dedup_tws,
+    )
+
+    d = str(tmp_path / "drops")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    if not _tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_exact_dedup_tws(stream)
+        return
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sink = str(tmp_path / "sink")
+        q = (
+            streaming_exact_dedup_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} == {1, 2}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
