@@ -114,7 +114,8 @@ def _cmd_search(args) -> None:
                                   use_wand=not args.no_wand)
     else:
         hits = eng.search(args.query, k=args.k, mode=args.mode,
-                          use_wand=not args.no_wand, exclude=args.exclude)
+                          use_wand=not args.no_wand, exclude=args.exclude,
+                          scorer=args.scorer, mu=args.mu)
     dt = time.perf_counter() - t0
     print(
         json.dumps(
@@ -122,6 +123,7 @@ def _cmd_search(args) -> None:
                 "query": args.query,
                 "k": args.k,
                 "mode": args.mode,
+                "scorer": getattr(args, "scorer", "bm25"),
                 "sec": round(dt, 3),
                 "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
             }
@@ -331,6 +333,10 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--max-edits", type=int, default=2,
                    help="fuzzy Levenshtein budget")
     s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--scorer", choices=["bm25", "lm"], default="bm25",
+                   help="ranking function (or/and modes): bm25 or LM Dirichlet")
+    s.add_argument("--mu", type=float, default=2000.0,
+                   help="LM Dirichlet smoothing parameter")
     s.add_argument("--exclude", default="",
                    help="boolean NOT: drop docs containing any of these terms (or/and modes)")
     s.add_argument("--window", type=int, default=5,

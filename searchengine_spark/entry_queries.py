@@ -980,6 +980,34 @@ def q_facet_source_and(spark, sf_dir):
     return eng.facet_counts(FACET_QUERY, docs, "source", mode="and")
 
 
+def q_facet_stats(spark, sf_dir):
+    """Numeric stats aggregation (ES `stats`) over the FULL OR-match set:
+    n/min/max/sum/avg of n_chars per lang. avg rounded for cross-engine
+    hashing; the integer columns are exact."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = eng.facet_stats(FACET_QUERY, docs, "n_chars", by="lang", mode="or")
+    return out.select(
+        "lang", "n", "min", "max", "sum", F.round("avg", ROUND_DP).alias("avg")
+    )
+
+
+def _facet_stats_sql(query_terms: list[str], stat_col: str, by: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.{by} AS {by},
+       count(*)::BIGINT AS n,
+       min(d.{stat_col}) AS min,
+       max(d.{stat_col}) AS max,
+       sum(d.{stat_col})::BIGINT AS sum,
+       round(avg(d.{stat_col}), {ROUND_DP}) AS avg
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 def _facet_sql(query_terms: list[str], facet_col: str, mode: str) -> str:
     terms = ", ".join(f"'{t}'" for t in query_terms)
     if mode == "and":
@@ -1591,6 +1619,27 @@ def q_wand_topk(spark, sf_dir):
     )
 
 
+LM_INDEX_K = 40
+
+
+def q_lm_index_topk(spark, sf_dir):
+    """Index-native LM Dirichlet: the SAME segment index (blocks carry raw
+    tf/dl; cf from the dictionary, C from meta) scored with the per-term u
+    override — must reproduce the relational/DuckDB LM ranking exactly.
+    Tie buffer + rounded re-rank as in wand_topk."""
+    from pyspark.sql import Window
+
+    eng = _shared_index(spark, sf_dir)
+    raw = eng.search_df(BM25_QUERY, k=LM_INDEX_K + 25, scorer="lm", mu=LM_MU)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        raw.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LM_INDEX_K)
+        .drop("rn")
+    )
+
+
 NOT_EXCLUDE = "hash window"
 NOT_K = 40
 
@@ -1730,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "bm25_batch_topk": q_bm25_batch_topk,
         "lm_dirichlet": q_lm_dirichlet,
+        "lm_index_topk": q_lm_index_topk,
         "collapse_topk": q_collapse_topk,
         "recency_topk": q_recency_topk,
         "hit_counts": q_hit_counts,
@@ -1749,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
         "facet_source_and": q_facet_source_and,
+        "facet_stats": q_facet_stats,
         "explain_scores": q_explain_scores,
         "suggest": q_suggest,
         "snippets": q_snippets,
@@ -1803,6 +1854,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_sql(BM25_QUERY),
         "bm25_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
         "lm_dirichlet": _lm_dirichlet_sql(BM25_QUERY, LM_MU),
+        # index-native LM must reproduce the relational LM truth
+        "lm_index_topk": f"""
+SELECT doc_id, score FROM ({_lm_dirichlet_sql(BM25_QUERY, LM_MU)})
+ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
+""",
         "collapse_topk": _collapse_sql(BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K),
         "recency_topk": _recency_sql(
             BM25_QUERY, RECENCY_HALF_LIFE, RECENCY_AGE_MOD, RECENCY_K
@@ -1825,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_topk": _mlt_sql(MLT_DOC_ID, MLT_MAX_TERMS, MLT_K),
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
+        "facet_stats": _facet_stats_sql(FACET_QUERY.split(), "n_chars", "lang"),
         "explain_scores": _explain_sql(EXPLAIN_QUERY.split(), EXPLAIN_DOCS),
         "suggest": _suggest_sql(SUGGEST_PREFIX, SUGGEST_N),
         "snippets": _snippet_sql(SNIPPET_QUERY.split(), SNIPPET_WINDOW),

@@ -330,6 +330,8 @@ class SearchEngine:
         doc_filter=None,
         after: tuple[int, float] | None = None,
         exclude: str = "",
+        scorer: str = "bm25",
+        mu: float = 2000.0,
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc).
         ``exclude``: boolean NOT (Lucene MUST_NOT) — documents containing
@@ -351,7 +353,14 @@ class SearchEngine:
         stays exact at ANY page depth because the filter runs inside the
         kernels before selection). Pagination routes through the exhaustive
         kernels: block-max pruning optimizes the unfiltered-top-k objective
-        and is disabled for cursored pages."""
+        and is disabled for cursored pages.
+
+        ``scorer``: "bm25" (default) or "lm" — LM Dirichlet (μ = ``mu``)
+        runs on the SAME index (blocks carry raw tf/dl; cf from the
+        dictionary, C = Σ doc_len from meta) via a per-term u override in
+        the exhaustive kernel; the stored block-max metadata is the BM25
+        bound, so WAND pruning is BM25-only (as in Lucene, where non-BM25
+        similarities need their own impacts)."""
         meta = self.meta
         dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
@@ -365,6 +374,22 @@ class SearchEngine:
         }
         if not idf:
             return []
+        u_fns = None
+        if scorer == "lm":
+            if rewriter is not None:
+                raise ValueError("scorer='lm' does not compose with rewriters")
+            from .wand import lm_u_fn
+
+            c_total = float(meta.total_len or round(meta.n_docs * meta.avgdl))
+            qtf = dict(parse_query(query))
+            idf = {t: float(qtf[t]) for t in idf}  # LM weight = qtf
+            u_fns = {
+                r["term"]: lm_u_fn(mu * (float(r["cf"]) / c_total), mu)
+                for r in dict_rows
+                if r["term"] in idf
+            }
+        elif scorer != "bm25":
+            raise ValueError(f"unknown scorer: {scorer!r}")
         if mode == "and":
             from ..expansion import rewrite_query
 
@@ -381,19 +406,19 @@ class SearchEngine:
         blocks = self._pruned_blocks(buckets, terms)
         kernel = (
             score_group_wand
-            if use_wand and after is None and not ex_terms
+            if use_wand and after is None and not ex_terms and u_fns is None
             else score_group_vectorized
         )
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
         n_query_terms = len(idf)  # global-AND guard (see kernel docstring)
         mask = self._doc_mask(doc_filter)
 
-        if after is not None or ex_terms:
+        if after is not None or ex_terms or u_fns is not None:
 
             def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 return score_group_vectorized(
                     pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask,
-                    after, ex_terms or None,
+                    after, ex_terms or None, u_fns,
                 )
 
         else:
@@ -812,6 +837,34 @@ class SearchEngine:
             .groupBy(facet_col)
             .agg(F.count(F.lit(1)).alias("n"))
         )
+
+    def facet_stats(
+        self,
+        query: str,
+        metadata: DataFrame,
+        stat_col: str,
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Numeric stats aggregation over the FULL match set (Elasticsearch
+        ``stats`` aggregation): n/min/max/sum/avg of ``stat_col``, optionally
+        grouped by a facet column ``by``. Same distributed shape as
+        ``facet_counts`` — matched ids ⋈ metadata, then one hash aggregation
+        with map-side partials; nothing about the match set ever lands on
+        the driver."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", stat_col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.min(stat_col).alias("min"),
+            F.max(stat_col).alias("max"),
+            F.sum(stat_col).alias("sum"),
+            F.avg(stat_col).alias("avg"),
+        ]
+        return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
 
     # -- score explain ---------------------------------------------------------
     def explain(self, query: str, doc_ids, rewriter=None) -> DataFrame:

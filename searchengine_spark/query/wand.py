@@ -246,6 +246,20 @@ def matched_group(
     return pd.DataFrame({"doc_id": out.astype(np.uint64).view(np.int64)})
 
 
+def lm_u_fn(denom: float, mu: float):
+    """Per-term LM-Dirichlet u factor (see ``scoring.lm_dirichlet_score``):
+    u(tf, dl) = max(0, ln(1 + tf/denom) + ln(μ/(dl+μ))) with
+    denom = μ·cf_t/C precomputed driver-side. Same operation order as the
+    relational scorer so both paths agree to float precision."""
+
+    def u(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        return np.maximum(
+            0.0, np.log(1.0 + tfs / denom) + np.log(mu / (dls + mu))
+        )
+
+    return u
+
+
 def score_group_vectorized(
     pdf: pd.DataFrame,
     idf: dict[str, float],
@@ -258,6 +272,7 @@ def score_group_vectorized(
     mask: DocMask | None = None,
     after: "tuple[int, float] | None" = None,
     exclude_terms: "frozenset[str] | None" = None,
+    u_fns: "dict[str, object] | None" = None,
 ) -> pd.DataFrame:
     """Exact OR (or AND) top-k within one doc_range group. Columns in:
     BLOCK_SCHEMA; out: (doc_id:int64, score:float64). ``mask``: decode-time
@@ -280,7 +295,14 @@ def score_group_vectorized(
     terms entirely), so the group must return empty. Without this guard the
     kernel silently ANDed the present subset (found round 3: a doc with
     only 'apple' surfaced for 'apple AND banana' from a range 'banana'
-    never reaches)."""
+    never reaches).
+
+    ``u_fns``: per-term override of the tf/dl → u factor (per-posting score
+    = idf[t] · u_fns[t](tfs, dls) instead of idf[t] · bm25_u(…)) — how
+    non-BM25 scorers (LM Dirichlet: weight = qtf, see ``lm_u_fn``) run on
+    the same decoded postings. Exhaustive kernel only: the stored per-block
+    ``max_u`` is the BM25 bound, so block-max pruning stays BM25-specific
+    (Lucene similarly requires scorer-specific impacts for WAND)."""
     ex = exclude_terms or frozenset()
     by_term = _blocks_by_term(pdf)
     terms = sorted(t for t in by_term if t not in ex)
@@ -301,7 +323,8 @@ def score_group_vectorized(
         keep = _keep(docs, mask)
         if keep is not None:
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-        per_term[term] = (docs, idf[term] * bm25_u(tfs, dls, k1, b, avgdl))
+        u = u_fns[term](tfs, dls) if u_fns is not None else bm25_u(tfs, dls, k1, b, avgdl)
+        per_term[term] = (docs, idf[term] * u)
 
     all_docs = np.concatenate([per_term[t][0] for t in terms])
     uniq, inv = np.unique(all_docs, return_inverse=True)

@@ -86,3 +86,27 @@ def test_doc_filter_restricts_match_set(eng):
     allow = set(base[::2])
     got = {r[0] for r in eng.matching_docs("spark", "or", doc_filter=allow).collect()}
     assert got == allow
+
+
+def test_facet_stats_matches_truth(spark, corpus, eng):
+    """facet_stats = ES stats aggregation per facet value over the full
+    match set."""
+    truth_ids = _truth_matched(spark, corpus, ["merge", "sort"], "or")
+    rows = corpus.filter(F.col("doc_id").isin(list(truth_ids))).collect()
+    want: dict[str, list[int]] = {}
+    for r in rows:
+        want.setdefault(r["lang"], []).append(r["n_chars"])
+    got = {
+        r["lang"]: r
+        for r in eng.facet_stats("merge sort", corpus, "n_chars", by="lang").collect()
+    }
+    assert set(got) == set(want)
+    for lang, vals in want.items():
+        g = got[lang]
+        assert (g["n"], g["min"], g["max"], g["sum"]) == (
+            len(vals), min(vals), max(vals), sum(vals)
+        )
+        assert g["avg"] == pytest.approx(sum(vals) / len(vals))
+    # ungrouped variant aggregates the whole match set
+    tot = eng.facet_stats("merge sort", corpus, "n_chars").collect()[0]
+    assert tot["n"] == len(truth_ids)

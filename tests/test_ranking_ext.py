@@ -151,3 +151,49 @@ def test_hit_counts_or_and(spark, ctx, py_index):
 def test_hit_counts_empty_batch_raises(spark, ctx):
     with pytest.raises(ValueError):
         hit_counts(spark, ctx[0], {})
+
+
+@pytest.fixture(scope="module")
+def eng(spark, corpus, tmp_path_factory):
+    from searchengine_spark.query.engine import SearchEngine
+
+    e = SearchEngine(spark, str(tmp_path_factory.mktemp("lmidx") / "idx"))
+    e.build_index_from_df(corpus, id_col="doc_id", text_col="text",
+                          range_bits=2, n_buckets=4)
+    return e
+
+
+def test_lm_index_native_matches_relational(spark, ctx, eng):
+    """scorer='lm' on the segment index reproduces the relational LM
+    ranking and scores (same tf/dl from the blocks, cf from the stored
+    dictionary, C from meta.total_len)."""
+    tf_df, stats, dct, n, _ = ctx
+    from searchengine_spark.scoring import topk
+
+    C = int(stats.agg(F.sum("doc_len")).collect()[0][0])
+    for q in (QUERY, "customer order", "window group"):
+        rel = topk(lm_dirichlet_score(spark, tf_df, stats, dct, q, C), 15).collect()
+        got = eng.search(q, k=15, scorer="lm")
+        assert [(g[0]) for g in got] == [r["doc_id"] for r in rel], q
+        for g, r in zip(got, rel):
+            assert g[1] == pytest.approx(r["score"], abs=1e-9)
+
+
+def test_lm_index_and_mode_and_exclude(spark, ctx, eng):
+    """LM composes with conjunctive mode and boolean NOT — the masks and
+    guards are scorer-independent."""
+    or_ids = {d for d, _ in eng.search(QUERY, k=1000, scorer="lm")}
+    and_hits = eng.search(QUERY, k=1000, mode="and", scorer="lm")
+    assert {d for d, _ in and_hits} <= or_ids
+    not_hits = eng.search(QUERY, k=1000, scorer="lm", exclude="table")
+    table_docs = {d for d, _ in eng.search("table", k=100000)}
+    assert not ({d for d, _ in not_hits} & table_docs)
+
+
+def test_lm_scorer_validation(eng):
+    with pytest.raises(ValueError, match="unknown scorer"):
+        eng.search(QUERY, k=5, scorer="dfr")
+    from searchengine_spark.expansion import identity_rewriter
+
+    with pytest.raises(ValueError, match="rewriters"):
+        eng.search(QUERY, k=5, scorer="lm", rewriter=identity_rewriter)
