@@ -112,6 +112,12 @@ def _cmd_search(args) -> None:
     elif args.mode == "mlt":
         hits = eng.more_like_this(args.query, k=args.k,
                                   use_wand=not args.no_wand)
+    elif args.mode == "qs":
+        meta_df = spark.read.parquet(args.metadata) if args.metadata else None
+        hits = eng.search_query_string(args.query, k=args.k,
+                                       metadata=meta_df,
+                                       use_wand=not args.no_wand,
+                                       scorer=args.scorer, mu=args.mu)
     else:
         hits = eng.search(args.query, k=args.k, mode=args.mode,
                           use_wand=not args.no_wand, exclude=args.exclude,
@@ -323,7 +329,7 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("-k", type=int, default=100)
     s.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "near", "wildcard", "fuzzy", "mlt"],
+        choices=["or", "and", "phrase", "near", "wildcard", "fuzzy", "mlt", "qs"],
         default="or",
         help="wildcard: --query is a glob (ind*); fuzzy: a single term; "
         "mlt: a source text to find similar docs for",
@@ -334,7 +340,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="fuzzy Levenshtein budget")
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--scorer", choices=["bm25", "lm"], default="bm25",
-                   help="ranking function (or/and modes): bm25 or LM Dirichlet")
+                   help="ranking function (or/and/qs modes): bm25 or LM Dirichlet")
+    s.add_argument("--metadata", default=None,
+                   help="qs mode: parquet with doc_id + filterable columns "
+                        "(enables field:value clauses)")
     s.add_argument("--mu", type=float, default=2000.0,
                    help="LM Dirichlet smoothing parameter")
     s.add_argument("--exclude", default="",

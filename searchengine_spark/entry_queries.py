@@ -960,6 +960,73 @@ LIMIT {k}
 """
 
 
+QS_QUERY = '+sort stream "merge sort" lang:en -dup'
+QS_K = 20
+
+
+def q_query_string_topk(spark, sf_dir):
+    """Lucene-style query string composing every clause type in one query:
+    SHOULD (stream) + MUST (+sort) + exact phrase ("merge sort", positional
+    index) + metadata filter (lang:en) + MUST_NOT (-dup). 9 docs satisfy
+    the composition at sf0.01, so the hash checks constraint intersection,
+    the in-kernel veto, AND the BM25 scoring over the positive-term
+    union."""
+    eng = _shared_index(spark, sf_dir, positional=True)
+    docs = _docs(spark, sf_dir)
+    rows = eng.search_query_string(QS_QUERY, k=QS_K + 10, metadata=docs)
+    return _topk_rounded(spark, rows, QS_K)
+
+
+def _query_string_sql(qs: str, k: int) -> str:
+    """Generic SQL twin built from the SAME parse as the engine: BM25 over
+    the positive-term union, constrained by phrase/must/filter, MUST_NOT
+    excluded."""
+    from .querylang import parse_query_string
+    from .tokenizer import tokenize_py
+
+    p = parse_query_string(qs)
+    scored = _bm25_sql(" ".join(p.positive_terms))
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    joins, preds = [], []
+    for i, ph in enumerate(p.phrases):
+        needle = " " + " ".join(tokenize_py(ph)) + " "
+        joins.append(
+            f"""JOIN (SELECT doc_id FROM (
+    SELECT doc_id, ' ' || array_to_string({toks}, ' ') || ' ' AS joined
+    FROM documents)
+  WHERE position('{needle}' IN joined) > 0) ph{i} USING (doc_id)"""
+        )
+    if p.must:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(p.must)))
+        joins.append(
+            f"""JOIN (SELECT doc_id FROM tfq WHERE term IN ({terms})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(p.must))}) mt USING (doc_id)"""
+        )
+    for f, v in p.filters:
+        preds.append(
+            f"s.doc_id IN (SELECT doc_id FROM documents WHERE {f} = '{v}')"
+        )
+    if p.must_not:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(p.must_not)))
+        preds.append(
+            f"s.doc_id NOT IN (SELECT DISTINCT doc_id FROM tfq WHERE term IN ({terms}))"
+        )
+    where = ("WHERE " + "\n  AND ".join(preds)) if preds else ""
+    return f"""
+WITH tfq AS ({_TF_SQL}),
+scored AS ({scored})
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s
+{chr(10).join(joins)}
+{where}
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 FACET_QUERY = "dup stream"  # dup is rare (df≈25), stream common — skewed union
 
 
@@ -1800,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_or": q_facet_lang_or,
         "facet_source_and": q_facet_source_and,
         "facet_stats": q_facet_stats,
+        "query_string_topk": q_query_string_topk,
         "explain_scores": q_explain_scores,
         "suggest": q_suggest,
         "snippets": q_snippets,
@@ -1882,6 +1950,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "facet_stats": _facet_stats_sql(FACET_QUERY.split(), "n_chars", "lang"),
+        "query_string_topk": _query_string_sql(QS_QUERY, QS_K),
         "explain_scores": _explain_sql(EXPLAIN_QUERY.split(), EXPLAIN_DOCS),
         "suggest": _suggest_sql(SUGGEST_PREFIX, SUGGEST_N),
         "snippets": _snippet_sql(SNIPPET_QUERY.split(), SNIPPET_WINDOW),

@@ -539,11 +539,12 @@ class SearchEngine:
             out[qid].append((int(doc), float(score)))
         return out
 
-    def _positional_query(self, query: str, k: int, doc_filter,
-                          make_kernel) -> list[tuple[int, float]]:
+    def _positional_candidates(self, query: str, doc_filter,
+                               make_kernel) -> DataFrame:
         """Shared scaffolding for positional (phrase / NEAR) queries:
         positions check, tokenize, dictionary resolve, pruned block scan,
-        one applyInPandas kernel per doc_range, global top-k merge.
+        one applyInPandas kernel per doc_range — returns the DISTRIBUTED
+        candidate DataFrame (doc_id, score), never collected here.
         ``make_kernel(terms, idf, k1, b, avgdl, mask)`` returns the
         per-group pdf→pdf kernel."""
         from ..tokenizer import tokenize_py
@@ -554,18 +555,24 @@ class SearchEngine:
                 "index was built without positions — rebuild with "
                 "with_positions=True for index-native positional queries"
             )
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         terms = tokenize_py(query)
         if not terms:
-            return []
+            return empty
         dict_rows = self._resolve_terms(" ".join(sorted(set(terms))))
         if len(dict_rows) < len(set(terms)):
-            return []  # a query term is absent from the corpus → no match
+            return empty  # a query term is absent from the corpus → no match
         idf = {r["term"]: float(r["idf"]) for r in dict_rows}
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
         blocks = self._pruned_blocks(buckets, sorted(idf))
         mask = self._doc_mask(doc_filter)
         run_group = make_kernel(terms, idf, meta.k1, meta.b, meta.avgdl, mask)
-        cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
+        return blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
+
+    def _positional_query(self, query: str, k: int, doc_filter,
+                          make_kernel) -> list[tuple[int, float]]:
+        """``_positional_candidates`` + global top-k merge."""
+        cand = self._positional_candidates(query, doc_filter, make_kernel)
         rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
@@ -585,6 +592,82 @@ class SearchEngine:
             return run_group
 
         return self._positional_query(phrase, k, doc_filter, make_kernel)
+
+    def phrase_matching_docs(self, phrase: str, doc_filter=None) -> DataFrame:
+        """FULL set of docs containing the exact phrase, as a distributed
+        DataFrame[doc_id] (never collected): the phrase kernel with an
+        unbounded per-group k. Feeds query-string phrase constraints and
+        any match-set consumer (facets over a phrase, etc.)."""
+        from .phrase import score_group_phrase
+
+        k_all = 1 << 62  # per-group truncation disabled
+
+        def make_kernel(terms, idf, k1, b, avgdl, mask):
+            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_group_phrase(pdf, idf, k1, b, avgdl, k_all,
+                                          terms, mask)
+            return run_group
+
+        cand = self._positional_candidates(phrase, doc_filter, make_kernel)
+        return cand.select("doc_id")
+
+    def search_query_string(
+        self,
+        qs: str,
+        k: int = 100,
+        metadata: DataFrame | None = None,
+        use_wand: bool = True,
+        scorer: str = "bm25",
+        mu: float = 2000.0,
+    ) -> list[tuple[int, float]]:
+        """Lucene-style query string (see ``querylang``): bare terms SHOULD,
+        ``+term`` MUST, ``-term`` MUST_NOT, ``"…"`` exact phrase (needs a
+        positional index), ``field:value`` metadata filter (needs
+        ``metadata`` with a doc_id column).
+
+        Scoring: BM25 (or ``scorer="lm"``) OR over SHOULD + MUST + phrase
+        terms; MUST / phrase / filter clauses restrict the result set
+        without changing scores (ES filter-context semantics); MUST_NOT
+        vetoes inside the kernels. Every constraint resolves to a
+        distributed doc set; their intersection becomes ONE decode-time
+        allow-set mask, so the scored search itself stays a single pruned
+        scan. An OOV MUST or phrase term empties the result (it occurs in
+        no document); an OOV MUST_NOT is a no-op."""
+        from ..querylang import parse_query_string
+
+        p = parse_query_string(qs)
+        positive = p.positive_terms
+        if not positive:
+            raise ValueError(f"query string has no positive terms: {qs!r}")
+        allow: DataFrame | None = None
+
+        def intersect(a: DataFrame | None, b: DataFrame) -> DataFrame:
+            return b if a is None else a.join(b, "doc_id").select("doc_id")
+
+        if p.must:
+            allow = intersect(allow, self.matching_docs(" ".join(p.must), mode="and"))
+        for ph in p.phrases:
+            allow = intersect(allow, self.phrase_matching_docs(ph))
+        if p.filters:
+            if metadata is None:
+                raise ValueError(
+                    f"query string has field filters {p.filters} but no "
+                    "metadata DataFrame was provided"
+                )
+            for f, v in p.filters:
+                allow = intersect(
+                    allow,
+                    metadata.filter(F.col(f) == v).select("doc_id"),
+                )
+        return self.search(
+            " ".join(positive),
+            k=k,
+            use_wand=use_wand,
+            doc_filter=allow,
+            exclude=" ".join(p.must_not),
+            scorer=scorer,
+            mu=mu,
+        )
 
     def search_near(self, query: str, window: int, k: int = 100,
                     ordered: bool = False,
