@@ -12,6 +12,9 @@ Components (each timed, reported under "queries"):
   simhash           — 60-bit SimHash for every doc
   emb_cosine_topk   — brute-force cosine top-k over embeddings
   text_stats        — token_count + quality + lang_id + fingerprint
+  …plus the round-2/3 additions: query_and / query_not / query_wand_batch,
+  index_build_positional + query_phrase, query_qs (Lucene-style query
+  strings), dedup_pipeline, ann_*_write / ann_*_stored_topk, ann_sq_*
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -180,6 +183,20 @@ def main() -> None:
 
     peng.search_phrase(PHRASES[0], k=10)  # warm
     timed("query_phrase", phrase_queries)
+
+    # Lucene-style query strings: every clause type (MUST/phrase/filter/
+    # range/NOT/boost) composes constraint jobs + one scored pruned scan
+    QS_QUERIES = [
+        '+sort stream "merge sort" -dup',
+        'stream^2 scan lang:en n_chars:[150 TO 2000]',
+        'table +filter "customer order" source:src3',
+    ]
+
+    def qs_queries():
+        for q in QS_QUERIES:
+            peng.search_query_string(q, k=100, metadata=docs)
+
+    timed("query_qs", qs_queries)
 
     timed("dedup_minhash", lambda: dedup.minhash_band_pairs(docs).count())
     timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs, w=3, tau=0.2).count())

@@ -137,16 +137,30 @@ def _scoring_ctx(spark, sf_dir):
 
 
 def _bm25_sql(query: str, k1: float = 1.5, b: float = 0.75,
-              tf_sql: str | None = None) -> str:
-    terms = ", ".join(f"'{t}'" for t, _ in parse_query(query))
+              tf_sql: str | None = None,
+              weights: dict[str, float] | None = None) -> str:
+    """``weights``: per-term idf multiplier (query-string ``term^w``
+    boosts). Use power-of-two boosts in driver entries — scaling a float64
+    by 2^n is exact, so the engine's idf*boost fold and this SQL's
+    in-expression multiply are bit-identical."""
+    qterms = [t for t, _ in parse_query(query)]
+    if weights:
+        q_cte = "q(term, w) AS (VALUES " + ", ".join(
+            f"('{t}', {float(weights.get(t, 1.0))!r})" for t in qterms
+        ) + ")"
+        wmul = " * q.w"
+    else:
+        terms = ", ".join(f"'{t}'" for t in qterms)
+        q_cte = f"q AS (SELECT unnest([{terms}]) AS term)"
+        wmul = ""
     return f"""
 WITH tf AS ({tf_sql or _TF_SQL}),
 stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
 corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
 dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-q AS (SELECT unnest([{terms}]) AS term)
+{q_cte}
 SELECT tf.doc_id AS doc_id,
-       round(sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+       round(sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)){wmul}
                  * (tf.tf * ({k1} + 1.0))
                  / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
 FROM tf
@@ -977,6 +991,24 @@ def q_query_string_topk(spark, sf_dir):
     return _topk_rounded(spark, rows, QS_K)
 
 
+QS_BOOST_QUERY = 'stream^2 scan^0.5 sort -dup n_chars:[150 TO 400]'
+QS_BOOST_K = 20
+
+
+def q_query_string_boosted(spark, sf_dir):
+    """Query string exercising the round-3 extensions: per-term boosts
+    (^2 and ^0.5 — powers of two, so the engine's idf fold and the SQL
+    twin's in-expression multiply are bit-identical) + a numeric
+    ``field:[lo TO hi]`` range filter + MUST_NOT. Boost changes the
+    RANKING (stream-heavy docs outrank scan-heavy ones), so the hash
+    checks the boosted scores, not just the filtered set."""
+    eng = _shared_index(spark, sf_dir, positional=True)
+    docs = _docs(spark, sf_dir)
+    rows = eng.search_query_string(QS_BOOST_QUERY, k=QS_BOOST_K + 10,
+                                   metadata=docs)
+    return _topk_rounded(spark, rows, QS_BOOST_K)
+
+
 def _query_string_sql(qs: str, k: int) -> str:
     """Generic SQL twin built from the SAME parse as the engine: BM25 over
     the positive-term union, constrained by phrase/must/filter, MUST_NOT
@@ -985,7 +1017,7 @@ def _query_string_sql(qs: str, k: int) -> str:
     from .tokenizer import tokenize_py
 
     p = parse_query_string(qs)
-    scored = _bm25_sql(" ".join(p.positive_terms))
+    scored = _bm25_sql(" ".join(p.positive_terms), weights=p.boosts or None)
     toks = (
         f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
         f"IF t NOT IN ({_STOP_SQL})]"
@@ -1008,6 +1040,16 @@ def _query_string_sql(qs: str, k: int) -> str:
     for f, v in p.filters:
         preds.append(
             f"s.doc_id IN (SELECT doc_id FROM documents WHERE {f} = '{v}')"
+        )
+    for f, lo, hi in p.ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"{f} >= {lo}")
+        if hi is not None:
+            conds.append(f"{f} <= {hi}")
+        preds.append(
+            "s.doc_id IN (SELECT doc_id FROM documents WHERE "
+            + " AND ".join(conds) + ")"
         )
     if p.must_not:
         terms = ", ".join(f"'{t}'" for t in sorted(set(p.must_not)))
@@ -1868,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source_and": q_facet_source_and,
         "facet_stats": q_facet_stats,
         "query_string_topk": q_query_string_topk,
+        "query_string_boosted": q_query_string_boosted,
         "explain_scores": q_explain_scores,
         "suggest": q_suggest,
         "snippets": q_snippets,
@@ -1951,6 +1994,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "facet_stats": _facet_stats_sql(FACET_QUERY.split(), "n_chars", "lang"),
         "query_string_topk": _query_string_sql(QS_QUERY, QS_K),
+        "query_string_boosted": _query_string_sql(QS_BOOST_QUERY, QS_BOOST_K),
         "explain_scores": _explain_sql(EXPLAIN_QUERY.split(), EXPLAIN_DOCS),
         "suggest": _suggest_sql(SUGGEST_PREFIX, SUGGEST_N),
         "snippets": _snippet_sql(SNIPPET_QUERY.split(), SNIPPET_WINDOW),

@@ -44,6 +44,17 @@ RESULT_SCHEMA = StructType(
 )
 
 
+def _range_bound(s: str):
+    """A query-string range bound compared with its natural type: int if it
+    parses as one, else float, else the literal string (lexicographic)."""
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            continue
+    return s
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -626,13 +637,18 @@ class SearchEngine:
         ``metadata`` with a doc_id column).
 
         Scoring: BM25 (or ``scorer="lm"``) OR over SHOULD + MUST + phrase
-        terms; MUST / phrase / filter clauses restrict the result set
-        without changing scores (ES filter-context semantics); MUST_NOT
-        vetoes inside the kernels. Every constraint resolves to a
-        distributed doc set; their intersection becomes ONE decode-time
-        allow-set mask, so the scored search itself stays a single pruned
-        scan. An OOV MUST or phrase term empties the result (it occurs in
-        no document); an OOV MUST_NOT is a no-op."""
+        terms; ``term^w`` boosts scale that term's idf (folded in by
+        ``_resolve_terms``, so the kernels — including the WAND block-max
+        bounds, which are computed from the query-side idf map — stay
+        unchanged and pruning remains safe); MUST / phrase / filter /
+        ``field:[lo TO hi]`` range clauses restrict the result set without
+        changing scores (ES filter-context semantics); MUST_NOT vetoes
+        inside the kernels. Every constraint resolves to a distributed doc
+        set; their intersection becomes ONE decode-time allow-set mask, so
+        the scored search itself stays a single pruned scan. An OOV MUST
+        or phrase term empties the result (it occurs in no document); an
+        OOV MUST_NOT is a no-op. Boosts do not compose with
+        ``scorer="lm"`` (LM weights are query tf — ``search`` raises)."""
         from ..querylang import parse_query_string
 
         p = parse_query_string(qs)
@@ -648,21 +664,36 @@ class SearchEngine:
             allow = intersect(allow, self.matching_docs(" ".join(p.must), mode="and"))
         for ph in p.phrases:
             allow = intersect(allow, self.phrase_matching_docs(ph))
-        if p.filters:
+        if p.filters or p.ranges:
             if metadata is None:
                 raise ValueError(
-                    f"query string has field filters {p.filters} but no "
-                    "metadata DataFrame was provided"
+                    f"query string has field filters {p.filters + p.ranges} "
+                    "but no metadata DataFrame was provided"
                 )
             for f, v in p.filters:
                 allow = intersect(
                     allow,
                     metadata.filter(F.col(f) == v).select("doc_id"),
                 )
+            for f, lo, hi in p.ranges:
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (F.col(f) >= _range_bound(lo))
+                if hi is not None:
+                    cond = cond & (F.col(f) <= _range_bound(hi))
+                allow = intersect(allow, metadata.filter(cond).select("doc_id"))
+        rewriter = None
+        if p.boosts:
+            boosts = dict(p.boosts)
+
+            def rewriter(qterms):
+                return [(t, boosts.get(t, 1.0)) for t, _ in qterms]
+
         return self.search(
             " ".join(positive),
             k=k,
             use_wand=use_wand,
+            rewriter=rewriter,
             doc_filter=allow,
             exclude=" ".join(p.must_not),
             scorer=scorer,

@@ -10,14 +10,21 @@ Supported syntax (flat boolean — no nesting or OR groups):
     "customer order"        quotes            → exact phrase constraint
                                                 (needs a positional index)
     lang:en                 field:value       → metadata equality filter
+    stream^2                '^' suffix        → per-term boost (scales the
+                                                term's idf; Lucene boost)
+    "merge sort"^2          phrase boost      → boosts every phrase term
+    n_chars:[100 TO 400]    field:[lo TO hi]  → metadata range filter
+                                                (inclusive; '*' = open end)
 
 Semantics pinned by ``SearchEngine.search_query_string`` (and the
-``query_string_topk`` driver oracle): BM25 scores the union of SHOULD +
-MUST + phrase terms; MUST / phrase / filter clauses restrict the result
-set without changing scores; MUST_NOT vetoes in-kernel. Tokens are run
-through the engine tokenizer, so a clause that tokenizes to nothing (a
-stopword ``+the``) is dropped rather than emptying the result — same
-policy as Lucene's analyzer-then-parse pipeline.
+``query_string_topk`` / ``query_string_boosted`` driver oracles): BM25
+scores the union of SHOULD + MUST + phrase terms, each term's idf scaled
+by its boost (max-combined across clauses mentioning the term); MUST /
+phrase / filter / range clauses restrict the result set without changing
+scores; MUST_NOT vetoes in-kernel. Tokens are run through the engine
+tokenizer, so a clause that tokenizes to nothing (a stopword ``+the``)
+is dropped rather than emptying the result — same policy as Lucene's
+analyzer-then-parse pipeline.
 
 The reference has no query language (plain text OR queries only,
 ``Part C/searcher.py:38``); this is engine-hardening surface.
@@ -30,7 +37,13 @@ from dataclasses import dataclass, field
 
 from .tokenizer import tokenize_py
 
-_TOKEN_RE = re.compile(r'[+-]?"[^"]*"|\S+')
+# order matters: range filter (contains spaces) > quoted phrase > bare token
+_TOKEN_RE = re.compile(
+    r'\S+:\[[^\]]*\]'                 # field:[lo TO hi]
+    r'|[+-]?"[^"]*"(?:\^\S+)?'        # "phrase"[^boost]
+    r'|\S+'                           # term / +term / -term / field:value
+)
+_RANGE_RE = re.compile(r'^([^:]+):\[\s*(\S+)\s+TO\s+(\S+)\s*\]$', re.IGNORECASE)
 
 
 @dataclass
@@ -40,6 +53,8 @@ class ParsedQueryString:
     must_not: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)
     filters: list[tuple[str, str]] = field(default_factory=list)
+    ranges: list[tuple[str, str | None, str | None]] = field(default_factory=list)
+    boosts: dict[str, float] = field(default_factory=dict)
 
     @property
     def positive_terms(self) -> list[str]:
@@ -53,31 +68,66 @@ class ParsedQueryString:
         return list(seen)
 
 
+def _split_boost(raw: str) -> tuple[str, float]:
+    """``stream^2`` → ('stream', 2.0); no/invalid suffix → (raw, 1.0).
+    A malformed boost (``term^fast``) falls through as literal text, same
+    as Lucene's lenient parse — the '^…' then dies in the tokenizer."""
+    head, sep, tail = raw.rpartition("^")
+    if sep:
+        try:
+            return head, float(tail)
+        except ValueError:
+            pass
+    return raw, 1.0
+
+
 def parse_query_string(qs: str) -> ParsedQueryString:
     """qs → clause lists. Terms are tokenizer-normalized here (lowercase,
     stopword-dropped); phrases keep their raw text — the phrase machinery
     tokenizes them itself so adjacency is defined over the filtered
-    stream."""
+    stream. Boosts are max-combined per normalized term."""
     out = ParsedQueryString()
+
+    def boost_all(toks: list[str], w: float) -> None:
+        if w != 1.0:
+            for t in toks:
+                out.boosts[t] = max(out.boosts.get(t, 0.0), w)
+
     for raw in _TOKEN_RE.findall(qs):
+        m = _RANGE_RE.match(raw)
+        if m:
+            f, lo, hi = m.group(1), m.group(2), m.group(3)
+            out.ranges.append((f, None if lo == "*" else lo,
+                               None if hi == "*" else hi))
+            continue
         op = ""
         if raw[0] in "+-" and len(raw) > 1:
             op, raw = raw[0], raw[1:]
         if raw.startswith('"'):
-            ph = raw.strip('"').strip()
+            rest = raw[1:]
+            ph, _, tail = rest.partition('"')
+            ph = ph.strip()
             if op == "-":
                 raise ValueError("negated phrases are not supported")
-            if ph and tokenize_py(ph):
+            boost = _split_boost(tail)[1] if tail.startswith("^") else 1.0
+            ptoks = tokenize_py(ph)
+            if ph and ptoks:
                 out.phrases.append(ph)
+                boost_all(ptoks, boost)
             continue
         if ":" in raw and not op:
             f, v = raw.split(":", 1)
             if f and v:
                 out.filters.append((f, v))
                 continue
+        raw, boost = _split_boost(raw)
         toks = tokenize_py(raw)
         if not toks:
             continue  # stopword-only clause: dropped, never empties results
+        if op == "-" and boost != 1.0:
+            raise ValueError("a MUST_NOT clause cannot carry a boost "
+                             "(it never contributes to the score)")
         dst = {"": out.should, "+": out.must, "-": out.must_not}[op]
         dst.extend(toks)
+        boost_all(toks, boost)
     return out

@@ -132,6 +132,59 @@ def test_qs_lm_scorer_composes(spark, eng):
         assert s == pytest.approx(lm_plain[d], abs=1e-12)
 
 
+def test_parse_boosts_and_ranges():
+    p = parse_query_string('stream^2 +sort^0.5 "merge sort"^4 n_chars:[150 TO 400]')
+    assert p.should == ["stream"] and p.must == ["sort"]
+    assert p.phrases == ["merge sort"]
+    # phrase boost applies to each phrase token; max-combine with ^0.5
+    assert p.boosts == {"stream": 2.0, "sort": 4.0, "merge": 4.0}
+    assert p.ranges == [("n_chars", "150", "400")]
+    # open ends + malformed boost falls through as literal text (dies in
+    # the tokenizer, Lucene-lenient)
+    p2 = parse_query_string("n_chars:[* TO 99] x:[a TO *] stream^fast")
+    assert p2.ranges == [("n_chars", None, "99"), ("x", "a", None)]
+    assert p2.should == ["stream", "fast"]  # '^' split by the tokenizer
+    with pytest.raises(ValueError, match="MUST_NOT.*boost"):
+        parse_query_string("stream -dup^2")
+
+
+def test_qs_boost_scales_scores_exactly(spark, eng):
+    """term^2 doubles that term's contribution: a single-term boosted
+    query scores exactly 2× the unboosted one (power-of-two scaling of
+    float64 is exact)."""
+    plain = dict(eng.search("stream", k=10_000))
+    boosted = dict(eng.search_query_string("stream^2", k=10_000))
+    assert boosted.keys() == plain.keys() and plain
+    for d, s in plain.items():
+        assert boosted[d] == 2.0 * s
+    # multi-term: boost changes the ranking vs plain OR on some corpus
+    plain2 = eng.search_query_string("stream scan", k=10_000)
+    boosted2 = eng.search_query_string("stream^8 scan", k=10_000)
+    assert dict(boosted2) != dict(plain2)
+
+
+def test_qs_range_filter(spark, eng, corpus, toks):
+    nchars = {r["doc_id"]: r["n_chars"]
+              for r in corpus.select("doc_id", "n_chars").collect()}
+    hits = eng.search_query_string("stream n_chars:[150 TO 400]", k=10_000,
+                                   metadata=corpus)
+    got = {d for d, _ in hits}
+    want = {d for d, t in toks.items()
+            if "stream" in t and 150 <= nchars[d] <= 400}
+    assert got == want and got
+    # open upper end
+    hits2 = eng.search_query_string("stream n_chars:[400 TO *]", k=10_000,
+                                    metadata=corpus)
+    got2 = {d for d, _ in hits2}
+    assert got2 == {d for d, t in toks.items()
+                    if "stream" in t and nchars[d] >= 400}
+
+
+def test_qs_boost_lm_refused(spark, eng):
+    with pytest.raises(ValueError, match="rewriters"):
+        eng.search_query_string("stream^2", k=10, scorer="lm")
+
+
 def test_parser_never_crashes_on_arbitrary_input():
     from hypothesis import given, settings
     from hypothesis import strategies as st
