@@ -104,6 +104,10 @@ def _cmd_search(args) -> None:
         hits = eng.search_wildcard(args.query, k=args.k,
                                    max_expansions=args.max_expansions,
                                    use_wand=not args.no_wand)
+    elif args.mode == "regexp":
+        hits = eng.search_regexp(args.query, k=args.k,
+                                 max_expansions=args.max_expansions,
+                                 use_wand=not args.no_wand)
     elif args.mode == "fuzzy":
         hits = eng.search_fuzzy(args.query, k=args.k,
                                 max_edits=args.max_edits,
@@ -329,7 +333,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("-k", type=int, default=100)
     s.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "near", "wildcard", "fuzzy", "mlt", "qs"],
+        choices=["or", "and", "phrase", "near", "wildcard", "regexp", "fuzzy",
+                 "mlt", "qs"],
         default="or",
         help="wildcard: --query is a glob (ind*); fuzzy: a single term; "
         "mlt: a source text to find similar docs for",

@@ -816,6 +816,57 @@ def q_wildcard_topk(spark, sf_dir):
     )
 
 
+RX_PATTERN = "s(ort|tream)|merge"  # matches sort/stream/merge; cap keeps 2
+RX_MAX_EXP = 2
+RX_K = 40
+
+
+def q_regexp_topk(spark, sf_dir):
+    """Dictionary-backed regexp search (Lucene RegexpQuery analogue):
+    anchored full-term regex → matching dictionary terms capped at
+    max_expansions by (df desc, term asc) → BM25 OR over the expansion.
+    The pattern exercises alternation (no prefix pushdown possible) and
+    the cap is smaller than the 3-term match set, so both the anchoring
+    and the expansion ordering are in the hash."""
+    eng = _shared_index(spark, sf_dir)
+    return _topk_rounded(
+        spark,
+        eng.search_regexp(RX_PATTERN, k=RX_K + 25, max_expansions=RX_MAX_EXP),
+        RX_K,
+    )
+
+
+def _regexp_sql(rx: str, max_exp: int, k: int,
+                k1: float = 1.5, b: float = 0.75) -> str:
+    """SQL twin: same implicit full-term anchoring, same (df desc,
+    term asc) cap, then plain BM25 over the expanded term set."""
+    body = rx.lower()
+    body = body[1:] if body.startswith("^") else body
+    anchored = "^(?:" + (body[:-1] if body.endswith("$") else body) + ")$"
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT term FROM dict WHERE regexp_matches(term, '{anchored}')
+      ORDER BY df DESC, term ASC LIMIT {max_exp}),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * ({k1} + 1.0))
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))), {ROUND_DP}) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def _wildcard_sql(pattern: str, max_exp: int, k: int,
                   k1: float = 1.5, b: float = 0.75) -> str:
     """SQL twin: same glob→regex translation, same (df desc, term asc) cap,
@@ -1130,6 +1181,90 @@ matched AS ({matched})
 SELECT d.{facet_col} AS {facet_col}, count(*) AS n
 FROM matched m JOIN documents d USING (doc_id)
 GROUP BY 1
+"""
+
+
+HIST_INTERVAL = 100.0  # n_chars histogram bucket width
+TV_MOD = 97  # term-vector docs: doc_id % TV_MOD == 0 (deterministic set)
+SIG_TOP_N = 20
+
+
+def q_facet_histogram(spark, sf_dir):
+    """Histogram aggregation (ES `histogram`) over the FULL OR-match set:
+    n_chars bucketed at width 100, counted per bucket — matched ids from
+    the index kernels ⋈ metadata, one hash agg with map-side partials."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.facet_histogram(FACET_QUERY, docs, "n_chars", HIST_INTERVAL)
+
+
+def q_term_vectors(spark, sf_dir):
+    """Per-doc term vectors decoded straight off the index (Lucene
+    TermVectors analogue): (doc_id, term, tf, dl) for a deterministic
+    allow-set — hash-checked against the text-scan tf truth, proving the
+    index stores exactly what the tokenizer produced."""
+    eng = _shared_index(spark, sf_dir)
+    ids = [
+        r[0]
+        for r in _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % TV_MOD == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    return eng.term_vectors(ids)
+
+
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (ES JLH): terms overrepresented in
+    the FACET_QUERY match set vs the corpus, fg_df from postings ⋈ match
+    set, bg_df/N from the dictionary, score rounded to 6 dp pre-ordering
+    for deterministic top-n selection."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.significant_terms(FACET_QUERY, top_n=SIG_TOP_N)
+
+
+def _facet_histogram_sql(query_terms: list[str], stat_col: str,
+                         interval: float) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT floor(d.{stat_col} / {interval!r}) * {interval!r} AS bucket,
+       count(*) AS n
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def _term_vectors_sql(mod: int) -> str:
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1)
+SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, s.dl AS dl
+FROM tf JOIN stats s USING (doc_id)
+WHERE tf.doc_id % {mod} = 0
+"""
+
+
+def _significant_terms_sql(query_terms: list[str], top_n: int) -> str:
+    # expression shape mirrors the engine exactly (fg_df/fg_total etc. as
+    # BIGINT/DOUBLE divisions) so the float64 arithmetic is bit-identical
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    fgp = "(f.fg_df / CAST(t.fg_total AS DOUBLE))"
+    bgp = "(b.bg_df / CAST(c.n AS DOUBLE))"
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+corpus AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+tot AS (SELECT count(*) AS fg_total FROM matched),
+fg AS (SELECT term, count(*)::BIGINT AS fg_df
+       FROM tf JOIN matched USING (doc_id) GROUP BY term),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM tf GROUP BY term)
+SELECT f.term AS term, f.fg_df AS fg_df, b.bg_df AS bg_df,
+       round(({fgp} - {bgp}) * ({fgp} / {bgp}), 6) AS score
+FROM fg f JOIN bg b USING (term) CROSS JOIN tot t CROSS JOIN corpus c
+ORDER BY score DESC, term ASC
+LIMIT {top_n}
 """
 
 
@@ -1904,11 +2039,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
         "wildcard_topk": q_wildcard_topk,
+        "regexp_topk": q_regexp_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
         "facet_source_and": q_facet_source_and,
         "facet_stats": q_facet_stats,
+        "facet_histogram": q_facet_histogram,
+        "term_vectors": q_term_vectors,
+        "significant_terms": q_significant_terms,
         "query_string_topk": q_query_string_topk,
         "query_string_boosted": q_query_string_boosted,
         "explain_scores": q_explain_scores,
@@ -1986,6 +2125,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "wildcard_topk": _wildcard_sql(
             WILDCARD_PATTERN, WILDCARD_MAX_EXP, WILDCARD_K
         ),
+        "regexp_topk": _regexp_sql(RX_PATTERN, RX_MAX_EXP, RX_K),
         "fuzzy_topk": _fuzzy_sql(
             FUZZY_TERM, FUZZY_MAX_EDITS, FUZZY_MAX_EXP, FUZZY_K
         ),
@@ -1993,6 +2133,13 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "facet_stats": _facet_stats_sql(FACET_QUERY.split(), "n_chars", "lang"),
+        "facet_histogram": _facet_histogram_sql(
+            FACET_QUERY.split(), "n_chars", HIST_INTERVAL
+        ),
+        "term_vectors": _term_vectors_sql(TV_MOD),
+        "significant_terms": _significant_terms_sql(
+            FACET_QUERY.split(), SIG_TOP_N
+        ),
         "query_string_topk": _query_string_sql(QS_QUERY, QS_K),
         "query_string_boosted": _query_string_sql(QS_BOOST_QUERY, QS_BOOST_K),
         "explain_scores": _explain_sql(EXPLAIN_QUERY.split(), EXPLAIN_DOCS),

@@ -314,11 +314,7 @@ class SearchEngine:
         max_u is rebound to the avgdl-robust u(max_tf, min_dl, current
         avgdl) ≥ true block max. JVM-side column rewrite; kernels and exact
         scores (decoded raw tf/dl) are unaffected."""
-        if self._seg_df is None:
-            self._seg_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, self.meta.segments_dir)
-            )
-        blocks = self._seg_df.filter(
+        blocks = self._all_blocks().filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
         meta = self.meta
@@ -814,6 +810,75 @@ class SearchEngine:
             rewriter=lambda _qterms: expanded,
         )
 
+    def expand_regexp(self, rx: str, max_expansions: int = 50) -> list[str]:
+        """Dictionary-backed regexp expansion (Lucene ``RegexpQuery``
+        analogue): anchored full-term match (the whole term must match, as
+        in Lucene — wrap in ``.*`` yourself for substring semantics),
+        capped at ``max_expansions`` by (df desc, term asc). A literal
+        prefix at the head of the pattern (after an optional ``^``) is
+        pushed down to the dictionary parquet scan as ``StartsWith`` so
+        ``merg.*`` never scans the whole vocabulary; patterns with no
+        literal head fall back to the full (broadcast-small) dictionary
+        scan, as Lucene does for leading wildcards."""
+        import re as _re
+
+        rx = rx.lower()
+        body = rx[1:] if rx.startswith("^") else rx
+        head_m = _re.match(r"[a-z0-9_]+", body)
+        head = head_m.group(0) if head_m else ""
+        # a '|' at paren depth 0 ANYWHERE makes the literal head just one
+        # branch's prefix, not a required prefix of every match → no pushdown
+        depth = 0
+        for c in body:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "|" and depth == 0:
+                head = ""
+                break
+        if head and len(head) < len(body) and body[len(head)] in "*?{":
+            # a quantifier makes the head's last char optional/repeated —
+            # drop it from the pushdown prefix
+            head = head[:-1]
+        # implicit full-term anchoring (Lucene semantics); the non-capturing
+        # group keeps alternation correct ("a|b" must not parse as ^a | b$)
+        anchored = "^(?:" + (body[:-1] if body.endswith("$") else body) + ")$"
+        d = self._load_dict()
+        if head:
+            d = d.filter(F.col("term").startswith(head))
+        rows = (
+            d.filter(F.col("term").rlike(anchored))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def search_regexp(
+        self,
+        rx: str,
+        k: int = 100,
+        max_expansions: int = 50,
+        doc_filter=None,
+        use_wand: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Top-k BM25 over the OR of dictionary terms fully matching a
+        regexp (each expanded term keeps its own idf — Lucene's scoring
+        boolean rewrite, same discipline as ``search_wildcard``)."""
+        terms = self.expand_regexp(rx, max_expansions)
+        if not terms:
+            return []
+        expanded = [(t, 1.0) for t in terms]
+        return self.search(
+            rx,
+            k=k,
+            use_wand=use_wand,
+            doc_filter=doc_filter,
+            rewriter=lambda _qterms: expanded,
+        )
+
     # -- fuzzy queries ---------------------------------------------------------
     def expand_fuzzy(
         self,
@@ -979,6 +1044,122 @@ class SearchEngine:
             F.avg(stat_col).alias("avg"),
         ]
         return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
+
+    def facet_histogram(
+        self,
+        query: str,
+        metadata: DataFrame,
+        stat_col: str,
+        interval: float,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Histogram aggregation over the FULL match set (Elasticsearch
+        ``histogram``): bucket = floor(value / interval) * interval, count
+        per bucket. Same distributed shape as ``facet_counts`` (matched ids
+        ⋈ metadata, one hash aggregation with map-side partials); only
+        non-empty buckets return (ES ``min_doc_count=1``). Returns
+        DataFrame[bucket, n] with ``bucket`` as the inclusive lower edge."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", stat_col), "doc_id")
+        bucket = F.floor(F.col(stat_col) / F.lit(float(interval))) * F.lit(
+            float(interval)
+        )
+        return j.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def _all_blocks(self) -> DataFrame:
+        """Unpruned segment scan — every bucket, every term. Input to the
+        corpus-wide index ops (``term_vectors`` allow-set decode,
+        ``significant_terms``' postings ⋈ match join), which are full-index
+        aggregations by definition; per-query search paths stay on
+        ``_pruned_blocks``."""
+        if self._seg_df is None:
+            self._seg_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, self.meta.segments_dir)
+            )
+        return self._seg_df
+
+    def term_vectors(self, doc_ids) -> DataFrame:
+        """Per-document term vectors straight off the index (Lucene
+        ``Fields/TermVectors`` analogue): DataFrame[doc_id, term, tf, dl]
+        for the given docs — what the index physically stores about them,
+        decoded by the same kernel as ``explain()`` but across ALL terms
+        (no query to prune by, so this scans every segment and filters at
+        decode time via the allow-set mask). Diagnostic surface sized for
+        a handful of docs; at 100 TB the right layout for bulk term-vector
+        reads is a doc-major sidecar written at build time (Lucene's .tvd),
+        which this engine does not persist — noted, not hidden."""
+        from .wand import EXPLAIN_SCHEMA, explain_group
+
+        mask = self._doc_mask(doc_ids)
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return explain_group(pdf, mask)
+
+        return self._all_blocks().groupBy("doc_range").applyInPandas(
+            run_group, EXPLAIN_SCHEMA
+        )
+
+    def significant_terms(
+        self,
+        query: str,
+        top_n: int = 20,
+        mode: str = "or",
+        min_fg: int = 1,
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Significant-terms aggregation (Elasticsearch
+        ``significant_terms`` with the JLH heuristic): terms overrepresented
+        in the query's match set vs the whole index. Foreground df comes
+        from postings ⋈ matched-docs — a single shuffle join on doc_id with
+        map-side-combine counting (the scale-honest shape without a stored
+        doc-major term-vectors layout); background df and N come free from
+        the dictionary/meta. Background counts keep Lucene semantics
+        (deleted docs count until compaction); the foreground side excludes
+        tombstoned docs because the match set does.
+
+        JLH score = (fg% − bg%) · (fg% / bg%), rounded to 6 dp BEFORE
+        ordering so top-n selection is reproducible across float
+        implementations (ties break term-asc). Returns
+        DataFrame[term, fg_df, bg_df, score], score desc."""
+        from .wand import EXPLAIN_SCHEMA, explain_group
+
+        out_schema = "term string, fg_df long, bg_df long, score double"
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        fg_total = m.count()
+        if fg_total == 0:
+            return self.spark.createDataFrame([], out_schema)
+        n = float(self.meta.n_docs)
+        mask = self._doc_mask(None)
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return explain_group(pdf, mask)
+
+        pairs = (
+            self._all_blocks()
+            .groupBy("doc_range")
+            .applyInPandas(run_group, EXPLAIN_SCHEMA)
+            .select("doc_id", "term")
+        )
+        fg = (
+            pairs.join(m, "doc_id")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_df"))
+        )
+        bg = self._load_dict().select("term", F.col("df").alias("bg_df"))
+        fgp = F.col("fg_df") / F.lit(float(fg_total))
+        bgp = F.col("bg_df") / F.lit(n)
+        return (
+            fg.join(bg, "term")
+            .filter(F.col("fg_df") >= min_fg)
+            .withColumn("score", F.round((fgp - bgp) * (fgp / bgp), 6))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(top_n)
+        )
 
     # -- score explain ---------------------------------------------------------
     def explain(self, query: str, doc_ids, rewriter=None) -> DataFrame:
