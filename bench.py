@@ -198,6 +198,21 @@ def main() -> None:
 
     timed("query_qs", qs_queries)
 
+    # sharded scatter-gather: N independent shard indexes, batch scored
+    # under GLOBAL stats, driver-side k·N merge — the multi-node serving
+    # shape (per-shard jobs are independent; here they share one local JVM)
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    def sharded_build():
+        return ShardedEngine.build(
+            spark, docs, os.path.join(idx_dir, "shards"), 4,
+            range_bits=2, n_buckets=8,
+        )
+
+    sheng = timed("sharded_build", sharded_build)
+    sheng.search_batch({"w": BENCH_QUERIES[0]}, k=10)  # warm
+    timed("query_sharded_batch", lambda: sheng.search_batch(qbatch, k=100))
+
     timed("dedup_minhash", lambda: dedup.minhash_band_pairs(docs).count())
     timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs, w=3, tau=0.2).count())
     timed("dedup_exact", lambda: dedup.exact_dedup(docs).count())

@@ -63,8 +63,32 @@ def _cmd_build(args) -> None:
             # (repo,path,commit,lang,content) source table → derive the
             # surrogate 64-bit doc_id (input_hint schema)
             corpus = with_doc_id(corpus)
-    eng = SearchEngine(spark, args.index)
     t0 = time.perf_counter()
+    if args.shards > 1:
+        from .query.sharded import ShardedEngine
+
+        sharded = ShardedEngine.build(
+            spark, corpus, args.index, args.shards,
+            id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.buckets, range_bits=args.range_bits,
+            n_waves=args.waves, with_positions=args.positions,
+            fresh=args.fresh,
+        )
+        dt = time.perf_counter() - t0
+        n = sum(s.meta.n_docs for s in sharded.shards)
+        print(
+            json.dumps(
+                {
+                    "built": args.index,
+                    "shards": args.shards,
+                    "n_docs": n,
+                    "sec": round(dt, 2),
+                    "docs_per_sec": round(n / dt, 1),
+                }
+            )
+        )
+        return
+    eng = SearchEngine(spark, args.index)
     meta = eng.build_index_from_df(
         corpus,
         id_col=args.id_col,
@@ -92,6 +116,24 @@ def _cmd_build(args) -> None:
 def _cmd_search(args) -> None:
     spark = _spark(args)
     from .query.engine import SearchEngine
+
+    if args.sharded:
+        if args.mode not in ("or", "and"):
+            raise SystemExit("--sharded supports --mode or / and")
+        from .query.sharded import ShardedEngine
+
+        seng = ShardedEngine.open(spark, args.index)
+        t0 = time.perf_counter()
+        hits = seng.search(args.query, k=args.k, mode=args.mode,
+                           use_wand=not args.no_wand)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "query": args.query, "k": args.k, "mode": args.mode,
+            "shards": len(seng.shards), "sec": round(dt, 3),
+            "hits": [{"doc_id": int(d), "score": round(float(s), 6)}
+                     for d, s in hits],
+        }))
+        return
 
     eng = SearchEngine(spark, args.index)
     t0 = time.perf_counter()
@@ -325,6 +367,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--positions", action="store_true",
                    help="store token positions (enables --mode phrase)")
     b.add_argument("--fresh", action="store_true")
+    b.add_argument("--shards", type=int, default=1,
+                   help=">1: build N hash-routed shard indexes under "
+                   "--index (shard-0..N-1); query with search --sharded")
     b.set_defaults(fn=_cmd_build)
 
     s = sub.add_parser("search", help="top-k BM25 query")
@@ -351,6 +396,9 @@ def main(argv: list[str] | None = None) -> None:
                         "(enables field:value clauses)")
     s.add_argument("--mu", type=float, default=2000.0,
                    help="LM Dirichlet smoothing parameter")
+    s.add_argument("--sharded", action="store_true",
+                   help="--index is a sharded layout (build --shards N); "
+                   "scatter-gather under global statistics")
     s.add_argument("--exclude", default="",
                    help="boolean NOT: drop docs containing any of these terms (or/and modes)")
     s.add_argument("--window", type=int, default=5,

@@ -95,6 +95,27 @@ def _shared_index(spark: SparkSession, sf_dir: str, positional: bool = False):
     return SearchEngine(spark, path)
 
 
+_SHARDED: dict[str, str] = {}
+N_SHARDS = 3
+
+
+def _sharded_engine(spark: SparkSession, sf_dir: str):
+    """ONE sharded layout (N_SHARDS hash-routed independent indexes) per
+    sf_dir per process — the scatter-gather serving surface."""
+    from .query.sharded import ShardedEngine
+
+    base = _SHARDED.get(sf_dir)
+    if base is None:
+        base = _tmpdir("seidx_sharded_")
+        eng = ShardedEngine.build(
+            spark, _docs(spark, sf_dir), base, N_SHARDS,
+            range_bits=2, n_buckets=4,
+        )
+        _SHARDED[sf_dir] = base
+        return eng
+    return ShardedEngine.open(spark, base)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -688,6 +709,30 @@ def q_wand_batch_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     eng = _shared_index(spark, sf_dir)
+    out = eng.search_batch(BATCH_QUERIES, k=BATCH_K + 15)
+    rows = [
+        (qid, int(d), float(s))
+        for qid, hits in out.items()
+        for d, s in hits
+    ]
+    df = spark.createDataFrame(rows, "query_id string, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("query_id", "doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BATCH_K)
+    )
+
+
+def q_sharded_batch_topk(spark, sf_dir):
+    """Sharded scatter-gather (3 hash-routed independent shard indexes,
+    every shard scoring under GLOBAL n/avgdl/df — ES DFS_QUERY_THEN_FETCH
+    made mandatory) must reproduce the SAME relational batch-BM25 truth as
+    the single-index entries: sharding is a layout choice, not a semantics
+    change. Same tie-buffer discipline as wand_batch_topk."""
+    from pyspark.sql import Window
+
+    eng = _sharded_engine(spark, sf_dir)
     out = eng.search_batch(BATCH_QUERIES, k=BATCH_K + 15)
     rows = [
         (qid, int(d), float(s))
@@ -2057,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_search": q_update_search,
         "boolean_not": q_boolean_not,
         "wand_batch_topk": q_wand_batch_topk,
+        "sharded_batch_topk": q_sharded_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
         "dedup_exact": q_exact_dedup,
@@ -2229,4 +2275,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {DELETE_K}
         "glove_rerank": _glove_rerank_sql(BM25_QUERY),
         # segment batch path reproduces the relational batch oracle
         "wand_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
+        # sharding is a layout choice, not a semantics change: the 3-shard
+        # scatter-gather must reproduce the same single-corpus BM25 truth
+        "sharded_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
     }

@@ -27,6 +27,7 @@ Query lifecycle (SURVEY.md §3.3 Spark lifecycle):
 from __future__ import annotations
 
 import heapq
+import math
 import os
 from functools import reduce
 
@@ -42,6 +43,14 @@ from .wand import DocMask, score_group_vectorized, score_group_wand
 RESULT_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("score", DoubleType())]
 )
+
+
+def bm25_idf(n: int, df: int) -> float:
+    """BM25 idf exactly as the index build computes it
+    (``index/build.py`` stage B): ln(1 + (n − df + 0.5)/(df + 0.5)).
+    Driver-side float64 twin used when scoring under GLOBAL statistics
+    (sharded search) — same formula, same argument shapes."""
+    return math.log(1.0 + (float(n) - float(df) + 0.5) / (float(df) + 0.5))
 
 
 def _range_bound(s: str):
@@ -305,23 +314,33 @@ class SearchEngine:
             ).cache()
         return self._dict_df
 
-    def _pruned_blocks(self, buckets: list[int], terms: list[str]) -> DataFrame:
+    def _pruned_blocks(
+        self, buckets: list[int], terms: list[str],
+        avgdl_override: float | None = None,
+    ) -> DataFrame:
         """Segment blocks for (buckets, terms) with a VALID max_u pruning
         bound. The cached parquet handle lists files once per engine;
         partition pruning keeps each query's scan to its terms' buckets.
         For a streamed index (epochs encoded under their own running avgdl —
         stored max_u may UNDER-estimate u at query time, unsafe for pruning)
         max_u is rebound to the avgdl-robust u(max_tf, min_dl, current
-        avgdl) ≥ true block max. JVM-side column rewrite; kernels and exact
-        scores (decoded raw tf/dl) are unaffected."""
+        avgdl) ≥ true block max; ``avgdl_override`` (sharded scatter-gather:
+        scoring under GLOBAL stats that differ from this shard's build-time
+        stats) forces the same rebind under the given avgdl. JVM-side column
+        rewrite; kernels and exact scores (decoded raw tf/dl) are
+        unaffected."""
         blocks = self._all_blocks().filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
         meta = self.meta
-        if meta.stream_epochs:
-            k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        avgdl_bind = avgdl_override if avgdl_override is not None else (
+            meta.avgdl if meta.stream_epochs else None
+        )
+        if avgdl_bind is not None:
+            k1, b = meta.k1, meta.b
             u_robust = (F.col("max_tf") * (k1 + 1.0)) / (
-                F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / avgdl)
+                F.col("max_tf")
+                + k1 * (1.0 - b + b * F.col("min_dl") / avgdl_bind)
             )
             blocks = blocks.withColumn("max_u", u_robust)
         return blocks
@@ -339,8 +358,19 @@ class SearchEngine:
         exclude: str = "",
         scorer: str = "bm25",
         mu: float = 2000.0,
+        global_stats: "tuple[int, float, dict] | None" = None,
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc).
+        ``global_stats``: (n_docs, avgdl, {term: df}) — score under these
+        corpus statistics instead of this index's own (the scatter phase of
+        sharded search: every shard must rank under the GLOBAL idf/avgdl or
+        per-shard scores aren't comparable — ES DFS_QUERY_THEN_FETCH).
+        Per-term idf is recomputed from the global (n, df); stored block-max
+        bounds were built under shard-local avgdl, so they are rebound
+        avgdl-robustly (same mechanism as streamed epochs) and WAND pruning
+        stays exact. BM25-only and exclusive with rewriters (a rewriter's
+        weights are folded into shard-local idf, which global scoring
+        replaces).
         ``exclude``: boolean NOT (Lucene MUST_NOT) — documents containing
         ANY of these (tokenized) terms are dropped from the result; they
         add nothing to the score. Exclusion wins over a term that also
@@ -369,6 +399,11 @@ class SearchEngine:
         bound, so WAND pruning is BM25-only (as in Lucene, where non-BM25
         similarities need their own impacts)."""
         meta = self.meta
+        if global_stats is not None and (rewriter is not None or scorer != "bm25"):
+            raise ValueError(
+                "global_stats composes only with the plain BM25 path "
+                "(no rewriter, scorer='bm25')"
+            )
         dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
             return []
@@ -379,6 +414,11 @@ class SearchEngine:
             for r in dict_rows
             if r["term"] not in ex_terms  # exclusion wins (kernel contract)
         }
+        avgdl_override = None
+        if global_stats is not None:
+            g_n, g_avgdl, g_df = global_stats
+            idf = {t: bm25_idf(g_n, g_df[t]) for t in idf}
+            avgdl_override = float(g_avgdl)
         if not idf:
             return []
         u_fns = None
@@ -410,13 +450,14 @@ class SearchEngine:
             {int(r["bucket"]) for r in dict_rows} | {int(r["bucket"]) for r in ex_rows}
         )
         terms = sorted(set(idf) | ex_terms)
-        blocks = self._pruned_blocks(buckets, terms)
+        blocks = self._pruned_blocks(buckets, terms, avgdl_override)
         kernel = (
             score_group_wand
             if use_wand and after is None and not ex_terms and u_fns is None
             else score_group_vectorized
         )
-        k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        k1, b = meta.k1, meta.b
+        avgdl = avgdl_override if avgdl_override is not None else meta.avgdl
         n_query_terms = len(idf)  # global-AND guard (see kernel docstring)
         mask = self._doc_mask(doc_filter)
 
@@ -473,6 +514,7 @@ class SearchEngine:
     def search_batch(
         self, queries: dict[str, str], k: int = 100, rewriter=None,
         prune: bool = False, mode: str = "or", doc_filter=None,
+        global_stats: "tuple[int, float, dict] | None" = None,
     ) -> dict[str, list[tuple[int, float]]]:
         """Batched segment search: ONE dictionary lookup, ONE pruned segment
         scan, and ONE job score the whole query batch — each term's blocks
@@ -492,12 +534,20 @@ class SearchEngine:
         from ..expansion import rewrite_query
 
         meta = self.meta
+        if global_stats is not None and rewriter is not None:
+            raise ValueError("global_stats does not compose with rewriters")
         per_q = {qid: rewrite_query(q, rewriter) for qid, q in queries.items()}
         union_terms = sorted({t for w in per_q.values() for t, _ in w})
         if not union_terms:
             return {qid: [] for qid in queries}
         rows = self._load_dict().filter(F.col("term").isin(union_terms)).collect()
-        base_idf = {r["term"]: float(r["idf"]) for r in rows}
+        if global_stats is not None:
+            g_n, g_avgdl, g_df = global_stats
+            base_idf = {
+                r["term"]: bm25_idf(g_n, g_df[r["term"]]) for r in rows
+            }
+        else:
+            base_idf = {r["term"]: float(r["idf"]) for r in rows}
         buckets = sorted({int(r["bucket"]) for r in rows})
         idfs = {
             qid: {t: base_idf[t] * w for t, w in weighted if t in base_idf}
@@ -516,8 +566,10 @@ class SearchEngine:
         live_terms = sorted({t for m in idfs.values() for t in m})
         if not live_terms:
             return {qid: [] for qid in queries}
-        blocks = self._pruned_blocks(buckets, live_terms)
-        k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        avgdl_override = float(global_stats[1]) if global_stats else None
+        blocks = self._pruned_blocks(buckets, live_terms, avgdl_override)
+        k1, b = meta.k1, meta.b
+        avgdl = avgdl_override if avgdl_override is not None else meta.avgdl
 
         from .wand import score_group_multi
 
