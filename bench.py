@@ -214,6 +214,12 @@ def main() -> None:
     timed("query_sharded_batch", lambda: sheng.search_batch(qbatch, k=100))
 
     timed("dedup_minhash", lambda: dedup.minhash_band_pairs(docs).count())
+    # benchmark decontamination: broadcast bench shingles, one map-side pass
+    bench_docs = docs.filter(F.expr("doc_id % 31 = 0"))
+    timed(
+        "decontamination",
+        lambda: dedup.contaminated_pairs(docs, bench_docs, w=5).count(),
+    )
     timed("dedup_pipeline", lambda: dedup.dedup_pipeline(docs, w=3, tau=0.2).count())
     timed("dedup_exact", lambda: dedup.exact_dedup(docs).count())
     timed("simhash", lambda: dedup.simhash(docs).count())
@@ -240,6 +246,27 @@ def main() -> None:
         textstats.fingerprint(docs).count()
 
     timed("text_stats", text_stats)
+
+    # geo-distance top-k (box-pruned haversine) + deterministic stratified
+    # sampling — both single map-pass ops, here for regression tracking
+    from searchengine_spark.ops.geo import geo_distance_topk
+    from searchengine_spark.ops.sampling import sample_stratified
+
+    geo = docs.select(
+        "doc_id",
+        (F.expr("doc_id * 7919 % 18000") / 100.0 - 90.0).alias("lat"),
+        (F.expr("doc_id * 104729 % 36000") / 100.0 - 180.0).alias("lon"),
+    )
+    timed(
+        "geo_topk",
+        lambda: geo_distance_topk(geo, 10.0, 20.0, 25, radius_km=4000.0).collect(),
+    )
+    timed(
+        "sample_stratified",
+        lambda: sample_stratified(
+            docs, {"en": 0.2, "fr": 0.6, "zh": 1.0}, by="lang", default_rate=0.05
+        ).count(),
+    )
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)

@@ -1281,6 +1281,309 @@ GROUP BY 1
 """
 
 
+DATE_HIST_EPOCH = "2024-01-01"
+DATE_HIST_MOD = 540  # docs carry no timestamp: ts := epoch + (doc_id % 540) days
+DATE_HIST_UNIT = "month"
+PCTL_PS = [0.25, 0.5, 0.75, 0.95]
+RRF_K = 20
+RRF_WINDOW = 50
+
+
+def _date_meta(spark, sf_dir) -> DataFrame:
+    """Deterministic per-doc timestamp (documents carry none): epoch +
+    (doc_id % 540) days — pure integer arithmetic, identical in the SQL
+    twin, spanning ~18 months so the monthly histogram has >1 bucket."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"cast(date_add(date '{DATE_HIST_EPOCH}', "
+            f"cast(doc_id % {DATE_HIST_MOD} as int)) as timestamp)"
+        ).alias("ts"),
+    )
+
+
+def q_facet_date_histogram(spark, sf_dir):
+    """Calendar-bucketed date_histogram (ES `date_histogram`,
+    calendar_interval=month) over the FULL OR-match set: matched ids ⋈
+    timestamp metadata, date_trunc to month, count per bucket; bucket
+    returned as a DATE-cast string (engine-independent)."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_date_histogram(
+        FACET_QUERY, _date_meta(spark, sf_dir), "ts", unit=DATE_HIST_UNIT
+    )
+
+
+def _facet_date_histogram_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+meta AS (SELECT doc_id,
+                CAST(DATE '{DATE_HIST_EPOCH}'
+                     + CAST(doc_id % {DATE_HIST_MOD} AS INT) AS TIMESTAMP) AS ts
+         FROM documents)
+SELECT CAST(CAST(date_trunc('{DATE_HIST_UNIT}', mt.ts) AS DATE) AS VARCHAR) AS bucket,
+       count(*) AS n
+FROM matched m JOIN meta mt USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_facet_percentiles(spark, sf_dir):
+    """Percentiles aggregation (ES `percentiles`, exact PERCENTILE_CONT
+    semantics rather than the t-digest approximation — the oracle is
+    DuckDB quantile_cont, the same SQL-standard linear interpolation) of
+    n_chars per lang over the FULL OR-match set."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_percentiles(
+        FACET_QUERY, docs, "n_chars", PCTL_PS, by="lang", mode="or"
+    )
+    pcols = [c for c in out.columns if c.startswith("p")]
+    return out.select(
+        "lang", "n", *[F.round(c, ROUND_DP).alias(c) for c in pcols]
+    )
+
+
+def _facet_percentiles_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    pexprs = ",\n       ".join(
+        f"round(quantile_cont(d.n_chars, {p!r}), {ROUND_DP}) AS "
+        f"p{str(round(p * 100, 4)).rstrip('0').rstrip('.')}"
+        for p in PCTL_PS
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.lang AS lang, count(*)::BIGINT AS n,
+       {pexprs}
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_facet_cardinality(spark, sf_dir):
+    """Distinct-count aggregation (ES `cardinality`) over the FULL
+    OR-match set: exact count-distinct of source per lang. The HLL++
+    variant (approx=True) is the named 100 TB trade; the oracle checks
+    the exact path."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return eng.facet_cardinality(FACET_QUERY, docs, "source", by="lang")
+
+
+def _facet_cardinality_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.lang AS lang, count(DISTINCT d.source)::BIGINT AS n_distinct
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+TOP_HITS_N = 3
+
+
+def q_top_hits(spark, sf_dir):
+    """Top-hits-per-group aggregation (ES `top_hits` in a terms bucket):
+    the 3 best BM25 hits per lang — generalizes field collapsing; every
+    group returns its leaders. Ranks over the ROUNDED score so hit_rank is
+    engine-independent."""
+    from .scoring import top_hits
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    docs = _docs(spark, sf_dir)
+    return top_hits(scored, docs, "lang", TOP_HITS_N, round_dp=ROUND_DP)
+
+
+def _top_hits_sql(query: str, n_hits: int) -> str:
+    bm = _bm25_sql(query).strip()
+    return f"""
+WITH bm AS (SELECT * FROM ({bm}))
+SELECT lang, doc_id, score, hit_rank FROM (
+  SELECT d.lang AS lang, bm.doc_id AS doc_id, bm.score AS score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY bm.score DESC, bm.doc_id ASC)::BIGINT AS hit_rank
+  FROM bm JOIN documents d USING (doc_id))
+WHERE hit_rank <= {n_hits}
+"""
+
+
+DECON_W = 5
+DECON_PRED = "doc_id % 31 = 0"  # deterministic stand-in benchmark set
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/PaLM/Llama n-gram procedure):
+    flag train docs sharing ≥1 distinct 5-gram with any doc of a
+    deterministic stand-in benchmark set (doc_id % 31 == 0 of the same
+    corpus — superset self-pairs at overlap_frac 1.0 are the built-in
+    sanity signal). Benchmark shingles broadcast; the corpus side is one
+    map-side pass."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.expr(DECON_PRED))
+    return dedup.contaminated_pairs(docs, bench, w=DECON_W, min_overlap=1)
+
+
+SAMPLE_RATE = 0.35
+SAMPLE_SEED = 7
+STRAT_RATES = {"en": 0.2, "fr": 0.6, "zh": 1.0}
+STRAT_DEFAULT = 0.05
+
+
+def q_sample_deterministic(spark, sf_dir):
+    """Deterministic hash-based Bernoulli sample (training-data curation):
+    membership = md5(doc_id‖seed) threshold — a pure function of the row
+    id, so the selected SET is identical at any parallelism and on any
+    engine (the oracle reproduces it row-for-row, not statistically).
+    Spark's own `DataFrame.sample` is seeded per-partition and cannot make
+    this guarantee."""
+    from .ops.sampling import sample_rate
+
+    docs = _docs(spark, sf_dir)
+    return sample_rate(docs, SAMPLE_RATE, seed=SAMPLE_SEED).select(
+        "doc_id", "lang"
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (domain/language rebalancing):
+    lang-keyed keep rates as one stateless CASE-threshold filter pass —
+    the 10^12-row remix is a single map stage, no shuffle."""
+    from .ops.sampling import sample_stratified
+
+    docs = _docs(spark, sf_dir)
+    return sample_stratified(
+        docs, STRAT_RATES, by="lang", seed=SAMPLE_SEED,
+        default_rate=STRAT_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _sample_sql(rate_by_lang: dict | None) -> str:
+    from .ops.sampling import _DENOM, _HEX_DIGITS
+
+    h = (
+        f"CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
+        f"':{SAMPLE_SEED}'), 1, {_HEX_DIGITS})) AS UBIGINT)"
+    )
+    if rate_by_lang is None:
+        pred = f"{h} / {_DENOM!r} < {float(SAMPLE_RATE)!r}"
+    else:
+        case = "CASE lang " + " ".join(
+            f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(rate_by_lang.items())
+        ) + f" ELSE {float(STRAT_DEFAULT)!r} END"
+        pred = f"{h} / {_DENOM!r} < {case}"
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (ES `rrf` retriever) of two independent
+    rankings of the same query — lexical BM25 and vector-space cosine —
+    fused scale-free on RANKS (score(d) = Σ 1/(60 + rank)), the principled
+    hybrid the reference's fixed-weight score blends are not. Both input
+    rankings are rounded to ROUND_DP before ranking (engine-independent
+    ranks), the RRF contribution is an exact function of the integer rank,
+    and the fused sum of two exactly-representable doubles is
+    order-independent, so the whole pipeline hashes identically to the
+    SQL twin."""
+    from .fusion import rrf_fuse
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    bm = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    cos = cosine_score(spark, tf, stats, dct, BM25_QUERY, n).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    fused = rrf_fuse([bm, cos], k=RRF_K, window=RRF_WINDOW)
+    return fused.select(
+        "doc_id", F.round("score", ROUND_DP).alias("score"), "rank"
+    )
+
+
+def _rrf_fusion_sql(query: str) -> str:
+    bm = _bm25_sql(query).strip()
+    cos = _cosine_sql(query).strip()
+    return f"""
+WITH bm AS (SELECT * FROM ({bm})),
+cos AS (SELECT * FROM ({cos})),
+contrib AS (
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm)
+  WHERE r <= {RRF_WINDOW}
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM cos)
+  WHERE r <= {RRF_WINDOW}
+),
+fused AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY 1)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, round(s, {ROUND_DP}) AS score,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank
+  FROM fused)
+WHERE rank <= {RRF_K}
+"""
+
+
+GEO_LAT0, GEO_LON0 = 10.0, 20.0
+GEO_K = 25
+GEO_RADIUS_KM = 4000.0
+
+
+def _geo_docs(spark, sf_dir) -> DataFrame:
+    """Deterministic per-doc coordinates (documents carry none): pure
+    int64 arithmetic on doc_id, identical in the SQL twin, covering the
+    full lat/lon range."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.expr("doc_id * 7919 % 18000") / 100.0 - 90.0).alias("lat"),
+        (F.expr("doc_id * 104729 % 36000") / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def q_geo_topk(spark, sf_dir):
+    """k nearest docs by great-circle distance with a radius prune (ES
+    `geo_distance` sort): sargable bounding-box filter first (the part a
+    geo-cell layout prunes on), exact haversine decides membership,
+    distance ROUNDED before ordering so the rank is engine-independent.
+    The oracle is a box-free full-scan haversine — the box being
+    conservative is therefore hash-checked, not assumed."""
+    from .ops.geo import geo_distance_topk
+
+    geo = _geo_docs(spark, sf_dir)
+    return geo_distance_topk(
+        geo, GEO_LAT0, GEO_LON0, GEO_K,
+        radius_km=GEO_RADIUS_KM, round_dp=ROUND_DP,
+    )
+
+
+def _geo_topk_sql() -> str:
+    return f"""
+WITH geo AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         2.0 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(lat - {GEO_LAT0!r}) / 2), 2)
+             + cos(radians({GEO_LAT0!r})) * cos(radians(lat))
+               * pow(sin(radians(lon - {GEO_LON0!r}) / 2), 2)
+         )) AS dist
+  FROM geo)
+SELECT doc_id, round(dist, {ROUND_DP}) AS dist_km FROM d
+WHERE dist <= {GEO_RADIUS_KM!r}
+ORDER BY round(dist, {ROUND_DP}) ASC, doc_id ASC
+LIMIT {GEO_K}
+"""
+
+
 def _term_vectors_sql(mod: int) -> str:
     return f"""
 WITH tf AS ({_TF_SQL}),
@@ -2091,6 +2394,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source_and": q_facet_source_and,
         "facet_stats": q_facet_stats,
         "facet_histogram": q_facet_histogram,
+        "facet_date_histogram": q_facet_date_histogram,
+        "facet_percentiles": q_facet_percentiles,
+        "facet_cardinality": q_facet_cardinality,
+        "top_hits": q_top_hits,
+        "rrf_fusion": q_rrf_fusion,
+        "decontamination": q_decontamination,
+        "geo_topk": q_geo_topk,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
         "term_vectors": q_term_vectors,
         "significant_terms": q_significant_terms,
         "query_string_topk": q_query_string_topk,
@@ -2182,6 +2494,17 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_histogram": _facet_histogram_sql(
             FACET_QUERY.split(), "n_chars", HIST_INTERVAL
         ),
+        "facet_date_histogram": _facet_date_histogram_sql(FACET_QUERY.split()),
+        "facet_percentiles": _facet_percentiles_sql(FACET_QUERY.split()),
+        "facet_cardinality": _facet_cardinality_sql(FACET_QUERY.split()),
+        "top_hits": _top_hits_sql(BM25_QUERY, TOP_HITS_N),
+        "rrf_fusion": _rrf_fusion_sql(BM25_QUERY),
+        "decontamination": dedup.contaminated_pairs_sql(
+            "documents", DECON_PRED, w=DECON_W, min_overlap=1
+        ),
+        "geo_topk": _geo_topk_sql(),
+        "sample_deterministic": _sample_sql(None),
+        "sample_stratified": _sample_sql(STRAT_RATES),
         "term_vectors": _term_vectors_sql(TV_MOD),
         "significant_terms": _significant_terms_sql(
             FACET_QUERY.split(), SIG_TOP_N

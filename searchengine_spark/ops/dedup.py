@@ -153,6 +153,103 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), {ROUND_DP}) >= {tau}
 """
 
 
+# ------------------------------------------------------- decontamination
+def contaminated_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    w: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination for training corpora (the GPT-3 appendix-C
+    / PaLM / Llama n-gram procedure): flag every training doc sharing ≥
+    ``min_overlap`` distinct word w-grams with any benchmark doc. Returns
+    (doc_id, bench_id, n_overlap, overlap_frac) where overlap_frac is the
+    fraction of the TRAIN doc's distinct shingles that are contaminated —
+    the thresholding signal (1.0 = the doc is a benchmark superset).
+
+    Scale shape: the benchmark side is small by definition (eval sets are
+    thousands of docs, the corpus is 10^12), so its shingle set broadcasts
+    — the 100 TB train side is ONE map-side semi-join pass, no shuffle of
+    corpus shingles. ``broadcast_bench=False`` falls back to a shuffle
+    join on shingle for oversized benchmark suites. w=8 is the literature
+    default; lower w only with a stopword-heavy eval set."""
+    tr = shingles(train, w, id_col, text_col)
+    be = shingles(bench, w, bench_id_col, bench_text_col).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    if broadcast_bench:
+        be = F.broadcast(be)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    overlap = (
+        tr.join(be, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return overlap.join(sizes, "doc_id").select(
+        "doc_id",
+        "bench_id",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_sh"), ROUND_DP).alias("overlap_frac"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    w: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Training corpus minus contaminated docs: anti-join ``train`` against
+    the flagged ids from ``contaminated_pairs`` (same kwargs). The flagged
+    side is ≤ |contaminated| ids — broadcast-small next to the corpus."""
+    flagged = (
+        contaminated_pairs(
+            train, bench, w, min_overlap, id_col, text_col, **kw
+        )
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def contaminated_pairs_sql(
+    train_table: str,
+    bench_pred: str,
+    w: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = ROUND_DP,
+) -> str:
+    """DuckDB twin: the benchmark is ``train_table`` rows matching
+    ``bench_pred`` (driver entries synthesize the bench set from the same
+    corpus deterministically)."""
+    sh = _shingles_sql(train_table, w, id_col, text_col)
+    return f"""
+WITH sh AS ({sh}),
+be AS (SELECT doc_id AS bench_id, shingle FROM sh
+       WHERE {bench_pred}),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+overlap AS (
+  SELECT sh.doc_id, be.bench_id, count(*)::BIGINT AS n_overlap
+  FROM sh JOIN be USING (shingle)
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_overlap})
+SELECT o.doc_id AS doc_id, o.bench_id AS bench_id, o.n_overlap AS n_overlap,
+       round(o.n_overlap / s.n_sh, {round_dp}) AS overlap_frac
+FROM overlap o JOIN sizes s USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------ MinHash banding
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 8, w: int = 3, id_col: str = "doc_id", text_col: str = "text"

@@ -1,0 +1,150 @@
+"""Geo-distance search (Elasticsearch ``geo_distance`` query + sort,
+Lucene LatLonPoint): filter docs within a radius of a point and rank by
+great-circle distance.
+
+Reference parity note: the reference (GuyShimony/SearchEngine) has no geo
+surface; this is engine-completion in the same spirit as the other ES
+analogues, kept honest by a DuckDB haversine twin in the driver entry.
+
+Scale design — the point is WHERE the distance predicate runs:
+
+* ``geo_distance_search`` wraps the exact haversine in a SARGABLE
+  bounding-box prune on the raw lat/lon columns. Min/max row-group
+  statistics answer a between-predicate for free, so on a corpus laid out
+  by ``add_geo_cells`` (write ``partitionBy("geo_cell")`` or Z-order by
+  cell) the scan touches only the files whose box intersects the query
+  box — the Lucene points-tree analogue, expressed as storage layout +
+  predicate pushdown instead of a driver-side index.
+* trig stays JVM-side (built-in column functions inside whole-stage
+  codegen); no UDF anywhere.
+* top-k by distance is orderBy().limit() → TakeOrderedAndProject
+  (per-partition heaps, no global sort).
+
+Limits (documented, not silent): the bounding box does not wrap the
+antimeridian (a query box crossing ±180° falls back to the full lon
+range) and pole-adjacent queries widen the box to all longitudes — both
+conservative (a wider box only costs scan, never correctness; the exact
+haversine filter still decides membership).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_R_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Column expr: great-circle distance in km between two (lat, lon)
+    pairs in degrees — 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))),
+    all built-in JVM trig (whole-stage codegen, no UDF)."""
+    dphi = F.radians(lat2 - lat1)
+    dlmb = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlmb / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_R_KM) * F.asin(F.sqrt(a))
+
+
+def add_geo_cells(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 1.0,
+    out_col: str = "geo_cell",
+) -> DataFrame:
+    """Attach a grid-cell id: floor((lat+90)/cell)·(360/cell) +
+    floor((lon+180)/cell). Content-free and computable by any writer or
+    router — the partitioning/Z-order key for geo layouts (see module
+    docstring). cell_deg trades file count against prune precision."""
+    n_lon = int(math.ceil(360.0 / cell_deg))
+    cell = (
+        F.floor((F.col(lat_col) + 90.0) / cell_deg) * n_lon
+        + F.floor((F.col(lon_col) + 180.0) / cell_deg)
+    )
+    return df.withColumn(out_col, cell.cast("long"))
+
+
+def _bounding_box(lat0: float, lon0: float, radius_km: float):
+    """(lat_lo, lat_hi, lon_lo, lon_hi) of a box guaranteed to contain the
+    radius_km circle around (lat0, lon0). Pole/antimeridian overflow
+    widens to the full range (conservative — see module docstring)."""
+    dlat = math.degrees(radius_km / EARTH_R_KM)
+    lat_lo, lat_hi = lat0 - dlat, lat0 + dlat
+    cos_lat = math.cos(math.radians(lat0))
+    # the widest parallel inside the box bounds the needed lon half-width
+    cos_edge = min(
+        math.cos(math.radians(max(-90.0, lat_lo))),
+        math.cos(math.radians(min(90.0, lat_hi))),
+        cos_lat,
+    )
+    if lat_lo <= -90.0 or lat_hi >= 90.0 or cos_edge <= 1e-12:
+        return max(lat_lo, -90.0), min(lat_hi, 90.0), -180.0, 180.0
+    dlon = math.degrees(radius_km / (EARTH_R_KM * cos_edge))
+    if dlon >= 180.0 or lon0 - dlon < -180.0 or lon0 + dlon > 180.0:
+        return max(lat_lo, -90.0), min(lat_hi, 90.0), -180.0, 180.0
+    return max(lat_lo, -90.0), min(lat_hi, 90.0), lon0 - dlon, lon0 + dlon
+
+
+def geo_distance_search(
+    df: DataFrame,
+    lat0: float,
+    lon0: float,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """All rows within radius_km of (lat0, lon0), with the exact haversine
+    distance attached (ES ``geo_distance`` filter). The sargable
+    bounding-box predicate runs FIRST — that is the part parquet min/max
+    stats and a geo-cell layout can prune on; the exact haversine then
+    decides membership, so the box being conservative never changes the
+    result set."""
+    lat_lo, lat_hi, lon_lo, lon_hi = _bounding_box(lat0, lon0, radius_km)
+    boxed = df.filter(
+        F.col(lat_col).between(lat_lo, lat_hi)
+        & F.col(lon_col).between(lon_lo, lon_hi)
+    )
+    d = haversine_km(F.lit(float(lat0)), F.lit(float(lon0)), F.col(lat_col), F.col(lon_col))
+    return boxed.withColumn(dist_col, d).filter(F.col(dist_col) <= float(radius_km))
+
+
+def geo_distance_topk(
+    df: DataFrame,
+    lat0: float,
+    lon0: float,
+    k: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "doc_id",
+    radius_km: float | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """k nearest rows to (lat0, lon0) by great-circle distance (ES
+    ``geo_distance`` sort). With ``radius_km`` the scan is box-pruned
+    first (the common "nearest within X" query); without it this is a
+    full-scan TakeOrderedAndProject — exact, and the right baseline shape.
+    Ties break on id. Returns (id, dist_km) ascending."""
+    if radius_km is not None:
+        src = geo_distance_search(df, lat0, lon0, radius_km, lat_col, lon_col)
+        d = F.col("dist_km")
+    else:
+        src = df.withColumn(
+            "dist_km",
+            haversine_km(
+                F.lit(float(lat0)), F.lit(float(lon0)), F.col(lat_col), F.col(lon_col)
+            ),
+        )
+        d = F.col("dist_km")
+    if round_dp is not None:
+        src = src.withColumn("dist_km", F.round(d, round_dp))
+    return (
+        src.select(id_col, "dist_km")
+        .orderBy(F.asc("dist_km"), F.asc(id_col))
+        .limit(k)
+    )

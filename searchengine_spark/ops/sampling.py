@@ -1,0 +1,109 @@
+"""Deterministic hash-based sampling for training-data curation: the
+"mix your corpus to target proportions" step of every LLM data pipeline
+(domain/language rebalancing, quality-tier downsampling).
+
+Why not ``DataFrame.sample``: Spark's sampler is seeded per-partition, so
+the selected SET changes with partitioning, task retries, and cluster
+size — unacceptable for a reproducible training corpus. Here membership
+is a pure function of the ROW ID: md5(id || seed) mapped to [0, 1) and
+thresholded. The same row is selected at any parallelism, on any engine
+(the DuckDB twin reproduces the exact set), and adjusting the rate up
+keeps previously selected rows selected (nested samples — rate 0.1 ⊂
+rate 0.2 for the same seed), which is what incremental corpus scaling
+needs.
+
+Scale shape: selection is a stateless JVM-side filter (md5 + substring +
+conv — whole-stage codegen, no UDF, no shuffle, no driver state);
+stratified rates add ONE tiny aggregation to count strata plus a
+broadcast of |strata| rows. A 10^12-row resample is a single map pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# md5-hex prefix length: 12 hex digits = 48 bits — plenty of resolution
+# for rates down to 1e-9 while staying exactly representable in a double
+_HEX_DIGITS = 12
+_DENOM = float(16 ** _HEX_DIGITS)
+
+
+def hash_unit(id_col, seed: int = 0):
+    """Column expr: deterministic uniform [0, 1) from the row id —
+    md5(id || ':' || seed) first 12 hex digits / 16^12. Engine-portable
+    (the DuckDB twin is the same expression), partition-independent, and
+    monotone-threshold-stable (bigger rate ⊃ smaller rate, same seed)."""
+    h = F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("double") / F.lit(
+        _DENOM
+    )
+
+
+def sample_rate(
+    df: DataFrame, rate: float, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on the row id."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.filter(hash_unit(F.col(id_col), seed) < float(rate))
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict,
+    by: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps a ``by`` value →
+    keep rate (strata absent from the map get ``default_rate``). One
+    stateless filter pass; the rate table rides along as a broadcast-sized
+    CASE expression."""
+    for v in rates.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("rates must be in [0, 1]")
+    rate_col = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate_col = F.when(F.col(by) == key, float(r)).otherwise(rate_col)
+    return df.filter(hash_unit(F.col(id_col), seed) < rate_col)
+
+
+def rates_for_targets(
+    df: DataFrame, targets: dict, by: str, total: int
+) -> dict:
+    """Solve per-stratum rates for a target MIX: ``targets`` maps stratum →
+    desired proportion of a ``total``-row sample. rate = target·total /
+    |stratum|, capped at 1.0 (an under-populated stratum contributes all
+    it has — the standard up-capping; callers can renormalize if the cap
+    binds). ONE count aggregation over the corpus; the result is a
+    driver-side dict of |strata| floats."""
+    counts = {
+        r[by]: r["n"]
+        for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[by] in targets
+    }
+    return {
+        k: min(1.0, targets[k] * float(total) / counts[k])
+        for k in targets
+        if counts.get(k)
+    }
+
+
+def sample_rate_sql(
+    table: str,
+    rate: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of ``sample_rate`` — same md5 prefix arithmetic, so the
+    selected set is IDENTICAL, not statistically similar."""
+    h = (
+        f"CAST(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), "
+        f"1, {_HEX_DIGITS})) AS UBIGINT)"
+    )
+    return f"""
+SELECT * FROM {table}
+WHERE {h} / {_DENOM!r} < {float(rate)!r}
+"""

@@ -1122,6 +1122,93 @@ class SearchEngine:
             F.count(F.lit(1)).alias("n")
         )
 
+    def facet_date_histogram(
+        self,
+        query: str,
+        metadata: DataFrame,
+        ts_col: str,
+        unit: str = "month",
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Calendar-bucketed histogram over the FULL match set
+        (Elasticsearch ``date_histogram`` with ``calendar_interval``):
+        bucket = date_trunc(unit, ts), count per bucket. ``unit`` is any
+        Spark date_trunc unit (``year quarter month week day hour …``).
+        Same distributed shape as ``facet_counts``; only non-empty buckets
+        return. The bucket comes back as a DATE-cast STRING so it is
+        engine-independent (no timestamp-formatting drift across engines).
+        Returns DataFrame[bucket, n]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", ts_col), "doc_id")
+        bucket = F.date_trunc(unit, F.col(ts_col)).cast("date").cast("string")
+        return j.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def facet_percentiles(
+        self,
+        query: str,
+        metadata: DataFrame,
+        stat_col: str,
+        percentiles: list[float],
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Percentiles aggregation over the FULL match set (Elasticsearch
+        ``percentiles``). EXACT linear-interpolation percentiles
+        (``F.percentile``, the SQL-standard PERCENTILE_CONT definition —
+        identical to DuckDB's quantile_cont, which is what the driver
+        oracle checks), NOT the t-digest approximation ES defaults to:
+        exactness is the contract of every oracle-checked op here, and
+        Spark's exact percentile is still one distributed aggregation.
+        At true 100 TB match-set scale swap in ``F.percentile_approx``
+        (same call shape, sketch-mergeable, no per-group sort) — named
+        trade, not a silent one. Returns one row (or one per ``by`` group)
+        with n plus a p<xx> column per requested percentile."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", stat_col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.percentile(F.col(stat_col), F.lit(float(p))).alias(
+                f"p{str(round(p * 100, 4)).rstrip('0').rstrip('.')}"
+            )
+            for p in percentiles
+        ]
+        return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
+
+    def facet_cardinality(
+        self,
+        query: str,
+        metadata: DataFrame,
+        col: str,
+        by: str | None = None,
+        approx: bool = False,
+        rsd: float = 0.05,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Distinct-count aggregation over the FULL match set (Elasticsearch
+        ``cardinality``). ``approx=False`` (default) is EXACT
+        count-distinct — one extra shuffle on the counted column, the
+        oracle-checkable contract; ``approx=True`` is HyperLogLog++
+        (``approx_count_distinct``, relative sd ``rsd``) — ES's own
+        default, sketch-mergeable with constant memory per group, the
+        100 TB default when the exact shuffle is the bottleneck. Same
+        named-trade discipline as ``facet_percentiles``. Returns
+        DataFrame[n_distinct] (plus ``by`` when grouped)."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        agg = (
+            F.approx_count_distinct(col, rsd) if approx else F.count_distinct(col)
+        ).alias("n_distinct")
+        return j.groupBy(by).agg(agg) if by else j.agg(agg)
+
     def _all_blocks(self) -> DataFrame:
         """Unpruned segment scan — every bucket, every term. Input to the
         corpus-wide index ops (``term_vectors`` allow-set decode,

@@ -548,6 +548,38 @@ def collapse_topk(
     )
 
 
+def top_hits(
+    scored: DataFrame,
+    docs_df: DataFrame,
+    group_col: str,
+    n_hits: int,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Top-hits-per-group aggregation (Elasticsearch ``top_hits`` inside a
+    ``terms`` bucket): for every value of ``group_col``, the ``n_hits``
+    best-scoring matching docs. Generalizes ``collapse_topk`` (which is
+    n_hits=1 + global top-k) — here EVERY group returns its leaders, the
+    "show me the best 3 hits per language/source/host" surface.
+
+    Plan at 100 TB: identical shape to collapsing — scored is already
+    |candidates|-sized, one shuffle partitions by the (low-cardinality)
+    group key, and row_number + filter keeps n_hits per group, so the
+    output is |groups|·n_hits rows; nothing global is sorted. Returns
+    (group, doc_id, score, hit_rank)."""
+    from pyspark.sql import Window
+
+    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    joined = scored.select("doc_id", score.alias("score")).join(
+        docs_df.select("doc_id", F.col(group_col).alias("grp")), "doc_id"
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("hit_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hit_rank") <= n_hits)
+        .select(F.col("grp").alias(group_col), "doc_id", "score", "hit_rank")
+    )
+
+
 def recency_blend(
     scored: DataFrame,
     age_df: DataFrame,

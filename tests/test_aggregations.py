@@ -125,3 +125,102 @@ def test_significant_terms_empty_match(spark, eng):
 def test_significant_terms_min_fg(spark, corpus, eng):
     got = eng.significant_terms(QUERY, top_n=50, min_fg=5).toPandas()
     assert (got["fg_df"] >= 5).all() and len(got)
+
+
+def test_facet_date_histogram_equals_truth(spark, corpus, eng):
+    import datetime
+
+    meta = corpus.select(
+        "doc_id",
+        F.expr(
+            "cast(date_add(date '2024-01-01', cast(doc_id % 540 as int)) "
+            "as timestamp)"
+        ).alias("ts"),
+    )
+    got = {
+        (r["bucket"], r["n"])
+        for r in eng.facet_date_histogram(QUERY, meta, "ts", "month").collect()
+    }
+    matched = _matched(spark, corpus, QUERY.split())
+    truth: dict[str, int] = {}
+    epoch = datetime.date(2024, 1, 1)
+    for d in matched:
+        ts = epoch + datetime.timedelta(days=d % 540)
+        b = ts.replace(day=1).isoformat()
+        truth[b] = truth.get(b, 0) + 1
+    assert got == set(truth.items()) and len(got) > 1
+
+
+def test_facet_percentiles_equals_numpy(spark, corpus, eng):
+    import numpy as np
+
+    got = eng.facet_percentiles(
+        QUERY, corpus, "n_chars", [0.25, 0.5, 0.75], by="lang"
+    ).collect()
+    assert got and set(got[0].asDict()) == {"lang", "n", "p25", "p50", "p75"}
+    matched = _matched(spark, corpus, QUERY.split())
+    rows = [
+        (r["lang"], r["n_chars"])
+        for r in corpus.select("doc_id", "lang", "n_chars").collect()
+        if r["doc_id"] in matched
+    ]
+    for r in got:
+        vals = np.array(sorted(v for lg, v in rows if lg == r["lang"]))
+        assert r["n"] == len(vals)
+        # exact PERCENTILE_CONT == numpy's default linear interpolation
+        for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+            assert r[col] == pytest.approx(
+                float(np.percentile(vals, p * 100)), abs=1e-9
+            )
+
+
+def test_facet_percentiles_ungrouped(spark, corpus, eng):
+    got = eng.facet_percentiles(QUERY, corpus, "n_chars", [0.5]).collect()
+    assert len(got) == 1 and got[0]["n"] > 0 and got[0]["p50"] > 0
+
+
+def test_facet_cardinality_exact(spark, corpus, eng):
+    got = {
+        r["lang"]: r["n_distinct"]
+        for r in eng.facet_cardinality(QUERY, corpus, "source", by="lang").collect()
+    }
+    matched = _matched(spark, corpus, QUERY.split())
+    truth: dict[str, set] = {}
+    for r in corpus.select("doc_id", "lang", "source").collect():
+        if r["doc_id"] in matched:
+            truth.setdefault(r["lang"], set()).add(r["source"])
+    assert got == {lg: len(s) for lg, s in truth.items()} and got
+
+
+def test_facet_cardinality_approx_close(spark, corpus, eng):
+    exact = eng.facet_cardinality(QUERY, corpus, "doc_id").collect()[0]["n_distinct"]
+    approx = eng.facet_cardinality(QUERY, corpus, "doc_id", approx=True).collect()[0][
+        "n_distinct"
+    ]
+    assert abs(approx - exact) <= max(3, 0.2 * exact)
+
+
+def test_top_hits_equals_brute(spark, corpus):
+    from searchengine_spark.postings import dictionary, doc_stats
+    from searchengine_spark.scoring import bm25_score, top_hits
+
+    tf = term_frequencies(corpus)
+    stats, dct = doc_stats(tf), dictionary(tf)
+    row = stats.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    scored = bm25_score(spark, tf, stats, dct, QUERY, int(row["n"]), float(row["a"]))
+    got = {
+        (r["lang"], r["doc_id"], r["hit_rank"])
+        for r in top_hits(scored, corpus, "lang", 2, round_dp=5).collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    by_lang: dict[str, list] = {}
+    for r in scored.collect():
+        by_lang.setdefault(langs[r["doc_id"]], []).append(
+            (round(r["score"], 5), r["doc_id"])
+        )
+    want = set()
+    for lg, lst in by_lang.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for i, (_, d) in enumerate(lst[:2], start=1):
+            want.add((lg, d, i))
+    assert got == want and len(got) > 2

@@ -1,0 +1,126 @@
+"""Geo-distance search: the sargable bounding-box prune must never change
+the result set (the box-free haversine truth is the oracle, here via a
+pure-Python twin and in the driver via DuckDB), distances must match the
+textbook formula, and top-k must rank by exact great-circle distance.
+
+Reference parity note: the reference has no geo surface; `ops/geo.py`
+docstring carries the layout/pushdown scale design."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.ops.geo import (
+    EARTH_R_KM,
+    _bounding_box,
+    add_geo_cells,
+    geo_distance_search,
+    geo_distance_topk,
+    haversine_km,
+)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    dphi = math.radians(lat2 - lat1)
+    dlmb = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dphi / 2) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlmb / 2) ** 2
+    )
+    return 2 * EARTH_R_KM * math.asin(math.sqrt(a))
+
+
+def _pts(spark, n=400):
+    # deterministic full-range scatter, including pole/antimeridian extremes
+    rows = [
+        (i, (i * 7919 % 18000) / 100.0 - 90.0, (i * 104729 % 36000) / 100.0 - 180.0)
+        for i in range(n)
+    ] + [(9001, 89.9, 10.0), (9002, -89.9, -170.0), (9003, 0.0, 179.99), (9004, 0.0, -179.99)]
+    return spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+
+
+def test_haversine_matches_python(spark):
+    df = _pts(spark, 50).withColumn(
+        "d", haversine_km(F.lit(37.7), F.lit(-122.4), F.col("lat"), F.col("lon"))
+    )
+    for r in df.collect():
+        assert r["d"] == pytest.approx(_hav(37.7, -122.4, r["lat"], r["lon"]), abs=1e-6)
+
+
+@pytest.mark.parametrize(
+    "lat0,lon0,radius",
+    [
+        (10.0, 20.0, 500.0),
+        (10.0, 20.0, 5000.0),
+        (85.0, 0.0, 1000.0),     # pole-adjacent → full-lon widening
+        (0.0, 179.5, 300.0),     # antimeridian → full-lon widening
+        (-45.0, -170.0, 2500.0),
+        (89.5, 50.0, 200.0),
+    ],
+)
+def test_box_prune_never_changes_results(spark, lat0, lon0, radius):
+    df = _pts(spark)
+    got = {
+        r["doc_id"] for r in geo_distance_search(df, lat0, lon0, radius).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in df.collect()
+        if _hav(lat0, lon0, r["lat"], r["lon"]) <= radius
+    }
+    assert got == want
+
+
+def test_box_contains_circle_geometry():
+    # every point at exactly radius distance must satisfy the box predicate
+    for lat0, lon0, radius in [(10, 20, 1000), (60, 100, 2000), (-30, -60, 800)]:
+        lat_lo, lat_hi, lon_lo, lon_hi = _bounding_box(lat0, lon0, radius)
+        for brg in range(0, 360, 15):
+            # destination point formula
+            d = radius / EARTH_R_KM
+            phi1, lmb1, th = map(math.radians, (lat0, lon0, brg))
+            phi2 = math.asin(
+                math.sin(phi1) * math.cos(d) + math.cos(phi1) * math.sin(d) * math.cos(th)
+            )
+            lmb2 = lmb1 + math.atan2(
+                math.sin(th) * math.sin(d) * math.cos(phi1),
+                math.cos(d) - math.sin(phi1) * math.sin(phi2),
+            )
+            lat2, lon2 = math.degrees(phi2), math.degrees(lmb2)
+            assert lat_lo - 1e-9 <= lat2 <= lat_hi + 1e-9
+            assert lon_lo - 1e-9 <= lon2 <= lon_hi + 1e-9
+
+
+def test_topk_matches_brute(spark):
+    df = _pts(spark)
+    got = [(r["doc_id"], r["dist_km"]) for r in geo_distance_topk(df, 10.0, 20.0, 10).collect()]
+    want = sorted(
+        ((r["doc_id"], _hav(10.0, 20.0, r["lat"], r["lon"])) for r in df.collect()),
+        key=lambda t: (t[1], t[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gd), (_, wd) in zip(got, want):
+        assert gd == pytest.approx(wd, abs=1e-6)
+
+
+def test_topk_with_radius_prunes_same(spark):
+    df = _pts(spark)
+    a = [(r["doc_id"], r["dist_km"]) for r in geo_distance_topk(df, 10.0, 20.0, 10, radius_km=8000.0).collect()]
+    b = [(r["doc_id"], r["dist_km"]) for r in geo_distance_topk(df, 10.0, 20.0, 10).collect()]
+    assert a == b
+
+
+def test_geo_cells_deterministic_and_bounded(spark):
+    df = add_geo_cells(_pts(spark), cell_deg=5.0)
+    cells = df.select("geo_cell").distinct().count()
+    assert 0 < cells <= (180 // 5 + 1) * (360 // 5 + 1)
+    # same coords → same cell across recomputation
+    again = add_geo_cells(_pts(spark), cell_deg=5.0)
+    assert df.select("doc_id", "geo_cell").exceptAll(
+        again.select("doc_id", "geo_cell")
+    ).count() == 0

@@ -1,0 +1,92 @@
+"""Deterministic hash-based sampling: membership must be a pure function
+of the row id (identical set at any parallelism), nested across rates,
+stratified by exact per-stratum thresholds, and rate-solving must hit
+target mixes. The driver entries `sample_deterministic` /
+`sample_stratified` hash-check the exact selected SET against DuckDB —
+row-for-row, not statistically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.ops.sampling import (
+    rates_for_targets,
+    sample_rate,
+    sample_stratified,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+def test_partition_independence(spark, docs):
+    a = {r[0] for r in sample_rate(docs, 0.2, seed=3).select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in sample_rate(docs.repartition(17), 0.2, seed=3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and a
+
+
+def test_nested_rates(spark, docs):
+    small = {r[0] for r in sample_rate(docs, 0.1).select("doc_id").collect()}
+    big = {r[0] for r in sample_rate(docs, 0.3).select("doc_id").collect()}
+    assert small < big
+
+
+def test_rate_accuracy(spark, docs):
+    n = docs.count()
+    got = sample_rate(docs, 0.5).count()
+    assert abs(got / n - 0.5) < 0.1
+
+
+def test_seed_changes_set(spark, docs):
+    a = {r[0] for r in sample_rate(docs, 0.3, seed=1).select("doc_id").collect()}
+    b = {r[0] for r in sample_rate(docs, 0.3, seed=2).select("doc_id").collect()}
+    assert a != b and abs(len(a) - len(b)) < 0.5 * len(a)
+
+
+def test_stratified_equals_per_stratum_rate(spark, docs):
+    rates = {"en": 0.4, "de": 1.0}
+    got = {
+        r[0]
+        for r in sample_stratified(docs, rates, by="lang", seed=5)
+        .select("doc_id")
+        .collect()
+    }
+    want = set()
+    for lang, rate in rates.items():
+        sub = docs.filter(F.col("lang") == lang)
+        want |= {r[0] for r in sample_rate(sub, rate, seed=5).select("doc_id").collect()}
+    assert got == want and got
+    # default_rate=0: other strata fully dropped
+    langs = {
+        r[0]
+        for r in sample_stratified(docs, rates, by="lang", seed=5)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert langs == {"en", "de"}
+
+
+def test_rates_for_targets_hits_mix(spark, docs):
+    targets = {"en": 0.5, "de": 0.5}
+    rates = rates_for_targets(docs, targets, by="lang", total=60)
+    got = sample_stratified(docs, rates, by="lang").groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    # each stratum ≈ 30 docs (hash sampling is Bernoulli, allow slack)
+    for lang in targets:
+        assert 15 <= counts.get(lang, 0) <= 45
+
+
+def test_rates_validation(spark, docs):
+    with pytest.raises(ValueError):
+        sample_rate(docs, 1.5)
+    with pytest.raises(ValueError):
+        sample_stratified(docs, {"en": -0.1}, by="lang")
