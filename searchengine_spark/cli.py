@@ -268,6 +268,77 @@ def _cmd_compact(args) -> None:
     )
 
 
+def _cmd_stats(args) -> None:
+    spark = _spark(args)
+
+    if args.sharded:
+        from .query.sharded import ShardedEngine
+
+        st = ShardedEngine.open(spark, args.index).stats()
+    else:
+        from .query.engine import SearchEngine
+
+        st = SearchEngine(spark, args.index).stats()
+    print(json.dumps(st))
+
+
+def _cmd_decontaminate(args) -> None:
+    spark = _spark(args)
+    from .ops.dedup import contaminated_pairs, decontaminate
+
+    t0 = time.perf_counter()
+    train = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench)
+    kw = dict(
+        w=args.ngram, min_overlap=args.min_overlap,
+        id_col=args.id_col, text_col=args.text_col,
+        bench_id_col=args.bench_id_col, bench_text_col=args.bench_text_col,
+    )
+    if args.output:
+        clean = decontaminate(train, bench, **kw)
+        clean.write.mode("overwrite").parquet(args.output)
+        n_kept = spark.read.parquet(args.output).count()
+        out = {"decontaminated": args.output, "n_kept": n_kept}
+    else:
+        flagged = contaminated_pairs(train, bench, **kw)
+        out = {
+            "n_flagged_docs": flagged.select("doc_id").distinct().count(),
+            "n_pairs": flagged.count(),
+        }
+    out["sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(out))
+
+
+def _cmd_sample(args) -> None:
+    spark = _spark(args)
+    from .ops.sampling import sample_rate, sample_stratified
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.input)
+    if args.rates:
+        rates = {
+            k: float(v)
+            for k, v in (pair.split("=") for pair in args.rates.split(","))
+        }
+        out_df = sample_stratified(
+            df, rates, by=args.by, id_col=args.id_col, seed=args.seed,
+            default_rate=args.default_rate,
+        )
+    else:
+        out_df = sample_rate(df, args.rate, id_col=args.id_col, seed=args.seed)
+    out_df.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "sampled": args.output,
+                "n_rows": n,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
 def _cmd_suggest(args) -> None:
     spark = _spark(args)
     from .query.engine import SearchEngine
@@ -434,6 +505,44 @@ def main(argv: list[str] | None = None) -> None:
     cp = sub.add_parser("compact", help="fold epochs + tombstones into the canonical batch layout")
     cp.add_argument("--index", required=True)
     cp.set_defaults(fn=_cmd_compact)
+
+    st = sub.add_parser("stats", help="index statistics (driver-side metadata, no Spark job)")
+    st.add_argument("--index", required=True)
+    st.add_argument("--sharded", action="store_true",
+                    help="--index is a sharded layout; aggregate across shards")
+    st.set_defaults(fn=_cmd_stats)
+
+    dc = sub.add_parser(
+        "decontaminate",
+        help="flag/remove train docs sharing n-grams with a benchmark set",
+    )
+    dc.add_argument("--input", required=True, help="training corpus parquet")
+    dc.add_argument("--bench", required=True, help="benchmark/eval parquet")
+    dc.add_argument("--output", default="",
+                    help="write the decontaminated corpus here; omit to only report counts")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--min-overlap", type=int, default=1)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--bench-id-col", default="doc_id")
+    dc.add_argument("--bench-text-col", default="text")
+    dc.set_defaults(fn=_cmd_decontaminate)
+
+    sp = sub.add_parser(
+        "sample",
+        help="deterministic hash sample (same set at any parallelism/engine)",
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--rate", type=float, default=0.1)
+    sp.add_argument("--rates", default="",
+                    help="stratified: by-value=rate pairs, e.g. en=0.2,fr=0.6")
+    sp.add_argument("--by", default="lang", help="stratum column for --rates")
+    sp.add_argument("--default-rate", type=float, default=0.0,
+                    help="rate for strata absent from --rates")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=_cmd_sample)
 
     sg = sub.add_parser("suggest", help="autocomplete: df-ranked prefix completions")
     sg.add_argument("--index", required=True)

@@ -1209,6 +1209,57 @@ class SearchEngine:
         ).alias("n_distinct")
         return j.groupBy(by).agg(agg) if by else j.agg(agg)
 
+    def stats(self) -> dict:
+        """Index statistics (ES ``_stats`` / Lucene SegmentInfos analogue),
+        served ENTIRELY from driver-side metadata — meta.json, the
+        manifest.jsonl lineage rows, and the cached tombstone arrays. No
+        Spark job runs, so this is an O(manifest) control-plane call even
+        against a 10^12-doc index. Counts reflect what the build/ingest
+        actually committed (manifest rows are the commit points), not a
+        recount."""
+        from ..index.build import read_manifest
+
+        meta = self.meta
+        rows = read_manifest(self.index_dir)
+        segs = [r for r in rows if r["kind"] == "segment"]
+        epochs = [r for r in rows if r["kind"] == "stream_epoch"]
+        compactions = [r for r in rows if r["kind"] == "compaction"]
+        dicts = [r for r in rows if r["kind"] == "dictionary"]
+        n_blocks = sum(int(r.get("n_blocks") or 0) for r in segs)
+        if compactions or epochs:
+            # streamed layout: live blocks = last compaction + epochs after it
+            start = rows.index(compactions[-1]) + 1 if compactions else 0
+            n_blocks = sum(int(r.get("n_blocks") or 0) for r in compactions[-1:])
+            n_blocks += sum(
+                int(r.get("n_blocks") or 0)
+                for r in rows[start:]
+                if r["kind"] == "stream_epoch"
+            )
+        plain, upd, _wm = self._tombstones() or (None, None, None)
+        size_bytes = 0
+        for root, _dirs, files in os.walk(self.index_dir):
+            for f in files:
+                try:
+                    size_bytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return {
+            "n_docs": meta.n_docs,
+            "avgdl": meta.avgdl,
+            "total_len": meta.total_len,
+            "n_terms": int(dicts[-1]["n_terms"]) if dicts else None,
+            "n_buckets": meta.n_buckets,
+            "range_bits": meta.range_bits,
+            "n_blocks": n_blocks,
+            "n_segments": len(segs),
+            "stream_epochs": meta.stream_epochs,
+            "n_compactions": len(compactions),
+            "has_positions": meta.has_positions,
+            "n_deleted": 0 if plain is None else int(len(plain)),
+            "n_updated": 0 if upd is None else int(len(upd)),
+            "size_bytes": size_bytes,
+        }
+
     def _all_blocks(self) -> DataFrame:
         """Unpruned segment scan — every bucket, every term. Input to the
         corpus-wide index ops (``term_vectors`` allow-set decode,

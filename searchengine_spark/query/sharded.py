@@ -81,22 +81,130 @@ class ShardedEngine:
         n_shards: int,
         id_col: str = "doc_id",
         text_col: str = "text",
+        epoch_layout: bool = False,
         **build_kw,
     ) -> "ShardedEngine":
         """Route the corpus by hash and build one independent index per
         shard. Shard builds run sequentially here (one Spark app — each
         build already uses every core); on a real cluster they are
         embarrassingly parallel across driver processes because nothing is
-        shared but the input table."""
+        shared but the input table.
+
+        ``epoch_layout=True`` creates each shard as epoch 0 of the
+        streaming/append layout instead of the canonical batch layout —
+        required if the sharded index will take ``append``/``update``
+        later (a batch layout pins its partition scheme; the epoch commit
+        protocol refuses to mix into it). Rank-identity between the two
+        layouts is the streaming suite's core invariant."""
         dirs = []
         for s in range(n_shards):
             d = os.path.join(base_dir, f"shard-{s}")
             sub = corpus.filter(shard_of(F.col(id_col), n_shards) == s)
-            SearchEngine(spark, d).build_index_from_df(
-                sub, id_col=id_col, text_col=text_col, **build_kw
-            )
+            if epoch_layout:
+                from ..streaming.ingest import append_docs
+
+                append_docs(sub, d, id_col=id_col, text_col=text_col, **build_kw)
+            else:
+                SearchEngine(spark, d).build_index_from_df(
+                    sub, id_col=id_col, text_col=text_col, **build_kw
+                )
             dirs.append(d)
         return cls(spark, dirs)
+
+    # -- maintenance routing -------------------------------------------------
+    def append(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> int:
+        """Route a document batch to its shards and epoch-append per shard
+        (each shard keeps its own Lucene-style commit protocol — the
+        sharded layout adds only the hash routing). Layout params come
+        from each shard's meta, so appends always match the shard's build.
+        Returns total docs appended."""
+        from ..streaming.ingest import append_docs
+
+        n = len(self.shards)
+        total = 0
+        for s, eng in enumerate(self.shards):
+            sub = docs.filter(shard_of(F.col(id_col), n) == s)
+            n_sub = sub.count()
+            if not n_sub:
+                continue
+            m = eng.meta
+            append_docs(  # returns the epoch id; we report docs routed
+                sub, eng.index_dir, id_col=id_col, text_col=text_col,
+                n_buckets=m.n_buckets, range_bits=m.range_bits,
+                with_positions=m.has_positions,
+            )
+            eng.refresh()
+            total += n_sub
+        return total
+
+    def _route_ids(self, doc_ids) -> list[list[int]]:
+        """Partition ids by shard with the SAME JVM xxhash64 expression the
+        build used (one tiny job over |ids| rows — never recompute the
+        routing in Python, a drifting twin would corrupt deletes)."""
+        n = len(self.shards)
+        ids_df = self.spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        )
+        rows = ids_df.select(
+            "doc_id", shard_of(F.col("doc_id"), n).alias("s")
+        ).collect()
+        out: list[list[int]] = [[] for _ in range(n)]
+        for r in rows:
+            out[int(r["s"])].append(int(r["doc_id"]))
+        return out
+
+    def delete(self, doc_ids) -> int:
+        """Tombstone-delete across shards: ids route to their owning shard
+        (O(|ids|) job + |ids| tombstone rows total — NOT broadcast to every
+        shard, which would multiply tombstone state by N)."""
+        doc_ids = list(doc_ids)
+        if not doc_ids:
+            return 0
+        return sum(
+            eng.delete_docs(ids) if ids else 0
+            for eng, ids in zip(self.shards, self._route_ids(doc_ids))
+        )
+
+    def update(
+        self,
+        updates: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> int:
+        """In-place update across shards: each shard runs its own
+        watermarked tombstone + append pair on its routed slice."""
+        n = len(self.shards)
+        total = 0
+        for s, eng in enumerate(self.shards):
+            sub = updates.filter(shard_of(F.col(id_col), n) == s)
+            if sub.limit(1).count():
+                total += eng.update_docs(sub, id_col=id_col, text_col=text_col)
+        return total
+
+    def stats(self) -> dict:
+        """Aggregated index statistics: exact-int sums of the per-shard
+        ``SearchEngine.stats()`` (driver-side metadata only — no Spark
+        job), plus the per-shard breakdown under ``shards``."""
+        per = [s.stats() for s in self.shards]
+        n_docs = sum(p["n_docs"] for p in per)
+        total_len = sum(p["total_len"] or round(p["n_docs"] * p["avgdl"]) for p in per)
+        agg = {
+            "n_shards": len(per),
+            "n_docs": n_docs,
+            "avgdl": total_len / n_docs if n_docs else 0.0,
+            "total_len": total_len,
+            "n_blocks": sum(p["n_blocks"] for p in per),
+            "n_deleted": sum(p["n_deleted"] for p in per),
+            "n_updated": sum(p["n_updated"] for p in per),
+            "size_bytes": sum(p["size_bytes"] for p in per),
+            "shards": per,
+        }
+        return agg
 
     # -- global statistics (the DFS phase) ---------------------------------
     def global_stats(self, terms: list[str]) -> tuple[int, float, dict]:

@@ -110,3 +110,55 @@ def test_lifecycle_delete_compact(tmp_path, capsys, spark):
     cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
     post = json.loads(capsys.readouterr().out)["hits"]
     assert victim not in [h["doc_id"] for h in post]
+
+
+def test_stats_command(tmp_path, capsys, spark):
+    idx = str(tmp_path / "sidx")
+    cli.main(
+        [
+            "build", "--synthetic", "120", "--index", idx,
+            "--buckets", "4", "--range-bits", "2", "--fresh",
+        ]
+    )
+    capsys.readouterr()
+    cli.main(["stats", "--index", idx])
+    st = json.loads(capsys.readouterr().out)
+    assert st["n_docs"] == 120 and st["n_terms"] > 0
+    assert st["n_segments"] == 4 and st["size_bytes"] > 0
+    assert st["n_deleted"] == 0 and not st["has_positions"]
+
+
+def test_sample_and_decontaminate_commands(tmp_path, capsys, spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    bench = str(tmp_path / "bench.parquet")
+    docs.filter("doc_id % 31 = 0").write.parquet(bench)
+
+    out = str(tmp_path / "sampled.parquet")
+    cli.main(["sample", "--input", src, "--output", out, "--rate", "0.3"])
+    res = json.loads(capsys.readouterr().out)
+    n_total = docs.count()
+    assert 0 < res["n_rows"] < n_total
+
+    out2 = str(tmp_path / "strat.parquet")
+    cli.main(
+        ["sample", "--input", src, "--output", out2,
+         "--rates", "en=1.0,de=0.5", "--by", "lang"]
+    )
+    res2 = json.loads(capsys.readouterr().out)
+    got = spark.read.parquet(out2)
+    langs = {r[0] for r in got.select("lang").distinct().collect()}
+    assert langs == {"en", "de"} and res2["n_rows"] == got.count()
+
+    cli.main(["decontaminate", "--input", src, "--bench", bench, "--ngram", "5"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_flagged_docs"] >= docs.filter("doc_id % 31 = 0").count()
+
+    clean = str(tmp_path / "clean.parquet")
+    cli.main(
+        ["decontaminate", "--input", src, "--bench", bench,
+         "--ngram", "5", "--output", clean]
+    )
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["n_kept"] == n_total - rep["n_flagged_docs"]

@@ -136,3 +136,58 @@ def test_open_roundtrip(spark, sharded, single):
         single.search("spark stream", k=10),
     )
 
+
+def test_stats_aggregates_shards(spark, corpus, sharded, single):
+    st = sharded.stats()
+    assert st["n_shards"] == N_SHARDS
+    assert st["n_docs"] == single.meta.n_docs == corpus.count()
+    assert st["avgdl"] == pytest.approx(single.meta.avgdl, rel=1e-12)
+    assert st["n_blocks"] == sum(p["n_blocks"] for p in st["shards"])
+    assert st["size_bytes"] > 0 and st["n_deleted"] == 0
+    # per-shard stats carry the layout fields
+    assert all(p["n_buckets"] == 4 and p["n_terms"] for p in st["shards"])
+
+
+def test_append_update_delete_route_correctly(spark, tmp_path_factory):
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    first, rest = full.filter(F.col("doc_id") < 80), full.filter(
+        (F.col("doc_id") >= 80)
+    )
+    base = str(tmp_path_factory.mktemp("shmaint"))
+    se = ShardedEngine.build(
+        spark, first, base, N_SHARDS, n_buckets=4, range_bits=2,
+        epoch_layout=True,
+    )
+    n_app = se.append(rest)
+    assert n_app == rest.count()
+
+    ref = SearchEngine(
+        spark, str(tmp_path_factory.mktemp("shmaint_ref") / "idx")
+    )
+    ref.build_index_from_df(full, id_col="doc_id", text_col="text",
+                            n_buckets=4, range_bits=2)
+    for q in QUERIES[:2]:
+        _assert_hits_equal(se.search(q, k=10), ref.search(q, k=10))
+
+    # delete routes each id to its owning shard only
+    victims = [d for d, _ in se.search(QUERIES[0], k=3)]
+    n_del = se.delete(victims)
+    assert n_del == len(victims)
+    got = {d for d, _ in se.search(QUERIES[0], k=20)}
+    assert not (got & set(victims))
+    st = se.stats()
+    assert st["n_deleted"] == len(victims)
+    # tombstones landed only on owning shards (total == len, not N× len)
+    assert sum(p["n_deleted"] for p in st["shards"]) == len(victims)
+
+    # update: replace one surviving doc's text, ranks pick up the new text
+    target = next(iter(got))
+    upd = spark.createDataFrame(
+        [(target, "zzzuniqueterm zzzuniqueterm")], "doc_id long, text string"
+    )
+    assert se.update(upd) == 1
+    hits = se.search("zzzuniqueterm", k=5)
+    assert [d for d, _ in hits] == [target]
+
