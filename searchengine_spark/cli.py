@@ -72,7 +72,7 @@ def _cmd_build(args) -> None:
             id_col=args.id_col, text_col=args.text_col,
             n_buckets=args.buckets, range_bits=args.range_bits,
             n_waves=args.waves, with_positions=args.positions,
-            fresh=args.fresh,
+            fresh=args.fresh, analyzer=args.analyzer,
         )
         dt = time.perf_counter() - t0
         n = sum(s.meta.n_docs for s in sharded.shards)
@@ -98,6 +98,7 @@ def _cmd_build(args) -> None:
         n_waves=args.waves,
         with_positions=args.positions,
         fresh=args.fresh,
+        analyzer=args.analyzer,
     )
     dt = time.perf_counter() - t0
     print(
@@ -438,6 +439,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--positions", action="store_true",
                    help="store token positions (enables --mode phrase)")
     b.add_argument("--fresh", action="store_true")
+    b.add_argument("--analyzer", choices=["standard", "code"], default="standard",
+                   help="code: split camelCase/acronym/snake_case identifiers "
+                   "(pinned in meta; queries analyze identically)")
     b.add_argument("--shards", type=int, default=1,
                    help=">1: build N hash-routed shard indexes under "
                    "--index (shard-0..N-1); query with search --sharded")

@@ -2039,6 +2039,98 @@ ENTITY_FIXTURE = [
 ]
 
 
+CODE_FIXTURE = [
+    (1, "def parseQueryString(raw): return QueryStringParser.parse(raw)"),
+    (2, "class HTTPServerConnection: def open_socket(self): pass"),
+    (3, "query_string = buildQueryString(params); parse_query(query_string)"),
+    (4, "XMLHttpRequest sends the asyncRequest payload to httpServer"),
+    (5, "def mergeSortedRuns(runs): return heapMerge(runs)"),
+    (6, "snake_case_names and camelCaseNames interoperate fine"),
+    (7, "parseURL extracts hostName and queryString from rawURL"),
+    (8, "getFooBar setFooBar fooBarBaz foo_bar_qux"),
+    (9, "StringBuilder appendString reverseString stringLength"),
+    (10, "the parser parses parsed parsing tokens"),
+]
+CODE_QUERY = "parse query string server"
+CODE_K = 10
+
+
+def _code_fixture_df(spark) -> DataFrame:
+    return spark.createDataFrame(CODE_FIXTURE, "doc_id long, text string")
+
+
+def _code_split_cte() -> str:
+    from .tokenizer import duckdb_code_split
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in CODE_FIXTURE)
+    return (
+        f"code_docs(doc_id, text) AS (VALUES {vals}),\n"
+        f"code_split AS (SELECT doc_id, {duckdb_code_split('text')} AS text "
+        f"FROM code_docs)"
+    )
+
+
+def _code_tf_sql() -> str:
+    return f"""
+WITH {_code_split_cte()}
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM ({duckdb_tokens_cte("code_split", "doc_id", "text")})
+GROUP BY doc_id, term
+"""
+
+
+def q_code_tokens(spark, sf_dir):
+    """Code-analyzer token stream (camelCase / ACRONYMWord / snake_case
+    identifier splitting — Lucene WordDelimiter analogue, the analysis a
+    SOURCE-CODE corpus needs so 'parse' matches parseQueryString): tf over
+    a literal fixture (the sf corpus is lowercase prose — a corpus-side
+    check would be vacuous; same call as entity_tokens). The DuckDB twin
+    applies the identical three split rules as RE2 regexp_replace."""
+    from .tokenizer import analyze_text_expr
+
+    df = _code_fixture_df(spark).withColumn(
+        "text", analyze_text_expr(F.col("text"), "code")
+    )
+    return term_frequencies(df, "doc_id", "text", use_arrow_udf=False)
+
+
+def q_code_search_topk(spark, sf_dir):
+    """Index-NATIVE search over a code-analyzed index: build with
+    analyzer='code' (split pinned in meta), query analyzed by the SAME
+    analyzer via the engine, full WAND path — hash-checked against a
+    relational BM25 twin whose tf comes from the SQL code-split. Proves
+    the analyzer round-trips build→meta→query identically."""
+    from pyspark.sql import Window
+
+    from .query.engine import SearchEngine
+
+    path = _tmpdir("seidx_code_")
+    eng = SearchEngine(spark, path)
+    eng.build_index_from_df(
+        _code_fixture_df(spark), id_col="doc_id", text_col="text",
+        n_buckets=2, range_bits=1, analyzer="code",
+    )
+    hits = eng.search(CODE_QUERY, k=CODE_K)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def _code_search_sql() -> str:
+    return f"""
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+FROM ({_bm25_sql(CODE_QUERY, tf_sql=_code_tf_sql())})
+ORDER BY score DESC, doc_id ASC
+LIMIT {CODE_K}
+"""
+
+
 def q_entity_tokens(spark, sf_dir):
     from .tweetparser import entity_tokens
 
@@ -2403,6 +2495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_topk": q_geo_topk,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "code_tokens": q_code_tokens,
+        "code_search_topk": q_code_search_topk,
         "term_vectors": q_term_vectors,
         "significant_terms": q_significant_terms,
         "query_string_topk": q_query_string_topk,
@@ -2505,6 +2599,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "geo_topk": _geo_topk_sql(),
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
+        "code_tokens": _code_tf_sql(),
+        "code_search_topk": _code_search_sql(),
         "term_vectors": _term_vectors_sql(TV_MOD),
         "significant_terms": _significant_terms_sql(
             FACET_QUERY.split(), SIG_TOP_N

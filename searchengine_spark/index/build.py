@@ -103,6 +103,10 @@ class IndexMeta:
     # positional index: blocks carry a pos_bytes stream (per-posting token
     # positions) enabling index-native exact-phrase queries
     has_positions: bool = False
+    # analyzer pinned at build time (Lucene analyzers): "standard", or
+    # "code" (identifier splitting — tokenizer.code_split_*). The engine
+    # analyzes queries with the SAME analyzer; appends/streaming inherit it
+    analyzer: str = "standard"
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -250,9 +254,21 @@ def build_index(
     use_arrow_udf: bool = True,
     with_positions: bool = False,
     fresh: bool = False,
+    analyzer: str = "standard",
     _stop_after_waves: int | None = None,
 ) -> IndexMeta:
-    """Build (or resume) the index at ``index_dir``. Returns meta."""
+    """Build (or resume) the index at ``index_dir``. Returns meta.
+
+    ``analyzer="code"`` applies identifier splitting (camelCase / acronym /
+    snake_case — ``tokenizer.code_split_expr``) as a TEXT→TEXT column
+    transform before the standard tokenizer, and pins the choice in
+    meta.json so the query side analyzes identically. Everything
+    downstream (tf, positions, phrase adjacency) is unchanged."""
+    from ..tokenizer import analyze_text_expr
+
+    corpus = corpus.withColumn(
+        text_col, analyze_text_expr(F.col(text_col), analyzer)
+    )
     if fresh and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
@@ -305,6 +321,7 @@ def build_index(
             fingerprint=f"{agg['fp']:x}-{agg['n']}",
             total_len=int(agg["tot"]),
             has_positions=with_positions,
+            analyzer=analyzer,
         )
         staged = (
             tf_df.join(stats.select("doc_id", "doc_len"), "doc_id")

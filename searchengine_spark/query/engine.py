@@ -262,6 +262,16 @@ class SearchEngine:
             return None
         return DocMask(excluded, included, upd, upd_wm)
 
+    def _analyze(self, query: str) -> list[str]:
+        """Query-side analysis under the INDEX's pinned analyzer
+        (meta.analyzer — Lucene's rule: query and index must analyze
+        identically or `getFooBar` would never match its own document).
+        Returns the token list; every query surface tokenizes through
+        here."""
+        from ..tokenizer import analyze_py
+
+        return analyze_py(query, self.meta.analyzer)
+
     def _resolve_terms(self, query: str, rewriter=None) -> list[dict]:
         """J1: query terms ⋈ dictionary via filtered read (pushdown).
         A rewriter (expansion.py) may add/correct terms with weights; the
@@ -275,7 +285,7 @@ class SearchEngine:
         from ..expansion import rewrite_query
 
         self.meta  # trigger the staleness check → refresh clears the cache
-        weighted = rewrite_query(query, rewriter)
+        weighted = rewrite_query(self._analyze(query), rewriter)
         wmap = dict(weighted)
         # resolve THIS query fully before any eviction: a cap-triggered
         # clear() must never turn the current query's already-cached terms
@@ -444,7 +454,7 @@ class SearchEngine:
             # from the dictionary occurs in no document, so the intersection
             # is empty (matches scoring.boolean_and and the Python oracle);
             # a term that is also excluded is a contradiction
-            if {t for t, _ in rewrite_query(query, rewriter)} - set(idf):
+            if {t for t, _ in rewrite_query(self._analyze(query), rewriter)} - set(idf):
                 return []
         buckets = sorted(
             {int(r["bucket"]) for r in dict_rows} | {int(r["bucket"]) for r in ex_rows}
@@ -536,7 +546,10 @@ class SearchEngine:
         meta = self.meta
         if global_stats is not None and rewriter is not None:
             raise ValueError("global_stats does not compose with rewriters")
-        per_q = {qid: rewrite_query(q, rewriter) for qid, q in queries.items()}
+        per_q = {
+            qid: rewrite_query(self._analyze(q), rewriter)
+            for qid, q in queries.items()
+        }
         union_terms = sorted({t for w in per_q.values() for t, _ in w})
         if not union_terms:
             return {qid: [] for qid in queries}
@@ -606,7 +619,6 @@ class SearchEngine:
         candidate DataFrame (doc_id, score), never collected here.
         ``make_kernel(terms, idf, k1, b, avgdl, mask)`` returns the
         per-group pdf→pdf kernel."""
-        from ..tokenizer import tokenize_py
 
         meta = self.meta
         if not meta.has_positions:
@@ -615,7 +627,7 @@ class SearchEngine:
                 "with_positions=True for index-native positional queries"
             )
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
-        terms = tokenize_py(query)
+        terms = self._analyze(query)
         if not terms:
             return empty
         dict_rows = self._resolve_terms(" ".join(sorted(set(terms))))
@@ -699,7 +711,7 @@ class SearchEngine:
         ``scorer="lm"`` (LM weights are query tf — ``search`` raises)."""
         from ..querylang import parse_query_string
 
-        p = parse_query_string(qs)
+        p = parse_query_string(qs, self.meta.analyzer)
         positive = p.positive_terms
         if not positive:
             raise ValueError(f"query string has no positive terms: {qs!r}")
@@ -783,7 +795,6 @@ class SearchEngine:
         Needs a positional index; runs distributed (one kernel per
         doc_range), so highlighting a full match set is one job, not a
         per-doc loop."""
-        from ..tokenizer import tokenize_py
         from .phrase import SNIPPET_SCHEMA, snippet_group
 
         meta = self.meta
@@ -793,7 +804,7 @@ class SearchEngine:
                 "with_positions=True for snippet extraction"
             )
         empty = self.spark.createDataFrame([], SNIPPET_SCHEMA)
-        terms = tokenize_py(query)
+        terms = self._analyze(query)
         if not terms:
             return empty
         dict_rows = self._resolve_terms(" ".join(sorted(set(terms))), rewriter)
@@ -1033,7 +1044,7 @@ class SearchEngine:
             return empty
         terms = sorted({r["term"] for r in dict_rows})
         if mode == "and" and (
-            {t for t, _ in rewrite_query(query, rewriter)} - set(terms)
+            {t for t, _ in rewrite_query(self._analyze(query), rewriter)} - set(terms)
         ):
             return empty
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
@@ -1418,9 +1429,8 @@ class SearchEngine:
         pruned segment path."""
         from collections import Counter
 
-        from ..tokenizer import tokenize_py
 
-        tf = Counter(tokenize_py(text))
+        tf = Counter(self._analyze(text))
         if not tf:
             return []
         rows = self._resolve_terms(" ".join(sorted(tf)))

@@ -239,9 +239,7 @@ class ShardedEngine:
         them (shard-local WAND pruning intact) → driver merges k·n_shards
         tuples. Composes with the single-engine kwargs that don't touch
         statistics (mode, use_wand, doc_filter, after, exclude)."""
-        from ..tokenizer import tokenize_py
-
-        terms = tokenize_py(query)
+        terms = self.shards[0]._analyze(query)
         if not terms:
             return []
         gs = self.global_stats(terms)
@@ -257,9 +255,9 @@ class ShardedEngine:
         whole batch, one scoring job per shard, driver merge per query —
         the cluster throughput shape (per-shard jobs are independent; at
         scale they run concurrently on disjoint executors)."""
-        from ..tokenizer import tokenize_py
-
-        terms = sorted({t for q in queries.values() for t in tokenize_py(q)})
+        terms = sorted(
+            {t for q in queries.values() for t in self.shards[0]._analyze(q)}
+        )
         gs = self.global_stats(terms) if terms else (0, 0.0, {})
         out: dict[str, list[tuple[int, float]]] = {qid: [] for qid in queries}
         if not gs[2]:

@@ -35,7 +35,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .tokenizer import tokenize_py
+from .tokenizer import analyze_py, tokenize_py
 
 # order matters: range filter (contains spaces) > quoted phrase > bare token
 _TOKEN_RE = re.compile(
@@ -55,6 +55,7 @@ class ParsedQueryString:
     filters: list[tuple[str, str]] = field(default_factory=list)
     ranges: list[tuple[str, str | None, str | None]] = field(default_factory=list)
     boosts: dict[str, float] = field(default_factory=dict)
+    analyzer: str = "standard"  # pinned at parse time; phrase re-analysis uses it
 
     @property
     def positive_terms(self) -> list[str]:
@@ -63,7 +64,7 @@ class ParsedQueryString:
         for t in self.should + self.must:
             seen.setdefault(t)
         for ph in self.phrases:
-            for t in tokenize_py(ph):
+            for t in analyze_py(ph, self.analyzer):
                 seen.setdefault(t)
         return list(seen)
 
@@ -81,12 +82,14 @@ def _split_boost(raw: str) -> tuple[str, float]:
     return raw, 1.0
 
 
-def parse_query_string(qs: str) -> ParsedQueryString:
+def parse_query_string(qs: str, analyzer: str = "standard") -> ParsedQueryString:
     """qs → clause lists. Terms are tokenizer-normalized here (lowercase,
-    stopword-dropped); phrases keep their raw text — the phrase machinery
+    stopword-dropped) under ``analyzer`` — pass the INDEX's pinned
+    analyzer so e.g. a code index parses `+getFooBar` into the same parts
+    it indexed; phrases keep their raw text — the phrase machinery
     tokenizes them itself so adjacency is defined over the filtered
     stream. Boosts are max-combined per normalized term."""
-    out = ParsedQueryString()
+    out = ParsedQueryString(analyzer=analyzer)
 
     def boost_all(toks: list[str], w: float) -> None:
         if w != 1.0:
@@ -110,7 +113,7 @@ def parse_query_string(qs: str) -> ParsedQueryString:
             if op == "-":
                 raise ValueError("negated phrases are not supported")
             boost = _split_boost(tail)[1] if tail.startswith("^") else 1.0
-            ptoks = tokenize_py(ph)
+            ptoks = analyze_py(ph, analyzer)
             if ph and ptoks:
                 out.phrases.append(ph)
                 boost_all(ptoks, boost)
@@ -121,7 +124,7 @@ def parse_query_string(qs: str) -> ParsedQueryString:
                 out.filters.append((f, v))
                 continue
         raw, boost = _split_boost(raw)
-        toks = tokenize_py(raw)
+        toks = analyze_py(raw, analyzer)
         if not toks:
             continue  # stopword-only clause: dropped, never empties results
         if op == "-" and boost != 1.0:

@@ -115,6 +115,7 @@ def _meta_from_manifest(
             has_positions=bool(
                 compaction.get("has_positions", with_positions)
             ),
+            analyzer=compaction.get("analyzer", "standard"),
         )
     if not epochs_all or "n_docs_total" not in epochs_all[-1]:
         return None
@@ -137,6 +138,7 @@ def _meta_from_manifest(
         # recover the index's ACTUAL positional state from the manifest,
         # not this run's flag (pre-upgrade lines lack the field)
         has_positions=bool(last.get("has_positions", with_positions)),
+        analyzer=last.get("analyzer", "standard"),
     )
 
 
@@ -151,6 +153,7 @@ def _commit_epoch(
     n_buckets: int,
     range_bits: int,
     with_positions: bool,
+    analyzer: str = "standard",
 ) -> None:
     """Encode + commit ONE epoch of documents into the index — the shared
     core of the streaming foreachBatch path and the batch ``append_docs``
@@ -183,6 +186,17 @@ def _commit_epoch(
             f"{epochs_all[-1]['has_positions']}; restart with the same "
             f"with_positions flag (got {with_positions})"
         )
+    if epochs_all and epochs_all[-1].get("analyzer", "standard") != analyzer:
+        raise ValueError(
+            f"index at {index_dir} was built with analyzer="
+            f"{epochs_all[-1].get('analyzer', 'standard')!r}; appending with "
+            f"{analyzer!r} would mix token vocabularies"
+        )
+    from ..tokenizer import analyze_text_expr
+
+    batch_df = batch_df.withColumn(
+        text_col, analyze_text_expr(F.col(text_col), analyzer)
+    )
     tf_source = term_positions if with_positions else term_frequencies
     tf = tf_source(batch_df, id_col, text_col, use_arrow_udf=False)
     stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
@@ -294,6 +308,7 @@ def _commit_epoch(
             "n_docs_total": n_docs,
             "total_len_total": total_len,
             "has_positions": with_positions,
+            "analyzer": analyzer,
             "stream_id": stream_id,
             "ts": time.time(),
         },
@@ -312,6 +327,7 @@ def _commit_epoch(
         total_len=total_len,
         segments_dir=seg_rel,
         has_positions=with_positions,
+        analyzer=analyzer,
     )
     write_meta_atomic(index_dir, meta)
 
@@ -324,6 +340,7 @@ def append_docs(
     n_buckets: int = 8,
     range_bits: int = 3,
     with_positions: bool = False,
+    analyzer: str = "standard",
 ) -> int:
     """Batch-append documents to an epoch-layout index (Lucene
     ``addDocuments`` analogue): one ``_commit_epoch`` call with a freshly
@@ -371,10 +388,12 @@ def append_docs(
         meta = IndexMeta.load(index_dir)
         n_buckets, range_bits = meta.n_buckets, meta.range_bits
         with_positions = meta.has_positions
+        analyzer = meta.analyzer
     _commit_epoch(
         corpus_df, index_dir, next_id, "batch-append",
         id_col=id_col, text_col=text_col, n_buckets=n_buckets,
         range_bits=range_bits, with_positions=with_positions,
+        analyzer=analyzer,
     )
     return next_id
 
@@ -389,6 +408,7 @@ def incremental_index(
     range_bits: int = 3,
     await_termination: bool = True,
     with_positions: bool = False,
+    analyzer: str = "standard",
 ):
     """Continuously append a QUERYABLE index: each micro-batch encodes its
     segments under ``segments/epoch=<id>`` AND merges the index-level state —
@@ -464,6 +484,7 @@ def incremental_index(
             batch_df, index_dir, int(epoch_id), stream_id,
             id_col=id_col, text_col=text_col, n_buckets=n_buckets,
             range_bits=range_bits, with_positions=with_positions,
+            analyzer=analyzer,
         )
 
     q = (
@@ -716,6 +737,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
             "total_len_total": meta.total_len,
             "dictionary_dir": meta.dictionary_dir,
             "has_positions": bool(has_pos),
+            "analyzer": meta.analyzer,
             "tombstones_applied": (0 if tomb is None else int(len(tomb)))
             + (0 if upd is None else int(len(upd))),
             "ts": time.time(),

@@ -98,6 +98,69 @@ def tokenize_raw_expr(col: Column) -> Column:
     return F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
 
 
+# --------------------------------------------------------- code analyzer
+# Identifier splitting for source-code corpora (Lucene's WordDelimiter /
+# intra-word analysis, the piece a code search engine needs so that query
+# "parse" matches `parseQueryString`, `parse_query`, and `HTTPParser`):
+# a TEXT→TEXT preprocessing applied BEFORE the standard tokenizer, so the
+# entire downstream pipeline (tf, postings, positions, phrase adjacency,
+# oracles) is byte-identical to tokenizing pre-split text. Three dialect
+# twins of the same three rules — kept to features Java regex, Python re,
+# and DuckDB RE2 implement identically (char classes + backrefs only):
+#   1. acronym boundary   ([A-Z]+)([A-Z][a-z])  HTTPServer → HTTP Server
+#   2. case boundary      ([a-z0-9])([A-Z])     fooBar2Max → foo Bar2 Max
+#   3. underscores → space                      snake_case → snake case
+# Split runs on the ORIGINAL case (boundaries need it); the standard
+# tokenizer then lowercases. Single-letter parts (getX → get X) drop via
+# the existing len≥2 token rule — same as Lucene's default minimum.
+_CODE_RULES: tuple[tuple[str, str], ...] = (
+    (r"([A-Z]+)([A-Z][a-z])", " "),
+    (r"([a-z0-9])([A-Z])", " "),
+)
+_CODE_RES = [(re.compile(p), r"\1 \2") for p, _ in _CODE_RULES]
+
+ANALYZERS = ("standard", "code")
+
+
+def code_split_py(text: str) -> str:
+    for rx, repl in _CODE_RES:
+        text = rx.sub(repl, text)
+    return text.replace("_", " ")
+
+
+def code_split_expr(col: Column) -> Column:
+    for pat, _ in _CODE_RULES:
+        col = F.regexp_replace(col, pat, "$1 $2")
+    return F.replace(col, F.lit("_"), F.lit(" "))
+
+
+def duckdb_code_split(expr: str) -> str:
+    """DuckDB twin of ``code_split_expr`` over a SQL expression string."""
+    for pat, _ in _CODE_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '\\1 \\2', 'g')"
+    return f"replace({expr}, '_', ' ')"
+
+
+def analyze_py(text: str, analyzer: str = "standard") -> list[str]:
+    """Analyzer-aware pure-Python tokenizer (query side + oracles)."""
+    if analyzer == "code":
+        text = code_split_py(text)
+    elif analyzer != "standard":
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
+    return tokenize_py(text)
+
+
+def analyze_text_expr(col: Column, analyzer: str = "standard") -> Column:
+    """Analyzer preprocessing as a column transform (TEXT→TEXT): identity
+    for the standard analyzer, identifier splitting for code. Applied once
+    at build/append entry so every downstream tokenize call is unchanged."""
+    if analyzer == "code":
+        return code_split_expr(col)
+    if analyzer != "standard":
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
+    return col
+
+
 def duckdb_tokens_cte(table: str, id_col: str, text_col: str) -> str:
     """DuckDB SQL producing the identical (doc, term) token stream
     (duplicates preserved) — the shared CTE for every oracle query."""

@@ -162,3 +162,24 @@ def test_sample_and_decontaminate_commands(tmp_path, capsys, spark):
     )
     rep2 = json.loads(capsys.readouterr().out)
     assert rep2["n_kept"] == n_total - rep["n_flagged_docs"]
+
+
+def test_build_with_code_analyzer(tmp_path, capsys, spark):
+    src = str(tmp_path / "code.parquet")
+    spark.createDataFrame(
+        [(1, "def parseQueryString(raw): pass"),
+         (2, "class HTTPServerConnection: pass"),
+         (3, "plain words only")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    idx = str(tmp_path / "cidx")
+    cli.main(["build", "--input", src, "--index", idx, "--id-col", "doc_id",
+              "--text-col", "text", "--buckets", "2", "--range-bits", "1",
+              "--analyzer", "code"])
+    capsys.readouterr()
+    # camelCase query analyzed under the pinned analyzer → matches doc 1
+    cli.main(["search", "--index", idx, "--query", "parseQueryString", "-k", "3"])
+    hits = json.loads(capsys.readouterr().out)["hits"]
+    assert hits and hits[0]["doc_id"] == 1
+    cli.main(["stats", "--index", idx])
+    assert json.loads(capsys.readouterr().out)["n_docs"] == 3
