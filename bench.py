@@ -244,6 +244,7 @@ def main() -> None:
         textstats.quality_score(docs).count()
         textstats.lang_id(docs).count()
         textstats.fingerprint(docs).count()
+        textstats.repetition_stats(docs).count()
 
     timed("text_stats", text_stats)
 

@@ -1479,6 +1479,15 @@ def _sample_sql(rate_by_lang: dict | None) -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/Dolma repetition quality signals (Rae et al. 2021 §A1.1):
+    dup-token / top-2-gram / dup-2-gram / dup-line fractions per doc —
+    the threshold inputs of every production training-data quality
+    filter. Array HOFs for distincts; the 2-gram mode is two hash aggs
+    keyed on (doc, gram) then doc."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (ES `rrf` retriever) of two independent
     rankings of the same query — lexical BM25 and vector-space cosine —
@@ -2520,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
+        "repetition_stats": q_repetition_stats,
         "entity_tokens": q_entity_tokens,
         "tweet_tokens": q_tweet_tokens,
         "streaming_ingest": q_streaming_ingest,
@@ -2621,6 +2631,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "fingerprint": textstats.fingerprint_sql("documents"),
         "lang_id": textstats.lang_id_sql("documents"),
         "quality_score": textstats.quality_score_sql("documents"),
+        "repetition_stats": textstats.repetition_stats_sql("documents"),
         "entity_tokens": entity_tokens_sql("fixture", min_df=2).replace(
             "WITH cand AS",
             "WITH fixture(doc_id, text) AS (VALUES "

@@ -53,6 +53,132 @@ FROM {table}
 """
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/Dolma filter family —
+    Rae et al. 2021 §A1.1: repetitious documents are low-quality training
+    data): per doc
+      * n_tokens, dup_token_frac  — 1 − distinct/total whitespace tokens
+      * top_2gram_frac            — share of 2-grams taken by the most
+                                     frequent one (0 when < 2 tokens)
+      * dup_2gram_frac            — 1 − distinct/total 2-grams
+      * n_lines, dup_line_frac    — same over newline-split lines
+    Callers threshold these (Gopher drops dup_line_frac > 0.30,
+    top_2gram_frac > 0.20, …) — the thresholds are corpus policy, the
+    signals are the operator.
+
+    Scale shape: token/line distincts are array HOFs (no shuffle); the
+    2-gram mode needs a count-per-gram aggregation — explode → two hash
+    aggs with map-side combine, keyed on (doc_id, gram) then doc_id, so
+    skew follows document length, not corpus size. No Python anywhere."""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    lines_src = F.trim(F.col(text_col))
+    lines = F.when(
+        F.length(lines_src) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(lines_src, r"\n+"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), lines.alias("lns")
+    ).cache()
+    frac = lambda num, den: F.when(  # noqa: E731 — tiny local combinator
+        den > 0, F.round(num / den, ROUND_DP)
+    ).otherwise(F.lit(0.0))
+    scalar = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("nd_tok"),
+        F.size("lns").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("lns")).alias("nd_ln"),
+    )
+    # unique lambda arg name (g2i): sibling-lambda cross-binding hazard in
+    # pyspark 4.1 — SQL-parsed lambdas with distinct names are the safe form
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "g2i -> concat(toks[g2i - 1], ' ', toks[g2i]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    gstats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n2"),
+            F.max("c").alias("topc"),
+            F.count(F.lit(1)).alias("nd2"),
+        )
+    )
+    out = scalar.join(gstats, "doc_id", "left")
+    n2 = F.coalesce(F.col("n2"), F.lit(0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        frac(F.col("n_tokens") - F.col("nd_tok"), F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        frac(F.coalesce(F.col("topc"), F.lit(0)), n2).alias("top_2gram_frac"),
+        frac(n2 - F.coalesce(F.col("nd2"), F.lit(0)), n2).alias("dup_2gram_frac"),
+        "n_lines",
+        frac(F.col("n_lines") - F.col("nd_ln"), F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+    )
+
+
+def repetition_stats_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = (
+        f"CASE WHEN trim({text_col}) = '' THEN [] "
+        f"ELSE string_split_regex(lower(trim({text_col})), '\\s+') END"
+    )
+    lns = (
+        f"CASE WHEN trim({text_col}) = '' THEN [] "
+        f"ELSE string_split_regex(trim({text_col}), '\\n+') END"
+    )
+    return f"""
+WITH base AS (SELECT {id_col} AS doc_id, {toks} AS toks, {lns} AS lns FROM {table}),
+scalar AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_distinct(toks))::BIGINT AS nd_tok,
+         len(lns)::BIGINT AS n_lines,
+         len(list_distinct(lns))::BIGINT AS nd_ln
+  FROM base),
+grams AS (
+  SELECT doc_id, toks[i - 1] || ' ' || toks[i] AS g
+  FROM base, unnest(range(2, len(toks) + 1)) AS r(i)),
+gstats AS (
+  SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS topc,
+         count(*)::BIGINT AS nd2
+  FROM (SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT s.doc_id AS doc_id, s.n_tokens AS n_tokens,
+       CASE WHEN s.n_tokens > 0
+            THEN round((s.n_tokens - s.nd_tok) / s.n_tokens, {ROUND_DP})
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN coalesce(g.n2, 0) > 0
+            THEN round(coalesce(g.topc, 0) / g.n2, {ROUND_DP})
+            ELSE 0.0 END AS top_2gram_frac,
+       CASE WHEN coalesce(g.n2, 0) > 0
+            THEN round((g.n2 - coalesce(g.nd2, 0)) / g.n2, {ROUND_DP})
+            ELSE 0.0 END AS dup_2gram_frac,
+       s.n_lines AS n_lines,
+       CASE WHEN s.n_lines > 0
+            THEN round((s.n_lines - s.nd_ln) / s.n_lines, {ROUND_DP})
+            ELSE 0.0 END AS dup_line_frac
+FROM scalar s LEFT JOIN gstats g USING (doc_id)
+"""
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized token stream
     (reference analogue: none — pipeline op). Docs with identical token

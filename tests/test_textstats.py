@@ -1,0 +1,70 @@
+"""Repetition quality signals (Gopher/Dolma filter family): fractions
+must match a brute-force Python twin on crafted docs covering repeats,
+single-token, empty, and multi-line cases; driver entry
+`repetition_stats` hash-checks vs the DuckDB twin over the corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.ops.textstats import repetition_stats
+
+DOCS = [
+    (1, "spam spam spam spam"),                      # all dup tokens + 2grams
+    (2, "all words here are different ones"),        # no repetition
+    (3, "a b a b a b"),                              # alternating: 2 distinct 2grams
+    (4, "one"),                                      # single token: no 2grams
+    (5, ""),                                         # empty
+    (6, "line one\nline one\nline two"),             # dup lines
+]
+
+
+def _brute(text):
+    toks = text.strip().lower().split() if text.strip() else []
+    lines = [ln for ln in text.strip().split("\n")] if text.strip() else []
+    # \n+ split of the spark/duck twins collapses blank lines; these
+    # fixtures have none
+    grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    f = lambda n, d: round(n / d, 5) if d else 0.0
+    from collections import Counter
+
+    gc = Counter(grams)
+    return {
+        "n_tokens": len(toks),
+        "dup_token_frac": f(len(toks) - len(set(toks)), len(toks)),
+        "top_2gram_frac": f(max(gc.values()) if gc else 0, len(grams)),
+        "dup_2gram_frac": f(len(grams) - len(gc), len(grams)),
+        "n_lines": len(lines),
+        "dup_line_frac": f(len(lines) - len(set(lines)), len(lines)),
+    }
+
+
+def test_repetition_matches_brute(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert set(got) == {d for d, _ in DOCS}
+    for doc_id, text in DOCS:
+        want = _brute(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+    # sanity on the signal semantics
+    assert got[1]["dup_token_frac"] == 0.75 and got[1]["top_2gram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[3]["dup_2gram_frac"] == round(3 / 5, 5)
+    assert got[4]["top_2gram_frac"] == 0.0 and got[5]["n_tokens"] == 0
+    assert got[6]["dup_line_frac"] == round(1 / 3, 5)
+
+
+def test_repetition_matches_duckdb(spark):
+    import duckdb
+
+    from searchengine_spark.ops.textstats import repetition_stats_sql
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(tuple(r) for r in repetition_stats(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for d, t in DOCS:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [d, t])
+    want = sorted(con.execute(repetition_stats_sql("documents")).fetchall())
+    assert got == want
