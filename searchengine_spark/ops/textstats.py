@@ -80,9 +80,12 @@ def repetition_stats(
     lines = F.when(
         F.length(lines_src) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(lines_src, r"\n+"))
+    # deliberately NOT cached: the two consumers re-derive the token arrays
+    # from the source scan (cheap codegen); caching materialized arrays
+    # (~text-sized) per call would leak executor storage across calls
     base = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("toks"), lines.alias("lns")
-    ).cache()
+    )
     frac = lambda num, den: F.when(  # noqa: E731 — tiny local combinator
         den > 0, F.round(num / den, ROUND_DP)
     ).otherwise(F.lit(0.0))
