@@ -1362,6 +1362,40 @@ GROUP BY 1
 """
 
 
+def q_facet_extended_stats(spark, sf_dir):
+    """Extended stats (ES `extended_stats`): stats + sum_sq/var_pop/
+    stddev_pop of n_chars per lang over the FULL OR-match set. Moments are
+    rounded; the driver canonicalizer compares at 6 significant digits, so
+    the engines' different single-pass variance algorithms agree."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_extended_stats(FACET_QUERY, docs, "n_chars", by="lang")
+    return out.select(
+        "lang", "n", "min", "max", "sum",
+        F.round("avg", ROUND_DP).alias("avg"),
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+        F.round("variance", 3).alias("variance"),
+        F.round("std_dev", 3).alias("std_dev"),
+    )
+
+
+def _facet_extended_stats_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.lang AS lang, count(*)::BIGINT AS n,
+       min(d.n_chars) AS min, max(d.n_chars) AS max,
+       sum(d.n_chars)::BIGINT AS sum,
+       round(avg(d.n_chars), {ROUND_DP}) AS avg,
+       sum(d.n_chars * d.n_chars)::BIGINT AS sum_sq,
+       round(var_pop(d.n_chars), 3) AS variance,
+       round(stddev_pop(d.n_chars), 3) AS std_dev
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_facet_cardinality(spark, sf_dir):
     """Distinct-count aggregation (ES `cardinality`) over the FULL
     OR-match set: exact count-distinct of source per lang. The HLL++
@@ -2498,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_date_histogram": q_facet_date_histogram,
         "facet_percentiles": q_facet_percentiles,
         "facet_cardinality": q_facet_cardinality,
+        "facet_extended_stats": q_facet_extended_stats,
         "top_hits": q_top_hits,
         "rrf_fusion": q_rrf_fusion,
         "decontamination": q_decontamination,
@@ -2601,6 +2636,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_date_histogram": _facet_date_histogram_sql(FACET_QUERY.split()),
         "facet_percentiles": _facet_percentiles_sql(FACET_QUERY.split()),
         "facet_cardinality": _facet_cardinality_sql(FACET_QUERY.split()),
+        "facet_extended_stats": _facet_extended_stats_sql(FACET_QUERY.split()),
         "top_hits": _top_hits_sql(BM25_QUERY, TOP_HITS_N),
         "rrf_fusion": _rrf_fusion_sql(BM25_QUERY),
         "decontamination": dedup.contaminated_pairs_sql(

@@ -1108,6 +1108,36 @@ class SearchEngine:
         ]
         return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
 
+    def facet_extended_stats(
+        self,
+        query: str,
+        metadata: DataFrame,
+        stat_col: str,
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Extended stats aggregation over the FULL match set (Elasticsearch
+        ``extended_stats``): the ``stats`` fields plus sum-of-squares,
+        population variance, and population std deviation — one hash
+        aggregation with map-side partials, same shape as ``facet_stats``."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", stat_col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        c = F.col(stat_col)
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.min(stat_col).alias("min"),
+            F.max(stat_col).alias("max"),
+            F.sum(stat_col).alias("sum"),
+            F.avg(stat_col).alias("avg"),
+            F.sum(c * c).alias("sum_sq"),
+            F.var_pop(stat_col).alias("variance"),
+            F.stddev_pop(stat_col).alias("std_dev"),
+        ]
+        return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
+
     def facet_histogram(
         self,
         query: str,

@@ -224,3 +224,21 @@ def test_top_hits_equals_brute(spark, corpus):
         for i, (_, d) in enumerate(lst[:2], start=1):
             want.add((lg, d, i))
     assert got == want and len(got) > 2
+
+
+def test_facet_extended_stats_matches_numpy(spark, corpus, eng):
+    import numpy as np
+
+    got = {r["lang"]: r for r in
+           eng.facet_extended_stats(QUERY, corpus, "n_chars", by="lang").collect()}
+    matched = _matched(spark, corpus, QUERY.split())
+    rows = [(r["lang"], r["n_chars"])
+            for r in corpus.select("doc_id", "lang", "n_chars").collect()
+            if r["doc_id"] in matched]
+    assert got
+    for lang, r in got.items():
+        vals = np.array([v for lg, v in rows if lg == lang], dtype=np.float64)
+        assert r["n"] == len(vals) and r["sum"] == vals.sum()
+        assert r["sum_sq"] == pytest.approx((vals ** 2).sum(), rel=1e-12)
+        assert r["variance"] == pytest.approx(vals.var(), rel=1e-9)
+        assert r["std_dev"] == pytest.approx(vals.std(), rel=1e-9)
