@@ -137,3 +137,58 @@ def test_sq_quantize_stays_jvm_side(spark, docs, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = plan_of(similarity.sq_quantize(embs))
     assert "Python" not in plan and "Arrow" not in plan.replace("ArrowEvalPython", "Python")
+
+
+def test_decontamination_broadcasts_bench_side(spark, docs):
+    from searchengine_spark.ops.dedup import contaminated_pairs
+
+    bench = docs.filter(F.expr("doc_id % 31 = 0"))
+    plan = plan_of(contaminated_pairs(docs, bench, w=5))
+    # the benchmark shingle set broadcasts; the corpus side must not
+    # shuffle its shingles into a SortMergeJoin
+    assert "BroadcastHashJoin" in plan
+    # the overlap count is the only required wide agg; the shingle join
+    # itself contributes no Exchange on the corpus side
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange" not in pre_join, pre_join
+
+
+def test_geo_box_predicate_pushes_down(spark, tmp_path):
+    from searchengine_spark.ops.geo import geo_distance_search
+
+    src = str(tmp_path / "geo.parquet")
+    rows = [
+        (i, (i * 7919 % 18000) / 100.0 - 90.0, (i * 104729 % 36000) / 100.0 - 180.0)
+        for i in range(500)
+    ]
+    spark.createDataFrame(rows, "doc_id long, lat double, lon double").write.parquet(src)
+    geo = spark.read.parquet(src)
+    plan = plan_of(geo_distance_search(geo, 10.0, 20.0, 500.0))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # the sargable bounding box reaches the parquet scan — this is the
+    # line that lets a geo-cell layout prune files at 100 TB
+    assert pushed and "GreaterThanOrEqual(lat," in pushed[0], pushed
+    assert "LessThanOrEqual(lon," in pushed[0]
+
+
+def test_sample_is_single_stateless_filter(spark, docs):
+    from searchengine_spark.ops.sampling import sample_rate, sample_stratified
+
+    for df in (
+        sample_rate(docs, 0.2),
+        sample_stratified(docs, {"en": 0.5}, by="lang"),
+    ):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan  # zero shuffle: one map pass
+        assert "md5" in plan
+
+
+def test_rrf_truncation_is_take_ordered(spark, docs):
+    from searchengine_spark.fusion import rrf_fuse
+
+    a = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    b = docs.select("doc_id", (F.col("doc_id") % 97).cast("double").alias("score"))
+    plan = plan_of(rrf_fuse([a, b], k=10, window=50))
+    # each input truncates via TakeOrderedAndProject (distributed heads),
+    # never a global Sort of the full ranking before the window cut
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
