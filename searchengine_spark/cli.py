@@ -119,14 +119,20 @@ def _cmd_search(args) -> None:
     from .query.engine import SearchEngine
 
     if args.sharded:
-        if args.mode not in ("or", "and"):
-            raise SystemExit("--sharded supports --mode or / and")
+        if args.mode not in ("or", "and", "phrase", "near"):
+            raise SystemExit("--sharded supports --mode or / and / phrase / near")
         from .query.sharded import ShardedEngine
 
         seng = ShardedEngine.open(spark, args.index)
         t0 = time.perf_counter()
-        hits = seng.search(args.query, k=args.k, mode=args.mode,
-                           use_wand=not args.no_wand)
+        if args.mode == "phrase":
+            hits = seng.search_phrase(args.query, k=args.k)
+        elif args.mode == "near":
+            hits = seng.search_near(args.query, window=args.window, k=args.k,
+                                    ordered=args.ordered)
+        else:
+            hits = seng.search(args.query, k=args.k, mode=args.mode,
+                               use_wand=not args.no_wand)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "query": args.query, "k": args.k, "mode": args.mode,

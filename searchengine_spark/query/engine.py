@@ -612,13 +612,17 @@ class SearchEngine:
         return out
 
     def _positional_candidates(self, query: str, doc_filter,
-                               make_kernel) -> DataFrame:
+                               make_kernel, global_stats=None) -> DataFrame:
         """Shared scaffolding for positional (phrase / NEAR) queries:
         positions check, tokenize, dictionary resolve, pruned block scan,
         one applyInPandas kernel per doc_range — returns the DISTRIBUTED
         candidate DataFrame (doc_id, score), never collected here.
         ``make_kernel(terms, idf, k1, b, avgdl, mask)`` returns the
-        per-group pdf→pdf kernel."""
+        per-group pdf→pdf kernel. ``global_stats`` (n, avgdl, {term: df})
+        scores under GLOBAL corpus statistics — the sharded scatter phase;
+        a term missing from THIS shard's dictionary still empties the
+        candidate set (no doc here can contain it), which is exactly the
+        per-shard truth."""
 
         meta = self.meta
         if not meta.has_positions:
@@ -633,22 +637,32 @@ class SearchEngine:
         dict_rows = self._resolve_terms(" ".join(sorted(set(terms))))
         if len(dict_rows) < len(set(terms)):
             return empty  # a query term is absent from the corpus → no match
-        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        if global_stats is not None:
+            g_n, g_avgdl, g_df = global_stats
+            idf = {r["term"]: bm25_idf(g_n, g_df[r["term"]]) for r in dict_rows}
+            avgdl = float(g_avgdl)
+        else:
+            idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+            avgdl = meta.avgdl
         buckets = sorted({int(r["bucket"]) for r in dict_rows})
-        blocks = self._pruned_blocks(buckets, sorted(idf))
+        blocks = self._pruned_blocks(
+            buckets, sorted(idf),
+            avgdl if global_stats is not None else None,
+        )
         mask = self._doc_mask(doc_filter)
-        run_group = make_kernel(terms, idf, meta.k1, meta.b, meta.avgdl, mask)
+        run_group = make_kernel(terms, idf, meta.k1, meta.b, avgdl, mask)
         return blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
 
     def _positional_query(self, query: str, k: int, doc_filter,
-                          make_kernel) -> list[tuple[int, float]]:
+                          make_kernel, global_stats=None) -> list[tuple[int, float]]:
         """``_positional_candidates`` + global top-k merge."""
-        cand = self._positional_candidates(query, doc_filter, make_kernel)
+        cand = self._positional_candidates(query, doc_filter, make_kernel,
+                                           global_stats)
         rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
     def search_phrase(self, phrase: str, k: int = 100,
-                      doc_filter=None) -> list[tuple[int, float]]:
+                      doc_filter=None, global_stats=None) -> list[tuple[int, float]]:
         """Index-native exact-phrase top-k (requires
         ``build_index_from_df(..., with_positions=True)``): AND intersection
         → positional adjacency verify → BM25 over the phrase's terms, all on
@@ -662,7 +676,8 @@ class SearchEngine:
                                           mask)
             return run_group
 
-        return self._positional_query(phrase, k, doc_filter, make_kernel)
+        return self._positional_query(phrase, k, doc_filter, make_kernel,
+                                      global_stats)
 
     def phrase_matching_docs(self, phrase: str, doc_filter=None) -> DataFrame:
         """FULL set of docs containing the exact phrase, as a distributed
@@ -762,7 +777,7 @@ class SearchEngine:
 
     def search_near(self, query: str, window: int, k: int = 100,
                     ordered: bool = False,
-                    doc_filter=None) -> list[tuple[int, float]]:
+                    doc_filter=None, global_stats=None) -> list[tuple[int, float]]:
         """Index-native proximity top-k: docs where the query terms co-occur
         within a ``window``-token span of the filtered token stream
         (``ordered=True`` additionally requires query order — phrase with
@@ -780,7 +795,8 @@ class SearchEngine:
                                         window, ordered, mask)
             return run_group
 
-        return self._positional_query(query, k, doc_filter, make_kernel)
+        return self._positional_query(query, k, doc_filter, make_kernel,
+                                      global_stats)
 
     # -- snippets / highlighting -------------------------------------------------
     def snippets(

@@ -248,6 +248,42 @@ class ShardedEngine:
         lists = [s.search(query, k=k, global_stats=gs, **kw) for s in self.shards]
         return self._merge(lists, k)
 
+    def search_phrase(self, phrase: str, k: int = 100, **kw):
+        """Scatter-gather exact-phrase top-k (needs shards built with
+        ``with_positions=True``): same global-stats gather as ``search`` —
+        phrase BM25 must rank under global idf/avgdl too. A shard missing
+        any phrase term contributes nothing (no doc there can contain the
+        phrase), while df still sums across the shards that have it."""
+        terms = self.shards[0]._analyze(phrase)
+        if not terms:
+            return []
+        gs = self.global_stats(terms)
+        if set(terms) - set(gs[2]):
+            return []  # a term absent from EVERY shard → no match anywhere
+        lists = [
+            s.search_phrase(phrase, k=k, global_stats=gs, **kw)
+            for s in self.shards
+        ]
+        return self._merge(lists, k)
+
+    def search_near(
+        self, query: str, window: int, k: int = 100, ordered: bool = False, **kw
+    ):
+        """Scatter-gather proximity top-k — same contract as
+        ``search_phrase`` with the NEAR window/order semantics."""
+        terms = self.shards[0]._analyze(query)
+        if not terms:
+            return []
+        gs = self.global_stats(terms)
+        if set(terms) - set(gs[2]):
+            return []
+        lists = [
+            s.search_near(query, window, k=k, ordered=ordered,
+                          global_stats=gs, **kw)
+            for s in self.shards
+        ]
+        return self._merge(lists, k)
+
     def search_batch(
         self, queries: dict[str, str], k: int = 100, **kw
     ) -> dict[str, list[tuple[int, float]]]:

@@ -191,3 +191,23 @@ def test_append_update_delete_route_correctly(spark, tmp_path_factory):
     hits = se.search("zzzuniqueterm", k=5)
     assert [d for d, _ in hits] == [target]
 
+
+
+def test_phrase_and_near_identical_to_single_index(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("shpos"))
+    se = ShardedEngine.build(
+        spark, corpus, base, N_SHARDS, n_buckets=4, range_bits=2,
+        with_positions=True,
+    )
+    ref = SearchEngine(spark, str(tmp_path_factory.mktemp("shpos_ref") / "idx"))
+    ref.build_index_from_df(corpus, id_col="doc_id", text_col="text",
+                            n_buckets=4, range_bits=2, with_positions=True)
+    for q in ["spark stream", "merge sort"]:
+        got = se.search_phrase(q, k=10)
+        want = ref.search_phrase(q, k=10)
+        _assert_hits_equal(got, want)
+        gotn = se.search_near(q, window=4, k=10)
+        wantn = ref.search_near(q, window=4, k=10)
+        _assert_hits_equal(gotn, wantn)
+    assert se.search_phrase("spark stream", k=10)  # nonempty on this corpus
+    assert se.search_phrase("zzznope stream", k=10) == []
