@@ -119,8 +119,9 @@ def _cmd_search(args) -> None:
     from .query.engine import SearchEngine
 
     if args.sharded:
-        if args.mode not in ("or", "and", "phrase", "near"):
-            raise SystemExit("--sharded supports --mode or / and / phrase / near")
+        if args.mode not in ("or", "and", "phrase", "near", "qs"):
+            raise SystemExit(
+                "--sharded supports --mode or / and / phrase / near / qs")
         from .query.sharded import ShardedEngine
 
         seng = ShardedEngine.open(spark, args.index)
@@ -130,6 +131,10 @@ def _cmd_search(args) -> None:
         elif args.mode == "near":
             hits = seng.search_near(args.query, window=args.window, k=args.k,
                                     ordered=args.ordered)
+        elif args.mode == "qs":
+            meta_df = spark.read.parquet(args.metadata) if args.metadata else None
+            hits = seng.search_query_string(args.query, k=args.k,
+                                            metadata=meta_df)
         else:
             hits = seng.search(args.query, k=args.k, mode=args.mode,
                                use_wand=not args.no_wand)

@@ -310,6 +310,7 @@ class SearchEngine:
                 continue
             d = dict(base)
             d["idf"] = float(d["idf"]) * wmap[t]
+            d["w"] = wmap[t]  # kept separately: global-stats scoring refolds
             out.append(d)
         return out
 
@@ -409,10 +410,9 @@ class SearchEngine:
         bound, so WAND pruning is BM25-only (as in Lucene, where non-BM25
         similarities need their own impacts)."""
         meta = self.meta
-        if global_stats is not None and (rewriter is not None or scorer != "bm25"):
+        if global_stats is not None and scorer != "bm25":
             raise ValueError(
-                "global_stats composes only with the plain BM25 path "
-                "(no rewriter, scorer='bm25')"
+                "global_stats composes only with BM25 scoring"
             )
         dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
@@ -427,7 +427,15 @@ class SearchEngine:
         avgdl_override = None
         if global_stats is not None:
             g_n, g_avgdl, g_df = global_stats
-            idf = {t: bm25_idf(g_n, g_df[t]) for t in idf}
+            w_of = {r["term"]: float(r.get("w", 1.0)) for r in dict_rows}
+            missing = sorted(set(idf) - set(g_df))
+            if missing:
+                raise ValueError(
+                    f"global_stats df map lacks terms {missing} — gather "
+                    "stats over the REWRITTEN term set (a rewriter that "
+                    "adds terms needs their global df too)"
+                )
+            idf = {t: bm25_idf(g_n, g_df[t]) * w_of.get(t, 1.0) for t in idf}
             avgdl_override = float(g_avgdl)
         if not idf:
             return []
@@ -705,6 +713,7 @@ class SearchEngine:
         use_wand: bool = True,
         scorer: str = "bm25",
         mu: float = 2000.0,
+        global_stats=None,
     ) -> list[tuple[int, float]]:
         """Lucene-style query string (see ``querylang``): bare terms SHOULD,
         ``+term`` MUST, ``-term`` MUST_NOT, ``"…"`` exact phrase (needs a
@@ -773,6 +782,7 @@ class SearchEngine:
             exclude=" ".join(p.must_not),
             scorer=scorer,
             mu=mu,
+            global_stats=global_stats,
         )
 
     def search_near(self, query: str, window: int, k: int = 100,

@@ -284,6 +284,32 @@ class ShardedEngine:
         ]
         return self._merge(lists, k)
 
+    def search_query_string(
+        self, qs: str, k: int = 100, metadata: DataFrame | None = None, **kw
+    ):
+        """Scatter-gather Lucene-style query strings: the gather phase
+        collects global stats over the POSITIVE (scored) terms — boosts
+        refold onto the global idf per shard, so `term^2` means the same
+        thing on every shard; MUST / phrase / filter / NOT clauses resolve
+        per shard (doc sets are shard-disjoint, so shard-local allow-sets
+        ARE the global ones). `metadata` may be the full corpus table —
+        each shard's allow-set join touches only its own doc_ids."""
+        from ..querylang import parse_query_string
+
+        p = parse_query_string(qs, self.shards[0].meta.analyzer)
+        positive = p.positive_terms
+        if not positive:
+            raise ValueError(f"query string has no positive terms: {qs!r}")
+        gs = self.global_stats(positive)
+        if not gs[2]:
+            return []
+        lists = [
+            s.search_query_string(qs, k=k, metadata=metadata,
+                                  global_stats=gs, **kw)
+            for s in self.shards
+        ]
+        return self._merge(lists, k)
+
     def search_batch(
         self, queries: dict[str, str], k: int = 100, **kw
     ) -> dict[str, list[tuple[int, float]]]:

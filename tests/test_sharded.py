@@ -121,10 +121,43 @@ def test_oov_and_guards(sharded):
     assert sharded.search("zzzznotaterm") == []
     eng = sharded.shards[0]
     gs = sharded.global_stats(["spark"])
-    with pytest.raises(ValueError, match="global_stats"):
-        eng.search("spark", global_stats=gs, rewriter=lambda t: t)
+    # a WEIGHT-mapping rewriter now composes (boosts refold onto global
+    # idf); a rewriter that ADDS a term with no global df must fail LOUDLY
+    # rather than silently dropping it
+    assert eng.search("spark", global_stats=gs, rewriter=lambda t: t)
+    with pytest.raises(ValueError, match="lacks terms"):
+        eng.search(
+            "spark", global_stats=gs,
+            rewriter=lambda qt: list(qt) + [("stream", 0.5)],
+        )
     with pytest.raises(ValueError, match="global_stats"):
         eng.search("spark", global_stats=gs, scorer="lm")
+
+
+def test_boost_refolds_onto_global_idf(single, sharded):
+    # ^2 boost under global stats must exactly double that term's
+    # contribution — identical to the single-index boosted search
+    boosts = {"spark": 2.0}
+    rw = lambda qt: [(t, boosts.get(t, 1.0)) for t, _ in qt]  # noqa: E731
+    want = single.search("spark stream", k=10, rewriter=rw)
+    gs = sharded.global_stats(["spark", "stream"])
+    lists = [s.search("spark stream", k=10, global_stats=gs, rewriter=rw)
+             for s in sharded.shards]
+    got = sharded._merge(lists, 10)
+    _assert_hits_equal(got, want)
+
+
+def test_query_string_identical_to_single_index(single, sharded, corpus):
+    qs = '+spark stream^2 -table'
+    want = single.search_query_string(qs, k=10)
+    got = sharded.search_query_string(qs, k=10)
+    _assert_hits_equal(got, want)
+    assert got
+    # with a metadata filter clause (full corpus table on both sides)
+    qs2 = "spark stream lang:en"
+    want2 = single.search_query_string(qs2, k=10, metadata=corpus)
+    got2 = sharded.search_query_string(qs2, k=10, metadata=corpus)
+    _assert_hits_equal(got2, want2)
 
 
 def test_open_roundtrip(spark, sharded, single):
