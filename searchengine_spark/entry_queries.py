@@ -1513,6 +1513,51 @@ def _sample_sql(rate_by_lang: dict | None) -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+PII_FIXTURE = [
+    (1, "contact alice.smith+spam@example.co.uk or bob@test.io today"),
+    (2, "server at 192.168.1.254 and 10.0.0.1 port 8080"),
+    (3, "ssn 123-45-6789 phone +1-555-867-5309 and 5551234567"),
+    (4, "no personal data in this document at all"),
+    (5, "mixed: eve@corp.example, 172.16.254.3, call 020-7946-0958"),
+]
+
+
+def _pii_fixture_df(spark) -> DataFrame:
+    return spark.createDataFrame(PII_FIXTURE, "doc_id long, text string")
+
+
+def _pii_fixture_cte() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in PII_FIXTURE)
+    return f"pii_docs(doc_id, text) AS (VALUES {vals})"
+
+
+def q_pii_counts(spark, sf_dir):
+    """PII detection counts (Dolma/CCNet scrub-stage analogue): per-doc
+    email/ssn/ipv4/phone hit counts over a literal fixture (the sf corpus
+    is synthetic lowercase prose — no PII to find; same fixture discipline
+    as entity/code tokens). Portable-regex subset so Java, RE2, and
+    Python agree match-for-match."""
+    from .ops.pii import pii_counts
+
+    return pii_counts(_pii_fixture_df(spark))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction: typed placeholders in the pinned most-specific-first
+    order; the full scrubbed text is hash-checked, so both engines must
+    agree on every match boundary."""
+    from .ops.pii import redact_pii
+
+    return redact_pii(_pii_fixture_df(spark)).select("doc_id", "text")
+
+
+def _pii_sql(kind: str) -> str:
+    from .ops.pii import pii_counts_sql, redact_pii_sql
+
+    body = (pii_counts_sql if kind == "counts" else redact_pii_sql)("pii_docs")
+    return f"WITH {_pii_fixture_cte()}\n{body}"
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/Dolma repetition quality signals (Rae et al. 2021 §A1.1):
     dup-token / top-2-gram / dup-2-gram / dup-line fractions per doc —
@@ -2565,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "repetition_stats": q_repetition_stats,
+        "pii_counts": q_pii_counts,
+        "pii_redact": q_pii_redact,
         "entity_tokens": q_entity_tokens,
         "tweet_tokens": q_tweet_tokens,
         "streaming_ingest": q_streaming_ingest,
@@ -2668,6 +2715,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "lang_id": textstats.lang_id_sql("documents"),
         "quality_score": textstats.quality_score_sql("documents"),
         "repetition_stats": textstats.repetition_stats_sql("documents"),
+        "pii_counts": _pii_sql("counts"),
+        "pii_redact": _pii_sql("redact"),
         "entity_tokens": entity_tokens_sql("fixture", min_df=2).replace(
             "WITH cand AS",
             "WITH fixture(doc_id, text) AS (VALUES "
