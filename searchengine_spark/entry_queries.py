@@ -1513,6 +1513,70 @@ def _sample_sql(rate_by_lang: dict | None) -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+SORTED_K = 15
+
+
+def q_sorted_search(spark, sf_dir):
+    """Field-sorted retrieval (ES sort-by-field): the FACET_QUERY match
+    set ordered by n_chars descending, top-15 — TakeOrderedAndProject
+    over the match set, never a global sort. Rank over the (value,
+    doc_id) order so the column set is engine-independent."""
+    from pyspark.sql import Window
+
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    hits = eng.search_sorted(
+        FACET_QUERY, docs, "n_chars", k=SORTED_K, ascending=False
+    )
+    df = spark.createDataFrame(
+        [(int(d), int(v)) for d, v in hits], "doc_id long, n_chars long"
+    )
+    w = Window.partitionBy().orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return df.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _sorted_search_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+FROM matched m JOIN documents d USING (doc_id)
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT {SORTED_K}
+"""
+
+
+PERC_QUERIES = [
+    ("p1", "spark join stream", "or"),
+    ("p2", "hash merge sort", "and"),
+    ("p3", "customer order line", "and"),
+    ("p4", "window group order", "or"),
+    ("p5", "the of and", "or"),  # stopword-only → matches nothing
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (ES percolator / Lucene Monitor): stored queries
+    with per-query or/and modes, streamed documents — (doc_id, query_id)
+    for every match. Saved-query term set broadcasts; the corpus side is
+    one tokenize → semi-join → count pass."""
+    from .percolate import percolate
+
+    q = spark.createDataFrame(
+        PERC_QUERIES, "query_id string, query string, mode string"
+    )
+    return percolate(_docs(spark, sf_dir), q)
+
+
+def _percolate_sql() -> str:
+    from .percolate import percolate_sql
+
+    vals = ", ".join(f"('{i}', '{q}', '{m}')" for i, q, m in PERC_QUERIES)
+    return percolate_sql("documents", vals)
+
+
 PII_FIXTURE = [
     (1, "contact alice.smith+spam@example.co.uk or bob@test.io today"),
     (2, "server at 192.168.1.254 and 10.0.0.1 port 8080"),
@@ -2610,6 +2674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "repetition_stats": q_repetition_stats,
+        "sorted_search": q_sorted_search,
+        "percolate": q_percolate,
         "pii_counts": q_pii_counts,
         "pii_redact": q_pii_redact,
         "entity_tokens": q_entity_tokens,
@@ -2715,6 +2781,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "lang_id": textstats.lang_id_sql("documents"),
         "quality_score": textstats.quality_score_sql("documents"),
         "repetition_stats": textstats.repetition_stats_sql("documents"),
+        "sorted_search": _sorted_search_sql(FACET_QUERY.split()),
+        "percolate": _percolate_sql(),
         "pii_counts": _pii_sql("counts"),
         "pii_redact": _pii_sql("redact"),
         "entity_tokens": entity_tokens_sql("fixture", min_df=2).replace(

@@ -1134,6 +1134,31 @@ class SearchEngine:
         ]
         return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
 
+    def search_sorted(
+        self,
+        query: str,
+        metadata: DataFrame,
+        sort_col: str,
+        k: int = 100,
+        ascending: bool = True,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> list[tuple]:
+        """Field-sorted retrieval (Elasticsearch ``sort`` by field instead
+        of ``_score``; Lucene SortField): top-k of the FULL match set
+        ordered by a metadata column, ties broken on doc_id asc. The match
+        set comes from the same pruned index kernels as ``search``; the
+        sort is ``orderBy().limit()`` → TakeOrderedAndProject (per-
+        partition heaps, no global sort), so "newest 100 matching docs"
+        over a 10^12-doc match set moves k rows per partition, nothing
+        more. Returns [(doc_id, sort_value)]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", sort_col), "doc_id")
+        key = F.asc(sort_col) if ascending else F.desc(sort_col)
+        rows = j.orderBy(key, F.asc("doc_id")).limit(k).collect()
+        return [(r["doc_id"], r[sort_col]) for r in rows]
+
     def facet_extended_stats(
         self,
         query: str,
