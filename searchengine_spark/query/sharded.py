@@ -37,6 +37,7 @@ cross-shard traffic is |terms| df lookups and k results per shard.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,6 +83,7 @@ class ShardedEngine:
         id_col: str = "doc_id",
         text_col: str = "text",
         epoch_layout: bool = False,
+        single_pass: bool = True,
         **build_kw,
     ) -> "ShardedEngine":
         """Route the corpus by hash and build one independent index per
@@ -90,16 +92,46 @@ class ShardedEngine:
         embarrassingly parallel across driver processes because nothing is
         shared but the input table.
 
+        ``single_pass=True`` (default) scans the input corpus ONCE: the
+        routed (id, text) projection is staged to a parquet dir
+        partitioned by ``_shard=<s>``, and each shard build reads only its
+        own directory partition (partition pruning on the path column).
+        The naive alternative — ``single_pass=False``, kept for the
+        identity test — filters the raw corpus per shard, i.e. n_shards
+        full scans of the input table; at corpus scale the staging write
+        is one shuffle of the projection vs N scans of everything. The
+        staging write is salted to ``files_per_shard ≈ parallelism /
+        n_shards`` files per shard (parallel write, no small-file
+        explosion), and the staging dir is removed after the builds.
+
         ``epoch_layout=True`` creates each shard as epoch 0 of the
         streaming/append layout instead of the canonical batch layout —
         required if the sharded index will take ``append``/``update``
         later (a batch layout pins its partition scheme; the epoch commit
         protocol refuses to mix into it). Rank-identity between the two
         layouts is the streaming suite's core invariant."""
+        routed = None
+        staging = None
+        if single_pass and n_shards > 1:
+            staging = os.path.join(base_dir, "_staging")
+            fps = max(1, spark.sparkContext.defaultParallelism // n_shards)
+            salt = F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(fps))
+            (
+                corpus.select(id_col, text_col)
+                .withColumn("_shard", shard_of(F.col(id_col), n_shards))
+                .repartition(n_shards * fps, F.col("_shard"), salt)
+                .write.partitionBy("_shard")
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            routed = spark.read.parquet(staging)
         dirs = []
         for s in range(n_shards):
             d = os.path.join(base_dir, f"shard-{s}")
-            sub = corpus.filter(shard_of(F.col(id_col), n_shards) == s)
+            if routed is not None:
+                sub = routed.filter(F.col("_shard") == s).drop("_shard")
+            else:
+                sub = corpus.filter(shard_of(F.col(id_col), n_shards) == s)
             if epoch_layout:
                 from ..streaming.ingest import append_docs
 
@@ -109,6 +141,8 @@ class ShardedEngine:
                     sub, id_col=id_col, text_col=text_col, **build_kw
                 )
             dirs.append(d)
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
         return cls(spark, dirs)
 
     # -- maintenance routing -------------------------------------------------

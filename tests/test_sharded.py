@@ -244,3 +244,21 @@ def test_phrase_and_near_identical_to_single_index(spark, corpus, tmp_path_facto
         _assert_hits_equal(gotn, wantn)
     assert se.search_phrase("spark stream", k=10)  # nonempty on this corpus
     assert se.search_phrase("zzznope stream", k=10) == []
+
+
+def test_single_pass_build_identical_to_naive(spark, corpus, tmp_path_factory):
+    """single_pass=True (one corpus scan via the _shard-partitioned staging
+    dir) must produce byte-equivalent retrieval to the naive n-scans build,
+    and must clean its staging dir up."""
+    base_sp = str(tmp_path_factory.mktemp("sp"))
+    base_nv = str(tmp_path_factory.mktemp("nv"))
+    sp = ShardedEngine.build(spark, corpus, base_sp, N_SHARDS,
+                             n_buckets=4, range_bits=2, single_pass=True)
+    nv = ShardedEngine.build(spark, corpus, base_nv, N_SHARDS,
+                             n_buckets=4, range_bits=2, single_pass=False)
+    assert not os.path.exists(os.path.join(base_sp, "_staging"))
+    assert [s.meta.n_docs for s in sp.shards] == [
+        s.meta.n_docs for s in nv.shards
+    ]
+    for q in QUERIES:
+        _assert_hits_equal(sp.search(q, k=20), nv.search(q, k=20))
