@@ -137,7 +137,8 @@ def _cmd_search(args) -> None:
                                             metadata=meta_df)
         else:
             hits = seng.search(args.query, k=args.k, mode=args.mode,
-                               use_wand=not args.no_wand)
+                               use_wand=not args.no_wand,
+                               min_should_match=args.min_should_match)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "query": args.query, "k": args.k, "mode": args.mode,
@@ -179,7 +180,8 @@ def _cmd_search(args) -> None:
     else:
         hits = eng.search(args.query, k=args.k, mode=args.mode,
                           use_wand=not args.no_wand, exclude=args.exclude,
-                          scorer=args.scorer, mu=args.mu)
+                          scorer=args.scorer, mu=args.mu,
+                          min_should_match=args.min_should_match)
     dt = time.perf_counter() - t0
     print(
         json.dumps(
@@ -485,6 +487,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--sharded", action="store_true",
                    help="--index is a sharded layout (build --shards N); "
                    "scatter-gather under global statistics")
+    s.add_argument("--min-should-match", type=int, default=0,
+                   help="OR results must match at least this many distinct "
+                        "query terms (ES minimum_should_match)")
     s.add_argument("--exclude", default="",
                    help="boolean NOT: drop docs containing any of these terms (or/and modes)")
     s.add_argument("--window", type=int, default=5,

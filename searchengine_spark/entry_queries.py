@@ -2503,6 +2503,36 @@ LIMIT {NOT_K}
 """
 
 
+MSM_QUERY = "dup spark merge stream"
+MSM_M = 2
+MSM_K = 40
+
+
+def q_min_should_match(spark, sf_dir):
+    """minimum_should_match (ES bool should + msm; absent in reference):
+    BM25 OR over 4 terms where a result must match ≥2 DISTINCT query
+    terms. The hit-count filter runs inside the exhaustive kernel (the
+    doc_range salting makes per-doc term counts complete in-group); the
+    score of a surviving doc is its plain OR score. Tie buffer + rounded
+    re-rank as in every top-k entry."""
+    eng = _shared_index(spark, sf_dir)
+    hits = eng.search(MSM_QUERY, k=MSM_K + 25, min_should_match=MSM_M)
+    return _topk_rounded(spark, hits, MSM_K)
+
+
+def _min_should_match_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t, _ in parse_query(MSM_QUERY))
+    return f"""
+SELECT doc_id, score FROM ({_bm25_sql(MSM_QUERY)})
+WHERE doc_id IN (
+  SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM ({_TF_SQL})
+                      WHERE term IN ({terms}))
+  GROUP BY doc_id HAVING count(*) >= {MSM_M})
+ORDER BY score DESC, doc_id ASC
+LIMIT {MSM_K}
+"""
+
+
 # -- document deletion (tombstones + compaction) ------------------------------
 # Deterministic dead set: every doc_id ≡ 0 (mod DELETE_MOD) — dense enough
 # that the base query's top-k MUST contain dead docs, so a broken tombstone
@@ -2660,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "update_search": q_update_search,
         "boolean_not": q_boolean_not,
+        "min_should_match": q_min_should_match,
         "wand_batch_topk": q_wand_batch_topk,
         "sharded_batch_topk": q_sharded_batch_topk,
         "bm25_prf": q_bm25_prf,
@@ -2830,6 +2861,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
 """,
         "update_search": _update_sql(UPDATE_QUERY.split(), UPDATE_K),
         "boolean_not": _boolean_not_sql(),
+        "min_should_match": _min_should_match_sql(),
         # two cursor-tiled pages must equal the plain top-2k
         "search_after": f"""
 SELECT doc_id, score FROM ({_bm25_sql(PAGE_QUERY)})

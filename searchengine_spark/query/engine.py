@@ -370,6 +370,7 @@ class SearchEngine:
         scorer: str = "bm25",
         mu: float = 2000.0,
         global_stats: "tuple[int, float, dict] | None" = None,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc).
         ``global_stats``: (n_docs, avgdl, {term: df}) — score under these
@@ -403,6 +404,15 @@ class SearchEngine:
         kernels: block-max pruning optimizes the unfiltered-top-k objective
         and is disabled for cursored pages.
 
+        ``min_should_match``: ES minimum_should_match — an OR result must
+        match at least this many DISTINCT query terms (0/1 = plain OR;
+        |q| ≡ mode="and"). Counted over dictionary-resolved terms, so a
+        requirement the surviving vocabulary cannot reach returns [] (an
+        OOV clause can never match — same arithmetic ES applies). Routes
+        through the exhaustive kernels: block-max bounds optimize the
+        unconstrained objective (a Lucene WANDScorer with minShouldMatch
+        would need per-count bounds).
+
         ``scorer``: "bm25" (default) or "lm" — LM Dirichlet (μ = ``mu``)
         runs on the SAME index (blocks carry raw tf/dl; cf from the
         dictionary, C = Σ doc_len from meta) via a per-term u override in
@@ -414,6 +424,9 @@ class SearchEngine:
             raise ValueError(
                 "global_stats composes only with BM25 scoring"
             )
+        msm = int(min_should_match)
+        if msm > 1 and mode != "or":
+            raise ValueError("min_should_match applies to mode='or' only")
         dict_rows = self._resolve_terms(query, rewriter)
         if not dict_rows:
             return []
@@ -469,9 +482,12 @@ class SearchEngine:
         )
         terms = sorted(set(idf) | ex_terms)
         blocks = self._pruned_blocks(buckets, terms, avgdl_override)
+        if msm > 1 and msm > len(idf):
+            return []  # requirement exceeds the matchable clause count
         kernel = (
             score_group_wand
             if use_wand and after is None and not ex_terms and u_fns is None
+            and msm <= 1
             else score_group_vectorized
         )
         k1, b = meta.k1, meta.b
@@ -479,12 +495,12 @@ class SearchEngine:
         n_query_terms = len(idf)  # global-AND guard (see kernel docstring)
         mask = self._doc_mask(doc_filter)
 
-        if after is not None or ex_terms or u_fns is not None:
+        if after is not None or ex_terms or u_fns is not None or msm > 1:
 
             def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 return score_group_vectorized(
                     pdf, idf, k1, b, avgdl, k, mode, n_query_terms, mask,
-                    after, ex_terms or None, u_fns,
+                    after, ex_terms or None, u_fns, msm if msm > 1 else None,
                 )
 
         else:

@@ -273,6 +273,7 @@ def score_group_vectorized(
     after: "tuple[int, float] | None" = None,
     exclude_terms: "frozenset[str] | None" = None,
     u_fns: "dict[str, object] | None" = None,
+    min_match: int | None = None,
 ) -> pd.DataFrame:
     """Exact OR (or AND) top-k within one doc_range group. Columns in:
     BLOCK_SCHEMA; out: (doc_id:int64, score:float64). ``mask``: decode-time
@@ -296,6 +297,11 @@ def score_group_vectorized(
     kernel silently ANDed the present subset (found round 3: a doc with
     only 'apple' surfaced for 'apple AND banana' from a range 'banana'
     never reaches).
+
+    ``min_match``: minimum_should_match (ES) — an OR doc survives only if
+    it matches ≥ min_match DISTINCT positive query terms (mode="or" only;
+    AND is min_match == |q| by construction). Complete in-group: see the
+    inline comment at the filter.
 
     ``u_fns``: per-term override of the tf/dl → u factor (per-posting score
     = idf[t] · u_fns[t](tfs, dls) instead of idf[t] · bm25_u(…)) — how
@@ -340,6 +346,13 @@ def score_group_vectorized(
         off += len(docs)
     if mode == "and":
         keep = hits == len(terms)
+        uniq, acc = uniq[keep], acc[keep]
+    elif min_match is not None and min_match > 1:
+        # minimum_should_match: ≥m DISTINCT positive query terms. The count
+        # is complete within this group because doc_range salting keys on
+        # doc_id — every term's postings for a doc land in the same group
+        # (same property the NOT veto and the global-AND guard rely on).
+        keep = hits >= min_match
         uniq, acc = uniq[keep], acc[keep]
     if not_docs is not None:
         keep = _not_excluded(uniq, not_docs)
