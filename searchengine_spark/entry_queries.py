@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import dedup, multimodal, similarity, textstats
+from .ops import dedup, multimodal, packing, similarity, textstats
 from .postings import dictionary, doc_stats, term_frequencies
 from .scoring import (
     bm25_score,
@@ -2136,6 +2136,48 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), w=3, tau=0.2)
 
 
+LINE_W = 12  # the corpus has no newlines: derive "lines" as 12-token chunks
+
+
+def _chunk_lines(docs) -> DataFrame:
+    """Deterministic (doc_id, line_no, line) fixture: consecutive 12-token
+    chunks of the whitespace token stream. The tiny vocabulary makes
+    cross-document chunk collisions common, so the dedup actually bites."""
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {LINE_W}.0)) - 1), "
+        f"ci -> array_join(slice(split(text, ' '), ci * {LINE_W} + 1, {LINE_W}), ' '))"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("line_no", "line")
+    ).select("doc_id", F.col("line_no").cast("long").alias("line_no"), "line")
+
+
+_CHUNK_LINES_SQL = f"""
+SELECT doc_id, (i - 1)::BIGINT AS line_no,
+       array_to_string(toks[((i - 1) * {LINE_W} + 1):((i - 1) * {LINE_W} + {LINE_W})], ' ') AS line
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     LATERAL (SELECT unnest(generate_series(1, (len(toks) + {LINE_W} - 1) // {LINE_W})) AS i) g
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (CCNet/RefinedWeb boilerplate pass):
+    first occurrence of each distinct line survives, with its corpus-wide
+    duplicate count. One hash agg with map-side combine — no self-join."""
+    return dedup.line_dedup(_chunk_lines(_docs(spark, sf_dir)))
+
+
+PACK_CAP = 40
+PACK_GROUPS = 7
+
+
+def q_pack_docs(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): per deterministic group, docs
+    concatenate in doc_id order and the token stream cuts into 40-token
+    bins; each row is a (bin, doc) overlap with the doc-relative span."""
+    return packing.pack_docs(_docs(spark, sf_dir), PACK_CAP, n_groups=PACK_GROUPS)
+
+
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(_docs(spark, sf_dir))
 
@@ -2696,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
         "dedup_exact": q_exact_dedup,
+        "line_dedup": q_line_dedup,
+        "pack_docs": q_pack_docs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
@@ -2803,6 +2847,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
+        "line_dedup": dedup.line_dedup_sql(_CHUNK_LINES_SQL),
+        "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),

@@ -49,6 +49,99 @@ FROM {table} GROUP BY 1
 """
 
 
+# -------------------------------------------------------------- line dedup
+def split_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(doc_id, line_no, line): documents exploded into separator-delimited
+    lines, 0-based positions, empty lines dropped. The input shape for
+    ``line_dedup``."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        )
+        .filter(F.length("line") > 0)
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """Corpus-wide exact line/paragraph dedup (the CCNet / RefinedWeb
+    boilerplate-removal pass): of every set of byte-identical lines, only
+    the FIRST occurrence — smallest (doc_id, line_no) — survives. Returns
+    (doc_id, line_no, line, n_dups) for the survivors; ``n_dups`` is the
+    corpus-wide occurrence count (observability: how much boilerplate each
+    kept line displaced).
+
+    Scale shape: ONE hash aggregation keyed on the line digest with
+    map-side partial combine — the winner struct and the count fold
+    per-partition before the shuffle; no self-join, no window over the
+    corpus. At 10^12 lines swap md5 for xxhash64 and drop the carried
+    line text (the digest is the dedup key either way; md5 is used here
+    because the DuckDB oracle reproduces it exactly)."""
+    return (
+        lines.groupBy(F.md5(F.col(line_col)).alias("line_md5"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(line_no_col).alias("line_no"),
+                )
+            ).alias("w"),
+            F.min(line_col).alias("line"),  # group members are identical
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("w.doc_id", "w.line_no", "line", "n_dups")
+    )
+
+
+def line_dedup_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(doc_id, text): documents with every non-first occurrence of a
+    corpus-duplicated line removed, remaining lines rejoined in original
+    order. A doc whose every line was boilerplate disappears."""
+    kept = line_dedup(split_lines(df, id_col, text_col, sep))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+
+
+def line_dedup_sql(lines_sql: str) -> str:
+    """DuckDB twin over a (doc_id, line_no, line) subquery."""
+    return f"""
+WITH lines AS ({lines_sql}),
+ranked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn,
+         count(*) OVER (PARTITION BY line)::BIGINT AS n_dups
+  FROM lines)
+SELECT doc_id, line_no, line, n_dups FROM ranked WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------------------- shingles
 def shingle_array(text_col, w: int = 3):
     """Column expr: word w-gram shingle array over the regex token stream

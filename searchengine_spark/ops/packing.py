@@ -1,0 +1,107 @@
+"""Sequence packing for pretraining: concatenate documents in a
+deterministic order and cut the flat token stream into fixed-capacity
+bins (``max_tokens``), emitting every (bin, doc) overlap with the doc's
+token span inside that bin — the concat-and-chunk layout most LLM data
+pipelines feed the trainer.
+
+Reference parity note: the reference has no training-data surface; this
+is part of the LLM-pipeline operator set (SURVEY.md extras).
+
+Scale shape: a GLOBAL concatenation order would need a global sort (one
+partition holds the cumsum tail — the classic window-without-partition
+scale bug). Instead the corpus packs within ``n_groups`` deterministic
+groups (``doc_id % n_groups`` — content-free, reproducible at any
+parallelism): per-group cumulative sums run as a window PARTITIONED by
+group (parallel across groups, each group's state independent), and bin
+ids are namespaced (group_id, bin_no). With n_groups ≫ cores and hash-
+uniform ids no group is a straggler; trainer shards consume groups
+independently. Everything is JVM expressions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_docs(
+    df: DataFrame,
+    max_tokens: int,
+    n_groups: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (group_id, bin_no, doc_id, tok_start, tok_end): document
+    ``doc_id`` contributes its whitespace tokens [tok_start, tok_end) to
+    bin (group_id, bin_no). Within a group, docs concatenate in doc_id
+    order; bins are full except each group's last. A doc longer than
+    ``max_tokens`` spans several bins (its chunks stay contiguous).
+    Token counting is whitespace ``split`` — swap a tokenizer-true count
+    (e.g. ``ops.textstats.token_count``) for production use."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    w = Window.partitionBy("group_id").orderBy("doc_id")
+    sized = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "group_id", F.pmod(F.col("doc_id"), F.lit(n_groups)).cast("long")
+        )
+        .withColumn("end", F.sum("n_tok").over(w))
+        .withColumn("start", F.col("end") - F.col("n_tok"))
+    )
+    cap = F.lit(max_tokens)
+    first_bin = (F.col("start") / cap).cast("long")
+    last_bin = ((F.col("end") - 1) / cap).cast("long")
+    return (
+        sized.select(
+            "group_id",
+            "doc_id",
+            "start",
+            "n_tok",
+            F.explode(F.sequence(first_bin, last_bin)).alias("bin_no"),
+        )
+        .select(
+            "group_id",
+            "bin_no",
+            "doc_id",
+            F.greatest(F.lit(0), F.col("bin_no") * cap - F.col("start"))
+            .cast("long")
+            .alias("tok_start"),
+            F.least(F.col("n_tok"), (F.col("bin_no") + 1) * cap - F.col("start"))
+            .cast("long")
+            .alias("tok_end"),
+        )
+    )
+
+
+def pack_docs_sql(
+    table: str,
+    max_tokens: int,
+    n_groups: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin (same grouping, ordering, and span arithmetic)."""
+    return f"""
+WITH sized AS (
+  SELECT {id_col} AS doc_id,
+         len(string_split({text_col}, ' '))::BIGINT AS n_tok,
+         ({id_col} % {n_groups})::BIGINT AS group_id
+  FROM {table} WHERE len(string_split({text_col}, ' ')) > 0),
+spans AS (
+  SELECT group_id, doc_id, n_tok,
+         (sum(n_tok) OVER (PARTITION BY group_id ORDER BY doc_id))::BIGINT AS e,
+         (sum(n_tok) OVER (PARTITION BY group_id ORDER BY doc_id) - n_tok)::BIGINT AS s
+  FROM sized)
+SELECT group_id, b.bin_no, doc_id,
+       greatest(0, b.bin_no * {max_tokens} - s)::BIGINT AS tok_start,
+       least(n_tok, (b.bin_no + 1) * {max_tokens} - s)::BIGINT AS tok_end
+FROM spans,
+     LATERAL (SELECT unnest(generate_series(s // {max_tokens},
+                                            (e - 1) // {max_tokens}))
+              AS bin_no) b
+"""
