@@ -461,8 +461,10 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--positions", action="store_true",
                    help="store token positions (enables --mode phrase)")
     b.add_argument("--fresh", action="store_true")
-    b.add_argument("--analyzer", choices=["standard", "code"], default="standard",
-                   help="code: split camelCase/acronym/snake_case identifiers "
+    b.add_argument("--analyzer", default="standard",
+                   help="'+'-chain of standard|code|stem, e.g. 'code+stem'. "
+                   "code: split camelCase/acronym/snake_case identifiers; "
+                   "stem: suffix-stem the token stream "
                    "(pinned in meta; queries analyze identically)")
     b.add_argument("--locality-order", default="",
                    help="comma-separated columns; reassign doc ids as dense "

@@ -2300,6 +2300,32 @@ GROUP BY doc_id, term
 """
 
 
+def q_chain_tokens(spark, sf_dir):
+    """Analyzer CHAIN (code+stem): identifier splitting then suffix
+    stemming as one TEXT→TEXT composition — tf over the code fixture,
+    hash-checked against the composed DuckDB twin (same chain in SQL)."""
+    from .tokenizer import analyze_text_expr
+
+    df = _code_fixture_df(spark).withColumn(
+        "text", analyze_text_expr(F.col("text"), "code+stem")
+    )
+    return term_frequencies(df, "doc_id", "text", use_arrow_udf=False)
+
+
+def _chain_tf_sql() -> str:
+    from .tokenizer import duckdb_analyze_text
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in CODE_FIXTURE)
+    return f"""
+WITH code_docs(doc_id, text) AS (VALUES {vals}),
+chained AS (SELECT doc_id, {duckdb_analyze_text("text", "code+stem")} AS text
+            FROM code_docs)
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM ({duckdb_tokens_cte("chained", "doc_id", "text")})
+GROUP BY doc_id, term
+"""
+
+
 def q_code_tokens(spark, sf_dir):
     """Code-analyzer token stream (camelCase / ACRONYMWord / snake_case
     identifier splitting — Lucene WordDelimiter analogue, the analysis a
@@ -2748,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "code_tokens": q_code_tokens,
+        "chain_tokens": q_chain_tokens,
         "code_search_topk": q_code_search_topk,
         "term_vectors": q_term_vectors,
         "significant_terms": q_significant_terms,
@@ -2862,6 +2889,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
         "code_tokens": _code_tf_sql(),
+        "chain_tokens": _chain_tf_sql(),
         "code_search_topk": _code_search_sql(),
         "term_vectors": _term_vectors_sql(TV_MOD),
         "significant_terms": _significant_terms_sql(

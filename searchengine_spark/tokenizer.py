@@ -119,7 +119,21 @@ _CODE_RULES: tuple[tuple[str, str], ...] = (
 )
 _CODE_RES = [(re.compile(p), r"\1 \2") for p, _ in _CODE_RULES]
 
-ANALYZERS = ("standard", "code")
+ANALYZERS = ("standard", "code", "stem")
+
+
+def parse_analyzer(analyzer: str) -> tuple[str, ...]:
+    """'+'-separated analyzer chain → validated stage tuple. Stages apply
+    left to right as TEXT→TEXT transforms before the standard tokenizer:
+    ``code`` splits identifiers, ``stem`` tokenizes + suffix-stems +
+    rejoins (so downstream tokenization/positions see the stemmed stream),
+    ``standard`` is identity. 'code+stem' = split identifiers, then stem
+    the resulting parts — the chain a stemmed code index wants."""
+    stages = tuple(s for s in analyzer.split("+") if s)
+    for s in stages:
+        if s not in ANALYZERS:
+            raise ValueError(f"unknown analyzer stage {s!r}; stages: {ANALYZERS}")
+    return stages or ("standard",)
 
 
 def code_split_py(text: str) -> str:
@@ -143,22 +157,50 @@ def duckdb_code_split(expr: str) -> str:
 
 def analyze_py(text: str, analyzer: str = "standard") -> list[str]:
     """Analyzer-aware pure-Python tokenizer (query side + oracles)."""
-    if analyzer == "code":
-        text = code_split_py(text)
-    elif analyzer != "standard":
-        raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
+    from .stemming import stem_py
+
+    for stage in parse_analyzer(analyzer):
+        if stage == "code":
+            text = code_split_py(text)
+        elif stage == "stem":
+            text = " ".join(stem_py(t) for t in tokenize_py(text))
     return tokenize_py(text)
 
 
 def analyze_text_expr(col: Column, analyzer: str = "standard") -> Column:
-    """Analyzer preprocessing as a column transform (TEXT→TEXT): identity
-    for the standard analyzer, identifier splitting for code. Applied once
-    at build/append entry so every downstream tokenize call is unchanged."""
-    if analyzer == "code":
-        return code_split_expr(col)
-    if analyzer != "standard":
-        raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
+    """Analyzer chain as a column transform (TEXT→TEXT): identity for
+    standard, identifier splitting for code, tokenize+stem+rejoin for stem
+    (duplicate-preserving, so downstream tf/positions are over the stemmed
+    stream). Applied once at build/append entry so every downstream
+    tokenize call is unchanged. Chains compose left to right: 'code+stem'."""
+    from .stemming import stem_expr
+
+    for stage in parse_analyzer(analyzer):
+        if stage == "code":
+            col = code_split_expr(col)
+        elif stage == "stem":
+            col = F.array_join(stem_expr(tokenize_raw_expr(col)), " ")
     return col
+
+
+def duckdb_analyze_text(expr: str, analyzer: str = "standard") -> str:
+    """DuckDB twin of ``analyze_text_expr`` over a SQL expression string."""
+    from .stemming import stem_sql_case
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    for stage in parse_analyzer(analyzer):
+        if stage == "code":
+            expr = duckdb_code_split(expr)
+        elif stage == "stem":
+            toks = (
+                f"list_filter(regexp_extract_all(lower({expr}), "
+                f"'{TOKEN_PATTERN}'), tk -> tk NOT IN ({stop_list}))"
+            )
+            expr = (
+                f"coalesce(array_to_string(list_transform({toks}, "
+                f"tk -> {stem_sql_case('tk')}), ' '), '')"
+            )
+    return expr
 
 
 def duckdb_tokens_cte(table: str, id_col: str, text_col: str) -> str:

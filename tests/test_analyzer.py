@@ -150,3 +150,85 @@ def test_stats_and_validation(spark, code_eng, tmp_path):
         SearchEngine(spark, str(tmp_path / "bad")).build_index_from_df(
             _df(spark), id_col="doc_id", text_col="text", analyzer="nope"
         )
+
+
+# ----------------------------------------------------------- analyzer chains
+def test_chain_three_way_identical(spark):
+    """code+stem: Catalyst TEXT→TEXT chain == pure Python == DuckDB twin,
+    token stream compared (duplicates preserved)."""
+    import duckdb
+
+    from searchengine_spark.tokenizer import (
+        analyze_text_expr,
+        duckdb_analyze_text,
+        tokenize_py,
+        tokenize_raw_expr,
+    )
+
+    texts = CASES + [
+        "processingQueries parsedTokens runningBuilds fastened",
+        "the stemming_of_inflections was tokenizedEarly",
+    ]
+    df = _df(spark, [(i, t) for i, t in enumerate(texts)])
+    got_spark = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id",
+            tokenize_raw_expr(
+                analyze_text_expr(F.col("text"), "code+stem")
+            ).alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i BIGINT, t VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO c VALUES (?, ?)", [i, t])
+    pre = duckdb_analyze_text("t", "code+stem")
+    got_duck = dict(
+        con.execute(f"SELECT i, {pre} FROM c").fetchall()
+    )
+    for i, t in enumerate(texts):
+        want = analyze_py(t, "code+stem")
+        assert got_spark[i] == want, (i, t)
+        assert tokenize_py(got_duck[i]) == want, (i, t)
+
+
+def test_chain_index_round_trip(spark, tmp_path):
+    """A code+stem index matches inflected camelCase queries against
+    differently-inflected camelCase docs, and ranks exactly like a standard
+    index built over pre-chained text."""
+    from searchengine_spark.tokenizer import analyze_text_expr
+
+    docs = [
+        (1, "def parseQueries(raw): return runningParsers.tokenize(raw)"),
+        (2, "class BuildCache: merged_segments = compactedBlocks"),
+        (3, "query parsing and token merging for builds"),
+    ]
+    eng = SearchEngine(spark, str(tmp_path / "chain"))
+    eng.build_index_from_df(_df(spark, docs), id_col="doc_id", text_col="text",
+                            n_buckets=2, range_bits=1, analyzer="code+stem")
+    assert eng.meta.analyzer == "code+stem"
+    # parsingQueries -> (pars, queri): conflates with parseQueries (doc 1,
+    # queri) and with "parsing" (doc 3, pars)
+    hits = {d for d, _ in eng.search("parsingQueries", k=10)}
+    assert hits == {1, 3}
+    pre = _df(spark, docs).withColumn(
+        "text", analyze_text_expr(F.col("text"), "code+stem")
+    )
+    std = SearchEngine(spark, str(tmp_path / "stdpre"))
+    std.build_index_from_df(pre, id_col="doc_id", text_col="text",
+                            n_buckets=2, range_bits=1)
+    for q in ["parsedQuery", "mergingBuilds", "compactedBlock"]:
+        got, want = eng.search(q, k=10), std.search(
+            " ".join(analyze_py(q, "code+stem")), k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_chain_validation():
+    from searchengine_spark.tokenizer import parse_analyzer
+
+    assert parse_analyzer("code+stem") == ("code", "stem")
+    assert parse_analyzer("standard") == ("standard",)
+    assert parse_analyzer("") == ("standard",)
+    with pytest.raises(ValueError, match="stage"):
+        parse_analyzer("code+porter")
