@@ -362,6 +362,50 @@ def _cmd_sample(args) -> None:
     )
 
 
+def _cmd_prepare(args) -> None:
+    spark = _spark(args)
+    from .ops.pipeline import prepare_training_data
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    rates = (
+        {k: float(v) for k, v in (p.split("=") for p in args.rates.split(","))}
+        if args.rates else None
+    )
+    out_df = prepare_training_data(
+        df,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        lang_col=args.lang_col,
+        min_quality=args.min_quality,
+        line_chunk=args.line_chunk,
+        line_sep=args.line_sep,
+        neardup=not args.no_neardup,
+        w=args.ngram,
+        tau=args.tau,
+        bench=spark.read.parquet(args.bench) if args.bench else None,
+        contam_w=args.contam_ngram,
+        rates=rates,
+        rate=args.rate,
+        seed=args.seed,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    out_df.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "prepared": args.output,
+                "n_in": n_in,
+                "n_out": n_out,
+                "kept_frac": round(n_out / max(n_in, 1), 4),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
 def _cmd_suggest(args) -> None:
     spark = _spark(args)
     from .query.engine import SearchEngine
@@ -579,6 +623,33 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=_cmd_sample)
+
+    pr = sub.add_parser(
+        "prepare",
+        help="end-to-end training-data preparation: lang filter -> quality "
+             "-> line dedup -> exact dedup -> near-dup -> decontaminate -> "
+             "sample (stages toggle off when their flag is omitted)",
+    )
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--langs", default="", help="comma list; empty = keep all")
+    pr.add_argument("--lang-col", default="lang")
+    pr.add_argument("--min-quality", type=float, default=None)
+    pr.add_argument("--line-chunk", type=int, default=None,
+                    help="dedup fixed-width token chunks as 'lines'")
+    pr.add_argument("--line-sep", default=None,
+                    help="dedup separator-delimited lines (e.g. newline)")
+    pr.add_argument("--no-neardup", action="store_true")
+    pr.add_argument("--ngram", type=int, default=3, help="near-dup shingle width")
+    pr.add_argument("--tau", type=float, default=0.5)
+    pr.add_argument("--bench", default=None, help="benchmark parquet to decontaminate against")
+    pr.add_argument("--contam-ngram", type=int, default=8)
+    pr.add_argument("--rate", type=float, default=None)
+    pr.add_argument("--rates", default="", help="stratified: lang=rate pairs")
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.set_defaults(fn=_cmd_prepare)
 
     sg = sub.add_parser("suggest", help="autocomplete: df-ranked prefix completions")
     sg.add_argument("--index", required=True)

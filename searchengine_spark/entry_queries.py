@@ -2167,24 +2167,13 @@ LINE_W = 12  # the corpus has no newlines: derive "lines" as 12-token chunks
 
 
 def _chunk_lines(docs) -> DataFrame:
-    """Deterministic (doc_id, line_no, line) fixture: consecutive 12-token
-    chunks of the whitespace token stream. The tiny vocabulary makes
+    """Deterministic (doc_id, line_no, line) derivation: consecutive
+    12-token chunks (the corpus has no newlines); the tiny vocabulary makes
     cross-document chunk collisions common, so the dedup actually bites."""
-    chunks = F.expr(
-        f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {LINE_W}.0)) - 1), "
-        f"ci -> array_join(slice(split(text, ' '), ci * {LINE_W} + 1, {LINE_W}), ' '))"
-    )
-    return docs.select(
-        "doc_id", F.posexplode(chunks).alias("line_no", "line")
-    ).select("doc_id", F.col("line_no").cast("long").alias("line_no"), "line")
+    return dedup.chunk_lines(docs, LINE_W)
 
 
-_CHUNK_LINES_SQL = f"""
-SELECT doc_id, (i - 1)::BIGINT AS line_no,
-       array_to_string(toks[((i - 1) * {LINE_W} + 1):((i - 1) * {LINE_W} + {LINE_W})], ' ') AS line
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-     LATERAL (SELECT unnest(generate_series(1, (len(toks) + {LINE_W} - 1) // {LINE_W})) AS i) g
-"""
+_CHUNK_LINES_SQL = dedup.chunk_lines_sql("documents", LINE_W)
 
 
 def q_line_dedup(spark, sf_dir):
@@ -2192,6 +2181,41 @@ def q_line_dedup(spark, sf_dir):
     first occurrence of each distinct line survives, with its corpus-wide
     duplicate count. One hash agg with map-side combine — no self-join."""
     return dedup.line_dedup(_chunk_lines(_docs(spark, sf_dir)))
+
+
+PIPE_KW = dict(
+    langs=("de", "en", "es"),
+    min_quality=2.5,
+    line_chunk=LINE_W,
+    w=3,
+    tau=0.2,
+    contam_w=5,
+    rates={"de": 0.9, "en": 0.5},
+    seed=7,
+)
+
+
+def q_prepare_pipeline(spark, sf_dir):
+    """END-TO-END training-data preparation (ops/pipeline.py): language
+    filter → quality ≥ 2.5 → chunk-line boilerplate dedup → exact dedup →
+    MinHash near-dup (tau 0.2) → decontamination vs the doc_id%31 stand-in
+    benchmark → stratified sampling — one declarative composition of the
+    already-oracle-checked stage operators, hash-checked END TO END
+    against the composed DuckDB twin (stage bugs can't hide behind
+    per-stage checks: order and hand-offs are verified too)."""
+    from .ops import pipeline
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.expr(DECON_PRED))
+    return pipeline.prepare_training_data(docs, bench=bench, **PIPE_KW)
+
+
+def _prepare_pipeline_sql() -> str:
+    from .ops import pipeline
+
+    return pipeline.prepare_training_data_sql(
+        "documents", bench_pred=DECON_PRED, **PIPE_KW
+    )
 
 
 PACK_CAP = 40
@@ -2795,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locality_ids": q_locality_ids,
         "line_dedup": q_line_dedup,
         "pack_docs": q_pack_docs,
+        "prepare_pipeline": q_prepare_pipeline,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
@@ -2906,6 +2931,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "locality_ids": _locality_ids_sql(),
         "line_dedup": dedup.line_dedup_sql(_CHUNK_LINES_SQL),
         "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
+        "prepare_pipeline": _prepare_pipeline_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),

@@ -129,6 +129,36 @@ def line_dedup_docs(
     )
 
 
+def chunk_lines(
+    df: DataFrame,
+    width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, line_no, line): consecutive ``width``-token chunks of the
+    whitespace token stream — the 'line' derivation for corpora without
+    newlines (flat token streams); feeds ``line_dedup``."""
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / {width}.0)) - 1), "
+        f"ci -> array_join(slice(split({text_col}, ' '), ci * {width} + 1, {width}), ' '))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("line_no", "line")
+    ).select("doc_id", F.col("line_no").cast("long").alias("line_no"), "line")
+
+
+def chunk_lines_sql(
+    table: str, width: int, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``chunk_lines``."""
+    return f"""
+SELECT {id_col} AS doc_id, (i - 1)::BIGINT AS line_no,
+       array_to_string(toks[((i - 1) * {width} + 1):((i - 1) * {width} + {width})], ' ') AS line
+FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}),
+     LATERAL (SELECT unnest(generate_series(1, (len(toks) + {width} - 1) // {width})) AS i) g
+"""
+
+
 def line_dedup_sql(lines_sql: str) -> str:
     """DuckDB twin over a (doc_id, line_no, line) subquery."""
     return f"""

@@ -91,6 +91,14 @@ def rates_for_targets(
     }
 
 
+def _hash_unit_sql(id_col: str, seed: int = 0) -> str:
+    """DuckDB twin of ``hash_unit`` as an expression string."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), "
+        f"1, {_HEX_DIGITS})) AS UBIGINT) / {_DENOM!r}"
+    )
+
+
 def sample_rate_sql(
     table: str,
     rate: float,
@@ -99,11 +107,7 @@ def sample_rate_sql(
 ) -> str:
     """DuckDB twin of ``sample_rate`` — same md5 prefix arithmetic, so the
     selected set is IDENTICAL, not statistically similar."""
-    h = (
-        f"CAST(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), "
-        f"1, {_HEX_DIGITS})) AS UBIGINT)"
-    )
     return f"""
 SELECT * FROM {table}
-WHERE {h} / {_DENOM!r} < {float(rate)!r}
+WHERE {_hash_unit_sql(id_col, seed)} < {float(rate)!r}
 """
