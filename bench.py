@@ -269,6 +269,34 @@ def main() -> None:
         ).count(),
     )
 
+    # training-data pipeline surfaces: exact line dedup (one hash agg),
+    # sequence packing (windowed cumsum per group), and the composed
+    # end-to-end preparation chain (quality -> line dedup -> exact ->
+    # near-dup -> decontaminate -> sample)
+    from searchengine_spark.ops import dedup as dedup_ops
+    from searchengine_spark.ops import packing
+    from searchengine_spark.ops.pipeline import prepare_training_data
+
+    timed(
+        "line_dedup",
+        lambda: dedup_ops.line_dedup(dedup_ops.chunk_lines(docs, 12)).count(),
+    )
+    timed("pack_docs", lambda: packing.pack_docs(docs, 2048).count())
+    timed(
+        "prepare_pipeline",
+        lambda: prepare_training_data(
+            docs,
+            min_quality=2.5,
+            line_chunk=12,
+            w=3,
+            tau=0.2,
+            bench=docs.filter(F.expr("doc_id % 31 = 0")),
+            contam_w=5,
+            rate=0.5,
+            seed=7,
+        ).count(),
+    )
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(
