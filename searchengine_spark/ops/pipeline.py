@@ -94,6 +94,14 @@ def prepare_training_data(
         F.col("keep_doc_id").alias(id_col)
     )
     out = out.join(keepers, id_col, "left_semi")
+    if neardup or bench is not None:
+        # the near-dup stage runs several jobs (banding, pair verify,
+        # component rounds) and decontamination adds another pass — without
+        # a persist each one re-executes the whole upstream chain (quality
+        # join + line-dedup shuffle). MEMORY_AND_DISK: spills, never OOMs.
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
     if neardup:
         dupes = (
             D.dedup_pipeline(
