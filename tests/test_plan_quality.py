@@ -192,3 +192,53 @@ def test_rrf_truncation_is_take_ordered(spark, docs):
     # each input truncates via TakeOrderedAndProject (distributed heads),
     # never a global Sort of the full ranking before the window cut
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_line_dedup_is_one_partial_agg_shuffle(docs):
+    from searchengine_spark.ops import dedup
+
+    plan = plan_of(dedup.line_dedup(dedup.chunk_lines(docs, 12)))
+    # one hash agg keyed on the digest with a map-side partial before the
+    # exchange — no window, no join, no second shuffle
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan
+    # partial aggregate (SortAggregate: min(struct) is not hash-aggregable)
+    # folds map-side BEFORE the exchange
+    first_agg = min(
+        i for i in (plan.find("HashAggregate"), plan.find("SortAggregate"))
+        if i >= 0
+    )
+    assert first_agg < plan.index("Exchange")
+
+
+def test_pack_docs_window_is_partitioned(docs):
+    from searchengine_spark.ops import packing
+
+    plan = plan_of(packing.pack_docs(docs, 2048, n_groups=1024))
+    # the cumsum window MUST be partitioned by group_id: a partitionless
+    # window funnels the corpus through one task (the classic scale bug)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_locality_ids_has_no_partitionless_window(docs):
+    from searchengine_spark.corpus import locality_ids
+
+    renamed = docs.withColumnRenamed("doc_id", "old_id")
+    plan = plan_of(locality_ids(renamed, order_cols=("lang", "old_id"),
+                                range_bits=4, n_partitions=4))
+    assert "Window" not in plan, plan  # ranks come from offsets, not a window
+    assert "SinglePartition" not in plan, plan
+
+
+def test_prepare_pipeline_has_no_cartesian(spark, docs):
+    from searchengine_spark.ops.pipeline import prepare_training_data
+
+    out = prepare_training_data(
+        docs, min_quality=2.5, line_chunk=12, w=3, tau=0.2,
+        bench=docs.filter(F.col("doc_id") % 31 == 0), contam_w=5,
+        rate=0.5, seed=7,
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    out.unpersist()
