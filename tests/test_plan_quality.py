@@ -200,15 +200,15 @@ def test_line_dedup_is_one_partial_agg_shuffle(docs):
     plan = plan_of(dedup.line_dedup(dedup.chunk_lines(docs, 12)))
     # one hash agg keyed on the digest with a map-side partial before the
     # exchange — no window, no join, no second shuffle
-    assert plan.count("Exchange") == 1, plan
+    # formatted explain prints each node twice (tree + detail): count the
+    # detail headers, one per physical Exchange
+    assert plan.count(") Exchange") == 1, plan
     assert "Window" not in plan and "Join" not in plan
     # partial aggregate (SortAggregate: min(struct) is not hash-aggregable)
-    # folds map-side BEFORE the exchange
-    first_agg = min(
-        i for i in (plan.find("HashAggregate"), plan.find("SortAggregate"))
-        if i >= 0
-    )
-    assert first_agg < plan.index("Exchange")
+    # folds map-side BEFORE the exchange: in the printed tree (top-down),
+    # an Aggregate node must appear BELOW the Exchange
+    tree = plan.split("\n(")[0]
+    assert tree.find("Aggregate", tree.index("Exchange")) >= 0, tree
 
 
 def test_pack_docs_window_is_partitioned(docs):
