@@ -215,3 +215,94 @@ def test_and_kernel_matches_bruteforce(docs, k):
     assert list(got_and["doc_id"]) == [d for d, _ in want]
     for (_, ws), gs in zip(want, got_and["score"]):
         assert abs(ws - gs) < 1e-9
+
+
+# ----------------------------------------------------- sequence packing twin
+
+pack_corpus = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id (dedup below)
+        st.integers(min_value=1, max_value=50),      # n_tok
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(pack_corpus, st.integers(min_value=1, max_value=17),
+       st.integers(min_value=1, max_value=5))
+def test_pack_docs_sql_twin_matches_python(docs, cap, n_groups):
+    """The DuckDB twin (same span arithmetic the Spark op uses) must equal
+    a from-scratch Python re-pack on random doc lengths — catches bin
+    boundary off-by-ones (doc ends exactly on a bin edge, 1-token docs,
+    docs spanning many bins)."""
+    import duckdb
+
+    from searchengine_spark.ops.packing import pack_docs_sql
+
+    rows = [(i, " ".join(["tk"] * n)) for i, n in docs]
+    expected = set()
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for i, n in sorted(docs):
+        groups.setdefault(i % n_groups, []).append((i, n))
+    for gid, ds in groups.items():
+        off = 0
+        for i, n in ds:
+            start, end = off, off + n
+            for b in range(start // cap, (end - 1) // cap + 1):
+                expected.add(
+                    (gid, b, i, max(0, b * cap - start), min(n, (b + 1) * cap - start))
+                )
+            off = end
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = set(map(tuple, con.execute(pack_docs_sql("t", cap, n_groups)).fetchall()))
+    assert got == expected
+
+
+# ------------------------------------------------------- line dedup twin
+
+line_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1_000),
+        st.lists(st.sampled_from(["aa", "bb", "cc", ""]), max_size=6),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(line_docs)
+def test_line_dedup_sql_twin_matches_python(docs):
+    """First-occurrence-wins over a tiny line alphabet (forcing heavy
+    cross-doc collisions) vs a brute-force scan."""
+    import duckdb
+
+    from searchengine_spark.ops.dedup import line_dedup_sql
+
+    rows = [(i, "\n".join(lines)) for i, lines in docs]
+    # brute force: global first occurrence by (doc_id, line_no); empty dropped
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for i, lines in sorted(docs):
+        for no, ln in enumerate(lines):
+            if ln:
+                occ.setdefault(ln, []).append((i, no))
+    expected = {
+        (min(v)[0], min(v)[1], ln, len(v)) for ln, v in occ.items()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    lines_sql = (
+        "SELECT doc_id, (g.i - 1)::BIGINT AS line_no, ln[g.i] AS line "
+        "FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM t), "
+        "LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i) g "
+        "WHERE length(ln[g.i]) > 0"
+    )
+    got = set(map(tuple, con.execute(line_dedup_sql(lines_sql)).fetchall()))
+    assert got == expected
