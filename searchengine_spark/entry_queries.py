@@ -10,6 +10,7 @@ the same way in the DataFrame code and the SQL.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -2183,6 +2184,40 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup(_chunk_lines(_docs(spark, sf_dir)))
 
 
+EVENT_WINDOW_S = 3600
+
+
+def q_event_window_agg(spark, sf_dir):
+    """Tumbling-window event analytics (streaming/analytics.py): 1-hour
+    (window, event_type) counts + value sums over the events table — the
+    SAME transformation the Structured-Streaming path runs behind a
+    watermark (unified batch/stream API; identity pytest-proven). One hash
+    agg with map-side combine; timestamps stringified engine-independent."""
+    from .streaming.analytics import windowed_event_counts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = windowed_event_counts(ev, f"{EVENT_WINDOW_S} seconds")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _event_window_sql() -> str:
+    from .streaming.analytics import windowed_event_counts_sql
+
+    inner = windowed_event_counts_sql("events", EVENT_WINDOW_S)
+    return f"""
+SELECT CAST(window_start AS VARCHAR) AS window_start,
+       CAST(window_end AS VARCHAR) AS window_end,
+       event_type, n_events, sum_value
+FROM ({inner}) t
+"""
+
+
 PIPE_KW = dict(
     langs=("de", "en", "es"),
     min_quality=2.5,
@@ -2820,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pack_docs": q_pack_docs,
         "prepare_pipeline": q_prepare_pipeline,
+        "event_window_agg": q_event_window_agg,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
@@ -2932,6 +2968,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "line_dedup": dedup.line_dedup_sql(_CHUNK_LINES_SQL),
         "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
         "prepare_pipeline": _prepare_pipeline_sql(),
+        "event_window_agg": _event_window_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),

@@ -1,0 +1,119 @@
+"""Windowed event analytics: tumbling/sliding time-window aggregation that
+runs UNCHANGED on a batch DataFrame and on a Structured Stream — the Spark
+unified-API contract the engine's search-analytics surface builds on
+(query-log volumes, error rates, trending event types).
+
+Reference parity note: the reference has no event/analytics surface; this
+covers the driver brief's Structured Streaming requirements (watermarks +
+windowed aggs for late data) over the provided ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+Scale shape: ONE hash aggregation keyed (window, event_type) with map-side
+partial combine — cardinality is |windows| × |types|, tiny next to the
+event stream, so the shuffle moves partial rows only. Streaming state is
+the same keyed store; the watermark bounds it (windows older than
+``delay`` are finalized and evicted — without it, state grows with stream
+lifetime and a 10^12-event stream OOMs the store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (window_start, window_end, event_type, n_events, sum_value):
+    tumbling (default) or sliding (``slide`` < ``window``) counts + value
+    sums per event type. Works identically on a batch frame and a
+    streaming frame (pass the result to ``writeStream`` with a watermark
+    set upstream — see ``stream_windowed_event_counts``)."""
+    w = F.window(F.col(ts_col), window, slide or window)
+    return (
+        df.groupBy(w.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), ROUND_DP).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts_sql(
+    table: str,
+    window_seconds: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin (tumbling only): epoch-floor bucketing reproduces
+    ``F.window`` exactly for windows that divide a day."""
+    # floor() before the cast: epoch() returns fractional seconds and a
+    # plain ::BIGINT cast ROUNDS, pushing rows in the last half-second of
+    # a window into the next bucket
+    b = (
+        f"to_timestamp((floor(epoch({ts_col}) / {window_seconds})::BIGINT) "
+        f"* {window_seconds})::TIMESTAMP"
+    )
+    return f"""
+SELECT {b} AS window_start,
+       {b} + INTERVAL {window_seconds} SECOND AS window_end,
+       {type_col} AS event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum({value_col}), {ROUND_DP}) AS sum_value
+FROM {table}
+GROUP BY 1, 2, 3
+"""
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    schema: str = "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string",
+    output_mode: str = "update",
+    query_name: str = "event_windows",
+):
+    """Streaming twin: parquet-file source → watermark → the SAME
+    ``windowed_event_counts`` transformation → in-memory sink (swap for a
+    real sink in production). Returns the StreamingQuery.
+
+    The watermark finalizes a window once event time passes
+    window_end + ``watermark``: later-arriving rows for it are DROPPED
+    (the late-data contract) and its state is evicted — the property that
+    bounds state on an unbounded stream. ``output_mode='update'`` emits
+    refined rows per batch; 'append' emits each window exactly once, only
+    after finalization."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = windowed_event_counts(stream, window, slide)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,133 @@
+"""Windowed event analytics (streaming/analytics.py): batch/stream
+identity under the unified API, watermark late-data semantics, and
+sliding windows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from searchengine_spark.streaming.analytics import (
+    stream_windowed_event_counts,
+    windowed_event_counts,
+)
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _row(i, minute, etype, value, second=0):
+    return (
+        i,
+        dt.datetime(2024, 1, 1, minute // 60, minute % 60, second),
+        i % 5,
+        etype,
+        float(value),
+        "{}",
+    )
+
+
+ROWS = [
+    _row(0, 1, "click", 1.0),
+    _row(1, 2, "view", 2.5),
+    _row(2, 9, "click", 0.5),
+    _row(3, 11, "click", 4.0),
+    _row(4, 14, "error", 1.25),
+    _row(5, 59, "view", 3.0, second=59),  # last second of its window
+    _row(6, 60, "view", 1.0),  # first second of the next hour window
+]
+
+
+def _key(rows):
+    return sorted(
+        (str(r["window_start"]), str(r["window_end"]), r["event_type"],
+         r["n_events"], r["sum_value"])
+        for r in rows
+    )
+
+
+def test_batch_windows_tumbling(spark):
+    ev = spark.createDataFrame(ROWS, SCHEMA)
+    got = _key(windowed_event_counts(ev, "10 minutes").collect())
+    assert got == sorted([
+        ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "click", 2, 1.5),
+        ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "view", 1, 2.5),
+        ("2024-01-01 00:10:00", "2024-01-01 00:20:00", "click", 1, 4.0),
+        ("2024-01-01 00:10:00", "2024-01-01 00:20:00", "error", 1, 1.25),
+        ("2024-01-01 00:50:00", "2024-01-01 01:00:00", "view", 1, 3.0),
+        ("2024-01-01 01:00:00", "2024-01-01 01:10:00", "view", 1, 1.0),
+    ])
+
+
+def test_sliding_windows_count_every_overlap(spark):
+    ev = spark.createDataFrame(ROWS[:1], SCHEMA)  # one event at 00:01
+    got = _key(windowed_event_counts(ev, "10 minutes", "5 minutes").collect())
+    # a 10-minute window sliding by 5 holds the event twice
+    assert got == sorted([
+        ("2023-12-31 23:55:00", "2024-01-01 00:05:00", "click", 1, 1.0),
+        ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "click", 1, 1.0),
+    ])
+
+
+def test_stream_equals_batch_and_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: batch 1 advances the watermark past the first
+    window; batch 2 carries one on-time row and one LATE row for the
+    already-finalized window — the late row must be dropped, everything
+    else must equal the batch run over the surviving rows."""
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    batch1 = [_row(i, m, t, v) for i, m, t, v in
+              [(0, 1, "click", 1.0), (1, 2, "view", 2.0), (2, 95, "click", 3.0)]]
+    # watermark after batch1 = 01:35 - 10 min = 01:25 > window [0,10) end
+    late = _row(10, 4, "click", 99.0)       # falls in finalized [00:00,00:10)
+    ontime = _row(11, 96, "view", 5.0)      # current window, kept
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = stream_windowed_event_counts(
+        spark, src, ckpt, window="10 minutes", watermark="10 minutes",
+        output_mode="update", query_name="evt_test",
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([late, ontime], SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        got_rows = spark.sql("SELECT * FROM evt_test").collect()
+    finally:
+        q.stop()
+    # update mode re-emits refined rows; keep the LAST emit per key
+    final: dict[tuple, tuple] = {}
+    for r in got_rows:
+        final[(str(r["window_start"]), r["event_type"])] = (
+            str(r["window_start"]), str(r["window_end"]), r["event_type"],
+            r["n_events"], r["sum_value"],
+        )
+    survivors = batch1 + [ontime]  # late row dropped by the watermark
+    want = _key(
+        windowed_event_counts(
+            spark.createDataFrame(survivors, SCHEMA), "10 minutes"
+        ).collect()
+    )
+    assert sorted(final.values()) == want
+
+
+def test_batch_matches_duckdb_twin(spark):
+    import duckdb
+
+    from searchengine_spark.streaming.analytics import windowed_event_counts_sql
+
+    ev = spark.createDataFrame(ROWS, SCHEMA)
+    got = _key(windowed_event_counts(ev, "600 seconds").collect())
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    want = sorted(
+        (str(r[0]), str(r[1]), r[2], r[3], r[4])
+        for r in con.execute(windowed_event_counts_sql("events", 600)).fetchall()
+    )
+    assert got == want
