@@ -2218,6 +2218,41 @@ FROM ({inner}) t
 """
 
 
+SESSION_GAP_S = 1800
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (F.session_window, 30-min gap) per user
+    over the events table — hash-checked against the classic
+    gaps-and-islands SQL rewrite (lag-break + running sum), proving the
+    session-window semantics (end = last event + gap, break at diff >=
+    gap) match exactly."""
+    from .streaming.analytics import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize(ev, SESSION_GAP_S)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def _event_sessions_sql() -> str:
+    from .streaming.analytics import sessionize_sql
+
+    inner = sessionize_sql("events", SESSION_GAP_S)
+    return f"""
+SELECT user_id,
+       CAST(session_start AS VARCHAR) AS session_start,
+       CAST(session_end AS VARCHAR) AS session_end,
+       n_events, sum_value
+FROM ({inner}) t
+"""
+
+
 PIPE_KW = dict(
     langs=("de", "en", "es"),
     min_quality=2.5,
@@ -2856,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": q_pack_docs,
         "prepare_pipeline": q_prepare_pipeline,
         "event_window_agg": q_event_window_agg,
+        "event_sessions": q_event_sessions,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
@@ -2969,6 +3005,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
         "prepare_pipeline": _prepare_pipeline_sql(),
         "event_window_agg": _event_window_sql(),
+        "event_sessions": _event_sessions_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),

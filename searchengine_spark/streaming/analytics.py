@@ -117,3 +117,72 @@ def stream_windowed_event_counts(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization (``F.session_window``): consecutive events
+    of one key belong to one session while each arrives at or before the
+    previous event's time + gap (an event landing EXACTLY on the boundary
+    still merges — pytest-pinned); the session window is
+    [first_ts, last_ts + gap). → (key, session_start, session_end,
+    n_events, sum_value). Batch and streaming take the same code path
+    (streaming side needs a watermark upstream, like the fixed windows).
+
+    Scale shape: one shuffle keyed on the session key; Spark merges
+    per-key sorted runs inside the aggregation — no self-join, no
+    corpus-wide window function."""
+    w = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        df.groupBy(F.col(key_col), w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), ROUND_DP).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_sql(
+    table: str,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of ``sessionize`` — the classic gaps-and-islands
+    rewrite: a break flag where the gap to the previous event is > gap
+    (session_window merges an exact-boundary arrival — pinned by
+    tests/test_event_analytics.py), a
+    running sum of breaks as the session id, then one group-by. Session
+    end = last event + gap, same as Spark."""
+    return f"""
+WITH o AS (
+  SELECT {key_col}, {ts_col}, {value_col},
+         CASE WHEN lag({ts_col}) OVER w IS NULL
+                OR {ts_col} - lag({ts_col}) OVER w > INTERVAL {gap_seconds} SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})),
+i AS (
+  SELECT *, sum(brk) OVER (PARTITION BY {key_col} ORDER BY {ts_col}
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o)
+SELECT {key_col},
+       min({ts_col}) AS session_start,
+       max({ts_col}) + INTERVAL {gap_seconds} SECOND AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum({value_col}), {ROUND_DP}) AS sum_value
+FROM i GROUP BY {key_col}, sess
+"""

@@ -131,3 +131,38 @@ def test_batch_matches_duckdb_twin(spark):
         for r in con.execute(windowed_event_counts_sql("events", 600)).fetchall()
     )
     assert got == want
+
+
+def test_sessionize_gap_boundary(spark):
+    """An event arriving EXACTLY gap after the previous one still MERGES
+    into the session (Spark extends while ts <= last + gap); the next gap
+    is measured from the merged event."""
+    import duckdb
+
+    from searchengine_spark.streaming.analytics import sessionize, sessionize_sql
+
+    rows = [
+        _row(0, 0, "click", 1.0),
+        _row(1, 9, "click", 1.0),    # 9 min later: same session (gap 10)
+        _row(2, 19, "click", 1.0),   # exactly 10 min after prev: MERGES
+        _row(3, 100, "view", 2.0),   # far later: third session
+    ]
+    # one user so sessions chain: user_id = i % 5 differs! pin user 0
+    rows = [(i, ts, 0, t, v, p) for i, ts, _, t, v, p in rows]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in sessionize(ev, 600).collect()
+    )
+    assert got == [
+        (0, "2024-01-01 00:00:00", "2024-01-01 00:29:00", 3),
+        (0, "2024-01-01 01:40:00", "2024-01-01 01:50:00", 1),
+    ]
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    want = sorted(
+        (r[0], str(r[1]), str(r[2]), r[3])
+        for r in con.execute(sessionize_sql("events", 600)).fetchall()
+    )
+    assert got == want
