@@ -2218,6 +2218,47 @@ FROM ({inner}) t
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (ops/temporal.py): every click joined to the user's
+    latest prior-or-equal view — ONE keyed window pass over the tagged
+    union (linear), never an inequality join; hash-checked against
+    DuckDB's NATIVE ASOF LEFT JOIN."""
+    from .ops.temporal import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, views, right_cols=("event_id", "value"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("matched_ts").cast("string").alias("matched_ts"),
+        "matched_event_id",
+        "matched_value",
+    )
+
+
+def _asof_join_sql() -> str:
+    from .ops.temporal import asof_join_sql
+
+    inner = asof_join_sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+        "SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'",
+        right_cols=("event_id", "value"),
+    )
+    return f"""
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+       CAST(matched_ts AS VARCHAR) AS matched_ts,
+       matched_event_id, matched_value
+FROM ({inner}) t
+"""
+
+
 SESSION_GAP_S = 1800
 
 
@@ -2892,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_pipeline": q_prepare_pipeline,
         "event_window_agg": q_event_window_agg,
         "event_sessions": q_event_sessions,
+        "asof_join": q_asof_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
@@ -3006,6 +3048,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "prepare_pipeline": _prepare_pipeline_sql(),
         "event_window_agg": _event_window_sql(),
         "event_sessions": _event_sessions_sql(),
+        "asof_join": _asof_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),

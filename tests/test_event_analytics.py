@@ -166,3 +166,55 @@ def test_sessionize_gap_boundary(spark):
         for r in con.execute(sessionize_sql("events", 600)).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------------- as-of join
+def test_asof_join_semantics(spark):
+    """Tie at equal ts matches (non-strict) vs is skipped (strict); no
+    prior right row -> nulls; latest of several candidates wins."""
+    from searchengine_spark.ops.temporal import asof_join
+
+    L = "event_id long, user_id long, ts timestamp"
+    R = "user_id long, ts timestamp, value double"
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)
+    left = spark.createDataFrame(
+        [(1, 7, t(10)), (2, 7, t(30)), (3, 8, t(5)), (4, 9, t(1))], L
+    )
+    right = spark.createDataFrame(
+        [(7, t(2), 1.0), (7, t(10), 2.0), (7, t(29), 3.0), (8, t(6), 9.0)], R
+    )
+    got = {
+        r["event_id"]: (r["matched_ts"], r["matched_value"])
+        for r in asof_join(left, right).collect()
+    }
+    assert got[1] == (t(10), 2.0)      # equal ts matches
+    assert got[2] == (t(29), 3.0)      # latest of three wins
+    assert got[3] == (None, None)      # right row is later -> no match
+    assert got[4] == (None, None)      # key has no right rows at all
+    strict = {
+        r["event_id"]: r["matched_value"]
+        for r in asof_join(left, right, strict=True).collect()
+    }
+    assert strict[1] == 1.0            # equal ts excluded under strict
+
+
+def test_asof_join_plan_has_no_inequality_join(spark):
+    """The scale property: one keyed window over the union — no
+    BroadcastNestedLoopJoin/CartesianProduct (what a naive ts-inequality
+    join would plan)."""
+    import contextlib
+    import io
+
+    from searchengine_spark.ops.temporal import asof_join
+
+    L = "event_id long, user_id long, ts timestamp"
+    R = "user_id long, ts timestamp, value double"
+    left = spark.createDataFrame([], L)
+    right = spark.createDataFrame([], R)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "Window" in plan
