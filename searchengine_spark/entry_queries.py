@@ -2218,6 +2218,55 @@ FROM ({inner}) t
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketized range join (ops/temporal.py): every error event matched
+    to ITS user session (intervals from sessionize over the same stream) —
+    time-cell equi-join + residual filter, never an inequality join;
+    DuckDB twin is the plain IEJoin over the gaps-and-islands sessions."""
+    from .ops.temporal import range_join
+    from .streaming.analytics import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = sessionize(ev, SESSION_GAP_S).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    out = range_join(
+        errors, sessions, keys=("user_id",), start_col="session_start",
+        end_col="session_end", bucket="30 minutes",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+    )
+
+
+def _range_join_sql() -> str:
+    from .ops.temporal import range_join_sql
+    from .streaming.analytics import sessionize_sql
+
+    inner = range_join_sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'",
+        f"SELECT user_id, session_start, session_end, n_events FROM ({sessionize_sql('events', SESSION_GAP_S)}) s",
+        keys=("user_id",),
+        start_col="session_start",
+        end_col="session_end",
+    )
+    return f"""
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+       CAST(session_start AS VARCHAR) AS session_start,
+       CAST(session_end AS VARCHAR) AS session_end,
+       n_events
+FROM ({inner}) t
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (ops/temporal.py): every click joined to the user's
     latest prior-or-equal view — ONE keyed window pass over the tagged
@@ -2934,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": q_event_window_agg,
         "event_sessions": q_event_sessions,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
@@ -3049,6 +3099,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "event_window_agg": _event_window_sql(),
         "event_sessions": _event_sessions_sql(),
         "asof_join": _asof_join_sql(),
+        "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),

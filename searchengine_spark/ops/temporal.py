@@ -53,9 +53,6 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_carry", ignorenulls=True).over(w)
-    out_cols = [F.col(c) for c in left.columns]
-    out_cols.append(matched["ts"].alias(f"{prefix}{ts_col}"))
-    out_cols.extend(matched[c].alias(f"{prefix}{c}") for c in right_cols)
     return (
         l.select(*r.columns, *[c for c in left.columns if c not in r.columns])
         .unionByName(
@@ -97,4 +94,89 @@ SELECT l.*, {rcols}
 FROM ({left_sql}) l
 ASOF LEFT JOIN ({right_sql}) r
   ON l.{on} = r.{on} AND r.{ts_col} {op} l.{ts_col}
+"""
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: every ``points`` row matched to the
+    ``intervals`` rows (same ``keys``) whose half-open [start, end)
+    contains its timestamp.
+
+    Scale shape: the naive formulation is an inequality join — Spark
+    plans BroadcastNestedLoop (quadratic work, driver-sized broadcast).
+    Instead both sides BUCKETIZE on fixed ``bucket``-wide time cells:
+    intervals explode to the cells they cover, points map to their one
+    cell, and the match becomes an EQUI-join on (keys, cell) + a cheap
+    residual range filter — the standard range-join optimization. A point
+    meets an interval in exactly the point's own cell, so no dedup pass
+    is needed. Pick ``bucket`` near the typical interval length: cells
+    per interval ≈ length/bucket (explode factor), points per cell ≈
+    rate·bucket (join fan-in). NTZ timestamps are bucketed as their
+    session-timezone instant (cast before unix_micros). Inner join only — a residual range filter
+    after an outer join silently drops the null-extension rows, so outer
+    flavors need the filter inside the join condition (not offered here).
+    Timestamps must be post-epoch (integer ``div`` truncates toward
+    zero)."""
+    if how != "inner":
+        raise ValueError("range_join supports how='inner' only")
+    bucket_us = _interval_micros(points.sparkSession, bucket)
+    # integer `div`, not float `/`: a double quotient can land just below
+    # an exact multiple and floor into the previous cell
+    p = points.withColumn(
+        "_cell", F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}")
+    )
+    i = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(cast({start_col} as timestamp)) div {bucket_us}"),
+                F.expr(f"(unix_micros(cast({end_col} as timestamp)) - 1) div {bucket_us}"),
+            )
+        ),
+    )
+    cond = [p["_cell"] == i["_cell"]] + [p[k] == i[k] for k in keys]
+    joined = p.join(i, cond, "inner").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    out = joined.drop(p["_cell"]).drop(i["_cell"])
+    for k in keys:
+        out = out.drop(i[k])
+    return out
+
+
+def _interval_micros(spark, interval: str) -> int:
+    row = spark.sql(
+        f"SELECT unix_micros(TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {interval}) AS us"
+    ).collect()[0]
+    return int(row["us"])
+
+
+def range_join_sql(
+    points_sql: str,
+    intervals_sql: str,
+    keys: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> str:
+    """DuckDB twin — the plain inequality join (DuckDB's IEJoin handles
+    it natively at oracle scale)."""
+    on = " AND ".join(
+        [f"p.{k} = i.{k}" for k in keys]
+        + [f"p.{ts_col} >= i.{start_col}", f"p.{ts_col} < i.{end_col}"]
+    )
+    icols = f"i.* EXCLUDE ({', '.join(keys)})" if keys else "i.*"
+    return f"""
+SELECT p.*, {icols}
+FROM ({points_sql}) p
+JOIN ({intervals_sql}) i ON {on}
 """

@@ -218,3 +218,46 @@ def test_asof_join_plan_has_no_inequality_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert "Window" in plan
+
+
+# ------------------------------------------------------------ range join
+def test_range_join_boundaries_and_bucket_spans(spark):
+    """Half-open [start, end): start included, end excluded; an interval
+    spanning many cells matches a point in any of them exactly once; a
+    point outside every interval drops (inner)."""
+    from searchengine_spark.ops.temporal import range_join
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, m // 60, m % 60, s)
+    points = spark.createDataFrame(
+        [(1, 7, t(10)), (2, 7, t(20)), (3, 7, t(55)), (4, 7, t(200)),
+         (5, 8, t(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, t(10), t(20), "a"),    # [10, 20): point 1 in, point 2 OUT
+         (7, t(20), t(90), "b"),    # spans several 10-min cells
+         (8, t(0), t(30), "c")],
+        "user_id long, start timestamp, end timestamp, tag string",
+    )
+    out = range_join(points, intervals, keys=("user_id",),
+                     bucket="10 minutes")
+    got = sorted((r["event_id"], r["tag"]) for r in out.collect())
+    assert got == [(1, "a"), (2, "b"), (3, "b"), (5, "c")]
+
+
+def test_range_join_plan_is_equi_join(spark):
+    from searchengine_spark.ops.temporal import range_join
+    import contextlib
+    import io
+
+    points = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [], "user_id long, start timestamp, end timestamp")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(points, intervals, keys=("user_id",)).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="inner"):
+        range_join(points, intervals, how="left")
