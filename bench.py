@@ -282,6 +282,7 @@ def main() -> None:
         lambda: dedup_ops.line_dedup(dedup_ops.chunk_lines(docs, 12)).count(),
     )
     timed("pack_docs", lambda: packing.pack_docs(docs, 2048).count())
+    _prep_cache: list = []
     timed(
         "prepare_pipeline",
         lambda: prepare_training_data(
@@ -294,8 +295,11 @@ def main() -> None:
             contam_w=5,
             rate=0.5,
             seed=7,
+            cache_handle=_prep_cache,
         ).count(),
     )
+    for c in _prep_cache:  # don't let the cached relation skew later timings
+        c.unpersist()
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)

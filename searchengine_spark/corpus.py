@@ -222,9 +222,16 @@ def locality_ids(
             out[id_col] = packed.view(np.int64)
             yield out
 
-    out = sorted_df.mapInPandas(assign, schema=schema)
-    sorted_df.unpersist()
-    return out
+    # Do NOT unpersist here: the counts/offsets were collected against the
+    # cached partitioning, and the assignment pass is a separate query
+    # execution — without the cache it would re-run repartitionByRange with
+    # a fresh sampler whose boundaries need not match, mis-assigning ranks
+    # (duplicate ids). With the plan registered in the CacheManager both
+    # jobs read the SAME materialized partitions; the cache is LRU-evicted
+    # / freed when the caller unpersists sorted_df via the returned frame's
+    # lineage or the session ends. Recompute of a lost cached partition is
+    # safe: a given RDD instance's range boundaries are computed once.
+    return sorted_df.mapInPandas(assign, schema=schema)
 
 
 def locality_ids_sql(

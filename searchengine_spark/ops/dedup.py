@@ -103,6 +103,23 @@ def line_dedup(
     )
 
 
+def rejoin_lines(
+    kept: DataFrame, sep: str, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_col): surviving (doc_id, line_no, line) rows rejoined
+    per doc in original line order — the shared tail of every line-dedup
+    consumer (``line_dedup_docs``, ``ops.pipeline``)."""
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+
+
 def line_dedup_docs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -113,20 +130,7 @@ def line_dedup_docs(
     corpus-duplicated line removed, remaining lines rejoined in original
     order. A doc whose every line was boilerplate disappears."""
     kept = line_dedup(split_lines(df, id_col, text_col, sep))
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("line_no", "line"))
-                    ),
-                    lambda s: s["line"],
-                ),
-                sep,
-            ).alias("text")
-        )
-    )
+    return rejoin_lines(kept, sep)
 
 
 def chunk_lines(

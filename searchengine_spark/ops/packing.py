@@ -48,14 +48,19 @@ def pack_docs(
         )
         .filter(F.col("n_tok") > 0)
         .withColumn(
+            # pmod: non-negative groups for the negative half of xxhash64
+            # doc-id space (SQL twin mirrors with ((id % n) + n) % n)
             "group_id", F.pmod(F.col("doc_id"), F.lit(n_groups)).cast("long")
         )
         .withColumn("end", F.sum("n_tok").over(w))
         .withColumn("start", F.col("end") - F.col("n_tok"))
     )
     cap = F.lit(max_tokens)
-    first_bin = (F.col("start") / cap).cast("long")
-    last_bin = ((F.col("end") - 1) / cap).cast("long")
+    # integer `div`, not float `/`: past ~2^53 cumulative tokens a double
+    # quotient can floor a doc starting exactly on a bin edge into the
+    # previous bin (same rule as ops/temporal.range_join cells)
+    first_bin = F.expr(f"start div {max_tokens}")
+    last_bin = F.expr(f"(end - 1) div {max_tokens}")
     return (
         sized.select(
             "group_id",
@@ -90,7 +95,7 @@ def pack_docs_sql(
 WITH sized AS (
   SELECT {id_col} AS doc_id,
          len(string_split({text_col}, ' '))::BIGINT AS n_tok,
-         ({id_col} % {n_groups})::BIGINT AS group_id
+         ((({id_col} % {n_groups}) + {n_groups}) % {n_groups})::BIGINT AS group_id
   FROM {table} WHERE len(string_split({text_col}, ' ')) > 0),
 spans AS (
   SELECT group_id, doc_id, n_tok,

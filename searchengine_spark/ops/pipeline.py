@@ -54,13 +54,20 @@ def prepare_training_data(
     seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """→ the cleaned corpus: (id_col, lang_col, text_col) rows that survive
     every enabled stage. Stages toggle off by leaving their arg at None
     (``neardup=False`` for the MinHash pass). ``line_chunk`` derives
     'lines' as fixed-width token chunks (flat-token corpora); ``line_sep``
     splits on a separator (real text). Duplicate-cluster keeper = min
-    doc_id everywhere, matching the component operators."""
+    doc_id everywhere, matching the component operators.
+
+    The multi-pass stages persist an intermediate relation that outlives
+    this call (Spark's CacheManager holds it until unpersisted). Pass
+    ``cache_handle=[]`` to receive the persisted frame and release it with
+    ``.unpersist()`` once the result is materialized — callers timing or
+    chaining many prepares should do so."""
     out = df.select(id_col, lang_col, text_col)
     if langs is not None:
         out = out.filter(F.col(lang_col).isin(*langs))
@@ -76,16 +83,7 @@ def prepare_training_data(
         else:
             lines = D.split_lines(out, id_col, text_col, line_sep)
             sep = line_sep
-        kept = D.line_dedup(lines)
-        rejoined = kept.groupBy("doc_id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda s: s["line"],
-                ),
-                sep,
-            ).alias(text_col)
-        )
+        rejoined = D.rejoin_lines(D.line_dedup(lines), sep, text_col)
         out = rejoined.join(
             out.select(F.col(id_col).alias("doc_id"), lang_col), "doc_id"
         ).select(F.col("doc_id").alias(id_col), lang_col, text_col)
@@ -102,6 +100,8 @@ def prepare_training_data(
         from pyspark import StorageLevel
 
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handle is not None:
+            cache_handle.append(out)
     if neardup:
         dupes = (
             D.dedup_pipeline(

@@ -32,9 +32,9 @@ def asof_join(
     """→ every ``left`` row + ``prefix``-named columns of the latest
     ``right`` row with right.ts <= left.ts (``strict=True``: < left.ts)
     per ``on`` key; nulls where no prior right row exists (left-join
-    semantics). Right-side ties on (key, ts) resolve to the row ordered
-    last — pass a unique column in ``right_cols`` to make the pick
-    auditable."""
+    semantics). Right-side ties on (key, ts) resolve DETERMINISTICALLY to
+    the greatest (ts, *right_cols) payload struct — include a unique
+    column in ``right_cols`` to pin and audit the pick."""
     carry = F.struct(
         F.col(ts_col).alias("ts"), *[F.col(c) for c in right_cols]
     )
@@ -47,9 +47,12 @@ def asof_join(
     # strict: a right row at ts == left.ts must NOT match -> order it after
     # the left row so last() cannot see it
     src_order = F.col("_src") if not strict else -F.col("_src")
+    # trailing _carry: right rows tied on (key, ts) sort by payload struct,
+    # so last() picks the greatest deterministically (left rows carry null,
+    # which sorts first within their group — harmless)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col), src_order)
+        .orderBy(F.col(ts_col), src_order, F.col("_carry"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_carry", ignorenulls=True).over(w)

@@ -261,3 +261,18 @@ def test_range_join_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     with pytest.raises(ValueError, match="inner"):
         range_join(points, intervals, how="left")
+
+
+def test_asof_join_right_tie_is_deterministic(spark):
+    """Two right rows at the identical (key, ts): the pick is the greatest
+    payload struct, stable across runs/partitionings."""
+    from searchengine_spark.ops.temporal import asof_join
+
+    L = "event_id long, user_id long, ts timestamp"
+    R = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 5)
+    left = spark.createDataFrame([(1, 7, dt.datetime(2024, 1, 1, 0, 9))], L)
+    right = spark.createDataFrame([(7, t0, 1.0), (7, t0, 9.0), (7, t0, 4.0)], R)
+    for parts in (1, 3, 7):
+        got = asof_join(left, right.repartition(parts)).collect()
+        assert [(r["event_id"], r["matched_value"]) for r in got] == [(1, 9.0)]

@@ -234,11 +234,13 @@ def test_locality_ids_has_no_partitionless_window(docs):
 def test_prepare_pipeline_has_no_cartesian(spark, docs):
     from searchengine_spark.ops.pipeline import prepare_training_data
 
+    handle: list = []
     out = prepare_training_data(
         docs, min_quality=2.5, line_chunk=12, w=3, tau=0.2,
         bench=docs.filter(F.col("doc_id") % 31 == 0), contam_w=5,
-        rate=0.5, seed=7,
+        rate=0.5, seed=7, cache_handle=handle,
     )
     plan = plan_of(out)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    out.unpersist()
+    for c in handle:
+        c.unpersist()

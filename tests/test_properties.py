@@ -221,7 +221,9 @@ def test_and_kernel_matches_bruteforce(docs, k):
 
 pack_corpus = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=10_000),  # doc_id (dedup below)
+        # negative ids matter: xxhash64 doc ids are negative half the time
+        # and pmod (Spark) vs sign-of-dividend % (naive SQL) diverge there
+        st.integers(min_value=-10_000, max_value=10_000),
         st.integers(min_value=1, max_value=50),      # n_tok
     ),
     min_size=1,
