@@ -108,6 +108,7 @@ def _cmd_build(args) -> None:
         with_positions=args.positions,
         fresh=args.fresh,
         analyzer=args.analyzer,
+        store_source=args.store_source,
     )
     dt = time.perf_counter() - t0
     print(
@@ -191,6 +192,16 @@ def _cmd_search(args) -> None:
                           use_wand=not args.no_wand, exclude=args.exclude,
                           scorer=args.scorer, mu=args.mu,
                           min_should_match=args.min_should_match)
+    if args.fetch and hits:
+        id_col = eng.meta.source_id_col
+        src = {r[id_col]: r.asDict() for r in eng.fetch([d for d, _ in hits]).collect()}
+        out_hits = []
+        for d, s in hits:
+            row = dict(src.get(d) or {})
+            row.update(doc_id=int(d), score=round(float(s), 6))
+            out_hits.append(row)
+    else:
+        out_hits = [{"doc_id": d, "score": round(s, 6)} for d, s in hits]
     dt = time.perf_counter() - t0
     print(
         json.dumps(
@@ -200,8 +211,9 @@ def _cmd_search(args) -> None:
                 "mode": args.mode,
                 "scorer": getattr(args, "scorer", "bm25"),
                 "sec": round(dt, 3),
-                "hits": [{"doc_id": d, "score": round(s, 6)} for d, s in hits],
-            }
+                "hits": out_hits,
+            },
+            default=str,
         )
     )
 
@@ -510,6 +522,9 @@ def main(argv: list[str] | None = None) -> None:
                    "code: split camelCase/acronym/snake_case identifiers; "
                    "stem: suffix-stem the token stream "
                    "(pinned in meta; queries analyze identically)")
+    b.add_argument("--store-source", action="store_true",
+                   help="persist raw corpus rows partitioned by low id bits "
+                        "(enables `search --fetch` point lookups)")
     b.add_argument("--locality-order", default="",
                    help="comma-separated columns; reassign doc ids as dense "
                         "ranks in this order before building (path-ordered "
@@ -547,6 +562,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--sharded", action="store_true",
                    help="--index is a sharded layout (build --shards N); "
                    "scatter-gather under global statistics")
+    s.add_argument("--fetch", action="store_true",
+                   help="attach stored source fields to each hit "
+                        "(needs a --store-source build)")
     s.add_argument("--min-should-match", type=int, default=0,
                    help="OR results must match at least this many distinct "
                         "query terms (ES minimum_should_match)")

@@ -90,6 +90,7 @@ def _shared_index(spark: SparkSession, sf_dir: str, positional: bool = False):
         eng.build_index_from_df(
             _docs(spark, sf_dir), id_col="doc_id", text_col="text",
             range_bits=3, n_buckets=8, with_positions=positional,
+            store_source=True,  # exercised by search_fetch_topk
         )
         _SHARED_INDEX[key] = path
         return eng
@@ -2187,6 +2188,46 @@ def q_line_dedup(spark, sf_dir):
 EVENT_WINDOW_S = 3600
 
 
+FETCH_K = 15
+
+
+def q_search_fetch_topk(spark, sf_dir):
+    """Query-then-fetch over the doc store: WAND top-k, then the stored
+    source rows point-fetched by id from the doc_part-partitioned store
+    (scan pruned to the hit partitions, pytest numFiles-gated) — the full
+    hit payload (id, rank, score, text) hash-checked against a relational
+    BM25 twin joined to the corpus."""
+    eng = _shared_index(spark, sf_dir)
+    raw = eng.search(BM25_QUERY, k=FETCH_K + 25)  # tie buffer past k
+    reranked = sorted(
+        ((d, round(sc, ROUND_DP)) for d, sc in raw),
+        key=lambda t: (-t[1], t[0]),
+    )[:FETCH_K]
+    text = {
+        r["doc_id"]: r["text"]
+        for r in eng.fetch([d for d, _ in reranked]).collect()
+    }
+    rows = [
+        (d, rank, sc, text[d])
+        for rank, (d, sc) in enumerate(reranked, 1)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, rank int, score double, text string"
+    )
+
+
+def _search_fetch_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({_bm25_sql(BM25_QUERY)})
+  ORDER BY score DESC, doc_id ASC LIMIT {FETCH_K})
+SELECT r.doc_id, r.rank::INT AS rank, r.score, d.text
+FROM ranked r JOIN documents d USING (doc_id)
+"""
+
+
 def q_event_window_agg(spark, sf_dir):
     """Tumbling-window event analytics (streaming/analytics.py): 1-hour
     (window, event_type) counts + value sums over the events table — the
@@ -2980,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pack_docs": q_pack_docs,
         "prepare_pipeline": q_prepare_pipeline,
+        "search_fetch_topk": q_search_fetch_topk,
         "event_window_agg": q_event_window_agg,
         "event_sessions": q_event_sessions,
         "asof_join": q_asof_join,
@@ -3096,6 +3138,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "line_dedup": dedup.line_dedup_sql(_CHUNK_LINES_SQL),
         "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
         "prepare_pipeline": _prepare_pipeline_sql(),
+        "search_fetch_topk": _search_fetch_sql(),
         "event_window_agg": _event_window_sql(),
         "event_sessions": _event_sessions_sql(),
         "asof_join": _asof_join_sql(),

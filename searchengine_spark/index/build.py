@@ -107,6 +107,11 @@ class IndexMeta:
     # "code" (identifier splitting — tokenizer.code_split_*). The engine
     # analyzes queries with the SAME analyzer; appends/streaming inherit it
     analyzer: str = "standard"
+    # doc store (ES _source): raw corpus rows persisted under source/
+    # partitioned by doc_range — the query-then-fetch phase reads only the
+    # hit ranges' partitions (engine.fetch)
+    has_source: bool = False
+    source_id_col: str = "doc_id"
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -255,6 +260,7 @@ def build_index(
     with_positions: bool = False,
     fresh: bool = False,
     analyzer: str = "standard",
+    store_source: bool = False,
     _stop_after_waves: int | None = None,
 ) -> IndexMeta:
     """Build (or resume) the index at ``index_dir``. Returns meta.
@@ -266,6 +272,7 @@ def build_index(
     downstream (tf, positions, phrase adjacency) is unchanged."""
     from ..tokenizer import analyze_text_expr
 
+    raw_corpus = corpus  # doc store keeps the PRE-analysis text
     corpus = corpus.withColumn(
         text_col, analyze_text_expr(F.col(text_col), analyzer)
     )
@@ -342,6 +349,34 @@ def build_index(
             {"kind": "staged", "bucket": None, "n_postings": None, "bytes": _dir_bytes(staged_path)},
         )
     meta = IndexMeta.load(index_dir)
+
+    # ---- doc store (optional): raw rows partitioned by low id bits --------
+    # doc_part = pmod(doc_id, 2^range_bits): client-computable (engine.fetch
+    # derives the partitions to prune WITHOUT a Spark job) and uniform for
+    # every id scheme in play — sequential testdata ids, xxhash64 ids, and
+    # locality-packed ids (whose HIGH bits are the range, so low bits stay
+    # uniform). High-bit doc_range would be degenerate for sequential ids.
+    if store_source and ("source", None) not in done:
+        t0 = time.perf_counter()
+        source_path = os.path.join(index_dir, "source")
+        (
+            raw_corpus.withColumn(
+                "doc_part",
+                F.pmod(F.col(id_col), F.lit(1 << meta.range_bits)).cast("int"),
+            )
+            .repartition("doc_part")
+            .write.mode("overwrite")
+            .partitionBy("doc_part")
+            .parquet(source_path)
+        )
+        meta.has_source = True
+        meta.source_id_col = id_col
+        write_meta_atomic(index_dir, meta)
+        _manifest_append(
+            index_dir,
+            {"kind": "source", "bucket": None, "bytes": _dir_bytes(source_path)},
+        )
+        _mark("d_source_store", t0)
 
     staged_df = spark.read.parquet(staged_path)
 

@@ -685,6 +685,43 @@ class SearchEngine:
         rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
+    # -- doc store (query-then-fetch) -----------------------------------------
+    def fetch(self, doc_ids) -> DataFrame:
+        """Point-fetch stored source rows by id (ES GET /_source; the
+        fetch phase of query-then-fetch). Requires a ``store_source=True``
+        build. The scan prunes to the hit ids' doc_part partitions (low id
+        bits — computable WITHOUT touching the store), so a k-row fetch
+        reads at most k partitions' files, not the corpus: the partition
+        layout IS the point-lookup index."""
+        meta = self.meta
+        if not meta.has_source:
+            raise ValueError(
+                "index has no doc store — build with store_source=True"
+            )
+        ids = list(doc_ids)
+        n_parts = 1 << meta.range_bits
+        parts = sorted({d % n_parts for d in ids})  # python % == Spark pmod
+        src = self.spark.read.parquet(os.path.join(self.index_dir, "source"))
+        return src.filter(F.col("doc_part").isin(parts)).filter(
+            F.col(meta.source_id_col).isin(ids)
+        ).drop("doc_part")
+
+    def search_fetch(self, query: str, k: int = 10, **kw) -> list[dict]:
+        """Top-k search + source fetch in one call: ranked hits with their
+        stored fields attached (two jobs — the scored index scan, then the
+        pruned point fetch)."""
+        hits = self.search(query, k=k, **kw)
+        if not hits:
+            return []
+        id_col = self.meta.source_id_col
+        rows = {r[id_col]: r.asDict() for r in self.fetch(d for d, _ in hits).collect()}
+        out = []
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            row = dict(rows.get(doc_id) or {id_col: doc_id})
+            row.update(rank=rank, score=score)
+            out.append(row)
+        return out
+
     def search_phrase(self, phrase: str, k: int = 100,
                       doc_filter=None, global_stats=None) -> list[tuple[int, float]]:
         """Index-native exact-phrase top-k (requires
