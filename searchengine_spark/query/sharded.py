@@ -282,6 +282,39 @@ class ShardedEngine:
         lists = [s.search(query, k=k, global_stats=gs, **kw) for s in self.shards]
         return self._merge(lists, k)
 
+    def fetch(self, doc_ids) -> DataFrame:
+        """Point-fetch stored source rows across shards: ids route to their
+        owning shard with the build's own hash expression, each shard's
+        fetch prunes to its hit partitions, results union. Requires shards
+        built with ``store_source=True``."""
+        from functools import reduce
+
+        routed = self._route_ids(doc_ids)
+        parts = [
+            self.shards[s].fetch(ids) for s, ids in enumerate(routed) if ids
+        ]
+        if not parts:
+            return self.shards[0].fetch([])  # empty frame, store-checked
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def search_fetch(self, query: str, k: int = 10, **kw) -> list[dict]:
+        """Scatter-gather top-k + routed source fetch (the full ES
+        query-then-fetch across shards)."""
+        hits = self.search(query, k=k, **kw)
+        if not hits:
+            return []
+        id_col = self.shards[0].meta.source_id_col
+        rows = {
+            r[id_col]: r.asDict()
+            for r in self.fetch([d for d, _ in hits]).collect()
+        }
+        out = []
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            row = dict(rows.get(doc_id) or {id_col: doc_id})
+            row.update(rank=rank, score=score)
+            out.append(row)
+        return out
+
     def search_phrase(self, phrase: str, k: int = 100, **kw):
         """Scatter-gather exact-phrase top-k (needs shards built with
         ``with_positions=True``): same global-stats gather as ``search`` —

@@ -86,3 +86,22 @@ def test_resume_skips_completed_store(spark, sf_dir, eng):
                             range_bits=3, n_buckets=4, store_source=True)
     after = [m for m in read_manifest(eng.index_dir) if m["kind"] == "source"]
     assert len(before) == len(after) == 1
+
+
+def test_sharded_fetch_routes_and_matches(spark, sf_dir, tmp_path):
+    """Sharded store: search_fetch across 3 shards equals the single-index
+    result (same global-stats ranking) with each id fetched from its
+    OWNING shard."""
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seng = ShardedEngine.build(
+        spark, docs, str(tmp_path / "sharded"), 3, id_col="doc_id",
+        text_col="text", n_buckets=2, range_bits=2, store_source=True,
+    )
+    hits = seng.search_fetch("spark join stream", k=5)
+    assert len(hits) == 5
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for rank, h in enumerate(hits, 1):
+        assert h["rank"] == rank
+        assert h["text"] == want[h["doc_id"]]
