@@ -82,6 +82,7 @@ def _cmd_build(args) -> None:
             n_buckets=args.buckets, range_bits=args.range_bits,
             n_waves=args.waves, with_positions=args.positions,
             fresh=args.fresh, analyzer=args.analyzer,
+            store_source=args.store_source,
         )
         dt = time.perf_counter() - t0
         n = sum(s.meta.n_docs for s in sharded.shards)
@@ -149,13 +150,24 @@ def _cmd_search(args) -> None:
             hits = seng.search(args.query, k=args.k, mode=args.mode,
                                use_wand=not args.no_wand,
                                min_should_match=args.min_should_match)
+        if args.fetch and hits:
+            id_col = seng.shards[0].meta.source_id_col
+            src = {r[id_col]: r.asDict()
+                   for r in seng.fetch([d for d, _ in hits]).collect()}
+            out_hits = []
+            for d, s in hits:
+                row = dict(src.get(d) or {})
+                row.update(doc_id=int(d), score=round(float(s), 6))
+                out_hits.append(row)
+        else:
+            out_hits = [{"doc_id": int(d), "score": round(float(s), 6)}
+                        for d, s in hits]
         dt = time.perf_counter() - t0
         print(json.dumps({
             "query": args.query, "k": args.k, "mode": args.mode,
             "shards": len(seng.shards), "sec": round(dt, 3),
-            "hits": [{"doc_id": int(d), "score": round(float(s), 6)}
-                     for d, s in hits],
-        }))
+            "hits": out_hits,
+        }, default=str))
         return
 
     eng = SearchEngine(spark, args.index)
