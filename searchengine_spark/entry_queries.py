@@ -2349,6 +2349,38 @@ FROM ({inner}) t
 """
 
 
+TREND_N = 3
+
+
+def q_event_trending(spark, sf_dir):
+    """Trending types per hour window: windowed counts + a rank window
+    PARTITIONED by time window (parallel across windows, no global sort;
+    plan shares the event_window_agg agg shape)."""
+    from .streaming.analytics import top_types_per_window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = top_types_per_window(ev, f"{EVENT_WINDOW_S} seconds", TREND_N)
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "rank",
+        "event_type",
+        "n_events",
+    )
+
+
+def _event_trending_sql() -> str:
+    from .streaming.analytics import top_types_per_window_sql
+
+    inner = top_types_per_window_sql("events", EVENT_WINDOW_S, TREND_N)
+    return f"""
+SELECT CAST(window_start AS VARCHAR) AS window_start,
+       CAST(window_end AS VARCHAR) AS window_end,
+       rank, event_type, n_events
+FROM ({inner}) t
+"""
+
+
 SESSION_GAP_S = 1800
 
 
@@ -3024,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fetch_topk": q_search_fetch_topk,
         "event_window_agg": q_event_window_agg,
         "event_sessions": q_event_sessions,
+        "event_trending": q_event_trending,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3141,6 +3174,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "search_fetch_topk": _search_fetch_sql(),
         "event_window_agg": _event_window_sql(),
         "event_sessions": _event_sessions_sql(),
+        "event_trending": _event_trending_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

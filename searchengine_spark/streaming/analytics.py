@@ -186,3 +186,51 @@ SELECT {key_col},
        round(sum({value_col}), {ROUND_DP}) AS sum_value
 FROM i GROUP BY {key_col}, sess
 """
+
+
+def top_types_per_window(
+    df: DataFrame,
+    window: str = "1 hour",
+    n: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trending: the ``n`` most frequent event types per tumbling window
+    (count desc, type asc tie-break) — windowed counts then a rank window
+    PARTITIONED by the time window (parallel across windows; never a
+    global sort)."""
+    from pyspark.sql import Window as W
+
+    counts = windowed_event_counts(df, window, None, ts_col, type_col, value_col)
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("window_start", "window_end", "rank", "event_type", "n_events")
+    )
+
+
+def top_types_per_window_sql(
+    table: str,
+    window_seconds: int,
+    n: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of ``top_types_per_window``."""
+    inner = windowed_event_counts_sql(
+        table, window_seconds, ts_col, type_col, value_col
+    )
+    return f"""
+WITH counts AS ({inner}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM counts)
+SELECT window_start, window_end, rank::INT AS rank, event_type, n_events
+FROM ranked WHERE rank <= {n}
+"""

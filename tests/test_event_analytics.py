@@ -276,3 +276,24 @@ def test_asof_join_right_tie_is_deterministic(spark):
     for parts in (1, 3, 7):
         got = asof_join(left, right.repartition(parts)).collect()
         assert [(r["event_id"], r["matched_value"]) for r in got] == [(1, 9.0)]
+
+
+def test_top_types_per_window(spark):
+    from searchengine_spark.streaming.analytics import top_types_per_window
+
+    got = sorted(
+        (str(r["window_start"]), r["rank"], r["event_type"], r["n_events"])
+        for r in top_types_per_window(
+            spark.createDataFrame(ROWS, SCHEMA), "10 minutes", 2
+        ).collect()
+    )
+    # window [00:00,00:10): click x2, view x1 -> ranks 1,2
+    # window [00:10,00:20): click x1, error x1 -> tie broken type asc
+    assert got == sorted([
+        ("2024-01-01 00:00:00", 1, "click", 2),
+        ("2024-01-01 00:00:00", 2, "view", 1),
+        ("2024-01-01 00:10:00", 1, "click", 1),
+        ("2024-01-01 00:10:00", 2, "error", 1),
+        ("2024-01-01 00:50:00", 1, "view", 1),
+        ("2024-01-01 01:00:00", 1, "view", 1),
+    ])
