@@ -301,6 +301,26 @@ def main() -> None:
     for c in _prep_cache:  # don't let the cached relation skew later timings
         c.unpersist()
 
+    # event-analytics surface: windowed agg + sessionization + as-of join
+    # over the 100k-row events table (one timing for the group)
+    from searchengine_spark.ops.temporal import asof_join
+    from searchengine_spark.streaming.analytics import sessionize, windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus).cache()
+    events.count()
+
+    def event_analytics():
+        windowed_event_counts(events, "1 hour").count()
+        sessionize(events, 1800).count()
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        views = events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value")
+        asof_join(clicks, views).count()
+
+    timed("event_analytics", event_analytics)
+    events.unpersist()
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(

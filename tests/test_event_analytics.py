@@ -297,3 +297,48 @@ def test_top_types_per_window(spark):
         ("2024-01-01 00:50:00", 1, "view", 1),
         ("2024-01-01 01:00:00", 1, "view", 1),
     ])
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window through a real Structured Stream: append mode emits
+    each session exactly once, after the watermark passes its end. A
+    second batch far in the future finalizes every batch-1 session; the
+    emitted set must equal the batch run over batch-1 rows."""
+    from searchengine_spark.streaming.analytics import sessionize
+
+    src = str(tmp_path / "sess_src")
+    rows = [_row(i, m, t, v) for i, m, t, v in
+            [(0, 1, "click", 1.0), (1, 5, "view", 2.0), (2, 40, "click", 3.0),
+             (3, 95, "view", 4.0), (4, 97, "click", 5.0)]]
+    rows = [(i, ts, 0, t, v, p) for i, ts, _, t, v, p in rows]  # one user
+    far_future = [(99, dt.datetime(2024, 1, 1, 5, 0), 0, "view", 0.5, "{}")]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sessionize(stream, 600)
+        .writeStream.format("memory").queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(far_future, SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        q.processAllAvailable()
+        got = sorted(
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(
+            spark.createDataFrame(rows, SCHEMA), 600).collect()
+    )
+    assert got == want  # every batch-1 session finalized exactly once
