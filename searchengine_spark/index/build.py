@@ -365,6 +365,10 @@ def build_index(
                 F.pmod(F.col(id_col), F.lit(1 << meta.range_bits)).cast("int"),
             )
             .repartition("doc_part")
+            # sorted by id within each partition: parquet row-group min/max
+            # stats then let the pushed In(doc_id,...) fetch filter skip
+            # row groups, not just partitions
+            .sortWithinPartitions(id_col)
             .write.mode("overwrite")
             .partitionBy("doc_part")
             .parquet(source_path)
