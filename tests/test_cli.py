@@ -183,3 +183,43 @@ def test_build_with_code_analyzer(tmp_path, capsys, spark):
     assert hits and hits[0]["doc_id"] == 1
     cli.main(["stats", "--index", idx])
     assert json.loads(capsys.readouterr().out)["n_docs"] == 3
+
+
+def test_build_store_source_and_fetch(tmp_path, capsys):
+    idx = str(tmp_path / "fidx")
+    cli.main(["build", "--synthetic", "120", "--index", idx,
+              "--buckets", "2", "--range-bits", "2", "--store-source"])
+    capsys.readouterr()
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3",
+              "--fetch"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["hits"]
+    for h in res["hits"]:
+        assert "content" in h and "repo" in h  # stored source attached
+
+
+def test_build_locality_order(tmp_path, capsys):
+    idx = str(tmp_path / "lidx")
+    cli.main(["build", "--synthetic", "120", "--index", idx,
+              "--buckets", "2", "--range-bits", "2",
+              "--locality-order", "repo,path,commit"])
+    built = json.loads(capsys.readouterr().out)
+    assert built["n_docs"] == 120
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["hits"]
+
+
+def test_prepare_command(tmp_path, capsys, spark):
+    src = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    out = str(tmp_path / "prepared")
+    cli.main(["prepare", "--input", src, "--output", out,
+              "--langs", "en,de,es", "--min-quality", "2.5",
+              "--line-chunk", "12", "--ngram", "3", "--tau", "0.2",
+              "--rates", "en=0.5,de=0.9", "--seed", "7"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["n_in"] == 500 and 0 < res["n_out"] < 500
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "lang", "text"}
+    assert got.count() == res["n_out"]
