@@ -2308,6 +2308,32 @@ FROM ({inner}) t
 """
 
 
+PR_ITER = 4
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank authority over the document-similarity graph (ops/graph):
+    MinHash-band pairs symmetrized into edges, 4 power iterations with
+    per-iteration rounding on BOTH engines (float order can't drift the
+    trajectories) — an iterative algorithm hash-checked against UNROLLED
+    iteration CTEs (standard SQL forbids aggregates in recursive terms)."""
+    from .ops import graph
+
+    pairs = dedup.minhash_band_pairs(_docs(spark, sf_dir))
+    return graph.pagerank(graph.symmetric_edges(pairs), n_iter=PR_ITER)
+
+
+def _pagerank_sql() -> str:
+    from .ops import graph
+
+    psql = dedup.minhash_band_pairs_sql("documents")
+    esql = (
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({psql}) p "
+        f"UNION SELECT doc_b, doc_a FROM ({psql}) q"
+    )
+    return graph.pagerank_sql(esql, n_iter=PR_ITER)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (ops/temporal.py): every click joined to the user's
     latest prior-or-equal view — ONE keyed window pass over the tagged
@@ -3057,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": q_event_window_agg,
         "event_sessions": q_event_sessions,
         "event_trending": q_event_trending,
+        "pagerank": q_pagerank,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3175,6 +3202,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "event_window_agg": _event_window_sql(),
         "event_sessions": _event_sessions_sql(),
         "event_trending": _event_trending_sql(),
+        "pagerank": _pagerank_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

@@ -534,6 +534,41 @@ def band_bucket_stats(
 
 
 # --------------------------------------------------- components + pipeline
+def _checkpointer(spark, checkpoint_dir: str | None):
+    """Per-round lineage truncation for iterative algorithms (components,
+    pagerank): ``localCheckpoint`` by default (fast, executor-local — one
+    lost executor kills a long run), or RELIABLE ``checkpoint`` into
+    ``checkpoint_dir`` (fault-tolerant storage — the 10^12-edge mode)."""
+    if checkpoint_dir is not None:
+        # NOTE: setCheckpointDir is CONTEXT-GLOBAL — only repoint it when it
+        # differs, so an application that already owns a (possibly more
+        # fault-tolerant) checkpoint dir keeps it for its own checkpoints
+        sc = spark.sparkContext
+        current = sc.getCheckpointDir()
+        if current is None or current.rstrip("/") != checkpoint_dir.rstrip("/"):
+            if current is not None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "repointing the context checkpoint dir %s -> %s "
+                    "(setCheckpointDir is global; later df.checkpoint() "
+                    "calls in this application follow it)",
+                    current,
+                    checkpoint_dir,
+                )
+            sc.setCheckpointDir(checkpoint_dir)
+
+        def ck(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ck(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    return ck
+
+
 def dedup_components(
     pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -555,33 +590,7 @@ def dedup_components(
     there, so the run survives executor loss — the required mode at 10^12
     edges. Same output either way (pytest-pinned)."""
     spark = pairs.sparkSession
-    if checkpoint_dir is not None:
-        # NOTE: setCheckpointDir is CONTEXT-GLOBAL — only repoint it when it
-        # differs, so an application that already owns a (possibly more
-        # fault-tolerant) checkpoint dir keeps it for its own checkpoints
-        sc = spark.sparkContext
-        current = sc.getCheckpointDir()
-        if current is None or current.rstrip("/") != checkpoint_dir.rstrip("/"):
-            if current is not None:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "dedup_components repoints the context checkpoint dir "
-                    "%s -> %s (setCheckpointDir is global; later "
-                    "df.checkpoint() calls in this application follow it)",
-                    current,
-                    checkpoint_dir,
-                )
-            sc.setCheckpointDir(checkpoint_dir)
-
-        def ck(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-
-    else:
-
-        def ck(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
-
+    ck = _checkpointer(spark, checkpoint_dir)
     edges = pairs.select("doc_a", "doc_b")
     sym = ck(
         edges.union(

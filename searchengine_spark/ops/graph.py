@@ -1,0 +1,132 @@
+"""Graph centrality for ranking: PageRank over a document/repo graph —
+the canonical authority signal a web-scale search engine blends into
+relevance (here usable as a static boost via ``scoring`` blends, or to
+pick canonical docs among near-duplicate clusters).
+
+Scale shape: one ranks⋈edges join + one hash agg per iteration, ranks
+persisted each round and the previous round unpersisted (bounded
+lineage — the same discipline as ``ops.dedup.dedup_components``).
+Edge lists at 10^12 scale shuffle once per iteration on dst; skew
+follows in-degree (salt hub nodes upstream if one doc dominates).
+
+Determinism across engines: ranks are ROUNDED to ``round_dp`` decimals
+after every iteration on BOTH sides (Spark and the DuckDB twin), so
+float summation order cannot drift the trajectories apart. The twin
+unrolls the K iterations as chained CTEs — standard SQL forbids
+aggregation in a recursive term, and unrolling keeps it engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 9
+FINAL_DP = 6
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_dp: int = ROUND_DP,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """→ (node, rank) after ``n_iter`` power iterations of
+    r(v) = (1-d)/N + d·Σ_{u→v} r(u)/outdeg(u), starting uniform.
+
+    Every node must have at least one out-edge (no dangling mass): feed
+    a SYMMETRIZED edge set (``symmetric_edges``) or handle dangling
+    upstream. Raises if a dangling node is present — silently leaking
+    rank mass would corrupt the scores.
+
+    Each iteration CHECKPOINTS the ranks (lineage truncation — without it
+    the logical plan chains n_iter joins and analysis blows the stack
+    past ~20 rounds). Default ``localCheckpoint`` trades executor-loss
+    durability for speed; pass ``checkpoint_dir`` for reliable
+    checkpoints on long cluster runs (same discipline and caveats as
+    ``ops.dedup.dedup_components``)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    n_dangling = nodes.join(
+        e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).count()
+    if n_dangling:
+        nodes.unpersist()
+        raise ValueError(
+            f"{n_dangling} dangling node(s) — symmetrize the edges or add "
+            "self-loops before pagerank"
+        )
+    from .dedup import _checkpointer
+
+    ckpt = _checkpointer(edges.sparkSession, checkpoint_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = ckpt(e.join(deg, "src"))  # edges+outdeg materialized once
+    base = round((1.0 - damping) / n, round_dp)
+    ranks = ckpt(
+        nodes.select("node", F.round(F.lit(1.0 / n), round_dp).alias("rank"))
+    )
+    for _ in range(n_iter):
+        contrib = ranks.join(e, ranks["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
+        ranks = ckpt(
+            contrib.groupBy("node").agg(
+                F.round(F.lit(base) + damping * F.sum("c"), round_dp).alias("rank")
+            )
+        )
+    nodes.unpersist()
+    return ranks.select("node", F.round("rank", FINAL_DP).alias("rank"))
+
+
+def symmetric_edges(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Undirected pair list → both edge directions (no dangling nodes by
+    construction: every node in the graph has outdeg ≥ 1)."""
+    ab = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    return ab.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct()
+
+
+def pagerank_sql(
+    edges_sql: str,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    round_dp: int = ROUND_DP,
+) -> str:
+    """DuckDB twin: K unrolled iteration CTEs over an (src, dst) edge
+    subquery, per-iteration rounding identical to the Spark side."""
+    ctes = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) t)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1)",
+        f"pr0 AS (SELECT node, round(1.0 / n.n, {round_dp}) AS rank "
+        f"FROM nodes, n)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT e.dst AS node, "
+            f"round(round((1.0 - {damping}) / n.n, {round_dp}) "
+            f"+ {damping} * sum(p.rank / deg.outdeg), {round_dp}) AS rank "
+            f"FROM pr{i - 1} p JOIN e ON e.src = p.node "
+            f"JOIN deg ON deg.src = p.node, n "
+            f"GROUP BY e.dst, n.n)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, {FINAL_DP}) AS rank FROM pr{n_iter}"
+    )
