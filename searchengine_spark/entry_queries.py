@@ -2334,6 +2334,60 @@ def _pagerank_sql() -> str:
     return graph.pagerank_sql(esql, n_iter=PR_ITER)
 
 
+AUTH_W = 0.5
+AUTH_K = 20
+
+
+def q_authority_topk(spark, sf_dir):
+    """Authority-blended retrieval: BM25 relevance × (1 + w·pagerank/max)
+    — the classic text+link-authority web ranking, composed from two
+    already-oracled signals and re-ranked; near-dup cluster members gain
+    authority from their neighbors."""
+    from .ops import graph
+    from .scoring import authority_blend
+
+    docs = _docs(spark, sf_dir)
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )  # round BEFORE blending — the SQL twin's relevance input is rounded
+    pr = graph.pagerank(
+        graph.symmetric_edges(dedup.minhash_band_pairs(docs)), n_iter=PR_ITER
+    )
+    blended = authority_blend(scored, pr, AUTH_W, round_dp=ROUND_DP)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        blended.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AUTH_K)
+        .drop("rn")
+    )
+
+
+def _authority_sql() -> str:
+    from .ops import graph
+
+    psql = dedup.minhash_band_pairs_sql("documents")
+    esql = (
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({psql}) p "
+        f"UNION SELECT doc_b, doc_a FROM ({psql}) q"
+    )
+    prsql = graph.pagerank_sql(esql, n_iter=PR_ITER)
+    return f"""
+WITH pr AS ({prsql}),
+mx AS (SELECT max(rank) AS m FROM pr),
+blended AS (
+  SELECT b.doc_id,
+         round(b.score * (1.0 + {AUTH_W} * coalesce(pr.rank / mx.m, 0.0)),
+               {ROUND_DP}) AS score
+  FROM ({_bm25_sql(BM25_QUERY)}) b
+  LEFT JOIN pr ON pr.node = b.doc_id, mx)
+SELECT doc_id, score FROM blended
+ORDER BY score DESC, doc_id ASC LIMIT {AUTH_K}
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (ops/temporal.py): every click joined to the user's
     latest prior-or-equal view — ONE keyed window pass over the tagged
@@ -3084,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_trending": q_event_trending,
         "pagerank": q_pagerank,
+        "authority_topk": q_authority_topk,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3203,6 +3258,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "event_sessions": _event_sessions_sql(),
         "event_trending": _event_trending_sql(),
         "pagerank": _pagerank_sql(),
+        "authority_topk": _authority_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

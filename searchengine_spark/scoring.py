@@ -599,6 +599,33 @@ def recency_blend(
     return scored.join(age_df, "doc_id").select("doc_id", out.alias("score"))
 
 
+def authority_blend(
+    scored: DataFrame,
+    ranks: DataFrame,
+    weight: float = 0.5,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Static-authority blend (the web-search PageRank signal as a
+    function-score): blended = score · (1 + weight · rank/max_rank), so
+    the most authoritative doc gets up to (1+weight)× its text relevance
+    and authority can reorder only score-close docs. ``ranks`` is
+    (node, rank) from ``ops.graph.pagerank``; docs absent from the graph
+    blend with authority 0 (left join).
+
+    One scalar max agg + a candidate-sized broadcast-friendly join — no
+    shuffle of the scored side beyond the join itself."""
+    max_rank = ranks.agg(F.max("rank")).collect()[0][0] or 1.0
+    r = ranks.select(
+        F.col("node").alias("doc_id"),
+        (F.col("rank") / F.lit(max_rank)).alias("_auth"),
+    )
+    blended = F.col("score") * (
+        1.0 + F.lit(float(weight)) * F.coalesce(F.col("_auth"), F.lit(0.0))
+    )
+    out = F.round(blended, round_dp) if round_dp is not None else blended
+    return scored.join(r, "doc_id", "left").select("doc_id", out.alias("score"))
+
+
 def hit_counts(
     spark: SparkSession,
     tf_df: DataFrame,

@@ -65,3 +65,18 @@ def test_authority_ordering(spark):
     got = {r["node"]: r["rank"] for r in graph.pagerank(edges, n_iter=10).collect()}
     assert got[0] == max(got.values())
     assert got[3] < got[1]  # leaf below the better-connected node
+
+
+def test_authority_blend_reorders_close_scores(spark):
+    from searchengine_spark.scoring import authority_blend
+
+    scored = spark.createDataFrame(
+        [(1, 1.00), (2, 0.99), (3, 5.0)], "doc_id long, score double"
+    )
+    ranks = spark.createDataFrame(
+        [(2, 0.6), (1, 0.1)], "node long, rank double"  # doc 3 not in graph
+    )
+    got = dict(authority_blend(scored, ranks, 0.5, round_dp=6).collect())
+    # doc 2's authority (max) lifts it past doc 1; doc 3 unchanged (no auth)
+    assert got[2] > got[1] and got[3] == 5.0
+    assert got[2] == round(0.99 * 1.5, 6) and got[1] == round(1.0 * (1 + 0.5 / 6), 6)
