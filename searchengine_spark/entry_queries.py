@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import dedup, multimodal, packing, similarity, textstats
+from .ops import dedup, multimodal, packing, similarity, sketch, textstats
 from .postings import dictionary, doc_stats, term_frequencies
 from .scoring import (
     bm25_score,
@@ -2334,6 +2334,17 @@ def _pagerank_sql() -> str:
     return graph.pagerank_sql(esql, n_iter=PR_ITER)
 
 
+CMS_D, CMS_W = 4, 512
+
+
+def q_cms_counters(spark, sf_dir):
+    """Count-Min sketch counters over the corpus token stream (d=4 md5
+    hash rows × 512 columns) — the distributed-sketch TABLE itself
+    hash-checked counter-for-counter (determinism makes the approximate
+    structure exactly testable); merge across corpora = counter sum."""
+    return sketch.cms_build(_docs(spark, sf_dir), CMS_D, CMS_W)
+
+
 AUTH_W = 0.5
 AUTH_K = 20
 
@@ -3139,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trending": q_event_trending,
         "pagerank": q_pagerank,
         "authority_topk": q_authority_topk,
+        "cms_counters": q_cms_counters,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3259,6 +3271,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "event_trending": _event_trending_sql(),
         "pagerank": _pagerank_sql(),
         "authority_topk": _authority_sql(),
+        "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

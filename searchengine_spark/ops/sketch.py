@@ -1,0 +1,105 @@
+"""Distributed sketches for streaming-scale term statistics.
+
+Count-Min Sketch over the corpus term stream: d hash rows × w counters,
+estimate(term) = min over rows of its counter — always ≥ the true count,
+within εN with probability 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉ (Cormode &
+Muthukrishnan 2005). The sketch here is a (row, col, count) TABLE, not a
+driver-side array: at 10^12 tokens the counters build with d hash
+aggregations (map-side combine — the shuffle moves d·w partial rows, not
+the token stream), merge across corpora/epochs by summing counters
+(sketch linearity), and stay queryable with a broadcast-sized join.
+
+Hashes are md5-derived (like ``ops.dedup`` MinHash) so the DuckDB twin
+reproduces every counter bit-for-bit — determinism is what makes an
+APPROXIMATE structure exactly testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_raw_expr
+
+_HEX = 12  # 48 bits of md5 → exact in a signed 64-bit int
+
+
+def _col_expr(term_col, row: int, width: int):
+    h = F.md5(F.concat_ws(":", F.lit(str(row)), term_col))
+    return F.pmod(
+        F.conv(F.substring(h, 1, _HEX), 16, 10).cast("long"), F.lit(width)
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """(row, col, cnt): Count-Min counters over the duplicate-preserving
+    token stream of ``text_col``. d hash aggregations, each map-side
+    combined; output is d·w rows max (broadcast-sized for any practical
+    sketch)."""
+    toks = df.select(
+        F.explode(tokenize_raw_expr(F.col(text_col))).alias("term")
+    )
+    parts = [
+        toks.groupBy(_col_expr(F.col("term"), r, width).alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(r).alias("row"), "col", "cnt")
+        for r in range(depth)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cms_estimate(
+    cms: DataFrame,
+    terms: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(term, est): point estimates for ``terms`` — min over the d rows of
+    each term's counter (missing counter = 0). The terms side is a
+    |terms|·d literal frame; the sketch side is broadcast-sized."""
+    spark = cms.sparkSession
+    probe_rows = []
+    import hashlib
+
+    for t in terms:
+        for r in range(depth):
+            h = hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:_HEX]
+            probe_rows.append((t, r, int(h, 16) % width))
+    probes = spark.createDataFrame(probe_rows, "term string, row int, col long")
+    return (
+        probes.join(cms, ["row", "col"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_build_sql(
+    table: str,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``cms_build`` — same md5 hash family, counter-exact."""
+    from ..tokenizer import STOPWORDS, TOKEN_PATTERN
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = (
+        f"SELECT unnest([t FOR t IN regexp_extract_all(lower({text_col}), "
+        f"'{TOKEN_PATTERN}') IF t NOT IN ({stops})]) AS term FROM {table}"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, "
+        f"CAST(('0x' || substring(md5('{r}:' || term), 1, {_HEX})) AS BIGINT) "
+        f"% {width} AS col, count(*)::BIGINT AS cnt "
+        f"FROM toks GROUP BY 2"
+        for r in range(depth)
+    )
+    return f"WITH toks AS ({toks})\n{rows}"
