@@ -2334,6 +2334,27 @@ def _pagerank_sql() -> str:
     return graph.pagerank_sql(esql, n_iter=PR_ITER)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_HORIZON = 7200
+
+
+def __funnel_sql() -> str:
+    from .streaming.analytics import funnel_sql
+
+    return funnel_sql("events", FUNNEL_STEPS, FUNNEL_HORIZON)
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel conversion view→click→purchase within 2 h of the
+    first view: greedy earliest-qualifying chaining, one keyed equi-join
+    per step — per-step user counts hash-checked vs the chained-CTE
+    frontier twin."""
+    from .streaming.analytics import funnel
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel(ev, FUNNEL_STEPS, FUNNEL_HORIZON)
+
+
 CMS_D, CMS_W = 4, 512
 
 
@@ -3151,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "authority_topk": q_authority_topk,
         "cms_counters": q_cms_counters,
+        "funnel": q_funnel,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3272,6 +3294,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "pagerank": _pagerank_sql(),
         "authority_topk": _authority_sql(),
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),
+        "funnel": __funnel_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

@@ -234,3 +234,87 @@ ranked AS (
 SELECT window_start, window_end, rank::INT AS rank, event_type, n_events
 FROM ranked WHERE rank <= {n}
 """
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    horizon_seconds: int | None = None,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: → (step, step_no, n_users) where a user
+    reaches step i by performing steps[0..i] in order — each step at the
+    EARLIEST qualifying time, strictly after the previous step's time
+    (same-timestamp events don't chain), and, with ``horizon_seconds``,
+    within that horizon of the user's step-0 time (the classic
+    'converted within an hour' cut).
+
+    Scale shape: one keyed equi-join per step (k-1 joins for a k-step
+    funnel), each joining the per-user frontier (ONE row per user) against
+    that step's events — never a cross join; per-user event volume drives
+    skew. Greedy earliest-qualifying chaining is the standard funnel
+    semantics (it maximizes reach under a horizon: any later choice of an
+    earlier step only shrinks the remaining window)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(key_col).alias("k"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    )
+    frontier = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("k")
+        .agg(F.min("ts").alias("ts"))
+    )
+    counts = [(steps[0], 0, frontier.count())]
+    t0 = frontier.select("k", F.col("ts").alias("t0"))
+    for i, step in enumerate(steps[1:], 1):
+        nxt = ev.filter(F.col("t") == step).select(
+            "k", F.col("ts").alias("ts_next")
+        )
+        cand = frontier.join(nxt, "k").filter(F.col("ts_next") > F.col("ts"))
+        if horizon_seconds is not None:
+            cand = cand.join(t0, "k").filter(
+                F.col("ts_next")
+                <= F.col("t0") + F.expr(f"INTERVAL {horizon_seconds} SECOND")
+            )
+        frontier = cand.groupBy("k").agg(F.min("ts_next").alias("ts"))
+        counts.append((step, i, frontier.count()))
+    spark = df.sparkSession
+    return spark.createDataFrame(counts, "step string, step_no int, n_users long")
+
+
+def funnel_sql(
+    table: str,
+    steps: list[str],
+    horizon_seconds: int | None = None,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of ``funnel`` — the same greedy frontier as chained
+    CTEs."""
+    ctes = [
+        f"f0 AS (SELECT {key_col} AS k, min({ts_col}) AS ts FROM {table} "
+        f"WHERE {type_col} = '{steps[0]}' GROUP BY 1)",
+        "t0 AS (SELECT k, ts AS t0 FROM f0)",
+    ]
+    for i, step in enumerate(steps[1:], 1):
+        horizon = (
+            f" AND e.{ts_col} <= t0.t0 + INTERVAL {horizon_seconds} SECOND"
+            if horizon_seconds is not None
+            else ""
+        )
+        ctes.append(
+            f"f{i} AS (SELECT f.k, min(e.{ts_col}) AS ts "
+            f"FROM f{i - 1} f JOIN {table} e ON e.{key_col} = f.k "
+            f"AND e.{type_col} = '{step}' AND e.{ts_col} > f.ts "
+            f"JOIN t0 ON t0.k = f.k{horizon} GROUP BY 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT '{s}' AS step, {i} AS step_no, "
+        f"(SELECT count(*) FROM f{i})::BIGINT AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects

@@ -342,3 +342,53 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
             spark.createDataFrame(rows, SCHEMA), 600).collect()
     )
     assert got == want  # every batch-1 session finalized exactly once
+
+
+# ---------------------------------------------------------------- funnel
+def test_funnel_ordering_and_horizon(spark):
+    from searchengine_spark.streaming.analytics import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, m // 60, m % 60)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), 1, "view", 0.0, "{}"),
+        (2, t(5), 1, "click", 0.0, "{}"),
+        (3, t(9), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE view -> stops after view
+        (4, t(1), 2, "click", 0.0, "{}"),
+        (5, t(2), 2, "view", 0.0, "{}"),
+        # user 3: completes but outside the 10-min horizon
+        (6, t(0), 3, "view", 0.0, "{}"),
+        (7, t(5), 3, "click", 0.0, "{}"),
+        (8, t(30), 3, "purchase", 0.0, "{}"),
+        # user 4: same-timestamp view+click must NOT chain
+        (9, t(0), 4, "view", 0.0, "{}"),
+        (10, t(0), 4, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["view", "click", "purchase"], 600).collect()
+    }
+    # views: users 1,2,3,4; click-after-view within 10m: 1,3; purchase: 1
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+    # no horizon: user 3 purchases too
+    got2 = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got2 == {"view": 4, "click": 2, "purchase": 2}
+
+
+def test_funnel_matches_duckdb_twin(spark):
+    import duckdb
+
+    from searchengine_spark.streaming.analytics import funnel, funnel_sql
+
+    ev = spark.createDataFrame(ROWS, SCHEMA)
+    got = sorted(map(tuple, funnel(ev, ["click", "view"], 3600).collect()))
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    want = sorted(map(tuple, con.execute(
+        funnel_sql("events", ["click", "view"], 3600)).fetchall()))
+    assert got == want
