@@ -2334,6 +2334,25 @@ def _pagerank_sql() -> str:
     return graph.pagerank_sql(esql, n_iter=PR_ITER)
 
 
+RETENTION_PERIOD_S = 86_400
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention matrix over the events table: first-event day =
+    cohort, (cohort, days-since, active-user count) — one min agg + one
+    distinct + one count agg, no raw-stream joins."""
+    from .streaming.analytics import retention_cohorts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return retention_cohorts(ev, RETENTION_PERIOD_S)
+
+
+def _retention_sql() -> str:
+    from .streaming.analytics import retention_cohorts_sql
+
+    return retention_cohorts_sql("events", RETENTION_PERIOD_S)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_HORIZON = 7200
 
@@ -3173,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authority_topk": q_authority_topk,
         "cms_counters": q_cms_counters,
         "funnel": q_funnel,
+        "retention_cohorts": q_retention,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3295,6 +3315,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "authority_topk": _authority_sql(),
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),
         "funnel": __funnel_sql(),
+        "retention_cohorts": _retention_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

@@ -318,3 +318,53 @@ def funnel_sql(
         for i, s in enumerate(steps)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def retention_cohorts(
+    df: DataFrame,
+    period_seconds: int = 86_400,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix: → (cohort, period_no, n_users) where
+    ``cohort`` is the user's first-event period (epoch-floor buckets of
+    ``period_seconds``) and a user counts in ``period_no`` = k if they
+    were active k periods after their cohort period (period 0 = the
+    cohort itself, so its n_users is the cohort size).
+
+    Scale shape: one min-agg for first-seen (map-side combined), one
+    distinct over (user, period) — activity collapses to at most
+    |users|·|periods| rows before the count — then one count agg. No
+    joins against the raw stream beyond the broadcast-sized first-seen
+    side."""
+    p = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / (period_seconds * 1_000_000)
+    ).cast("long")
+    ev = df.select(F.col(key_col).alias("k"), p.alias("p"))
+    first = ev.groupBy("k").agg(F.min("p").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "k")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("period_no"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_cohorts_sql(
+    table: str,
+    period_seconds: int = 86_400,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB twin of ``retention_cohorts``."""
+    p = f"floor(epoch({ts_col}) / {period_seconds})::BIGINT"
+    return f"""
+WITH ev AS (SELECT {key_col} AS k, {p} AS p FROM {table}),
+first AS (SELECT k, min(p) AS cohort FROM ev GROUP BY 1),
+active AS (SELECT DISTINCT k, p FROM ev)
+SELECT f.cohort, (a.p - f.cohort)::BIGINT AS period_no,
+       count(*)::BIGINT AS n_users
+FROM active a JOIN first f USING (k)
+GROUP BY 1, 2
+"""

@@ -392,3 +392,26 @@ def test_funnel_matches_duckdb_twin(spark):
     want = sorted(map(tuple, con.execute(
         funnel_sql("events", ["click", "view"], 3600)).fetchall()))
     assert got == want
+
+
+def test_retention_cohorts(spark):
+    from searchengine_spark.streaming.analytics import retention_cohorts
+
+    day = lambda d, h=0: dt.datetime(2024, 1, 1 + d, h)
+    rows = [
+        (1, day(0), 1, "view", 0.0, "{}"),   # u1 cohort day0
+        (2, day(0, 5), 1, "click", 0.0, "{}"),  # same day: one active row
+        (3, day(2), 1, "view", 0.0, "{}"),   # u1 active day2
+        (4, day(1), 2, "view", 0.0, "{}"),   # u2 cohort day1
+        (5, day(2), 2, "view", 0.0, "{}"),   # u2 active day2
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["cohort"], r["period_no"]): r["n_users"]
+        for r in retention_cohorts(ev, 86_400).collect()
+    }
+    d0 = 19723  # 2024-01-01 epoch-days
+    assert got == {
+        (d0, 0): 1, (d0, 2): 1,        # u1: day0 cohort, back on day2
+        (d0 + 1, 0): 1, (d0 + 1, 1): 1,  # u2: day1 cohort, back day2
+    }
