@@ -2334,6 +2334,25 @@ def _pagerank_sql() -> str:
     return graph.pagerank_sql(esql, n_iter=PR_ITER)
 
 
+def q_definitions(spark, sf_dir):
+    """Definition mining (ops/code.py): function/type definition sites
+    over the code fixture (the sf corpus is prose) — lang-agnostic
+    portable-regex families, hash-checked vs the RE2 twin."""
+    from .ops.code import definitions
+
+    return definitions(_code_fixture_df(spark))
+
+
+def _definitions_sql() -> str:
+    from .ops.code import definitions_sql
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in CODE_FIXTURE)
+    return (
+        f"WITH code_docs(doc_id, text) AS (VALUES {vals})\n"
+        + definitions_sql("code_docs")
+    )
+
+
 RETENTION_PERIOD_S = 86_400
 
 
@@ -3193,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q_cms_counters,
         "funnel": q_funnel,
         "retention_cohorts": q_retention,
+        "code_definitions": q_definitions,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3316,6 +3336,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),
         "funnel": __funnel_sql(),
         "retention_cohorts": _retention_sql(),
+        "code_definitions": _definitions_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

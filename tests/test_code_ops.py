@@ -1,0 +1,48 @@
+"""Definition mining (ops/code.py): three-dialect identity and symbol
+stats."""
+
+from __future__ import annotations
+
+from searchengine_spark.ops import code
+
+CASES = [
+    (1, "def parse(x): pass\nclass Parser: ..."),
+    (2, "func mergeRuns(a, b) { }\nstruct Node { }"),
+    (3, "function handleClick(e) {}\ninterface Shape {}\nenum Color {}"),
+    (4, "fn build_index(c: &Corpus) -> Index {}\ntrait Scorer {}"),
+    (5, "no definitions here, just defected classics and defenders"),
+    (6, "def dup(): ...\ndef dup(): ..."),  # same name twice = two rows
+]
+
+
+def test_three_way_identity(spark):
+    import duckdb
+
+    df = spark.createDataFrame(CASES, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["kind"], r["name"])
+        for r in code.definitions(df).collect()
+    )
+    want_py = sorted(
+        (i, kind, name) for i, t in CASES for kind, name in code.definitions_py(t)
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want_duck = sorted(map(tuple, con.execute(
+        "SELECT doc_id, kind, name FROM (" + code.definitions_sql("t") + ")"
+    ).fetchall()))
+    assert got == want_py == want_duck
+    assert (5, "function", "defected") not in got  # keyword must be whole-word-ish
+    assert got.count((6, "function", "dup")) == 2
+
+
+def test_symbol_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "def f(): ..."), (2, "def f(): ...\ndef f(): ..."), (3, "class f: ...")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["name"], r["kind"]): (r["n_defs"], r["n_files"])
+        for r in code.symbol_stats(code.definitions(df)).collect()
+    }
+    assert got == {("f", "function"): (3, 2), ("f", "type"): (1, 1)}
