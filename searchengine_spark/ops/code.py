@@ -22,9 +22,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _IDENT = "[A-Za-z_][A-Za-z0-9_]*"
+# leading \b: without it the keywords match inside larger tokens —
+# '#ifdef DEBUG' would mint a bogus function 'DEBUG', 'typedef int x'
+# a function 'int'. \b is in the Java∩RE2∩Python subset.
 PATTERNS: tuple[tuple[str, str], ...] = (
-    ("function", rf"(?:def|func|function|fn)\s+({_IDENT})"),
-    ("type", rf"(?:class|struct|interface|trait|enum)\s+({_IDENT})"),
+    ("function", rf"\b(?:def|func|function|fn)\s+({_IDENT})"),
+    ("type", rf"\b(?:class|struct|interface|trait|enum)\s+({_IDENT})"),
 )
 _COMPILED = [(kind, re.compile(pat)) for kind, pat in PATTERNS]
 

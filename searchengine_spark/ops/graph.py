@@ -40,7 +40,9 @@ def pagerank(
     Every node must have at least one out-edge (no dangling mass): feed
     a SYMMETRIZED edge set (``symmetric_edges``) or handle dangling
     upstream. Raises if a dangling node is present — silently leaking
-    rank mass would corrupt the scores.
+    rank mass would corrupt the scores. Nodes with no IN-edges are kept
+    at the base rank (1-d)/N every round (they contribute but receive
+    nothing); an empty edge set returns an empty frame.
 
     Each iteration CHECKPOINTS the ranks (lineage truncation — without it
     the logical plan chains n_iter joins and analysis blows the stack
@@ -58,6 +60,9 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return e.select(F.col("src").alias("node"), F.lit(0.0).alias("rank"))
     n_dangling = nodes.join(
         e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
     ).count()
@@ -81,9 +86,15 @@ def pagerank(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("outdeg")).alias("c"),
         )
+        agg = contrib.groupBy("node").agg(
+            F.round(F.lit(base) + damping * F.sum("c"), round_dp).alias("rank")
+        )
+        # nodes with out-edges but NO in-edges receive no contributions —
+        # they must keep the base rank, not vanish from the result (the
+        # groupBy alone emits only dst nodes)
         ranks = ckpt(
-            contrib.groupBy("node").agg(
-                F.round(F.lit(base) + damping * F.sum("c"), round_dp).alias("rank")
+            nodes.join(agg, "node", "left").select(
+                "node", F.coalesce(F.col("rank"), F.lit(base)).alias("rank")
             )
         )
     nodes.unpersist()
@@ -119,12 +130,17 @@ def pagerank_sql(
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
-            f"pr{i} AS (SELECT e.dst AS node, "
+            f"agg{i} AS (SELECT e.dst AS node, "
             f"round(round((1.0 - {damping}) / n.n, {round_dp}) "
             f"+ {damping} * sum(p.rank / deg.outdeg), {round_dp}) AS rank "
             f"FROM pr{i - 1} p JOIN e ON e.src = p.node "
             f"JOIN deg ON deg.src = p.node, n "
             f"GROUP BY e.dst, n.n)"
+        )
+        ctes.append(
+            f"pr{i} AS (SELECT nodes.node, "
+            f"coalesce(agg{i}.rank, round((1.0 - {damping}) / n.n, {round_dp})) AS rank "
+            f"FROM nodes LEFT JOIN agg{i} ON agg{i}.node = nodes.node, n)"
         )
     return (
         "WITH " + ",\n".join(ctes)

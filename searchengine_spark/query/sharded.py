@@ -110,14 +110,26 @@ class ShardedEngine:
         later (a batch layout pins its partition scheme; the epoch commit
         protocol refuses to mix into it). Rank-identity between the two
         layouts is the streaming suite's core invariant."""
+        if epoch_layout and build_kw.get("store_source"):
+            raise ValueError(
+                "store_source is not supported with epoch_layout=True "
+                "(epoch appends have no doc-store stage)"
+            )
         routed = None
         staging = None
         if single_pass and n_shards > 1:
             staging = os.path.join(base_dir, "_staging")
             fps = max(1, spark.sparkContext.defaultParallelism // n_shards)
             salt = F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(fps))
+            # the doc store persists EVERY source column — stage them all
+            # when store_source rides along (the index itself only needs
+            # id+text, so the lean projection stays the default)
+            stage_cols = (
+                corpus.columns if build_kw.get("store_source")
+                else [id_col, text_col]
+            )
             (
-                corpus.select(id_col, text_col)
+                corpus.select(*stage_cols)
                 .withColumn("_shard", shard_of(F.col(id_col), n_shards))
                 .repartition(n_shards * fps, F.col("_shard"), salt)
                 .write.partitionBy("_shard")

@@ -259,13 +259,20 @@ def funnel(
     earlier step only shrinks the remaining window)."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    from pyspark import StorageLevel
+
+    lvl = StorageLevel.MEMORY_AND_DISK
+    # persist the filtered stream and each round's frontier: every step's
+    # count is an action, and without caching step i would re-execute
+    # joins 1..i (k(k+1)/2 event scans instead of the advertised k-1)
     ev = df.select(
         F.col(key_col).alias("k"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
-    )
+    ).persist(lvl)
     frontier = (
         ev.filter(F.col("t") == steps[0])
         .groupBy("k")
         .agg(F.min("ts").alias("ts"))
+        .persist(lvl)
     )
     counts = [(steps[0], 0, frontier.count())]
     t0 = frontier.select("k", F.col("ts").alias("t0"))
@@ -279,8 +286,12 @@ def funnel(
                 F.col("ts_next")
                 <= F.col("t0") + F.expr(f"INTERVAL {horizon_seconds} SECOND")
             )
-        frontier = cand.groupBy("k").agg(F.min("ts_next").alias("ts"))
+        prev = frontier
+        frontier = cand.groupBy("k").agg(F.min("ts_next").alias("ts")).persist(lvl)
         counts.append((step, i, frontier.count()))
+        prev.unpersist()
+    frontier.unpersist()
+    ev.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(counts, "step string, step_no int, n_users long")
 

@@ -11,6 +11,7 @@ CASES = [
     (3, "function handleClick(e) {}\ninterface Shape {}\nenum Color {}"),
     (4, "fn build_index(c: &Corpus) -> Index {}\ntrait Scorer {}"),
     (5, "no definitions here, just defected classics and defenders"),
+    (7, "#ifdef DEBUG\n#undef MAX\ntypedef int foo;"),
     (6, "def dup(): ...\ndef dup(): ..."),  # same name twice = two rows
 ]
 
@@ -33,6 +34,7 @@ def test_three_way_identity(spark):
     ).fetchall()))
     assert got == want_py == want_duck
     assert (5, "function", "defected") not in got  # keyword must be whole-word-ish
+    assert not [g for g in got if g[0] == 7], got  # ifdef/typedef are NOT defs
     assert got.count((6, "function", "dup")) == 2
 
 

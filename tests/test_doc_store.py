@@ -105,3 +105,34 @@ def test_sharded_fetch_routes_and_matches(spark, sf_dir, tmp_path):
     for rank, h in enumerate(hits, 1):
         assert h["rank"] == rank
         assert h["text"] == want[h["doc_id"]]
+
+
+def test_sharded_single_pass_store_keeps_all_columns(spark, tmp_path):
+    """The single-pass staged build must carry EVERY source column into
+    the per-shard doc stores, not just (id, text)."""
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} alpha beta", f"repo{i % 2}", f"p{i}") for i in range(40)],
+        "doc_id long, text string, repo string, path string",
+    )
+    seng = ShardedEngine.build(
+        spark, docs, str(tmp_path / "sp"), 2, id_col="doc_id",
+        text_col="text", n_buckets=2, range_bits=1, store_source=True,
+        single_pass=True,
+    )
+    row = seng.fetch([0]).collect()[0]
+    assert row["repo"] == "repo0" and row["path"] == "p0"
+
+
+def test_epoch_layout_store_source_rejected(spark, tmp_path):
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="store_source"):
+        ShardedEngine.build(
+            spark, docs, str(tmp_path / "ep"), 2, epoch_layout=True,
+            store_source=True, n_buckets=2, range_bits=1,
+        )

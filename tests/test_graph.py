@@ -80,3 +80,24 @@ def test_authority_blend_reorders_close_scores(spark):
     # doc 2's authority (max) lifts it past doc 1; doc 3 unchanged (no auth)
     assert got[2] > got[1] and got[3] == 5.0
     assert got[2] == round(0.99 * 1.5, 6) and got[1] == round(1.0 * (1 + 0.5 / 6), 6)
+
+
+def test_source_only_node_keeps_base_rank(spark):
+    """A node with out-edges but no in-edges must stay in the output at
+    the base rank (1-d)/N, in BOTH engines, with mass conserved."""
+    import duckdb
+
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in graph.pagerank(edges, n_iter=8).collect()}
+    assert 3 in got and got[3] == 0.05  # (1-0.85)/3, rounded
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    esql = "SELECT 3 src, 1 dst UNION ALL SELECT 1, 2 UNION ALL SELECT 2, 1"
+    want = dict(duckdb.sql(graph.pagerank_sql(esql, n_iter=8)).fetchall())
+    assert got == want
+
+
+def test_empty_edges_returns_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(edges, n_iter=3).collect() == []
