@@ -2334,6 +2334,34 @@ def _pagerank_sql() -> str:
     return graph.pagerank_sql(esql, n_iter=PR_ITER)
 
 
+IMPORT_FIXTURE = [
+    (1, "import os.path and from collections import deque"),
+    (2, "#include <stdio.h> plus #include \"local/util.h\""),
+    (3, "const x = require(''lodash/fp''); import React from react"),
+    (4, "no imports; the important word importance unimportable"),
+]
+
+
+def q_code_imports(spark, sf_dir):
+    """Import/include/require mining (ops/code.py): the raw dependency-
+    graph edges of a code corpus, portable-regex families hash-checked
+    vs the RE2 twin over a literal fixture."""
+    from .ops.code import imports
+
+    rows = [(i, t.replace("''", "'")) for i, t in IMPORT_FIXTURE]
+    return imports(spark.createDataFrame(rows, "doc_id long, text string"))
+
+
+def _code_imports_sql() -> str:
+    from .ops.code import imports_sql
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in IMPORT_FIXTURE)
+    return (
+        f"WITH imp_docs(doc_id, text) AS (VALUES {vals})\n"
+        + imports_sql("imp_docs")
+    )
+
+
 def q_definitions(spark, sf_dir):
     """Definition mining (ops/code.py): function/type definition sites
     over the code fixture (the sf corpus is prose) — lang-agnostic
@@ -3213,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention_cohorts": q_retention,
         "code_definitions": q_definitions,
+        "code_imports": q_code_imports,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3337,6 +3366,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "funnel": __funnel_sql(),
         "retention_cohorts": _retention_sql(),
         "code_definitions": _definitions_sql(),
+        "code_imports": _code_imports_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

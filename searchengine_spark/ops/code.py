@@ -83,3 +83,58 @@ def symbol_stats(defs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_defs"),
         F.countDistinct("doc_id").alias("n_files"),
     )
+
+
+# --------------------------------------------------------------- imports
+# same portable-regex discipline; quote characters are doubled when the
+# pattern is embedded in the SQL twin
+IMPORT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("import", r"\bimport\s+([A-Za-z_][A-Za-z0-9_.]*)"),
+    ("from", r"\bfrom\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import\b"),
+    ("include", r"#include\s*[<\"]([A-Za-z0-9_./]+)[>\"]"),
+    ("require", r"\brequire\('([A-Za-z0-9_./@-]+)'\)"),
+)
+_IMPORT_COMPILED = [(k, re.compile(p)) for k, p in IMPORT_PATTERNS]
+
+
+def imports(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, kind, module): every import/include/require site — the
+    raw edges of the dependency graph (resolve module→defining repo
+    downstream and feed ``ops.graph.pagerank`` for authority-ranked code
+    search)."""
+    parts = [
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(kind).alias("kind"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+            ).alias("module"),
+        )
+        for kind, pat in IMPORT_PATTERNS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def imports_py(text: str) -> list[tuple[str, str]]:
+    out = []
+    for kind, rx in _IMPORT_COMPILED:
+        out.extend((kind, m.group(1)) for m in rx.finditer(text))
+    return out
+
+
+def imports_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``imports``."""
+    return " UNION ALL ".join(
+        f"SELECT {id_col} AS doc_id, '{kind}' AS kind, "
+        f"unnest(regexp_extract_all({text_col}, "
+        f"'{pat.replace(chr(39), chr(39) * 2)}', 1)) AS module "
+        f"FROM {table}"
+        for kind, pat in IMPORT_PATTERNS
+    )

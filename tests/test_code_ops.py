@@ -48,3 +48,37 @@ def test_symbol_stats(spark):
         for r in code.symbol_stats(code.definitions(df)).collect()
     }
     assert got == {("f", "function"): (3, 2), ("f", "type"): (1, 1)}
+
+
+IMPORT_CASES = [
+    (1, "import os.path\nfrom collections import deque"),
+    (2, '#include <stdio.h>\n#include "local/util.h"'),
+    (3, "const x = require('lodash/fp'); import React from 'react'"),
+    (4, "no imports; the important word importance unimportable"),
+]
+
+
+def test_imports_three_way_identity(spark):
+    import duckdb
+
+    df = spark.createDataFrame(IMPORT_CASES, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["kind"], r["module"])
+        for r in code.imports(df).collect()
+    )
+    want_py = sorted(
+        (i, k, m) for i, t in IMPORT_CASES for k, m in code.imports_py(t)
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want_duck = sorted(map(tuple, con.execute(
+        "SELECT doc_id, kind, module FROM (" + code.imports_sql("t") + ")"
+    ).fetchall()))
+    assert got == want_py == want_duck
+    by_doc = {}
+    for d, k, m in got:
+        by_doc.setdefault(d, []).append((k, m))
+    assert ("import", "os.path") in by_doc[1] and ("from", "collections") in by_doc[1]
+    assert ("include", "stdio.h") in by_doc[2] and ("include", "local/util.h") in by_doc[2]
+    assert ("require", "lodash/fp") in by_doc[3] and ("import", "React") in by_doc[3]
+    assert 4 not in by_doc  # 'important'/'importance' must not match
