@@ -103,3 +103,44 @@ def cms_build_sql(
         for r in range(depth)
     )
     return f"WITH toks AS ({toks})\n{rows}"
+
+
+def stream_cms(
+    spark,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+    schema: str = "doc_id long, text string",
+):
+    """Streaming sketch maintenance: each micro-batch's counters land in
+    ``sketch_dir/epoch=<id>/`` (OVERWRITE per epoch — a replayed batch
+    after crash rewrites the same directory, so the fold stays exact),
+    and ``read_cms`` folds the epochs by counter addition (linearity).
+    History is never re-scanned. Returns the StreamingQuery."""
+
+    def fold(batch_df, epoch_id: int) -> None:
+        (
+            cms_build(batch_df, depth, width, text_col)
+            .write.mode("overwrite")
+            .parquet(f"{sketch_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_cms(spark, sketch_dir: str) -> DataFrame:
+    """(row, col, cnt): the folded sketch across every stream epoch."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -80,3 +80,28 @@ def test_duckdb_twin_counter_exact(spark, docs):
     want = sorted(map(tuple, con.execute(
         sketch.cms_build_sql("t", 4, 128)).fetchall()))
     assert got == want
+
+
+def test_stream_cms_folds_to_batch_sketch(spark, tmp_path):
+    """Two micro-batches of streamed docs → folded sketch == one batch
+    sketch over the union (linearity through the streaming path)."""
+    from searchengine_spark.ops.sketch import cms_build, read_cms, stream_cms
+
+    src = str(tmp_path / "src")
+    a = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
+    b = spark.createDataFrame(DOCS[1:], "doc_id long, text string")
+    a.coalesce(1).write.mode("append").parquet(src)
+    q = stream_cms(spark, src, str(tmp_path / "sk"), str(tmp_path / "ck"),
+                   depth=3, width=64)
+    try:
+        q.processAllAvailable()
+        b.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = sorted(
+        map(tuple, read_cms(spark, str(tmp_path / "sk")).collect())
+    )
+    both = spark.createDataFrame(DOCS, "doc_id long, text string")
+    want = sorted(map(tuple, cms_build(both, 3, 64).collect()))
+    assert folded == want
