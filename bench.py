@@ -301,6 +301,17 @@ def main() -> None:
     for c in _prep_cache:  # don't let the cached relation skew later timings
         c.unpersist()
 
+    # authority graph: banding pairs -> symmetrized edges -> 4 checkpointed
+    # power iterations (the iterative-algorithm path)
+    from searchengine_spark.ops import graph
+
+    timed(
+        "pagerank",
+        lambda: graph.pagerank(
+            graph.symmetric_edges(dedup.minhash_band_pairs(docs)), n_iter=4
+        ).count(),
+    )
+
     # event-analytics surface: windowed agg + sessionization + as-of join
     # over the 100k-row events table (one timing for the group)
     from searchengine_spark.ops.temporal import asof_join
