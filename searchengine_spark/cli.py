@@ -432,9 +432,14 @@ def _cmd_prepare(args) -> None:
 
 def _cmd_suggest(args) -> None:
     spark = _spark(args)
-    from .query.engine import SearchEngine
+    if args.sharded:
+        from .query.sharded import ShardedEngine
 
-    eng = SearchEngine(spark, args.index)
+        eng = ShardedEngine.open(spark, args.index)
+    else:
+        from .query.engine import SearchEngine
+
+        eng = SearchEngine(spark, args.index)
     print(
         json.dumps(
             {
@@ -685,6 +690,8 @@ def main(argv: list[str] | None = None) -> None:
     sg.add_argument("--index", required=True)
     sg.add_argument("--prefix", required=True)
     sg.add_argument("-n", type=int, default=10)
+    sg.add_argument("--sharded", action="store_true",
+                    help="scatter-gather suggest under global df")
     sg.set_defaults(fn=_cmd_suggest)
 
     e = sub.add_parser("eval", help="run a query file against qrels → MAP/P@k/recall")

@@ -327,6 +327,21 @@ class ShardedEngine:
             out.append(row)
         return out
 
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete under GLOBAL df: each shard contributes its
+        prefix-matching dictionary rows (a few dozen terms), dfs sum
+        across shards, top-n by (global df desc, term asc) — identical to
+        a single-index suggest over the union corpus. Per shard the cost
+        is one StartsWith-pushed scan of the broadcast-small dictionary;
+        each shard over-fetches n·shards candidates so a term ranked
+        n-th globally can't be missed by being (n+1)-th everywhere."""
+        per = {}
+        fetch = n * max(1, len(self.shards))
+        for eng in self.shards:
+            for term, df in eng.suggest(prefix, fetch):
+                per[term] = per.get(term, 0) + df
+        return sorted(per.items(), key=lambda t: (-t[1], t[0]))[:n]
+
     def search_phrase(self, phrase: str, k: int = 100, **kw):
         """Scatter-gather exact-phrase top-k (needs shards built with
         ``with_positions=True``): same global-stats gather as ``search`` —

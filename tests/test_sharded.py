@@ -262,3 +262,20 @@ def test_single_pass_build_identical_to_naive(spark, corpus, tmp_path_factory):
     ]
     for q in QUERIES:
         _assert_hits_equal(sp.search(q, k=20), nv.search(q, k=20))
+
+
+def test_sharded_suggest_matches_single_index(spark, tmp_path):
+    """Autocomplete across shards must equal a single-index suggest over
+    the union corpus (dfs sum across shards)."""
+    from searchengine_spark.query.engine import SearchEngine
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    single = SearchEngine(spark, str(tmp_path / "one"))
+    single.build_index_from_df(docs, id_col="doc_id", text_col="text",
+                               n_buckets=2, range_bits=2)
+    seng = ShardedEngine.build(spark, docs, str(tmp_path / "many"), 3,
+                               id_col="doc_id", text_col="text",
+                               n_buckets=2, range_bits=2)
+    for prefix, n in (("s", 5), ("sp", 3), ("zz", 5)):
+        assert seng.suggest(prefix, n) == single.suggest(prefix, n)
