@@ -1,0 +1,229 @@
+"""Nested boolean query trees (Elasticsearch `bool` DSL): arbitrary
+nesting of must / should / must_not / filter with minimum_should_match,
+evaluated RELATIONALLY — every node compiles to joins/unions over
+per-clause (doc_id, score) frames, so the whole tree is ONE Spark job
+however deep it nests.
+
+Semantics (ES contract):
+  * a doc matches a node iff it matches every `must` and `filter`
+    clause, at least `minimum_should_match` `should` clauses (default 1
+    when the node has no must/filter, else 0), and no `must_not` clause;
+  * node score = Σ must scores + Σ scores of the should clauses the doc
+    matches; `filter` and `must_not` contribute 0 (filter context).
+
+Leaves: {"term": t} (BM25-scored), {"range": {"field": f, "gte": lo,
+"lte": hi}} (filter-context, scores 0). Nested {"must":..., ...} dicts
+recurse.
+
+Determinism across engines: every node's score is ROUNDED to round_dp
+before its parent combines it, and sibling must-scores add in clause
+order on both sides — the same discipline as ops/graph. Should-sums go
+through the engine's sum aggregate like every other oracle entry.
+
+Join strategy at 100 TB: each term leaf filters the postings by a
+broadcast single-term slice before any stats join; must-combines are
+equi-joins on doc_id between already-candidate-sized frames; must_not
+is an anti join; nothing ever scans more than the union of the leaves'
+candidate sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .scoring import BM25_B, BM25_K1, bm25_score
+
+ROUND_DP = 5
+
+
+@dataclass
+class BoolContext:
+    """Everything a leaf needs: the corpus relations + stats."""
+
+    spark: SparkSession
+    tf: DataFrame
+    stats: DataFrame
+    dct: DataFrame
+    n_docs: int
+    avgdl: float
+    metadata: DataFrame | None = None  # (doc_id, fields...) for range leaves
+
+
+def _is_leaf(node: dict) -> bool:
+    return "term" in node or "range" in node
+
+
+def bool_score(ctx: BoolContext, node: dict, round_dp: int = ROUND_DP) -> DataFrame:
+    """→ (doc_id, score) for every doc matching the tree."""
+    if _is_leaf(node):
+        return _leaf(ctx, node, round_dp)
+    must = [bool_score(ctx, c, round_dp) for c in node.get("must", [])]
+    filt = [_match_only(ctx, c, round_dp) for c in node.get("filter", [])]
+    should = [bool_score(ctx, c, round_dp) for c in node.get("should", [])]
+    must_not = [_match_only(ctx, c, round_dp) for c in node.get("must_not", [])]
+    if not (must or filt or should):
+        raise ValueError("bool node needs at least one scoring/filter clause")
+    msm = node.get(
+        "minimum_should_match", 0 if (must or filt) else 1
+    )
+    base = None
+    if must:
+        base = must[0].select("doc_id", F.col("score").alias("s0"))
+        for i, m in enumerate(must[1:], 1):
+            base = base.join(
+                m.select("doc_id", F.col("score").alias(f"s{i}")), "doc_id"
+            )
+        total = reduce(
+            lambda acc, i: acc + F.col(f"s{i}"), range(1, len(must)), F.col("s0")
+        )
+        base = base.select("doc_id", total.alias("score"))
+    for f_df in filt:
+        base = (
+            base.join(f_df.select("doc_id"), "doc_id", "left_semi")
+            if base is not None
+            else f_df.select("doc_id", F.lit(0.0).alias("score"))
+        )
+    if should:
+        u = should[0].select("doc_id", "score")
+        for sdf in should[1:]:
+            u = u.unionByName(sdf.select("doc_id", "score"))
+        sg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("s_sum"), F.count(F.lit(1)).alias("s_cnt")
+        )
+        if base is None:
+            out = sg.filter(F.col("s_cnt") >= max(msm, 1)).select(
+                "doc_id", F.col("s_sum").alias("score")
+            )
+        else:
+            joined = base.join(sg, "doc_id", "left")
+            if msm > 0:
+                joined = joined.filter(F.coalesce("s_cnt", F.lit(0)) >= msm)
+            out = joined.select(
+                "doc_id",
+                (F.col("score") + F.coalesce("s_sum", F.lit(0.0))).alias("score"),
+            )
+    else:
+        out = base
+    for mn in must_not:
+        out = out.join(mn.select("doc_id"), "doc_id", "left_anti")
+    return out.select("doc_id", F.round("score", round_dp).alias("score"))
+
+
+def _match_only(ctx: BoolContext, node: dict, round_dp: int) -> DataFrame:
+    """Filter context: the match SET of a clause (score discarded)."""
+    if "range" in node:
+        r = node["range"]
+        if ctx.metadata is None:
+            raise ValueError("range leaf needs ctx.metadata")
+        cond = F.lit(True)
+        if "gte" in r:
+            cond = cond & (F.col(r["field"]) >= r["gte"])
+        if "lte" in r:
+            cond = cond & (F.col(r["field"]) <= r["lte"])
+        return ctx.metadata.filter(cond).select("doc_id", F.lit(0.0).alias("score"))
+    return bool_score(ctx, node, round_dp)
+
+
+def _leaf(ctx: BoolContext, node: dict, round_dp: int) -> DataFrame:
+    if "range" in node:
+        return _match_only(ctx, node, round_dp)
+    scored = bm25_score(
+        ctx.spark, ctx.tf, ctx.stats, ctx.dct, node["term"],
+        ctx.n_docs, ctx.avgdl, BM25_K1, BM25_B,
+    )
+    return scored.select("doc_id", F.round("score", round_dp).alias("score"))
+
+
+# ------------------------------------------------------------- SQL builder
+def bool_score_sql(
+    node: dict,
+    tf_sql: str,
+    meta_table: str = "documents",
+    round_dp: int = ROUND_DP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of ``bool_score`` over a (doc_id, term[, tf]) tf
+    subquery — the node combination logic mirrored branch for branch."""
+    ctes = (
+        f"WITH tf AS ({tf_sql}),\n"
+        "stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),\n"
+        "corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),\n"
+        "dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)\n"
+    )
+    return ctes + _node_sql(node, meta_table, round_dp, k1, b)
+
+
+def _node_sql(node, meta_table, dp, k1, b) -> str:
+    if "term" in node:
+        t = node["term"]
+        return f"""
+SELECT tf.doc_id,
+       round(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * ({k1} + 1.0))
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl)), {dp}) AS score
+FROM tf JOIN dict d USING (term) JOIN stats s ON s.doc_id = tf.doc_id
+CROSS JOIN corpus c
+WHERE tf.term = '{t}'"""
+    if "range" in node:
+        r = node["range"]
+        conds = ["TRUE"]
+        if "gte" in r:
+            conds.append(f"{r['field']} >= {r['gte']!r}")
+        if "lte" in r:
+            conds.append(f"{r['field']} <= {r['lte']!r}")
+        return (
+            f"\nSELECT doc_id, 0.0 AS score FROM {meta_table} "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    must = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("must", [])]
+    filt = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("filter", [])]
+    should = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("should", [])]
+    must_not = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("must_not", [])]
+    msm = node.get("minimum_should_match", 0 if (must or filt) else 1)
+    if must:
+        froms = f"({must[0]}) m0"
+        total = "m0.score"
+        for i, m in enumerate(must[1:], 1):
+            froms += f" JOIN ({m}) m{i} USING (doc_id)"
+            total += f" + m{i}.score"
+        base = f"SELECT doc_id, {total} AS score FROM {froms}"
+    else:
+        base = None
+    for i, f_sql in enumerate(filt):
+        if base is None:
+            base = f"SELECT doc_id, 0.0 AS score FROM ({f_sql}) f{i}"
+        else:
+            base = (
+                f"SELECT b.* FROM ({base}) b WHERE b.doc_id IN "
+                f"(SELECT doc_id FROM ({f_sql}) f{i})"
+            )
+    if should:
+        u = " UNION ALL ".join(f"SELECT * FROM ({s}) u{i}" for i, s in enumerate(should))
+        sg = (
+            f"SELECT doc_id, sum(score) AS s_sum, count(*) AS s_cnt "
+            f"FROM ({u}) GROUP BY 1"
+        )
+        if base is None:
+            out = (
+                f"SELECT doc_id, s_sum AS score FROM ({sg}) sg "
+                f"WHERE s_cnt >= {max(msm, 1)}"
+            )
+        else:
+            cond = f" WHERE coalesce(sg.s_cnt, 0) >= {msm}" if msm > 0 else ""
+            out = (
+                f"SELECT b.doc_id, b.score + coalesce(sg.s_sum, 0.0) AS score "
+                f"FROM ({base}) b LEFT JOIN ({sg}) sg USING (doc_id){cond}"
+            )
+    else:
+        out = base
+    for i, mn in enumerate(must_not):
+        out = (
+            f"SELECT o.* FROM ({out}) o WHERE o.doc_id NOT IN "
+            f"(SELECT doc_id FROM ({mn}) n{i})"
+        )
+    return f"\nSELECT doc_id, round(score, {dp}) AS score FROM ({out}) z"

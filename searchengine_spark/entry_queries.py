@@ -2311,6 +2311,37 @@ FROM ({inner}) t
 PR_ITER = 4
 
 
+BOOL_TREE = {
+    "must": [
+        {"term": "spark"},
+        {"should": [{"term": "join"}, {"term": "stream"}],
+         "minimum_should_match": 1},
+    ],
+    "should": [{"term": "window"}, {"term": "merge"}],
+    "must_not": [{"term": "error"}],
+    "filter": [{"range": {"field": "n_chars", "gte": 100, "lte": 3000}}],
+}
+
+
+def q_bool_query(spark, sf_dir):
+    """Nested boolean DSL (ES `bool` query, boolquery.py): must + nested
+    should(msm) + top-level should + must_not + range filter in one tree,
+    compiled to one relational job — node-for-node mirrored in the SQL
+    twin (scores rounded per node on both engines)."""
+    from .boolquery import BoolContext, bool_score
+
+    docs = _docs(spark, sf_dir)
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    ctx = BoolContext(spark, tf, stats, dct, n, avgdl, metadata=docs)
+    return bool_score(ctx, BOOL_TREE)
+
+
+def _bool_query_sql() -> str:
+    from .boolquery import bool_score_sql
+
+    return bool_score_sql(BOOL_TREE, _TF_SQL)
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank authority over the document-similarity graph (ops/graph):
     MinHash-band pairs symmetrized into edges, 4 power iterations with
@@ -3235,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": q_event_window_agg,
         "event_sessions": q_event_sessions,
         "event_trending": q_event_trending,
+        "bool_query": q_bool_query,
         "pagerank": q_pagerank,
         "authority_topk": q_authority_topk,
         "cms_counters": q_cms_counters,
@@ -3360,6 +3392,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "event_window_agg": _event_window_sql(),
         "event_sessions": _event_sessions_sql(),
         "event_trending": _event_trending_sql(),
+        "bool_query": _bool_query_sql(),
         "pagerank": _pagerank_sql(),
         "authority_topk": _authority_sql(),
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),
