@@ -775,3 +775,55 @@ WHERE list_dot_product(qvec, qvec) > 0
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def mmr_rerank(
+    hits: list[tuple[int, float]],
+    emb_df: DataFrame,
+    lam: float = 0.7,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[tuple[int, float]]:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) over a candidate list: greedily pick
+    argmax λ·rel_norm(d) − (1−λ)·max_{s∈selected} cos(d, s),
+    ties broken by doc id. Returns [(doc_id, mmr_score)] of length ≤ k.
+
+    Scale shape: this is a RERANK stage — the candidate list is already
+    top-|hits| (≤ a few hundred), so the |hits| embeddings collect to the
+    driver via one pruned point read and the greedy quadratic loop runs
+    on ≤ |hits|² tiny dot products. Never feed it an unbounded frame."""
+    import numpy as np
+
+    if not hits:
+        return []
+    ids = [d for d, _ in hits]
+    rows = (
+        emb_df.filter(F.col(id_col).isin(ids))
+        .select(id_col, emb_col)
+        .collect()
+    )
+    embs = {}
+    for r in rows:
+        v = np.asarray(r[emb_col], dtype=np.float64)
+        n = np.linalg.norm(v)
+        embs[r[id_col]] = v / n if n else v
+    rel = {d: s for d, s in hits}
+    max_rel = max(rel.values()) or 1.0
+    cand = [d for d in ids if d in embs]
+    selected: list[tuple[int, float]] = []
+    while cand and len(selected) < k:
+        best = None
+        for d in cand:
+            sim = max(
+                (float(embs[d] @ embs[s]) for s, _ in selected), default=0.0
+            )
+            score = lam * (rel[d] / max_rel) - (1.0 - lam) * sim
+            key = (score, -d)
+            if best is None or key > best[0]:
+                best = (key, d, score)
+        _, d, score = best
+        selected.append((d, round(score, 6)))
+        cand.remove(d)
+    return selected

@@ -144,3 +144,24 @@ def test_neardup_requires_candidates_or_optin(spark):
     assert all(fp[p] == c for p, c in lp.items())
     # these two near-identical vectors share every hyperplane side → found
     assert (1, 2) in lp
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR must demote a near-duplicate of an already-selected hit below
+    a less relevant but novel one; λ=1 reduces to pure relevance order."""
+    from searchengine_spark.ops.similarity import mmr_rerank
+
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),      # novel
+            (4, [0.0, 0.0, 1.0]),      # novel
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    hits = [(1, 10.0), (2, 9.9), (3, 5.0), (4, 4.0)]
+    out = mmr_rerank(hits, embs, lam=0.5, k=3)
+    assert [d for d, _ in out] == [1, 3, 4]  # 2 demoted: too similar to 1
+    pure = mmr_rerank(hits, embs, lam=1.0, k=4)
+    assert [d for d, _ in pure] == [1, 2, 3, 4]
