@@ -108,3 +108,74 @@ def test_nested_tree_matches_duckdb(spark, ctx):
 def test_empty_node_raises(ctx):
     with pytest.raises(ValueError, match="clause"):
         bool_score(ctx, {"must_not": [{"term": "apple"}]})
+
+
+# ------------------------------------------------- property: membership
+def _matches(node, doc_terms: set, n_chars: int) -> bool:
+    """Brute-force membership twin of bool_score (ignores scores)."""
+    if "term" in node:
+        return node["term"] in doc_terms
+    if "range" in node:
+        r = node["range"]
+        return (r.get("gte", -10**9) <= n_chars) and (n_chars <= r.get("lte", 10**9))
+    must = node.get("must", [])
+    filt = node.get("filter", [])
+    should = node.get("should", [])
+    must_not = node.get("must_not", [])
+    if any(not _matches(c, doc_terms, n_chars) for c in must + filt):
+        return False
+    if any(_matches(c, doc_terms, n_chars) for c in must_not):
+        return False
+    msm = node.get("minimum_should_match", 0 if (must or filt) else 1)
+    n_should = sum(_matches(c, doc_terms, n_chars) for c in should)
+    if should and n_should < max(msm, 0 if (must or filt) else 1):
+        return False
+    return True
+
+
+def test_membership_property_random_trees(ctx):
+    """Random nested trees: bool_score's match set == the brute-force
+    evaluator on every fixture doc (deterministic seed, 25 trees)."""
+    import random
+
+    rng = random.Random(20240818)
+    TERMS = ["apple", "banana", "cherry", "date"]
+
+    def rand_leaf():
+        if rng.random() < 0.8:
+            return {"term": rng.choice(TERMS)}
+        lo, hi = sorted(rng.sample([5, 15, 25, 35, 45, 55], 2))
+        return {"range": {"field": "n_chars", "gte": lo, "lte": hi}}
+
+    def rand_node(depth):
+        node = {}
+        for key, p in (("must", 0.7), ("should", 0.7), ("must_not", 0.4),
+                       ("filter", 0.3)):
+            if rng.random() < p:
+                kids = [
+                    rand_node(depth - 1) if depth > 0 and rng.random() < 0.3
+                    else rand_leaf()
+                    for _ in range(rng.randint(1, 2))
+                ]
+                # range leaves only in filter context (scoring contexts
+                # require BM25-scorable leaves in this DSL)
+                if key in ("must", "should"):
+                    kids = [
+                        k if "range" not in k else {"term": rng.choice(TERMS)}
+                        for k in kids
+                    ]
+                node[key] = kids
+        if not (node.get("must") or node.get("filter") or node.get("should")):
+            node["must"] = [{"term": rng.choice(TERMS)}]
+        if node.get("should") and rng.random() < 0.4:
+            node["minimum_should_match"] = rng.randint(1, 2)
+        return node
+
+    docs_info = {
+        d: (set(t.split()), n) for d, t, n in DOCS
+    }
+    for _ in range(25):
+        tree = rand_node(2)
+        got = set(_ids(bool_score(ctx, tree)))
+        want = {d for d, (ts, n) in docs_info.items() if _matches(tree, ts, n)}
+        assert got == want, (tree, got, want)
