@@ -57,14 +57,70 @@ def _is_leaf(node: dict) -> bool:
     return "term" in node or "range" in node
 
 
+class RelationalLeaves:
+    """Leaf provider over raw corpus relations (BoolContext)."""
+
+    def __init__(self, ctx: BoolContext, round_dp: int = ROUND_DP):
+        self.ctx, self.round_dp = ctx, round_dp
+
+    def term(self, t: str) -> DataFrame:
+        scored = bm25_score(
+            self.ctx.spark, self.ctx.tf, self.ctx.stats, self.ctx.dct, t,
+            self.ctx.n_docs, self.ctx.avgdl, BM25_K1, BM25_B,
+        )
+        return scored.select(
+            "doc_id", F.round("score", self.round_dp).alias("score")
+        )
+
+    def range(self, r: dict) -> DataFrame:
+        return _range_frame(self.ctx.metadata, r)
+
+
+class IndexLeaves:
+    """Leaf provider over a built index (``SearchEngine.scored_docs``) —
+    the INDEX-NATIVE evaluation of the same trees; range leaves need a
+    ``metadata`` frame (the index doc store or the corpus)."""
+
+    def __init__(self, engine, metadata: DataFrame | None,
+                 round_dp: int = ROUND_DP):
+        self.engine, self.metadata, self.round_dp = engine, metadata, round_dp
+
+    def term(self, t: str) -> DataFrame:
+        return self.engine.scored_docs(t).select(
+            "doc_id", F.round("score", self.round_dp).alias("score")
+        )
+
+    def range(self, r: dict) -> DataFrame:
+        return _range_frame(self.metadata, r)
+
+
+def _range_frame(metadata: DataFrame | None, r: dict) -> DataFrame:
+    if metadata is None:
+        raise ValueError("range leaf needs a metadata frame")
+    cond = F.lit(True)
+    if "gte" in r:
+        cond = cond & (F.col(r["field"]) >= r["gte"])
+    if "lte" in r:
+        cond = cond & (F.col(r["field"]) <= r["lte"])
+    return metadata.filter(cond).select("doc_id", F.lit(0.0).alias("score"))
+
+
 def bool_score(ctx: BoolContext, node: dict, round_dp: int = ROUND_DP) -> DataFrame:
-    """→ (doc_id, score) for every doc matching the tree."""
-    if _is_leaf(node):
-        return _leaf(ctx, node, round_dp)
-    must = [bool_score(ctx, c, round_dp) for c in node.get("must", [])]
-    filt = [_match_only(ctx, c, round_dp) for c in node.get("filter", [])]
-    should = [bool_score(ctx, c, round_dp) for c in node.get("should", [])]
-    must_not = [_match_only(ctx, c, round_dp) for c in node.get("must_not", [])]
+    """→ (doc_id, score) for every doc matching the tree (relational
+    leaves; ``eval_tree`` + ``IndexLeaves`` is the index-native twin)."""
+    return eval_tree(node, RelationalLeaves(ctx, round_dp), round_dp)
+
+
+def eval_tree(node: dict, leaves, round_dp: int = ROUND_DP) -> DataFrame:
+    """Shared tree combinator over any leaf provider."""
+    if "term" in node:
+        return leaves.term(node["term"])
+    if "range" in node:
+        return leaves.range(node["range"])
+    must = [eval_tree(c, leaves, round_dp) for c in node.get("must", [])]
+    filt = [eval_tree(c, leaves, round_dp) for c in node.get("filter", [])]
+    should = [eval_tree(c, leaves, round_dp) for c in node.get("should", [])]
+    must_not = [eval_tree(c, leaves, round_dp) for c in node.get("must_not", [])]
     if not (must or filt or should):
         raise ValueError("bool node needs at least one scoring/filter clause")
     msm = node.get(
@@ -111,31 +167,6 @@ def bool_score(ctx: BoolContext, node: dict, round_dp: int = ROUND_DP) -> DataFr
     for mn in must_not:
         out = out.join(mn.select("doc_id"), "doc_id", "left_anti")
     return out.select("doc_id", F.round("score", round_dp).alias("score"))
-
-
-def _match_only(ctx: BoolContext, node: dict, round_dp: int) -> DataFrame:
-    """Filter context: the match SET of a clause (score discarded)."""
-    if "range" in node:
-        r = node["range"]
-        if ctx.metadata is None:
-            raise ValueError("range leaf needs ctx.metadata")
-        cond = F.lit(True)
-        if "gte" in r:
-            cond = cond & (F.col(r["field"]) >= r["gte"])
-        if "lte" in r:
-            cond = cond & (F.col(r["field"]) <= r["lte"])
-        return ctx.metadata.filter(cond).select("doc_id", F.lit(0.0).alias("score"))
-    return bool_score(ctx, node, round_dp)
-
-
-def _leaf(ctx: BoolContext, node: dict, round_dp: int) -> DataFrame:
-    if "range" in node:
-        return _match_only(ctx, node, round_dp)
-    scored = bm25_score(
-        ctx.spark, ctx.tf, ctx.stats, ctx.dct, node["term"],
-        ctx.n_docs, ctx.avgdl, BM25_K1, BM25_B,
-    )
-    return scored.select("doc_id", F.round("score", round_dp).alias("score"))
 
 
 # ------------------------------------------------------------- SQL builder

@@ -2342,6 +2342,32 @@ def _bool_query_sql() -> str:
     return bool_score_sql(BOOL_TREE, _TF_SQL)
 
 
+BOOL_K = 25
+
+
+def q_bool_index_topk(spark, sf_dir):
+    """The SAME nested bool tree evaluated INDEX-NATIVELY: term leaves
+    score from the built segments (engine.scored_docs — full per-clause
+    frames, no premature top-k), combined by the shared eval_tree
+    combinators; hash-checked against the identical relational SQL twin
+    (index BM25 == relational BM25, so the trees align bit-for-bit after
+    per-node rounding)."""
+    eng = _shared_index(spark, sf_dir)
+    hits = eng.search_bool(BOOL_TREE, k=BOOL_K, metadata=_docs(spark, sf_dir))
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+
+
+def _bool_index_sql() -> str:
+    from .boolquery import bool_score_sql
+
+    return f"""
+SELECT doc_id, score FROM ({bool_score_sql(BOOL_TREE, _TF_SQL)}) t
+ORDER BY score DESC, doc_id ASC LIMIT {BOOL_K}
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank authority over the document-similarity graph (ops/graph):
     MinHash-band pairs symmetrized into edges, 4 power iterations with
@@ -3267,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_trending": q_event_trending,
         "bool_query": q_bool_query,
+        "bool_index_topk": q_bool_index_topk,
         "pagerank": q_pagerank,
         "authority_topk": q_authority_topk,
         "cms_counters": q_cms_counters,
@@ -3393,6 +3420,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "event_sessions": _event_sessions_sql(),
         "event_trending": _event_trending_sql(),
         "bool_query": _bool_query_sql(),
+        "bool_index_topk": _bool_index_sql(),
         "pagerank": _pagerank_sql(),
         "authority_topk": _authority_sql(),
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),

@@ -1136,6 +1136,47 @@ class SearchEngine:
 
         return blocks.groupBy("doc_range").applyInPandas(run_group, MATCH_SCHEMA)
 
+    def scored_docs(self, query: str, doc_filter=None) -> DataFrame:
+        """FULL scored match set of an OR query as a distributed
+        DataFrame[doc_id, score] — no top-k cut (downstream combinators
+        like ``boolquery`` need complete per-clause frames: a conjunction
+        can surface docs a per-clause top-k would have dropped). Same
+        term resolution, pruned segment scan, and masking as ``search``;
+        the kernel runs exhaustive with an unbounded k."""
+        from .wand import score_group_vectorized as _sgv
+
+        _RS = RESULT_SCHEMA
+
+        meta = self.meta
+        dict_rows = self._resolve_terms(query)
+        if not dict_rows:
+            return self.spark.createDataFrame([], _RS)
+        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        blocks = self._pruned_blocks(buckets, sorted(idf))
+        k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        n_terms = len(idf)
+        mask = self._doc_mask(doc_filter)
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _sgv(pdf, idf, k1, b, avgdl, 2**31 - 1, "or", n_terms, mask)
+
+        return blocks.groupBy("doc_range").applyInPandas(run_group, _RS)
+
+    def search_bool(
+        self, tree: dict, k: int = 100, metadata: DataFrame | None = None
+    ) -> list[tuple[int, float]]:
+        """Nested boolean DSL (ES `bool` query) evaluated INDEX-NATIVELY:
+        term leaves score from the segments via ``scored_docs``; range
+        leaves filter the ``metadata`` frame; the tree combines with the
+        same relational combinators as ``boolquery.bool_score`` (one job
+        however deep the nesting). → top-k [(doc_id, score)]."""
+        from ..boolquery import IndexLeaves, eval_tree
+
+        out = eval_tree(tree, IndexLeaves(self, metadata))
+        rows = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
     def facet_counts(
         self,
         query: str,

@@ -179,3 +179,27 @@ def test_membership_property_random_trees(ctx):
         got = set(_ids(bool_score(ctx, tree)))
         want = {d for d, (ts, n) in docs_info.items() if _matches(tree, ts, n)}
         assert got == want, (tree, got, want)
+
+
+def test_index_native_equals_relational(spark, ctx, tmp_path):
+    """engine.search_bool over a built index == bool_score over the raw
+    relations for the same tree (leaf frames come from segments vs
+    corpus joins; the shared combinators must align them exactly)."""
+    from searchengine_spark.query.engine import SearchEngine
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, n_chars long")
+    eng = SearchEngine(spark, str(tmp_path / "bidx"))
+    eng.build_index_from_df(docs, id_col="doc_id", text_col="text",
+                            n_buckets=2, range_bits=1)
+    tree = {
+        "must": [{"term": "apple"},
+                 {"should": [{"term": "banana"}, {"term": "date"}]}],
+        "should": [{"term": "cherry"}],
+        "must_not": [{"range": {"field": "n_chars", "gte": 45}}],
+    }
+    got = eng.search_bool(tree, k=10, metadata=docs)
+    want = sorted(
+        ((r["doc_id"], r["score"]) for r in bool_score(ctx, tree).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == want
