@@ -193,6 +193,15 @@ def _cmd_search(args) -> None:
     elif args.mode == "mlt":
         hits = eng.more_like_this(args.query, k=args.k,
                                   use_wand=not args.no_wand)
+    elif args.mode == "bool":
+        meta_df = None
+        if args.metadata:
+            meta_df = spark.read.parquet(args.metadata)
+        elif eng.meta.has_source:  # range fields from the doc store
+            meta_df = spark.read.parquet(
+                os.path.join(args.index, "source")).drop("doc_part")
+        hits = eng.search_bool(json.loads(args.query), k=args.k,
+                               metadata=meta_df)
     elif args.mode == "qs":
         meta_df = spark.read.parquet(args.metadata) if args.metadata else None
         hits = eng.search_query_string(args.query, k=args.k,
@@ -559,10 +568,12 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument(
         "--mode",
         choices=["or", "and", "phrase", "near", "wildcard", "regexp", "fuzzy",
-                 "mlt", "qs"],
+                 "mlt", "qs", "bool"],
         default="or",
         help="wildcard: --query is a glob (ind*); fuzzy: a single term; "
-        "mlt: a source text to find similar docs for",
+        "mlt: a source text to find similar docs for; bool: a JSON "
+        "must/should/must_not/filter tree (range fields come from "
+        "--metadata or the index doc store)",
     )
     s.add_argument("--max-expansions", type=int, default=50,
                    help="wildcard/fuzzy expansion cap")
