@@ -2457,6 +2457,17 @@ def _retention_sql() -> str:
     return retention_cohorts_sql("events", RETENTION_PERIOD_S)
 
 
+HIST_W = 2.5
+
+
+def q_value_histogram(spark, sf_dir):
+    """Mergeable fixed-bin histogram sketch over event values (the
+    quantile twin of cms_counters): one map-side-combined hash agg,
+    counter-exact vs the floor-bin twin."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sketch.hist_build(ev, "value", HIST_W)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_HORIZON = 7200
 
@@ -3297,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "authority_topk": q_authority_topk,
         "cms_counters": q_cms_counters,
+        "value_histogram": q_value_histogram,
         "funnel": q_funnel,
         "retention_cohorts": q_retention,
         "code_definitions": q_definitions,
@@ -3424,6 +3436,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "pagerank": _pagerank_sql(),
         "authority_topk": _authority_sql(),
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),
+        "value_histogram": sketch.hist_build_sql("events", "value", HIST_W),
         "funnel": __funnel_sql(),
         "retention_cohorts": _retention_sql(),
         "code_definitions": _definitions_sql(),

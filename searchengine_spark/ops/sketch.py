@@ -144,3 +144,50 @@ def read_cms(spark, sketch_dir: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+# ------------------------------------------------------- histogram sketch
+def hist_build(
+    df: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """(bin, cnt): fixed-width histogram of a numeric column — the
+    mergeable quantile sketch (like the CMS, a TABLE: map-side-combined
+    hash agg; merge across corpora/epochs = counter sum). Bin = floor
+    (value / width); estimate error is bounded by one bin width."""
+    b = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+    return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_quantile(
+    hist: DataFrame, q: float, bin_width: float = 1.0
+) -> float:
+    """Quantile estimate from the histogram: the LOWER EDGE of the first
+    bin whose cumulative count reaches ceil(q·N) (the inverted-CDF /
+    'lower' interpolation — deterministic, engine-portable). One
+    collect of the (tiny) histogram."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    rows = sorted((r["bin"], r["cnt"]) for r in hist.collect())
+    total = sum(c for _, c in rows)
+    if total == 0:
+        raise ValueError("empty histogram")
+    need = -(-q * total // 1)  # ceil
+    acc = 0
+    for b, c in rows:
+        acc += c
+        if acc >= need:
+            return b * bin_width
+    return rows[-1][0] * bin_width
+
+
+def hist_build_sql(
+    table: str, value_col: str = "value", bin_width: float = 1.0
+) -> str:
+    """DuckDB twin of ``hist_build``."""
+    return f"""
+SELECT floor({value_col} / {float(bin_width)!r})::BIGINT AS bin,
+       count(*)::BIGINT AS cnt
+FROM {table} GROUP BY 1
+"""

@@ -105,3 +105,35 @@ def test_stream_cms_folds_to_batch_sketch(spark, tmp_path):
     both = spark.createDataFrame(DOCS, "doc_id long, text string")
     want = sorted(map(tuple, cms_build(both, 3, 64).collect()))
     assert folded == want
+
+
+def test_hist_quantile_bounded_error_and_merge(spark):
+    from searchengine_spark.ops.sketch import hist_build, hist_quantile
+
+    import numpy as np
+
+    vals = [float(v) for v in np.linspace(0, 100, 201)]  # 0, 0.5, ..., 100
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    h = hist_build(df, "value", bin_width=2.0)
+    for q in (0.1, 0.5, 0.9, 1.0):
+        est = hist_quantile(h, q, 2.0)
+        true = float(np.quantile(vals, q, method="lower"))
+        assert abs(est - true) <= 2.0, (q, est, true)
+    # merge = counter sum (same linearity contract as the CMS)
+    a = spark.createDataFrame([(v,) for v in vals[:100]], "value double")
+    b = spark.createDataFrame([(v,) for v in vals[100:]], "value double")
+    from pyspark.sql import functions as FF
+    merged = (
+        hist_build(a, "value", 2.0).unionByName(hist_build(b, "value", 2.0))
+        .groupBy("bin").agg(FF.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, h.collect()))
+
+
+def test_hist_quantile_validation(spark):
+    from searchengine_spark.ops.sketch import hist_build, hist_quantile
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    h = hist_build(df)
+    with pytest.raises(ValueError, match="q must"):
+        hist_quantile(h, 0.0)
