@@ -130,14 +130,23 @@ def _cmd_search(args) -> None:
     from .query.engine import SearchEngine
 
     if args.sharded:
-        if args.mode not in ("or", "and", "phrase", "near", "qs"):
+        if args.mode not in ("or", "and", "phrase", "near", "qs",
+                             "wildcard", "fuzzy"):
             raise SystemExit(
-                "--sharded supports --mode or / and / phrase / near / qs")
+                "--sharded supports --mode or / and / phrase / near / qs "
+                "/ wildcard / fuzzy")
         from .query.sharded import ShardedEngine
 
         seng = ShardedEngine.open(spark, args.index)
         t0 = time.perf_counter()
-        if args.mode == "phrase":
+        if args.mode == "wildcard":
+            hits = seng.search_wildcard(args.query, k=args.k,
+                                        max_expansions=args.max_expansions)
+        elif args.mode == "fuzzy":
+            hits = seng.search_fuzzy(args.query, k=args.k,
+                                     max_edits=args.max_edits,
+                                     max_expansions=args.max_expansions)
+        elif args.mode == "phrase":
             hits = seng.search_phrase(args.query, k=args.k)
         elif args.mode == "near":
             hits = seng.search_near(args.query, window=args.window, k=args.k,

@@ -342,6 +342,60 @@ class ShardedEngine:
                 per[term] = per.get(term, 0) + df
         return sorted(per.items(), key=lambda t: (-t[1], t[0]))[:n]
 
+    def _expanded_search(
+        self, expanded: list[tuple[str, float]], k: int, **kw
+    ) -> list[tuple[int, float]]:
+        """Shared tail of the expansion modes: gather global stats for the
+        expanded term set, re-rank nothing per shard (weights ride the
+        rewriter), merge k·n_shards tuples."""
+        if not expanded:
+            return []
+        gs = self.global_stats(sorted({t for t, _ in expanded}))
+        if not gs[2]:
+            return []
+        query = " ".join(t for t, _ in expanded)
+        lists = [
+            s.search(query, k=k, global_stats=gs,
+                     rewriter=lambda _q: expanded, **kw)
+            for s in self.shards
+        ]
+        return self._merge(lists, k)
+
+    def search_wildcard(
+        self, pattern: str, k: int = 100, max_expansions: int = 50, **kw
+    ) -> list[tuple[int, float]]:
+        """Scatter-gather wildcard: the expansion set is the UNION of every
+        shard's dictionary matches, capped at ``max_expansions`` by GLOBAL
+        df (a term common overall must win the cap even if rare in the
+        shard that contributed it), then one global-stats search."""
+        cand = sorted({
+            t for s in self.shards
+            for t in s.expand_pattern(pattern, max_expansions)
+        })
+        if not cand:
+            return []
+        _, _, df = self.global_stats(cand)
+        kept = sorted(df, key=lambda t: (-df[t], t))[:max_expansions]
+        return self._expanded_search([(t, 1.0) for t in kept], k, **kw)
+
+    def search_fuzzy(
+        self, term: str, k: int = 100, max_edits: int = 2,
+        prefix_length: int = 0, max_expansions: int = 50, **kw
+    ) -> list[tuple[int, float]]:
+        """Scatter-gather fuzzy: union of shard expansions with their
+        edit-distance boosts (boosts depend only on the term pair, so
+        shards agree), global-df cap, global-stats search."""
+        boosts: dict[str, float] = {}
+        for s in self.shards:
+            for t, w in s.expand_fuzzy(term, max_edits, prefix_length,
+                                       max_expansions):
+                boosts[t] = w
+        if not boosts:
+            return []
+        _, _, df = self.global_stats(sorted(boosts))
+        kept = sorted(df, key=lambda t: (-df[t], t))[:max_expansions]
+        return self._expanded_search([(t, boosts[t]) for t in kept], k, **kw)
+
     def search_phrase(self, phrase: str, k: int = 100, **kw):
         """Scatter-gather exact-phrase top-k (needs shards built with
         ``with_positions=True``): same global-stats gather as ``search`` —

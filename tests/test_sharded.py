@@ -279,3 +279,29 @@ def test_sharded_suggest_matches_single_index(spark, tmp_path):
                                n_buckets=2, range_bits=2)
     for prefix, n in (("s", 5), ("sp", 3), ("zz", 5)):
         assert seng.suggest(prefix, n) == single.suggest(prefix, n)
+
+
+def test_sharded_wildcard_and_fuzzy_match_single_index(spark, tmp_path):
+    """Expansion modes across shards == single index over the union: the
+    expansion set is union+global-df-capped and every shard scores under
+    global statistics."""
+    from searchengine_spark.query.engine import SearchEngine
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    single = SearchEngine(spark, str(tmp_path / "one"))
+    single.build_index_from_df(docs, id_col="doc_id", text_col="text",
+                               n_buckets=2, range_bits=2)
+    seng = ShardedEngine.build(spark, docs, str(tmp_path / "many"), 3,
+                               id_col="doc_id", text_col="text",
+                               n_buckets=2, range_bits=2)
+    for pat in ("s*", "*am", "jo?n"):
+        got = seng.search_wildcard(pat, k=10)
+        want = single.search_wildcard(pat, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], pat
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+    for term in ("sprak", "jion"):
+        got = seng.search_fuzzy(term, k=10, max_edits=2)
+        want = single.search_fuzzy(term, k=10, max_edits=2)
+        assert [d for d, _ in got] == [d for d, _ in want], term
