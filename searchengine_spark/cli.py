@@ -131,10 +131,10 @@ def _cmd_search(args) -> None:
 
     if args.sharded:
         if args.mode not in ("or", "and", "phrase", "near", "qs",
-                             "wildcard", "fuzzy"):
+                             "wildcard", "fuzzy", "regexp"):
             raise SystemExit(
                 "--sharded supports --mode or / and / phrase / near / qs "
-                "/ wildcard / fuzzy")
+                "/ wildcard / fuzzy / regexp")
         from .query.sharded import ShardedEngine
 
         seng = ShardedEngine.open(spark, args.index)
@@ -142,6 +142,9 @@ def _cmd_search(args) -> None:
         if args.mode == "wildcard":
             hits = seng.search_wildcard(args.query, k=args.k,
                                         max_expansions=args.max_expansions)
+        elif args.mode == "regexp":
+            hits = seng.search_regexp(args.query, k=args.k,
+                                      max_expansions=args.max_expansions)
         elif args.mode == "fuzzy":
             hits = seng.search_fuzzy(args.query, k=args.k,
                                      max_edits=args.max_edits,

@@ -378,6 +378,21 @@ class ShardedEngine:
         kept = sorted(df, key=lambda t: (-df[t], t))[:max_expansions]
         return self._expanded_search([(t, 1.0) for t in kept], k, **kw)
 
+    def search_regexp(
+        self, rx: str, k: int = 100, max_expansions: int = 50, **kw
+    ) -> list[tuple[int, float]]:
+        """Scatter-gather regexp: union of shard dictionary matches,
+        global-df cap, global-stats search (same discipline as wildcard)."""
+        cand = sorted({
+            t for s in self.shards
+            for t in s.expand_regexp(rx, max_expansions)
+        })
+        if not cand:
+            return []
+        _, _, df = self.global_stats(cand)
+        kept = sorted(df, key=lambda t: (-df[t], t))[:max_expansions]
+        return self._expanded_search([(t, 1.0) for t in kept], k, **kw)
+
     def search_fuzzy(
         self, term: str, k: int = 100, max_edits: int = 2,
         prefix_length: int = 0, max_expansions: int = 50, **kw

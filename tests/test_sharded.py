@@ -305,3 +305,7 @@ def test_sharded_wildcard_and_fuzzy_match_single_index(spark, tmp_path):
         got = seng.search_fuzzy(term, k=10, max_edits=2)
         want = single.search_fuzzy(term, k=10, max_edits=2)
         assert [d for d, _ in got] == [d for d, _ in want], term
+    for rx in ("s(ort|tream)|merge", "jo.n"):
+        got = seng.search_regexp(rx, k=10)
+        want = single.search_regexp(rx, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], rx
