@@ -1441,6 +1441,8 @@ class SearchEngine:
             "stream_epochs": meta.stream_epochs,
             "n_compactions": len(compactions),
             "has_positions": meta.has_positions,
+            "has_source": meta.has_source,
+            "analyzer": meta.analyzer,
             "n_deleted": 0 if plain is None else int(len(plain)),
             "n_updated": 0 if upd is None else int(len(upd)),
             "size_bytes": size_bytes,
