@@ -2151,6 +2151,37 @@ def q_locality_ids(spark, sf_dir):
     return out.select("lang", "old_id", "doc_id")
 
 
+def q_impact_ids(spark, sf_dir):
+    """Impact-ordered docID assignment (static index sorting / Lucene
+    IndexSorter analogue): dense global ranks by ascending n_chars — the
+    BM25-impact proxy (short docs carry the largest length-normalized
+    score bounds) — so every term's high-impact docs cluster in its first
+    posting blocks and block-max WAND prunes the tail (decode-count drop
+    pytest-measured in test_impact_order). Same packed (range << 60 |
+    within-rank) layout and two-job rank machinery as locality_ids."""
+    from .corpus import impact_ids
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "old_id")
+    out = impact_ids(
+        docs.select("n_chars", "old_id"), "n_chars", tiebreak=("old_id",),
+        descending=False, range_bits=LOCALITY_BITS,
+    )
+    return out.select("n_chars", "old_id", "doc_id")
+
+
+def _impact_ids_sql() -> str:
+    from .corpus import impact_ids_sql
+
+    return impact_ids_sql(
+        "(SELECT n_chars, doc_id AS old_id FROM documents) t",
+        "n_chars",
+        tiebreak=("old_id",),
+        descending=False,
+        range_bits=LOCALITY_BITS,
+        out_cols=("n_chars", "old_id"),
+    )
+
+
 def _locality_ids_sql() -> str:
     from .corpus import locality_ids_sql
 
@@ -3296,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_normalization": q_term_normalization,
         "dedup_exact": q_exact_dedup,
         "locality_ids": q_locality_ids,
+        "impact_ids": q_impact_ids,
         "line_dedup": q_line_dedup,
         "pack_docs": q_pack_docs,
         "prepare_pipeline": q_prepare_pipeline,
@@ -3424,6 +3456,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "term_normalization": _term_normalization_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "locality_ids": _locality_ids_sql(),
+        "impact_ids": _impact_ids_sql(),
         "line_dedup": dedup.line_dedup_sql(_CHUNK_LINES_SQL),
         "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
         "prepare_pipeline": _prepare_pipeline_sql(),

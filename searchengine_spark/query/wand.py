@@ -764,9 +764,12 @@ def _or_sweep(
     n_scored = 0
     theta = -np.inf
     # first chunk small so θ exists BEFORE most intervals are touched (a
-    # block interval holds ≤ BLOCK_SIZE docs, so 8 intervals ≈ up to ~1k
-    # docs — plenty to fill any practical k); growth keeps iterations O(log)
-    chunk_sz = 8
+    # block interval holds ≤ BLOCK_SIZE docs, so 4 intervals ≈ up to ~512
+    # docs — fills any practical k); the floor matters: on an
+    # impact-ordered index (corpus.impact_ids) the winners sit in ~1 block
+    # per group, so the first chunk IS the decode cost. Growth keeps
+    # iterations O(log) when flat bounds prevent pruning.
+    chunk_sz = 4
     ptr = 0
     while ptr < n_int:
         if n_scored >= k and ub_sum[order[ptr]] < theta:

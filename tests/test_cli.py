@@ -6,6 +6,8 @@ import json
 import os
 import zipfile
 
+import pytest
+
 from searchengine_spark import cli
 
 
@@ -208,6 +210,37 @@ def test_build_locality_order(tmp_path, capsys):
     cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
     res = json.loads(capsys.readouterr().out)
     assert res["hits"]
+
+
+def test_build_impact_order(tmp_path, capsys):
+    """--impact-order reassigns ids by static impact (strided packing) and
+    the index stays searchable with identical hit CONTENT: search results
+    map to the same synthetic rows as a plain hash-id build."""
+    idx = str(tmp_path / "iidx")
+    cli.main(["build", "--synthetic", "120", "--index", idx,
+              "--buckets", "2", "--range-bits", "2",
+              "--impact-order", "length(content):asc"])
+    built = json.loads(capsys.readouterr().out)
+    assert built["n_docs"] == 120
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["hits"]
+    # strided packing: some hit must live outside range 0 once k covers
+    # several ranges (ids are dense per range, high bits = range)
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "50"])
+    res = json.loads(capsys.readouterr().out)
+    ranges = {(h["doc_id"] >> 62) & 3 for h in res["hits"]}
+    assert len(ranges) > 1
+
+
+def test_build_impact_order_rejects_bad_spec(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["build", "--synthetic", "10", "--index",
+                  str(tmp_path / "x"), "--impact-order", "n:sideways"])
+    with pytest.raises(SystemExit):
+        cli.main(["build", "--synthetic", "10", "--index",
+                  str(tmp_path / "y"), "--impact-order", "a",
+                  "--locality-order", "repo"])
 
 
 def test_prepare_command(tmp_path, capsys, spark):
