@@ -370,6 +370,28 @@ def _cmd_stats(args) -> None:
     print(json.dumps(st))
 
 
+def _cmd_reindex(args) -> None:
+    spark = _spark(args)
+    from .index.build import reindex
+
+    kw = {}
+    if args.analyzer:
+        kw["analyzer"] = args.analyzer
+    if args.positions:
+        kw["with_positions"] = True
+    if args.buckets:
+        kw["n_buckets"] = args.buckets
+    if args.range_bits is not None:
+        kw["range_bits"] = args.range_bits
+    t0 = time.perf_counter()
+    meta = reindex(spark, getattr(args, "from"), args.to, **kw)
+    print(json.dumps({
+        "reindexed": args.to, "n_docs": meta.n_docs,
+        "analyzer": meta.analyzer, "has_positions": meta.has_positions,
+        "sec": round(time.perf_counter() - t0, 3),
+    }))
+
+
 def _cmd_decontaminate(args) -> None:
     spark = _spark(args)
     from .ops.dedup import contaminated_pairs, decontaminate
@@ -676,6 +698,25 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--sharded", action="store_true",
                     help="--index is a sharded layout; aggregate across shards")
     st.set_defaults(fn=_cmd_stats)
+
+    ri = sub.add_parser(
+        "reindex",
+        help="rebuild an index from its doc store under new parameters "
+             "(analyzer / positions / layout) — ES _reindex analogue; "
+             "source must have been built with --store-source",
+    )
+    ri.add_argument("--from", required=True, help="source index dir")
+    ri.add_argument("--to", required=True, help="destination index dir "
+                    "(must differ from --from)")
+    ri.add_argument("--analyzer", default="",
+                    help="new analyzer (e.g. code, code+stem); default keep")
+    ri.add_argument("--positions", action="store_true",
+                    help="store token positions in the new index")
+    ri.add_argument("--buckets", type=int, default=0,
+                    help="new term-bucket count; default keep")
+    ri.add_argument("--range-bits", type=int, default=None,
+                    help="new doc-range salt bits; default keep")
+    ri.set_defaults(fn=_cmd_reindex)
 
     dc = sub.add_parser(
         "decontaminate",

@@ -2902,6 +2902,36 @@ def q_code_search_topk(spark, sf_dir):
     )
 
 
+def q_reindex_code_topk(spark, sf_dir):
+    """Reindex (ES ``_reindex`` analogue): a STANDARD-analyzer index with a
+    doc store is rebuilt AS a code-analyzer index from its own stored
+    source rows — no original table — then searched through the full WAND
+    path. The twin is the same relational code-split BM25 as
+    ``code_search_topk``: passing it proves the stored pre-analysis text
+    round-trips exactly (reindex ≡ fresh build under the new analyzer)."""
+    from pyspark.sql import Window
+
+    from .index.build import reindex
+    from .query.engine import SearchEngine
+
+    src = _tmpdir("seidx_ri_src_")
+    SearchEngine(spark, src).build_index_from_df(
+        _code_fixture_df(spark), id_col="doc_id", text_col="text",
+        n_buckets=2, range_bits=1, store_source=True,
+    )
+    dst = _tmpdir("seidx_ri_dst_")
+    reindex(spark, src, dst, analyzer="code")
+    hits = SearchEngine(spark, dst).search(CODE_QUERY, k=CODE_K)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def _code_search_sql() -> str:
     return f"""
 SELECT doc_id, score,
@@ -3328,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_exact_dedup,
         "locality_ids": q_locality_ids,
         "impact_ids": q_impact_ids,
+        "reindex_code_topk": q_reindex_code_topk,
         "line_dedup": q_line_dedup,
         "pack_docs": q_pack_docs,
         "prepare_pipeline": q_prepare_pipeline,
@@ -3457,6 +3488,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "locality_ids": _locality_ids_sql(),
         "impact_ids": _impact_ids_sql(),
+        "reindex_code_topk": _code_search_sql(),
         "line_dedup": dedup.line_dedup_sql(_CHUNK_LINES_SQL),
         "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
         "prepare_pipeline": _prepare_pipeline_sql(),

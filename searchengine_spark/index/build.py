@@ -112,6 +112,10 @@ class IndexMeta:
     # hit ranges' partitions (engine.fetch)
     has_source: bool = False
     source_id_col: str = "doc_id"
+    # text column of the stored source rows — recorded so ``reindex`` can
+    # rebuild from the store without the caller re-supplying the schema
+    # (empty on pre-doc-store metas; reindex then requires text_col=)
+    source_text_col: str = ""
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -375,6 +379,7 @@ def build_index(
         )
         meta.has_source = True
         meta.source_id_col = id_col
+        meta.source_text_col = text_col
         write_meta_atomic(index_dir, meta)
         _manifest_append(
             index_dir,
@@ -471,6 +476,63 @@ def build_index(
         },
     )
     return meta
+
+
+def reindex(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    **overrides,
+) -> IndexMeta:
+    """Rebuild an index from its own doc store under new parameters
+    (Elasticsearch ``_reindex`` analogue): change the analyzer, add
+    positions, re-bucket, re-salt — without the original input table.
+
+    The source index must have been built with ``store_source=True``; its
+    ``source/`` directory holds the PRE-analysis corpus rows, so the new
+    analyzer sees exactly what a fresh build from the original table would
+    see (pytest-asserted rank+score identity). Defaults carry over from the
+    source meta — id/text columns, k1/b, buckets, range_bits, block size,
+    analyzer, positions — and any ``build_index`` keyword passed here
+    overrides them. The destination keeps a doc store by default so
+    reindexes chain.
+
+    Scale shape: the doc store IS a partitioned parquet copy of the corpus
+    colocated with the index, so a reindex is one scan of that store plus
+    the normal build shuffles — no dependency on the original (possibly
+    revoked or re-snapshotted) source table, same as Lucene reindexing
+    from stored fields. ``dst_dir`` must differ from ``src_dir``: the
+    build would otherwise overwrite the store it is reading (ES refuses
+    in-place reindex for the same reason)."""
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        raise ValueError("reindex requires dst_dir != src_dir "
+                         "(the build would overwrite its own doc store)")
+    meta = IndexMeta.load(src_dir)
+    if not meta.has_source:
+        raise ValueError(
+            "source index has no doc store — build with store_source=True"
+        )
+    text_col = overrides.pop("text_col", None) or meta.source_text_col
+    if not text_col:
+        raise ValueError(
+            "source meta predates source_text_col — pass text_col="
+        )
+    kw = dict(
+        id_col=meta.source_id_col,
+        text_col=text_col,
+        k1=meta.k1,
+        b=meta.b,
+        range_bits=meta.range_bits,
+        n_buckets=meta.n_buckets,
+        block_size=meta.block_size,
+        analyzer=meta.analyzer,
+        with_positions=meta.has_positions,
+        store_source=True,
+        fresh=True,
+    )
+    kw.update(overrides)
+    corpus = spark.read.parquet(os.path.join(src_dir, "source")).drop("doc_part")
+    return build_index(spark, corpus, dst_dir, **kw)
 
 
 def index_is_complete(index_dir: str, n_buckets: int | None = None) -> bool:

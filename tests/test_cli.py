@@ -243,6 +243,25 @@ def test_build_impact_order_rejects_bad_spec(tmp_path, capsys):
                   "--locality-order", "repo"])
 
 
+def test_reindex_command(tmp_path, capsys):
+    src = str(tmp_path / "rsrc")
+    cli.main(["build", "--synthetic", "80", "--index", src,
+              "--buckets", "2", "--range-bits", "1", "--store-source"])
+    capsys.readouterr()
+    cli.main(["reindex", "--from", src, "--to", str(tmp_path / "rdst"),
+              "--analyzer", "code", "--positions"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_docs"] == 80
+    assert out["analyzer"] == "code" and out["has_positions"]
+    cli.main(["search", "--index", str(tmp_path / "rdst"),
+              "--query", "index merge", "-k", "3"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["hits"]
+    cli.main(["stats", "--index", str(tmp_path / "rdst")])
+    st = json.loads(capsys.readouterr().out)
+    assert st["analyzer"] == "code" and st["has_positions"] and st["has_source"]
+
+
 def test_prepare_command(tmp_path, capsys, spark):
     src = str(tmp_path / "docs.parquet")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
