@@ -67,6 +67,24 @@ def test_authority_ordering(spark):
     assert got[3] < got[1]  # leaf below the better-connected node
 
 
+def test_checkpoint_interval_invariant(spark):
+    """Ranks are rounded per iteration, so where the lineage is truncated
+    cannot change the trajectory: interval 1 (old per-round behavior),
+    the default, and interval > n_iter (never checkpoints) all agree."""
+    pairs = [(0, i) for i in range(1, 6)] + [(2, 3), (4, 5)]
+    edges = graph.symmetric_edges(
+        spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    )
+    runs = [
+        {r["node"]: r["rank"] for r in
+         graph.pagerank(edges, n_iter=5, checkpoint_interval=iv).collect()}
+        for iv in (1, 3, 99)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        graph.pagerank(edges, n_iter=2, checkpoint_interval=0)
+
+
 def test_authority_blend_reorders_close_scores(spark):
     from searchengine_spark.scoring import authority_blend
 
