@@ -79,14 +79,19 @@ class RelationalLeaves:
 class IndexLeaves:
     """Leaf provider over a built index (``SearchEngine.scored_docs``) —
     the INDEX-NATIVE evaluation of the same trees; range leaves need a
-    ``metadata`` frame (the index doc store or the corpus)."""
+    ``metadata`` frame (the index doc store or the corpus).
+    ``global_stats`` (n, avgdl, {term: df}) makes every term leaf score
+    under GLOBAL corpus statistics — the sharded scatter phase."""
 
     def __init__(self, engine, metadata: DataFrame | None,
-                 round_dp: int = ROUND_DP):
+                 round_dp: int = ROUND_DP, global_stats=None):
         self.engine, self.metadata, self.round_dp = engine, metadata, round_dp
+        self.global_stats = global_stats
 
     def term(self, t: str) -> DataFrame:
-        return self.engine.scored_docs(t).select(
+        return self.engine.scored_docs(
+            t, global_stats=self.global_stats
+        ).select(
             "doc_id", F.round("score", self.round_dp).alias("score")
         )
 
@@ -103,6 +108,21 @@ def _range_frame(metadata: DataFrame | None, r: dict) -> DataFrame:
     if "lte" in r:
         cond = cond & (F.col(r["field"]) <= r["lte"])
     return metadata.filter(cond).select("doc_id", F.lit(0.0).alias("score"))
+
+
+def tree_terms(node: dict) -> list[str]:
+    """All raw term-leaf strings in a tree, in leaf order (range leaves
+    contribute nothing — filter context needs no corpus statistics). The
+    sharded gather phase analyzes these to collect global df."""
+    if "term" in node:
+        return [node["term"]]
+    if "range" in node:
+        return []
+    out: list[str] = []
+    for key in ("must", "filter", "should", "must_not"):
+        for child in node.get(key, []):
+            out.extend(tree_terms(child))
+    return out
 
 
 def bool_score(ctx: BoolContext, node: dict, round_dp: int = ROUND_DP) -> DataFrame:

@@ -150,11 +150,11 @@ def _cmd_search(args) -> None:
     from .query.engine import SearchEngine
 
     if args.sharded:
-        if args.mode not in ("or", "and", "phrase", "near", "qs",
+        if args.mode not in ("or", "and", "phrase", "near", "qs", "bool",
                              "wildcard", "fuzzy", "regexp"):
             raise SystemExit(
                 "--sharded supports --mode or / and / phrase / near / qs "
-                "/ wildcard / fuzzy / regexp")
+                "/ bool / wildcard / fuzzy / regexp")
         from .query.sharded import ShardedEngine
 
         seng = ShardedEngine.open(spark, args.index)
@@ -178,6 +178,22 @@ def _cmd_search(args) -> None:
             meta_df = spark.read.parquet(args.metadata) if args.metadata else None
             hits = seng.search_query_string(args.query, k=args.k,
                                             metadata=meta_df)
+        elif args.mode == "bool":
+            meta_df = None
+            if args.metadata:
+                meta_df = spark.read.parquet(args.metadata)
+            elif seng.shards[0].meta.has_source:
+                # range fields from the shards' doc stores (union — each
+                # shard's range join still touches only its own ids)
+                from functools import reduce
+
+                parts = [
+                    spark.read.parquet(os.path.join(s.index_dir, "source"))
+                    .drop("doc_part") for s in seng.shards
+                ]
+                meta_df = reduce(lambda a, b: a.unionByName(b), parts)
+            hits = seng.search_bool(json.loads(args.query), k=args.k,
+                                    metadata=meta_df)
         else:
             hits = seng.search(args.query, k=args.k, mode=args.mode,
                                use_wand=not args.no_wand,

@@ -1136,13 +1136,17 @@ class SearchEngine:
 
         return blocks.groupBy("doc_range").applyInPandas(run_group, MATCH_SCHEMA)
 
-    def scored_docs(self, query: str, doc_filter=None) -> DataFrame:
+    def scored_docs(self, query: str, doc_filter=None,
+                    global_stats=None) -> DataFrame:
         """FULL scored match set of an OR query as a distributed
         DataFrame[doc_id, score] — no top-k cut (downstream combinators
         like ``boolquery`` need complete per-clause frames: a conjunction
         can surface docs a per-clause top-k would have dropped). Same
         term resolution, pruned segment scan, and masking as ``search``;
-        the kernel runs exhaustive with an unbounded k."""
+        the kernel runs exhaustive with an unbounded k. ``global_stats``
+        (n, avgdl, {term: df}) scores under GLOBAL corpus statistics —
+        the sharded scatter phase; a term absent from THIS shard's
+        dictionary still empties the frame (no doc here contains it)."""
         from .wand import score_group_vectorized as _sgv
 
         _RS = RESULT_SCHEMA
@@ -1151,10 +1155,26 @@ class SearchEngine:
         dict_rows = self._resolve_terms(query)
         if not dict_rows:
             return self.spark.createDataFrame([], _RS)
-        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
-        buckets = sorted({int(r["bucket"]) for r in dict_rows})
-        blocks = self._pruned_blocks(buckets, sorted(idf))
         k1, b, avgdl = meta.k1, meta.b, meta.avgdl
+        if global_stats is not None:
+            g_n, g_avgdl, g_df = global_stats
+            missing = sorted(
+                {r["term"] for r in dict_rows} - set(g_df)
+            )
+            if missing:
+                raise ValueError(
+                    f"global_stats df map lacks terms {missing}"
+                )
+            idf = {r["term"]: bm25_idf(g_n, g_df[r["term"]])
+                   for r in dict_rows}
+            avgdl = float(g_avgdl)
+        else:
+            idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        blocks = self._pruned_blocks(
+            buckets, sorted(idf),
+            avgdl if global_stats is not None else None,
+        )
         n_terms = len(idf)
         mask = self._doc_mask(doc_filter)
 
@@ -1164,16 +1184,20 @@ class SearchEngine:
         return blocks.groupBy("doc_range").applyInPandas(run_group, _RS)
 
     def search_bool(
-        self, tree: dict, k: int = 100, metadata: DataFrame | None = None
+        self, tree: dict, k: int = 100, metadata: DataFrame | None = None,
+        global_stats=None,
     ) -> list[tuple[int, float]]:
         """Nested boolean DSL (ES `bool` query) evaluated INDEX-NATIVELY:
         term leaves score from the segments via ``scored_docs``; range
         leaves filter the ``metadata`` frame; the tree combines with the
         same relational combinators as ``boolquery.bool_score`` (one job
-        however deep the nesting). → top-k [(doc_id, score)]."""
+        however deep the nesting). → top-k [(doc_id, score)].
+        ``global_stats``: score every term leaf under global corpus
+        statistics (the sharded scatter phase)."""
         from ..boolquery import IndexLeaves, eval_tree
 
-        out = eval_tree(tree, IndexLeaves(self, metadata))
+        out = eval_tree(tree, IndexLeaves(self, metadata,
+                                          global_stats=global_stats))
         rows = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 

@@ -473,6 +473,43 @@ class ShardedEngine:
         ]
         return self._merge(lists, k)
 
+    def search_bool(
+        self, tree: dict, k: int = 100, metadata: "DataFrame | None" = None
+    ) -> list[tuple[int, float]]:
+        """Scatter-gather nested boolean trees: global stats gather over
+        every term LEAF (filter/range leaves need no statistics), each
+        shard evaluates the whole tree index-natively under them, driver
+        merges top-ks. Correctness leans on shard-disjoint doc sets: a
+        doc's must/should/must_not memberships all resolve inside its own
+        shard, so per-shard tree results ARE the global ones, and global
+        idf makes their scores comparable. ``metadata`` may be the full
+        corpus table — each shard's range joins touch only its own ids."""
+        from ..boolquery import tree_terms
+
+        raw = tree_terms(tree)
+        terms = sorted(
+            {t for leaf in raw for t in self.shards[0]._analyze(leaf)}
+        )
+        gs = self.global_stats(terms) if terms else (0, 0.0, {})
+        if terms and not gs[2]:
+            return []
+        lists = [
+            s.search_bool(tree, k=k, metadata=metadata, global_stats=gs)
+            for s in self.shards
+        ]
+        return self._merge(lists, k)
+
+    def snippets(self, query: str, window: int = 8, **kw):
+        """Scatter-gather highlighting: snippet extraction is per-doc
+        (best window by query-term density — no corpus statistics), so
+        the sharded result is exactly the union of per-shard frames.
+        Requires positional shards. Returns one distributed DataFrame;
+        on a cluster the per-shard scans stay independent jobs."""
+        from functools import reduce
+
+        parts = [s.snippets(query, window=window, **kw) for s in self.shards]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def search_batch(
         self, queries: dict[str, str], k: int = 100, **kw
     ) -> dict[str, list[tuple[int, float]]]:

@@ -243,6 +243,29 @@ def test_build_impact_order_rejects_bad_spec(tmp_path, capsys):
                   "--locality-order", "repo"])
 
 
+def test_sharded_bool_mode(tmp_path, capsys):
+    """--sharded --mode bool: scatter-gather bool trees from the CLI match
+    the single-index bool mode over the same corpus."""
+    one = str(tmp_path / "bone")
+    many = str(tmp_path / "bmany")
+    cli.main(["build", "--synthetic", "150", "--index", one,
+              "--buckets", "2", "--range-bits", "2"])
+    cli.main(["build", "--synthetic", "150", "--index", many,
+              "--buckets", "2", "--range-bits", "2", "--shards", "3"])
+    capsys.readouterr()
+    tree = json.dumps({"must": [{"term": "index"}],
+                       "should": [{"term": "merge"}]})
+    cli.main(["search", "--index", one, "--query", tree,
+              "-k", "8", "--mode", "bool"])
+    want = json.loads(capsys.readouterr().out)["hits"]
+    cli.main(["search", "--index", many, "--query", tree,
+              "-k", "8", "--mode", "bool", "--sharded"])
+    got = json.loads(capsys.readouterr().out)["hits"]
+    assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want]
+    assert [h["score"] for h in got] == [h["score"] for h in want]
+    assert got
+
+
 def test_reindex_command(tmp_path, capsys):
     src = str(tmp_path / "rsrc")
     cli.main(["build", "--synthetic", "80", "--index", src,

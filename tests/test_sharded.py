@@ -309,3 +309,43 @@ def test_sharded_wildcard_and_fuzzy_match_single_index(spark, tmp_path):
         got = seng.search_regexp(rx, k=10)
         want = single.search_regexp(rx, k=10)
         assert [d for d, _ in got] == [d for d, _ in want], rx
+
+
+def test_sharded_bool_matches_single_index(spark, corpus, single, sharded):
+    """Nested bool trees across shards == single index over the union:
+    term leaves score under gathered global stats (5dp-rounded per node on
+    both sides), filter/range/must_not resolve shard-locally because doc
+    sets are shard-disjoint."""
+    trees = [
+        {"must": [{"term": "spark"}], "should": [{"term": "stream"}]},
+        {"should": [{"term": "spark"}, {"term": "merge"}],
+         "minimum_should_match": 2},
+        {"must": [{"term": "stream"}],
+         "must_not": [{"term": "merge"}]},
+        {"must": [{"term": "spark"}],
+         "filter": [{"range": {"field": "n_chars", "gte": 50}}]},
+    ]
+    meta_df = corpus.select("doc_id", "n_chars")
+    for tree in trees:
+        got = sharded.search_bool(tree, k=15, metadata=meta_df)
+        want = single.search_bool(tree, k=15, metadata=meta_df)
+        _assert_hits_equal(got, want)
+    # an all-OOV tree returns [] without a per-shard scatter
+    assert sharded.search_bool({"must": [{"term": "zzqqxx"}]}, k=5) == []
+
+
+def test_sharded_snippets_match_single_index(spark, corpus, tmp_path):
+    """Highlighting across shards == single positional index: snippets are
+    per-doc (no corpus statistics), so the union of per-shard frames is the
+    full answer."""
+    single = SearchEngine(spark, str(tmp_path / "pos1"))
+    single.build_index_from_df(corpus, id_col="doc_id", text_col="text",
+                               n_buckets=2, range_bits=2,
+                               with_positions=True)
+    seng = ShardedEngine.build(spark, corpus, str(tmp_path / "posN"), 3,
+                               n_buckets=2, range_bits=2,
+                               with_positions=True)
+    for q in ("spark stream", "merge"):
+        got = sorted(map(tuple, seng.snippets(q, window=6).collect()))
+        want = sorted(map(tuple, single.snippets(q, window=6).collect()))
+        assert got == want and got, q
