@@ -149,15 +149,18 @@ def _cmd_search(args) -> None:
     spark = _spark(args)
     from .query.engine import SearchEngine
 
-    if args.sharded:
+    if args.sharded or args.alias:
         if args.mode not in ("or", "and", "phrase", "near", "qs", "bool",
                              "wildcard", "fuzzy", "regexp"):
             raise SystemExit(
-                "--sharded supports --mode or / and / phrase / near / qs "
-                "/ bool / wildcard / fuzzy / regexp")
+                "--sharded/--alias supports --mode or / and / phrase / near "
+                "/ qs / bool / wildcard / fuzzy / regexp")
         from .query.sharded import ShardedEngine
 
-        seng = ShardedEngine.open(spark, args.index)
+        if args.alias:
+            seng = ShardedEngine.alias(spark, args.index.split(","))
+        else:
+            seng = ShardedEngine.open(spark, args.index)
         t0 = time.perf_counter()
         if args.mode == "wildcard":
             hits = seng.search_wildcard(args.query, k=args.k,
@@ -667,6 +670,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--sharded", action="store_true",
                    help="--index is a sharded layout (build --shards N); "
                    "scatter-gather under global statistics")
+    s.add_argument("--alias", action="store_true",
+                   help="--index is a comma-separated list of INDEPENDENT "
+                        "index dirs (ES index alias / multi-index search); "
+                        "implies --sharded query semantics, no routed "
+                        "maintenance")
     s.add_argument("--fetch", action="store_true",
                    help="attach stored source fields to each hit "
                         "(needs a --store-source build)")

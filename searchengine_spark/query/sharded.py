@@ -57,11 +57,18 @@ class ShardedEngine:
     search_batch), rank- and score-identical to one index over the union
     corpus (see module docstring)."""
 
-    def __init__(self, spark: SparkSession, shard_dirs: list[str]):
+    def __init__(self, spark: SparkSession, shard_dirs: list[str],
+                 routed: bool = True):
         if not shard_dirs:
             raise ValueError("need at least one shard dir")
         self.spark = spark
         self.shards = [SearchEngine(spark, d) for d in shard_dirs]
+        # routed=True: members are hash-routed shards of ONE corpus (built
+        # by ``build``) — id-addressed maintenance (append/update/delete)
+        # and point fetch can route. routed=False (``alias``): members are
+        # arbitrary independent indexes; only the scatter-gather query
+        # surface applies.
+        self.routed = routed
 
     @classmethod
     def open(cls, spark: SparkSession, base_dir: str) -> "ShardedEngine":
@@ -72,6 +79,39 @@ class ShardedEngine:
             if d.startswith("shard-")
         )
         return cls(spark, dirs)
+
+    @classmethod
+    def alias(cls, spark: SparkSession, index_dirs: list[str]) -> "ShardedEngine":
+        """ES index alias / multi-index search: ARBITRARY independent
+        indexes (time-partitioned, per-tenant, per-language) behind the one
+        scatter-gather query surface. Search correctness needs only that
+        doc ids be disjoint across members — the gather phase's global
+        statistics and driver merge are routing-agnostic — so the full
+        query surface (search / batch / phrase / NEAR / qs / bool /
+        wildcard / fuzzy / regexp / suggest / snippets / stats) works
+        unchanged and stays rank+score identical to one index over the
+        union corpus. What does NOT apply: hash-routed maintenance
+        (``append``/``update``/``delete`` raise — address the member
+        engine directly) and routed point fetch (``fetch`` falls back to
+        asking every member, which prunes to the requested ids' partitions
+        per member anyway). Members must share an analyzer (the query is
+        analyzed once)."""
+        eng = cls(spark, list(index_dirs), routed=False)
+        analyzers = {s.meta.analyzer for s in eng.shards}
+        if len(analyzers) > 1:
+            raise ValueError(
+                f"alias members mix analyzers {sorted(analyzers)} — queries "
+                "are analyzed once, so members must agree"
+            )
+        return eng
+
+    def _require_routed(self, what: str) -> None:
+        if not self.routed:
+            raise ValueError(
+                f"{what} routes by the build's doc-id hash, which an alias's "
+                "independent members don't share — call the owning member "
+                "engine directly"
+            )
 
     @classmethod
     def build(
@@ -169,6 +209,7 @@ class ShardedEngine:
         sharded layout adds only the hash routing). Layout params come
         from each shard's meta, so appends always match the shard's build.
         Returns total docs appended."""
+        self._require_routed("append")
         from ..streaming.ingest import append_docs
 
         n = len(self.shards)
@@ -208,6 +249,7 @@ class ShardedEngine:
         """Tombstone-delete across shards: ids route to their owning shard
         (O(|ids|) job + |ids| tombstone rows total — NOT broadcast to every
         shard, which would multiply tombstone state by N)."""
+        self._require_routed("delete")
         doc_ids = list(doc_ids)
         if not doc_ids:
             return 0
@@ -224,6 +266,7 @@ class ShardedEngine:
     ) -> int:
         """In-place update across shards: each shard runs its own
         watermarked tombstone + append pair on its routed slice."""
+        self._require_routed("update")
         n = len(self.shards)
         total = 0
         for s, eng in enumerate(self.shards):
@@ -301,10 +344,18 @@ class ShardedEngine:
         built with ``store_source=True``."""
         from functools import reduce
 
-        routed = self._route_ids(doc_ids)
-        parts = [
-            self.shards[s].fetch(ids) for s, ids in enumerate(routed) if ids
-        ]
+        if self.routed:
+            routed = self._route_ids(doc_ids)
+            parts = [
+                self.shards[s].fetch(ids)
+                for s, ids in enumerate(routed) if ids
+            ]
+        else:
+            # alias members share no routing hash — ask every member; each
+            # fetch still prunes to the requested ids' partitions, and an
+            # id a member doesn't hold simply matches no row there
+            ids = list(doc_ids)
+            parts = [s.fetch(ids) for s in self.shards] if ids else []
         if not parts:
             return self.shards[0].fetch([])  # empty frame, store-checked
         return reduce(lambda a, b: a.unionByName(b), parts)

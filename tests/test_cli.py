@@ -266,6 +266,22 @@ def test_sharded_bool_mode(tmp_path, capsys):
     assert got
 
 
+def test_alias_search(tmp_path, capsys):
+    """--alias: comma-separated independent index dirs (disjoint id spaces
+    — synthetic xxhash ids vs testdata sequential ids) behind one query."""
+    a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    cli.main(["build", "--synthetic", "60", "--index", a,
+              "--buckets", "2", "--range-bits", "1"])
+    cli.main(["build", "--input", "/root/testdata/sf0.001/documents.parquet",
+              "--id-col", "doc_id", "--text-col", "text", "--index", b,
+              "--buckets", "2", "--range-bits", "1"])
+    capsys.readouterr()
+    cli.main(["search", "--index", f"{a},{b}", "--query", "index merge",
+              "-k", "8", "--alias"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["hits"] and res["shards"] == 2
+
+
 def test_reindex_command(tmp_path, capsys):
     src = str(tmp_path / "rsrc")
     cli.main(["build", "--synthetic", "80", "--index", src,

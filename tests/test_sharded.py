@@ -349,3 +349,53 @@ def test_sharded_snippets_match_single_index(spark, corpus, tmp_path):
         got = sorted(map(tuple, seng.snippets(q, window=6).collect()))
         want = sorted(map(tuple, single.snippets(q, window=6).collect()))
         assert got == want and got, q
+
+
+def test_alias_multi_index_search_matches_single(spark, corpus, single, tmp_path):
+    """ES index alias / multi-index search: INDEPENDENT per-slice indexes
+    (here split by n_chars tertile — NOT hash-routed) behind the alias are
+    rank+score identical to one index over the union, because the gather
+    phase is routing-agnostic. Maintenance is refused; fetch falls back to
+    asking every member."""
+    parts = [
+        corpus.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    dirs = []
+    for i, part in enumerate(parts):
+        d = str(tmp_path / f"member{i}")
+        SearchEngine(spark, d).build_index_from_df(
+            part, id_col="doc_id", text_col="text",
+            n_buckets=2, range_bits=2, store_source=True,
+        )
+        dirs.append(d)
+    al = ShardedEngine.alias(spark, dirs)
+    for q in QUERIES:
+        _assert_hits_equal(al.search(q, k=12), single.search(q, k=12))
+    batch = al.search_batch({"a": QUERIES[0], "b": QUERIES[2]}, k=8)
+    for qid, q in (("a", QUERIES[0]), ("b", QUERIES[2])):
+        _assert_hits_equal(batch[qid], single.search(q, k=8))
+    assert al.suggest("s", 5) == single.suggest("s", 5)
+    # unrouted fetch: every member asked, ids resolve wherever they live
+    ids = [r[0] for r in corpus.select("doc_id").limit(5).collect()]
+    got = {r["doc_id"] for r in al.fetch(ids).collect()}
+    assert got == set(ids)
+    # routed maintenance refused
+    with pytest.raises(ValueError, match="alias"):
+        al.delete([1, 2])
+    with pytest.raises(ValueError, match="alias"):
+        al.append(corpus.limit(1))
+    with pytest.raises(ValueError, match="alias"):
+        al.update(corpus.limit(1))
+
+
+def test_alias_refuses_mixed_analyzers(spark, corpus, tmp_path):
+    a = str(tmp_path / "std")
+    b = str(tmp_path / "code")
+    SearchEngine(spark, a).build_index_from_df(
+        corpus.limit(20), id_col="doc_id", text_col="text",
+        n_buckets=2, range_bits=1)
+    SearchEngine(spark, b).build_index_from_df(
+        corpus.limit(20), id_col="doc_id", text_col="text",
+        n_buckets=2, range_bits=1, analyzer="code")
+    with pytest.raises(ValueError, match="analyzers"):
+        ShardedEngine.alias(spark, [a, b])
