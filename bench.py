@@ -248,6 +248,32 @@ def main() -> None:
 
     timed("text_stats", text_stats)
 
+    # corpus term analytics: significant terms + TF-IDF keywords (two df
+    # aggs + window), PMI collocations and bigram-LM perplexity (map-side
+    # zip_with bigram stream, count aggs only)
+    from searchengine_spark.ops import termstats
+
+    def term_analytics():
+        termstats.significant_terms(docs, top_n=5).count()
+        termstats.keyword_tfidf(docs, k=3).count()
+
+    timed("term_analytics", term_analytics)
+    timed(
+        "collocations",
+        lambda: termstats.collocations(docs, min_count=5, top_n=25).count(),
+    )
+    timed("perplexity_lm", lambda: termstats.perplexity(docs).count())
+
+    def hll():
+        from searchengine_spark.ops import sketch as sketch_ops
+        from searchengine_spark.tokenizer import tokenize_raw_expr
+
+        toks = docs.select(F.explode(tokenize_raw_expr(F.col("text"))).alias("term"))
+        regs = sketch_ops.hll_build(toks, "term", p=12)
+        sketch_ops.hll_estimate(regs, p=12).collect()
+
+    timed("hll_distinct", hll)
+
     # geo-distance top-k (box-pruned haversine) + deterministic stratified
     # sampling — both single map-pass ops, here for regression tracking
     from searchengine_spark.ops.geo import geo_distance_topk

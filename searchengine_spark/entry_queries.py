@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import dedup, multimodal, packing, similarity, sketch, textstats
+from .ops import dedup, multimodal, packing, similarity, sketch, termstats, textstats
 from .postings import dictionary, doc_stats, term_frequencies
 from .scoring import (
     bm25_score,
@@ -28,7 +28,7 @@ from .scoring import (
     inner_product_score,
     parse_query,
 )
-from .tokenizer import STOPWORDS, TOKEN_PATTERN, duckdb_tokens_cte
+from .tokenizer import STOPWORDS, TOKEN_PATTERN, duckdb_tokens_cte, tokenize_raw_expr
 from .tweetparser import entity_tokens_sql
 
 ROUND_DP = 5
@@ -1515,6 +1515,17 @@ def _sample_sql(rate_by_lang: dict | None) -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+def q_split_by_group(spark, sf_dir):
+    """Leakage-safe train/valid/test split keyed on the GROUP (source)
+    so near-duplicate rows of one origin never straddle splits — a
+    stateless md5-threshold CASE, zero shuffle."""
+    from .ops.sampling import split_by_group
+
+    return split_by_group(_docs(spark, sf_dir), by="source", seed=SAMPLE_SEED).select(
+        "doc_id", "source", "split"
+    )
+
+
 SORTED_K = 15
 
 
@@ -2531,6 +2542,32 @@ def q_cms_counters(spark, sf_dir):
     return sketch.cms_build(_docs(spark, sf_dir), CMS_D, CMS_W)
 
 
+HLL_P = 10
+
+
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog registers over the corpus term stream (vocabulary-
+    cardinality sketch): ≤2^p rows, merge = per-bucket max. Integer/string
+    hash arithmetic only, so the registers hash-match DuckDB bit-for-bit."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_raw_expr(F.col("text"))).alias("term")
+    )
+    return sketch.hll_build(toks, "term", p=HLL_P)
+
+
+def q_hll_estimate(spark, sf_dir):
+    """The HLL cardinality estimate (one row) — integer-exact register
+    sum makes it aggregation-order independent and engine-identical."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize_raw_expr(F.col("text"))).alias("term")
+    )
+    return sketch.hll_estimate(sketch.hll_build(toks, "term", p=HLL_P), p=HLL_P)
+
+
+def _hll_tokens_table() -> str:
+    return f"(SELECT term FROM ({duckdb_tokens_cte('documents', 'doc_id', 'text')}) t0) tt"
+
+
 AUTH_W = 0.5
 AUTH_K = 20
 
@@ -2761,6 +2798,29 @@ def q_lang_id(spark, sf_dir):
 
 def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_significant_terms(spark, sf_dir):
+    """Per-language significant terms (ES significant_terms, JLH): two df
+    aggregations + broadcast category sizes; scores rounded pre-rank."""
+    return termstats.significant_terms(_docs(spark, sf_dir), top_n=5)
+
+
+def q_keyword_tfidf(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords — one tf agg + |vocab| join + window."""
+    return termstats.keyword_tfidf(_docs(spark, sf_dir), k=3)
+
+
+def q_collocations(spark, sf_dir):
+    """Top PMI collocations over the adjacent-bigram stream (map-side
+    zip_with bigrams, three count aggs)."""
+    return termstats.collocations(_docs(spark, sf_dir), min_count=5, top_n=25)
+
+
+def q_perplexity(spark, sf_dir):
+    """CCNet-style add-α bigram-LM perplexity per doc, trained on the
+    corpus itself — the standard quality-filter signal."""
+    return termstats.perplexity(_docs(spark, sf_dir))
 
 
 def q_media_metadata(spark, sf_dir):
@@ -3337,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_topk": q_geo_topk,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "split_by_group": q_split_by_group,
         "code_tokens": q_code_tokens,
         "chain_tokens": q_chain_tokens,
         "code_search_topk": q_code_search_topk,
@@ -3371,6 +3432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "authority_topk": q_authority_topk,
         "cms_counters": q_cms_counters,
+        "hll_registers": q_hll_registers,
+        "hll_estimate": q_hll_estimate,
         "value_histogram": q_value_histogram,
         "funnel": q_funnel,
         "retention_cohorts": q_retention,
@@ -3387,6 +3450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "repetition_stats": q_repetition_stats,
+        "significant_terms": q_significant_terms,
+        "keyword_tfidf": q_keyword_tfidf,
+        "collocations": q_collocations,
+        "perplexity": q_perplexity,
         "sorted_search": q_sorted_search,
         "percolate": q_percolate,
         "pii_counts": q_pii_counts,
@@ -3418,6 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .ops.sampling import split_by_group_sql
+
     return {
         "doc_tf": _TF_SQL,
         "doc_stats": _STATS_SQL,
@@ -3471,6 +3540,11 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "geo_topk": _geo_topk_sql(),
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
+        "split_by_group": (
+            "SELECT doc_id, source, split FROM ("
+            + split_by_group_sql("documents", by="source", seed=SAMPLE_SEED)
+            + ") t"
+        ),
         "code_tokens": _code_tf_sql(),
         "chain_tokens": _chain_tf_sql(),
         "code_search_topk": _code_search_sql(),
@@ -3501,6 +3575,10 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "pagerank": _pagerank_sql(),
         "authority_topk": _authority_sql(),
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),
+        "hll_registers": sketch.hll_build_sql(_hll_tokens_table(), "term", p=HLL_P),
+        "hll_estimate": sketch.hll_estimate_sql(
+            sketch.hll_build_sql(_hll_tokens_table(), "term", p=HLL_P), p=HLL_P
+        ),
         "value_histogram": sketch.hist_build_sql("events", "value", HIST_W),
         "funnel": __funnel_sql(),
         "retention_cohorts": _retention_sql(),
@@ -3528,6 +3606,12 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
             + "), cand AS",
             1,
         ),
+        "significant_terms": termstats.significant_terms_sql("documents", top_n=5),
+        "keyword_tfidf": termstats.keyword_tfidf_sql("documents", k=3),
+        "collocations": termstats.collocations_sql(
+            "documents", min_count=5, top_n=25
+        ),
+        "perplexity": termstats.perplexity_sql("documents"),
         # "tweet_tokens": rows-only (534-line rule parser, non-SQL-expressible)
         "streaming_ingest": f"""
 WITH tf AS (

@@ -111,3 +111,57 @@ def sample_rate_sql(
 SELECT * FROM {table}
 WHERE {_hash_unit_sql(id_col, seed)} < {float(rate)!r}
 """
+
+
+def split_by_group(
+    df: DataFrame,
+    by: str,
+    fractions: dict | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split is a pure
+    function of the GROUP key (e.g. ``repo``), so every row of a group —
+    every file of a repository, every page of a site — lands in the same
+    split. Splitting on the row id instead leaks near-duplicate rows
+    across splits (same repo, trivially different files), which inflates
+    eval scores; group-keyed hashing is the standard fix.
+
+    ``fractions`` maps split name → fraction (must sum to 1.0 within
+    1e-9; default 0.8/0.1/0.1 train/valid/test). Assignment: u =
+    md5(group‖seed) ∈ [0,1) against cumulative thresholds in SORTED split-
+    name order (pinned — dict order must not matter). Stateless codegen
+    CASE expression, zero shuffle, identical at any parallelism; the
+    DuckDB twin reproduces the exact assignment.
+    """
+    fractions = dict(fractions or {"test": 0.1, "train": 0.8, "valid": 0.1})
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    u = hash_unit(F.col(by), seed)
+    expr = None
+    cum = 0.0
+    items = sorted(fractions.items())
+    for name, frac in items[:-1]:
+        cum += float(frac)
+        expr = (
+            F.when(u < cum, name) if expr is None else expr.when(u < cum, name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def split_by_group_sql(
+    table: str, by: str, fractions: dict | None = None, seed: int = 0
+) -> str:
+    """DuckDB twin of ``split_by_group`` (same md5 thresholds)."""
+    fractions = dict(fractions or {"test": 0.1, "train": 0.8, "valid": 0.1})
+    u = _hash_unit_sql(by, seed)
+    items = sorted(fractions.items())
+    case = "CASE"
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += float(frac)
+        case += f" WHEN {u} < {cum!r} THEN '{name}'"
+    case += f" ELSE '{items[-1][0]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"

@@ -191,3 +191,132 @@ SELECT floor({value_col} / {float(bin_width)!r})::BIGINT AS bin,
        count(*)::BIGINT AS cnt
 FROM {table} GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (mergeable register table)
+# ---------------------------------------------------------------------------
+
+_HLL_BITS = 48 - 0  # md5 12-hex prefix → 48 usable hash bits
+
+
+def _hll_parts(value_col, p: int):
+    """(bucket, rho) for one value: bucket = h mod 2^p, rho = 1-based
+    position of the first set bit in the REMAINING (48-p)-bit quotient,
+    counted from the MSB — computed with integer/string ops only
+    (lpad(bin(w))) so Spark and DuckDB agree bit-for-bit (no float log2,
+    whose last-ulp rounding differs across engines)."""
+    m = 1 << p
+    wbits = _HLL_BITS - p
+    h = F.conv(F.substring(F.md5(value_col.cast("string")), 1, _HEX), 16, 10).cast(
+        "long"
+    )
+    bucket = F.pmod(h, F.lit(m))
+    w = (h / F.lit(m)).cast("long")  # quotient — the remaining 36 bits
+    binstr = F.lpad(F.bin(w), wbits, "0")
+    pos = F.instr(binstr, "1")
+    rho = F.when(pos == 0, wbits + 1).otherwise(pos)
+    return bucket, rho
+
+
+def hll_build(
+    df: DataFrame, value_col: str = "term", p: int = 12
+) -> DataFrame:
+    """(bucket, rho): HyperLogLog registers over a column — distinct-count
+    sketch as a TABLE of ≤2^p rows (Flajolet et al. 2007). One map-side-
+    combined max aggregation; merge across corpora/epochs/streams =
+    ``hll_merge`` (register-wise max — sketch idempotence means replays
+    and overlaps are free). At 10^12 rows the shuffle carries ≤2^p rows
+    per partial, never the value stream."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    bucket, rho = _hll_parts(F.col(value_col), p)
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-merge two register tables (max per bucket) — the sketch of
+    the UNION of the two underlying sets, exactly."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """One row (est): the HLL cardinality estimate with the standard
+    small-range (linear-counting) correction. The register sum is kept
+    INTEGER-exact — Σ 2^(rmax−rho) with rmax = 37 fits a BIGINT — so the
+    estimate is independent of aggregation order and identical across
+    engines; only the final division is floating point (rounded 4dp)."""
+    m = 1 << p
+    wbits = _HLL_BITS - p
+    rmax = wbits + 1
+    alpha = _hll_alpha(m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), (F.lit(rmax) - F.col("rho"))).cast("long")).alias(
+            "s_int"
+        ),
+    )
+    scale = float(1 << rmax)
+    est_raw = (
+        F.lit(alpha * m * m * scale)
+        / (F.col("s_int") + (F.lit(m) - F.col("used")) * F.lit(scale))
+    )
+    zeros = F.lit(m) - F.col("used")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    return agg.select(F.round(est, 4).alias("est"))
+
+
+def hll_build_sql(table: str, value_col: str = "term", p: int = 12) -> str:
+    """DuckDB twin of ``hll_build`` — identical md5/bin/instr arithmetic."""
+    m = 1 << p
+    wbits = _HLL_BITS - p
+    h = (
+        f"CAST(('0x' || substring(md5(CAST({value_col} AS VARCHAR)), 1, {_HEX}))"
+        f" AS BIGINT)"
+    )
+    pos = f"strpos(lpad(bin({h} // {m}), {wbits}, '0'), '1')"
+    return f"""
+SELECT ({h} % {m})::BIGINT AS bucket,
+       MAX(CASE WHEN {pos} = 0 THEN {wbits + 1} ELSE {pos} END)::INTEGER AS rho
+FROM {table}
+GROUP BY 1
+"""
+
+
+def hll_estimate_sql(registers_sql: str, p: int = 12) -> str:
+    """DuckDB twin of ``hll_estimate`` over a register-table subquery."""
+    m = 1 << p
+    wbits = _HLL_BITS - p
+    rmax = wbits + 1
+    alpha = _hll_alpha(m)
+    scale = float(1 << rmax)
+    return f"""
+WITH r AS ({registers_sql}),
+agg AS (SELECT COUNT(*) AS used,
+               SUM((2.0 ** ({rmax} - rho))::BIGINT)::BIGINT AS s_int
+        FROM r)
+SELECT ROUND(CASE WHEN {alpha * m * m}::DOUBLE * {scale!r}
+                       / (s_int + ({m} - used) * {scale!r}) <= {2.5 * m}
+                  AND ({m} - used) > 0
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - used))
+             ELSE {alpha * m * m}::DOUBLE * {scale!r}
+                  / (s_int + ({m} - used) * {scale!r}) END, 4) AS est
+FROM agg
+"""

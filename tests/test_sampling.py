@@ -90,3 +90,49 @@ def test_rates_validation(spark, docs):
         sample_rate(docs, 1.5)
     with pytest.raises(ValueError):
         sample_stratified(docs, {"en": -0.1}, by="lang")
+
+
+def test_split_by_group_no_leakage(spark, docs):
+    """Every group lands wholly in one split; fractions are roughly
+    honored; assignment is deterministic and matches the DuckDB twin."""
+    import duckdb
+
+    from searchengine_spark.ops.sampling import split_by_group, split_by_group_sql
+
+    out = split_by_group(docs, by="source", seed=3)
+    # leakage-safe: each source maps to exactly one split
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert per_group == 1
+    # deterministic across parallelism
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_by_group(docs.repartition(7), by="source", seed=3)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    # DuckDB twin reproduces the exact assignment
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    o = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT doc_id, split FROM ("
+            + split_by_group_sql("documents", by="source", seed=3)
+            + ") t"
+        ).fetchall()
+    }
+    assert a == o
+
+
+def test_split_by_group_fraction_validation(spark, docs):
+    from searchengine_spark.ops.sampling import split_by_group
+
+    with pytest.raises(ValueError):
+        split_by_group(docs, by="source", fractions={"train": 0.5, "test": 0.1})

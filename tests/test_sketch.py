@@ -137,3 +137,74 @@ def test_hist_quantile_validation(spark):
     h = hist_build(df)
     with pytest.raises(ValueError, match="q must"):
         hist_quantile(h, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hll_vals(spark):
+    # 3,000 distinct terms, heavy duplication (the sketch must not care)
+    return spark.createDataFrame(
+        [(f"term_{i % 3000}",) for i in range(20000)], "term string"
+    )
+
+
+def test_hll_registers_match_duckdb(spark, hll_vals):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("vals", hll_vals.toPandas())
+    for p in (8, 12):
+        s = sorted(
+            (r["bucket"], r["rho"])
+            for r in sketch.hll_build(hll_vals, "term", p=p).collect()
+        )
+        o = sorted(con.execute(sketch.hll_build_sql("vals", "term", p=p)).fetchall())
+        assert s == o
+
+
+def test_hll_estimate_within_error_bound(spark, hll_vals):
+    # standard error ≈ 1.04/sqrt(m); assert within 3σ at p=12 (m=4096)
+    est = sketch.hll_estimate(
+        sketch.hll_build(hll_vals, "term", p=12), p=12
+    ).collect()[0][0]
+    assert abs(est - 3000) / 3000 < 3 * 1.04 / (1 << 12) ** 0.5
+
+
+def test_hll_merge_equals_union_sketch(spark, hll_vals):
+    other = spark.createDataFrame(
+        [(f"other_{i}",) for i in range(1000)], "term string"
+    )
+    merged = sketch.hll_merge(
+        sketch.hll_build(hll_vals, "term", p=10),
+        sketch.hll_build(other, "term", p=10),
+    )
+    direct = sketch.hll_build(hll_vals.unionByName(other), "term", p=10)
+    est_m = sketch.hll_estimate(merged, p=10).collect()[0][0]
+    est_d = sketch.hll_estimate(direct, p=10).collect()[0][0]
+    assert est_m == est_d  # register-wise max is EXACT union semantics
+
+
+def test_hll_merge_idempotent_on_overlap(spark, hll_vals):
+    # merging a sketch with itself changes nothing (replay safety)
+    r = sketch.hll_build(hll_vals, "term", p=10)
+    est1 = sketch.hll_estimate(r, p=10).collect()[0][0]
+    est2 = sketch.hll_estimate(sketch.hll_merge(r, r), p=10).collect()[0][0]
+    assert est1 == est2
+
+
+def test_hll_estimate_parallelism_independent(spark, hll_vals):
+    # integer-exact register sum → same estimate at any partitioning
+    r1 = sketch.hll_build(hll_vals.repartition(1), "term", p=12)
+    r7 = sketch.hll_build(hll_vals.repartition(7), "term", p=12)
+    e1 = sketch.hll_estimate(r1, p=12).collect()[0][0]
+    e7 = sketch.hll_estimate(r7, p=12).collect()[0][0]
+    assert e1 == e7
+
+
+def test_hll_p_validation(spark, hll_vals):
+    with pytest.raises(ValueError):
+        sketch.hll_build(hll_vals, "term", p=2)
