@@ -274,6 +274,15 @@ def main() -> None:
 
     timed("hll_distinct", hll)
 
+    def bpe_train_bench():
+        from searchengine_spark.ops import bpe as bpe_ops
+
+        merges, state = bpe_ops.bpe_train(docs, 16, min_pair_count=2)
+        state.unpersist()
+        return merges
+
+    timed("bpe_train16", bpe_train_bench)
+
     # geo-distance top-k (box-pruned haversine) + deterministic stratified
     # sampling — both single map-pass ops, here for regression tracking
     from searchengine_spark.ops.geo import geo_distance_topk

@@ -2542,6 +2542,42 @@ def q_cms_counters(spark, sf_dir):
     return sketch.cms_build(_docs(spark, sf_dir), CMS_D, CMS_W)
 
 
+BPE_K = 8
+_BPE_CACHE: dict = {}
+
+
+def _shared_bpe(spark, sf_dir):
+    """ONE BPE train per sf_dir per process — both bpe_* driver entries
+    read from it (same pattern as _shared_index)."""
+    if sf_dir not in _BPE_CACHE:
+        from .ops import bpe
+
+        _BPE_CACHE[sf_dir] = bpe.bpe_train(
+            _docs(spark, sf_dir), BPE_K, min_pair_count=2
+        )
+    return _BPE_CACHE[sf_dir]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training: ONE corpus pass to (word,
+    cnt), then K merge rounds over the |vocab|-row table (pair-count agg
+    + 1-row argmax collect + map-side replace each). Checked against a
+    K-stage unrolled-CTE DuckDB twin — merge sequence identical."""
+    from .ops import bpe
+
+    merges, _state = _shared_bpe(spark, sf_dir)
+    return bpe.merges_df(spark, merges)
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """The learned subword vocabulary (final symbols weighted by word
+    counts) after BPE_K merges."""
+    from .ops import bpe
+
+    _merges, state = _shared_bpe(spark, sf_dir)
+    return bpe.bpe_vocab(state)
+
+
 HLL_P = 10
 
 
@@ -3434,6 +3470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q_cms_counters,
         "hll_registers": q_hll_registers,
         "hll_estimate": q_hll_estimate,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
         "value_histogram": q_value_histogram,
         "funnel": q_funnel,
         "retention_cohorts": q_retention,
@@ -3485,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .ops import bpe as _bpe
     from .ops.sampling import split_by_group_sql
 
     return {
@@ -3579,6 +3618,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "hll_estimate": sketch.hll_estimate_sql(
             sketch.hll_build_sql(_hll_tokens_table(), "term", p=HLL_P), p=HLL_P
         ),
+        "bpe_merges": _bpe.bpe_train_sql("documents", BPE_K, min_pair_count=2),
+        "bpe_vocab": _bpe.bpe_vocab_sql("documents", BPE_K, min_pair_count=2),
         "value_histogram": sketch.hist_build_sql("events", "value", HIST_W),
         "funnel": __funnel_sql(),
         "retention_cohorts": _retention_sql(),
