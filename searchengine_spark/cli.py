@@ -468,6 +468,74 @@ def _cmd_sample(args) -> None:
     )
 
 
+def _cmd_split(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .ops.sampling import split_by_group
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.input)
+    fractions = None
+    if args.fractions:
+        fractions = {
+            k: float(v)
+            for k, v in (pair.split("=") for pair in args.fractions.split(","))
+        }
+    out = split_by_group(df, by=args.by, fractions=fractions, seed=args.seed)
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "split": args.output,
+                "by": args.by,
+                "counts": counts,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
+def _cmd_bpe_train(args) -> None:
+    spark = _spark(args)
+    from .ops import bpe
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.input)
+    merges, state = bpe.bpe_train(
+        df,
+        args.merges,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_pair_count=args.min_pair_count,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    bpe.merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+        f"{args.output}/merges"
+    )
+    bpe.bpe_vocab(state).write.mode("overwrite").parquet(f"{args.output}/vocab")
+    state.unpersist()
+    n_vocab = spark.read.parquet(f"{args.output}/vocab").count()
+    print(
+        json.dumps(
+            {
+                "bpe": args.output,
+                "n_merges": len(merges),
+                "n_vocab": n_vocab,
+                "last_merge": list(merges[-1][1:3]) if merges else None,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
 def _cmd_prepare(args) -> None:
     spark = _spark(args)
     from .ops.pipeline import prepare_training_data
@@ -773,6 +841,33 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=_cmd_sample)
+
+    sg2 = sub.add_parser(
+        "split",
+        help="leakage-safe train/valid/test split keyed on a GROUP column",
+    )
+    sg2.add_argument("--input", required=True)
+    sg2.add_argument("--output", required=True)
+    sg2.add_argument("--by", required=True, help="group column (e.g. repo)")
+    sg2.add_argument(
+        "--fractions", default="",
+        help="split=fraction pairs summing to 1, e.g. train=0.8,valid=0.1,test=0.1",
+    )
+    sg2.add_argument("--seed", type=int, default=0)
+    sg2.set_defaults(fn=_cmd_split)
+
+    bp = sub.add_parser(
+        "bpe-train",
+        help="train a BPE subword vocabulary (merges + vocab parquet)",
+    )
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--output", required=True)
+    bp.add_argument("--merges", type=int, default=1000)
+    bp.add_argument("--min-pair-count", type=int, default=2)
+    bp.add_argument("--id-col", default="doc_id")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--checkpoint-dir", default=None)
+    bp.set_defaults(fn=_cmd_bpe_train)
 
     pr = sub.add_parser(
         "prepare",

@@ -314,3 +314,39 @@ def test_prepare_command(tmp_path, capsys, spark):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"doc_id", "lang", "text"}
     assert got.count() == res["n_out"]
+
+
+def test_split_command(tmp_path, capsys, spark):
+    out = str(tmp_path / "split")
+    cli.main(
+        [
+            "split", "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out, "--by", "source",
+            "--fractions", "train=0.8,valid=0.1,test=0.1",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out)
+    assert sum(res["counts"].values()) == 500
+    # leakage-safe: re-reading, every source maps to exactly one split
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(out)
+    assert (
+        df.groupBy("source").agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n")).collect()[0][0] == 1
+    )
+
+
+def test_bpe_train_command(tmp_path, capsys, spark):
+    out = str(tmp_path / "bpe")
+    cli.main(
+        [
+            "bpe-train", "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out, "--merges", "6",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out)
+    assert res["n_merges"] == 6 and res["n_vocab"] > 0
+    merges = spark.read.parquet(f"{out}/merges")
+    assert merges.count() == 6
+    assert set(merges.columns) == {"rank", "lhs", "rhs", "pair_count"}
