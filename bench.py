@@ -283,6 +283,13 @@ def main() -> None:
 
     timed("bpe_train16", bpe_train_bench)
 
+    def dym():
+        from searchengine_spark.didyoumean import suggest_phrase
+
+        suggest_phrase(docs, "sow lin").collect()
+
+    timed("didyoumean", dym)
+
     # geo-distance top-k (box-pruned haversine) + deterministic stratified
     # sampling — both single map-pass ops, here for regression tracking
     from searchengine_spark.ops.geo import geo_distance_topk

@@ -536,6 +536,33 @@ def _cmd_bpe_train(args) -> None:
     )
 
 
+def _cmd_didyoumean(args) -> None:
+    spark = _spark(args)
+    from .didyoumean import suggest_phrase
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.input)
+    out = suggest_phrase(
+        df,
+        args.query,
+        max_edits=args.max_edits,
+        per_term=args.per_term,
+        beam=args.beam,
+        top_n=args.k,
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "suggestions": [
+                    {"phrase": r["phrase"], "score": float(r["score"])} for r in out
+                ],
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
 def _cmd_prepare(args) -> None:
     spark = _spark(args)
     from .ops.pipeline import prepare_training_data
@@ -868,6 +895,18 @@ def main(argv: list[str] | None = None) -> None:
     bp.add_argument("--text-col", default="text")
     bp.add_argument("--checkpoint-dir", default=None)
     bp.set_defaults(fn=_cmd_bpe_train)
+
+    dy = sub.add_parser(
+        "didyoumean",
+        help="phrase-level spell suggestion ranked by the corpus bigram LM",
+    )
+    dy.add_argument("--input", required=True)
+    dy.add_argument("--query", required=True)
+    dy.add_argument("--max-edits", type=int, default=2)
+    dy.add_argument("--per-term", type=int, default=5)
+    dy.add_argument("--beam", type=int, default=8)
+    dy.add_argument("-k", type=int, default=5)
+    dy.set_defaults(fn=_cmd_didyoumean)
 
     pr = sub.add_parser(
         "prepare",

@@ -2542,6 +2542,20 @@ def q_cms_counters(spark, sf_dir):
     return sketch.cms_build(_docs(spark, sf_dir), CMS_D, CMS_W)
 
 
+DYM_QUERY = "sow lin"  # misspellings with MANY near-vocab candidates, so
+# the beam genuinely competes (5 surviving phrases hash-checked)
+
+
+def q_didyoumean(spark, sf_dir):
+    """Did-you-mean phrase suggestion: per-term Levenshtein candidates
+    from the vocabulary, whole-phrase beam ranking under the corpus
+    bigram LM — corrections that co-occur beat merely-close ones.
+    Unrolled-CTE DuckDB twin with identical rounding/tie-breaks."""
+    from .didyoumean import suggest_phrase
+
+    return suggest_phrase(_docs(spark, sf_dir), DYM_QUERY)
+
+
 BPE_K = 8
 _BPE_CACHE: dict = {}
 
@@ -3472,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate": q_hll_estimate,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "didyoumean": q_didyoumean,
         "value_histogram": q_value_histogram,
         "funnel": q_funnel,
         "retention_cohorts": q_retention,
@@ -3523,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from . import didyoumean as _dym
     from .ops import bpe as _bpe
     from .ops.sampling import split_by_group_sql
 
@@ -3620,6 +3636,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         ),
         "bpe_merges": _bpe.bpe_train_sql("documents", BPE_K, min_pair_count=2),
         "bpe_vocab": _bpe.bpe_vocab_sql("documents", BPE_K, min_pair_count=2),
+        "didyoumean": _dym.suggest_phrase_sql("documents", DYM_QUERY),
         "value_histogram": sketch.hist_build_sql("events", "value", HIST_W),
         "funnel": __funnel_sql(),
         "retention_cohorts": _retention_sql(),

@@ -350,3 +350,16 @@ def test_bpe_train_command(tmp_path, capsys, spark):
     merges = spark.read.parquet(f"{out}/merges")
     assert merges.count() == 6
     assert set(merges.columns) == {"rank", "lhs", "rhs", "pair_count"}
+
+
+def test_didyoumean_command(capsys, spark):
+    cli.main(
+        [
+            "didyoumean", "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--query", "sow lin", "-k", "3",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out)
+    assert res["suggestions"], "expected at least one suggestion"
+    scores = [s["score"] for s in res["suggestions"]]
+    assert scores == sorted(scores, reverse=True)
