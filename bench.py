@@ -235,6 +235,9 @@ def main() -> None:
     timed("ann_ivf_write", lambda: similarity.ivf_write(embs, f"{ann_dir}/ivf", n_lists=16, dim=64))
     timed("ann_ivf_stored_topk", lambda: similarity.ivf_stored_topk(spark, f"{ann_dir}/ivf", _QUERY_VEC, k=25).collect())
     # int8 scalar quantization: codec + the 4×-compressed stored read path
+    timed("ann_pq_topk", lambda: similarity.pq_topk(embs, _QUERY_VEC, k=25).collect())
+    timed("ann_pq_write", lambda: similarity.pq_write(embs, f"{ann_dir}/pq"))
+    timed("ann_pq_stored_topk", lambda: similarity.pq_stored_topk(spark, f"{ann_dir}/pq", _QUERY_VEC, k=25).collect())
     timed("ann_sq_topk", lambda: similarity.sq_topk(embs, _QUERY_VEC, k=25).collect())
     timed("ann_sq_write", lambda: similarity.sq_write(embs, f"{ann_dir}/sq"))
     timed("ann_sq_stored_topk", lambda: similarity.sq_stored_topk(spark, f"{ann_dir}/sq", _QUERY_VEC, k=25).collect())

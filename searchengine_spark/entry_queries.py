@@ -3154,6 +3154,8 @@ def _ann_layout(spark, sf_dir: str, kind: str) -> str:
             similarity.lsh_write(_embs(spark, sf_dir), path, n_planes=8, dim=64)
         elif kind == "sq":
             similarity.sq_write(_embs(spark, sf_dir), path)
+        elif kind == "pq":
+            similarity.pq_write(_embs(spark, sf_dir), path)
         else:
             similarity.ivf_write(_embs(spark, sf_dir), path, n_lists=16, dim=64)
         _ANN_LAYOUTS[key] = path
@@ -3173,6 +3175,33 @@ def q_ivf_stored_topk(spark, sf_dir):
     """Same for IVF: list_id-partitioned layout + persisted centroids."""
     return similarity.ivf_stored_topk(
         spark, _ann_layout(spark, sf_dir, "ivf"), _QUERY_VEC, k=10, nprobe=4
+    )
+
+
+PQ_K = 15
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (m=8 subspaces × 16 codewords — 16×
+    compression): per-subspace argmin with pinned tie-breaks, exploded to
+    hashable (vec_id, sub, code) rows."""
+    codes = similarity.pq_encode(_embs(spark, sf_dir))
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", "sub", "code")
+
+
+def q_pq_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-k: per-subspace LUT lookups summed in
+    a pinned order — the compressed-domain scan."""
+    return similarity.pq_topk(_embs(spark, sf_dir), _QUERY_VEC, k=PQ_K)
+
+
+def q_pq_stored_topk(spark, sf_dir):
+    """ADC over the MATERIALIZED m-bytes-per-vector layout (codebooks
+    pinned in the meta sidecar) — must equal pq_topk exactly."""
+    return similarity.pq_stored_topk(
+        spark, _ann_layout(spark, sf_dir, "pq"), _QUERY_VEC, k=PQ_K
     )
 
 
@@ -3530,6 +3559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_quantize": q_sq_quantize,
         "sq_topk": q_sq_topk,
         "sq_stored_topk": q_sq_stored_topk,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "pq_stored_topk": q_pq_stored_topk,
         "wand_topk": q_wand_topk,
         "delete_search": q_delete_search,
         "filtered_search": q_filtered_search,
@@ -3700,6 +3732,14 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         ),
         "sq_quantize": similarity.sq_quantize_sql("embeddings"),
         "sq_topk": similarity.sq_topk_sql("embeddings", _QUERY_VEC, k=SQ_K),
+        "pq_codes": (
+            "SELECT vec_id, unnest(range(0, len(codes)))::INT AS sub, "
+            "unnest(codes) AS code FROM ("
+            + similarity.pq_encode_sql("embeddings")
+            + ") enc"
+        ),
+        "pq_topk": similarity.pq_topk_sql("embeddings", _QUERY_VEC, k=PQ_K),
+        "pq_stored_topk": similarity.pq_topk_sql("embeddings", _QUERY_VEC, k=PQ_K),
         # the int8 stored layout must reproduce the on-the-fly truth
         "sq_stored_topk": similarity.sq_topk_sql("embeddings", _QUERY_VEC, k=SQ_K),
         "wand_topk": f"""

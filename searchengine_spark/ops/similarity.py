@@ -827,3 +827,251 @@ def mmr_rerank(
         selected.append((d, round(score, 6)))
         cand.remove(d)
     return selected
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m subspaces × ks codewords, ADC scan
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    n_iter: int = 5,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jégou et al. 2011): split the vector into ``m``
+    subspaces of dim/m and run the same deterministic sample k-means as
+    ``ivf_train`` independently per subspace. Returns codebooks[m][ks][dsub]
+    as plain literals — like the IVF centroids, training is bounded-sample
+    driver-side work; ENCODING and SCANNING are the distributed parts."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        df.select(F.col(id_col).alias("i"), _as_double(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        seen: list = []
+        for v in xs:
+            if all(not np.array_equal(v, s) for s in seen):
+                seen.append(v)
+            if len(seen) == ks:
+                break
+        cents = (
+            np.stack(seen) if len(seen) == ks else np.resize(xs, (ks, dsub))
+        )
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _pq_default_books(m: int, ks: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic hash codebooks (the oracle-reproducible default,
+    mirroring ``_centroid``): codeword c of subspace j reuses the IVF
+    hash-centroid generator on a per-subspace salt."""
+    dsub = dim // m
+    return [
+        [_centroid(j * ks + c, dsub) for c in range(ks)] for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(vec_id, codes array<int>): per-subspace nearest-codeword codes —
+    dim float32s compress to m small ints (16× at dim=64, m=8 vs float32).
+    Argmin per subspace via the same linear array_min/array_position tree
+    as ``ivf_assign``; ties break to the lowest codeword index in BOTH
+    engines (squared L2 on identical literals)."""
+    books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
+    dsub = dim // m
+    emb = _as_double(vec_col)
+    code_cols = []
+    for j, book in enumerate(books):
+        sub = F.slice(emb, j * dsub + 1, dsub)
+        dists = F.array(*[_sqdist(sub, cw) for cw in book])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes")
+    )
+
+
+def _pq_lut(
+    books: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """ADC lookup tables: lut[j][c] = <q_sub_j, codeword_c> — computed
+    driver-side in one fixed order so both engines consume identical
+    double literals."""
+    m = len(books)
+    dsub = len(books[0][0])
+    lut = []
+    for j in range(m):
+        q = query_vec[j * dsub : (j + 1) * dsub]
+        lut.append(
+            [
+                float(sum(qv * cv for qv, cv in zip(q, cw)))
+                for cw in books[j]
+            ]
+        )
+    return lut
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(vec_id, score): asymmetric-distance top-k — encode + ADC in one
+    pass (use ``pq_write``/``pq_stored_topk`` for the stored-codes scan).
+    score = Σ_j lut[j][code_j] (approximate inner product), rounded and
+    ranked (score DESC, vec_id ASC) via TakeOrderedAndProject."""
+    books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
+    lut = _pq_lut(books, query_vec)
+    codes = pq_encode(df, m, ks, dim, id_col, vec_col, books)
+    return _pq_adc(codes, lut, k)
+
+
+def _pq_adc(codes: DataFrame, lut: list[list[float]], k: int) -> DataFrame:
+    score = None
+    for j, table in enumerate(lut):
+        arr = F.array(*[F.lit(v) for v in table])
+        term = F.element_at(arr, F.element_at(F.col("codes"), j + 1) + 1)
+        score = term if score is None else score + term
+    return (
+        codes.select("vec_id", F.round(score, 5).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+def pq_write(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Materialize the PQ layout: (vec_id, codes array<tinyint>) — m bytes
+    per vector (ks ≤ 128), 16-32× smaller than the float32 scan. The
+    codebooks are pinned in the meta sidecar so readers decode with the
+    EXACT quantizer that wrote the codes."""
+    if ks > 128:
+        raise ValueError("ks must be <= 128 for the tinyint code layout")
+    books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
+    out = pq_encode(df, m, ks, dim, id_col, vec_col, books).select(
+        "vec_id", F.col("codes").cast("array<tinyint>").alias("codes")
+    )
+    out.write.mode("overwrite").parquet(path)
+    _write_ann_meta(
+        path,
+        {"kind": "pq", "m": m, "ks": ks, "dim": dim, "codebooks": books},
+    )
+
+
+def pq_stored_topk(
+    spark, path: str, query_vec: list[float], k: int = 20
+) -> DataFrame:
+    """ADC top-k over a ``pq_write`` layout: the scan reads m bytes per
+    vector instead of dim float32s; identical results to ``pq_topk`` with
+    the pinned codebooks."""
+    meta = read_ann_meta(path)
+    assert meta["kind"] == "pq", f"not a PQ layout: {path}"
+    lut = _pq_lut(meta["codebooks"], query_vec)
+    stored = spark.read.parquet(path).select(
+        "vec_id", F.col("codes").cast("array<int>").alias("codes")
+    )
+    return _pq_adc(stored, lut, k)
+
+
+def _pq_sq_sql(vec_col: str, base: int, cw: list[float]) -> str:
+    """Squared-L2 to one codeword as a left-assoc term sum — the same
+    fold order as the Spark aggregate, so doubles (and argmin ties)
+    match bit-for-bit."""
+    return " + ".join(
+        f"({vec_col}[{base + i + 1}] - {v!r}::DOUBLE)"
+        f" * ({vec_col}[{base + i + 1}] - {v!r}::DOUBLE)"
+        for i, v in enumerate(cw)
+    )
+
+
+def pq_encode_sql(
+    table: str,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
+    dsub = dim // m
+    v = f"({vec_col}::DOUBLE[])"
+    cols = []
+    for j, book in enumerate(books):
+        dists = ", ".join(_pq_sq_sql(v, j * dsub, cw) for cw in book)
+        cols.append(
+            f"(list_position([{dists}], list_min([{dists}])) - 1)::INT"
+        )
+    codes = ", ".join(cols)
+    return f"SELECT {id_col} AS vec_id, [{codes}] AS codes FROM {table}"
+
+
+def pq_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 20,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
+    lut = _pq_lut(books, query_vec)
+    enc = pq_encode_sql(table, m, ks, dim, id_col, vec_col, books)
+    terms = " + ".join(
+        f"([{', '.join(repr(v) for v in t)}]::DOUBLE[])[codes[{j + 1}] + 1]"
+        for j, t in enumerate(lut)
+    )
+    return f"""
+SELECT vec_id, ROUND({terms}, 5) AS score
+FROM ({enc}) enc
+ORDER BY score DESC, vec_id ASC
+LIMIT {int(k)}
+"""
