@@ -2850,7 +2850,18 @@ def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 
 
-def q_significant_terms(spark, sf_dir):
+SIGTEXT_TERMS = ["spark", "stream"]
+
+
+def q_significant_text(spark, sf_dir):
+    """Significant terms of a query's HIT SET vs the corpus background
+    (ES significant_text): JLH over the OR-match foreground, query terms
+    excluded — the text-scan twin of the index-native
+    q_significant_terms."""
+    return termstats.significant_text(_docs(spark, sf_dir), SIGTEXT_TERMS, top_n=10)
+
+
+def q_significant_terms_by_category(spark, sf_dir):
     """Per-language significant terms (ES significant_terms, JLH): two df
     aggregations + broadcast category sizes; scores rounded pre-rank."""
     return termstats.significant_terms(_docs(spark, sf_dir), top_n=5)
@@ -3532,7 +3543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "repetition_stats": q_repetition_stats,
-        "significant_terms": q_significant_terms,
+        "significant_terms_by_category": q_significant_terms_by_category,
+        "significant_text": q_significant_text,
         "keyword_tfidf": q_keyword_tfidf,
         "collocations": q_collocations,
         "perplexity": q_perplexity,
@@ -3696,7 +3708,12 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
             + "), cand AS",
             1,
         ),
-        "significant_terms": termstats.significant_terms_sql("documents", top_n=5),
+        "significant_terms_by_category": termstats.significant_terms_sql(
+            "documents", top_n=5
+        ),
+        "significant_text": termstats.significant_text_sql(
+            "documents", SIGTEXT_TERMS, top_n=10
+        ),
         "keyword_tfidf": termstats.keyword_tfidf_sql("documents", k=3),
         "collocations": termstats.collocations_sql(
             "documents", min_count=5, top_n=25

@@ -465,3 +465,98 @@ def perplexity_filter(
         .filter((F.col("ppl").isNull()) | (F.col("ppl") <= float(max_ppl)))
         .drop("__ppl_doc_id", "ppl")
     )
+
+
+def significant_text(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Significant terms OF A QUERY'S HIT SET vs the corpus background
+    (the Elasticsearch ``significant_text`` aggregation): what vocabulary
+    is characteristic of documents matching ``query_terms`` (OR match)?
+    Same JLH score as :func:`significant_terms` with the hit set as the
+    foreground; the query terms themselves are excluded (they are
+    trivially significant). Output (term, doc_count, bg_count, score, rnk).
+
+    Scale shape: the hit set is derived from the same distinct (doc,
+    term) stream as the background df — one aggregation each + a
+    semi-join of the stream against the hit ids; nothing quadratic.
+    """
+    qset = sorted({t for t in query_terms})
+    if not qset:
+        raise ValueError("query_terms must be non-empty")
+    doc_terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize_raw_expr(F.col(text_col)))).alias("term"),
+    )
+    hits = doc_terms.filter(F.col("term").isin(qset)).select("doc_id").distinct()
+    n_hits = hits.count()
+    n_total = df.count()
+    fg = (
+        doc_terms.join(hits, "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    bg = doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("bg_count"))
+    scored = (
+        fg.filter(~F.col("term").isin(qset))
+        .filter(F.col("doc_count") >= int(min_doc_count))
+        .join(bg, "term")
+        .withColumn("fg_freq", F.col("doc_count") / F.lit(float(n_hits)))
+        .withColumn("bg_freq", F.col("bg_count") / F.lit(float(n_total)))
+        .filter(F.col("fg_freq") > F.col("bg_freq"))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("fg_freq") - F.col("bg_freq"))
+                * (F.col("fg_freq") / F.col("bg_freq")),
+                ROUND_DP,
+            ),
+        )
+    )
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(top_n))
+        .select("term", "doc_count", "bg_count", "score", "rnk")
+    )
+
+
+def significant_text_sql(
+    table: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10,
+    min_doc_count: int = 2,
+) -> str:
+    qset = sorted({t for t in query_terms})
+    qlist = ", ".join(f"'{t}'" for t in qset)
+    toks = duckdb_tokens_cte(table, id_col, text_col)
+    return f"""
+WITH doc_terms AS (SELECT DISTINCT doc_id, term FROM ({toks}) t),
+hits AS (SELECT DISTINCT doc_id FROM doc_terms WHERE term IN ({qlist})),
+n AS (SELECT (SELECT COUNT(*)::DOUBLE FROM hits) AS n_hits,
+             (SELECT COUNT(*)::DOUBLE FROM {table}) AS n_total),
+fg AS (SELECT term, COUNT(*) AS doc_count
+       FROM doc_terms JOIN hits USING (doc_id) GROUP BY term),
+bg AS (SELECT term, COUNT(*) AS bg_count FROM doc_terms GROUP BY term),
+scored AS (
+  SELECT fg.term, fg.doc_count, bg.bg_count,
+         ROUND((fg.doc_count / n.n_hits - bg.bg_count / n.n_total)
+               * ((fg.doc_count / n.n_hits) / (bg.bg_count / n.n_total)),
+               {ROUND_DP}) AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN n
+  WHERE fg.term NOT IN ({qlist})
+    AND fg.doc_count >= {int(min_doc_count)}
+    AND fg.doc_count / n.n_hits > bg.bg_count / n.n_total),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT term, doc_count, bg_count, score, rnk FROM ranked
+WHERE rnk <= {int(top_n)}
+"""

@@ -92,3 +92,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"doc_id", "score"}
+
+
+def test_no_duplicate_entry_keys():
+    """Duplicate keys in the queries()/oracle_sql() dict LITERALS would
+    silently shadow an earlier driver entry (later key wins) — exactly
+    the bug class that once hid the index-native significant_terms."""
+    import ast
+    import collections
+    import inspect
+
+    import searchengine_spark.entry_queries as eq
+
+    tree = ast.parse(inspect.getsource(eq))
+    seen = {}
+    for fn in ast.walk(tree):
+        if isinstance(fn, ast.FunctionDef) and fn.name in ("queries", "oracle_sql"):
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Dict):
+                    keys = [
+                        k.value for k in node.keys if isinstance(k, ast.Constant)
+                    ]
+                    dups = [
+                        k for k, c in collections.Counter(keys).items() if c > 1
+                    ]
+                    assert not dups, f"{fn.name} has duplicate keys: {dups}"
+                    seen[fn.name] = len(keys)
+    assert seen.get("queries", 0) >= 130  # the registry only grows

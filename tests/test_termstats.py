@@ -141,3 +141,21 @@ def test_bigram_stream_is_post_stopword_adjacency(spark):
     )
     bi = termstats._bigram_stream(df).collect()
     assert [(r["term_a"], r["term_b"]) for r in bi] == [("index", "build")]
+
+
+def test_significant_text_twin_and_exclusion(docs, duck):
+    out = _assert_twin(
+        termstats.significant_text(docs, ["parse"], top_n=5, min_doc_count=2),
+        duck,
+        termstats.significant_text_sql("documents", ["parse"], top_n=5, min_doc_count=2),
+    )
+    # the query term itself is excluded; survivors have positive lift
+    assert "parse" not in set(out["term"])
+    assert (out["score"] > 0).all()
+    # terms characteristic of the parse-hit docs (py corpus) surface
+    assert {"index", "tokens"} & set(out["term"])
+
+
+def test_significant_text_empty_query_raises(docs):
+    with pytest.raises(ValueError):
+        termstats.significant_text(docs, [])
