@@ -320,3 +320,48 @@ SELECT ROUND(CASE WHEN {alpha * m * m}::DOUBLE * {scale!r}
                   / (s_int + ({m} - used) * {scale!r}) END, 4) AS est
 FROM agg
 """
+
+
+def stream_hll(
+    spark,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    p: int = 12,
+    text_col: str = "text",
+    schema: str = "doc_id long, text string",
+):
+    """Streaming HLL maintenance over the token stream: each micro-batch's
+    registers land in ``sketch_dir/epoch=<id>/`` (overwrite per epoch →
+    replays after crash rewrite the same directory) and ``read_hll`` folds
+    them by per-bucket max — which, unlike the CMS counter SUM, is also
+    IDEMPOTENT, so even a duplicated epoch directory cannot skew the
+    estimate. History is never re-scanned. Returns the StreamingQuery."""
+    from ..tokenizer import tokenize_raw_expr
+
+    def fold(batch_df, epoch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(tokenize_raw_expr(F.col(text_col))).alias("term")
+        )
+        (
+            hll_build(toks, "term", p=p)
+            .write.mode("overwrite")
+            .parquet(f"{sketch_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_hll(spark, sketch_dir: str) -> DataFrame:
+    """(bucket, rho): the folded registers across every stream epoch."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

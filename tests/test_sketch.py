@@ -208,3 +208,38 @@ def test_hll_estimate_parallelism_independent(spark, hll_vals):
 def test_hll_p_validation(spark, hll_vals):
     with pytest.raises(ValueError):
         sketch.hll_build(hll_vals, "term", p=2)
+
+
+def test_stream_hll_folds_to_batch_sketch(spark, tmp_path):
+    """Two streamed micro-batches → folded registers == one batch sketch
+    over the union; and re-folding a duplicated epoch changes nothing
+    (max-merge idempotence through the streaming path)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.sketch import hll_build, read_hll, stream_hll
+    from searchengine_spark.tokenizer import tokenize_raw_expr
+
+    src = str(tmp_path / "src")
+    a = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
+    b = spark.createDataFrame(DOCS[1:], "doc_id long, text string")
+    a.coalesce(1).write.mode("append").parquet(src)
+    q = stream_hll(spark, src, str(tmp_path / "sk"), str(tmp_path / "ck"), p=10)
+    try:
+        q.processAllAvailable()
+        b.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = sorted(map(tuple, read_hll(spark, str(tmp_path / "sk")).collect()))
+    both = spark.createDataFrame(DOCS, "doc_id long, text string")
+    toks = both.select(F.explode(tokenize_raw_expr(F.col("text"))).alias("term"))
+    want = sorted(map(tuple, hll_build(toks, "term", p=10).collect()))
+    assert folded == want
+    # duplicate an epoch dir → idempotent under max-fold
+    sk = tmp_path / "sk"
+    epochs = [d for d in sk.iterdir() if d.name.startswith("epoch=")]
+    shutil.copytree(epochs[0], sk / "epoch=999")
+    refolded = sorted(map(tuple, read_hll(spark, str(sk)).collect()))
+    assert refolded == want
