@@ -238,6 +238,8 @@ def main() -> None:
     timed("ann_pq_topk", lambda: similarity.pq_topk(embs, _QUERY_VEC, k=25).collect())
     timed("ann_pq_write", lambda: similarity.pq_write(embs, f"{ann_dir}/pq"))
     timed("ann_pq_stored_topk", lambda: similarity.pq_stored_topk(spark, f"{ann_dir}/pq", _QUERY_VEC, k=25).collect())
+    timed("ann_ivfpq_write", lambda: similarity.ivfpq_write(embs, f"{ann_dir}/ivfpq", codebooks=similarity._pq_default_books(8, 16, 64)))
+    timed("ann_ivfpq_stored_topk", lambda: similarity.ivfpq_stored_topk(spark, f"{ann_dir}/ivfpq", _QUERY_VEC, k=25, nprobe=4).collect())
     timed("ann_sq_topk", lambda: similarity.sq_topk(embs, _QUERY_VEC, k=25).collect())
     timed("ann_sq_write", lambda: similarity.sq_write(embs, f"{ann_dir}/sq"))
     timed("ann_sq_stored_topk", lambda: similarity.sq_stored_topk(spark, f"{ann_dir}/sq", _QUERY_VEC, k=25).collect())

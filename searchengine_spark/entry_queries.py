@@ -3167,6 +3167,11 @@ def _ann_layout(spark, sf_dir: str, kind: str) -> str:
             similarity.sq_write(_embs(spark, sf_dir), path)
         elif kind == "pq":
             similarity.pq_write(_embs(spark, sf_dir), path)
+        elif kind == "ivfpq":
+            similarity.ivfpq_write(
+                _embs(spark, sf_dir), path,
+                codebooks=similarity._pq_default_books(8, 16, 64),
+            )
         else:
             similarity.ivf_write(_embs(spark, sf_dir), path, n_lists=16, dim=64)
         _ANN_LAYOUTS[key] = path
@@ -3213,6 +3218,16 @@ def q_pq_stored_topk(spark, sf_dir):
     pinned in the meta sidecar) — must equal pq_topk exactly."""
     return similarity.pq_stored_topk(
         spark, _ann_layout(spark, sf_dir, "pq"), _QUERY_VEC, k=PQ_K
+    )
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """The FAISS-IVFPQ composition: coarse centroid prune (partition-
+    pruned stored layout, nprobe=4 of 16 lists) + residual PQ codes +
+    ADC with the per-list centroid inner-product term. Oracle recomputes
+    assignment/residual/codes from the raw table — value-identical."""
+    return similarity.ivfpq_stored_topk(
+        spark, _ann_layout(spark, sf_dir, "ivfpq"), _QUERY_VEC, k=PQ_K, nprobe=4
     )
 
 
@@ -3574,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "pq_stored_topk": q_pq_stored_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "wand_topk": q_wand_topk,
         "delete_search": q_delete_search,
         "filtered_search": q_filtered_search,
@@ -3757,6 +3773,10 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         ),
         "pq_topk": similarity.pq_topk_sql("embeddings", _QUERY_VEC, k=PQ_K),
         "pq_stored_topk": similarity.pq_topk_sql("embeddings", _QUERY_VEC, k=PQ_K),
+        "ivfpq_topk": similarity.ivfpq_topk_sql(
+            "embeddings", _QUERY_VEC, k=PQ_K, nprobe=4,
+            codebooks=similarity._pq_default_books(8, 16, 64),
+        ),
         # the int8 stored layout must reproduce the on-the-fly truth
         "sq_stored_topk": similarity.sq_topk_sql("embeddings", _QUERY_VEC, k=SQ_K),
         "wand_topk": f"""

@@ -1075,3 +1075,190 @@ FROM ({enc}) enc
 ORDER BY score DESC, vec_id ASC
 LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse prune + residual PQ codes (the FAISS IVFPQ composition)
+# ---------------------------------------------------------------------------
+
+def _residual_col(emb, list_id_col, cvecs: list[list[float]]):
+    """embedding − centroid[list_id] as one zip_with over an array-of-
+    arrays literal (JVM codegen; centroid tables are tiny literals)."""
+    cents = F.array(*[F.array(*[F.lit(v) for v in cv]) for cv in cvecs])
+    cvec = F.element_at(cents, list_id_col + 1)
+    return F.zip_with(emb, cvec, lambda x, c: x - c)
+
+
+def ivfpq_write(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    train_sample: int = 2048,
+) -> None:
+    """Materialize the IVF-PQ layout: coarse-assign each vector to its
+    nearest centroid list, PQ-encode the RESIDUAL (x − centroid — the
+    classic variance reduction: residuals are smaller and better covered
+    by ks codewords), and write (vec_id, codes) partitioned by list_id.
+    A probe then reads nprobe/n_lists of an already-16×-compressed table.
+
+    ``codebooks=None`` trains them on the residuals of the deterministic
+    sample (same recipe as ``pq_train``); both quantizers are pinned in
+    the meta sidecar."""
+    if ks > 128:
+        raise ValueError("ks must be <= 128 for the tinyint code layout")
+    cvecs = (
+        centroids
+        if centroids is not None
+        else [_centroid(c, dim) for c in range(n_lists)]
+    )
+    assigned = ivf_assign(df, n_lists, dim, id_col, vec_col, cvecs)
+    base = df.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
+    resid = base.select(
+        F.col(id_col).alias("vec_id"),
+        "list_id",
+        _residual_col(_as_double(vec_col), F.col("list_id"), cvecs).alias("resid"),
+    )
+    books = codebooks
+    if books is None:
+        books = pq_train(
+            resid, m, ks, dim, sample=train_sample, id_col="vec_id", vec_col="resid"
+        )
+    codes = pq_encode(resid, m, ks, dim, "vec_id", "resid", books)
+    out = (
+        resid.select("vec_id", "list_id")
+        .join(codes, "vec_id")
+        .select(
+            "vec_id",
+            F.col("codes").cast("array<tinyint>").alias("codes"),
+            "list_id",
+        )
+    )
+    out.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
+    _write_ann_meta(
+        path,
+        {
+            "kind": "ivfpq",
+            "n_lists": n_lists,
+            "m": m,
+            "ks": ks,
+            "dim": dim,
+            "centroids": cvecs,
+            "codebooks": books,
+        },
+    )
+
+
+def ivfpq_stored_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(vec_id, score): ADC top-k over an ``ivfpq_write`` layout. The scan
+    touches only the nprobe probed list partitions and reads m bytes per
+    vector; score = ⟨q, c_list⟩ + Σ_j lut[j][code_j] ≈ ⟨q, x⟩ (inner
+    product decomposes over the residual — the LUT is list-independent,
+    the centroid term is a per-list constant)."""
+    meta = read_ann_meta(path)
+    assert meta["kind"] == "ivfpq", f"not an IVF-PQ layout: {path}"
+    cvecs, books = meta["centroids"], meta["codebooks"]
+    probes = _query_lists(query_vec, meta["n_lists"], nprobe, cvecs)
+    lut = _pq_lut(books, query_vec)
+    qc = [
+        float(sum(qv * cv for qv, cv in zip(query_vec, cvecs[c])))
+        for c in range(meta["n_lists"])
+    ]
+    stored = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    codes = stored.select(
+        "vec_id",
+        F.col("codes").cast("array<int>").alias("codes"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in qc]), F.col("list_id").cast("int") + 1
+        ).alias("qc"),
+    )
+    score = F.col("qc")
+    for j, table in enumerate(lut):
+        arr = F.array(*[F.lit(v) for v in table])
+        score = score + F.element_at(arr, F.element_at(F.col("codes"), j + 1) + 1)
+    return (
+        codes.select("vec_id", F.round(score, 5).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+def ivfpq_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+    n_lists: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    """DuckDB twin: recompute assignment + residual codes from the raw
+    table (same argmin literals), filter to the probed lists, ADC + the
+    per-list centroid term — value-identical to the stored reader."""
+    cvecs = (
+        centroids
+        if centroids is not None
+        else [_centroid(c, dim) for c in range(n_lists)]
+    )
+    books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
+    probes = _query_lists(query_vec, n_lists, nprobe, cvecs)
+    lut = _pq_lut(books, query_vec)
+    qc = [
+        float(sum(qv * cv for qv, cv in zip(query_vec, cvecs[c])))
+        for c in range(n_lists)
+    ]
+    dsub = dim // m
+
+    def cent_sql(c: int) -> str:
+        return "[" + ", ".join(f"{v!r}::DOUBLE" for v in cvecs[c]) + "]"
+
+    v = f"({vec_col}::DOUBLE[])"
+    dists = ", ".join(_pq_sq_sql(v, 0, cvecs[c]) for c in range(n_lists))
+    cents = "[" + ", ".join(cent_sql(c) for c in range(n_lists)) + "]"
+    code_cols = []
+    for j, book in enumerate(books):
+        d = ", ".join(_pq_sq_sql("r", j * dsub, cw) for cw in book)
+        code_cols.append(f"(list_position([{d}], list_min([{d}])) - 1)::INT")
+    adc = " + ".join(
+        f"([{', '.join(repr(x) for x in t)}]::DOUBLE[])[codes[{j + 1}] + 1]"
+        for j, t in enumerate(lut)
+    )
+    qc_list = "[" + ", ".join(repr(x) for x in qc) + "]::DOUBLE[]"
+    probe_list = ", ".join(str(p) for p in probes)
+    return f"""
+WITH assigned AS (
+  SELECT {id_col} AS vec_id, {v} AS emb,
+         (list_position([{dists}], list_min([{dists}])) - 1)::INT AS list_id
+  FROM {table}),
+probed AS (SELECT * FROM assigned WHERE list_id IN ({probe_list})),
+resid AS (
+  SELECT vec_id, list_id,
+         list_transform(range(1, {dim} + 1),
+                        i -> emb[i] - ({cents})[list_id + 1][i]) AS r
+  FROM probed),
+coded AS (SELECT vec_id, list_id, [{', '.join(code_cols)}] AS codes FROM resid)
+SELECT vec_id,
+       ROUND(({qc_list})[list_id + 1] + {adc}, 5) AS score
+FROM coded
+ORDER BY score DESC, vec_id ASC
+LIMIT {int(k)}
+"""

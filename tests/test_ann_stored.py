@@ -226,3 +226,72 @@ def test_pq_validation(spark, embs):
         S.pq_train(embs, m=7, dim=64)  # 64 % 7 != 0
     with pytest.raises(ValueError):
         S.pq_write(embs, "/tmp/never", ks=200)  # > tinyint codes
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(embs, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ann") / "ivfpq")
+    S.ivfpq_write(embs, p, codebooks=S._pq_default_books(8, 16, 64))
+    return p
+
+
+def test_ivfpq_stored_matches_sql_twin(spark, embs, qvec, ivfpq_path):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("embeddings", embs.toPandas())
+    s = [
+        (r["vec_id"], r["score"])
+        for r in S.ivfpq_stored_topk(spark, ivfpq_path, qvec, k=10, nprobe=4).collect()
+    ]
+    o = [
+        (i, float(x))
+        for i, x in con.execute(
+            S.ivfpq_topk_sql(
+                "embeddings", qvec, k=10, nprobe=4,
+                codebooks=S._pq_default_books(8, 16, 64),
+            )
+        ).fetchall()
+    ]
+    assert s == o
+
+
+def test_ivfpq_scan_is_partition_pruned(spark, qvec, ivfpq_path):
+    import glob
+
+    probed = S.ivfpq_stored_topk(spark, ivfpq_path, qvec, k=10, nprobe=2)
+    total = len(glob.glob(f"{ivfpq_path}/list_id=*/*.parquet"))
+    assert files_scanned(probed) < total
+
+
+def test_ivfpq_trained_quantizers_are_pinned(spark, embs, qvec, tmp_path):
+    """A reader must use the WRITER's quantizers (meta sidecar), and the
+    SQL twin fed those same quantizers must agree — trained path."""
+    import duckdb
+
+    cents = S.ivf_train(embs, n_lists=16, sample=256)
+    p = str(tmp_path / "ivfpq_t")
+    S.ivfpq_write(embs, p, centroids=cents)
+    meta = S.read_ann_meta(p)
+    assert meta["centroids"] == cents and len(meta["codebooks"]) == 8
+    con = duckdb.connect()
+    con.register("embeddings", embs.toPandas())
+    s = [
+        (r["vec_id"], r["score"])
+        for r in S.ivfpq_stored_topk(spark, p, qvec, k=5, nprobe=16).collect()
+    ]
+    o = [
+        (i, float(x))
+        for i, x in con.execute(
+            S.ivfpq_topk_sql(
+                "embeddings", qvec, k=5, nprobe=16,
+                centroids=cents, codebooks=meta["codebooks"],
+            )
+        ).fetchall()
+    ]
+    assert s == o
