@@ -536,6 +536,33 @@ def _cmd_bpe_train(args) -> None:
     )
 
 
+def _cmd_snapshot(args) -> None:
+    from . import snapshot as snap
+
+    if args.list:
+        print(json.dumps({"snapshots": snap.list_snapshots(args.repo)}))
+        return
+    if args.verify:
+        errors = snap.verify_snapshot(args.repo, args.verify)
+        print(json.dumps({"name": args.verify, "ok": not errors, "errors": errors[:10]}))
+        if errors:
+            sys.exit(1)
+        return
+    info = snap.snapshot_index(
+        args.index, args.repo, args.name, incremental=not args.full
+    )
+    print(json.dumps(info))
+
+
+def _cmd_restore(args) -> None:
+    from . import snapshot as snap
+
+    info = snap.restore_index(
+        args.repo, args.name, args.target, overwrite=args.overwrite
+    )
+    print(json.dumps(info))
+
+
 def _cmd_didyoumean(args) -> None:
     spark = _spark(args)
     from .didyoumean import suggest_phrase
@@ -907,6 +934,27 @@ def main(argv: list[str] | None = None) -> None:
     dy.add_argument("--beam", type=int, default=8)
     dy.add_argument("-k", type=int, default=5)
     dy.set_defaults(fn=_cmd_didyoumean)
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="snapshot an index into a repo (verified, incremental)",
+    )
+    sn.add_argument("--index", help="index dir to snapshot")
+    sn.add_argument("--repo", required=True, help="snapshot repository dir")
+    sn.add_argument("--name", help="snapshot name (immutable)")
+    sn.add_argument("--full", action="store_true",
+                    help="disable incremental blob reuse")
+    sn.add_argument("--list", action="store_true", help="list snapshots")
+    sn.add_argument("--verify", metavar="NAME",
+                    help="verify a snapshot's integrity manifest")
+    sn.set_defaults(fn=_cmd_snapshot)
+
+    rs = sub.add_parser("restore", help="restore a snapshot into a target dir")
+    rs.add_argument("--repo", required=True)
+    rs.add_argument("--name", required=True)
+    rs.add_argument("--target", required=True)
+    rs.add_argument("--overwrite", action="store_true")
+    rs.set_defaults(fn=_cmd_restore)
 
     pr = sub.add_parser(
         "prepare",

@@ -363,3 +363,30 @@ def test_didyoumean_command(capsys, spark):
     assert res["suggestions"], "expected at least one suggestion"
     scores = [s["score"] for s in res["suggestions"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_snapshot_restore_commands(tmp_path, capsys):
+    idx = str(tmp_path / "idx")
+    cli.main(
+        [
+            "build", "--synthetic", "120", "--index", idx,
+            "--buckets", "4", "--range-bits", "2", "--fresh",
+        ]
+    )
+    capsys.readouterr()
+    repo = str(tmp_path / "repo")
+    cli.main(["snapshot", "--index", idx, "--repo", repo, "--name", "s1"])
+    info = json.loads(capsys.readouterr().out)
+    assert info["n_files"] > 0
+    cli.main(["snapshot", "--repo", repo, "--verify", "s1"])
+    assert json.loads(capsys.readouterr().out)["ok"]
+    cli.main(["snapshot", "--repo", repo, "--list"])
+    assert [s["name"] for s in json.loads(capsys.readouterr().out)["snapshots"]] == ["s1"]
+    tgt = str(tmp_path / "restored")
+    cli.main(["restore", "--repo", repo, "--name", "s1", "--target", tgt])
+    assert json.loads(capsys.readouterr().out)["restored"] == tgt
+    cli.main(["search", "--index", tgt, "--query", "index merge", "-k", "3"])
+    restored_hits = json.loads(capsys.readouterr().out)["hits"]
+    cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
+    original_hits = json.loads(capsys.readouterr().out)["hits"]
+    assert restored_hits and restored_hits == original_hits
