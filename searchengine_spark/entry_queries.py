@@ -1749,6 +1749,47 @@ LIMIT {GEO_K}
 """
 
 
+GEO_PAIR_RADIUS_KM = 700.0
+
+
+def q_geo_pairs(spark, sf_dir):
+    """All doc pairs within 700 km of each other (ST_DWithin-style
+    distance self-join) via the grid-cell equi-join — no cross join; the
+    oracle below IS the brute-force cross join, so the cell routing
+    (including antimeridian wrap and polar widening) is hash-checked
+    against exhaustive truth. Distances rounded so float ordering is
+    engine-independent."""
+    from .ops.geo import geo_distance_join
+
+    geo = _geo_docs(spark, sf_dir)
+    return geo_distance_join(
+        geo, GEO_PAIR_RADIUS_KM, round_dp=ROUND_DP
+    ).orderBy("id_a", "id_b")
+
+
+def _geo_pairs_sql() -> str:
+    return f"""
+WITH geo AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(2.0 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2)
+       )), {ROUND_DP}) AS dist_km
+FROM geo a JOIN geo b ON a.doc_id < b.doc_id
+WHERE round(2.0 * 6371.0088 * asin(sqrt(
+          pow(sin(radians(b.lat - a.lat) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * pow(sin(radians(b.lon - a.lon) / 2), 2)
+      )), {ROUND_DP}) <= {GEO_PAIR_RADIUS_KM!r}
+ORDER BY id_a, id_b
+"""
+
+
 def _term_vectors_sql(mod: int) -> str:
     return f"""
 WITH tf AS ({_TF_SQL}),
@@ -3500,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "decontamination": q_decontamination,
         "geo_topk": q_geo_topk,
+        "geo_pairs": q_geo_pairs,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "split_by_group": q_split_by_group,
@@ -3653,6 +3695,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
             "documents", DECON_PRED, w=DECON_W, min_overlap=1
         ),
         "geo_topk": _geo_topk_sql(),
+        "geo_pairs": _geo_pairs_sql(),
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
         "split_by_group": (

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EARTH_R_KM = 6371.0088  # IUGG mean Earth radius
+_COS_EPS = 1e-12
 
 
 def haversine_km(lat1, lon1, lat2, lon2):
@@ -148,3 +149,109 @@ def geo_distance_topk(
         .orderBy(F.asc("dist_km"), F.asc(id_col))
         .limit(k)
     )
+
+
+def geo_distance_join(
+    left: DataFrame,
+    radius_km: float,
+    right: DataFrame | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "doc_id",
+    dist_col: str = "dist_km",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """All pairs within ``radius_km`` of each other (ES has no pair join;
+    this is the Sedona/PostGIS ``ST_DWithin`` self/two-table join shape) —
+    WITHOUT a cross join, via a uniform grid-cell equi-join.
+
+    How the shuffle is bounded: cell size = the radius's latitude span
+    (clamped to [1e-6°, 45°]; the lat offset range grows with the clamp),
+    so a match's lat cells differ by at most ``mlat``. The left side keeps
+    its single home cell; the right side is replicated into the neighbour
+    cells its radius circle can reach, where m is the per-row longitude
+    span in cells (1/cos of the row's most poleward reachable latitude —
+    wider near the poles, exactly as the geometry demands, capped at the
+    full band so polar rows stay correct). Longitude offsets wrap modulo
+    the band width, so the antimeridian needs no special case. The join is
+    then a plain hash equi-join on the composite cell id — never a
+    CartesianProduct (plan-tested) — and each candidate pair meets exactly
+    once because the left row owns exactly one cell and the right row's
+    replica cells are distinct. The exact haversine decides membership, so
+    grid coarseness only costs candidates, never correctness.
+
+    Self-join (``right=None``): returns each unordered pair once with
+    ``id_a < id_b``. Two-table: all (left, right) pairs within radius.
+
+    100 TB notes: replication factor is ~3·(2m+1) ≈ 9 rows at mid
+    latitudes; hot cells (dense metros) are ordinary join skew — AQE
+    skew-join splits them, and a finer ``cell_deg`` (pass a smaller
+    radius-derived grid via ``radius_km``) trades replication for balance.
+    Output is pair-bounded, so the exact filter runs map-side after the
+    join with no further shuffle.
+    """
+    radius_km = float(radius_km)
+    if radius_km <= 0:
+        raise ValueError("radius_km must be positive")
+    cell_deg = min(max(math.degrees(radius_km / EARTH_R_KM), 1e-6), 45.0)
+    n_lon = int(math.ceil(360.0 / cell_deg))
+    n_band = n_lon  # one shared lon resolution for every band
+    m_cap = (n_lon // 2) + 1  # offsets −cap..cap cover the whole band
+
+    def _cells(df: DataFrame, side: str) -> DataFrame:
+        lat_cell = F.floor((F.col(lat_col) + 90.0) / cell_deg).cast("long")
+        lon_cell = F.floor((F.col(lon_col) + 180.0) / cell_deg).cast("long")
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(lat_col).alias(f"lat_{side}"),
+            F.col(lon_col).alias(f"lon_{side}"),
+            lat_cell.alias("lat_cell"),
+            lon_cell.alias("lon_cell"),
+        )
+
+    l = _cells(left, "a").withColumn(
+        "cell", F.col("lat_cell") * n_band + F.pmod(F.col("lon_cell"), F.lit(n_lon))
+    ).drop("lat_cell", "lon_cell")
+
+    r = _cells(left if right is None else right, "b")
+    # most poleward latitude reachable from this row within the radius
+    dlat = math.degrees(radius_km / EARTH_R_KM)
+    mlat = int(math.ceil(dlat / cell_deg))  # >1 only when cell_deg clamped
+    reach = F.least(F.abs(F.col("lat_b")) + F.lit(dlat), F.lit(90.0))
+    cos_reach = F.cos(F.radians(reach))
+    # lon half-width in cells at that latitude; full band when degenerate
+    m = F.when(
+        cos_reach <= F.lit(_COS_EPS), F.lit(m_cap)
+    ).otherwise(
+        F.least(
+            F.ceil(F.lit(dlat) / (cos_reach * F.lit(cell_deg))).cast("long"),
+            F.lit(m_cap),
+        )
+    ).cast("int")
+    # distinct replica cells built as one array per row (no dedupe shuffle);
+    # offsets past a full lon wrap revisit a cell — array_distinct keeps one
+    cells = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(-mlat), F.lit(mlat)),
+                lambda di: F.transform(
+                    F.sequence(-m, m),
+                    lambda dj: (F.col("lat_cell") + di) * n_band
+                    + F.pmod(F.col("lon_cell") + dj, F.lit(n_lon)),
+                ),
+            )
+        )
+    )
+    r = r.withColumn("cell", F.explode(cells)).select(
+        "id_b", "lat_b", "lon_b", "cell"
+    )
+
+    d = haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    pairs = (
+        l.join(r, "cell")
+        .withColumn(dist_col, F.round(d, round_dp) if round_dp is not None else d)
+        .filter(F.col(dist_col) <= radius_km)
+    )
+    if right is None:
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b", dist_col)

@@ -124,3 +124,71 @@ def test_geo_cells_deterministic_and_bounded(spark):
     assert df.select("doc_id", "geo_cell").exceptAll(
         again.select("doc_id", "geo_cell")
     ).count() == 0
+
+
+from searchengine_spark.ops.geo import geo_distance_join
+
+
+def _brute_pairs(rows, radius):
+    out = set()
+    for i, (ai, alat, alon) in enumerate(rows):
+        for bi, blat, blon in rows[i + 1:]:
+            if _hav(alat, alon, blat, blon) <= radius:
+                out.add((min(ai, bi), max(ai, bi)))
+    return out
+
+
+@pytest.mark.parametrize("radius", [150.0, 900.0, 4000.0, 9000.0])
+def test_distance_join_matches_brute(spark, radius):
+    # includes the pole/antimeridian extremes from _pts
+    df = _pts(spark, 150)
+    rows = [(r["doc_id"], r["lat"], r["lon"]) for r in df.collect()]
+    got = [
+        (r["id_a"], r["id_b"], r["dist_km"])
+        for r in geo_distance_join(df, radius).collect()
+    ]
+    # exactly-once: no duplicate pairs from multi-cell replication
+    assert len(got) == len({(a, b) for a, b, _ in got})
+    assert {(a, b) for a, b, _ in got} == _brute_pairs(rows, radius)
+    for a, b, d in got:
+        la, lo = next((r[1], r[2]) for r in rows if r[0] == a)
+        lb, lob = next((r[1], r[2]) for r in rows if r[0] == b)
+        assert d == pytest.approx(_hav(la, lo, lb, lob), abs=1e-6)
+
+
+def test_distance_join_antimeridian_and_pole_pairs(spark):
+    rows = [
+        (1, 0.0, 179.95),
+        (2, 0.0, -179.95),   # ~22 km from 1, across the seam
+        (3, 89.95, 10.0),
+        (4, 89.95, -170.0),  # ~11 km from 3, across the pole
+        (5, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    got = {(r["id_a"], r["id_b"]) for r in geo_distance_join(df, 50.0).collect()}
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_distance_join_two_table(spark):
+    left = _pts(spark, 60)
+    right = spark.createDataFrame(
+        [(9101, 10.0, 20.0), (9102, -50.0, 150.0)],
+        "doc_id long, lat double, lon double",
+    )
+    radius = 2000.0
+    got = {(r["id_a"], r["id_b"]) for r in geo_distance_join(left, radius, right=right).collect()}
+    lrows = [(r["doc_id"], r["lat"], r["lon"]) for r in left.collect()]
+    want = {
+        (li, ri)
+        for li, la, lo in lrows
+        for ri, rla, rlo in [(9101, 10.0, 20.0), (9102, -50.0, 150.0)]
+        if _hav(la, lo, rla, rlo) <= radius
+    }
+    assert got == want
+
+
+def test_distance_join_no_cartesian_product(spark):
+    df = _pts(spark, 100)
+    plan = geo_distance_join(df, 500.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
