@@ -1750,6 +1750,32 @@ LIMIT {GEO_K}
 
 
 GEO_PAIR_RADIUS_KM = 700.0
+_GEO_LAYOUTS: dict[str, str] = {}
+
+
+def _geo_layout(spark, sf_dir: str) -> str:
+    """Write the stored geo layout once per sf_dir per process."""
+    path = _GEO_LAYOUTS.get(sf_dir)
+    if path is None:
+        from .ops.geo import geo_write
+
+        path = _tmpdir("segeo_") + "/geo"
+        geo_write(_geo_docs(spark, sf_dir), path, cell_deg=10.0)
+        _GEO_LAYOUTS[sf_dir] = path
+    return path
+
+
+def q_geo_stored_topk(spark, sf_dir):
+    """The 100 TB geo read path: radius top-k over a MATERIALIZED
+    cell-partitioned layout (the intersecting-cell filter partition-prunes
+    the scan — plan-tested in tests/test_geo.py) — must equal the box-free
+    full-scan haversine oracle exactly."""
+    from .ops.geo import geo_stored_topk
+
+    return geo_stored_topk(
+        spark, _geo_layout(spark, sf_dir), GEO_LAT0, GEO_LON0, GEO_K,
+        radius_km=GEO_RADIUS_KM, round_dp=ROUND_DP,
+    )
 
 
 def q_geo_pairs(spark, sf_dir):
@@ -3542,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "geo_topk": q_geo_topk,
         "geo_pairs": q_geo_pairs,
+        "geo_stored_topk": q_geo_stored_topk,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "split_by_group": q_split_by_group,
@@ -3696,6 +3723,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         ),
         "geo_topk": _geo_topk_sql(),
         "geo_pairs": _geo_pairs_sql(),
+        "geo_stored_topk": _geo_topk_sql(),
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
         "split_by_group": (

@@ -255,3 +255,124 @@ def geo_distance_join(
     if right is None:
         pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     return pairs.select("id_a", "id_b", dist_col)
+
+
+# ----------------------------------------------------- stored geo layout
+# The points-tree-as-storage design the module docstring promises, made
+# code (same pattern as ops/similarity.lsh_write): rows written
+# partitionBy(geo_cell) so a radius query's cell set lands in the scan's
+# PartitionFilters and only the intersecting directories are read.
+
+_GEO_META = "_geo_meta.json"
+_MAX_PRUNE_CELLS = 4096  # beyond this an IN-list stops paying; box-scan
+
+
+def _geo_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, _GEO_META)
+
+
+def geo_write(
+    df: DataFrame,
+    path: str,
+    cell_deg: float = 1.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> None:
+    """Materialize the geo layout: rows + their grid cell, written
+    ``partitionBy(geo_cell)``. The pre-write ``repartition(geo_cell)``
+    clusters each cell into one task's output (see lsh_write on the
+    partitioned-write file-explosion why; at 100 TB you'd
+    repartition(N, geo_cell) sized to the per-file target). cell_deg is
+    pinned in a meta sidecar so probe enumeration always matches the
+    stored assignment."""
+    import json
+    import os
+
+    out = add_geo_cells(df, lat_col, lon_col, cell_deg)
+    out.repartition("geo_cell").write.mode("overwrite").partitionBy("geo_cell").parquet(path)
+    os.makedirs(path, exist_ok=True)
+    tmp = _geo_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"kind": "geo", "cell_deg": cell_deg,
+                   "lat_col": lat_col, "lon_col": lon_col}, f)
+    os.replace(tmp, _geo_meta_path(path))
+
+
+def read_geo_meta(path: str) -> dict:
+    import json
+
+    with open(_geo_meta_path(path)) as f:
+        return json.load(f)
+
+
+def _box_cells(lat0: float, lon0: float, radius_km: float, cell_deg: float):
+    """Grid cells intersecting the query circle's bounding box, or None
+    when the enumeration would exceed _MAX_PRUNE_CELLS (the exact filter
+    still decides membership — pruning is purely a scan optimization).
+    _bounding_box never wraps lon (it widens to the full range instead),
+    so the lon cell range here is always contiguous."""
+    lat_lo, lat_hi, lon_lo, lon_hi = _bounding_box(lat0, lon0, radius_km)
+    n_lon = int(math.ceil(360.0 / cell_deg))
+    la_lo = int(math.floor((lat_lo + 90.0) / cell_deg))
+    la_hi = int(math.floor((min(lat_hi, 90.0 - 1e-12) + 90.0) / cell_deg))
+    lo_lo = int(math.floor((lon_lo + 180.0) / cell_deg))
+    lo_hi = int(math.floor((min(lon_hi, 180.0 - 1e-12) + 180.0) / cell_deg))
+    n = (la_hi - la_lo + 1) * (lo_hi - lo_lo + 1)
+    if n > _MAX_PRUNE_CELLS:
+        return None
+    return [
+        la * n_lon + lo
+        for la in range(la_lo, la_hi + 1)
+        for lo in range(lo_lo, lo_hi + 1)
+    ]
+
+
+def geo_stored_search(
+    spark,
+    path: str,
+    lat0: float,
+    lon0: float,
+    radius_km: float,
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """Radius query over a ``geo_write`` layout: the intersecting-cell
+    IN-filter lands in the scan's PartitionFilters (plan-tested), so only
+    the box's share of the stored bytes is read; the exact haversine in
+    geo_distance_search then decides membership, so the result set is
+    identical to the unpruned path."""
+    meta = read_geo_meta(path)
+    assert meta["kind"] == "geo", f"not a geo layout: {path}"
+    df = spark.read.parquet(path)
+    cells = _box_cells(lat0, lon0, radius_km, meta["cell_deg"])
+    if cells is not None:
+        df = df.filter(F.col("geo_cell").isin(cells))
+    return geo_distance_search(
+        df, lat0, lon0, radius_km, meta["lat_col"], meta["lon_col"], dist_col
+    ).drop("geo_cell")
+
+
+def geo_stored_topk(
+    spark,
+    path: str,
+    lat0: float,
+    lon0: float,
+    k: int,
+    radius_km: float,
+    id_col: str = "doc_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """k nearest within radius over a stored layout — cell-pruned scan,
+    then the ordinary TakeOrderedAndProject. The radius is required: a
+    radius-free nearest-k cannot prune (any cell might hold the nearest
+    point); expanding-ring search is the follow-on if that's ever hot."""
+    src = geo_stored_search(spark, path, lat0, lon0, radius_km)
+    d = F.col("dist_km")
+    if round_dp is not None:
+        src = src.withColumn("dist_km", F.round(d, round_dp))
+    return (
+        src.select(id_col, "dist_km")
+        .orderBy(F.asc("dist_km"), F.asc(id_col))
+        .limit(k)
+    )

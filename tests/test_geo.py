@@ -192,3 +192,71 @@ def test_distance_join_no_cartesian_product(spark):
     plan = geo_distance_join(df, 500.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+from searchengine_spark.ops.geo import (
+    geo_stored_search,
+    geo_stored_topk,
+    geo_write,
+)
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _files_scanned(df) -> int:
+    df.collect()
+    leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    return int(leaf.metrics().apply("numFiles").value())
+
+
+@pytest.fixture(scope="module")
+def geo_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("geo") / "layout")
+    geo_write(_pts(spark, 300), p, cell_deg=15.0)
+    return p
+
+
+def test_stored_search_matches_unpruned(spark, geo_path):
+    df = _pts(spark, 300)
+    for lat0, lon0, radius in [(10.0, 20.0, 900.0), (85.0, 0.0, 1200.0), (0.0, 179.5, 500.0)]:
+        got = {r["doc_id"] for r in geo_stored_search(spark, geo_path, lat0, lon0, radius).collect()}
+        want = {r["doc_id"] for r in geo_distance_search(df, lat0, lon0, radius).collect()}
+        assert got == want
+
+
+def test_stored_scan_is_partition_pruned(spark, geo_path):
+    q = geo_stored_search(spark, geo_path, 10.0, 20.0, 900.0)
+    plan = _plan_of(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "geo_cell" in pf[0]
+    total = _files_scanned(spark.read.parquet(geo_path))
+    pruned = _files_scanned(q)
+    assert pruned < total
+
+
+def test_stored_topk_matches_compute(spark, geo_path):
+    df = _pts(spark, 300)
+    got = [(r["doc_id"], r["dist_km"]) for r in geo_stored_topk(spark, geo_path, 10.0, 20.0, 10, radius_km=8000.0).collect()]
+    want = [(r["doc_id"], r["dist_km"]) for r in geo_distance_topk(df, 10.0, 20.0, 10, radius_km=8000.0).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gd), (_, wd) in zip(got, want):
+        assert gd == pytest.approx(wd, abs=1e-9)
+
+
+def test_stored_huge_radius_falls_back_to_full_scan(spark, tmp_path):
+    # tiny cells + planet-wide box → enumeration over the cap → unpruned,
+    # still correct
+    p = str(tmp_path / "fine")
+    geo_write(_pts(spark, 80), p, cell_deg=0.5)
+    df = _pts(spark, 80)
+    got = {r["doc_id"] for r in geo_stored_search(spark, p, 0.0, 0.0, 15000.0).collect()}
+    want = {r["doc_id"] for r in geo_distance_search(df, 0.0, 0.0, 15000.0).collect()}
+    assert got == want
