@@ -3197,6 +3197,49 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return similarity.cosine_neardup_lsh(_embs(spark, sf_dir), tau=0.3, n_planes=8, dim=64)
 
 
+DUP_SPAN_W = 8
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 primitive):
+    maximal ≥8-token runs appearing verbatim in two docs, found with
+    positional shingles + diagonal gaps-and-islands (window + agg — no
+    suffix array, no per-pair Python). Full self-join form here (the
+    small-corpus exactness baseline; the scale path passes MinHash band
+    survivors as ``candidates``)."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), w=DUP_SPAN_W)
+
+
+def q_dup_span_scrub(spark, sf_dir):
+    """Span scrub: doc_b tokens covered by any duplicated span are
+    dropped and the text rebuilt from the kept tokens in order — the
+    write-side of exact-substring dedup."""
+    docs = _docs(spark, sf_dir)
+    spans = dedup.duplicate_spans(docs, w=DUP_SPAN_W)
+    return dedup.scrub_duplicate_spans(docs, spans)
+
+
+def _dup_span_scrub_sql() -> str:
+    spans = dedup.duplicate_spans_sql("documents", w=DUP_SPAN_W)
+    toks = dedup._TOKS_SQL.format(text="text")
+    return f"""
+WITH spans AS ({spans}),
+covered AS (
+  SELECT DISTINCT doc_b AS doc_id, p AS pos
+  FROM spans, unnest(range(start_b, start_b + span_len)) AS r(p)),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, {toks} AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS r(i)),
+kept AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+  FROM toks ANTI JOIN covered USING (doc_id, pos)
+  GROUP BY doc_id)
+SELECT d.doc_id AS doc_id, coalesce(k.scrubbed, '') AS scrubbed_text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """End-to-end near-dup dedup: banding candidates → n-gram Jaccard verify
     → connected components keeper assignment."""
@@ -3621,6 +3664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
+        "dup_spans": q_dup_spans,
+        "dup_span_scrub": q_dup_span_scrub,
         "simhash": q_simhash,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -3778,6 +3823,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),
+        "dup_spans": dedup.duplicate_spans_sql("documents", w=DUP_SPAN_W),
+        "dup_span_scrub": _dup_span_scrub_sql(),
         "simhash": dedup.simhash_sql("documents"),
         "token_count": textstats.token_count_sql("documents"),
         "fingerprint": textstats.fingerprint_sql("documents"),

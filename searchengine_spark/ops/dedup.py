@@ -786,3 +786,180 @@ SELECT doc_id,
        sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
 """
+
+
+# ----------------------------------------------- exact duplicate spans
+def positional_shingles(
+    df: DataFrame, w: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, shingle) word w-grams WITH their 0-based token
+    position (repeats kept) — the seed stream for exact-substring span
+    detection."""
+    arr = shingle_array(F.col(text_col), w)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(arr).alias("pos", "shingle"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    w: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated token runs across document pairs — the exact-
+    substring dedup primitive from "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022), re-expressed relationally
+    instead of via a suffix array: (doc_a, doc_b, start_a, start_b,
+    span_len) for every maximal run of ≥ min_len tokens (default w) that
+    appears verbatim in both docs, with 0-based token offsets.
+
+    How: stride-1 positional w-gram shingles; equal shingles across a pair
+    seed (pos_a, pos_b) matches; a duplicated run of L tokens yields
+    L−w+1 seeds on one DIAGONAL (pos_a − pos_b constant), so maximal runs
+    are gaps-and-islands per (pair, diagonal): consecutive pos_a ⇔
+    pos_a − row_number constant. Pure window + agg — no suffix array, no
+    per-pair Python.
+
+    Scale: with ``candidates`` (e.g. MinHash band survivors) the seed join
+    is pair-driven — linear in Σ pair shingles, the 100 TB path. Without
+    it the full shingle self-join is quadratic in docs-per-shingle;
+    ``max_shingle_df`` drops shingles hotter than the cap first (the
+    standard guard — boilerplate w-grams shared by thousands of docs cost
+    the most and carry no pair signal; dropping one can only SPLIT a
+    reported span, never invent one). The islands window partitions by
+    (pair, diagonal) — output-bounded, never corpus-bounded."""
+    if min_len is None:
+        min_len = w
+    ps = positional_shingles(df, w, id_col, text_col)
+    if max_shingle_df is not None:
+        hot = (
+            ps.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        ps = ps.join(F.broadcast(hot), "shingle", "left_anti")
+    pa = ps.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "shingle"
+    )
+    pb = ps.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "shingle"
+    )
+    if candidates is not None:
+        seeds = (
+            candidates.select("doc_a", "doc_b")
+            .join(pa, "doc_a")
+            .join(pb, ["doc_b", "shingle"])
+        )
+    else:
+        seeds = pa.join(pb, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql import Window
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    seeds = seeds.select("doc_a", "doc_b", "pos_a", "pos_b", diag).distinct()
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = seeds.withColumn("grp", F.col("pos_a") - F.row_number().over(win))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + w - 1).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
+
+
+def _positional_shingles_sql(table: str, w: int, id_col: str, text_col: str) -> str:
+    toks = _TOKS_SQL.format(text=text_col)
+    return f"""
+SELECT {id_col} AS doc_id, i - 1 AS pos,
+       array_to_string(toks[i : i + {w - 1}], ' ') AS shingle
+FROM (SELECT {id_col}, {toks} AS toks FROM {table}),
+     unnest(range(1, greatest(len(toks) - {w} + 2, 1))) AS r(i)
+"""
+
+
+def duplicate_spans_sql(
+    table: str = "documents",
+    w: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``duplicate_spans`` (full self-join form)."""
+    if min_len is None:
+        min_len = w
+    ps = _positional_shingles_sql(table, w, id_col, text_col)
+    return f"""
+WITH ps AS ({ps}),
+seeds AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+  FROM ps a JOIN ps b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+         pos_a - row_number() OVER (
+             PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM seeds)
+SELECT doc_a, doc_b,
+       min(pos_a)::BIGINT AS start_a, min(pos_b)::BIGINT AS start_b,
+       (count(*) + {w} - 1)::BIGINT AS span_len
+FROM runs
+GROUP BY doc_a, doc_b, diag, grp
+HAVING count(*) + {w} - 1 >= {min_len}
+"""
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove duplicated spans from the LATER doc of each pair (doc_b —
+    ids order survivors deterministically, same convention as
+    ``dedup_pipeline`` keepers): tokens of doc_b covered by any
+    (start_b, span_len) interval are dropped and the text rebuilt from
+    the kept tokens, in order. Output is the normalized token stream for
+    every doc (spans are token-indexed, so the rebuild must be too); docs
+    with no spans keep all their tokens.
+
+    Relational shape: spans → per-doc covered positions (explode the
+    interval — output-bounded), tokens → posexplode, left_anti on
+    (doc, pos), re-aggregate ordered. No per-row Python."""
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"), F.col("start_b") + F.col("span_len") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_raw_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"])
+        ).alias("scrubbed")
+    )
+    # output is the normalized token stream for every doc (docs with no
+    # spans keep all their tokens); a null after the left join means the
+    # doc kept NO tokens (fully covered, or tokenless) → empty string
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+    )
