@@ -3197,6 +3197,19 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return similarity.cosine_neardup_lsh(_embs(spark, sf_dir), tau=0.3, n_planes=8, dim=64)
 
 
+MAXSIM_TERMS = ["spark", "join", "stream", "shuffle"]
+
+
+def q_maxsim_topk(spark, sf_dir):
+    """Late-interaction retrieval (ColBERT MaxSim): each query token takes
+    its best-matching doc token's dot product; per-doc score is the sum.
+    Token embeddings are the in-engine md5 stand-in (the real-encoder swap
+    point is one expression), so the ENTIRE pipeline — embedding, |q|
+    map-side dots, max/sum aggs, top-k — is hash-checked vs DuckDB."""
+    tf, _, _, _, _ = _scoring_ctx(spark, sf_dir)
+    return similarity.maxsim_topk(tf, MAXSIM_TERMS, k=20)
+
+
 DUP_SPAN_W = 8
 
 
@@ -3665,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
         "dup_spans": q_dup_spans,
+        "maxsim_topk": q_maxsim_topk,
         "dup_span_scrub": q_dup_span_scrub,
         "simhash": q_simhash,
         "token_count": q_token_count,
@@ -3824,6 +3838,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),
         "dup_spans": dedup.duplicate_spans_sql("documents", w=DUP_SPAN_W),
+        "maxsim_topk": similarity.maxsim_topk_sql(_TF_SQL, MAXSIM_TERMS, k=20),
         "dup_span_scrub": _dup_span_scrub_sql(),
         "simhash": dedup.simhash_sql("documents"),
         "token_count": textstats.token_count_sql("documents"),

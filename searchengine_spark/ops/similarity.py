@@ -1262,3 +1262,116 @@ FROM coded
 ORDER BY score DESC, vec_id ASC
 LIMIT {int(k)}
 """
+
+
+# ------------------------------------------- late interaction (MaxSim)
+def _hash_emb_expr(col_name: str, dim: int):
+    """Per-term deterministic embedding, computed IN-ENGINE: byte i of
+    md5(term) → float in [-1, 1). Identical to
+    expansion.hash_term_vectors and to the DuckDB hex-substr twin, so the
+    whole late-interaction pipeline is cross-engine hash-checkable. The
+    honest swap point for a real token encoder (ColBERT/BERT) is this one
+    expression — everything downstream is encoder-agnostic."""
+    return F.expr(
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"cast(conv(substr(md5({col_name}), (d % 16) * 2 + 1, 2), 16, 10) AS DOUBLE)"
+        f" / 128.0 - 1.0)"
+    )
+
+
+def maxsim_topk(
+    doc_terms: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    dim: int = 8,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    round_dp: int | None = ROUND_DP,
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim): score(doc) =
+    Σ_{q ∈ query} max_{t ∈ doc} ⟨emb(q), emb(t)⟩ — each query token finds
+    its best-matching doc token, unlike single-vector retrieval where the
+    pooled doc vector must serve every query token at once.
+
+    Shape: NO join at all — the query-side vectors ride along as a
+    literal array of structs, each doc term computes its |q| dots
+    map-side (zip_with + aggregate, JVM codegen), then two hash
+    aggregations (max per (doc, query-token), sum per doc) and a
+    TakeOrderedAndProject. At 100 TB the only shuffle is the
+    (doc_id, qi)-keyed agg over distinct doc terms — postings-sized, with
+    map-side partial max."""
+    import hashlib
+
+    qvecs = []
+    for qi, term in enumerate(sorted(set(query_terms))):
+        digest = hashlib.md5(term.encode()).digest()
+        qvecs.append((qi, [digest[i % 16] / 128.0 - 1.0 for i in range(dim)]))
+
+    demb = _hash_emb_expr(term_col, dim)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    demb,
+                    F.array(*[F.lit(float(v)) for v in vec]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for _, vec in qvecs
+        ]
+    )
+    per_term = (
+        doc_terms.select(F.col(id_col).alias("doc_id"), F.col(term_col).alias("term"))
+        .distinct()
+        .select("doc_id", F.posexplode(dots).alias("qi", "dot"))
+    )
+    score = F.sum("m")
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    return (
+        per_term.groupBy("doc_id", "qi")
+        .agg(F.max("dot").alias("m"))
+        .groupBy("doc_id")
+        .agg(score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def maxsim_topk_sql(
+    tf_sql: str,
+    query_terms: list[str],
+    k: int = 20,
+    dim: int = 8,
+    round_dp: int = ROUND_DP,
+) -> str:
+    """DuckDB twin of ``maxsim_topk`` over a (doc_id, term, ...) CTE."""
+    import hashlib
+
+    rows = []
+    for qi, term in enumerate(sorted(set(query_terms))):
+        digest = hashlib.md5(term.encode()).digest()
+        for d in range(dim):
+            rows.append(f"({qi}, {d}, {digest[d % 16] / 128.0 - 1.0!r})")
+    qv = ", ".join(rows)
+    hashval = (
+        "(('0x' || substr(md5(term), (d % 16) * 2 + 1, 2))::INT / 128.0 - 1.0)"
+    )
+    return f"""
+WITH tf AS ({tf_sql}),
+dt AS (SELECT DISTINCT doc_id, term FROM tf),
+qv(qi, dim, v) AS (VALUES {qv}),
+demb AS (
+  SELECT doc_id, term, d AS dim, {hashval} AS e
+  FROM dt, unnest(range(0, {dim})) AS r(d)),
+dots AS (
+  SELECT doc_id, term, qi, sum(e * v) AS dot
+  FROM demb JOIN qv USING (dim) GROUP BY 1, 2, 3),
+mx AS (SELECT doc_id, qi, max(dot) AS m FROM dots GROUP BY 1, 2)
+SELECT doc_id, round(sum(m), {round_dp}) AS score
+FROM mx GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
