@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import dedup, multimodal, packing, similarity, sketch, termstats, textstats
+from .ops import classify, dedup, multimodal, packing, similarity, sketch, termstats, textstats
 from .postings import dictionary, doc_stats, term_frequencies
 from .scoring import (
     bm25_score,
@@ -3197,6 +3197,18 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return similarity.cosine_neardup_lsh(_embs(spark, sf_dir), tau=0.3, n_planes=8, dim=64)
 
 
+def q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes trained distributed (two hash aggs — no
+    iteration, no driver weights) on the lang labels, then self-classified:
+    per-(doc, class) log-likelihood sums with add-1 smoothing, argmax
+    pinned by rounding before the window (labels on this synthetic corpus
+    share one token pool, so accuracy is near-prior — the entry checks the
+    MATH end-to-end, not separability; tests/test_classify.py covers
+    accuracy on a separable corpus)."""
+    docs = _docs(spark, sf_dir)
+    return classify.nb_predict(classify.nb_train(docs, "lang"), docs)
+
+
 MAXSIM_TERMS = ["spark", "join", "stream", "shuffle"]
 
 
@@ -3679,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "dup_spans": q_dup_spans,
         "maxsim_topk": q_maxsim_topk,
+        "nb_classify": q_nb_classify,
         "dup_span_scrub": q_dup_span_scrub,
         "simhash": q_simhash,
         "token_count": q_token_count,
@@ -3839,6 +3852,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),
         "dup_spans": dedup.duplicate_spans_sql("documents", w=DUP_SPAN_W),
         "maxsim_topk": similarity.maxsim_topk_sql(_TF_SQL, MAXSIM_TERMS, k=20),
+        "nb_classify": classify.nb_train_predict_sql("documents", "documents", "lang"),
         "dup_span_scrub": _dup_span_scrub_sql(),
         "simhash": dedup.simhash_sql("documents"),
         "token_count": textstats.token_count_sql("documents"),
