@@ -309,6 +309,25 @@ def main() -> None:
         "geo_topk",
         lambda: geo_distance_topk(geo, 10.0, 20.0, 25, radius_km=4000.0).collect(),
     )
+    from searchengine_spark.ops.geo import geo_distance_join
+
+    timed("geo_pairs", lambda: geo_distance_join(geo, 700.0).count())
+
+    # round-3 additions: exact-substring duplicate spans (positional
+    # shingles + diagonal islands), late-interaction MaxSim, distributed NB
+    from searchengine_spark.ops.classify import nb_predict, nb_train
+    from searchengine_spark.ops.similarity import maxsim_topk
+
+    timed("dup_spans", lambda: dedup.duplicate_spans(docs, w=8).count())
+    timed(
+        "maxsim_topk",
+        lambda: maxsim_topk(
+            term_frequencies(docs, "doc_id", "text"),
+            ["spark", "join", "stream", "shuffle"],
+            k=20,
+        ).collect(),
+    )
+    timed("nb_classify", lambda: nb_predict(nb_train(docs, "lang"), docs).count())
     timed(
         "sample_stratified",
         lambda: sample_stratified(
