@@ -1505,6 +1505,35 @@ class SearchEngine:
             run_group, EXPLAIN_SCHEMA
         )
 
+    def search_rerank_maxsim(
+        self,
+        query: str,
+        k: int = 10,
+        n_candidates: int = 100,
+        dim: int = 8,
+    ) -> list[tuple[int, float]]:
+        """Retrieve-then-rerank with late interaction (the ColBERT serving
+        shape): BM25/WAND retrieves ``n_candidates`` cheaply from the
+        index, then MaxSim — Σ over query tokens of the best doc-token
+        dot product — re-scores ONLY those candidates from their stored
+        term vectors and returns the top ``k``.
+
+        Cost at scale: the first phase is the ordinary pruned index read;
+        the rerank decodes term vectors for a candidate-bounded doc set
+        and computes |q|·|terms(doc)| dots map-side, so the expensive
+        interaction model never touches the corpus. Embeddings are the
+        deterministic md5 stand-in (see ops/similarity._hash_emb_expr for
+        the one-expression real-encoder swap point)."""
+        from ..ops.similarity import maxsim_topk
+
+        hits = self.search(query, k=n_candidates)
+        if not hits:
+            return []
+        terms = self._analyze(query)  # same analyzer as the index
+        tv = self.term_vectors([d for d, _ in hits])
+        out = maxsim_topk(tv, terms, k=k, dim=dim)
+        return [(int(r["doc_id"]), float(r["score"])) for r in out.collect()]
+
     def significant_terms(
         self,
         query: str,
