@@ -548,6 +548,13 @@ def _cmd_snapshot(args) -> None:
         if errors:
             sys.exit(1)
         return
+    if not args.index or not args.name:
+        print(
+            "snapshot: --index and --name are required to create a "
+            "snapshot (or pass --list / --verify)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     info = snap.snapshot_index(
         args.index, args.repo, args.name, incremental=not args.full
     )

@@ -72,8 +72,14 @@ def suggest_phrase(
     qterms = tokenize_py(query)
     if not qterms:
         raise ValueError("query has no indexable terms")
+    # persist uni only when WE trained it (it feeds one _candidates scan
+    # per query term); a caller-supplied model manages its own caching —
+    # and either way the cache is released before returning (the result
+    # is collected, beam·top_n-bounded, so nothing lazy escapes)
+    own_model = model is None
     c_ab, uni, vocab = model if model is not None else bigram_lm_counts(df)
-    uni = uni.persist()
+    if own_model:
+        uni = uni.persist()
     a = float(alpha)
     n_uni = uni.agg(F.sum("c")).collect()[0][0] or 0
     pen = float(edit_penalty)
@@ -123,11 +129,15 @@ def suggest_phrase(
             F.col("rnk") <= int(beam)
         ).drop("rnk")
 
-    return (
+    out = (
         state.select("phrase", "score")
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(int(top_n))
     )
+    rows = out.collect()
+    if own_model:
+        uni.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)
 
 
 def suggest_phrase_sql(

@@ -138,6 +138,12 @@ def bpe_train(
         if prev is not None:
             prev.unpersist()
         prev, state = state, nxt
+    # the loop unpersists prev only at the TOP of the next iteration, so
+    # after the final merge (or an early break) the returned state's
+    # parent would stay cached forever — release it here; state itself is
+    # materialized, so dropping its parent costs nothing
+    if prev is not None:
+        prev.unpersist()
     return merges, state
 
 

@@ -87,13 +87,18 @@ def nb_predict(
 ) -> DataFrame:
     """(doc_id, pred, score): argmax over classes of
     prior_log + Σ_t tf_t · log((cnt + α)/(n_tokens_c + α·V)), ties on
-    label asc. Doc tokens outside the train vocabulary are dropped.
+    label asc. Doc tokens outside the train vocabulary are dropped; a doc
+    with NO in-vocabulary tokens (empty text, or fully out-of-vocab)
+    still gets a row — the prior argmax, the standard multinomial-NB
+    prediction for an empty feature vector — so every input doc_id
+    appears exactly once in the output.
 
     Shape: doc term counts ⋈ train-vocab terms (inner — the drop), cross
     the ≤|classes| class table, LEFT join the model counts (absent →
-    smoothed floor), one (doc, label) sum, one argmax window keyed by doc.
-    The model sides are broadcast; the only data-sized shuffle is the
-    (doc, label) agg."""
+    smoothed floor), one (doc, label) sum, one argmax window keyed by doc;
+    uncovered docs are found with one anti-join and scored from the
+    broadcast prior table alone. The model sides are broadcast; the only
+    data-sized shuffles are the (doc, label) agg and the anti-join."""
     a = float(model.alpha)
     v = int(model.vocab_size)
     dt = (
@@ -124,6 +129,20 @@ def nb_predict(
             F.round(F.col("prior_log") + F.col("ll"), round_dp).alias("score"),
         )
     )
+    # docs with zero in-vocab tokens: prior-only rows (empty Σ term)
+    uncovered = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(dt.select("doc_id").distinct(), "doc_id", "left_anti")
+        .crossJoin(
+            F.broadcast(
+                cls.select(
+                    "label", F.round("prior_log", round_dp).alias("score")
+                )
+            )
+        )
+    )
+    per_class = per_class.unionByName(uncovered)
     win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
     return (
         per_class.withColumn("rn", F.row_number().over(win))
@@ -169,10 +188,17 @@ per_class AS (
   FROM te_iv CROSS JOIN class_stats cs CROSS JOIN consts c
   LEFT JOIN token_stats ts ON ts.label = cs.label AND ts.term = te_iv.term
   GROUP BY te_iv.doc_id, cs.label, cs.n_docs, c.n),
+uncovered AS (
+  SELECT d.doc_id, cs.label,
+         round(ln(cs.n_docs / CAST(c.n AS DOUBLE)), {round_dp}) AS score
+  FROM (SELECT DISTINCT {id_col} AS doc_id FROM {test_table}) d
+  ANTI JOIN te_iv USING (doc_id)
+  CROSS JOIN class_stats cs CROSS JOIN consts c),
+all_pc AS (SELECT * FROM per_class UNION ALL SELECT * FROM uncovered),
 ranked AS (
   SELECT doc_id, label AS pred, score,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, label ASC) AS rn
-  FROM per_class)
+  FROM all_pc)
 SELECT doc_id, pred, score FROM ranked WHERE rn = 1
 """

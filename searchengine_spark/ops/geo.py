@@ -61,11 +61,18 @@ def add_geo_cells(
     """Attach a grid-cell id: floor((lat+90)/cell)·(360/cell) +
     floor((lon+180)/cell). Content-free and computable by any writer or
     router — the partitioning/Z-order key for geo layouts (see module
-    docstring). cell_deg trades file count against prune precision."""
+    docstring). cell_deg trades file count against prune precision.
+
+    The exact boundary points lat=90 / lon=180 are clamped into the last
+    valid cell (same epsilon as ``_box_cells``): unclamped they would land
+    one cell past the range the read-side prune enumerates and the stored
+    row would silently vanish from every pruned query."""
     n_lon = int(math.ceil(360.0 / cell_deg))
+    lat = F.least(F.col(lat_col), F.lit(90.0 - 1e-12))
+    lon = F.least(F.col(lon_col), F.lit(180.0 - 1e-12))
     cell = (
-        F.floor((F.col(lat_col) + 90.0) / cell_deg) * n_lon
-        + F.floor((F.col(lon_col) + 180.0) / cell_deg)
+        F.floor((lat + 90.0) / cell_deg) * n_lon
+        + F.floor((lon + 180.0) / cell_deg)
     )
     return df.withColumn(out_col, cell.cast("long"))
 

@@ -114,8 +114,12 @@ def pagerank(
         )
         if (i + 1) % checkpoint_interval == 0 and i + 1 < n_iter:
             ranks = ckpt(ranks)
+    # materialize BEFORE dropping nodes: the final rounds stay lazy and
+    # join against nodes, so unpersisting first would hand the caller a
+    # frame whose first action re-runs the whole upstream edge pipeline
+    out = ckpt(ranks.select("node", F.round("rank", FINAL_DP).alias("rank")))
     nodes.unpersist()
-    return ranks.select("node", F.round("rank", FINAL_DP).alias("rank"))
+    return out
 
 
 def symmetric_edges(

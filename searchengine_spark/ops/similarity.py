@@ -1213,13 +1213,25 @@ def ivfpq_topk_sql(
 ) -> str:
     """DuckDB twin: recompute assignment + residual codes from the raw
     table (same argmin literals), filter to the probed lists, ADC + the
-    per-list centroid term — value-identical to the stored reader."""
+    per-list centroid term — value-identical to the stored reader ONLY
+    under the same codebooks. ``ivfpq_write(codebooks=None)`` TRAINS its
+    books on the residual sample and pins them in the meta sidecar, so a
+    None default here would silently diverge from such a layout —
+    ``codebooks`` is therefore required: pass
+    ``read_ann_meta(path)["codebooks"]`` (or the explicit books you
+    pinned at write time, e.g. ``_pq_default_books(m, ks, dim)``)."""
+    if codebooks is None:
+        raise ValueError(
+            "ivfpq_topk_sql needs the layout's pinned codebooks "
+            '(read_ann_meta(path)["codebooks"]) — a hash-book default '
+            "would silently diverge from a trained ivfpq_write layout"
+        )
     cvecs = (
         centroids
         if centroids is not None
         else [_centroid(c, dim) for c in range(n_lists)]
     )
-    books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
+    books = codebooks
     probes = _query_lists(query_vec, n_lists, nprobe, cvecs)
     lut = _pq_lut(books, query_vec)
     qc = [
@@ -1307,7 +1319,10 @@ def maxsim_topk(
         digest = hashlib.md5(term.encode()).digest()
         qvecs.append((qi, [digest[i % 16] / 128.0 - 1.0 for i in range(dim)]))
 
-    demb = _hash_emb_expr(term_col, dim)
+    # built over the post-rename "term" column: dots is applied AFTER the
+    # select that aliases term_col away, so referencing term_col here
+    # would break for any non-default term column name
+    demb = _hash_emb_expr("term", dim)
     dots = F.array(
         *[
             F.aggregate(

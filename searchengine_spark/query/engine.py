@@ -1062,21 +1062,31 @@ class SearchEngine:
         )
         return sorted((r["term"], float(r["boost"])) for r in rows)
 
-    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+    def suggest(self, prefix: str, n: int | None = 10) -> list[tuple[str, int]]:
         """Autocomplete: the ``n`` highest-df dictionary terms completing
-        ``prefix`` (df desc, term asc), as [(term, df)]. The prefix is
+        ``prefix`` (df desc, term asc), as [(term, df)]. ``n=None``
+        returns EVERY match (the sharded gather needs the full set — dfs
+        sum across shards, so no fixed cutoff is exact). The prefix is
         pushed down to the dictionary parquet scan as ``StartsWith``; the
         dictionary side is the broadcast-small side of the index, so this
         is a sub-scan of one small table however large the corpus."""
-        rows = (
+        out = (
             self._load_dict()
             .filter(F.col("term").startswith(prefix.lower()))
             .select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
-            .limit(n)
-            .collect()
         )
+        rows = (out if n is None else out.limit(n)).collect()
         return [(r["term"], int(r["df"])) for r in rows]
+
+    def indexed_doc_ids(self) -> DataFrame:
+        """DataFrame[doc_id] of the batch-built corpus, read from the
+        ``docstats`` sidecar (one column, pruned scan). NOTE: streamed
+        epochs append postings without extending docstats, so docs added
+        via the streaming path are not listed here."""
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "docstats")
+        ).select("doc_id")
 
     def search_fuzzy(
         self,

@@ -379,17 +379,18 @@ class ShardedEngine:
         return out
 
     def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
-        """Autocomplete under GLOBAL df: each shard contributes its
-        prefix-matching dictionary rows (a few dozen terms), dfs sum
-        across shards, top-n by (global df desc, term asc) — identical to
-        a single-index suggest over the union corpus. Per shard the cost
-        is one StartsWith-pushed scan of the broadcast-small dictionary;
-        each shard over-fetches n·shards candidates so a term ranked
-        n-th globally can't be missed by being (n+1)-th everywhere."""
+        """Autocomplete under GLOBAL df: each shard contributes ALL of its
+        prefix-matching dictionary rows, dfs sum across shards, top-n by
+        (global df desc, term asc) — identical to a single-index suggest
+        over the union corpus. Every match must come back: dfs SUM, so a
+        term below any fixed per-shard cutoff everywhere can still be the
+        global top-1 (no per-shard over-fetch factor is exact). Per shard
+        the cost is one StartsWith-pushed scan of the broadcast-small
+        dictionary — the prefix match set is dictionary-sized, not
+        corpus-sized, so returning it whole is cheap."""
         per = {}
-        fetch = n * max(1, len(self.shards))
         for eng in self.shards:
-            for term, df in eng.suggest(prefix, fetch):
+            for term, df in eng.suggest(prefix, n=None):
                 per[term] = per.get(term, 0) + df
         return sorted(per.items(), key=lambda t: (-t[1], t[0]))[:n]
 
@@ -534,7 +535,14 @@ class ShardedEngine:
         doc's must/should/must_not memberships all resolve inside its own
         shard, so per-shard tree results ARE the global ones, and global
         idf makes their scores comparable. ``metadata`` may be the full
-        corpus table — each shard's range joins touch only its own ids."""
+        corpus table — but range/filter leaves can GENERATE docs (a
+        pure-filter tree has no term leaf constraining the base), so the
+        frame is restricted to each shard's OWN doc set before the
+        scatter; otherwise every shard would report the same metadata row
+        and the merge would return duplicates. Routed members restrict
+        with the build's hash expression (a filter, no join); alias
+        members (arbitrary disjoint indexes) semi-join their docstats
+        sidecar."""
         from ..boolquery import tree_terms
 
         raw = tree_terms(tree)
@@ -544,10 +552,17 @@ class ShardedEngine:
         gs = self.global_stats(terms) if terms else (0, 0.0, {})
         if terms and not gs[2]:
             return []
-        lists = [
-            s.search_bool(tree, k=k, metadata=metadata, global_stats=gs)
-            for s in self.shards
-        ]
+        lists = []
+        for i, s in enumerate(self.shards):
+            m = metadata
+            if m is not None:
+                if self.routed:
+                    m = m.filter(
+                        shard_of(F.col("doc_id"), len(self.shards)) == i
+                    )
+                else:
+                    m = m.join(s.indexed_doc_ids(), "doc_id", "left_semi")
+            lists.append(s.search_bool(tree, k=k, metadata=m, global_stats=gs))
         return self._merge(lists, k)
 
     def snippets(self, query: str, window: int = 8, **kw):

@@ -295,3 +295,11 @@ def test_ivfpq_trained_quantizers_are_pinned(spark, embs, qvec, tmp_path):
         ).fetchall()
     ]
     assert s == o
+
+
+def test_ivfpq_topk_sql_requires_codebooks():
+    """ivfpq_write(codebooks=None) TRAINS its books; a hash-book default
+    in the SQL twin would silently diverge from such a layout, so the
+    twin refuses and points at the meta sidecar."""
+    with pytest.raises(ValueError, match="pinned codebooks"):
+        S.ivfpq_topk_sql("embeddings", [0.0] * 64, k=5)

@@ -1,5 +1,6 @@
 """Multinomial NB: distributed train+predict must match a pure-Python
-reference exactly (same α-smoothing, same OOV-drop convention), and
+reference exactly (same α-smoothing; OOV-only docs get the prior
+argmax, never dropped), and
 self-classification on the synthetic lang-labelled corpus must beat the
 majority baseline by a wide margin."""
 
@@ -33,8 +34,8 @@ def _brute(train, test, alpha=1.0):
     out = {}
     for did, text, _ in test:
         ts = [t for t in _toks(text) if t in vocab]
-        if not ts:
-            continue
+        # empty ts (OOV-only doc): the sum vanishes and the prediction is
+        # the prior argmax — the doc still gets a row
         best = None
         for label in sorted(cls_docs):
             s = math.log(cls_docs[label] / n)
@@ -102,11 +103,57 @@ def test_nb_separable_corpus_high_accuracy(spark):
     assert joined.filter("pred = lang").count() / joined.count() > 0.95
 
 
-def test_nb_oov_only_doc_is_dropped(spark):
+def test_nb_oov_only_doc_predicts_prior_argmax(spark):
+    """A doc whose tokens are all out-of-vocabulary must NOT vanish from
+    the output (a curation pipeline joining predictions back would lose it
+    silently): the standard multinomial-NB answer for an empty feature
+    vector is the prior argmax — with TRAIN's equal class priors, the
+    label-asc tie-break ('de') at score round(ln(2/6), 5)."""
     tr = spark.createDataFrame(TRAIN, "doc_id long, text string, lang string")
     te = spark.createDataFrame(
-        [(99, "completely unknownwords zzzqqq", "en")],
+        [(99, "completely unknownwords zzzqqq", "en"),
+         (12, "the cat runs through the forest", "en")],
         "doc_id long, text string, lang string",
     )
     model = nb_train(tr, "lang")
-    assert nb_predict(model, te).count() == 0
+    rows = {r["doc_id"]: r for r in nb_predict(model, te).collect()}
+    assert set(rows) == {12, 99}
+    assert rows[99]["pred"] == "de"
+    assert rows[99]["score"] == pytest.approx(round(math.log(2 / 6), 5))
+    want = _brute(TRAIN, [(99, "completely unknownwords zzzqqq", "en")])
+    assert (rows[99]["pred"], rows[99]["score"]) == want[99]
+
+
+def test_nb_sql_twin_keeps_oov_docs(spark):
+    """The DuckDB twin must mirror the prior-argmax convention row for
+    row, or the driver's hash compare would split on any empty-text doc."""
+    import duckdb
+
+    import pandas as pd
+
+    from searchengine_spark.ops.classify import nb_train_predict_sql
+
+    tr_pd = pd.DataFrame(TRAIN, columns=["doc_id", "text", "lang"])
+    te_pd = pd.DataFrame(
+        TEST + [(99, "completely unknownwords zzzqqq", "en")],
+        columns=["doc_id", "text", "lang"],
+    )
+    con = duckdb.connect()
+    con.register("tr_tbl", tr_pd)
+    con.register("te_tbl", te_pd)
+    got_sql = {
+        (int(d), p, float(s))
+        for d, p, s in con.execute(
+            nb_train_predict_sql("tr_tbl", "te_tbl", "lang")
+        ).fetchall()
+    }
+    tr = spark.createDataFrame(TRAIN, "doc_id long, text string, lang string")
+    te = spark.createDataFrame(
+        TEST + [(99, "completely unknownwords zzzqqq", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got_spark = {
+        (int(r["doc_id"]), r["pred"], float(r["score"]))
+        for r in nb_predict(nb_train(tr, "lang"), te).collect()
+    }
+    assert got_sql == got_spark

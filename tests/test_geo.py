@@ -260,3 +260,31 @@ def test_stored_huge_radius_falls_back_to_full_scan(spark, tmp_path):
     got = {r["doc_id"] for r in geo_stored_search(spark, p, 0.0, 0.0, 15000.0).collect()}
     want = {r["doc_id"] for r in geo_distance_search(df, 0.0, 0.0, 15000.0).collect()}
     assert got == want
+
+
+def test_stored_layout_keeps_exact_boundary_points(spark, tmp_path):
+    """lat=90 / lon=180 land one raw cell PAST the range the read-side
+    prune enumerates; the writer clamps them into the last valid cell so
+    a pruned radius query still finds them. Regression: unclamped, the
+    pole/antimeridian rows silently vanished from every pruned query
+    while the unpruned path returned them."""
+    rows = [
+        (1, 90.0, 10.0),    # exact north pole
+        (2, 0.0, 180.0),    # exact antimeridian
+        (3, 89.0, 10.0),
+        (4, 0.0, 179.0),
+        (5, -45.0, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    p = str(tmp_path / "geo_edge")
+    geo_write(df, p, cell_deg=10.0)
+    for lat0, lon0, radius, must_have in [
+        (89.5, 10.0, 200.0, 1),
+        (0.0, 179.5, 200.0, 2),
+    ]:
+        got = {r["doc_id"] for r in
+               geo_stored_search(spark, p, lat0, lon0, radius).collect()}
+        want = {r["doc_id"] for r in
+                geo_distance_search(df, lat0, lon0, radius).collect()}
+        assert must_have in got
+        assert got == want

@@ -78,3 +78,18 @@ def test_maxsim_plan_is_join_free(spark):
     plan = buf.getvalue()
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_maxsim_custom_term_col(spark):
+    """term_col other than 'term' must work: the dot expressions are
+    applied AFTER the column is aliased to 'term'. Regression: they were
+    built over the original name and raised an AnalysisException."""
+    rows = [(1, "spark"), (1, "join"), (2, "stream"), (2, "merge")]
+    a = spark.createDataFrame(rows, "doc_id long, term string")
+    b = spark.createDataFrame(rows, "doc_id long, piece string")
+    got_a = [(r["doc_id"], r["score"])
+             for r in maxsim_topk(a, ["spark", "stream"], k=5).collect()]
+    got_b = [(r["doc_id"], r["score"])
+             for r in maxsim_topk(b, ["spark", "stream"], k=5,
+                                  term_col="piece").collect()]
+    assert got_a == got_b and got_a

@@ -399,3 +399,60 @@ def test_alias_refuses_mixed_analyzers(spark, corpus, tmp_path):
         n_buckets=2, range_bits=1, analyzer="code")
     with pytest.raises(ValueError, match="analyzers"):
         ShardedEngine.alias(spark, [a, b])
+
+
+def test_sharded_bool_pure_filter_tree_no_duplicates(spark, corpus, single,
+                                                     sharded):
+    """A tree whose matching is driven ONLY by metadata leaves (no term
+    leaf constrains the base) must not report the same metadata row from
+    every shard: the scatter restricts the frame to each shard's own doc
+    set first. Regression: unrestricted, every shard evaluated the full
+    frame and the merge returned each doc N_SHARDS times."""
+    meta_df = corpus.select("doc_id", "n_chars")
+    trees = [
+        {"filter": [{"range": {"field": "n_chars", "gte": 0}}]},
+        {"should": [{"range": {"field": "n_chars", "gte": 100}}]},
+        # mixed: the range leaf alone admits docs the term leaf doesn't
+        {"should": [{"term": "spark"},
+                    {"range": {"field": "n_chars", "gte": 150}}]},
+    ]
+    n_docs = corpus.count()
+    for tree in trees:
+        got = sharded.search_bool(tree, k=n_docs + 50, metadata=meta_df)
+        ids = [d for d, _ in got]
+        assert len(ids) == len(set(ids)), tree  # no duplicates
+        want = single.search_bool(tree, k=n_docs + 50, metadata=meta_df)
+        _assert_hits_equal(got, want)
+
+
+def test_sharded_suggest_sums_df_below_any_fixed_cutoff(spark, tmp_path):
+    """dfs SUM across shards, so the true global top-1 can rank below any
+    fixed per-shard fetch cutoff in EVERY shard — the gather must read the
+    full per-shard prefix match set. Constructed so 'parkt' (global df 6)
+    is only 3rd within each shard behind two shard-local df-5/4 terms: the
+    old n·shards over-fetch returned 'parka' for n=1."""
+    ids = list(range(90))
+    amap = {
+        r["id"]: r["s"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id long")
+        .select("id", shard_of(F.col("id"), 2).alias("s"))
+        .collect()
+    }
+    s0 = [i for i in ids if amap[i] == 0]
+    s1 = [i for i in ids if amap[i] == 1]
+    assert len(s0) >= 12 and len(s1) >= 12
+    plan = [
+        ("parka", s0[:5]), ("parkb", s0[5:9]), ("parkt", s0[9:12]),
+        ("parkc", s1[:5]), ("parkd", s1[5:9]), ("parkt", s1[9:12]),
+    ]
+    rows = [(i, f"{term} uniquefiller{i}") for term, docs in plan
+            for i in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seng = ShardedEngine.build(spark, df, str(tmp_path / "sg"), 2,
+                               n_buckets=2, range_bits=1)
+    single = SearchEngine(spark, str(tmp_path / "sg_one"))
+    single.build_index_from_df(df, id_col="doc_id", text_col="text",
+                               n_buckets=2, range_bits=1)
+    assert seng.suggest("park", 1) == [("parkt", 6)]
+    for n in (1, 2, 5):
+        assert seng.suggest("park", n) == single.suggest("park", n)
