@@ -328,6 +328,12 @@ def main() -> None:
         ).collect(),
     )
     timed("nb_classify", lambda: nb_predict(nb_train(docs, "lang"), docs).count())
+    # retrieve-then-rerank: WAND candidates → stored term vectors → MaxSim
+    timed(
+        "maxsim_rerank",
+        lambda: eng.search_rerank_maxsim("spark join stream", k=15,
+                                         n_candidates=50),
+    )
     timed(
         "sample_stratified",
         lambda: sample_stratified(

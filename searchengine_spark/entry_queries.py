@@ -3222,6 +3222,28 @@ def q_maxsim_topk(spark, sf_dir):
     return similarity.maxsim_topk(tf, MAXSIM_TERMS, k=20)
 
 
+RERANK_N = 40
+RERANK_K = 15
+
+
+def q_maxsim_rerank(spark, sf_dir):
+    """Retrieve-then-rerank (the ColBERT serving shape) end-to-end against
+    one SQL truth: BM25/WAND retrieves RERANK_N candidates from the real
+    index, then MaxSim re-scores ONLY those candidates from their stored
+    term vectors (engine.search_rerank_maxsim). The oracle recomputes both
+    phases relationally — BM25 top-N as a candidate semi-join over the
+    text-derived tf, then the same md5 token embeddings — so the index
+    read, the candidate cut, AND the late-interaction math are all
+    hash-checked in one entry."""
+    eng = _shared_index(spark, sf_dir)
+    hits = eng.search_rerank_maxsim(
+        BM25_QUERY, k=RERANK_K, n_candidates=RERANK_N
+    )
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+
+
 DUP_SPAN_W = 8
 
 
@@ -3691,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "dup_spans": q_dup_spans,
         "maxsim_topk": q_maxsim_topk,
+        "maxsim_rerank": q_maxsim_rerank,
         "nb_classify": q_nb_classify,
         "dup_span_scrub": q_dup_span_scrub,
         "simhash": q_simhash,
@@ -3852,6 +3875,16 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),
         "dup_spans": dedup.duplicate_spans_sql("documents", w=DUP_SPAN_W),
         "maxsim_topk": similarity.maxsim_topk_sql(_TF_SQL, MAXSIM_TERMS, k=20),
+        "maxsim_rerank": similarity.maxsim_topk_sql(
+            f"""
+SELECT t.doc_id, t.term FROM ({_TF_SQL}) t
+SEMI JOIN (SELECT doc_id FROM ({_bm25_sql(BM25_QUERY)})
+           ORDER BY score DESC, doc_id ASC LIMIT {RERANK_N}) c
+USING (doc_id)
+""",
+            BM25_QUERY.split(),
+            k=RERANK_K,
+        ),
         "nb_classify": classify.nb_train_predict_sql("documents", "documents", "lang"),
         "dup_span_scrub": _dup_span_scrub_sql(),
         "simhash": dedup.simhash_sql("documents"),

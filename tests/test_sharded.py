@@ -456,3 +456,33 @@ def test_sharded_suggest_sums_df_below_any_fixed_cutoff(spark, tmp_path):
     assert seng.suggest("park", 1) == [("parkt", 6)]
     for n in (1, 2, 5):
         assert seng.suggest("park", n) == single.suggest("park", n)
+
+
+def test_alias_bool_pure_filter_restricts_to_member_docs(spark, corpus,
+                                                         single, tmp_path):
+    """Alias members are arbitrary disjoint indexes (no routing
+    expression), so the pure-filter scatter restriction semi-joins each
+    member's docstats sidecar instead of hash-filtering. Same invariant
+    as the routed test: no duplicates, identical to the single index."""
+    dirs = []
+    for i in range(3):
+        part = corpus.filter(F.col("doc_id") % 3 == i)
+        d = str(tmp_path / f"bm{i}")
+        SearchEngine(spark, d).build_index_from_df(
+            part, id_col="doc_id", text_col="text",
+            n_buckets=2, range_bits=2,
+        )
+        dirs.append(d)
+    al = ShardedEngine.alias(spark, dirs)
+    meta_df = corpus.select("doc_id", "n_chars")
+    n_docs = corpus.count()
+    for tree in [
+        {"filter": [{"range": {"field": "n_chars", "gte": 0}}]},
+        {"should": [{"term": "spark"},
+                    {"range": {"field": "n_chars", "gte": 150}}]},
+    ]:
+        got = al.search_bool(tree, k=n_docs + 50, metadata=meta_df)
+        ids = [d for d, _ in got]
+        assert len(ids) == len(set(ids)), tree
+        want = single.search_bool(tree, k=n_docs + 50, metadata=meta_df)
+        _assert_hits_equal(got, want)
