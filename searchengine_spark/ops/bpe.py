@@ -173,10 +173,14 @@ def bpe_encode_words(
     list in learned rank order — the standard BPE encoder. Implemented as
     chained ``replace`` expressions in batches (Catalyst handles a few
     hundred; deeper merge lists re-materialize between batches so the
-    expression tree stays shallow). Runs over DISTINCT words only — at
-    encode time the corpus joins this |vocab|-sized table."""
+    expression tree stays shallow; each batch releases its predecessor's
+    cache once materialized, so at most ONE |vocab|-sized frame — the one
+    backing the returned result — stays cached however long the merge
+    list). Runs over DISTINCT words only — at encode time the corpus
+    joins this |vocab|-sized table."""
     out = words.select("word", _sym_init(F.col("word")).alias("sym"))
     BATCH = 64
+    prev = None
     for i in range(0, len(merges), BATCH):
         col = F.col("sym")
         for _, a, b, _c in merges[i : i + BATCH]:
@@ -184,7 +188,10 @@ def bpe_encode_words(
         out = out.select("word", col.alias("sym"))
         if i + BATCH < len(merges):
             out = out.persist()
-            out.count()
+            out.count()  # materialize before dropping the parent cache
+            if prev is not None:
+                prev.unpersist()
+            prev = out
     return out.select(
         "word", F.split(F.trim(F.col("sym")), "  ").alias("pieces")
     )
