@@ -438,6 +438,53 @@ def _cmd_decontaminate(args) -> None:
     print(json.dumps(out))
 
 
+def _cmd_codestats(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .ops.code import code_profile
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(args.input)
+    # one projection (stats + keep + license + permissive), no self-join
+    joined = code_profile(
+        df, id_col=args.id_col, text_col=args.text_col,
+        max_line=args.max_line, max_avg=args.max_avg,
+        min_alnum=args.min_alnum,
+    )
+    if args.output:
+        kept = joined
+        if args.filter:
+            kept = kept.filter("keep")
+            if args.permissive_only:
+                kept = kept.filter("permissive")
+        kept.write.mode("overwrite").parquet(args.output)
+    # one aggregation job for the report (counts, not a collect of rows)
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(F.col("permissive").cast("long")).alias("n_permissive"),
+    ).collect()[0]
+    by_license = {
+        r["license"]: r["n"]
+        for r in joined.groupBy("license")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "license")
+        .limit(20)
+        .collect()
+    }
+    out = {
+        "n_docs": agg["n_docs"],
+        "n_keep_quality": agg["n_keep"],
+        "n_permissive": agg["n_permissive"],
+        "by_license": by_license,
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+    if args.output:
+        out["written"] = args.output
+    print(json.dumps(out))
+
+
 def _cmd_sample(args) -> None:
     spark = _spark(args)
     from .ops.sampling import sample_rate, sample_stratified
@@ -886,6 +933,25 @@ def main(argv: list[str] | None = None) -> None:
     dc.add_argument("--bench-id-col", default="doc_id")
     dc.add_argument("--bench-text-col", default="text")
     dc.set_defaults(fn=_cmd_decontaminate)
+
+    cs = sub.add_parser(
+        "codestats",
+        help="StarCoder-style per-file quality stats + license tags; "
+             "optionally write the filtered corpus",
+    )
+    cs.add_argument("--input", required=True)
+    cs.add_argument("--output", default="",
+                    help="write per-doc stats+license parquet here")
+    cs.add_argument("--filter", action="store_true",
+                    help="with --output: keep only quality-passing docs")
+    cs.add_argument("--permissive-only", action="store_true",
+                    help="with --filter: also require a permissive license")
+    cs.add_argument("--max-line", type=int, default=1000)
+    cs.add_argument("--max-avg", type=float, default=100.0)
+    cs.add_argument("--min-alnum", type=float, default=0.25)
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--text-col", default="text")
+    cs.set_defaults(fn=_cmd_codestats)
 
     sp = sub.add_parser(
         "sample",

@@ -487,6 +487,38 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+PARENT_MODE = "sum"
+PARENT_K = 10
+
+
+def q_parent_topk(spark, sf_dir):
+    """Parent-entity ranking (ES has_child, score_mode=sum): sources
+    ranked by the summed BM25 of their matching docs, with the matching-
+    child count. Per-child scores rounded pre-agg for engine-independent
+    rank decisions."""
+    from .scoring import parent_topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    return parent_topk(
+        scored, _docs(spark, sf_dir), COLLAPSE_FIELD, PARENT_K,
+        score_mode=PARENT_MODE, round_dp=ROUND_DP,
+    )
+
+
+def _parent_sql(query: str, field: str, k: int, mode: str) -> str:
+    agg = {"max": "max(score)", "sum": "sum(score)", "avg": "avg(score)"}[mode]
+    return f"""
+WITH scored AS ({_bm25_sql(query)}),
+j AS (SELECT d.{field} AS {field}, round(s.score, {ROUND_DP}) AS score
+      FROM scored s JOIN documents d USING (doc_id))
+SELECT {field}, round({agg}, {ROUND_DP}) AS score,
+       count(*)::BIGINT AS n_children
+FROM j GROUP BY {field}
+ORDER BY score DESC, {field} ASC LIMIT {k}
+"""
+
+
 def q_recency_topk(spark, sf_dir):
     """Exponential time-decay blend. The corpus has no timestamp column, so
     age is derived deterministically as doc_id % RECENCY_AGE_MOD on both
@@ -2547,6 +2579,78 @@ def _definitions_sql() -> str:
     )
 
 
+# Multi-line source-file fixture for the quality/license ops (the sf
+# corpus is single-line prose, so a corpus-side check of line-shape
+# stats would be vacuous — same call as entity_tokens/code_tokens).
+# Covers: SPDX permissive + copyleft, every phrase family, LGPL-vs-GPL
+# ordering, a >120-char line, a >1000-char minified line (keep=false),
+# an empty doc (alnum guard), and a license-free file.
+CODEQ_FIXTURE = [
+    (1, "// SPDX-License-Identifier: MIT\ndef parse(x):\n    return x"),
+    (2, "Licensed under the Apache License, Version 2.0\nfunc main() {}\nshort"),
+    (3, "Permission is granted under the MIT License to any person\nclass Reader: pass"),
+    (4, "This program is free software under the GNU General Public License v3\nint main(void) { return 0; }"),
+    (5, "GNU Lesser General Public License applies to this library\nmodule exports"),
+    (6, "Redistribution permitted under the BSD License terms\n" + "x" * 150 + "\nend"),
+    (7, "minified blob: " + "a1" * 600),
+    (8, "plain file with no license header\njust two ordinary lines of code"),
+    (9, "# SPDX-License-Identifier: GPL-3.0-only\nstruct Node { int v; };"),
+    (10, "covered by the Mozilla Public License 2.0\nlet tail ="),
+    (11, ""),
+    (12, "ISC License\npermission to use copy modify distribute"),
+]
+
+
+def _codeq_fixture_df(spark) -> DataFrame:
+    return spark.createDataFrame(CODEQ_FIXTURE, "doc_id long, text string")
+
+
+def _codeq_vals() -> str:
+    # newlines embedded as chr(10) so the VALUES literal stays one-line
+    return ", ".join(
+        "({}, '{}')".format(
+            i, t.replace("'", "''").replace("\n", "' || chr(10) || '")
+        )
+        for i, t in CODEQ_FIXTURE
+    )
+
+
+def q_code_quality(spark, sf_dir):
+    """StarCoder-style per-file quality stats + keep verdict
+    (ops/code.py): line-shape and alnum-density filters a code training
+    corpus thresholds before training, hash-checked vs the DuckDB twin
+    over the multi-line fixture."""
+    from .ops.code import code_quality_filter
+
+    return code_quality_filter(_codeq_fixture_df(spark))
+
+
+def _code_quality_sql() -> str:
+    from .ops.code import code_quality_filter_sql
+
+    return (
+        f"WITH codeq_docs(doc_id, text) AS (VALUES {_codeq_vals()})\n"
+        + code_quality_filter_sql("codeq_docs")
+    )
+
+
+def q_license_detect(spark, sf_dir):
+    """License tagging (ops/code.py): SPDX wins, then phrase heuristics
+    (LGPL before GPL), permissive = Stack-style allowlist membership."""
+    from .ops.code import license_detect
+
+    return license_detect(_codeq_fixture_df(spark))
+
+
+def _license_detect_sql() -> str:
+    from .ops.code import license_detect_sql
+
+    return (
+        f"WITH codeq_docs(doc_id, text) AS (VALUES {_codeq_vals()})\n"
+        + license_detect_sql("codeq_docs")
+    )
+
+
 RETENTION_PERIOD_S = 86_400
 
 
@@ -3628,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet": q_lm_dirichlet,
         "lm_index_topk": q_lm_index_topk,
         "collapse_topk": q_collapse_topk,
+        "parent_topk": q_parent_topk,
         "recency_topk": q_recency_topk,
         "hit_counts": q_hit_counts,
         "inner_scores": q_inner_scores,
@@ -3706,6 +3811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention,
         "code_definitions": q_definitions,
         "code_imports": q_code_imports,
+        "code_quality": q_code_quality,
+        "license_detect": q_license_detect,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -3781,6 +3888,7 @@ SELECT doc_id, score FROM ({_lm_dirichlet_sql(BM25_QUERY, LM_MU)})
 ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
 """,
         "collapse_topk": _collapse_sql(BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K),
+        "parent_topk": _parent_sql(BM25_QUERY, COLLAPSE_FIELD, PARENT_K, PARENT_MODE),
         "recency_topk": _recency_sql(
             BM25_QUERY, RECENCY_HALF_LIFE, RECENCY_AGE_MOD, RECENCY_K
         ),
@@ -3868,6 +3976,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "retention_cohorts": _retention_sql(),
         "code_definitions": _definitions_sql(),
         "code_imports": _code_imports_sql(),
+        "code_quality": _code_quality_sql(),
+        "license_detect": _license_detect_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

@@ -138,3 +138,236 @@ def imports_sql(
         f"FROM {table}"
         for kind, pat in IMPORT_PATTERNS
     )
+
+
+# ---------------------------------------------------------- quality stats
+# StarCoder/BigCode-style per-file filter signals for a source-code
+# training corpus: line-length shape (auto-generated/minified detection)
+# and alphanumeric density (binary-blob / data-file detection). Pure JVM
+# string/array expressions — one scan, zero shuffle, whole-stage codegen;
+# at 10^12 files this is scan-bound like ``definitions``. Array lambdas
+# are SQL-parsed with unique variable names (the Spark 4.1 sibling-lambda
+# cross-bind gotcha — see ops/dedup.py minhash_signatures).
+
+LONG_LINE = 120  # "long line" threshold for frac_long_lines
+
+
+def _quality_cols(
+    id_col: str, text_col: str, long_line: int = LONG_LINE, round_dp: int = 4
+) -> list:
+    """The aliased quality-stat Columns (shared by ``code_quality`` and
+    ``code_profile`` so the profile stays one projection)."""
+    lens = F.expr(
+        f"transform(split({text_col}, '\\n', -1), cq_ln -> length(cq_ln))"
+    )
+    n_lines = F.size(lens).cast("long")
+    text_len = F.length(F.col(text_col))
+    alnum_len = F.length(
+        F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", "")
+    )
+    return [
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.array_max(lens).cast("long").alias("max_line_len"),
+        F.round(
+            (text_len - (n_lines - F.lit(1))) / n_lines.cast("double"),
+            round_dp,
+        ).alias("avg_line_len"),
+        F.round(
+            F.when(text_len > 0, alnum_len / text_len.cast("double"))
+            .otherwise(F.lit(0.0)),
+            round_dp,
+        ).alias("alnum_frac"),
+        F.round(
+            F.size(
+                F.expr(
+                    f"filter(transform(split({text_col}, '\\n', -1), "
+                    f"cq_fl -> length(cq_fl)), cq_gt -> cq_gt > {int(long_line)})"
+                )
+            )
+            / n_lines.cast("double"),
+            round_dp,
+        ).alias("frac_long_lines"),
+    ]
+
+
+def code_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    long_line: int = LONG_LINE,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+    frac_long_lines): the per-file shape stats the BigCode/StarCoder
+    pipeline thresholds before training. Split keeps trailing empties
+    (Spark split(limit=-1) ≡ DuckDB str_split), so n_lines = newlines+1;
+    avg_line_len is derived arithmetically from length(text) (newline
+    chars excluded) instead of summing the per-line array."""
+    return df.select(*_quality_cols(id_col, text_col, long_line, round_dp))
+
+
+def code_quality_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    long_line: int = LONG_LINE,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ``code_quality`` (str_split(chr(10)) keeps trailing
+    empties like Spark's split(limit=-1); regexp_extract '' on no-match
+    matches Spark — probed, not assumed)."""
+    lens = f"list_transform(str_split({text_col}, chr(10)), cq_ln -> length(cq_ln))"
+    return f"""
+SELECT {id_col} AS doc_id,
+       len(str_split({text_col}, chr(10)))::BIGINT AS n_lines,
+       list_max({lens})::BIGINT AS max_line_len,
+       round((length({text_col}) - (len(str_split({text_col}, chr(10))) - 1))
+             / len(str_split({text_col}, chr(10)))::DOUBLE, {round_dp}) AS avg_line_len,
+       round(CASE WHEN length({text_col}) > 0
+             THEN length(regexp_replace({text_col}, '[^A-Za-z0-9]', '', 'g'))
+                  / length({text_col})::DOUBLE
+             ELSE 0.0 END, {round_dp}) AS alnum_frac,
+       round(len(list_filter({lens}, cq_gt -> cq_gt > {int(long_line)}))
+             / len(str_split({text_col}, chr(10)))::DOUBLE, {round_dp}) AS frac_long_lines
+FROM {table}
+"""
+
+
+# StarCoder-ish keep thresholds (The Stack v1 preprocessing):
+# max line ≤ 1000 chars, mean line ≤ 100 chars, ≥ 25% alphanumeric.
+QUALITY_MAX_LINE = 1000
+QUALITY_MAX_AVG = 100.0
+QUALITY_MIN_ALNUM = 0.25
+
+
+def code_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line: int = QUALITY_MAX_LINE,
+    max_avg: float = QUALITY_MAX_AVG,
+    min_alnum: float = QUALITY_MIN_ALNUM,
+) -> DataFrame:
+    """``code_quality`` + the boolean ``keep`` verdict under the published
+    StarCoder-style thresholds. Returns stats + keep (callers filter on it
+    or audit the drop set); thresholding happens on the ROUNDED stats so
+    the verdict is reproducible against the SQL twin bit-for-bit."""
+    stats = code_quality(df, id_col=id_col, text_col=text_col)
+    return stats.withColumn(
+        "keep",
+        (F.col("max_line_len") <= max_line)
+        & (F.col("avg_line_len") <= max_avg)
+        & (F.col("alnum_frac") >= min_alnum),
+    )
+
+
+def code_quality_filter_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line: int = QUALITY_MAX_LINE,
+    max_avg: float = QUALITY_MAX_AVG,
+    min_alnum: float = QUALITY_MIN_ALNUM,
+) -> str:
+    """DuckDB twin of ``code_quality_filter``."""
+    inner = code_quality_sql(table, id_col=id_col, text_col=text_col)
+    return f"""
+SELECT *, (max_line_len <= {int(max_line)} AND avg_line_len <= {max_avg}
+           AND alnum_frac >= {min_alnum}) AS keep
+FROM ({inner})
+"""
+
+
+# ------------------------------------------------------- license detection
+# License tagging for a code training corpus (The Stack keeps only
+# permissive licenses): SPDX tag wins, else phrase heuristics over the
+# lowercased header. Contains/regexp only — one scan, zero shuffle. Order
+# matters: LGPL before GPL ('lesser general public license' contains
+# 'general public license').
+_SPDX_RX = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+# (phrase, tag) in priority order after SPDX
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("apache license", "apache-2.0"),
+    ("mit license", "mit"),
+    ("lesser general public license", "lgpl-2.1"),
+    ("general public license", "gpl-3.0"),
+    ("bsd license", "bsd-3-clause"),
+    ("mozilla public license", "mpl-2.0"),
+    ("isc license", "isc"),
+)
+PERMISSIVE = (
+    "apache-2.0", "mit", "bsd-2-clause", "bsd-3-clause", "isc",
+    "unlicense", "zlib", "0bsd",
+)
+
+
+def _license_col(text_col: str):
+    lower = F.lower(F.col(text_col))
+    spdx = F.regexp_extract(lower, _SPDX_RX, 1)
+    lic = F.when(spdx != "", spdx)
+    for phrase, tag in LICENSE_PHRASES:
+        lic = lic.when(lower.contains(phrase), F.lit(tag))
+    return lic.otherwise(F.lit("unknown"))
+
+
+def license_detect(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, license, permissive): SPDX identifier if present (verbatim,
+    lowercased), else the first matching license phrase, else 'unknown'.
+    ``permissive`` is membership in the Stack-style allowlist (unknown and
+    copyleft → false)."""
+    out = df.select(
+        F.col(id_col).alias("doc_id"), _license_col(text_col).alias("license")
+    )
+    return out.withColumn("permissive", F.col("license").isin(*PERMISSIVE))
+
+
+def code_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line: int = QUALITY_MAX_LINE,
+    max_avg: float = QUALITY_MAX_AVG,
+    min_alnum: float = QUALITY_MIN_ALNUM,
+) -> DataFrame:
+    """Quality stats + keep + license + permissive in ONE projection —
+    the scan-bound composition the `codestats` CLI runs. No doc_id
+    self-join between the two ops: the license column is selected in the
+    same pass, so the whole profile stays Exchange-free (plan-tested)."""
+    cols = _quality_cols(id_col, text_col)
+    out = df.select(*cols, _license_col(text_col).alias("license"))
+    return (
+        out.withColumn(
+            "keep",
+            (F.col("max_line_len") <= max_line)
+            & (F.col("avg_line_len") <= max_avg)
+            & (F.col("alnum_frac") >= min_alnum),
+        )
+        .withColumn("permissive", F.col("license").isin(*PERMISSIVE))
+    )
+
+
+def license_detect_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``license_detect`` (RE2; regexp_extract '' on
+    no-match, same as Spark)."""
+    low = f"lower({text_col})"
+    whens = "\n         ".join(
+        f"WHEN contains({low}, '{phrase}') THEN '{tag}'"
+        for phrase, tag in LICENSE_PHRASES
+    )
+    perm = ", ".join(f"'{t}'" for t in PERMISSIVE)
+    return f"""
+SELECT doc_id, license, license IN ({perm}) AS permissive
+FROM (
+  SELECT {id_col} AS doc_id,
+    CASE WHEN regexp_extract({low}, '{_SPDX_RX}', 1) <> ''
+         THEN regexp_extract({low}, '{_SPDX_RX}', 1)
+         {whens}
+         ELSE 'unknown' END AS license
+  FROM {table}
+)
+"""

@@ -548,6 +548,47 @@ def collapse_topk(
     )
 
 
+def parent_topk(
+    scored: DataFrame,
+    docs_df: DataFrame,
+    parent_col: str,
+    k: int,
+    score_mode: str = "max",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Parent-entity ranking (Elasticsearch ``has_child`` score modes /
+    Lucene join): rank PARENT values (repo, host, source) by aggregating
+    their matching children's scores — ``max`` | ``sum`` | ``avg`` over
+    matching children only — returning (parent, score, n_children).
+    Complements ``collapse_topk`` (best child per parent) by returning the
+    parent itself with sum/avg semantics collapse can't express.
+
+    Plan at 100 TB: ``scored`` is |candidates|-sized, so the join moves
+    only candidate metadata; the aggregation shuffles on the parent key
+    (cardinality ≪ doc count, map-side partial agg) and the final k is
+    TakeOrderedAndProject. Per-child scores are rounded BEFORE the agg so
+    rank decisions are engine-independent, and the aggregate is rounded
+    again after."""
+    if score_mode not in ("max", "sum", "avg"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    score = (
+        F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    )
+    joined = scored.select("doc_id", score.alias("score")).join(
+        docs_df.select("doc_id", F.col(parent_col).alias("parent")), "doc_id"
+    )
+    agg = {"max": F.max, "sum": F.sum, "avg": F.avg}[score_mode]("score")
+    if round_dp is not None:
+        agg = F.round(agg, round_dp)
+    return (
+        joined.groupBy("parent")
+        .agg(agg.alias("score"), F.count(F.lit(1)).alias("n_children"))
+        .select(F.col("parent").alias(parent_col), "score", "n_children")
+        .orderBy(F.desc("score"), F.asc(parent_col))
+        .limit(k)
+    )
+
+
 def top_hits(
     scored: DataFrame,
     docs_df: DataFrame,

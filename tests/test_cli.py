@@ -166,6 +166,31 @@ def test_sample_and_decontaminate_commands(tmp_path, capsys, spark):
     assert rep2["n_kept"] == n_total - rep["n_flagged_docs"]
 
 
+def test_codestats_command(tmp_path, capsys, spark):
+    from searchengine_spark.corpus import corpus_df
+
+    src = str(tmp_path / "code.parquet")
+    corpus_df(spark, 40, seed=9).selectExpr(
+        "doc_id", "content AS text"
+    ).write.parquet(src)
+
+    cli.main(["codestats", "--input", src])
+    rep = json.loads(capsys.readouterr().out)
+    # every synthetic file carries the apache license boilerplate line
+    assert rep["n_docs"] == 40
+    assert rep["by_license"] == {"apache-2.0": 40}
+    assert rep["n_permissive"] == 40
+
+    out = str(tmp_path / "kept.parquet")
+    cli.main(["codestats", "--input", src, "--output", out,
+              "--filter", "--permissive-only"])
+    rep2 = json.loads(capsys.readouterr().out)
+    got = spark.read.parquet(out)
+    assert got.count() == rep2["n_keep_quality"] > 0
+    cols = set(got.columns)
+    assert {"doc_id", "keep", "license", "permissive"} <= cols
+
+
 def test_build_with_code_analyzer(tmp_path, capsys, spark):
     src = str(tmp_path / "code.parquet")
     spark.createDataFrame(
