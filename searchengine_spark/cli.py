@@ -228,6 +228,8 @@ def _cmd_search(args) -> None:
     elif args.mode == "near":
         hits = eng.search_near(args.query, window=args.window, k=args.k,
                                ordered=args.ordered)
+    elif args.mode == "spanfirst":
+        hits = eng.search_span_first(args.query, args.limit, k=args.k)
     elif args.mode == "wildcard":
         hits = eng.search_wildcard(args.query, k=args.k,
                                    max_expansions=args.max_expansions,
@@ -823,10 +825,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("-k", type=int, default=100)
     s.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "near", "wildcard", "regexp", "fuzzy",
-                 "mlt", "qs", "bool"],
+        choices=["or", "and", "phrase", "near", "spanfirst", "wildcard",
+                 "regexp", "fuzzy", "mlt", "qs", "bool"],
         default="or",
-        help="wildcard: --query is a glob (ind*); fuzzy: a single term; "
+        help="spanfirst: phrase must end within the first --limit tokens; "
+        "wildcard: --query is a glob (ind*); fuzzy: a single term; "
         "mlt: a source text to find similar docs for; bool: a JSON "
         "must/should/must_not/filter tree (range fields come from "
         "--metadata or the index doc store)",
@@ -861,6 +864,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="boolean NOT: drop docs containing any of these terms (or/and modes)")
     s.add_argument("--window", type=int, default=5,
                    help="near mode: max token span between query terms")
+    s.add_argument("--limit", type=int, default=10,
+                   help="spanfirst mode: span must end within the first "
+                        "LIMIT filtered tokens (Lucene SpanFirstQuery)")
     s.add_argument("--ordered", action="store_true",
                    help="near mode: require terms in query order")
     s.set_defaults(fn=_cmd_search)

@@ -803,6 +803,56 @@ def q_phrase_index_topk(spark, sf_dir):
     )
 
 
+SPAN_LIMIT = 16  # first-match ends at sf0.01 span 2..89 → 12/26 docs pass
+
+
+def q_span_first_topk(spark, sf_dir):
+    """Lucene SpanFirstQuery (index-native): the phrase must match ending
+    within the first SPAN_LIMIT filtered tokens — the lead-paragraph/
+    title-zone primitive. Same text-scan SQL truth as phrase, with the
+    matcher cut at the end position."""
+    from pyspark.sql import Window
+
+    eng = _shared_index(spark, sf_dir, positional=True)
+    rows = eng.search_span_first(PHRASE_QUERY, SPAN_LIMIT, k=PHRASE_K + 10)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows] or [], "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PHRASE_K)
+        .drop("rn")
+    )
+
+
+def _span_first_sql(phrase: str, limit: int, k: int) -> str:
+    from .tokenizer import tokenize_py
+
+    terms = tokenize_py(phrase)  # phrase ORDER preserved (no sort)
+    m = len(terms)
+    tl = ", ".join(f"'{t}'" for t in terms)
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    bm25 = _bm25_sql(" ".join(terms))
+    # 1-based window start i; span END index i+m-1 must be ≤ limit, which
+    # bounds i ≤ limit-m+1 (== the kernel's 0-based last+1 ≤ limit cut)
+    return f"""
+WITH scored AS ({bm25}),
+matches AS (
+  SELECT doc_id FROM (SELECT doc_id, {toks} AS a FROM documents)
+  WHERE len([i FOR i IN generate_series(1, least(len(a) - {m - 1}, {limit - m + 1}))
+             IF list_slice(a, i, i + {m - 1}) = [{tl}]]) > 0)
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s JOIN matches USING (doc_id)
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 BM25F_QUERY = "small gear large"  # 'small'/'large' live in BOTH part fields
 BM25F_K = 20
 BM25F_K1, BM25F_B, BM25F_WN, BM25F_WT = 1.2, 0.75, 2.0, 1.0
@@ -3744,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": q_boolean_and,
         "phrase_topk": q_phrase_topk,
         "phrase_index_topk": q_phrase_index_topk,
+        "span_first_topk": q_span_first_topk,
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
         "wildcard_topk": q_wildcard_topk,
@@ -3899,6 +3950,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "phrase_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         # index-native phrase must reproduce the text-scan truth exactly
         "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
+        "span_first_topk": _span_first_sql(PHRASE_QUERY, SPAN_LIMIT, PHRASE_K),
         "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
         "wildcard_topk": _wildcard_sql(

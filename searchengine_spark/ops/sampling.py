@@ -91,6 +91,32 @@ def rates_for_targets(
     }
 
 
+def targets_for_temperature(
+    df: DataFrame, by: str, alpha: float = 0.3
+) -> dict:
+    """Temperature-based mixture proportions (the multilingual-LM mixing
+    rule: p_i ∝ n_i^alpha, alpha<1 up-weights low-resource strata —
+    alpha=0.3 is the mBERT/XLM-R setting, alpha=1 is natural frequency,
+    alpha=0 is uniform). Returns stratum → target proportion summing to
+    1.0; feed into ``rates_for_targets`` to get concrete sampling rates:
+
+        targets = targets_for_temperature(df, "lang", alpha=0.3)
+        rates = rates_for_targets(df, targets, "lang", total=10_000_000)
+
+    ONE count aggregation; the result is a driver-side dict of |strata|
+    floats."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[by]: r["n"]
+        for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[by] is not None and r["n"] > 0
+    }
+    weights = {k: float(n) ** alpha for k, n in counts.items()}
+    z = sum(weights.values())
+    return {k: w / z for k, w in weights.items()}
+
+
 def _hash_unit_sql(id_col: str, seed: int = 0) -> str:
     """DuckDB twin of ``hash_unit`` as an expression string."""
     return (

@@ -861,6 +861,28 @@ class SearchEngine:
         return self._positional_query(query, k, doc_filter, make_kernel,
                                       global_stats)
 
+    def search_span_first(self, phrase: str, limit: int, k: int = 100,
+                          doc_filter=None, global_stats=None) -> list[tuple[int, float]]:
+        """Lucene SpanFirstQuery top-k: the phrase (a single term is a
+        1-word phrase) must match ENDING within the first ``limit`` tokens
+        of the filtered stream (span.end ≤ limit, post-stopword positions)
+        — the lead-paragraph / title-zone primitive. Candidates, adjacency,
+        BM25 scoring, and tie-break identical to ``search_phrase``; the
+        kernel adds only the end-position cut. Needs a positional index."""
+        from .phrase import score_group_span_first
+
+        if limit < 1:
+            raise ValueError("limit must be >= 1 token")
+
+        def make_kernel(terms, idf, k1, b, avgdl, mask):
+            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_group_span_first(pdf, idf, k1, b, avgdl, k,
+                                              terms, limit, mask)
+            return run_group
+
+        return self._positional_query(phrase, k, doc_filter, make_kernel,
+                                      global_stats)
+
     # -- snippets / highlighting -------------------------------------------------
     def snippets(
         self, query: str, window: int = 8, doc_filter=None, rewriter=None

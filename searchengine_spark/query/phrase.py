@@ -174,6 +174,48 @@ def score_group_phrase(
     return _score_matched(per_term, distinct, matched, idf, k1, b, avgdl, k)
 
 
+def score_group_span_first(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    phrase_terms: list[str],
+    limit: int,
+    mask: DocMask | None = None,
+) -> pd.DataFrame:
+    """Lucene SpanFirstQuery: the phrase (single term = 1-word phrase) must
+    match with its span ENDING within the first ``limit`` tokens of the
+    filtered stream — span.end = last-word position + 1 ≤ limit, positions
+    being post-stopword indices like phrase/NEAR. The lead-paragraph /
+    title-zone primitive. Same candidate intersection, adjacency chain,
+    scoring, and tie-break as ``score_group_phrase``; the only addition is
+    the end-position cut before slot extraction."""
+    distinct = sorted(set(phrase_terms))
+    per_term = _decode_positional(pdf, mask)
+    if any(t not in per_term for t in distinct):
+        return pd.DataFrame(_EMPTY)
+    common = _and_candidates(per_term, distinct, mask)
+    if len(common) == 0:
+        return pd.DataFrame(_EMPTY)
+
+    valid = _gpos(per_term, phrase_terms[0], common)
+    for term in phrase_terms[1:]:
+        valid = np.intersect1d(valid + np.uint64(1), _gpos(per_term, term, common))
+        if len(valid) == 0:
+            return pd.DataFrame(_EMPTY)
+    # span end = local last-word position + 1; doc slots are 2^32 apart so
+    # the low 32 bits are exactly the local position
+    local = (valid & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    valid = valid[local + 1 <= limit]
+    if len(valid) == 0:
+        return pd.DataFrame(_EMPTY)
+    match_slots = np.unique(valid >> np.uint64(32)).astype(np.int64)
+    matched = common[match_slots]
+    return _score_matched(per_term, distinct, matched, idf, k1, b, avgdl, k)
+
+
 def score_group_near(
     pdf: pd.DataFrame,
     idf: dict[str, float],

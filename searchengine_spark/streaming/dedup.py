@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -207,3 +208,123 @@ def streaming_exact_dedup_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+# ------------------------------------------------------- streaming NEAR-dup
+# MinHash-LSH dedup ACROSS micro-batches: a doc is flagged near-dup iff ANY
+# of its band buckets was already occupied by an earlier doc (earlier batch,
+# or smaller doc_id within the batch). Every arriving doc's buckets enter
+# state regardless of verdict — the keeper-chain-collapsing variant: a chain
+# a~b~c flags b and c toward the first arrival even when a~c alone wouldn't
+# band-collide. Precision/recall are governed by (n_hashes, band_size)
+# exactly as in the batch `ops.dedup.minhash_band_pairs`; when arrival order
+# equals doc_id order, flagged(d) ≡ ∃ pair (e, d) with e < d in the batch
+# LSH over the whole history (tested). Docs shorter than the shingle width
+# produce no bands → no output rows, never flagged, never poison (same
+# contract as the batch op).
+#
+# State shards by (band, bucket-hash prefix): n_bands × 16^prefix_len groups,
+# each ONE binary value = the sorted concatenation of raw 16-byte band-hash
+# digests (same searchsorted layout as exact dedup; same transformWithState
+# ListState swap applies at 10^12 buckets).
+
+BAND_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("hit", BooleanType()),
+    ]
+)
+
+
+def _neardup_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    seen = np.empty(0, dtype=f"S{_D}")
+    if state.exists:
+        (packed,) = state.get
+        if packed:
+            seen = np.frombuffer(bytes(packed), dtype=f"S{_D}")  # sorted
+    out = []
+    fresh: list[np.ndarray] = []
+    for pdf in pdfs:
+        batch = pdf.sort_values("doc_id")
+        raw = np.array(
+            [bytes.fromhex(h) for h in batch["band_hash"]], dtype=f"S{_D}"
+        )
+        idx = np.searchsorted(seen, raw)
+        in_state = np.zeros(len(raw), dtype=bool)
+        mask = idx < len(seen)
+        in_state[mask] = seen[idx[mask]] == raw[mask]
+        # earlier row in THIS batch (smaller doc_id) already claimed the
+        # bucket → later holders are hits too
+        dup_in_batch = pd.Series(raw).duplicated(keep="first").to_numpy()
+        out.append(
+            pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "band": batch["band"].to_numpy(),
+                    "hit": in_state | dup_in_batch,
+                }
+            )
+        )
+        fresh.append(raw)
+    merged = np.unique(np.concatenate([seen, *fresh]))
+    state.update((merged.tobytes(),))
+    yield from out
+
+
+def streaming_minhash_dedup(
+    stream_df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    w: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 1,
+) -> DataFrame:
+    """stream → per-band verdict rows (doc_id, band, hit). A doc is a
+    near-dup iff ANY of its rows has hit=true — aggregate the sink with
+    ``near_dup_verdicts`` (or max(hit) per doc in foreachBatch). Signatures
+    are the batch op's map-side expressions (no shuffle before the state
+    exchange); one state round-trip per micro-batch."""
+    from ..ops.dedup import minhash_signatures
+
+    sig = minhash_signatures(stream_df, n_hashes, w, id_col, text_col)
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(bi).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"mh{bi * band_size + j}" for j in range(band_size)]
+                )
+            ).alias("band_hash"),
+        )
+        for bi in range(n_bands)
+    ]
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        "bk.band",
+        "bk.band_hash",
+        F.substring("bk.band_hash", 1, prefix_len).alias("pfx"),
+    )
+    return exploded.groupBy("band", "pfx").applyInPandasWithState(
+        _neardup_group,
+        outputStructType=BAND_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_verdicts(per_band: DataFrame) -> DataFrame:
+    """(doc_id, is_dup) from the per-band verdict rows a
+    ``streaming_minhash_dedup`` sink accumulated: one hash agg (max over
+    booleans). Run as a batch read over the sink (the per-band rows are the
+    streaming-safe append output; the verdict is a trivial rollup)."""
+    return per_band.groupBy("doc_id").agg(F.max("hit").alias("is_dup"))

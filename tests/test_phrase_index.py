@@ -108,3 +108,39 @@ def test_phrase_requires_positional_index(spark, tmp_path):
                             range_bits=2, n_buckets=2, fresh=True)
     with pytest.raises(ValueError, match="positions"):
         eng.search_phrase("alpha beta", k=5)
+
+
+def test_span_first_limits(spark, tmp_path):
+    """SpanFirst semantics on a literal corpus: end-position boundary is
+    inclusive at span.end == limit, single-term spans, phrase spans, and
+    limit ≥ doc length reduces to plain phrase search."""
+    rows = [
+        (1, "merge sort starts the file"),      # span ends at 2
+        (2, "the file tail says merge sort"),   # span ends at 5 (stopword dropped)
+        (3, "merge only no sort phrase"),       # phrase absent
+        (4, "sort merge wrong order"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = SearchEngine(spark, str(tmp_path / "sfidx"))
+    eng.build_index_from_df(
+        df, id_col="doc_id", text_col="text", range_bits=1, n_buckets=2,
+        with_positions=True, fresh=True,
+    )
+    ids = lambda hits: sorted(d for d, _ in hits)
+
+    # doc 1: positions (merge=0, sort=1) → end 2; doc 2 after stopword
+    # filtering: (file=0 ... merge=3, sort=4) → end 5
+    assert ids(eng.search_span_first("merge sort", 2, k=10)) == [1]
+    assert ids(eng.search_span_first("merge sort", 4, k=10)) == [1]
+    assert ids(eng.search_span_first("merge sort", 5, k=10)) == [1, 2]
+    # limit >= doc length == plain phrase
+    phrase = eng.search_phrase("merge sort", k=10)
+    spanall = eng.search_span_first("merge sort", 1000, k=10)
+    assert phrase == spanall and ids(phrase) == [1, 2]
+
+    # single term: first occurrence position + 1 <= limit
+    assert ids(eng.search_span_first("sort", 2, k=10)) == [1, 4]
+    assert ids(eng.search_span_first("sort", 5, k=10)) == [1, 2, 3, 4]
+
+    with pytest.raises(ValueError):
+        eng.search_span_first("merge sort", 0, k=10)

@@ -85,6 +85,35 @@ def test_rates_for_targets_hits_mix(spark, docs):
         assert 15 <= counts.get(lang, 0) <= 45
 
 
+def test_temperature_targets(spark, docs):
+    from searchengine_spark.ops.sampling import targets_for_temperature
+
+    counts = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    # alpha=1 reproduces natural frequency exactly
+    nat = targets_for_temperature(docs, "lang", alpha=1.0)
+    total = sum(counts.values())
+    for k, n in counts.items():
+        assert nat[k] == pytest.approx(n / total)
+    # alpha=0 is uniform
+    uni = targets_for_temperature(docs, "lang", alpha=0.0)
+    for v in uni.values():
+        assert v == pytest.approx(1.0 / len(counts))
+    # alpha=0.3 flattens: low-resource share rises, high-resource falls,
+    # relative order preserved, sums to 1
+    t = targets_for_temperature(docs, "lang", alpha=0.3)
+    assert sum(t.values()) == pytest.approx(1.0)
+    lo = min(counts, key=counts.get)
+    hi = max(counts, key=counts.get)
+    assert t[lo] > nat[lo] and t[hi] < nat[hi]
+    assert t[hi] >= t[lo]
+    # composes with rates_for_targets
+    rates = rates_for_targets(docs, t, by="lang", total=100)
+    assert set(rates) == set(t) and all(0 < r <= 1.0 for r in rates.values())
+    with pytest.raises(ValueError):
+        targets_for_temperature(docs, "lang", alpha=-0.5)
+
+
 def test_rates_validation(spark, docs):
     with pytest.raises(ValueError):
         sample_rate(docs, 1.5)

@@ -479,3 +479,71 @@ def test_tws_wiring_gated_or_runs(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_minhash_dedup(spark, tmp_path):
+    """Streaming LSH near-dup across micro-batches: when arrival order
+    equals doc_id order, the flagged set must equal {doc_b of every batch
+    minhash_band_pairs pair} over the union corpus — in-batch collisions,
+    cross-batch collisions, and state survival across a restart included."""
+    from searchengine_spark.ops.dedup import minhash_band_pairs
+    from searchengine_spark.streaming.dedup import (
+        near_dup_verdicts,
+        streaming_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    alt = "completely different text about spark shuffle partitions and joins"
+    rows1 = [
+        (1, base),
+        (2, alt),
+        (3, base.replace("river", "creek")),   # near-dup of 1, same batch
+    ]
+    rows2 = [
+        (4, base.replace("dog", "cat")),       # near-dup of 1/3, prior batch
+        (5, "unrelated fresh content with many novel words in this sentence"),
+        (6, alt + " extra"),                   # near-dup of 2
+    ]
+
+    d = str(tmp_path / "nd_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    sink = str(tmp_path / "nd_sink")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        q = (
+            streaming_minhash_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per_band = spark.read.parquet(sink)
+        return {
+            r["doc_id"]: r["is_dup"]
+            for r in near_dup_verdicts(per_band).collect()
+        }
+
+    def batch_flags(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_b"] for r in minhash_band_pairs(df).collect()}
+
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(d)
+    got1 = drain()
+    want1 = batch_flags(rows1)
+    assert set(got1) == {1, 2, 3}
+    assert {i for i, dup in got1.items() if dup} == want1
+
+    # second drain on the SAME checkpoint: batch-1 buckets persist
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(d)
+    got2 = drain()
+    want2 = batch_flags(rows1 + rows2)
+    assert set(got2) == {1, 2, 3, 4, 5, 6}
+    assert {i for i, dup in got2.items() if dup} == want2
+    # sanity on the fixture itself: something IS flagged and something isn't
+    assert want2 and want2 < {1, 2, 3, 4, 5, 6}
