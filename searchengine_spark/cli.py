@@ -150,11 +150,12 @@ def _cmd_search(args) -> None:
     from .query.engine import SearchEngine
 
     if args.sharded or args.alias:
-        if args.mode not in ("or", "and", "phrase", "near", "qs", "bool",
-                             "wildcard", "fuzzy", "regexp"):
+        if args.mode not in ("or", "and", "phrase", "near", "spanfirst",
+                             "common", "qs", "bool", "wildcard", "fuzzy",
+                             "regexp"):
             raise SystemExit(
                 "--sharded/--alias supports --mode or / and / phrase / near "
-                "/ qs / bool / wildcard / fuzzy / regexp")
+                "/ spanfirst / common / qs / bool / wildcard / fuzzy / regexp")
         from .query.sharded import ShardedEngine
 
         if args.alias:
@@ -177,6 +178,10 @@ def _cmd_search(args) -> None:
         elif args.mode == "near":
             hits = seng.search_near(args.query, window=args.window, k=args.k,
                                     ordered=args.ordered)
+        elif args.mode == "spanfirst":
+            hits = seng.search_span_first(args.query, args.limit, k=args.k)
+        elif args.mode == "common":
+            hits = seng.search_common_terms(args.query, args.cutoff, k=args.k)
         elif args.mode == "qs":
             meta_df = spark.read.parquet(args.metadata) if args.metadata else None
             hits = seng.search_query_string(args.query, k=args.k,
@@ -230,6 +235,9 @@ def _cmd_search(args) -> None:
                                ordered=args.ordered)
     elif args.mode == "spanfirst":
         hits = eng.search_span_first(args.query, args.limit, k=args.k)
+    elif args.mode == "common":
+        hits = eng.search_common_terms(args.query, args.cutoff, k=args.k,
+                                       use_wand=not args.no_wand)
     elif args.mode == "wildcard":
         hits = eng.search_wildcard(args.query, k=args.k,
                                    max_expansions=args.max_expansions,
@@ -825,8 +833,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("-k", type=int, default=100)
     s.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "near", "spanfirst", "wildcard",
-                 "regexp", "fuzzy", "mlt", "qs", "bool"],
+        choices=["or", "and", "phrase", "near", "spanfirst", "common",
+                 "wildcard", "regexp", "fuzzy", "mlt", "qs", "bool"],
         default="or",
         help="spanfirst: phrase must end within the first --limit tokens; "
         "wildcard: --query is a glob (ind*); fuzzy: a single term; "
@@ -864,6 +872,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="boolean NOT: drop docs containing any of these terms (or/and modes)")
     s.add_argument("--window", type=int, default=5,
                    help="near mode: max token span between query terms")
+    s.add_argument("--cutoff", type=float, default=0.01,
+                   help="common mode: df cutoff splitting low/common "
+                        "terms (<1 = fraction of docs, >=1 = absolute df)")
     s.add_argument("--limit", type=int, default=10,
                    help="spanfirst mode: span must end within the first "
                         "LIMIT filtered tokens (Lucene SpanFirstQuery)")

@@ -853,6 +853,57 @@ LIMIT {k}
 """
 
 
+COMMON_QUERY = "dup join stream"  # df at sf0.01: dup 25, join/stream ~390
+COMMON_CUTOFF = 0.5  # fraction of n_docs → only 'dup' is low-frequency
+COMMON_K = 20
+
+
+def q_common_terms_topk(spark, sf_dir):
+    """Lucene/ES CommonTermsQuery (index-native): low-df terms drive
+    matching, ALL terms drive scoring — the no-stopword-list way to keep
+    high-df terms from exploding the match set. The SQL twin derives the
+    low/common split from the same df/cutoff arithmetic."""
+    from pyspark.sql import Window
+
+    eng = _shared_index(spark, sf_dir)
+    rows = eng.search_common_terms(COMMON_QUERY, COMMON_CUTOFF, k=COMMON_K + 10)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows] or [], "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COMMON_K)
+        .drop("rn")
+    )
+
+
+def _common_terms_sql(query: str, cutoff: float, k: int) -> str:
+    from .tokenizer import tokenize_py
+
+    qterms = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(query))))
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    bm25 = _bm25_sql(query)
+    return f"""
+WITH scored AS ({bm25}),
+tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+qtok AS (SELECT doc_id, term FROM tok WHERE term IN ({qterms})),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+low AS (SELECT term FROM dfq
+        WHERE df < {cutoff} * (SELECT count(*) FROM documents)),
+matched AS (SELECT DISTINCT doc_id FROM qtok
+            WHERE term IN (SELECT term FROM low))
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s JOIN matched USING (doc_id)
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 BM25F_QUERY = "small gear large"  # 'small'/'large' live in BOTH part fields
 BM25F_K = 20
 BM25F_K1, BM25F_B, BM25F_WN, BM25F_WT = 1.2, 0.75, 2.0, 1.0
@@ -3795,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_index_topk": q_phrase_index_topk,
         "span_first_topk": q_span_first_topk,
+        "common_terms_topk": q_common_terms_topk,
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
         "wildcard_topk": q_wildcard_topk,
@@ -3951,6 +4003,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         # index-native phrase must reproduce the text-scan truth exactly
         "phrase_index_topk": _phrase_sql(PHRASE_QUERY, PHRASE_K),
         "span_first_topk": _span_first_sql(PHRASE_QUERY, SPAN_LIMIT, PHRASE_K),
+        "common_terms_topk": _common_terms_sql(COMMON_QUERY, COMMON_CUTOFF, COMMON_K),
         "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
         "wildcard_topk": _wildcard_sql(

@@ -883,6 +883,34 @@ class SearchEngine:
         return self._positional_query(phrase, k, doc_filter, make_kernel,
                                       global_stats)
 
+    def search_common_terms(self, query: str, cutoff_frequency: float = 0.01,
+                            k: int = 100, use_wand: bool = True,
+                            doc_filter=None) -> list[tuple[int, float]]:
+        """Lucene/ES CommonTermsQuery: query terms split by document
+        frequency at ``cutoff_frequency`` (float < 1 → fraction of n_docs,
+        value ≥ 1 → absolute df). LOW-df terms drive MATCHING (OR over the
+        low group); ALL terms drive SCORING of the matched set — so
+        stopword-like terms stop creating matches yet still contribute to
+        ranking, with no stopword list. All-common or all-low degenerates
+        to the plain OR search (ES's fallback). Matching and scoring both
+        run on the pruned segment scan; the matched set rides the same
+        allow-set mask as filtered search. The low group is re-analyzed on
+        the way into ``matching_docs`` — analyzer outputs are fixpoints
+        under every shipped analyzer, so the round-trip is identity."""
+        rows = self._resolve_terms(query)
+        if not rows:
+            return []
+        cutoff = float(cutoff_frequency)
+        thr = cutoff * self.meta.n_docs if cutoff < 1.0 else cutoff
+        all_terms = sorted({r["term"] for r in rows})
+        low = sorted({r["term"] for r in rows if float(r["df"]) < thr})
+        if not low or low == all_terms:
+            return self.search(query, k=k, use_wand=use_wand,
+                               doc_filter=doc_filter)
+        matched = self.matching_docs(" ".join(low), mode="or",
+                                     doc_filter=doc_filter)
+        return self.search(query, k=k, use_wand=use_wand, doc_filter=matched)
+
     # -- snippets / highlighting -------------------------------------------------
     def snippets(
         self, query: str, window: int = 8, doc_filter=None, rewriter=None

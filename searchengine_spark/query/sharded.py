@@ -499,6 +499,54 @@ class ShardedEngine:
         ]
         return self._merge(lists, k)
 
+    def search_common_terms(self, query: str, cutoff_frequency: float = 0.01,
+                            k: int = 100, **kw):
+        """Scatter-gather CommonTermsQuery. The low/common split MUST come
+        from GLOBAL df (a term can look rare on one shard while common
+        corpus-wide), so the gather phase computes it once; matching is
+        then shard-local (doc sets are disjoint, so per-shard low-term
+        match sets ARE the global one restricted to the shard) and every
+        shard scores the full term set under the global stats."""
+        terms = self.shards[0]._analyze(query)
+        if not terms:
+            return []
+        gs = self.global_stats(terms)
+        n, _, dfs = gs
+        if not dfs:
+            return []
+        cutoff = float(cutoff_frequency)
+        thr = cutoff * n if cutoff < 1.0 else cutoff
+        all_terms = sorted(dfs)
+        low = sorted(t for t in dfs if dfs[t] < thr)
+        if not low or low == all_terms:
+            lists = [s.search(query, k=k, global_stats=gs, **kw)
+                     for s in self.shards]
+            return self._merge(lists, k)
+        low_q = " ".join(low)
+        lists = [
+            s.search(query, k=k, global_stats=gs,
+                     doc_filter=s.matching_docs(low_q, mode="or"), **kw)
+            for s in self.shards
+        ]
+        return self._merge(lists, k)
+
+    def search_span_first(self, phrase: str, limit: int, k: int = 100, **kw):
+        """Scatter-gather SpanFirst top-k — same contract as
+        ``search_phrase`` with the end-position cut (positions are
+        shard-local token indices, identical to the single-index ones
+        because docs are whole within a shard)."""
+        terms = self.shards[0]._analyze(phrase)
+        if not terms:
+            return []
+        gs = self.global_stats(terms)
+        if set(terms) - set(gs[2]):
+            return []
+        lists = [
+            s.search_span_first(phrase, limit, k=k, global_stats=gs, **kw)
+            for s in self.shards
+        ]
+        return self._merge(lists, k)
+
     def search_query_string(
         self, qs: str, k: int = 100, metadata: DataFrame | None = None, **kw
     ):

@@ -242,8 +242,17 @@ def test_phrase_and_near_identical_to_single_index(spark, corpus, tmp_path_facto
         gotn = se.search_near(q, window=4, k=10)
         wantn = ref.search_near(q, window=4, k=10)
         _assert_hits_equal(gotn, wantn)
+        for limit in (3, 12, 1000):
+            gots = se.search_span_first(q, limit, k=10)
+            wants = ref.search_span_first(q, limit, k=10)
+            _assert_hits_equal(gots, wants)
     assert se.search_phrase("spark stream", k=10)  # nonempty on this corpus
     assert se.search_phrase("zzznope stream", k=10) == []
+    # limit→∞ reduces to phrase, sharded too
+    _assert_hits_equal(
+        se.search_span_first("spark stream", 10_000, k=10),
+        se.search_phrase("spark stream", k=10),
+    )
 
 
 def test_single_pass_build_identical_to_naive(spark, corpus, tmp_path_factory):
