@@ -501,7 +501,19 @@ def _cmd_sample(args) -> None:
 
     t0 = time.perf_counter()
     df = spark.read.parquet(args.input)
-    if args.rates:
+    extra = {}
+    if args.temperature is not None:
+        if not args.total:
+            raise SystemExit("--temperature needs --total (target sample size)")
+        from .ops.sampling import rates_for_targets, targets_for_temperature
+
+        targets = targets_for_temperature(df, args.by, alpha=args.temperature)
+        rates = rates_for_targets(df, targets, by=args.by, total=args.total)
+        out_df = sample_stratified(
+            df, rates, by=args.by, id_col=args.id_col, seed=args.seed,
+        )
+        extra = {"rates": {k: round(v, 6) for k, v in sorted(rates.items())}}
+    elif args.rates:
         rates = {
             k: float(v)
             for k, v in (pair.split("=") for pair in args.rates.split(","))
@@ -520,6 +532,7 @@ def _cmd_sample(args) -> None:
                 "sampled": args.output,
                 "n_rows": n,
                 "sec": round(time.perf_counter() - t0, 3),
+                **extra,
             }
         )
     )
@@ -554,6 +567,38 @@ def _cmd_split(args) -> None:
                 "split": args.output,
                 "by": args.by,
                 "counts": counts,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
+def _cmd_bpe_encode(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .ops import bpe
+
+    t0 = time.perf_counter()
+    merges = bpe.merges_from_df(spark.read.parquet(f"{args.bpe}/merges"))
+    df = spark.read.parquet(args.input)
+    out = bpe.bpe_encode(df, merges, id_col=args.id_col, text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.output)
+    stats = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "encoded": args.output,
+                "n_docs": stats["n_docs"],
+                "n_pieces": stats["n_pieces"],
+                "n_merges": len(merges),
                 "sec": round(time.perf_counter() - t0, 3),
             }
         )
@@ -984,6 +1029,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="rate for strata absent from --rates")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--temperature", type=float, default=None,
+                    help="mixture resampling: stratum share ∝ count^alpha "
+                         "over --by (0.3 = mBERT/XLM-R); needs --total")
+    sp.add_argument("--total", type=int, default=0,
+                    help="target sample size for --temperature")
     sp.set_defaults(fn=_cmd_sample)
 
     sg2 = sub.add_parser(
@@ -1012,6 +1062,17 @@ def main(argv: list[str] | None = None) -> None:
     bp.add_argument("--text-col", default="text")
     bp.add_argument("--checkpoint-dir", default=None)
     bp.set_defaults(fn=_cmd_bpe_train)
+
+    be = sub.add_parser(
+        "bpe-encode",
+        help="segment a corpus with a trained BPE vocab (bpe-train output)",
+    )
+    be.add_argument("--input", required=True)
+    be.add_argument("--bpe", required=True, help="bpe-train output dir (merges/ inside)")
+    be.add_argument("--output", required=True)
+    be.add_argument("--id-col", default="doc_id")
+    be.add_argument("--text-col", default="text")
+    be.set_defaults(fn=_cmd_bpe_encode)
 
     dy = sub.add_parser(
         "didyoumean",

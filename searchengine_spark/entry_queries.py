@@ -1364,6 +1364,41 @@ GROUP BY 1
 """
 
 
+COMPOSITE_KEYS = ["lang", "source"]
+COMPOSITE_SIZE = 10
+COMPOSITE_AFTER = ("de", "src5")  # mid-space cursor → page 2 shape
+
+
+def q_facet_composite(spark, sf_dir):
+    """Composite aggregation (ES composite): page through the FULL
+    (lang, source) bucket space of the match set in key order, resuming
+    strictly after a cursor — deep facet pagination with bounded pages."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = eng.facet_composite(
+        FACET_QUERY, docs, COMPOSITE_KEYS,
+        size=COMPOSITE_SIZE, after=COMPOSITE_AFTER, mode="or",
+    )
+    return out.withColumn("n", F.col("n").cast("long"))
+
+
+def _facet_composite_sql(
+    query_terms: list[str], keys: list[str], size: int, after: tuple
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    kl = ", ".join(keys)
+    cursor = ", ".join(f"'{v}'" for v in after)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+b AS (SELECT {", ".join(f"d.{k} AS {k}" for k in keys)}, count(*)::BIGINT AS n
+      FROM matched m JOIN documents d USING (doc_id)
+      GROUP BY {kl})
+SELECT * FROM b WHERE ({kl}) > ({cursor})
+ORDER BY {kl} LIMIT {size}
+"""
+
+
 HIST_INTERVAL = 100.0  # n_chars histogram bucket width
 TV_MOD = 97  # term-vector docs: doc_id % TV_MOD == 0 (deterministic set)
 SIG_TOP_N = 20
@@ -3857,6 +3892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source_and": q_facet_source_and,
         "facet_stats": q_facet_stats,
         "facet_histogram": q_facet_histogram,
+        "facet_composite": q_facet_composite,
         "facet_date_histogram": q_facet_date_histogram,
         "facet_percentiles": q_facet_percentiles,
         "facet_cardinality": q_facet_cardinality,
@@ -4015,6 +4051,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         ),
         "mlt_topk": _mlt_sql(MLT_DOC_ID, MLT_MAX_TERMS, MLT_K),
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
+        "facet_composite": _facet_composite_sql(FACET_QUERY.split(), COMPOSITE_KEYS, COMPOSITE_SIZE, COMPOSITE_AFTER),
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "facet_stats": _facet_stats_sql(FACET_QUERY.split(), "n_chars", "lang"),
         "facet_histogram": _facet_histogram_sql(

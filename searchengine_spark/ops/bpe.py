@@ -154,6 +154,17 @@ def merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
     )
 
 
+def merges_from_df(df: DataFrame) -> list[tuple[int, str, str, int]]:
+    """Load a stored merge table (the `merges/` parquet a `bpe-train` run
+    wrote) back into the rank-ordered list the encoder replays. The merge
+    list is vocabulary-sized metadata (10^3-10^5 rows), so the collect is
+    bounded by design."""
+    return [
+        (int(r["rank"]), r["lhs"], r["rhs"], int(r["pair_count"]))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
 def bpe_vocab(state: DataFrame) -> DataFrame:
     """(piece, cnt): the learned subword vocabulary — final symbols
     weighted by word occurrence counts."""

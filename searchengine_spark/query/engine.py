@@ -1450,6 +1450,43 @@ class SearchEngine:
         ]
         return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
 
+    def facet_composite(
+        self,
+        query: str,
+        metadata: DataFrame,
+        keys: list[str],
+        size: int = 10,
+        after: tuple | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Composite aggregation (ES ``composite``): deterministic
+        pagination over the FULL bucket space of ``keys`` — buckets ordered
+        by the key tuple ascending, ``size`` per page, resuming STRICTLY
+        after the ``after`` key tuple (the last row of the previous page is
+        the next call's cursor). Unlike terms facets (top-n by count) this
+        enumerates EVERY bucket across pages with bounded driver/page
+        memory: one hash aggregation over the match set ⋈ metadata, a
+        lexicographic struct filter (identical tuple ordering in Spark and
+        SQL — probed), and TakeOrderedAndProject for the page."""
+        if not keys:
+            raise ValueError("composite needs at least one key column")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        b = (
+            m.join(metadata.select("doc_id", *keys), "doc_id")
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if after is not None:
+            if len(after) != len(keys):
+                raise ValueError(
+                    f"after cursor arity {len(after)} != len(keys) {len(keys)}"
+                )
+            cursor = F.struct(*[F.lit(v).alias(k) for k, v in zip(keys, after)])
+            b = b.filter(F.struct(*keys) > cursor)
+        return b.orderBy(*[F.asc(k) for k in keys]).limit(size)
+
     def facet_cardinality(
         self,
         query: str,

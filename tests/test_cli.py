@@ -166,6 +166,27 @@ def test_sample_and_decontaminate_commands(tmp_path, capsys, spark):
     assert rep2["n_kept"] == n_total - rep["n_flagged_docs"]
 
 
+def test_sample_temperature(tmp_path, capsys, spark):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "temp.parquet")
+    cli.main(["sample", "--input", src, "--output", out,
+              "--by", "lang", "--temperature", "0.3", "--total", "200"])
+    rep = json.loads(capsys.readouterr().out)
+    docs = spark.read.parquet(src)
+    counts = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    hi = max(counts, key=counts.get)
+    lo = min(counts, key=counts.get)
+    # flattening: the dominant stratum is sampled at the LOWEST rate
+    assert rep["rates"][hi] == min(rep["rates"].values())
+    assert rep["rates"][lo] > rep["rates"][hi]
+    assert 100 < rep["n_rows"] < 320  # Bernoulli slack around 200
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["sample", "--input", src, "--output", out,
+                  "--by", "lang", "--temperature", "0.3"])
+
+
 def test_codestats_command(tmp_path, capsys, spark):
     from searchengine_spark.corpus import corpus_df
 
@@ -375,6 +396,37 @@ def test_bpe_train_command(tmp_path, capsys, spark):
     merges = spark.read.parquet(f"{out}/merges")
     assert merges.count() == 6
     assert set(merges.columns) == {"rank", "lhs", "rhs", "pair_count"}
+
+
+def test_bpe_encode_command(tmp_path, capsys, spark):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bdir = str(tmp_path / "bpe")
+    cli.main(["bpe-train", "--input", src, "--output", bdir, "--merges", "8"])
+    trained = json.loads(capsys.readouterr().out)
+    assert trained["n_merges"] == 8
+
+    out = str(tmp_path / "enc.parquet")
+    cli.main(["bpe-encode", "--input", src, "--bpe", bdir, "--output", out])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_docs"] == 500 and rep["n_merges"] == 8
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "pos", "piece"}
+    assert rep["n_pieces"] == got.count() > 0
+    # round-trip: concatenating a doc's pieces in pos order reproduces its
+    # tokenized text (BPE segments, never alters, the token stream)
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.tokenizer import tokenize_py
+
+    doc = spark.read.parquet(src).filter("doc_id = 7").collect()[0]
+    pieces = [
+        r["piece"]
+        for r in got.filter("doc_id = 7").orderBy("pos").collect()
+    ]
+    toks = tokenize_py(doc["text"])
+    joined = "".join(pieces)
+    assert joined.replace("</w>", "") == "".join(toks)
+    assert joined.count("</w>") == len(toks)  # one word-end marker per token
 
 
 def test_didyoumean_command(capsys, spark):

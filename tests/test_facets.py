@@ -110,3 +110,40 @@ def test_facet_stats_matches_truth(spark, corpus, eng):
     # ungrouped variant aggregates the whole match set
     tot = eng.facet_stats("merge sort", corpus, "n_chars").collect()[0]
     assert tot["n"] == len(truth_ids)
+
+
+def test_composite_pagination_walks_full_bucket_space(spark, corpus, eng):
+    """Composite agg: pages in key order, strictly-after cursor, and the
+    concatenation of all pages equals the one-shot facet truth exactly —
+    every bucket once, no gaps, no dups."""
+    full = {
+        (r["lang"], r["source"]): r["n"]
+        for r in eng.facet_composite(
+            "spark stream", corpus, ["lang", "source"], size=10_000
+        ).collect()
+    }
+    assert len(full) > 5
+    walked = {}
+    after, pages = None, 0
+    while True:
+        page = eng.facet_composite(
+            "spark stream", corpus, ["lang", "source"], size=4, after=after
+        ).collect()
+        if not page:
+            break
+        keys = [(r["lang"], r["source"]) for r in page]
+        assert keys == sorted(keys)  # in-page key order
+        for r in page:
+            k = (r["lang"], r["source"])
+            assert k not in walked  # strictly-after: no overlap
+            walked[k] = r["n"]
+        after = keys[-1]
+        pages += 1
+        assert pages < 100
+    assert walked == full
+    assert pages == -(-len(full) // 4)
+
+    with pytest.raises(ValueError):
+        eng.facet_composite("spark", corpus, [], size=4)
+    with pytest.raises(ValueError):
+        eng.facet_composite("spark", corpus, ["lang"], size=4, after=("a", "b"))
