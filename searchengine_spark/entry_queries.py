@@ -1399,6 +1399,218 @@ ORDER BY {kl} LIMIT {size}
 """
 
 
+RANGE_BUCKETS = [
+    # (name, lo, hi) — half-open [lo, hi); None = unbounded. 'mid' overlaps
+    # 'short' and 'long' is empty-adjacent: exercises ES's overlap +
+    # keep-empty semantics (sf0.01 n_chars spans 48..553)
+    ("short", None, 200),
+    ("mid", 150, 400),
+    ("long", 400, None),
+    ("beyond", 1000, 2000),
+    ("all", None, None),
+]
+
+FILTER_BUCKETS = {
+    # independent named predicates (ES filters agg): overlap + empty kept
+    "english": "lang = 'en'",
+    "longdoc": "n_chars >= 300",
+    "en_long": "lang = 'en' AND n_chars >= 300",
+    "never": "n_chars < 0",
+}
+
+ADJ_FILTERS = {
+    # disjoint langs (de&en bucket must vanish) + one crossing predicate
+    "de": "lang = 'de'",
+    "en": "lang = 'en'",
+    "long": "n_chars >= 300",
+}
+
+RARE_QUERY = "dup"  # df≈25 at sf0.01 → per-source counts 1..3
+RARE_MAX_DOC_COUNT = 2  # splits the source space 16/17 (non-vacuous)
+
+
+def q_facet_range(spark, sf_dir):
+    """Range aggregation (ES `range`): user-defined, possibly OVERLAPPING
+    half-open buckets over n_chars of the match set — every bucket lands
+    in one conditional-sum hash aggregation pass (a doc counts into each
+    bucket containing it, so groupBy cannot express this), empty buckets
+    kept at 0 like ES."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.facet_range(FACET_QUERY, docs, "n_chars", RANGE_BUCKETS)
+
+
+def _facet_range_sql(query_terms, col, ranges) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+
+    def cond(lo, hi):
+        c = []
+        if lo is not None:
+            c.append(f"v >= {lo}")
+        if hi is not None:
+            c.append(f"v < {hi}")
+        return " AND ".join(c) or "TRUE"
+
+    counts = ", ".join(
+        f"count(*) FILTER (WHERE {cond(lo, hi)})::BIGINT AS \"{name}\""
+        for name, lo, hi in ranges
+    )
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS bucket, \"{name}\" AS n FROM agg"
+        for name, _, _ in ranges
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+j AS (SELECT d.{col} AS v FROM matched m JOIN documents d USING (doc_id)),
+agg AS (SELECT {counts} FROM j)
+{unions}
+"""
+
+
+def q_facet_filters(spark, sf_dir):
+    """Filters aggregation (ES `filters`): independent named boolean
+    buckets over the match set's metadata — a doc counts toward EVERY
+    filter it satisfies; one conditional-sum aggregation, empty buckets
+    kept."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.facet_filters(FACET_QUERY, docs, FILTER_BUCKETS)
+
+
+def _facet_filters_sql(query_terms, filters: dict) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    counts = ", ".join(
+        f"count(*) FILTER (WHERE {expr})::BIGINT AS \"{name}\""
+        for name, expr in filters.items()
+    )
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS \"filter\", \"{name}\" AS n FROM agg"
+        for name in filters
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+j AS (SELECT d.* FROM matched m JOIN documents d USING (doc_id)),
+agg AS (SELECT {counts} FROM j)
+{unions}
+"""
+
+
+def q_facet_rare_terms(spark, sf_dir):
+    """Rare-terms aggregation (ES `rare_terms`): the long-tail buckets a
+    top-n terms facet cannot surface — sources appearing in ≤2 matched
+    docs of the rare-term query's match set. Exact distributed groupBy +
+    post-filter (ES's CuckooFilter approximation is a named trade we
+    don't need: the agg is distributed and the tail output is bounded)."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.facet_rare_terms(
+        RARE_QUERY, docs, "source", max_doc_count=RARE_MAX_DOC_COUNT
+    )
+
+
+def _facet_rare_terms_sql(query_terms, col, max_doc_count: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.{col} AS {col}, count(*)::BIGINT AS n
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1 HAVING count(*) <= {max_doc_count}
+"""
+
+
+def q_facet_adjacency(spark, sf_dir):
+    """Adjacency-matrix aggregation (ES `adjacency_matrix`): counts for
+    each named filter and each pairwise intersection (key 'a&b'), empty
+    intersections omitted — all n(n+1)/2 buckets in ONE aggregation pass.
+    de&en must vanish (disjoint langs); the lang&long crossings stay."""
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.facet_adjacency_matrix(FACET_QUERY, docs, ADJ_FILTERS)
+
+
+def _facet_adjacency_sql(query_terms, filters: dict) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    names = sorted(filters)
+    cells = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            key = a if a == b else f"{a}&{b}"
+            cells.append(
+                (key, f"count(*) FILTER (WHERE ({filters[a]}) AND "
+                      f"({filters[b]}))::BIGINT")
+            )
+    counts = ", ".join(f'{expr} AS "{key}"' for key, expr in cells)
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{key}' AS key, \"{key}\" AS n FROM agg" for key, _ in cells
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+j AS (SELECT d.* FROM matched m JOIN documents d USING (doc_id)),
+agg AS (SELECT {counts} FROM j)
+SELECT * FROM ({unions}) WHERE n > 0
+"""
+
+
+def q_facet_matrix_stats(spark, sf_dir):
+    """Matrix-stats aggregation (ES `matrix_stats`): pairwise sample
+    covariance + Pearson correlation between n_chars and the regex token
+    count over the match set — one single-pass distributed moment
+    aggregation (covar_samp/corr partials are mergeable), one row per
+    unordered field pair."""
+    from .ops import textstats
+
+    eng = _shared_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = docs.join(
+        textstats.token_count(docs).select("doc_id", "n_re_tokens"), "doc_id"
+    )
+    out = eng.facet_matrix_stats(FACET_QUERY, meta, ["n_chars", "n_re_tokens"])
+    return out.select(
+        "field_a", "field_b", "n",
+        F.round("mean_a", ROUND_DP).alias("mean_a"),
+        F.round("mean_b", ROUND_DP).alias("mean_b"),
+        F.round("covariance", ROUND_DP).alias("covariance"),
+        F.round("correlation", ROUND_DP).alias("correlation"),
+    )
+
+
+def _facet_matrix_stats_sql(query_terms) -> str:
+    from .ops.textstats import token_count_sql
+
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    pairs = [("n_chars", "n_chars"), ("n_chars", "n_re_tokens"),
+             ("n_re_tokens", "n_re_tokens")]
+    cells = ", ".join(
+        f"round(covar_samp({a}, {b}), {ROUND_DP}) AS cov_{a}_{b}, "
+        f"round(corr({a}, {b}), {ROUND_DP}) AS cor_{a}_{b}"
+        for a, b in pairs
+    )
+    means = ", ".join(
+        f"round(avg({c}), {ROUND_DP}) AS mean_{c}"
+        for c in ("n_chars", "n_re_tokens")
+    )
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{a}' AS field_a, '{b}' AS field_b, n, mean_{a} AS mean_a, "
+        f"mean_{b} AS mean_b, cov_{a}_{b} AS covariance, "
+        f"cor_{a}_{b} AS correlation FROM agg"
+        for a, b in pairs
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+tc AS ({token_count_sql("documents")}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+j AS (SELECT d.n_chars, t.n_re_tokens
+      FROM matched m JOIN documents d USING (doc_id)
+      JOIN tc t USING (doc_id)),
+agg AS (SELECT count(*)::BIGINT AS n, {means}, {cells} FROM j)
+{unions}
+"""
+
+
 HIST_INTERVAL = 100.0  # n_chars histogram bucket width
 TV_MOD = 97  # term-vector docs: doc_id % TV_MOD == 0 (deterministic set)
 SIG_TOP_N = 20
@@ -3893,6 +4105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats": q_facet_stats,
         "facet_histogram": q_facet_histogram,
         "facet_composite": q_facet_composite,
+        "facet_range": q_facet_range,
+        "facet_filters": q_facet_filters,
+        "facet_rare_terms": q_facet_rare_terms,
+        "facet_adjacency": q_facet_adjacency,
+        "facet_matrix_stats": q_facet_matrix_stats,
         "facet_date_histogram": q_facet_date_histogram,
         "facet_percentiles": q_facet_percentiles,
         "facet_cardinality": q_facet_cardinality,
@@ -4052,6 +4269,11 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "mlt_topk": _mlt_sql(MLT_DOC_ID, MLT_MAX_TERMS, MLT_K),
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
         "facet_composite": _facet_composite_sql(FACET_QUERY.split(), COMPOSITE_KEYS, COMPOSITE_SIZE, COMPOSITE_AFTER),
+        "facet_range": _facet_range_sql(FACET_QUERY.split(), "n_chars", RANGE_BUCKETS),
+        "facet_filters": _facet_filters_sql(FACET_QUERY.split(), FILTER_BUCKETS),
+        "facet_rare_terms": _facet_rare_terms_sql([RARE_QUERY], "source", RARE_MAX_DOC_COUNT),
+        "facet_adjacency": _facet_adjacency_sql(FACET_QUERY.split(), ADJ_FILTERS),
+        "facet_matrix_stats": _facet_matrix_stats_sql(FACET_QUERY.split()),
         "facet_source_and": _facet_sql(FACET_QUERY.split(), "source", "and"),
         "facet_stats": _facet_stats_sql(FACET_QUERY.split(), "n_chars", "lang"),
         "facet_histogram": _facet_histogram_sql(

@@ -1516,6 +1516,195 @@ class SearchEngine:
         ).alias("n_distinct")
         return j.groupBy(by).agg(agg) if by else j.agg(agg)
 
+    @staticmethod
+    def _unpivot_counts(row_df: DataFrame, names: list[str],
+                        key_col: str) -> DataFrame:
+        """One-row frame of long count columns → (key_col, n) rows via
+        ``stack`` — keeps the whole bucket family inside a single
+        aggregation job (no per-bucket query)."""
+        quoted = ", ".join(f"'{n}', `{n}`" for n in names)
+        return row_df.selectExpr(
+            f"stack({len(names)}, {quoted}) AS (`{key_col}`, n)"
+        )
+
+    def facet_range(
+        self,
+        query: str,
+        metadata: DataFrame,
+        col: str,
+        ranges: list[tuple],
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Range aggregation over the FULL match set (Elasticsearch
+        ``range``): user-defined half-open buckets ``(name, lo, hi)`` —
+        ``lo <= v < hi``, ``None`` = unbounded — over a numeric column.
+        ES semantics: buckets MAY overlap (a doc lands in every bucket
+        containing it) and every requested bucket is returned even when
+        empty, so this is NOT a groupBy: one conditional-sum hash
+        aggregation computes all buckets in a single pass over the match
+        set (no explode, no per-bucket job). Returns DataFrame[bucket, n]
+        with exactly ``len(ranges)`` rows."""
+        if not ranges:
+            raise ValueError("range aggregation needs at least one bucket")
+        names = [name for name, _, _ in ranges]
+        if len(set(names)) != len(names):
+            raise ValueError("range bucket names must be unique")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", col), "doc_id")
+        aggs = []
+        for name, lo, hi in ranges:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) < F.lit(hi))
+            aggs.append(
+                F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+                .cast("long").alias(name)
+            )
+        return self._unpivot_counts(j.agg(*aggs), names, "bucket")
+
+    def facet_filters(
+        self,
+        query: str,
+        metadata: DataFrame,
+        filters: dict[str, str],
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Filters aggregation over the FULL match set (Elasticsearch
+        ``filters``): one named bucket per SQL boolean expression over the
+        metadata columns; a doc counts toward EVERY filter it satisfies
+        (buckets are independent, not partitioning). All buckets evaluate
+        in one conditional-sum hash aggregation — single pass, empty
+        buckets kept at n=0 like ES. Returns DataFrame[filter, n]."""
+        if not filters:
+            raise ValueError("filters aggregation needs at least one filter")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata, "doc_id")
+        aggs = [
+            F.coalesce(F.sum(F.when(F.expr(expr), 1)), F.lit(0))
+            .cast("long").alias(name)
+            for name, expr in filters.items()
+        ]
+        return self._unpivot_counts(j.agg(*aggs), list(filters), "filter")
+
+    def facet_rare_terms(
+        self,
+        query: str,
+        metadata: DataFrame,
+        col: str,
+        max_doc_count: int = 1,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Rare-terms aggregation over the FULL match set (Elasticsearch
+        ``rare_terms``): the LONG-TAIL buckets a top-n terms facet
+        structurally cannot surface — values appearing in at most
+        ``max_doc_count`` matched docs. ES approximates with a CuckooFilter
+        to bound memory; here the exact hash aggregation (groupBy + count +
+        filter) is itself distributed and the post-filter output is by
+        definition the tail, so exactness costs one shuffle and returns a
+        bounded result. Returns DataFrame[col, n]."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        return (
+            m.join(metadata.select("doc_id", col), "doc_id")
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_doc_count)
+        )
+
+    def facet_adjacency_matrix(
+        self,
+        query: str,
+        metadata: DataFrame,
+        filters: dict[str, str],
+        sep: str = "&",
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Adjacency-matrix aggregation over the FULL match set
+        (Elasticsearch ``adjacency_matrix``): named filter expressions →
+        one bucket per filter plus one per PAIR intersection (key
+        ``a&b``, names in sorted order), empty intersections omitted —
+        the co-occurrence / graph-edge aggregation. All n(n+1)/2 buckets
+        evaluate as conditional sums in ONE hash aggregation pass (ES
+        caps n at 100 for the same quadratic-bucket reason; enforced
+        here too). Returns DataFrame[key, n]."""
+        if not filters:
+            raise ValueError("adjacency_matrix needs at least one filter")
+        if len(filters) > 100:
+            raise ValueError("adjacency_matrix is quadratic in filters; >100 refused")
+        names = sorted(filters)
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata, "doc_id")
+        aggs, keys = [], []
+        for i, a in enumerate(names):
+            for b_ in names[i:]:
+                key = a if a == b_ else f"{a}{sep}{b_}"
+                cond = F.expr(filters[a]) & F.expr(filters[b_])
+                aggs.append(
+                    F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+                    .cast("long").alias(key)
+                )
+                keys.append(key)
+        out = self._unpivot_counts(j.agg(*aggs), keys, "key")
+        return out.filter(F.col("n") > 0)
+
+    def facet_matrix_stats(
+        self,
+        query: str,
+        metadata: DataFrame,
+        cols: list[str],
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Matrix-stats aggregation over the FULL match set (Elasticsearch
+        ``matrix_stats``): pairwise sample covariance and Pearson
+        correlation across numeric fields, plus per-field means — one row
+        per unordered field pair (field_a <= field_b; the diagonal row
+        carries the field's variance as its covariance and correlation 1).
+        Spark's ``covar_samp``/``corr`` are single-pass distributed
+        moment aggregates (map-side partials, mergeable), so the whole
+        matrix is one hash aggregation however large the match set.
+        Returns DataFrame[field_a, field_b, n, mean_a, mean_b,
+        covariance, correlation]."""
+        if len(cols) < 2:
+            raise ValueError("matrix_stats needs at least two columns")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", *cols), "doc_id")
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for c in cols:
+            aggs.append(F.avg(c).alias(f"mean_{c}"))
+        pairs = [(a, b_) for i, a in enumerate(cols) for b_ in cols[i:]]
+        for a, b_ in pairs:
+            aggs.append(F.covar_samp(a, b_).alias(f"cov_{a}_{b_}"))
+            aggs.append(F.corr(a, b_).alias(f"cor_{a}_{b_}"))
+        row = j.agg(*aggs)
+        # one agg row → pair rows via a single explode (NOT a union of
+        # selects, which would re-run the aggregation once per pair)
+        pair_structs = F.array(*[
+            F.struct(
+                F.lit(a).alias("field_a"),
+                F.lit(b_).alias("field_b"),
+                F.col("n").alias("n"),
+                F.col(f"mean_{a}").alias("mean_a"),
+                F.col(f"mean_{b_}").alias("mean_b"),
+                F.col(f"cov_{a}_{b_}").alias("covariance"),
+                F.col(f"cor_{a}_{b_}").alias("correlation"),
+            )
+            for a, b_ in pairs
+        ])
+        return row.select(F.explode(pair_structs).alias("s")).select("s.*")
+
     def stats(self) -> dict:
         """Index statistics (ES ``_stats`` / Lucene SegmentInfos analogue),
         served ENTIRELY from driver-side metadata — meta.json, the

@@ -147,3 +147,156 @@ def test_composite_pagination_walks_full_bucket_space(spark, corpus, eng):
         eng.facet_composite("spark", corpus, [], size=4)
     with pytest.raises(ValueError):
         eng.facet_composite("spark", corpus, ["lang"], size=4, after=("a", "b"))
+
+
+def test_range_buckets_overlap_and_empties(spark, corpus, eng):
+    """ES range agg: overlapping buckets each count the doc, empty buckets
+    appear with n=0, bounds are half-open [lo, hi)."""
+    ids = _truth_matched(spark, corpus, ["spark", "stream"], "or")
+    vals = {
+        r["doc_id"]: r["n_chars"]
+        for r in corpus.select("doc_id", "n_chars").collect()
+        if r["doc_id"] in ids
+    }
+    lo, hi = min(vals.values()), max(vals.values())
+    mid = (lo + hi) // 2
+    ranges = [
+        ("low", None, mid),          # open start
+        ("high", mid, None),         # open end
+        ("all", None, None),         # overlaps both
+        ("empty", hi + 10, hi + 20),  # beyond the data
+        ("point", lo, lo + 1),        # boundary: lo inclusive, lo+1 exclusive
+    ]
+    got = {
+        r["bucket"]: r["n"]
+        for r in eng.facet_range(
+            "spark stream", corpus, "n_chars", ranges
+        ).collect()
+    }
+    assert got == {
+        "low": sum(1 for v in vals.values() if v < mid),
+        "high": sum(1 for v in vals.values() if v >= mid),
+        "all": len(vals),
+        "empty": 0,
+        "point": sum(1 for v in vals.values() if v == lo),
+    }
+    assert got["low"] + got["high"] == got["all"]
+    with pytest.raises(ValueError):
+        eng.facet_range("spark", corpus, "n_chars", [])
+    with pytest.raises(ValueError):
+        eng.facet_range("spark", corpus, "n_chars",
+                        [("a", 0, 1), ("a", 1, 2)])
+
+
+def test_filters_buckets_are_independent(spark, corpus, eng):
+    """ES filters agg: one bucket per named predicate, a doc counts toward
+    every filter it satisfies; empty buckets kept at 0."""
+    ids = _truth_matched(spark, corpus, ["spark", "stream"], "or")
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.collect()
+        if r["doc_id"] in ids
+    }
+    filters = {
+        "english": "lang = 'en'",
+        "longish": "n_chars >= 300",
+        "both": "lang = 'en' AND n_chars >= 300",
+        "nothing": "n_chars < 0",
+    }
+    got = {
+        r["filter"]: r["n"]
+        for r in eng.facet_filters("spark stream", corpus, filters).collect()
+    }
+    en = sum(1 for r in rows.values() if r["lang"] == "en")
+    lg = sum(1 for r in rows.values() if r["n_chars"] >= 300)
+    both = sum(1 for r in rows.values()
+               if r["lang"] == "en" and r["n_chars"] >= 300)
+    assert got == {"english": en, "longish": lg, "both": both, "nothing": 0}
+    # independence: a doc satisfying two filters is counted in each
+    assert both > 0 and got["english"] >= both and got["longish"] >= both
+    with pytest.raises(ValueError):
+        eng.facet_filters("spark", corpus, {})
+
+
+def test_rare_terms_is_the_low_tail(spark, corpus, eng):
+    ids = _truth_matched(spark, corpus, ["spark", "stream"], "or")
+    srcs = [
+        r["source"] for r in corpus.select("doc_id", "source").collect()
+        if r["doc_id"] in ids
+    ]
+    from collections import Counter
+    cnt = Counter(srcs)
+    for mdc in (1, 2, 3):
+        got = {
+            r["source"]: r["n"]
+            for r in eng.facet_rare_terms(
+                "spark stream", corpus, "source", max_doc_count=mdc
+            ).collect()
+        }
+        assert got == {s: n for s, n in cnt.items() if n <= mdc}
+    with pytest.raises(ValueError):
+        eng.facet_rare_terms("spark", corpus, "source", max_doc_count=0)
+
+
+def test_adjacency_matrix_pairs(spark, corpus, eng):
+    ids = _truth_matched(spark, corpus, ["spark", "stream"], "or")
+    rows = [r for r in corpus.collect() if r["doc_id"] in ids]
+    filters = {
+        "en": "lang = 'en'",
+        "de": "lang = 'de'",
+        "long": "n_chars >= 300",
+    }
+    preds = {
+        "en": lambda r: r["lang"] == "en",
+        "de": lambda r: r["lang"] == "de",
+        "long": lambda r: r["n_chars"] >= 300,
+    }
+    got = {
+        r["key"]: r["n"]
+        for r in eng.facet_adjacency_matrix(
+            "spark stream", corpus, filters
+        ).collect()
+    }
+    names = sorted(filters)
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            key = a if a == b else f"{a}&{b}"
+            n = sum(1 for r in rows if preds[a](r) and preds[b](r))
+            if n > 0:
+                want[key] = n
+    assert got == want
+    assert "de&en" not in got  # disjoint langs: empty bucket omitted
+    assert any("&" in k for k in got)  # some real intersection surfaced
+    with pytest.raises(ValueError):
+        eng.facet_adjacency_matrix("spark", corpus, {})
+
+
+def test_matrix_stats_matches_numpy(spark, corpus, eng):
+    import numpy as np
+
+    ids = _truth_matched(spark, corpus, ["spark", "stream"], "or")
+    meta = corpus.withColumn(
+        "n2", (F.col("n_chars") % 7 + F.col("doc_id") % 13).cast("double")
+    )
+    rows = [r for r in meta.collect() if r["doc_id"] in ids]
+    x = np.array([r["n_chars"] for r in rows], dtype=float)
+    y = np.array([r["n2"] for r in rows], dtype=float)
+    got = {
+        (r["field_a"], r["field_b"]): r
+        for r in eng.facet_matrix_stats(
+            "spark stream", meta, ["n_chars", "n2"]
+        ).collect()
+    }
+    assert set(got) == {("n_chars", "n_chars"), ("n_chars", "n2"), ("n2", "n2")}
+    d = got[("n_chars", "n2")]
+    assert d["n"] == len(rows)
+    assert d["mean_a"] == pytest.approx(x.mean())
+    assert d["mean_b"] == pytest.approx(y.mean())
+    assert d["covariance"] == pytest.approx(np.cov(x, y, ddof=1)[0, 1])
+    assert d["correlation"] == pytest.approx(np.corrcoef(x, y)[0, 1])
+    diag = got[("n_chars", "n_chars")]
+    assert diag["covariance"] == pytest.approx(x.var(ddof=1))
+    assert diag["correlation"] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        eng.facet_matrix_stats("spark", meta, ["n_chars"])
