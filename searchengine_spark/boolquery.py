@@ -13,7 +13,18 @@ Semantics (ES contract):
 
 Leaves: {"term": t} (BM25-scored), {"range": {"field": f, "gte": lo,
 "lte": hi}} (filter-context, scores 0). Nested {"must":..., ...} dicts
-recurse.
+recurse. Two more ES compound types share the combinators:
+
+  * {"dis_max": [sub, ...], "tie_breaker": t} — disjunction-max: a doc
+    matches if ANY sub matches; score = best sub score + t · (sum of
+    the other matching subs). t=0 (default) is pure best-field, t=1
+    degenerates to the should-sum. One union + one groupBy(max, sum) —
+    no per-sub join chain.
+  * {"positive": sub, "negative": sub, "negative_boost": nb} — boosting
+    query: membership and score come from `positive` alone; a doc that
+    ALSO matches `negative` keeps its score × nb (demotion without
+    exclusion — the soft must_not). One left join against the negative
+    match set.
 
 Determinism across engines: every node's score is ROUNDED to round_dp
 before its parent combines it, and sibling must-scores add in clause
@@ -119,9 +130,12 @@ def tree_terms(node: dict) -> list[str]:
     if "range" in node:
         return []
     out: list[str] = []
-    for key in ("must", "filter", "should", "must_not"):
+    for key in ("must", "filter", "should", "must_not", "dis_max"):
         for child in node.get(key, []):
             out.extend(tree_terms(child))
+    for key in ("positive", "negative"):
+        if key in node:
+            out.extend(tree_terms(node[key]))
     return out
 
 
@@ -137,6 +151,40 @@ def eval_tree(node: dict, leaves, round_dp: int = ROUND_DP) -> DataFrame:
         return leaves.term(node["term"])
     if "range" in node:
         return leaves.range(node["range"])
+    if "dis_max" in node:
+        subs = [eval_tree(c, leaves, round_dp) for c in node["dis_max"]]
+        if not subs:
+            raise ValueError("dis_max needs at least one sub-query")
+        tie = float(node.get("tie_breaker", 0.0))
+        u = subs[0].select("doc_id", "score")
+        for sdf in subs[1:]:
+            u = u.unionByName(sdf.select("doc_id", "score"))
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        return agg.select(
+            "doc_id",
+            F.round(
+                F.col("mx") + F.lit(tie) * (F.col("sm") - F.col("mx")), round_dp
+            ).alias("score"),
+        )
+    if "positive" in node:
+        pos = eval_tree(node["positive"], leaves, round_dp)
+        neg = eval_tree(node["negative"], leaves, round_dp)
+        nb = float(node.get("negative_boost", 0.5))
+        marked = pos.join(
+            neg.select("doc_id", F.lit(True).alias("_neg")).distinct(),
+            "doc_id",
+            "left",
+        )
+        return marked.select(
+            "doc_id",
+            F.round(
+                F.when(F.col("_neg").isNotNull(), F.col("score") * F.lit(nb))
+                .otherwise(F.col("score")),
+                round_dp,
+            ).alias("score"),
+        )
     must = [eval_tree(c, leaves, round_dp) for c in node.get("must", [])]
     filt = [eval_tree(c, leaves, round_dp) for c in node.get("filter", [])]
     should = [eval_tree(c, leaves, round_dp) for c in node.get("should", [])]
@@ -230,6 +278,26 @@ WHERE tf.term = '{t}'"""
         return (
             f"\nSELECT doc_id, 0.0 AS score FROM {meta_table} "
             f"WHERE {' AND '.join(conds)}"
+        )
+    if "dis_max" in node:
+        subs = [_node_sql(c, meta_table, dp, k1, b) for c in node["dis_max"]]
+        tie = float(node.get("tie_breaker", 0.0))
+        u = " UNION ALL ".join(
+            f"SELECT * FROM ({s}) dm{i}" for i, s in enumerate(subs)
+        )
+        return (
+            f"\nSELECT doc_id, round(mx + {tie!r} * (sm - mx), {dp}) AS score "
+            f"FROM (SELECT doc_id, max(score) AS mx, sum(score) AS sm "
+            f"FROM ({u}) GROUP BY 1) dmz"
+        )
+    if "positive" in node:
+        pos = _node_sql(node["positive"], meta_table, dp, k1, b)
+        neg = _node_sql(node["negative"], meta_table, dp, k1, b)
+        nb = float(node.get("negative_boost", 0.5))
+        return (
+            f"\nSELECT p.doc_id, round(CASE WHEN p.doc_id IN "
+            f"(SELECT doc_id FROM ({neg}) bn) THEN p.score * {nb!r} "
+            f"ELSE p.score END, {dp}) AS score FROM ({pos}) p"
         )
     must = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("must", [])]
     filt = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("filter", [])]

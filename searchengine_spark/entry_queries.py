@@ -975,6 +975,75 @@ LIMIT {k}
 """
 
 
+MM_TIE = 0.4  # even last digit: tie·(5dp sub-score) can't hit a decimal midpoint
+
+
+def q_multi_match_topk(spark, sf_dir):
+    """ES multi_match type=best_fields over the part table's two text
+    fields: each field scored as an independent BM25 sub-query (field df,
+    field avgdl) × its boost, then per doc best + 0.4·(rest) — dis_max
+    semantics, one union + one groupBy(max, sum). Contrast with
+    bm25f_topk, which pools tfs under one saturation."""
+    from pyspark.sql import Window
+
+    from .fielded import multi_match_best_fields
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    scored = multi_match_best_fields(
+        spark, part, "p_partkey",
+        {"p_name": BM25F_WN, "p_type": BM25F_WT},
+        BM25F_QUERY, tie_breaker=MM_TIE, k1=BM25F_K1, b=BM25F_B,
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25F_K)
+        .drop("rn")
+    )
+
+
+def _multi_match_sql(query: str, k: int) -> str:
+    from .tokenizer import tokenize_py
+
+    terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(query))))
+
+    def toks(col: str) -> str:
+        return (
+            f"[t FOR t IN regexp_extract_all(lower({col}), '{TOKEN_PATTERN}') "
+            f"IF t NOT IN ({_STOP_SQL})]"
+        )
+
+    def field_cte(fld: str, w: float) -> str:
+        return f"""
+tf_{fld} AS (
+  SELECT p_partkey AS doc_id, term, count(*) AS tf
+  FROM (SELECT p_partkey, unnest({toks(fld)}) AS term FROM part) r(p_partkey, term)
+  GROUP BY 1, 2),
+len_{fld} AS (SELECT doc_id, sum(tf) AS doc_len FROM tf_{fld} GROUP BY 1),
+avg_{fld} AS (SELECT sum(doc_len) * 1.0 / (SELECT n FROM n) AS avgdl FROM len_{fld}),
+dict_{fld} AS (SELECT term, count(*) AS df FROM tf_{fld} GROUP BY 1),
+scored_{fld} AS (
+  SELECT t.doc_id,
+         round({w} * sum(ln(1.0 + ((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * ({BM25F_K1} + 1.0))
+               / (t.tf + {BM25F_K1} * (1.0 - {BM25F_B} + {BM25F_B} * l.doc_len / a.avgdl))),
+               {ROUND_DP}) AS score
+  FROM tf_{fld} t JOIN dict_{fld} d USING (term)
+  JOIN len_{fld} l ON l.doc_id = t.doc_id CROSS JOIN avg_{fld} a
+  WHERE t.term IN ({terms})
+  GROUP BY 1)"""
+
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM part),{field_cte('p_name', BM25F_WN)},{field_cte('p_type', BM25F_WT)}
+SELECT doc_id, round(mx + {MM_TIE} * (sm - mx), {ROUND_DP}) AS score
+FROM (SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM
+      (SELECT * FROM scored_p_name UNION ALL SELECT * FROM scored_p_type) u
+      GROUP BY 1) z
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 WILDCARD_PATTERN = "s*"  # matches 6 corpus terms; cap keeps the top 4 by df
 WILDCARD_MAX_EXP = 4
 WILDCARD_K = 40
@@ -2857,6 +2926,66 @@ ORDER BY score DESC, doc_id ASC LIMIT {BOOL_K}
 """
 
 
+DISMAX_TREE = {
+    "dis_max": [
+        {"must": [{"term": "spark"}, {"term": "join"}]},
+        {"must": [{"term": "stream"}]},
+        {"must": [{"term": "window"}, {"term": "merge"}]},
+    ],
+    # even last digit: tie·(5dp score) then has an EVEN 6th decimal — never
+    # a decimal midpoint, so Spark's and DuckDB's round() can't disagree
+    # (an odd tie like 0.3 hits .xxxxx5 whenever a sub-score ends in 5)
+    "tie_breaker": 0.4,
+}
+
+BOOSTING_TREE = {
+    "positive": {
+        "must": [{"term": "spark"}],
+        "should": [{"term": "join"}, {"term": "stream"}],
+    },
+    "negative": {"should": [{"term": "error"}, {"term": "warning"}]},
+    "negative_boost": 0.2,
+}
+
+
+def q_bool_dismax(spark, sf_dir):
+    """ES dis_max query (boolquery.py): disjunction-max over three
+    sub-queries — score = best sub + 0.4 · (other matching subs), one
+    union + groupBy(max, sum) instead of a join chain; hash-checked
+    against the branch-mirrored SQL twin."""
+    from .boolquery import BoolContext, bool_score
+
+    docs = _docs(spark, sf_dir)
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    ctx = BoolContext(spark, tf, stats, dct, n, avgdl, metadata=docs)
+    return bool_score(ctx, DISMAX_TREE)
+
+
+def _bool_dismax_sql() -> str:
+    from .boolquery import bool_score_sql
+
+    return bool_score_sql(DISMAX_TREE, _TF_SQL)
+
+
+def q_bool_boosting(spark, sf_dir):
+    """ES boosting query (boolquery.py): positive bool query demoted —
+    not excluded — by a negative match set (score × 0.2 on negative
+    hits), the soft alternative to must_not; one left join against the
+    negative frame."""
+    from .boolquery import BoolContext, bool_score
+
+    docs = _docs(spark, sf_dir)
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    ctx = BoolContext(spark, tf, stats, dct, n, avgdl, metadata=docs)
+    return bool_score(ctx, BOOSTING_TREE)
+
+
+def _bool_boosting_sql() -> str:
+    from .boolquery import bool_score_sql
+
+    return bool_score_sql(BOOSTING_TREE, _TF_SQL)
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank authority over the document-similarity graph (ops/graph):
     MinHash-band pairs symmetrized into edges, 4 power iterations with
@@ -4096,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
+        "multi_match_topk": q_multi_match_topk,
         "wildcard_topk": q_wildcard_topk,
         "regexp_topk": q_regexp_topk,
         "fuzzy_topk": q_fuzzy_topk,
@@ -4154,6 +4284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trending": q_event_trending,
         "bool_query": q_bool_query,
         "bool_index_topk": q_bool_index_topk,
+        "bool_dismax": q_bool_dismax,
+        "bool_boosting": q_bool_boosting,
         "pagerank": q_pagerank,
         "authority_topk": q_authority_topk,
         "cms_counters": q_cms_counters,
@@ -4259,6 +4391,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "common_terms_topk": _common_terms_sql(COMMON_QUERY, COMMON_CUTOFF, COMMON_K),
         "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
+        "multi_match_topk": _multi_match_sql(BM25F_QUERY, BM25F_K),
         "wildcard_topk": _wildcard_sql(
             WILDCARD_PATTERN, WILDCARD_MAX_EXP, WILDCARD_K
         ),
@@ -4325,6 +4458,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "event_trending": _event_trending_sql(),
         "bool_query": _bool_query_sql(),
         "bool_index_topk": _bool_index_sql(),
+        "bool_dismax": _bool_dismax_sql(),
+        "bool_boosting": _bool_boosting_sql(),
         "pagerank": _pagerank_sql(),
         "authority_topk": _authority_sql(),
         "cms_counters": sketch.cms_build_sql("documents", CMS_D, CMS_W),

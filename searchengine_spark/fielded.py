@@ -26,6 +26,15 @@ Design notes (100 TB):
     persist the index build already does (index/build.py stage A) applies
     the same way.
 
+``multi_match_best_fields`` is the OTHER standard fielded semantics (ES
+``multi_match`` type=best_fields): each field is scored as an independent
+BM25 query under ITS OWN statistics (field df, field avgdl over the total
+doc count), boosted by its weight, and the per-doc result is the
+dis_max combine — best field + tie_breaker · (others). Where BM25F pools
+term frequencies under one saturation, best_fields rewards the single
+best field — the right semantics when fields are alternatives (path vs
+content) rather than parts of one text.
+
 Reference analogue: none — the reference scores a single text field
 (``Part C/ranker.py``); fielded weighting is engine-hardening surface a
 source-code corpus needs (filename vs file body, SURVEY.md input table).
@@ -39,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .postings import term_frequencies
-from .scoring import _ordered_sum, _query_df
+from .scoring import _ordered_sum, _query_df, bm25_score
 
 
 def fielded_term_frequencies(
@@ -111,3 +120,68 @@ def bm25f_score(
     cand = wtf.join(F.broadcast(dictf), "term").crossJoin(F.broadcast(n_corpus))
     per_term = idf * (k1 + 1.0) * F.col("wtf") / (k1 + F.col("wtf"))
     return _ordered_sum(cand, per_term)
+
+
+def multi_match_best_fields(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    fields: dict[str, float],
+    query: str,
+    tie_breaker: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 5,
+) -> DataFrame:
+    """ES ``multi_match`` type=best_fields → (doc_id, score) unsorted.
+
+    Each field is an independent BM25 sub-query with field-local df and
+    field avgdl (Σ field length / TOTAL doc count — empty fields count as
+    length 0, same convention as BM25F above); sub-score × weight, rounded
+    to ``round_dp``, then per doc: best + tie_breaker · (sum − best).
+    One union + one groupBy(max, sum) — no per-field join chain, so the
+    plan is |fields| scans + 2 shuffles however many fields there are.
+
+    Determinism contract (oracle-exact): sub-scores round BEFORE the
+    combine and the tie multiply happens on rounded 5dp decimals — pick a
+    tie_breaker with an even last digit (0.4, not 0.3/0.5) when the result
+    must hash-match a decimal-rounding SQL twin, same rule as
+    ``boolquery`` dis_max nodes."""
+    if not fields:
+        raise ValueError("fields must map ≥1 text column to a weight")
+    n_docs = df.count()
+    subs: list[DataFrame] = []
+    for f_name in sorted(fields):
+        tf_f = term_frequencies(df, id_col=id_col, text_col=f_name)
+        stats_f = tf_f.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        len_sum = stats_f.agg(F.sum("doc_len").alias("s")).first()["s"] or 0
+        if len_sum == 0:
+            continue  # field tokenizes empty everywhere: no sub-query
+        avgdl_f = len_sum / n_docs
+        dict_f = tf_f.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = bm25_score(
+            spark, tf_f, stats_f, dict_f, query, n_docs, avgdl_f, k1, b
+        )
+        subs.append(
+            scored.select(
+                "doc_id",
+                F.round(F.col("score") * float(fields[f_name]), round_dp).alias(
+                    "score"
+                ),
+            )
+        )
+    if not subs:
+        raise ValueError("every field tokenized to nothing")
+    u = subs[0]
+    for s in subs[1:]:
+        u = u.unionByName(s)
+    agg = u.groupBy("doc_id").agg(
+        F.max("score").alias("mx"), F.sum("score").alias("sm")
+    )
+    return agg.select(
+        "doc_id",
+        F.round(
+            F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx")),
+            round_dp,
+        ).alias("score"),
+    )

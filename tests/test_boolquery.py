@@ -110,6 +110,73 @@ def test_empty_node_raises(ctx):
         bool_score(ctx, {"must_not": [{"term": "apple"}]})
 
 
+def test_dis_max_best_field_and_tie_breaker(ctx):
+    """tie_breaker=0 → pure max of sub scores; 0<t<1 adds t·(others);
+    membership = union of the subs (doc 4 matches via banana only)."""
+    apple = {r["doc_id"]: r["score"] for r in bool_score(
+        ctx, {"must": [{"term": "apple"}]}).collect()}
+    banana = {r["doc_id"]: r["score"] for r in bool_score(
+        ctx, {"must": [{"term": "banana"}]}).collect()}
+    best = {r["doc_id"]: r["score"] for r in bool_score(
+        ctx, {"dis_max": [{"term": "apple"}, {"term": "banana"}]}).collect()}
+    assert sorted(best) == sorted(set(apple) | set(banana))
+    for d in best:
+        want = max(apple.get(d, -1e9), banana.get(d, -1e9))
+        assert best[d] == pytest.approx(want, abs=2e-5)
+    tb = {r["doc_id"]: r["score"] for r in bool_score(
+        ctx, {"dis_max": [{"term": "apple"}, {"term": "banana"}],
+              "tie_breaker": 0.4}).collect()}
+    for d in (1, 2):  # docs matching BOTH subs get max + 0.4·min
+        lo, hi = sorted((apple[d], banana[d]))
+        assert tb[d] == pytest.approx(hi + 0.4 * lo, abs=2e-5)
+    for d in tb:
+        if d not in (1, 2):
+            assert tb[d] == pytest.approx(best[d], abs=2e-5)
+
+
+def test_boosting_demotes_without_excluding(ctx):
+    """Docs matching the negative query stay in the result with score ×
+    negative_boost; everyone else keeps the positive score unchanged."""
+    pos = {r["doc_id"]: r["score"] for r in bool_score(
+        ctx, {"must": [{"term": "apple"}]}).collect()}
+    out = {r["doc_id"]: r["score"] for r in bool_score(
+        ctx, {"positive": {"must": [{"term": "apple"}]},
+              "negative": {"must": [{"term": "cherry"}]},
+              "negative_boost": 0.25}).collect()}
+    assert sorted(out) == sorted(pos)  # no exclusion, unlike must_not
+    for d, s in out.items():
+        if d in (1, 3):  # contain cherry → demoted
+            assert s == pytest.approx(pos[d] * 0.25, abs=2e-5)
+        else:
+            assert s == pytest.approx(pos[d], abs=2e-5)
+
+
+def test_dismax_boosting_tree_matches_duckdb(spark, ctx):
+    """Compound tree nesting dis_max inside boosting inside bool — the
+    SQL twin must mirror every combinator branch exactly."""
+    import duckdb
+
+    tree = {
+        "must": [
+            {"positive": {"dis_max": [{"term": "apple"}, {"term": "banana"}],
+                          "tie_breaker": 0.3},
+             "negative": {"must": [{"term": "date"}]},
+             "negative_boost": 0.2},
+        ],
+        "should": [{"dis_max": [{"term": "cherry"}]}],
+    }
+    got = sorted((r["doc_id"], r["score"]) for r in bool_score(ctx, tree).collect())
+    con = duckdb.connect()
+    con.register("docs", spark.createDataFrame(
+        DOCS, "doc_id long, text string, n_chars long").toPandas())
+    tf_sql = ("SELECT doc_id, t.term AS term, count(*) AS tf FROM "
+              "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs) t(doc_id, term) "
+              "GROUP BY 1, 2")
+    sql = bool_score_sql(tree, tf_sql, meta_table="docs")
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
 # ------------------------------------------------- property: membership
 def _matches(node, doc_terms: set, n_chars: int) -> bool:
     """Brute-force membership twin of bool_score (ignores scores)."""

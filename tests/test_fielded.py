@@ -144,3 +144,70 @@ def test_field_weight_monotonicity(spark, part_rows):
 def test_rejects_empty_fields(spark):
     with pytest.raises(ValueError):
         bm25f_score(spark, spark.read.parquet(PART), "p_partkey", {}, QUERY)
+
+
+# ------------------------------------------ multi_match type=best_fields
+def _field_bm25(spark, df, id_col, field, query, k1=1.2, b=0.75):
+    """One field scored as an independent BM25 index (field df, field
+    avgdl over TOTAL doc count) — the sub-query best_fields combines."""
+    from searchengine_spark.postings import term_frequencies
+    from searchengine_spark.scoring import bm25_score
+
+    tf = term_frequencies(df, id_col=id_col, text_col=field)
+    stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    n = df.count()
+    avgdl = stats.agg(F.sum("doc_len").alias("s")).first()["s"] / n
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return {
+        r["doc_id"]: r["score"]
+        for r in bm25_score(spark, tf, stats, dct, query, n, avgdl, k1, b).collect()
+    }
+
+
+def test_multi_match_single_field_is_plain_bm25(spark):
+    from searchengine_spark.fielded import multi_match_best_fields
+
+    pdf = spark.read.parquet(PART)
+    base = _field_bm25(spark, pdf, "p_partkey", "p_name", QUERY)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_best_fields(
+            spark, pdf, "p_partkey", {"p_name": 1.0}, QUERY
+        ).collect()
+    }
+    assert set(got) == set(base)
+    for d, s in base.items():
+        assert got[d] == pytest.approx(round(s, 5), abs=1e-9)
+
+
+def test_multi_match_best_fields_semantics(spark):
+    """tie=0 → per-doc max of weighted field scores; tie>0 adds the
+    tie-weighted rest; membership = union of field matches."""
+    from searchengine_spark.fielded import multi_match_best_fields
+
+    pdf = spark.read.parquet(PART)
+    name = _field_bm25(spark, pdf, "p_partkey", "p_name", QUERY)
+    typ = _field_bm25(spark, pdf, "p_partkey", "p_type", QUERY)
+    wname = {d: round(2.0 * s, 5) for d, s in name.items()}
+    wtyp = {d: round(1.0 * s, 5) for d, s in typ.items()}
+    best = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_best_fields(
+            spark, pdf, "p_partkey", FIELDS, QUERY, tie_breaker=0.0
+        ).collect()
+    }
+    assert set(best) == set(wname) | set(wtyp)
+    both = set(wname) & set(wtyp)
+    assert both  # fixture sanity: some docs match in both fields
+    for d in best:
+        want = max(wname.get(d, -1e9), wtyp.get(d, -1e9))
+        assert best[d] == pytest.approx(want, abs=2e-5)
+    tb = {
+        r["doc_id"]: r["score"]
+        for r in multi_match_best_fields(
+            spark, pdf, "p_partkey", FIELDS, QUERY, tie_breaker=0.4
+        ).collect()
+    }
+    for d in both:
+        lo, hi = sorted((wname[d], wtyp[d]))
+        assert tb[d] == pytest.approx(hi + 0.4 * lo, abs=2e-5)
