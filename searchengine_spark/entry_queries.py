@@ -549,6 +549,49 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+FS_FUNCTIONS = [
+    # even-digit weights + boost_mode=sum: no decimal-midpoint risk (see
+    # scoring.function_score docstring)
+    {"field_value_factor": {"field": "n_chars", "factor": 0.001,
+                            "modifier": "ln1p"}, "weight": 1.0},
+    {"weight": 0.4, "filter": {"field": "lang", "eq": "en"}},
+]
+FS_K = 25
+
+
+def q_function_score_topk(spark, sf_dir):
+    """ES function_score: BM25 relevance boosted by a length prior
+    (ln1p(0.001·n_chars)) plus a +0.4 English bump — functions summed,
+    added to the query score; docs matching no function pass through
+    unchanged. One candidate-sized LEFT join + column exprs, no extra
+    shuffle per function."""
+    from .scoring import function_score, topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    boosted = function_score(
+        scored, meta, FS_FUNCTIONS, score_mode="sum", boost_mode="sum",
+        round_dp=ROUND_DP,
+    )
+    return topk(boosted, FS_K)
+
+
+def _function_score_sql(query: str, k: int) -> str:
+    from .scoring import function_score_sql
+
+    inner = function_score_sql(
+        _bm25_sql(query), "documents", FS_FUNCTIONS,
+        score_mode="sum", boost_mode="sum", round_dp=ROUND_DP,
+    )
+    return f"""
+SELECT doc_id, score FROM ({inner}) t
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_hit_counts(spark, sf_dir):
     """Batched total-hits counting: (query_id, or_hits, and_hits) for the
     whole batch in one job."""
@@ -4209,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet": q_lm_dirichlet,
         "lm_index_topk": q_lm_index_topk,
         "collapse_topk": q_collapse_topk,
+        "function_score_topk": q_function_score_topk,
         "parent_topk": q_parent_topk,
         "recency_topk": q_recency_topk,
         "hit_counts": q_hit_counts,
@@ -4376,6 +4420,7 @@ SELECT doc_id, score FROM ({_lm_dirichlet_sql(BM25_QUERY, LM_MU)})
 ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
 """,
         "collapse_topk": _collapse_sql(BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K),
+        "function_score_topk": _function_score_sql(BM25_QUERY, FS_K),
         "parent_topk": _parent_sql(BM25_QUERY, COLLAPSE_FIELD, PARENT_K, PARENT_MODE),
         "recency_topk": _recency_sql(
             BM25_QUERY, RECENCY_HALF_LIFE, RECENCY_AGE_MOD, RECENCY_K

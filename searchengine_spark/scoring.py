@@ -702,3 +702,186 @@ def hit_counts(
             "and_hits"
         ),
     )
+
+
+# --------------------------------------------------------- function_score
+_FS_MODIFIERS = ("none", "ln1p", "sqrt", "square", "reciprocal")
+
+
+def _fs_cond(flt: "dict | None"):
+    """Metadata-predicate filter of one score function (filter context):
+    {"field": f} with any of eq / gte / lte. None matches every doc."""
+    cond = F.lit(True)
+    if flt is None:
+        return cond
+    col = F.col(flt["field"])
+    if "eq" in flt:
+        cond = cond & (col == flt["eq"])
+    if "gte" in flt:
+        cond = cond & (col >= flt["gte"])
+    if "lte" in flt:
+        cond = cond & (col <= flt["lte"])
+    return cond
+
+
+def _fs_value(fn: dict):
+    """One function's per-doc value column: a bare {"weight": w} constant,
+    or field_value_factor = modifier(factor · coalesce(field, missing)) · w.
+    The modifier set is pinned (ln1p is the NATURAL log — documented
+    deviation from ES's log10 'log1p', chosen to match the engine's other
+    ln-based scorers)."""
+    w = float(fn.get("weight", 1.0))
+    if "field_value_factor" not in fn:
+        return F.lit(w)
+    fvf = fn["field_value_factor"]
+    raw = F.coalesce(
+        F.col(fvf["field"]).cast("double"),
+        F.lit(float(fvf.get("missing", 1.0))),
+    )
+    x = raw * F.lit(float(fvf.get("factor", 1.0)))
+    mod = fvf.get("modifier", "none")
+    if mod == "ln1p":
+        x = F.log(x + F.lit(1.0))
+    elif mod == "sqrt":
+        x = F.sqrt(x)
+    elif mod == "square":
+        x = x * x
+    elif mod == "reciprocal":
+        x = F.lit(1.0) / x
+    elif mod != "none":
+        raise ValueError(f"unknown modifier {mod!r} (supported: {_FS_MODIFIERS})")
+    return x * F.lit(w)
+
+
+def function_score(
+    scored: DataFrame,
+    metadata: DataFrame,
+    functions: list[dict],
+    score_mode: str = "sum",
+    boost_mode: str = "multiply",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Elasticsearch ``function_score``: modify query relevance with
+    per-doc functions — filter-gated constant weights and
+    field_value_factor transforms of a metadata column — combined by
+    ``score_mode`` (sum | multiply | max over the MATCHING functions) and
+    folded into the query score by ``boost_mode`` (multiply | sum |
+    replace). A doc matching NO function keeps its query score unchanged
+    (boost-neutral, every boost_mode).
+
+    Determinism contract: each matching function's value rounds to
+    ``round_dp`` before the combine, the combined fscore rounds again, and
+    the boosted result rounds once more — the same per-node discipline as
+    the bool DSL, so a SQL twin built by ``function_score_sql`` aligns
+    bit-for-bit. For hash-checked entries prefer boost_mode="sum" and
+    even-digit weights (sums of 5dp decimals never create a 6th decimal;
+    products can — see boolquery's tie_breaker note).
+
+    Plan at 100 TB: ``scored`` is |candidates|-sized, so the single LEFT
+    join moves only candidate metadata rows; every function is then a
+    stateless column expression on that one joined frame — |functions|
+    never adds jobs, joins, or shuffles."""
+    if score_mode not in ("sum", "multiply", "max"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    if boost_mode not in ("multiply", "sum", "replace"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    if not functions:
+        raise ValueError("functions must hold ≥1 score function")
+    j = scored.join(metadata, "doc_id", "left")
+    conds = [_fs_cond(fn.get("filter")) for fn in functions]
+    vals = [F.round(_fs_value(fn), round_dp) for fn in functions]
+    matched = conds[0]
+    for c in conds[1:]:
+        matched = matched | c
+    if score_mode == "sum":
+        fs = F.lit(0.0)
+        for c, v in zip(conds, vals):
+            fs = fs + F.when(c, v).otherwise(F.lit(0.0))
+    elif score_mode == "multiply":
+        fs = F.lit(1.0)
+        for c, v in zip(conds, vals):
+            fs = fs * F.when(c, v).otherwise(F.lit(1.0))
+    else:  # max — greatest() skips non-matching NULLs
+        parts = [F.when(c, v) for c, v in zip(conds, vals)]
+        fs = parts[0] if len(parts) == 1 else F.greatest(*parts)
+    fs = F.round(fs, round_dp)
+    if boost_mode == "multiply":
+        boosted = F.col("score") * fs
+    elif boost_mode == "sum":
+        boosted = F.col("score") + fs
+    else:
+        boosted = fs
+    out = F.when(matched, F.round(boosted, round_dp)).otherwise(F.col("score"))
+    return j.select("doc_id", out.alias("score"))
+
+
+def function_score_sql(
+    base_sql: str,
+    meta_table: str,
+    functions: list[dict],
+    score_mode: str = "sum",
+    boost_mode: str = "multiply",
+    round_dp: int = 5,
+) -> str:
+    """DuckDB twin of ``function_score`` over a (doc_id, score) base
+    subquery — filter conditions, value expressions, rounding points, and
+    the no-match passthrough mirrored branch for branch."""
+
+    def cond_sql(flt):
+        if flt is None:
+            return "TRUE"
+        conds = []
+        if "eq" in flt:
+            conds.append(f"m.{flt['field']} = {flt['eq']!r}")
+        if "gte" in flt:
+            conds.append(f"m.{flt['field']} >= {flt['gte']!r}")
+        if "lte" in flt:
+            conds.append(f"m.{flt['field']} <= {flt['lte']!r}")
+        return " AND ".join(conds) or "TRUE"
+
+    def value_sql(fn):
+        w = float(fn.get("weight", 1.0))
+        if "field_value_factor" not in fn:
+            return f"{w!r}"
+        fvf = fn["field_value_factor"]
+        x = (
+            f"coalesce(m.{fvf['field']}::DOUBLE, {float(fvf.get('missing', 1.0))!r})"
+            f" * {float(fvf.get('factor', 1.0))!r}"
+        )
+        mod = fvf.get("modifier", "none")
+        if mod == "ln1p":
+            x = f"ln(({x}) + 1.0)"
+        elif mod == "sqrt":
+            x = f"sqrt({x})"
+        elif mod == "square":
+            x = f"({x}) * ({x})"
+        elif mod == "reciprocal":
+            x = f"1.0 / ({x})"
+        return f"({x}) * {w!r}"
+
+    conds = [cond_sql(fn.get("filter")) for fn in functions]
+    vals = [f"round({value_sql(fn)}, {round_dp})" for fn in functions]
+    matched = " OR ".join(f"({c})" for c in conds)
+    if score_mode == "sum":
+        fs = " + ".join(
+            f"CASE WHEN {c} THEN {v} ELSE 0.0 END" for c, v in zip(conds, vals)
+        )
+    elif score_mode == "multiply":
+        fs = " * ".join(
+            f"CASE WHEN {c} THEN {v} ELSE 1.0 END" for c, v in zip(conds, vals)
+        )
+    else:
+        fs = "greatest(" + ", ".join(
+            f"CASE WHEN {c} THEN {v} END" for c, v in zip(conds, vals)
+        ) + ")" if len(vals) > 1 else f"CASE WHEN {conds[0]} THEN {vals[0]} END"
+    fs = f"round({fs}, {round_dp})"
+    if boost_mode == "multiply":
+        boosted = f"b.score * {fs}"
+    elif boost_mode == "sum":
+        boosted = f"b.score + {fs}"
+    else:
+        boosted = fs
+    return f"""
+SELECT b.doc_id,
+       CASE WHEN {matched} THEN round({boosted}, {round_dp}) ELSE b.score END AS score
+FROM ({base_sql}) b LEFT JOIN {meta_table} m USING (doc_id)"""
