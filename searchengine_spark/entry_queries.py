@@ -3821,6 +3821,17 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return similarity.cosine_neardup_lsh(_embs(spark, sf_dir), tau=0.3, n_planes=8, dim=64)
 
 
+SEMDEDUP_TAU = 0.3  # max pairwise cosine on this corpus is 0.513 — 227/273 split
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, drop
+    within-cluster cosine-τ near-duplicates keeping the centroid-FARTHEST
+    point of each duplicate edge (the paper's diversity rule). Pair space
+    is Σ|cluster|², never n² — the clustering IS the blocking."""
+    return similarity.semantic_dedup(_embs(spark, sf_dir), tau=SEMDEDUP_TAU)
+
+
 def q_nb_classify(spark, sf_dir):
     """Multinomial Naive Bayes trained distributed (two hash aggs — no
     iteration, no driver weights) on the lang labels, then self-classified:
@@ -4380,6 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
@@ -4596,6 +4608,9 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         ),
         "ivf_stored_topk": similarity.ivf_topk_sql(
             "embeddings", _QUERY_VEC, k=10, nprobe=4
+        ),
+        "semantic_dedup": similarity.semantic_dedup_sql(
+            "embeddings", tau=SEMDEDUP_TAU
         ),
         "sq_quantize": similarity.sq_quantize_sql("embeddings"),
         "sq_topk": similarity.sq_topk_sql("embeddings", _QUERY_VEC, k=SQ_K),

@@ -1390,3 +1390,126 @@ FROM mx GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------- SemDeDup
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.9,
+    n_lists: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication") → one row per vector:
+    (vec_id, list_id, cdist, keep).
+
+    Cluster embeddings with the IVF coarse quantizer (k-means centroids via
+    ``ivf_train``, or the deterministic hash quantizer for oracle runs),
+    then WITHIN each cluster drop near-duplicates: a vector is dropped iff
+    some same-cluster neighbor has cosine ≥ τ with it AND higher keep
+    priority. Keep priority follows the paper's diversity rule — the point
+    FARTHER from its centroid survives (the paper keeps the lowest
+    centroid-similarity example) — applied per EDGE (one join, no
+    connected-components iteration; for transitive-group semantics compose
+    the τ-pairs with ``dedup.dedup_components`` instead). Ties break to the
+    lower vec_id.
+
+    100 TB plan: the pair space is Σ_c |cluster_c|² — the whole point of
+    clustering first; the self-join shuffles once on list_id, and with the
+    assignment written ``partitionBy(list_id)`` (``ivf_write``) it becomes
+    co-partitioned. ``cdist`` (squared L2 to the assigned centroid) and the
+    pairwise cosine are rounded at ROUND_DP before any comparison so keep
+    verdicts are engine-identical."""
+    cvecs = (
+        centroids if centroids is not None else [_centroid(c, dim) for c in range(n_lists)]
+    )
+    emb = _as_double(vec_col)
+    dists = F.array(*[_sqdist(emb, cv) for cv in cvecs])
+    base = (
+        df.select(F.col(id_col).alias("vec_id"), emb.alias("v"), dists.alias("dists"))
+        .select(
+            "vec_id",
+            "v",
+            (F.array_position(F.col("dists"), F.array_min(F.col("dists"))) - 1)
+            .cast("int")
+            .alias("list_id"),
+            F.round(F.array_min(F.col("dists")), ROUND_DP).alias("cdist"),
+        )
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        "list_id", F.col("cdist").alias("ca"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        "list_id", F.col("cdist").alias("cb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.round(cos, ROUND_DP) >= tau)
+        .filter(
+            (F.col("cb") > F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        base.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "list_id", "cdist", F.col("_d").isNull().alias("keep"))
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    tau: float = 0.9,
+    n_lists: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``semantic_dedup`` (hash-quantizer centroids).
+    Squared centroid distance uses the expanded form
+    ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ (DuckDB lacks Spark's zip_with fold); the two
+    differ only in float rounding ~1e-15, absorbed by ROUND_DP."""
+
+    def cent(c: int) -> str:
+        return "[" + ", ".join(f"{v!r}" for v in _centroid(c, dim)) + "]::DOUBLE[]"
+
+    def sqd(c: int) -> str:
+        cc = sum(v * v for v in _centroid(c, dim))
+        return (
+            f"(list_dot_product(v, v) - 2.0 * list_dot_product(v, {cent(c)})"
+            f" + {cc!r})"
+        )
+
+    dists = ", ".join(sqd(c) for c in range(n_lists))
+    cos = (
+        "round(list_dot_product(a.va, b.vb)"
+        " / (sqrt(list_dot_product(a.va, a.va))"
+        f" * sqrt(list_dot_product(b.vb, b.vb))), {ROUND_DP})"
+    )
+    return f"""
+WITH pts AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}),
+assigned AS (
+  SELECT vec_id, v,
+         (list_position([{dists}], list_min([{dists}])) - 1)::INT AS list_id,
+         round(list_min([{dists}]), {ROUND_DP}) AS cdist
+  FROM pts),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM (SELECT vec_id, v AS va, list_id, cdist AS ca FROM assigned) a
+  JOIN (SELECT vec_id, v AS vb, list_id, cdist AS cb FROM assigned) b
+    ON a.list_id = b.list_id AND a.vec_id != b.vec_id
+  WHERE {cos} >= {tau}
+    AND (b.cb > a.ca OR (b.cb = a.ca AND b.vec_id < a.vec_id)))
+SELECT vec_id, list_id, cdist,
+       vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM assigned
+"""
