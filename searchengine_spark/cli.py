@@ -350,12 +350,16 @@ def _cmd_delete(args) -> None:
 
     t0 = time.perf_counter()
     eng = SearchEngine(spark, args.index)
-    if args.ids:
+    if getattr(args, "query", ""):
+        # _delete_by_query: the match set is tombstoned distributed —
+        # it never passes through the driver as an id list
+        n = eng.delete_by_query(args.query, mode=args.mode)
+    elif args.ids:
         ids = [int(x) for x in args.ids.split(",") if x.strip()]
+        n = eng.delete_docs(ids)
     else:
         rows = spark.read.parquet(args.input).select(args.id_col).collect()
-        ids = [r[0] for r in rows]
-    n = eng.delete_docs(ids)
+        n = eng.delete_docs([r[0] for r in rows])
     print(
         json.dumps(
             {
@@ -949,6 +953,10 @@ def main(argv: list[str] | None = None) -> None:
     dl.add_argument("--ids", default="", help="comma-separated doc ids")
     dl.add_argument("--input", default="", help="parquet of ids to delete (alternative to --ids)")
     dl.add_argument("--id-col", default="doc_id")
+    dl.add_argument("--query", default="",
+                    help="delete-by-query: tombstone the full match set (distributed write)")
+    dl.add_argument("--mode", default="or", choices=["or", "and"],
+                    help="match mode for --query")
     dl.set_defaults(fn=_cmd_delete)
 
     cp = sub.add_parser("compact", help="fold epochs + tombstones into the canonical batch layout")

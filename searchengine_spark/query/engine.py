@@ -128,6 +128,35 @@ class SearchEngine:
         so deletes propagate across engine handles like meta changes do."""
         return self._write_tombstones(doc_ids, wm=None)
 
+    def delete_by_query(
+        self, query: str, mode: str = "or", doc_filter=None
+    ) -> int:
+        """ES ``_delete_by_query``: tombstone the FULL match set of a
+        boolean query (``mode`` = "or" | "and") WITHOUT collecting it —
+        the matched DataFrame (``matching_docs``: pruned segment scan,
+        set kernel) is appended straight to the tombstone directory as a
+        distributed write, so a web-scale match set never passes through
+        the driver (contrast ``delete_docs``, whose explicit id list is
+        the bounded-closure path). Semantics afterwards are identical to
+        ``delete_docs``: immediate exclusion from every query surface,
+        stats unchanged until ``compact_streamed_index`` folds the
+        tombstones physically. Returns the number of docs tombstoned
+        (already-deleted docs don't match, so repeats return 0)."""
+        matched = self.matching_docs(query, mode=mode, doc_filter=doc_filter)
+        out = matched.select(
+            F.col("doc_id"), F.lit(None).cast("long").alias("wm")
+        ).persist()
+        try:
+            n = out.count()
+            if n:
+                out.write.mode("append").parquet(
+                    os.path.join(self.index_dir, "tombstones")
+                )
+                self._tomb = None
+        finally:
+            out.unpersist()
+        return n
+
     def _write_tombstones(self, doc_ids, wm: int | None) -> int:
         """Append tombstone rows. ``wm=None`` → plain delete (dead in every
         epoch); ``wm=E`` → update tombstone (dead only in epochs ≤ E, so a

@@ -174,3 +174,47 @@ def test_stream_resumes_from_compacted_totals(spark, tmp_path):
     got = {d_ for d_, _ in eng.search(Q, k=200)}
     assert got.isdisjoint(dead)
     assert any(d_ >= 60 for d_ in got)  # the new epoch is queryable
+
+
+def test_delete_by_query_tombstones_match_set(spark, tmp_path, corpus):
+    """ES _delete_by_query: the FULL match set is tombstoned via a
+    distributed write (no driver id list); matching docs vanish from
+    every query, non-matching docs keep exact scores, and a repeat run
+    deletes nothing (already-dead docs don't match)."""
+    eng = _build(spark, corpus, tmp_path, "idx")
+    matched = sorted(
+        r["doc_id"] for r in eng.matching_docs("merge").collect()
+    )
+    assert matched  # fixture sanity
+    before = {d: s for d, s in eng.search(Q, k=40, use_wand=False)}
+
+    n = eng.delete_by_query("merge")
+    assert n == len(matched)
+    # dead everywhere: OR search, AND search, match set, batch
+    assert eng.matching_docs("merge").count() == 0
+    assert {d for d, _ in eng.search("merge", k=10)} == set()
+    after = {d: s for d, s in eng.search(Q, k=40, use_wand=False)}
+    assert set(after).isdisjoint(matched)
+    for d, s in after.items():
+        if d in before:
+            assert s == before[d]  # stats untouched pre-compaction
+
+    # idempotent: the matching docs are already dead, so nothing matches
+    assert eng.delete_by_query("merge") == 0
+
+    # a second handle picks the tombstones up via the dir fingerprint
+    eng2 = SearchEngine(spark, eng.index_dir)
+    assert eng2.matching_docs("merge").count() == 0
+
+
+def test_delete_by_query_and_mode_and_filter(spark, tmp_path, corpus):
+    """mode='and' deletes only the conjunctive match set; a doc_filter
+    narrows the deletion the same way it narrows search."""
+    eng = _build(spark, corpus, tmp_path, "idx")
+    both = {r["doc_id"] for r in eng.matching_docs(Q, mode="and").collect()}
+    any_ = {r["doc_id"] for r in eng.matching_docs(Q, mode="or").collect()}
+    assert both and both < any_  # fixture: AND is a strict subset
+    n = eng.delete_by_query(Q, mode="and")
+    assert n == len(both)
+    left = {r["doc_id"] for r in eng.matching_docs(Q, mode="or").collect()}
+    assert left == any_ - both
