@@ -212,6 +212,109 @@ class SearchEngine:
         append_docs(updates, self.index_dir, id_col=id_col, text_col=text_col)
         return len(ids)
 
+    def update_by_query(
+        self,
+        query: str,
+        transform,
+        mode: str = "or",
+        doc_filter=None,
+        corpus_df: "DataFrame | None" = None,
+    ) -> int:
+        """ES ``_update_by_query``: re-ingest every doc matching ``query``
+        after applying ``transform`` (a DataFrame→DataFrame callable over
+        the matched docs' source rows; it must preserve the id and text
+        columns). Source rows come from ``corpus_df`` when given (an
+        external source-of-truth table, semi-joined with the match set —
+        no doc store needed), else from the index's own doc store
+        (``store_source=True`` build).
+
+        In the doc-store path the store's affected ``doc_part`` partitions
+        are REWRITTEN with the new versions (dynamic partition overwrite),
+        so ``fetch``/``search_fetch``/``reindex`` keep seeing exactly one —
+        current — version per doc. The partition rewrite is not
+        transactional (a crash mid-write can leave affected partitions
+        needing a re-run); postings-side replacement goes through
+        ``update_docs`` (epoch-watermarked tombstone + fresh epoch), which
+        commits manifest-first and is crash-safe. Requires an epoch-layout
+        index, like every update (one ``compact_streamed_index`` converts
+        a batch build). Returns the number of docs updated."""
+        meta = self.meta
+        matched = self.matching_docs(query, mode=mode, doc_filter=doc_filter)
+        if corpus_df is not None:
+            id_col = meta.source_id_col if meta.has_source else "doc_id"
+            # caller tables may use any id column name; match on the first
+            id_col = id_col if id_col in corpus_df.columns else corpus_df.columns[0]
+            text_col = (
+                meta.source_text_col
+                if meta.source_text_col and meta.source_text_col in corpus_df.columns
+                else "text"
+            )
+            hit = corpus_df.join(
+                matched.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+            ).persist()
+            try:
+                if hit.count() == 0:
+                    return 0
+                updated = transform(hit)
+                return self.update_docs(updated, id_col=id_col, text_col=text_col)
+            finally:
+                hit.unpersist()
+        if not meta.has_source:
+            raise ValueError(
+                "update_by_query needs corpus_df= or a doc store "
+                "(build with store_source=True)"
+            )
+        id_col, text_col = meta.source_id_col, meta.source_text_col
+        if not text_col:
+            raise ValueError(
+                "source meta predates source_text_col — pass corpus_df="
+            )
+        src_path = os.path.join(self.index_dir, "source")
+        src = self.spark.read.parquet(src_path)
+        m = matched.select(F.col("doc_id").alias(id_col))
+        hit = src.join(m, id_col, "left_semi").persist()
+        try:
+            if hit.count() == 0:
+                return 0
+            updated = transform(hit.drop("doc_part"))
+            missing = {id_col, text_col} - set(updated.columns)
+            if missing:
+                raise ValueError(f"transform dropped required columns {missing}")
+            n = self.update_docs(updated, id_col=id_col, text_col=text_col)
+            # store refresh: rewrite ONLY the affected doc_part partitions —
+            # unchanged rows of those partitions carried over, new versions in
+            parts = sorted(
+                int(r["doc_part"])
+                for r in hit.select("doc_part").distinct().collect()
+            )
+            n_parts = 1 << meta.range_bits
+            keep = (
+                src.filter(F.col("doc_part").isin(parts))
+                .join(m, id_col, "left_anti")
+            )
+            new_rows = updated.select(*[c for c in src.columns if c != "doc_part"]).withColumn(
+                "doc_part", F.pmod(F.col(id_col), F.lit(n_parts)).cast("int")
+            )
+            # localCheckpoint cuts the plan's lineage off src_path — Spark
+            # refuses to overwrite a path its own plan still reads from
+            combined = (
+                keep.unionByName(new_rows.select(*keep.columns))
+                .repartition("doc_part")
+                # keep the builder's sorted-by-id layout: parquet row-group
+                # min/max stats keep skipping for point fetches
+                .sortWithinPartitions(id_col)
+                .localCheckpoint()
+            )
+            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                combined.write.mode("overwrite").partitionBy("doc_part").parquet(src_path)
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            return n
+        finally:
+            hit.unpersist()
+
     def _tombstones(self):
         """(plain, upd, upd_wm): ``plain`` = sorted-u64 ids dead everywhere
         (deletes); ``upd``/``upd_wm`` = sorted-u64 updated ids + parallel

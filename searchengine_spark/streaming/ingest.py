@@ -74,6 +74,23 @@ def _manifest_state(index_dir: str) -> tuple[list[dict], list[dict], dict | None
     return epochs_all, epochs_since, (full[last_c] if last_c >= 0 else None)
 
 
+def _carry_source_fields(index_dir: str, meta):
+    """Epoch commits and manifest recovery build a FRESH IndexMeta (the
+    manifest doesn't record doc-store fields) — copy ``has_source`` /
+    ``source_id_col`` / ``source_text_col`` forward from the existing
+    meta.json so an epoch append never silently detaches the doc store."""
+    from ..index.build import IndexMeta
+
+    path = os.path.join(index_dir, "meta.json")
+    if meta is None or not os.path.exists(path):
+        return meta
+    old = IndexMeta.load(index_dir)
+    meta.has_source = old.has_source
+    meta.source_id_col = old.source_id_col
+    meta.source_text_col = old.source_text_col
+    return meta
+
+
 def _meta_from_manifest(
     epochs_all: list[dict],
     epochs_since: list[dict],
@@ -329,7 +346,7 @@ def _commit_epoch(
         has_positions=with_positions,
         analyzer=analyzer,
     )
-    write_meta_atomic(index_dir, meta)
+    write_meta_atomic(index_dir, _carry_source_fields(index_dir, meta))
 
 
 def append_docs(
@@ -478,7 +495,9 @@ def incremental_index(
                 IndexMeta.load(index_dir).stream_epochs != len(epochs_since)
             )
             if stale and recovered is not None:
-                write_meta_atomic(index_dir, recovered)
+                write_meta_atomic(
+                    index_dir, _carry_source_fields(index_dir, recovered)
+                )
             return
         _commit_epoch(
             batch_df, index_dir, int(epoch_id), stream_id,
@@ -579,7 +598,18 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
                 upd, upd_wm = upd[keep], upd_wm[keep]
             if len(upd) == 0:
                 upd, upd_wm = None, None
-    if not meta.stream_epochs and tomb is None and upd is None:
+    _ea, _, _cm = _manifest_state(index_dir)
+    already_epoch_layout = bool(_ea) or _cm is not None
+    if (
+        already_epoch_layout
+        and not meta.stream_epochs
+        and tomb is None
+        and upd is None
+    ):
+        # nothing to fold AND already epoch-layout → true no-op. A pure
+        # batch build (no epoch lines, no compaction marker) falls through:
+        # one compaction pass is the documented way to CONVERT it to the
+        # epoch layout so append_docs/update_docs can extend it.
         return meta
     seg_dir = os.path.join(index_dir, meta.segments_dir)
     blocks = spark.read.parquet(seg_dir)

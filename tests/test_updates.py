@@ -111,3 +111,79 @@ def test_compaction_restores_exact_stats(spark, tmp_path, eng):
         assert eng.search_phrase(q, k=10) == fresh.search_phrase(q, k=10), q
     assert eng.meta.n_docs == 4
     assert pre  # compaction changed stats, so scores may differ from pre
+
+
+# ---------------------------------------------------------- update_by_query
+def test_update_by_query_with_corpus_df(spark, eng):
+    """corpus_df path (external source of truth): every doc matching
+    'stream' gets its text rewritten; matching docs score under the NEW
+    text, non-matching docs are untouched."""
+    corpus = _df(spark, ROWS_V0)
+    matched = {r["doc_id"] for r in eng.matching_docs("stream").collect()}
+    assert matched == {2, 4}
+    n = eng.update_by_query(
+        "stream",
+        lambda df: df.withColumn("text", F.lit("rewritten doc only")),
+        corpus_df=corpus,
+    )
+    assert n == 2
+    # old text gone, new text scores
+    assert {d for d, _ in eng.search("stream", k=10)} == set()
+    assert {d for d, _ in eng.search("rewritten", k=10)} == {2, 4}
+    # non-matching docs untouched
+    assert {d for d, _ in eng.search("filter", k=10)} == {1, 3}
+
+
+def test_update_by_query_store_path_refreshes_fetch(spark, tmp_path):
+    """Doc-store path: matched docs are transformed FROM the store, the
+    postings replace in place, and the store's affected partitions are
+    rewritten so fetch returns exactly one — current — version per doc."""
+    from searchengine_spark.streaming.ingest import compact_streamed_index
+
+    idx = str(tmp_path / "sidx")
+    eng = SearchEngine(spark, idx)
+    eng.build_index_from_df(
+        _df(spark, ROWS_V0), id_col="doc_id", text_col="text",
+        n_buckets=2, range_bits=1, store_source=True,
+    )
+    compact_streamed_index(spark, idx)  # convert to epoch layout
+    eng = SearchEngine(spark, idx)
+
+    n = eng.update_by_query(
+        "stream",
+        lambda df: df.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" patched"))
+        ),
+    )
+    assert n == 2
+    # postings: the appended token is searchable, old tokens remain (concat)
+    assert {d for d, _ in eng.search("patched", k=10)} == {2, 4}
+    assert {d for d, _ in eng.search("stream", k=10)} == {2, 4}
+    # store: ONE row per updated doc, carrying the new text
+    rows = eng.fetch([2, 4]).collect()
+    assert len(rows) == 2
+    assert all(r["text"].endswith("patched") for r in rows)
+    # untouched doc's stored row survives the partition rewrite
+    (r1,) = eng.fetch([1]).collect()
+    assert r1["text"] == ROWS_V0[0][1]
+
+
+def test_update_by_query_no_match_is_noop(spark, eng):
+    assert eng.update_by_query(
+        "nosuchtoken", lambda df: df, corpus_df=_df(spark, ROWS_V0)
+    ) == 0
+
+
+def test_update_by_query_guards_dropped_columns(spark, tmp_path):
+    from searchengine_spark.streaming.ingest import compact_streamed_index
+
+    idx = str(tmp_path / "gidx")
+    eng = SearchEngine(spark, idx)
+    eng.build_index_from_df(
+        _df(spark, ROWS_V0), id_col="doc_id", text_col="text",
+        n_buckets=2, range_bits=1, store_source=True,
+    )
+    compact_streamed_index(spark, idx)
+    eng = SearchEngine(spark, idx)
+    with pytest.raises(ValueError, match="required columns"):
+        eng.update_by_query("stream", lambda df: df.drop("text"))
