@@ -344,6 +344,38 @@ def _cmd_update(args) -> None:
     )
 
 
+def _cmd_update_by_query(args) -> None:
+    """ES ``_update_by_query`` with a ``ctx._source``-style script: here the
+    script is a JVM-side regexp_replace over the text column (never a
+    per-row Python transform), applied to every doc matching --query."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .query.engine import SearchEngine
+
+    t0 = time.perf_counter()
+    eng = SearchEngine(spark, args.index)
+    if "=>" not in args.replace:
+        raise SystemExit("--replace must look like 'pattern=>replacement'")
+    pattern, repl = args.replace.split("=>", 1)
+    text_col = eng.meta.source_text_col or "text"
+
+    def transform(df):
+        return df.withColumn(text_col, F.regexp_replace(text_col, pattern, repl))
+
+    corpus = spark.read.parquet(args.input) if args.input else None
+    n = eng.update_by_query(args.query, transform, mode=args.mode, corpus_df=corpus)
+    print(
+        json.dumps(
+            {
+                "updated": args.index,
+                "n_docs": n,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
 def _cmd_delete(args) -> None:
     spark = _spark(args)
     from .query.engine import SearchEngine
@@ -947,6 +979,20 @@ def main(argv: list[str] | None = None) -> None:
     up.add_argument("--id-col", default="doc_id")
     up.add_argument("--text-col", default="content")
     up.set_defaults(fn=_cmd_update)
+
+    ubq = sub.add_parser(
+        "update-by-query",
+        help="transform every doc matching a query in place (ES _update_by_query)",
+    )
+    ubq.add_argument("--index", required=True)
+    ubq.add_argument("--query", required=True)
+    ubq.add_argument("--mode", default="or", choices=["or", "and"],
+                     help="match mode for --query")
+    ubq.add_argument("--replace", required=True,
+                     help="'pattern=>replacement' regexp over the text column")
+    ubq.add_argument("--input", default="",
+                     help="optional source-of-truth parquet (else the doc store)")
+    ubq.set_defaults(fn=_cmd_update_by_query)
 
     dl = sub.add_parser("delete", help="tombstone docs (removed from queries now, folded at compact)")
     dl.add_argument("--index", required=True)

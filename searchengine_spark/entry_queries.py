@@ -559,6 +559,72 @@ FS_FUNCTIONS = [
 FS_K = 25
 
 
+RS_SEED, RS_WEIGHT = 42, 0.5
+
+
+def q_random_score_topk(spark, sf_dir):
+    """ES random_score (seeded): BM25 + weight·md5-unit-hash(doc_id:seed) —
+    deterministic exploration jitter, reproducible across engines and
+    partitionings (F.rand would not be)."""
+    from .scoring import random_score, topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    return topk(
+        random_score(scored, seed=RS_SEED, weight=RS_WEIGHT, round_dp=ROUND_DP),
+        FS_K,
+    )
+
+
+def _random_score_sql(query: str, k: int) -> str:
+    from .scoring import random_score_sql
+
+    inner = random_score_sql(
+        _bm25_sql(query), seed=RS_SEED, weight=RS_WEIGHT, round_dp=ROUND_DP
+    )
+    return f"""
+SELECT doc_id, score FROM ({inner}) t
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+RF_PIVOT, RF_BOOST = 200.0, 2.0
+
+
+def q_rank_feature_topk(spark, sf_dir):
+    """ES rank_feature (saturation): BM25 + boost·n_chars/(n_chars+pivot) —
+    a monotone bounded static-signal boost (length prior here; pagerank or
+    freshness in production). Saturation is division-only, so the DuckDB
+    twin hash-aligns at 5dp."""
+    from .scoring import rank_feature, topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    boosted = rank_feature(
+        scored, meta, "n_chars", function="saturation",
+        boost=RF_BOOST, pivot=RF_PIVOT, round_dp=ROUND_DP,
+    )
+    return topk(boosted, FS_K)
+
+
+def _rank_feature_sql(query: str, k: int) -> str:
+    from .scoring import rank_feature_sql
+
+    inner = rank_feature_sql(
+        _bm25_sql(query), "documents", "n_chars", function="saturation",
+        boost=RF_BOOST, pivot=RF_PIVOT, round_dp=ROUND_DP,
+    )
+    return f"""
+SELECT doc_id, score FROM ({inner}) t
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_function_score_topk(spark, sf_dir):
     """ES function_score: BM25 relevance boosted by a length prior
     (ln1p(0.001·n_chars)) plus a +0.4 English bump — functions summed,
@@ -1479,6 +1545,35 @@ GROUP BY 1
 COMPOSITE_KEYS = ["lang", "source"]
 COMPOSITE_SIZE = 10
 COMPOSITE_AFTER = ("de", "src5")  # mid-space cursor → page 2 shape
+
+
+DS_MAX_PER, DS_SIZE = 3, 25
+
+
+def q_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler: best-scoring sample of the match set, capped
+    at max_docs_per_value docs per source so one hot source can't dominate
+    downstream aggregations. Scores round BEFORE the cap/cut windows so
+    the sample boundary is engine-independent."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return eng.diversified_sampler(
+        FACET_QUERY, docs, "source",
+        max_docs_per_value=DS_MAX_PER, shard_size=DS_SIZE, round_dp=ROUND_DP,
+    )
+
+
+def _diversified_sampler_sql(query: str, field: str, max_per: int, size: int) -> str:
+    return f"""
+WITH scored AS ({_bm25_sql(query)}),
+j AS (SELECT s.doc_id, s.score, d.{field}
+      FROM scored s JOIN documents d USING (doc_id)),
+capped AS (SELECT *, row_number() OVER (
+             PARTITION BY {field} ORDER BY score DESC, doc_id ASC) AS rn
+           FROM j)
+SELECT doc_id, score, {field} FROM capped WHERE rn <= {max_per}
+ORDER BY score DESC, doc_id ASC LIMIT {size}
+"""
 
 
 def q_facet_composite(spark, sf_dir):
@@ -3809,6 +3904,14 @@ def q_emb_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_embs(spark, sf_dir), _QUERY_VEC, k=25)
 
 
+def q_knn_filtered(spark, sf_dir):
+    """ES knn+filter: pre-filter on metadata, then exact cosine top-k —
+    always k MATCHING rows (a post-filtered global top-k would under-fill)."""
+    return similarity.knn_filtered(
+        _embs(spark, sf_dir), _QUERY_VEC, "label IN (0, 2)", k=25
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     # allow_full_scan: this entry IS the small-corpus exactness baseline the
     # LSH-composed path (emb_neardup_lsh) is judged against
@@ -4264,6 +4367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_index_topk": q_lm_index_topk,
         "collapse_topk": q_collapse_topk,
         "function_score_topk": q_function_score_topk,
+        "rank_feature_topk": q_rank_feature_topk,
+        "random_score_topk": q_random_score_topk,
         "parent_topk": q_parent_topk,
         "recency_topk": q_recency_topk,
         "hit_counts": q_hit_counts,
@@ -4290,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats": q_facet_stats,
         "facet_histogram": q_facet_histogram,
         "facet_composite": q_facet_composite,
+        "diversified_sampler": q_diversified_sampler,
         "facet_range": q_facet_range,
         "facet_filters": q_facet_filters,
         "facet_rare_terms": q_facet_rare_terms,
@@ -4389,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "knn_filtered": q_knn_filtered,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,
@@ -4433,6 +4540,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
 """,
         "collapse_topk": _collapse_sql(BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K),
         "function_score_topk": _function_score_sql(BM25_QUERY, FS_K),
+        "rank_feature_topk": _rank_feature_sql(BM25_QUERY, FS_K),
+        "random_score_topk": _random_score_sql(BM25_QUERY, FS_K),
         "parent_topk": _parent_sql(BM25_QUERY, COLLAPSE_FIELD, PARENT_K, PARENT_MODE),
         "recency_topk": _recency_sql(
             BM25_QUERY, RECENCY_HALF_LIFE, RECENCY_AGE_MOD, RECENCY_K
@@ -4459,6 +4568,9 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "mlt_topk": _mlt_sql(MLT_DOC_ID, MLT_MAX_TERMS, MLT_K),
         "facet_lang_or": _facet_sql(FACET_QUERY.split(), "lang", "or"),
         "facet_composite": _facet_composite_sql(FACET_QUERY.split(), COMPOSITE_KEYS, COMPOSITE_SIZE, COMPOSITE_AFTER),
+        "diversified_sampler": _diversified_sampler_sql(
+            FACET_QUERY, "source", DS_MAX_PER, DS_SIZE
+        ),
         "facet_range": _facet_range_sql(FACET_QUERY.split(), "n_chars", RANGE_BUCKETS),
         "facet_filters": _facet_filters_sql(FACET_QUERY.split(), FILTER_BUCKETS),
         "facet_rare_terms": _facet_rare_terms_sql([RARE_QUERY], "source", RARE_MAX_DOC_COUNT),
@@ -4594,6 +4706,9 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         "media_frames": multimodal.frame_sample_sql("documents"),
         "media_features": multimodal.extract_features_sql("documents"),
         "emb_cosine_topk": similarity.cosine_topk_sql("embeddings", _QUERY_VEC, k=25),
+        "knn_filtered": similarity.knn_filtered_sql(
+            "embeddings", _QUERY_VEC, "label IN (0, 2)", k=25
+        ),
         "emb_neardup": similarity.cosine_neardup_sql("embeddings", tau=0.3),
         "emb_neardup_lsh": similarity.cosine_neardup_lsh_sql(
             "embeddings", tau=0.3, n_planes=8, dim=64

@@ -65,6 +65,40 @@ LIMIT {k}
 """
 
 
+def knn_filtered(
+    df: DataFrame,
+    query_vec: list[float],
+    where,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES ``knn`` with ``filter`` — PRE-filter semantics: the metadata
+    predicate restricts the candidate set BEFORE any distance math, so the
+    result always holds k MATCHING vectors (post-filtering an unfiltered
+    top-k under-fills whenever fewer than k of the global neighbors
+    satisfy the predicate — ES made the same pre-filter choice for
+    correctness). ``where`` is a Column or a SQL string; as a plain
+    comparison/IN it lands in the parquet scan's PushedFilters, so at
+    100 TB the distance kernel touches only surviving row groups."""
+    pred = F.expr(where) if isinstance(where, str) else where
+    return cosine_topk(df.filter(pred), query_vec, k, id_col, vec_col)
+
+
+def knn_filtered_sql(
+    table: str,
+    query_vec: list[float],
+    where: str,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    return cosine_topk_sql(
+        f"(SELECT * FROM {table} WHERE {where}) AS knn_filtered",
+        query_vec, k, id_col, vec_col,
+    )
+
+
 def cosine_neardup(
     df: DataFrame,
     tau: float = 0.9,
@@ -358,17 +392,23 @@ def lsh_stored_topk(
     query_vec: list[float],
     k: int = 20,
     hamming: int = 1,
+    where=None,
 ) -> DataFrame:
     """Top-k over a ``lsh_write`` layout. The probe-bucket IN-filter lands in
     the scan's PartitionFilters (plan-tested), so only
     |probes|/2^n_planes of the stored bytes are read — no per-query
-    re-assignment of the full table."""
+    re-assignment of the full table. ``where`` (optional metadata predicate,
+    ES knn filter) composes: partition pruning picks the probe directories,
+    the predicate prunes row groups inside them — pre-filter semantics
+    within the probed buckets."""
     meta = read_ann_meta(path)
     assert meta["kind"] == "lsh", f"not an LSH layout: {path}"
     probes = _probe_buckets(
         query_bucket(query_vec, meta["n_planes"]), meta["n_planes"], hamming
     )
     stored = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    if where is not None:
+        stored = stored.filter(F.expr(where) if isinstance(where, str) else where)
     return cosine_topk(stored, query_vec, k, meta["id_col"], meta["vec_col"])
 
 
@@ -402,13 +442,19 @@ def ivf_stored_topk(
     query_vec: list[float],
     k: int = 20,
     nprobe: int = 4,
+    where=None,
 ) -> DataFrame:
     """Top-k over an ``ivf_write`` layout: nearest-nprobe list_ids from the
-    PERSISTED centroids → partition-pruned scan → exact cosine inside."""
+    PERSISTED centroids → partition-pruned scan → exact cosine inside.
+    ``where`` (optional metadata predicate, ES knn filter) composes with
+    the pruning: list_id picks partitions, the predicate prunes row groups
+    inside them — pre-filter semantics within the probed lists."""
     meta = read_ann_meta(path)
     assert meta["kind"] == "ivf", f"not an IVF layout: {path}"
     probes = _query_lists(query_vec, meta["n_lists"], nprobe, meta["centroids"])
     stored = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    if where is not None:
+        stored = stored.filter(F.expr(where) if isinstance(where, str) else where)
     return cosine_topk(stored, query_vec, k, meta["id_col"], meta["vec_col"])
 
 

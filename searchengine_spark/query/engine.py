@@ -1837,6 +1837,47 @@ class SearchEngine:
         ])
         return row.select(F.explode(pair_structs).alias("s")).select("s.*")
 
+    def diversified_sampler(
+        self,
+        query: str,
+        metadata: DataFrame,
+        field: str,
+        max_docs_per_value: int = 1,
+        shard_size: int = 100,
+        doc_filter=None,
+        round_dp: int | None = None,
+    ) -> DataFrame:
+        """Elasticsearch ``diversified_sampler`` aggregation: a
+        best-scoring SAMPLE of the match set with a de-bias cap — at most
+        ``max_docs_per_value`` docs per distinct ``field`` value, then the
+        top ``shard_size`` of the survivors by score. Feeds downstream
+        aggregations (significant_terms etc.) so one over-represented host
+        or repo can't dominate what they see.
+
+        Shape: full scored match set (``scored_docs``, distributed) ⋈
+        metadata on doc_id, ONE window per field value for the cap (the
+        shuffle partitions by ``field``; skew = a single hot value — at
+        100 TB pre-aggregate such values or salt the window), then a
+        global TakeOrderedAndProject for the sample cut. Scores round at
+        ``round_dp`` BEFORE ranking so the cap and cut are reproducible
+        cross-engine. Returns DataFrame[doc_id, score, <field>]."""
+        from pyspark.sql import Window
+
+        scored = self.scored_docs(query, doc_filter)
+        if round_dp is not None:
+            scored = scored.select(
+                "doc_id", F.round("score", round_dp).alias("score")
+            )
+        j = scored.join(metadata.select("doc_id", field), "doc_id")
+        w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_docs_per_value)
+            .drop("_rn")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(shard_size)
+        )
+
     def stats(self) -> dict:
         """Index statistics (ES ``_stats`` / Lucene SegmentInfos analogue),
         served ENTIRELY from driver-side metadata — meta.json, the

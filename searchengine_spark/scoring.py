@@ -885,3 +885,141 @@ def function_score_sql(
 SELECT b.doc_id,
        CASE WHEN {matched} THEN round({boosted}, {round_dp}) ELSE b.score END AS score
 FROM ({base_sql}) b LEFT JOIN {meta_table} m USING (doc_id)"""
+
+
+def _rank_feature_col(feat, function: str, pivot: float, scaling: float, exponent: float):
+    """The three ES rank_feature value functions over a non-negative
+    feature column (ES: `rank_feature` query, feature S):
+
+    * saturation: S / (S + pivot)           (default; bounded in [0, 1))
+    * log:        ln(scaling + S)
+    * sigmoid:    S^exp / (S^exp + pivot^exp)
+    """
+    s = feat.cast("double")
+    if function == "saturation":
+        return s / (s + F.lit(float(pivot)))
+    if function == "log":
+        return F.log(F.lit(float(scaling)) + s)
+    if function == "sigmoid":
+        num = F.pow(s, F.lit(float(exponent)))
+        return num / (num + F.lit(float(pivot) ** float(exponent)))
+    raise ValueError(f"unknown rank_feature function {function!r}")
+
+
+def rank_feature(
+    scored: DataFrame,
+    metadata: DataFrame,
+    field: str,
+    function: str = "saturation",
+    boost: float = 1.0,
+    pivot: float = 1.0,
+    scaling: float = 1.0,
+    exponent: float = 1.0,
+    missing: float = 0.0,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Elasticsearch ``rank_feature`` as a bool-should clause: the query
+    score PLUS boost·fn(feature) — static per-doc signals (pagerank,
+    freshness, length priors) folded into relevance without rescoring.
+    Unlike ``function_score`` (arbitrary filter-gated arithmetic), the
+    rank_feature functions are monotone and bounded, so the boost can
+    never invert the relevance order between docs with equal features.
+
+    Determinism contract mirrors function_score: the feature value rounds
+    at ``round_dp`` before the add, the sum rounds once more — the SQL twin
+    (``rank_feature_sql``) aligns bit-for-bit for saturation (division
+    only); log/sigmoid involve libm and are pytest-verified instead.
+
+    Plan at 100 TB: one LEFT join of candidate-sized ``scored`` against the
+    feature column (broadcast when the candidate set is small), then pure
+    column exprs — no shuffle beyond the join."""
+    feat = F.coalesce(F.col(field).cast("double"), F.lit(float(missing)))
+    val = F.round(
+        F.lit(float(boost)) * _rank_feature_col(feat, function, pivot, scaling, exponent),
+        round_dp,
+    )
+    j = scored.join(metadata.select("doc_id", field), "doc_id", "left")
+    return j.select(
+        "doc_id", F.round(F.col("score") + val, round_dp).alias("score")
+    )
+
+
+def rank_feature_sql(
+    base_sql: str,
+    meta_table: str,
+    field: str,
+    function: str = "saturation",
+    boost: float = 1.0,
+    pivot: float = 1.0,
+    scaling: float = 1.0,
+    exponent: float = 1.0,
+    missing: float = 0.0,
+    round_dp: int = 5,
+) -> str:
+    """DuckDB twin of ``rank_feature`` — same functions, same rounding
+    points."""
+    s = f"coalesce(m.{field}::DOUBLE, {float(missing)!r})"
+    if function == "saturation":
+        v = f"({s}) / (({s}) + {float(pivot)!r})"
+    elif function == "log":
+        v = f"ln({float(scaling)!r} + ({s}))"
+    elif function == "sigmoid":
+        num = f"pow({s}, {float(exponent)!r})"
+        v = f"({num}) / (({num}) + {float(pivot) ** float(exponent)!r})"
+    else:
+        raise ValueError(f"unknown rank_feature function {function!r}")
+    val = f"round({float(boost)!r} * ({v}), {round_dp})"
+    return f"""
+SELECT b.doc_id, round(b.score + {val}, {round_dp}) AS score
+FROM ({base_sql}) b LEFT JOIN {meta_table} m USING (doc_id)"""
+
+
+def random_score(
+    scored: DataFrame,
+    seed: int = 0,
+    weight: float = 1.0,
+    boost_mode: str = "sum",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Elasticsearch ``function_score`` ``random_score`` with a seed:
+    a DETERMINISTIC per-doc uniform [0, 1) — md5(doc_id:seed), the same
+    engine-portable unit hash the sampling ops use — folded into the query
+    score (``sum`` jitters ties apart for exploration; ``replace`` gives a
+    seeded random shuffle of the match set). Reproducible across runs,
+    partitionings, and engines — unlike ``F.rand(seed)``, whose draw
+    depends on the physical partition index, this survives AQE re-plans
+    and executor loss at 100 TB."""
+    from .ops.sampling import hash_unit
+
+    if boost_mode not in ("sum", "multiply", "replace"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    r = F.round(F.lit(float(weight)) * hash_unit(F.col("doc_id"), seed), round_dp)
+    if boost_mode == "sum":
+        out = F.col("score") + r
+    elif boost_mode == "multiply":
+        out = F.col("score") * r
+    else:
+        out = r
+    return scored.select("doc_id", F.round(out, round_dp).alias("score"))
+
+
+def random_score_sql(
+    base_sql: str,
+    seed: int = 0,
+    weight: float = 1.0,
+    boost_mode: str = "sum",
+    round_dp: int = 5,
+) -> str:
+    """DuckDB twin of ``random_score`` — identical md5 unit-hash arithmetic."""
+    from .ops.sampling import _hash_unit_sql
+
+    r = f"round({float(weight)!r} * ({_hash_unit_sql('b.doc_id', seed)}), {round_dp})"
+    if boost_mode == "sum":
+        out = f"b.score + {r}"
+    elif boost_mode == "multiply":
+        out = f"b.score * {r}"
+    else:
+        out = r
+    return f"""
+SELECT b.doc_id, round({out}, {round_dp}) AS score
+FROM ({base_sql}) b"""

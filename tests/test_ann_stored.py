@@ -119,6 +119,69 @@ def test_ivf_stored_with_trained_centroids(spark, embs, qvec, tmp_path):
     assert S.read_ann_meta(p)["centroids"] == cents
 
 
+def test_knn_filtered_is_prefilter(spark, embs, qvec):
+    """ES knn+filter semantics: every returned row satisfies the predicate,
+    the set equals brute-force-over-the-filtered-table, and it FILLS k even
+    when the unfiltered global top-k holds < k matching rows (the exact case
+    post-filtering gets wrong)."""
+    where = "label = 1"
+    got = S.knn_filtered(embs, qvec, where, k=10).collect()
+    want = S.cosine_topk(embs.filter(where), qvec, k=10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+    assert len(got) == 10
+    labels = {
+        r["label"]
+        for r in embs.join(
+            S.knn_filtered(embs, qvec, where, k=10).select("vec_id"), "vec_id"
+        ).collect()
+    }
+    assert labels == {1}
+    # post-filter under-fills here — the global top-10 is label-mixed
+    global_top = S.cosine_topk(embs, qvec, k=10)
+    post = global_top.join(embs.filter(where).select("vec_id"), "vec_id")
+    assert post.count() < 10
+
+
+def test_ivf_stored_filtered_composes_with_pruning(spark, embs, qvec, ivf_path):
+    """where= on the stored IVF reader: identical to filtering the probed
+    lists, and the scan STAYS partition-pruned (PartitionFilters on list_id
+    + the predicate in the data filters)."""
+    meta = S.read_ann_meta(ivf_path)
+    where = "label IN (0, 2)"
+    got = S.ivf_stored_topk(spark, ivf_path, qvec, k=10, nprobe=16, where=where)
+    # nprobe = n_lists probes everything -> must equal exact pre-filter knn
+    want = S.knn_filtered(embs, qvec, where, k=10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got.collect()] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+    pruned = S.ivf_stored_topk(spark, ivf_path, qvec, k=10, nprobe=4, where=where)
+    plan = plan_of(pruned)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "list_id" in pf[0], plan
+    assert "label" in plan
+    total = len(spark.read.parquet(ivf_path).inputFiles())
+    assert 0 < files_scanned(pruned) < total
+    for r in (
+        spark.read.parquet(ivf_path)
+        .join(pruned.select("vec_id"), "vec_id")
+        .select("label")
+        .collect()
+    ):
+        assert r["label"] in (0, 2)
+
+
+def test_lsh_stored_filtered(spark, embs, qvec, lsh_path):
+    """where= on the stored LSH reader restricts within the probed buckets."""
+    where = "label = 0"
+    got = S.lsh_stored_topk(spark, lsh_path, qvec, k=5, hamming=1, where=where)
+    want = S.lsh_topk(embs.filter(where), qvec, k=5, hamming=1).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got.collect()] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+
+
 def test_meta_kind_mismatch_refused(spark, qvec, lsh_path):
     with pytest.raises(AssertionError):
         S.ivf_stored_topk(spark, lsh_path, qvec)

@@ -246,6 +246,43 @@ def test_build_store_source_and_fetch(tmp_path, capsys):
         assert "content" in h and "repo" in h  # stored source attached
 
 
+def test_update_by_query_command(tmp_path, capsys, spark):
+    """CLI _update_by_query: regexp-replace the text of every matching doc
+    in place; the rewritten term becomes searchable, the old one is gone
+    from the updated docs."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.corpus import corpus_df
+
+    docs = corpus_df(spark, 60).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "uidx")
+
+    cli.main(["append", "--input", src, "--index", idx,
+              "--id-col", "doc_id", "--text-col", "text",
+              "--buckets", "4", "--range-bits", "2"])
+    capsys.readouterr()
+
+    cli.main(["search", "--index", idx, "--query", "merge", "-k", "60"])
+    before = {h["doc_id"] for h in json.loads(capsys.readouterr().out)["hits"]}
+    assert before
+
+    cli.main(["update-by-query", "--index", idx, "--query", "merge",
+              "--replace", "merge=>quackle", "--input", src])
+    assert json.loads(capsys.readouterr().out)["n_docs"] == len(before)
+
+    cli.main(["search", "--index", idx, "--query", "quackle", "-k", "60"])
+    after = {h["doc_id"] for h in json.loads(capsys.readouterr().out)["hits"]}
+    assert after == before
+
+    cli.main(["search", "--index", idx, "--query", "merge", "-k", "60"])
+    residual = {h["doc_id"] for h in json.loads(capsys.readouterr().out)["hits"]}
+    assert not (residual & before)
+
+
 def test_build_locality_order(tmp_path, capsys):
     idx = str(tmp_path / "lidx")
     cli.main(["build", "--synthetic", "120", "--index", idx,

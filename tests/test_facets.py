@@ -300,3 +300,34 @@ def test_matrix_stats_matches_numpy(spark, corpus, eng):
     assert diag["correlation"] == pytest.approx(1.0)
     with pytest.raises(ValueError):
         eng.facet_matrix_stats("spark", meta, ["n_chars"])
+
+
+def test_diversified_sampler_cap_and_order(spark, corpus, eng):
+    """ES diversified_sampler: ≤ max_docs_per_value docs per field value,
+    the survivors are exactly the per-value best-scoring docs, and the
+    sample is the global top-shard_size of the capped set."""
+    max_per, size = 2, 10
+    out = eng.diversified_sampler(
+        "index merge", corpus, "source",
+        max_docs_per_value=max_per, shard_size=size, round_dp=5,
+    ).collect()
+    assert 0 < len(out) <= size
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert max(per.values()) <= max_per
+
+    # brute force twin from the full scored set
+    scored = {
+        r["doc_id"]: round(r["score"], 5)
+        for r in eng.scored_docs("index merge").collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in corpus.collect()}
+    by_val = {}
+    for d, s in sorted(scored.items(), key=lambda kv: (-kv[1], kv[0])):
+        lst = by_val.setdefault(src[d], [])
+        if len(lst) < max_per:
+            lst.append((d, s))
+    capped = [x for lst in by_val.values() for x in lst]
+    want = sorted(capped, key=lambda x: (-x[1], x[0]))[:size]
+    assert sorted((r["doc_id"], r["score"]) for r in out) == sorted(want)

@@ -165,3 +165,154 @@ def test_validation(frames):
             scored, meta,
             [{"field_value_factor": {"field": "n_chars", "modifier": "log7"}}],
         ).collect()
+
+
+# ------------------------------------------------------------ rank_feature
+def _rf_brute(function, boost, pivot, scaling=1.0, exponent=1.0, dp=5):
+    meta = {d: n for d, _, n in META}
+    out = {}
+    for d, s in SCORED:
+        f = float(meta[d])
+        if function == "saturation":
+            v = f / (f + pivot)
+        elif function == "log":
+            v = math.log(scaling + f)
+        else:
+            v = f**exponent / (f**exponent + pivot**exponent)
+        out[d] = round(s + round(boost * v, dp), dp)
+    return out
+
+
+@pytest.mark.parametrize(
+    "function,kw",
+    [
+        ("saturation", {"pivot": 200.0, "boost": 2.0}),
+        ("log", {"scaling": 1.0, "boost": 0.5}),
+        ("sigmoid", {"pivot": 300.0, "exponent": 2.0, "boost": 1.5}),
+    ],
+)
+def test_rank_feature_functions(spark, frames, function, kw):
+    from searchengine_spark.scoring import rank_feature
+
+    scored, meta = frames
+    got = {
+        r["doc_id"]: r["score"]
+        for r in rank_feature(scored, meta, "n_chars", function=function, **kw).collect()
+    }
+    want = _rf_brute(function, kw.get("boost", 1.0), kw.get("pivot", 1.0),
+                     kw.get("scaling", 1.0), kw.get("exponent", 1.0))
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=2e-5), (d, function)
+
+
+def test_rank_feature_monotone_and_bounded(spark, frames):
+    """Saturation stays in [0, boost): equal-score docs order by feature,
+    and the boost can never exceed `boost` no matter the feature value."""
+    from searchengine_spark.scoring import rank_feature
+
+    scored = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0)], "doc_id long, score double"
+    )
+    meta = spark.createDataFrame(
+        [(1, 10), (2, 10_000), (3, 10_000_000_000)], "doc_id long, n_chars long"
+    )
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in rank_feature(
+            scored, meta, "n_chars", boost=2.0, pivot=200.0
+        ).collect()
+    }
+    # 5dp rounding lets the asymptote be REACHED (sat(1e10) rounds to 1.0)
+    # but never exceeded: 1.0 + boost is the hard ceiling
+    assert rows[1] < rows[2] <= rows[3] <= 3.0
+
+
+def test_rank_feature_missing_feature(spark, frames):
+    from searchengine_spark.scoring import rank_feature
+
+    scored, _ = frames
+    meta = spark.createDataFrame(
+        [(1, 100)], "doc_id long, n_chars long"
+    )  # docs 2-5 unmatched -> missing=0 -> saturation(0)=0 -> score unchanged
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in rank_feature(scored, meta, "n_chars", pivot=200.0).collect()
+    }
+    assert rows[2] == 1.25 and rows[5] == 0.5
+    assert rows[1] > 2.5
+
+
+def test_rank_feature_sql_twin(spark, frames):
+    from searchengine_spark.scoring import rank_feature, rank_feature_sql
+
+    scored, meta = frames
+    got = sorted(
+        (r["doc_id"], r["score"])
+        for r in rank_feature(
+            scored, meta, "n_chars", pivot=200.0, boost=2.0
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base_t(doc_id BIGINT, score DOUBLE)")
+    con.executemany("INSERT INTO base_t VALUES (?, ?)", SCORED)
+    con.execute("CREATE TABLE meta_t(doc_id BIGINT, lang VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO meta_t VALUES (?, ?, ?)", META)
+    sql = rank_feature_sql(
+        "SELECT doc_id, score FROM base_t", "meta_t", "n_chars",
+        pivot=200.0, boost=2.0,
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_rank_feature_unknown_function(frames):
+    from searchengine_spark.scoring import rank_feature
+
+    scored, meta = frames
+    with pytest.raises(ValueError):
+        rank_feature(scored, meta, "n_chars", function="tanh").collect()
+
+
+# ------------------------------------------------------------ random_score
+def test_random_score_deterministic_and_seeded(spark, frames):
+    from searchengine_spark.scoring import random_score
+
+    scored, _ = frames
+    a = {r["doc_id"]: r["score"] for r in random_score(scored, seed=7).collect()}
+    b = {r["doc_id"]: r["score"] for r in random_score(scored, seed=7).collect()}
+    assert a == b  # same seed, same draw — across jobs
+    c = {r["doc_id"]: r["score"] for r in random_score(scored, seed=8).collect()}
+    assert a != c  # a different seed changes the draw
+    # repartitioning must not change the draw (F.rand would fail this)
+    d = {
+        r["doc_id"]: r["score"]
+        for r in random_score(scored.repartition(7), seed=7).collect()
+    }
+    assert a == d
+
+
+def test_random_score_sql_twin(spark, frames):
+    from searchengine_spark.scoring import random_score, random_score_sql
+
+    scored, _ = frames
+    got = sorted(
+        (r["doc_id"], r["score"])
+        for r in random_score(scored, seed=3, weight=0.5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base_t(doc_id BIGINT, score DOUBLE)")
+    con.executemany("INSERT INTO base_t VALUES (?, ?)", SCORED)
+    sql = random_score_sql("SELECT doc_id, score FROM base_t", seed=3, weight=0.5)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_random_score_replace_is_bounded(spark, frames):
+    from searchengine_spark.scoring import random_score
+
+    scored, _ = frames
+    rows = random_score(scored, seed=1, boost_mode="replace").collect()
+    assert all(0.0 <= r["score"] < 1.0 for r in rows)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        random_score(scored, boost_mode="avg")
