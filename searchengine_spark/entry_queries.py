@@ -506,6 +506,37 @@ def q_parent_topk(spark, sf_dir):
     )
 
 
+HP_PARENTS, HP_K = 3, 40
+
+
+def q_has_parent_topk(spark, sf_dir):
+    """ES has_parent: children of the top-3 BM25-ranked sources, each
+    inheriting its parent's score — parent relevance fanned out to child
+    docs (the inverse of parent_topk/has_child)."""
+    from .scoring import has_parent_topk, parent_topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    docs = _docs(spark, sf_dir)
+    parents = parent_topk(
+        scored, docs, COLLAPSE_FIELD, HP_PARENTS,
+        score_mode=PARENT_MODE, round_dp=ROUND_DP,
+    ).select(COLLAPSE_FIELD, "score")
+    return has_parent_topk(
+        parents, docs, COLLAPSE_FIELD, HP_K, round_dp=ROUND_DP
+    )
+
+
+def _has_parent_sql(query: str, field: str, n_parents: int, k: int) -> str:
+    inner = _parent_sql(query, field, n_parents, PARENT_MODE)
+    return f"""
+WITH parents AS (SELECT {field}, score FROM ({inner}) p)
+SELECT d.doc_id AS doc_id, d.{field} AS {field}, p.score AS score
+FROM documents d JOIN parents p USING ({field})
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _parent_sql(query: str, field: str, k: int, mode: str) -> str:
     agg = {"max": "max(score)", "sum": "sum(score)", "avg": "avg(score)"}[mode]
     return f"""
@@ -557,6 +588,41 @@ FS_FUNCTIONS = [
     {"weight": 0.4, "filter": {"field": "lang", "eq": "en"}},
 ]
 FS_K = 25
+
+
+PIN_IDS = [7, 3, 999999999, 11]  # third id doesn't exist -> silently skipped
+
+
+def q_pinned_topk(spark, sf_dir):
+    """ES pinned query: the pin list outranks every organic hit in list
+    order (ES's constant-minus-position scores), organic BM25 fills the
+    rest; unknown pinned ids are skipped like ES does."""
+    from .scoring import pinned_topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    return pinned_topk(
+        spark, scored, PIN_IDS, FS_K,
+        valid_docs=_docs(spark, sf_dir), round_dp=ROUND_DP,
+    )
+
+
+def _pinned_sql(query: str, pinned_ids: list[int], k: int) -> str:
+    from .scoring import PIN_BASE
+
+    pins = ", ".join(f"({d}, {i})" for i, d in enumerate(pinned_ids))
+    return f"""
+WITH pins(doc_id, pos) AS (VALUES {pins}),
+valid AS (SELECT p.doc_id, p.pos FROM pins p
+          WHERE p.doc_id IN (SELECT doc_id FROM documents)),
+unioned AS (
+  SELECT doc_id, round({PIN_BASE!r} - pos, {ROUND_DP}) AS score FROM valid
+  UNION ALL
+  SELECT doc_id, score FROM ({_bm25_sql(query)})
+  WHERE doc_id NOT IN (SELECT doc_id FROM valid))
+SELECT doc_id, score FROM unioned
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 
 RS_SEED, RS_WEIGHT = 42, 0.5
@@ -1040,6 +1106,71 @@ def q_bm25f_topk(spark, sf_dir):
         .filter(F.col("rn") <= BM25F_K)
         .drop("rn")
     )
+
+
+def q_combined_fields_topk(spark, sf_dir):
+    """ES combined_fields over the part table: the two fields merged into
+    ONE synthetic field (weighted tf sum, weighted length) before a single
+    BM25 saturation — term-centric, vs BM25F's field-centric norms and
+    best_fields' dis_max."""
+    from pyspark.sql import Window
+
+    from .fielded import combined_fields_score
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    scored = combined_fields_score(
+        spark, part, "p_partkey",
+        {"p_name": BM25F_WN, "p_type": BM25F_WT},
+        BM25F_QUERY, k1=BM25F_K1, b=BM25F_B,
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25F_K)
+        .drop("rn")
+    )
+
+
+def _combined_fields_sql(query: str, k: int) -> str:
+    from .tokenizer import tokenize_py
+
+    terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(query))))
+
+    def toks(col: str) -> str:
+        return (
+            f"[t FOR t IN regexp_extract_all(lower({col}), '{TOKEN_PATTERN}') "
+            f"IF t NOT IN ({_STOP_SQL})]"
+        )
+
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM part),
+raw AS (
+  SELECT p_partkey AS doc_id, 'p_name' AS field, unnest({toks('p_name')}) AS term FROM part
+  UNION ALL
+  SELECT p_partkey AS doc_id, 'p_type' AS field, unnest({toks('p_type')}) AS term FROM part),
+wtf AS (SELECT doc_id, term,
+               sum(CASE field WHEN 'p_name' THEN {BM25F_WN} ELSE {BM25F_WT} END) AS wtf
+        FROM raw GROUP BY 1, 2),
+ctf AS (SELECT doc_id, term, wtf AS ctf FROM wtf),
+clen AS (SELECT doc_id, sum(wtf) AS clen FROM wtf GROUP BY 1),
+avgd AS (SELECT sum(clen) * 1.0 / (SELECT n FROM n) AS avgdl FROM clen),
+q AS (SELECT unnest([{terms}]) AS term),
+dictc AS (SELECT term, count(*) AS df FROM ctf JOIN q USING (term) GROUP BY 1),
+scored AS (
+  SELECT c.doc_id AS doc_id,
+         round(sum(ln(1.0 + ((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+                   * ({BM25F_K1} + 1.0) * c.ctf
+                   / (c.ctf + {BM25F_K1} * (1.0 - {BM25F_B}
+                      + {BM25F_B} * l.clen / (SELECT avgdl FROM avgd)))), {ROUND_DP}) AS score
+  FROM ctf c JOIN q USING (term)
+  JOIN dictc d USING (term)
+  JOIN clen l ON l.doc_id = c.doc_id
+  GROUP BY 1)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def _bm25f_sql(query: str, k: int) -> str:
@@ -4369,7 +4500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": q_function_score_topk,
         "rank_feature_topk": q_rank_feature_topk,
         "random_score_topk": q_random_score_topk,
+        "pinned_topk": q_pinned_topk,
         "parent_topk": q_parent_topk,
+        "has_parent_topk": q_has_parent_topk,
         "recency_topk": q_recency_topk,
         "hit_counts": q_hit_counts,
         "inner_scores": q_inner_scores,
@@ -4385,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "near_topk": q_near_topk,
         "bm25f_topk": q_bm25f_topk,
+        "combined_fields_topk": q_combined_fields_topk,
         "multi_match_topk": q_multi_match_topk,
         "wildcard_topk": q_wildcard_topk,
         "regexp_topk": q_regexp_topk,
@@ -4542,7 +4676,11 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "function_score_topk": _function_score_sql(BM25_QUERY, FS_K),
         "rank_feature_topk": _rank_feature_sql(BM25_QUERY, FS_K),
         "random_score_topk": _random_score_sql(BM25_QUERY, FS_K),
+        "pinned_topk": _pinned_sql(BM25_QUERY, PIN_IDS, FS_K),
         "parent_topk": _parent_sql(BM25_QUERY, COLLAPSE_FIELD, PARENT_K, PARENT_MODE),
+        "has_parent_topk": _has_parent_sql(
+            BM25_QUERY, COLLAPSE_FIELD, HP_PARENTS, HP_K
+        ),
         "recency_topk": _recency_sql(
             BM25_QUERY, RECENCY_HALF_LIFE, RECENCY_AGE_MOD, RECENCY_K
         ),
@@ -4557,6 +4695,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "common_terms_topk": _common_terms_sql(COMMON_QUERY, COMMON_CUTOFF, COMMON_K),
         "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
+        "combined_fields_topk": _combined_fields_sql(BM25F_QUERY, BM25F_K),
         "multi_match_topk": _multi_match_sql(BM25F_QUERY, BM25F_K),
         "wildcard_topk": _wildcard_sql(
             WILDCARD_PATTERN, WILDCARD_MAX_EXP, WILDCARD_K

@@ -122,6 +122,69 @@ def bm25f_score(
     return _ordered_sum(cand, per_term)
 
 
+def combined_fields_score(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    fields: dict[str, float],
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Elasticsearch ``combined_fields`` — the THIRD standard fielded
+    semantics, term-centric: the fields are merged into one SYNTHETIC
+    field before any saturation.
+
+        tf_c(t,d)  = Σ_f boost_f · tf(t,d,f)
+        len_c(d)   = Σ_f boost_f · len(d,f)
+        avgdl_c    = Σ_d len_c(d) / N          (all N docs, empty = 0)
+        score(d)   = Σ_t idf(t) · (k1+1)·tf_c / (tf_c + k1·(1−b+b·len_c/avgdl_c))
+
+    with document-level idf like BM25F. Contrast: BM25F normalizes each
+    field's tf by ITS OWN length before weighting (a long body can't
+    drown a short title); combined_fields normalizes once by the merged
+    length — ES's model of "the fields are one text that happens to be
+    split" (title+h1+body). best_fields treats them as alternatives.
+
+    Same plan shape as bm25f_score: per-field tf union, map-side combines,
+    |q|-row and 1-row broadcasts, sorted-term accumulation — no extra
+    shuffle over plain BM25 beyond the field union."""
+    if not fields:
+        raise ValueError("fields must map ≥1 text column to a weight")
+    ftf = fielded_term_frequencies(df, id_col, sorted(fields))
+    w_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(fields.items())]
+    )
+    weighted = ftf.select(
+        "doc_id", "term", (w_map[F.col("field")] * F.col("tf")).alias("wtf")
+    )
+    ctf = weighted.groupBy("doc_id", "term").agg(F.sum("wtf").alias("ctf"))
+    clen = weighted.groupBy("doc_id").agg(F.sum("wtf").alias("clen"))
+
+    n_corpus = df.select(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast
+    avg_row = clen.agg(F.sum("clen").alias("len_sum")).crossJoin(
+        F.broadcast(n_corpus)
+    ).select((F.col("len_sum") / F.col("n")).alias("avgdl"), "n")
+
+    q = F.broadcast(_query_df(spark, query).select("term"))
+    qctf = ctf.join(q, "term")
+    dictc = (
+        qctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )  # ctf rows are per (doc, term) — count IS the doc count
+
+    cand = (
+        qctf.join(clen, "doc_id")
+        .join(F.broadcast(dictc), "term")
+        .crossJoin(F.broadcast(avg_row))
+    )
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    # same association as scoring.bm25_score: idf * (tf*(k1+1)) / denom —
+    # the weight-1 single-field case then reduces to BM25 EXACTLY (tested)
+    denom = F.col("ctf") + k1 * (1.0 - b + b * F.col("clen") / F.col("avgdl"))
+    per_term = idf * (F.col("ctf") * (k1 + 1.0)) / denom
+    return _ordered_sum(cand, per_term)
+
+
 def multi_match_best_fields(
     spark: SparkSession,
     df: DataFrame,

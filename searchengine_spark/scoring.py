@@ -1023,3 +1023,82 @@ def random_score_sql(
     return f"""
 SELECT b.doc_id, round({out}, {round_dp}) AS score
 FROM ({base_sql}) b"""
+
+
+PIN_BASE = 1.0e9  # far above any BM25 score; position-decremented per pin
+
+
+def pinned_topk(
+    spark: SparkSession,
+    scored: DataFrame,
+    pinned_ids: list[int],
+    k: int,
+    valid_docs: DataFrame | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Elasticsearch ``pinned`` query: the given doc ids are promoted above
+    every organic result IN THE GIVEN ORDER (first pin outranks the rest),
+    organic results fill the remaining slots by relevance. Scores follow
+    ES's scheme — pins get a constant far above the organic range,
+    decremented by pin position — so one ORDER BY serves both segments.
+
+    A pinned doc that also matches organically appears ONCE, at its pinned
+    position (the anti-join drops its organic row). ``valid_docs``
+    (optional, any frame with doc_id) drops pins that don't exist in the
+    corpus — ES silently skips unknown ids the same way.
+
+    Plan: the pin list is a |pins|-row literal frame (broadcast),
+    organic = scored LEFT ANTI pins, union, TakeOrderedAndProject — no
+    extra shuffle over plain top-k."""
+    if not pinned_ids:
+        raise ValueError("pinned_ids must hold ≥1 doc id")
+    if len(set(pinned_ids)) != len(pinned_ids):
+        raise ValueError("pinned_ids must be distinct")
+    pins = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(pinned_ids)], "doc_id long, pos int"
+    )
+    if valid_docs is not None:
+        pins = pins.join(valid_docs.select("doc_id"), "doc_id", "left_semi")
+    pin_rows = pins.select(
+        "doc_id", F.round(F.lit(PIN_BASE) - F.col("pos"), round_dp).alias("score")
+    )
+    organic = scored.join(F.broadcast(pins.select("doc_id")), "doc_id", "left_anti")
+    organic = organic.select("doc_id", F.round("score", round_dp).alias("score"))
+    return topk(pin_rows.unionByName(organic), k)
+
+
+def has_parent_topk(
+    parent_scored: DataFrame,
+    docs_df: DataFrame,
+    parent_col: str,
+    k: int,
+    score: bool = True,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Elasticsearch ``has_parent``: return CHILD docs whose parent entity
+    matches a parent-level query, each child inheriting its parent's score
+    (``score=True``) or a constant 0.0 (``score=False``, ES's default
+    filter semantics). The inverse direction of ``parent_topk``
+    (has_child): there children elect parents; here parent relevance
+    fans OUT to children.
+
+    ``parent_scored``: (parent_col, score) — typically ``parent_topk``
+    output or any parent-level scoring. Plan: parent side is small
+    (entity cardinality ≪ docs) → broadcast join against the child table,
+    TakeOrderedAndProject for the cut; the child table is touched once,
+    no shuffle on it."""
+    pscore = (
+        F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    )
+    parents = parent_scored.select(
+        F.col(parent_col).alias("parent"),
+        (pscore if score else F.lit(0.0)).alias("score"),
+    )
+    children = docs_df.select(
+        "doc_id", F.col(parent_col).alias("parent")
+    ).join(F.broadcast(parents), "parent")
+    return (
+        children.select("doc_id", F.col("parent").alias(parent_col), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -211,3 +211,114 @@ def test_multi_match_best_fields_semantics(spark):
     for d in both:
         lo, hi = sorted((wname[d], wtyp[d]))
         assert tb[d] == pytest.approx(hi + 0.4 * lo, abs=2e-5)
+
+
+# -------------------------------------------------------- combined_fields
+def _brute_combined(rows, fields, query, k1, b):
+    """Pure-Python combined_fields: ONE synthetic field — weighted tf sum,
+    weighted length, single saturation, document-level df."""
+    from searchengine_spark.tokenizer import tokenize_py as tok
+
+    terms = sorted(set(tok(query)))
+    n = len(rows)
+    ctf, clen = {}, {}
+    for r in rows:
+        d = r["p_partkey"]
+        for f_name, w in fields.items():
+            toks = tok(r[f_name])
+            clen[d] = clen.get(d, 0.0) + w * len(toks)
+            for t in toks:
+                ctf[(d, t)] = ctf.get((d, t), 0.0) + w
+    avgdl = sum(clen.values()) / n
+    df = {t: sum(1 for r in rows if (r["p_partkey"], t) in ctf) for t in terms}
+    out = {}
+    for r in rows:
+        d, score = r["p_partkey"], 0.0
+        for t in terms:
+            c = ctf.get((d, t), 0.0)
+            if c:
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                score += idf * (k1 + 1.0) * c / (
+                    c + k1 * (1.0 - b + b * clen[d] / avgdl)
+                )
+        if score:
+            out[d] = score
+    return out
+
+
+def test_combined_fields_matches_brute_force(spark, part_rows):
+    from searchengine_spark.fielded import combined_fields_score
+
+    part = spark.read.parquet(PART)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_score(
+            spark, part, "p_partkey", FIELDS, QUERY, k1=K1, b=B
+        ).collect()
+    }
+    want = _brute_combined(part_rows, FIELDS, QUERY, K1, B)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d
+
+
+def test_combined_fields_single_field_reduces_to_bm25(spark):
+    """weight-1 single field: tf_c = tf, len_c = doc_len, so the synthetic
+    field IS the field — exact BM25 equality, like BM25F's reduction."""
+    from searchengine_spark.fielded import combined_fields_score
+    from searchengine_spark.postings import (
+        corpus_stats, dictionary, doc_stats, term_frequencies,
+    )
+    from searchengine_spark.scoring import bm25_score
+
+    docs = spark.read.parquet(DOCS).filter(F.col("doc_id") < 300)
+    tf = term_frequencies(docs)
+    stats = doc_stats(tf)
+    n, avgdl = corpus_stats(stats)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score(
+            spark, tf, stats, dictionary(tf), "spark join stream", n, avgdl,
+            k1=BM25_K1, b=BM25_B,
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_score(
+            spark, docs, "doc_id", {"text": 1.0}, "spark join stream",
+            k1=BM25_K1, b=BM25_B,
+        ).collect()
+    }
+    assert got == base
+
+
+def test_combined_fields_diverges_from_bm25f(spark):
+    """The two semantics must NOT coincide when field lengths VARY:
+    BM25F normalizes per field, combined_fields by the merged length.
+    (On the part table they coincide exactly — every p_name is 5 tokens
+    and every p_type 3, so all norms collapse to 1; that uniformity is
+    why the divergence needs a varied-length corpus.)"""
+    from searchengine_spark.fielded import combined_fields_score
+
+    rows = [
+        (1, "gear gear gear small", "tin"),
+        (2, "gear", "small small gear tin tin tin tin"),
+        (3, "small tin", "gear gear"),
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_type string"
+    )
+    cf = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_score(
+            spark, df, "p_partkey", FIELDS, "small gear", k1=K1, b=B
+        ).collect()
+    }
+    ff = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_score(
+            spark, df, "p_partkey", FIELDS, "small gear", k1=K1, b=B
+        ).collect()
+    }
+    assert set(cf) == set(ff)  # same match set (same terms, same fields)
+    assert any(abs(cf[d] - ff[d]) > 1e-9 for d in cf)

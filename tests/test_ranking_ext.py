@@ -197,3 +197,49 @@ def test_lm_scorer_validation(eng):
 
     with pytest.raises(ValueError, match="rewriters"):
         eng.search(QUERY, k=5, scorer="lm", rewriter=identity_rewriter)
+
+
+# ---------------------------------------------------------------- pinned
+def test_pinned_topk_semantics(spark):
+    """Pins outrank organic in LIST order; a pinned doc that also matched
+    organically appears once (at its pin); unknown ids are skipped;
+    organic relevance fills the rest."""
+    import pytest as _pt
+
+    from searchengine_spark.scoring import pinned_topk
+
+    scored = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 7.0), (4, 3.0)], "doc_id long, score double"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    out = pinned_topk(
+        spark, scored, [3, 42, 2], k=4, valid_docs=docs
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [3, 2, 1, 4]  # pins (3 then 2; 42 skipped), then organic
+    assert out[0]["score"] > out[1]["score"] > 1e8  # pin scores descend
+    assert out[2]["score"] == 9.0  # organic untouched
+    with _pt.raises(ValueError):
+        pinned_topk(spark, scored, [], k=4)
+    with _pt.raises(ValueError):
+        pinned_topk(spark, scored, [1, 1], k=4)
+
+
+# ------------------------------------------------------------- has_parent
+def test_has_parent_fans_out_and_filters(spark):
+    """Children inherit the parent's score; children of non-matching
+    parents are excluded; score=False gives ES filter semantics (0.0)."""
+    from searchengine_spark.scoring import has_parent_topk
+
+    parents = spark.createDataFrame(
+        [("a", 4.0), ("b", 2.0)], "source string, score double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "a")], "doc_id long, source string"
+    )
+    out = has_parent_topk(parents, docs, "source", k=10).collect()
+    assert [(r["doc_id"], r["source"], r["score"]) for r in out] == [
+        (1, "a", 4.0), (4, "a", 4.0), (2, "b", 2.0)
+    ]  # doc 3's parent 'c' matched nothing
+    flt = has_parent_topk(parents, docs, "source", k=10, score=False).collect()
+    assert all(r["score"] == 0.0 for r in flt) and len(flt) == 3
