@@ -421,6 +421,24 @@ def _cmd_compact(args) -> None:
     )
 
 
+def _cmd_merge(args) -> None:
+    spark = _spark(args)
+    from .streaming.ingest import merge_epochs_tiered
+
+    t0 = time.perf_counter()
+    meta = merge_epochs_tiered(spark, args.index, max_segments=args.max_segments)
+    print(
+        json.dumps(
+            {
+                "merged": args.index,
+                "segments_dir": meta.segments_dir,
+                "n_docs": meta.n_docs,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    )
+
+
 def _cmd_stats(args) -> None:
     spark = _spark(args)
 
@@ -1008,6 +1026,15 @@ def main(argv: list[str] | None = None) -> None:
     cp = sub.add_parser("compact", help="fold epochs + tombstones into the canonical batch layout")
     cp.add_argument("--index", required=True)
     cp.set_defaults(fn=_cmd_compact)
+
+    mg = sub.add_parser(
+        "merge",
+        help="tiered merge: fold the smallest epochs down to --max-segments "
+             "(Lucene TieredMergePolicy; bounded write amplification)",
+    )
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--max-segments", type=int, default=8)
+    mg.set_defaults(fn=_cmd_merge)
 
     st = sub.add_parser("stats", help="index statistics (driver-side metadata, no Spark job)")
     st.add_argument("--index", required=True)

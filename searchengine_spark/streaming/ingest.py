@@ -98,10 +98,14 @@ def _meta_from_manifest(
     range_bits: int,
     n_buckets: int,
     with_positions: bool,
+    segdir: str | None = None,
 ):
     """Post-state of the last committed epoch, derived purely from the
     manifest — the recovery source of truth. None for pre-upgrade
-    manifests without running totals."""
+    manifests without running totals. ``segdir``: the last
+    segment-dir-changing commit's directory (``_last_segdir``) — a tiered
+    MERGE moves the segments dir without being a compaction, so the
+    compaction marker alone can be stale."""
     from .. import BM25_B, BM25_K1
     from ..index.build import IndexMeta
     from ..index.codec import BLOCK_SIZE
@@ -128,7 +132,7 @@ def _meta_from_manifest(
             dictionary_dir=compaction["dictionary_dir"],
             stream_epochs=0,
             total_len=tot,
-            segments_dir=compaction.get("segments_dir", "segments"),
+            segments_dir=segdir or compaction.get("segments_dir", "segments"),
             has_positions=bool(
                 compaction.get("has_positions", with_positions)
             ),
@@ -151,12 +155,147 @@ def _meta_from_manifest(
         dictionary_dir=last["dictionary_dir"],
         stream_epochs=len(epochs_since),
         total_len=tot,
-        segments_dir=(compaction or {}).get("segments_dir", "segments"),
+        segments_dir=segdir or (compaction or {}).get("segments_dir", "segments"),
         # recover the index's ACTUAL positional state from the manifest,
         # not this run's flag (pre-upgrade lines lack the field)
         has_positions=bool(last.get("has_positions", with_positions)),
         analyzer=last.get("analyzer", "standard"),
     )
+
+
+def _last_segdir(index_dir: str) -> str | None:
+    """segments_dir of the LAST segment-dir-changing commit (compaction or
+    tiered merge marker), or None if neither has ever committed. The race
+    guard in ``_commit_epoch`` compares this across the encode window —
+    either maintenance kind swapping the directory mid-encode must abort
+    the epoch commit."""
+    from ..index.build import read_manifest
+
+    out = None
+    for m in read_manifest(index_dir):
+        if m.get("kind") in ("compaction", "merge"):
+            out = m.get("segments_dir", "segments")
+    return out
+
+
+def _load_tombstone_arrays(spark, index_dir: str):
+    """(tomb, upd, upd_wm, tomb_files): sorted-unique u64 plain-delete ids,
+    last-wins update ids + parallel watermarks (updates already deleted are
+    dropped), and the tombstone parquet files read — shared by compaction
+    and tiered merge."""
+    import numpy as np
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb_files = (
+        sorted(
+            os.path.join(tomb_dir, n)
+            for n in os.listdir(tomb_dir)
+            if n.endswith(".parquet")
+        )
+        if os.path.isdir(tomb_dir)
+        else []
+    )
+    tomb, upd, upd_wm = None, None, None
+    if tomb_files:
+        tpdf = (
+            spark.read.schema("doc_id long, wm long")
+            .parquet(*tomb_files)
+            .toPandas()
+        )
+        ids = tpdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+        wms = tpdf["wm"].to_numpy(dtype="float64")  # NaN = plain delete
+        t_arr = np.unique(ids[np.isnan(wms)])
+        tomb = t_arr if len(t_arr) else None
+        um = ~np.isnan(wms)
+        if um.any():
+            uid, uw = ids[um], wms[um].astype(np.int64)
+            order = np.lexsort((uw, uid))
+            uid, uw = uid[order], uw[order]
+            last = np.concatenate((uid[1:] != uid[:-1], [True]))
+            upd, upd_wm = uid[last], uw[last]
+            if tomb is not None:
+                keep = ~np.isin(upd, tomb)
+                upd, upd_wm = upd[keep], upd_wm[keep]
+            if len(upd) == 0:
+                upd, upd_wm = None, None
+    return tomb, upd, upd_wm, tomb_files
+
+
+def _fold_schema(has_pos: bool) -> str:
+    schema = "bucket int, doc_range int, term string, doc_id long, tf long, doc_len long"
+    if has_pos:
+        schema += ", positions array<long>"
+    return schema
+
+
+def _fold_rows_fn(has_pos: bool, tomb, drop_mask):
+    """mapInPandas kernel: decode segment blocks back to posting rows,
+    physically dropping postings dead under ``tomb`` (plain deletes) and
+    ``drop_mask`` (update watermarks, evaluated at each block's ORIGINAL
+    epoch — superseded versions die, current versions survive). The decode
+    is numpy repeat/concatenate; postings never collect to the driver.
+    Shared by ``compact_streamed_index`` (all epochs) and
+    ``merge_epochs_tiered`` (a folded subset)."""
+
+    def to_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..index.codec import decode_block, decode_block_positions
+        from ..query.wand import _alive_in_epoch, _not_excluded
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs_l, tfs_l, dls_l = [], [], []
+            pos_rows: list = []
+            n_kept = np.empty(len(pdf), dtype=np.int64)
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                d, t, dl = decode_block(
+                    r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
+                )
+                keep = _not_excluded(d, tomb)
+                e = getattr(r, "epoch", None)
+                alive = _alive_in_epoch(
+                    d, None if e is None else int(e), drop_mask
+                )
+                if alive is not None:
+                    keep = alive if keep is None else (keep & alive)
+                if has_pos:
+                    flat, cumtf = decode_block_positions(t, r.pos_bytes)
+                    # per-posting position arrays (row j owns flat[cumtf[j]:
+                    # cumtf[j+1]]) — np.split keeps this a slice, not a copy
+                    parts = np.split(flat.astype(np.int64), cumtf[1:-1])
+                    pos_rows.extend(
+                        parts
+                        if keep is None
+                        else [p for p, kk in zip(parts, keep) if kk]
+                    )
+                if keep is not None:
+                    d, t, dl = d[keep], t[keep], dl[keep]
+                n_kept[i] = len(d)
+                docs_l.append(d.view(np.int64))
+                tfs_l.append(t.astype(np.int64))
+                dls_l.append(dl.astype(np.int64))
+            out = pd.DataFrame(
+                {
+                    "bucket": np.repeat(
+                        pdf["bucket"].to_numpy(dtype=np.int32), n_kept
+                    ),
+                    "doc_range": np.repeat(
+                        pdf["doc_range"].to_numpy(dtype=np.int32), n_kept
+                    ),
+                    "term": np.repeat(pdf["term"].to_numpy(), n_kept),
+                    "doc_id": np.concatenate(docs_l),
+                    "tf": np.concatenate(tfs_l),
+                    "doc_len": np.concatenate(dls_l),
+                }
+            )
+            if has_pos:
+                out["positions"] = pos_rows
+            yield out
+
+    return to_rows
 
 
 def _commit_epoch(
@@ -190,6 +329,7 @@ def _commit_epoch(
 
     spark = batch_df.sparkSession
     epochs_all, epochs_since, compaction = _manifest_state(index_dir)
+    segdir0 = _last_segdir(index_dir)
     meta_path = os.path.join(index_dir, "meta.json")
     if epochs_all and "has_positions" in epochs_all[-1] and bool(
         epochs_all[-1]["has_positions"]
@@ -226,7 +366,8 @@ def _commit_epoch(
     # not from meta.json (which may lag by one epoch after a crash);
     # pre-upgrade manifests without totals fall back to meta
     prev = _meta_from_manifest(
-        epochs_all, epochs_since, compaction, range_bits, n_buckets, with_positions
+        epochs_all, epochs_since, compaction, range_bits, n_buckets,
+        with_positions, segdir=_last_segdir(index_dir),
     )
     if prev is None and os.path.exists(meta_path):
         prev = IndexMeta.load(index_dir)
@@ -297,21 +438,18 @@ def _commit_epoch(
     # inputs; a crash after it → the replay guard repairs meta from this
     # line. This is what makes "the merge must not run twice" true.
     #
-    # Compaction race guard: seg_rel/prev came from the batch-START
-    # manifest snapshot. If a concurrent compact_streamed_index
-    # committed since, this epoch's segments sit in the SUPERSEDED dir
-    # and its dictionary merge misses the fold — committing would lose
-    # the epoch when retention deletes that dir. Abort pre-commit: the
-    # stream fails, nothing was committed, and the restarted query
-    # replays the batch against the post-compaction state.
-    _, _, compaction_now = _manifest_state(index_dir)
-    if (compaction_now or {}).get("segments_dir") != (compaction or {}).get(
-        "segments_dir"
-    ):
+    # Maintenance race guard: seg_rel/prev came from the batch-START
+    # manifest snapshot. If a concurrent compact_streamed_index OR
+    # merge_epochs_tiered committed since, this epoch's segments sit in
+    # the SUPERSEDED dir and its dictionary merge misses the fold —
+    # committing would lose the epoch when retention deletes that dir.
+    # Abort pre-commit: the stream fails, nothing was committed, and the
+    # restarted query replays the batch against the post-maintenance state.
+    if _last_segdir(index_dir) != segdir0:
         raise RuntimeError(
-            "a compaction committed while this epoch was encoding; "
-            "restart the stream (checkpoint replays the batch against "
-            "the compacted index)"
+            "a compaction or tiered merge committed while this epoch was "
+            "encoding; restart the stream (checkpoint replays the batch "
+            "against the post-maintenance index)"
         )
     _manifest_append(
         index_dir,
@@ -490,6 +628,7 @@ def incremental_index(
             recovered = _meta_from_manifest(
                 epochs_all, epochs_since, compaction,
                 range_bits, n_buckets, with_positions,
+                segdir=_last_segdir(index_dir),
             )
             stale = (not os.path.exists(meta_path)) or (
                 IndexMeta.load(index_dir).stream_epochs != len(epochs_since)
@@ -565,39 +704,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     from ..query.wand import DocMask, _alive_in_epoch, _not_excluded
 
     meta = IndexMeta.load(index_dir)
-    tomb_dir = os.path.join(index_dir, "tombstones")
-    tomb_files = (
-        sorted(
-            os.path.join(tomb_dir, n)
-            for n in os.listdir(tomb_dir)
-            if n.endswith(".parquet")
-        )
-        if os.path.isdir(tomb_dir)
-        else []
-    )
-    tomb, upd, upd_wm = None, None, None
-    if tomb_files:
-        tpdf = (
-            spark.read.schema("doc_id long, wm long")
-            .parquet(*tomb_files)
-            .toPandas()
-        )
-        ids = tpdf["doc_id"].to_numpy(dtype="int64").view("uint64")
-        wms = tpdf["wm"].to_numpy(dtype="float64")  # NaN = plain delete
-        t_arr = np.unique(ids[np.isnan(wms)])
-        tomb = t_arr if len(t_arr) else None
-        um = ~np.isnan(wms)
-        if um.any():
-            uid, uw = ids[um], wms[um].astype(np.int64)
-            order = np.lexsort((uw, uid))
-            uid, uw = uid[order], uw[order]
-            last = np.concatenate((uid[1:] != uid[:-1], [True]))
-            upd, upd_wm = uid[last], uw[last]
-            if tomb is not None:
-                keep = ~np.isin(upd, tomb)
-                upd, upd_wm = upd[keep], upd_wm[keep]
-            if len(upd) == 0:
-                upd, upd_wm = None, None
+    tomb, upd, upd_wm, tomb_files = _load_tombstone_arrays(spark, index_dir)
     _ea, _, _cm = _manifest_state(index_dir)
     already_epoch_layout = bool(_ea) or _cm is not None
     if (
@@ -617,62 +724,9 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     drop_mask = DocMask(upd=upd, upd_wm=upd_wm) if upd is not None else None
     any_drop = tomb is not None or upd is not None
 
-    def to_rows(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            docs_l, tfs_l, dls_l = [], [], []
-            pos_rows: list = []
-            n_kept = np.empty(len(pdf), dtype=np.int64)
-            for i, r in enumerate(pdf.itertuples(index=False)):
-                d, t, dl = decode_block(
-                    r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
-                )
-                keep = _not_excluded(d, tomb)
-                e = getattr(r, "epoch", None)
-                alive = _alive_in_epoch(
-                    d, None if e is None else int(e), drop_mask
-                )
-                if alive is not None:
-                    keep = alive if keep is None else (keep & alive)
-                if has_pos:
-                    flat, cumtf = decode_block_positions(t, r.pos_bytes)
-                    # per-posting position arrays (row j owns flat[cumtf[j]:
-                    # cumtf[j+1]]) — np.split keeps this a slice, not a copy
-                    parts = np.split(flat.astype(np.int64), cumtf[1:-1])
-                    pos_rows.extend(
-                        parts
-                        if keep is None
-                        else [p for p, kk in zip(parts, keep) if kk]
-                    )
-                if keep is not None:
-                    d, t, dl = d[keep], t[keep], dl[keep]
-                n_kept[i] = len(d)
-                docs_l.append(d.view(np.int64))
-                tfs_l.append(t.astype(np.int64))
-                dls_l.append(dl.astype(np.int64))
-            out = pd.DataFrame(
-                {
-                    "bucket": np.repeat(
-                        pdf["bucket"].to_numpy(dtype=np.int32), n_kept
-                    ),
-                    "doc_range": np.repeat(
-                        pdf["doc_range"].to_numpy(dtype=np.int32), n_kept
-                    ),
-                    "term": np.repeat(pdf["term"].to_numpy(), n_kept),
-                    "doc_id": np.concatenate(docs_l),
-                    "tf": np.concatenate(tfs_l),
-                    "doc_len": np.concatenate(dls_l),
-                }
-            )
-            if has_pos:
-                out["positions"] = pos_rows
-            yield out
-
-    schema = "bucket int, doc_range int, term string, doc_id long, tf long, doc_len long"
-    if has_pos:
-        schema += ", positions array<long>"
-    postings = blocks.mapInPandas(to_rows, schema)
+    postings = blocks.mapInPandas(
+        _fold_rows_fn(has_pos, tomb, drop_mask), _fold_schema(has_pos)
+    )
 
     new_n_docs, new_total_len, new_avgdl = meta.n_docs, meta.total_len, meta.avgdl
     dict_rel = meta.dictionary_dir
@@ -787,7 +841,154 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     # in-flight readers; anything older than it goes now
     keep = {new_rel, prev_rel}
     for name in os.listdir(index_dir):
-        if (name == "segments" or name.startswith("segments_c")) and name not in keep:
+        if (
+            name == "segments"
+            or name.startswith("segments_c")
+            or name.startswith("segments_m")
+        ) and name not in keep:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    return meta
+
+
+def merge_epochs_tiered(
+    spark: SparkSession, index_dir: str, max_segments: int = 8
+) -> "IndexMeta":
+    """Lucene TieredMergePolicy analogue: when more than ``max_segments``
+    streamed epoch-segments exist, fold the SMALLEST ones into one — never
+    the whole index. Full compaction rewrites every byte (write
+    amplification O(index size) per pass); tiered merge rewrites only the
+    small tail, so a long-lived streaming index pays O(bytes · log(epochs))
+    total like an LSM tree, while query-side block fragmentation stays
+    bounded at ``max_segments`` runs per term.
+
+    Semantics:
+      * folded epochs decode → current tombstones/update-watermarks apply
+        AT EACH BLOCK'S ORIGINAL EPOCH (superseded versions die; the
+        current version of an updated doc survives) → re-encode under the
+        CURRENT meta avgdl → written as ONE epoch keeping id
+        max(folded ids). Keeping the max id preserves the watermark
+        invariant: any update watermark wm targeting a folded old version
+        had wm ≥ its old epoch, and was applied here; any FUTURE update
+        gets wm ≥ merged id, so merged postings die correctly.
+      * corpus stats and the dictionary are untouched (df/cf keep the
+        documented until-full-compaction drift for deleted docs; blocks
+        carry max_tf/min_dl so the robust pruning bound stays valid —
+        ``stream_epochs`` stays > 0 on purpose).
+      * tombstone FILES are not consumed (unmerged epochs still need
+        them); re-masking merged blocks at query time is a no-op.
+      * the compacted base (``epoch=0`` written by a prior compaction) is
+        never folded — it is the big bottom tier.
+
+    Commit protocol (same discipline as compaction): merged blocks are
+    written into a fresh versioned dir ``segments_m<K>``; UNMERGED epoch
+    dirs are hard-linked in (O(#files) metadata, zero data copy — on an
+    object store this becomes a manifest of file pointers); then the
+    ``merge`` manifest marker, then the atomic meta swap. The live dir is
+    never mutated, a crash at any point leaves a readable index, and
+    ``_commit_epoch``'s race guard aborts any epoch that was encoding
+    across the swap. Two-generation dir retention like compaction.
+
+    Returns the (possibly unchanged) IndexMeta."""
+    import shutil
+
+    from ..index.build import (
+        BLOCK_SCHEMA,
+        IndexMeta,
+        _encode_group_fn,
+        _manifest_append,
+        read_manifest,
+        write_meta_atomic,
+    )
+    from ..query.wand import DocMask
+
+    if max_segments < 1:
+        raise ValueError("max_segments must be ≥ 1")
+    meta = IndexMeta.load(index_dir)
+    _, epochs_since, compaction = _manifest_state(index_dir)
+    cand = [
+        (int(m["epoch"]), int(m.get("n_docs", 0)))
+        for m in epochs_since
+        # a compacted base shares the epoch=0 partition value — never fold
+        # a stream epoch that would collide with it
+        if not (compaction is not None and int(m["epoch"]) == 0)
+    ]
+    if len(cand) <= max_segments:
+        return meta  # under budget — no-op
+    n_fold = len(cand) - max_segments + 1
+    folded = sorted(cand, key=lambda x: (x[1], x[0]))[:n_fold]
+    folded_ids = sorted(e for e, _ in folded)
+    merged_id = max(folded_ids)
+
+    seg_dir = os.path.join(index_dir, meta.segments_dir)
+    tomb, upd, upd_wm, _files = _load_tombstone_arrays(spark, index_dir)
+    drop_mask = DocMask(upd=upd, upd_wm=upd_wm) if upd is not None else None
+    has_pos = meta.has_positions
+
+    blocks = spark.read.parquet(seg_dir).filter(
+        F.col("epoch").isin([int(e) for e in folded_ids])
+    )
+    postings = blocks.mapInPandas(
+        _fold_rows_fn(has_pos, tomb, drop_mask), _fold_schema(has_pos)
+    )
+    encode = _encode_group_fn(meta.k1, meta.b, meta.avgdl, meta.block_size)
+    enc = postings.groupBy("bucket", "doc_range").applyInPandas(
+        encode, BLOCK_SCHEMA
+    )
+    n_merges = sum(
+        1 for m in read_manifest(index_dir) if m.get("kind") == "merge"
+    )
+    new_rel = f"segments_m{n_merges + 1}"
+    new_dir = os.path.join(index_dir, new_rel)
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(new_dir, f"epoch={merged_id}")
+    )
+    n_blocks = spark.read.parquet(
+        os.path.join(new_dir, f"epoch={merged_id}")
+    ).count()
+
+    # hard-link the UNMERGED epoch dirs into the new versioned dir —
+    # metadata-only, the parquet bytes exist once on disk
+    folded_names = {f"epoch={e}" for e in folded_ids}
+    for name in sorted(os.listdir(seg_dir)):
+        if not name.startswith("epoch=") or name in folded_names:
+            continue
+        src_root = os.path.join(seg_dir, name)
+        for root, _dirs, files in os.walk(src_root):
+            rel = os.path.relpath(root, seg_dir)
+            dst_root = os.path.join(new_dir, rel)
+            os.makedirs(dst_root, exist_ok=True)
+            for fn in files:
+                dst = os.path.join(dst_root, fn)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(root, fn), dst)
+
+    prev_rel = meta.segments_dir
+    meta.segments_dir = new_rel
+    meta.fingerprint = f"{meta.fingerprint}-m{n_merges + 1}"
+    _manifest_append(
+        index_dir,
+        {
+            "kind": "merge",
+            "bucket": None,
+            "epochs_folded": [int(e) for e in folded_ids],
+            "merged_epoch": int(merged_id),
+            "n_blocks": int(n_blocks),
+            "segments_dir": new_rel,
+            "prev_segments_dir": prev_rel,
+            "has_positions": bool(has_pos),
+            "analyzer": meta.analyzer,
+            "ts": time.time(),
+        },
+    )
+    write_meta_atomic(index_dir, meta)
+
+    keep = {new_rel, prev_rel}
+    for name in os.listdir(index_dir):
+        if (
+            name == "segments"
+            or name.startswith("segments_c")
+            or name.startswith("segments_m")
+        ) and name not in keep:
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     return meta
 
