@@ -2203,6 +2203,32 @@ def q_sample_deterministic(spark, sf_dir):
     )
 
 
+RESAMPLE_RATES = {"en": 2.3, "de": 0.5, "es": 1.0}
+
+
+def q_resample_stratified(spark, sf_dir):
+    """Epoch repeat factors (resampling WITH replacement): en rows appear
+    2 or 3 times (frac decided by the seeded unit hash), de is halved,
+    everything else passes through once — one narrow pass implements the
+    whole mixture recipe; `copy` indexes the repeats."""
+    from .ops.sampling import resample_stratified
+
+    docs = _docs(spark, sf_dir)
+    return resample_stratified(
+        docs, RESAMPLE_RATES, by="lang", seed=SAMPLE_SEED
+    ).select("doc_id", "lang", "copy")
+
+
+def _resample_sql() -> str:
+    from .ops.sampling import resample_stratified_sql
+
+    inner = resample_stratified_sql(
+        "(SELECT doc_id, lang FROM documents)",
+        RESAMPLE_RATES, by="lang", seed=SAMPLE_SEED,
+    )
+    return f"SELECT doc_id, lang, copy FROM ({inner}) r"
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-stratum deterministic sampling (domain/language rebalancing):
     lang-keyed keep rates as one stateless CASE-threshold filter pass —
@@ -2442,6 +2468,29 @@ def q_geo_topk(spark, sf_dir):
     return geo_distance_topk(
         geo, GEO_LAT0, GEO_LON0, GEO_K,
         radius_km=GEO_RADIUS_KM, round_dp=ROUND_DP,
+    )
+
+
+GEOTILE_ZOOM = 4
+
+
+def q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid: doc counts per web-mercator z/x/y tile (zoom 4) —
+    the heat-map primitive; pure column math + one hash aggregation."""
+    from .ops.geo import geotile_grid
+
+    return geotile_grid(_geo_docs(spark, sf_dir), GEOTILE_ZOOM)
+
+
+def _geotile_grid_sql() -> str:
+    from .ops.geo import geotile_grid_sql
+
+    return geotile_grid_sql(
+        """(SELECT doc_id,
+           (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+           (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+           FROM documents)""",
+        GEOTILE_ZOOM,
     )
 
 
@@ -3743,6 +3792,18 @@ def q_pack_docs(spark, sf_dir):
     return packing.pack_docs(_docs(spark, sf_dir), PACK_CAP, n_groups=PACK_GROUPS)
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (the embedding/long-context splitter):
+    32-token windows every 24 tokens — overlapping, tail kept, no token
+    dropped; md5-of-window makes the rows hashable cross-engine."""
+    return packing.chunk_docs(
+        _docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(_docs(spark, sf_dir))
 
@@ -4544,9 +4605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "geo_topk": q_geo_topk,
         "geo_pairs": q_geo_pairs,
+        "geotile_grid": q_geotile_grid,
         "geo_stored_topk": q_geo_stored_topk,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "resample_stratified": q_resample_stratified,
         "split_by_group": q_split_by_group,
         "code_tokens": q_code_tokens,
         "chain_tokens": q_chain_tokens,
@@ -4572,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_code_topk": q_reindex_code_topk,
         "line_dedup": q_line_dedup,
         "pack_docs": q_pack_docs,
+        "chunk_docs": q_chunk_docs,
         "prepare_pipeline": q_prepare_pipeline,
         "search_fetch_topk": q_search_fetch_topk,
         "event_window_agg": q_event_window_agg,
@@ -4731,9 +4795,11 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         ),
         "geo_topk": _geo_topk_sql(),
         "geo_pairs": _geo_pairs_sql(),
+        "geotile_grid": _geotile_grid_sql(),
         "geo_stored_topk": _geo_topk_sql(),
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
+        "resample_stratified": _resample_sql(),
         "split_by_group": (
             "SELECT doc_id, source, split FROM ("
             + split_by_group_sql("documents", by="source", seed=SAMPLE_SEED)
@@ -4759,6 +4825,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "reindex_code_topk": _code_search_sql(),
         "line_dedup": dedup.line_dedup_sql(_CHUNK_LINES_SQL),
         "pack_docs": packing.pack_docs_sql("documents", PACK_CAP, PACK_GROUPS),
+        "chunk_docs": packing.chunk_docs_sql("documents", CHUNK_SIZE, CHUNK_STRIDE),
         "prepare_pipeline": _prepare_pipeline_sql(),
         "search_fetch_topk": _search_fetch_sql(),
         "event_window_agg": _event_window_sql(),

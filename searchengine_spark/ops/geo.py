@@ -383,3 +383,66 @@ def geo_stored_topk(
         .orderBy(F.asc("dist_km"), F.asc(id_col))
         .limit(k)
     )
+
+
+# web-mercator latitude bound (ES geotile_grid clips exactly here)
+MERC_LAT_MAX = 85.05112878
+
+
+def geotile_cells(
+    df: DataFrame, zoom: int, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """ES ``geotile_grid`` cell assignment: web-mercator z/x/y map tiles
+    (the slippy-map scheme every tile server uses). Latitudes clip to
+    ±85.05112878 like ES; x/y clamp into [0, 2^z) so lon = 180 / the pole
+    rows land in the edge tile instead of overflowing. Pure column math —
+    stateless, codegen, no shuffle."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")
+    n = float(1 << zoom)
+    lat = F.greatest(
+        F.lit(-MERC_LAT_MAX), F.least(F.lit(MERC_LAT_MAX), F.col(lat_col))
+    )
+    lat_r = F.radians(lat)
+    x = F.floor(n * (F.col(lon_col) + 180.0) / 360.0)
+    y = F.floor(
+        n * (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0
+    )
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), c)).cast("int")  # noqa: E731
+    return df.withColumn("tile_x", clamp(x)).withColumn("tile_y", clamp(y))
+
+
+def geotile_grid(
+    df: DataFrame, zoom: int, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: doc counts per web-mercator tile —
+    the heat-map/cluster-map primitive. One hash aggregation with map-side
+    partials; at 100 TB the tile key is also the natural layout key
+    (``geo_write``-style partitioning makes any map viewport a pruned
+    scan). Returns (tile_x, tile_y, n)."""
+    return (
+        geotile_cells(df, zoom, lat_col, lon_col)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def geotile_grid_sql(
+    table: str, zoom: int, lat_expr: str = "lat", lon_expr: str = "lon"
+) -> str:
+    """DuckDB twin of ``geotile_grid`` — same clip, same mercator math,
+    same clamping."""
+    n = float(1 << zoom)
+    hi = int(n) - 1
+    lat = f"greatest(-{MERC_LAT_MAX!r}, least({MERC_LAT_MAX!r}, {lat_expr}))"
+    x = f"floor({n!r} * ({lon_expr} + 180.0) / 360.0)"
+    y = (
+        f"floor({n!r} * (1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat})))"
+        f" / pi()) / 2.0)"
+    )
+    clamp = lambda c: f"greatest(0, least({hi}, {c}))::INT"  # noqa: E731
+    return f"""
+SELECT {clamp(x)} AS tile_x, {clamp(y)} AS tile_y, count(*)::BIGINT AS n
+FROM {table}
+GROUP BY 1, 2
+"""

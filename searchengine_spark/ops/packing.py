@@ -110,3 +110,87 @@ FROM spans,
                                             (e - 1) // {max_tokens}))
               AS bin_no) b
 """
+
+
+def chunk_docs(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (the context-window splitter in
+    front of every embedding/long-context pipeline): cut each doc's token
+    sequence into windows of ``size`` tokens starting every ``stride``
+    tokens (stride < size ⇒ overlapping windows; default stride = size ⇒
+    disjoint). Chunk c covers tokens [c·stride, c·stride + size); windows
+    are emitted while c·stride < n_tokens, so the tail chunk may be short
+    but no token is ever dropped — and a doc shorter than ``size`` yields
+    exactly one chunk.
+
+    Tokens are the RAW lowercase token stream (no stopword removal — a
+    trainer wants the text intact, unlike the index analyzer).
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_md5): the md5 of the
+    space-joined window both keys exact-dedup of chunks and gives the
+    DuckDB twin a hashable value without shipping the window text.
+
+    Scale shape: tokenize → ``sequence``/``explode`` over chunk starts →
+    ``slice`` — all JVM HigherOrderFunctions inside one projection; no
+    shuffle at all (narrow transform), so this runs at scan speed on
+    100 TB and the writer behind it controls output partitioning."""
+    from ..tokenizer import TOKEN_PATTERN
+
+    if size < 1:
+        raise ValueError("size must be ≥ 1")
+    stride = size if stride is None else stride
+    if not 1 <= stride <= size:
+        raise ValueError("stride must be in [1, size]")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / stride) + 1
+    ).cast("int")
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"), n.alias("_n"),
+                  n_chunks.alias("_nc"))
+        .filter(F.col("_nc") > 0)
+        .select(
+            "doc_id", "_toks", "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, size)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(window).alias("n_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_docs_sql(
+    table: str,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``chunk_docs`` — same token regex, same window
+    arithmetic, same md5-of-joined-window value."""
+    from ..tokenizer import TOKEN_PATTERN
+
+    stride = size if stride is None else stride
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS t
+  FROM {table}),
+starts AS (
+  SELECT doc_id, t, unnest(range(((len(t) - 1) // {stride}) + 1)) AS chunk_id
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       len(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}])::INT AS n_tokens,
+       md5(array_to_string(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}], ' ')) AS chunk_md5
+FROM starts
+"""

@@ -191,3 +191,89 @@ def split_by_group_sql(
         case += f" WHEN {u} < {cum!r} THEN '{name}'"
     case += f" ELSE '{items[-1][0]}' END"
     return f"SELECT *, {case} AS split FROM {table}"
+
+
+def resample_rate(
+    df: DataFrame, rate: float, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic resampling WITH replacement — the epoch repeat factor
+    of data-mixing recipes (a 2.3× language appears ⌊2.3⌋ = 2 times, plus
+    once more for 30% of its rows). Each row yields
+    ``⌊rate⌋ + [u < frac(rate)]`` copies, with u the SAME md5 unit hash
+    ``sample_rate`` uses — so rate ≤ 1 degrades to exactly its Bernoulli
+    subset, and the monotone-threshold property extends: the copy set at
+    rate r is a sub-multiset of the copy set at r' > r (same seed).
+
+    Output = input columns + ``copy`` (0-based repeat index) so a
+    downstream shuffle can decorrelate repeats. Stateless narrow transform
+    (sequence + explode), no shuffle."""
+    if rate < 0.0:
+        raise ValueError("rate must be ≥ 0")
+    n_base = int(rate)
+    frac = float(rate) - n_base
+    n_copies = F.lit(n_base) + (hash_unit(F.col(id_col), seed) < frac).cast("int")
+    return (
+        df.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("_nc")
+    )
+
+
+def resample_stratified(
+    df: DataFrame,
+    rates: dict,
+    by: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum ``resample_rate``: rates may exceed 1 (upsample) or sit
+    below 1 (downsample) per ``by`` value — one pass implements an entire
+    mixture recipe. Strata absent from the map keep ``default_rate``
+    (1.0 = pass through once)."""
+    for v in rates.values():
+        if v < 0.0:
+            raise ValueError("rates must be ≥ 0")
+    if default_rate < 0.0:
+        raise ValueError("default_rate must be ≥ 0")
+    rate_col = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate_col = F.when(F.col(by) == key, float(r)).otherwise(rate_col)
+    u = hash_unit(F.col(id_col), seed)
+    n_copies = F.floor(rate_col).cast("int") + (
+        u < (rate_col - F.floor(rate_col))
+    ).cast("int")
+    return (
+        df.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .drop("_nc")
+    )
+
+
+def _rate_case_sql(rates: dict, by: str, default_rate: float) -> str:
+    branches = " ".join(
+        f"WHEN {by} = '{k}' THEN {float(r)!r}" for k, r in sorted(rates.items())
+    )
+    return f"(CASE {branches} ELSE {float(default_rate)!r} END)"
+
+
+def resample_stratified_sql(
+    table: str,
+    rates: dict,
+    by: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 1.0,
+) -> str:
+    """DuckDB twin of ``resample_stratified`` — identical hash, floor, and
+    copy expansion, so the output MULTISET matches row for row."""
+    rc = _rate_case_sql(rates, by, default_rate)
+    u = _hash_unit_sql(id_col, seed)
+    nc = f"(floor({rc})::INT + CASE WHEN ({u}) < ({rc} - floor({rc})) THEN 1 ELSE 0 END)"
+    return f"""
+SELECT t.* , unnest(range({nc}))::INT AS copy
+FROM {table} t
+WHERE {nc} > 0
+"""

@@ -288,3 +288,56 @@ def test_stored_layout_keeps_exact_boundary_points(spark, tmp_path):
                 geo_distance_search(df, lat0, lon0, radius).collect()}
         assert must_have in got
         assert got == want
+
+
+# ------------------------------------------------------------ geotile_grid
+def test_geotile_known_tiles(spark):
+    """Anchor tiles at zoom 1 and 2 against hand-computed slippy-map
+    values (0,0 is the north-west tile)."""
+    from searchengine_spark.ops.geo import geotile_cells
+
+    pts = [
+        (1, 0.0, 0.0),       # equator/greenwich: z1 -> (1, 1)
+        (2, 51.5, -0.1),     # London: z1 -> (0, 0)
+        (3, -33.9, 151.2),   # Sydney: z1 -> (1, 1); z2 -> (3, 2)
+        (4, 89.9, 179.9),    # pole/date-line corner clamps into range
+        (5, -89.9, -179.9),
+    ]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    z1 = {r["doc_id"]: (r["tile_x"], r["tile_y"])
+          for r in geotile_cells(df, 1).collect()}
+    assert z1[1] == (1, 1) and z1[2] == (0, 0) and z1[3] == (1, 1)
+    assert z1[4] == (1, 0) and z1[5] == (0, 1)
+    z2 = {r["doc_id"]: (r["tile_x"], r["tile_y"])
+          for r in geotile_cells(df, 2).collect()}
+    assert z2[3] == (3, 2) and z2[2] == (1, 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        geotile_cells(df, 30)
+
+
+def test_geotile_grid_counts_partition_the_corpus(spark):
+    """Tile counts sum to the corpus size (every point lands in exactly
+    one clamped tile) and match the DuckDB twin."""
+    import duckdb
+
+    from searchengine_spark.ops.geo import geotile_grid, geotile_grid_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    geo = docs.selectExpr(
+        "doc_id",
+        "(doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat",
+        "(doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon",
+    )
+    got = sorted(
+        (r["tile_x"], r["tile_y"], r["n"])
+        for r in geotile_grid(geo, 3).collect()
+    )
+    assert sum(n for _, _, n in got) == docs.count()
+    con = duckdb.connect()
+    con.register("geo_t", geo.toPandas())
+    want = sorted(map(tuple, con.execute(
+        geotile_grid_sql("geo_t", 3)
+    ).fetchall()))
+    assert got == want

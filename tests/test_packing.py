@@ -126,3 +126,63 @@ def test_line_dedup_docs_rejoins_in_order(spark):
         11: "unique eleven",
         12: "unique twelve",
     }
+
+
+# ------------------------------------------------------------ chunk_docs
+def test_chunk_docs_windows(spark):
+    """32/24-style sliding windows on a toy doc: starts every stride,
+    tail kept, no token dropped, short docs give one chunk, empty none."""
+    from searchengine_spark.ops.packing import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, "a1 b2 c3 d4 e5"), (2, "x1 y2"), (3, ""), (4, "z9")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"])
+        for r in chunk_docs(df, size=3, stride=2).collect()
+    )
+    assert rows == [(1, 0, 3), (1, 1, 3), (1, 2, 1), (2, 0, 2), (4, 0, 1)]
+
+
+def test_chunk_docs_coverage_and_overlap(spark):
+    """Every token index is covered; consecutive windows overlap by
+    size - stride tokens (verified via the md5 of reconstructed slices)."""
+    import hashlib
+
+    from searchengine_spark.ops.packing import chunk_docs
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(7, " ".join(toks))], "doc_id long, text string")
+    out = {r["chunk_id"]: r for r in chunk_docs(df, size=4, stride=3).collect()}
+    # starts 0,3,6,9 → sizes 4,4,4,1
+    assert {c: out[c]["n_tokens"] for c in out} == {0: 4, 1: 4, 2: 4, 3: 1}
+    for c, r in out.items():
+        want = hashlib.md5(" ".join(toks[c * 3:c * 3 + 4]).encode()).hexdigest()
+        assert r["chunk_md5"] == want
+
+
+def test_chunk_docs_disjoint_default_and_validation(spark):
+    import pytest as _pt
+
+    from searchengine_spark.ops.packing import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(7)))], "doc_id long, text string"
+    )
+    rows = chunk_docs(df, size=3).collect()  # stride defaults to size
+    assert sorted(r["n_tokens"] for r in rows) == [1, 3, 3]
+    with _pt.raises(ValueError):
+        chunk_docs(df, size=0)
+    with _pt.raises(ValueError):
+        chunk_docs(df, size=3, stride=4)  # gaps would drop tokens
+
+
+def test_chunk_docs_is_shuffle_free(spark):
+    """The chunker must stay a narrow transform — no Exchange in the plan
+    (at 100 TB it runs at scan speed; the writer controls partitioning)."""
+    from searchengine_spark.ops.packing import chunk_docs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_docs(df, 32, 24)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -165,3 +165,66 @@ def test_split_by_group_fraction_validation(spark, docs):
 
     with pytest.raises(ValueError):
         split_by_group(docs, by="source", fractions={"train": 0.5, "test": 0.1})
+
+
+# ----------------------------------------------------- resample (rate > 1)
+def test_resample_rate_repeat_factors(spark):
+    """rate = 2.3: every row appears 2 or 3 times, the 3rd copy decided by
+    the same unit hash sample_rate uses; copies are indexed 0..n-1."""
+    from searchengine_spark.ops.sampling import (
+        hash_unit, resample_rate, sample_rate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = resample_rate(df, 2.3, seed=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["copy"])
+    assert set(per) == set(range(200))  # floor ≥ 1 → nobody drops out
+    u = {
+        r["doc_id"]: r["u"]
+        for r in df.select("doc_id", hash_unit(F.col("doc_id"), 5).alias("u")).collect()
+    }
+    for d, copies in per.items():
+        want = 3 if u[d] < 0.3 else 2
+        assert sorted(copies) == list(range(want)), d
+    # the fractional third copies ARE the rate-0.3 Bernoulli subset
+    bern = {r["doc_id"] for r in sample_rate(df, 0.3, seed=5).collect()}
+    assert {d for d, c in per.items() if len(c) == 3} == bern
+
+
+def test_resample_stratified_mixture(spark):
+    """Upsample en 2x exactly, drop de, pass fr through (default 1.0)."""
+    from searchengine_spark.ops.sampling import resample_stratified
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_stratified(df, {"en": 2.0, "de": 0.0}, by="lang").collect()
+    langs = {}
+    for r in out:
+        langs.setdefault(r["lang"], []).append(r["doc_id"])
+    assert "de" not in langs
+    assert len(langs["en"]) == 60 and len(set(langs["en"])) == 30  # 2 copies
+    assert len(langs["fr"]) == 30 == len(set(langs["fr"]))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        resample_stratified(df, {"en": -1.0}, by="lang")
+
+
+def test_resample_monotone_threshold(spark):
+    """Same seed: the copy multiset at rate r is contained in the multiset
+    at r' > r — mixtures can be re-weighted without reshuffling history."""
+    from searchengine_spark.ops.sampling import resample_rate
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+
+    def multiset(rate):
+        out = {}
+        for r in resample_rate(df, rate, seed=9).collect():
+            out[r["doc_id"]] = out.get(r["doc_id"], 0) + 1
+        return out
+
+    low, high = multiset(1.2), multiset(1.7)
+    assert all(low[d] <= high.get(d, 0) for d in low)
