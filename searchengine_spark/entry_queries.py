@@ -463,6 +463,39 @@ GROUP BY tf.doc_id
 """
 
 
+def q_lm_jelinek_mercer(spark, sf_dir):
+    """Query-likelihood with Jelinek-Mercer smoothing (Lucene
+    LMJelinekMercerSimilarity, λ=0.1 short-query default)."""
+    from .scoring import LM_LAMBDA, lm_jelinek_mercer_score
+
+    tf, stats, dct, n, _ = _scoring_ctx(spark, sf_dir)
+    total_cf = int(dct.agg(F.sum("cf").alias("c")).collect()[0]["c"])
+    scored = lm_jelinek_mercer_score(
+        spark, tf, stats, dct, BM25_QUERY, total_cf, lam=LM_LAMBDA
+    )
+    return scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def _lm_jm_sql(query: str, lam: float) -> str:
+    qrows = ", ".join(f"('{t}', {qtf})" for t, qtf in parse_query(query))
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+dict AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+corpus AS (SELECT sum(cf) AS c FROM dict),
+q(term, qtf) AS (VALUES {qrows})
+SELECT tf.doc_id AS doc_id,
+       round(sum(q.qtf * ln(1.0 + ((1.0 - {lam!r}) * tf.tf / s.doc_len)
+                 / ({lam!r} * (d.cf / c.c)))), {ROUND_DP}) AS score
+FROM tf
+JOIN q USING (term)
+JOIN dict d USING (term)
+JOIN stats s ON s.doc_id = tf.doc_id
+CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
 def q_collapse_topk(spark, sf_dir):
     """Field collapsing: best doc per source, then global top-k. Collapse
     runs over the ROUNDED score so rank decisions are engine-independent."""
@@ -2046,6 +2079,34 @@ SELECT CAST(CAST(date_trunc('{DATE_HIST_UNIT}', mt.ts) AS DATE) AS VARCHAR) AS b
        count(*) AS n
 FROM matched m JOIN meta mt USING (doc_id)
 GROUP BY 1
+"""
+
+
+PIPE_WINDOW = 3
+
+
+def q_facet_pipeline(spark, sf_dir):
+    """ES pipeline aggs over the monthly date histogram: cumulative_sum,
+    derivative (first bucket NULL, like ES), moving_fn avg over a
+    trailing 3-bucket window. Windows run on the |buckets|-row aggregated
+    frame — single-partition there is correct by construction."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_date_histogram_pipeline(
+        FACET_QUERY, _date_meta(spark, sf_dir), "ts",
+        unit=DATE_HIST_UNIT, window=PIPE_WINDOW, round_dp=ROUND_DP,
+    )
+
+
+def _facet_pipeline_sql(query_terms: list[str]) -> str:
+    inner = _facet_date_histogram_sql(query_terms)
+    return f"""
+SELECT bucket, n,
+       sum(n) OVER (ORDER BY bucket) AS cum_n,
+       n - lag(n) OVER (ORDER BY bucket) AS diff_n,
+       round(avg(n) OVER (ORDER BY bucket
+             ROWS BETWEEN {PIPE_WINDOW - 1} PRECEDING AND CURRENT ROW),
+             {ROUND_DP}) AS moving_avg
+FROM ({inner}) h
 """
 
 
@@ -4556,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "bm25_batch_topk": q_bm25_batch_topk,
         "lm_dirichlet": q_lm_dirichlet,
+        "lm_jelinek_mercer": q_lm_jelinek_mercer,
         "lm_index_topk": q_lm_index_topk,
         "collapse_topk": q_collapse_topk,
         "function_score_topk": q_function_score_topk,
@@ -4597,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_adjacency": q_facet_adjacency,
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_date_histogram": q_facet_date_histogram,
+        "facet_pipeline": q_facet_pipeline,
         "facet_percentiles": q_facet_percentiles,
         "facet_cardinality": q_facet_cardinality,
         "facet_extended_stats": q_facet_extended_stats,
@@ -4731,6 +4794,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_sql(BM25_QUERY),
         "bm25_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
         "lm_dirichlet": _lm_dirichlet_sql(BM25_QUERY, LM_MU),
+        "lm_jelinek_mercer": _lm_jm_sql(BM25_QUERY, 0.1),
         # index-native LM must reproduce the relational LM truth
         "lm_index_topk": f"""
 SELECT doc_id, score FROM ({_lm_dirichlet_sql(BM25_QUERY, LM_MU)})
@@ -4785,6 +4849,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
             FACET_QUERY.split(), "n_chars", HIST_INTERVAL
         ),
         "facet_date_histogram": _facet_date_histogram_sql(FACET_QUERY.split()),
+        "facet_pipeline": _facet_pipeline_sql(FACET_QUERY.split()),
         "facet_percentiles": _facet_percentiles_sql(FACET_QUERY.split()),
         "facet_cardinality": _facet_cardinality_sql(FACET_QUERY.split()),
         "facet_extended_stats": _facet_extended_stats_sql(FACET_QUERY.split()),

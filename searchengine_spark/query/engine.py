@@ -1549,6 +1549,51 @@ class SearchEngine:
             F.count(F.lit(1)).alias("n")
         )
 
+    def facet_date_histogram_pipeline(
+        self,
+        query: str,
+        metadata: DataFrame,
+        ts_col: str,
+        unit: str = "month",
+        window: int = 3,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+        round_dp: int = 5,
+    ) -> DataFrame:
+        """Elasticsearch PIPELINE aggregations over the date histogram:
+        ``cumulative_sum`` (running total), ``derivative`` (bucket-over-
+        bucket delta; NULL for the first bucket, like ES skips it), and
+        ``moving_fn`` avg over the trailing ``window`` buckets (current
+        bucket included — ES shift=window semantics).
+
+        Buckets are the histogram's NON-EMPTY calendar buckets in order
+        (ES min_doc_count=1; a gap contributes no zero bucket — densify
+        upstream if derivative-over-gaps must see zeros).
+
+        Scale note: the window functions run WITHOUT partitioning — on the
+        AGGREGATED frame, which is |buckets| rows (months/days), already
+        reduced by the distributed histogram aggregation. Single-partition
+        is correct here precisely because the heavy lifting happened in
+        the groupBy; never run an unpartitioned window on row-level data.
+        Returns DataFrame[bucket, n, cum_n, diff_n, moving_avg]."""
+        from pyspark.sql import Window
+
+        if window < 1:
+            raise ValueError("window must be ≥ 1")
+        h = self.facet_date_histogram(
+            query, metadata, ts_col, unit, mode, rewriter, doc_filter
+        )
+        w = Window.orderBy("bucket")
+        mov = w.rowsBetween(-(window - 1), 0)
+        return h.select(
+            "bucket",
+            "n",
+            F.sum("n").over(w).alias("cum_n"),
+            (F.col("n") - F.lag("n").over(w)).alias("diff_n"),
+            F.round(F.avg("n").over(mov), round_dp).alias("moving_avg"),
+        )
+
     def facet_percentiles(
         self,
         query: str,

@@ -516,6 +516,40 @@ def lm_dirichlet_score(
     return _ordered_sum(cand, per_term)
 
 
+LM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity default for short queries
+
+
+def lm_jelinek_mercer_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    total_cf: int,
+    lam: float = LM_LAMBDA,
+) -> DataFrame:
+    """Query-likelihood with Jelinek-Mercer smoothing (Lucene
+    ``LMJelinekMercerSimilarity``, matched-terms-only):
+
+        score(q, d) = Σ_t qtf · ln(1 + ((1−λ)·tf/dl) / (λ·cf_t/C))
+
+    λ interpolates the document model with the corpus model: small λ
+    (0.1, Lucene's short-query default) trusts the document; larger λ
+    (~0.7) suits long queries. Always ≥ 0 — no clamp needed, unlike the
+    Dirichlet form. Join shape identical to ``bm25_score``: |q|-row
+    broadcast, stats joined only for candidates."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lambda must be in (0, 1)")
+    qdf = _query_df(spark, query)
+    qstats = F.broadcast(qdf.join(dict_df, "term"))
+    cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
+    p_c = F.col("cf") / F.lit(float(total_cf))
+    per_term = F.col("qtf") * F.log(
+        1.0 + ((1.0 - lam) * F.col("tf") / F.col("doc_len")) / (lam * p_c)
+    )
+    return _ordered_sum(cand, per_term)
+
+
 def collapse_topk(
     scored: DataFrame,
     docs_df: DataFrame,

@@ -331,3 +331,40 @@ def test_diversified_sampler_cap_and_order(spark, corpus, eng):
     capped = [x for lst in by_val.values() for x in lst]
     want = sorted(capped, key=lambda x: (-x[1], x[0]))[:size]
     assert sorted((r["doc_id"], r["score"]) for r in out) == sorted(want)
+
+
+def test_date_histogram_pipeline_aggs(spark, corpus, eng):
+    """cumulative_sum / derivative / moving_fn avg over the monthly
+    histogram, checked against a brute recomputation from the plain
+    histogram buckets."""
+    meta = corpus.select(
+        "doc_id",
+        F.expr(
+            "cast(date_add(date '2024-01-01', cast(doc_id % 200 as int))"
+            " as timestamp)"
+        ).alias("ts"),
+    )
+    plain = sorted(
+        (r["bucket"], r["n"])
+        for r in eng.facet_date_histogram("index merge", meta, "ts").collect()
+    )
+    got = {
+        r["bucket"]: (r["n"], r["cum_n"], r["diff_n"], r["moving_avg"])
+        for r in eng.facet_date_histogram_pipeline(
+            "index merge", meta, "ts", window=2, round_dp=5
+        ).collect()
+    }
+    assert len(plain) > 2
+    cum = 0
+    prev = None
+    for i, (b, n) in enumerate(plain):
+        cum += n
+        mov = [x for _, x in plain[max(0, i - 1):i + 1]]
+        want = (n, cum, None if prev is None else n - prev,
+                round(sum(mov) / len(mov), 5))
+        assert got[b] == want, b
+        prev = n
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        eng.facet_date_histogram_pipeline("index merge", meta, "ts", window=0)

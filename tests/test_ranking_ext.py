@@ -243,3 +243,53 @@ def test_has_parent_fans_out_and_filters(spark):
     ]  # doc 3's parent 'c' matched nothing
     flt = has_parent_topk(parents, docs, "source", k=10, score=False).collect()
     assert all(r["score"] == 0.0 for r in flt) and len(flt) == 3
+
+
+# --------------------------------------------------------- LM Jelinek-Mercer
+def test_lm_jelinek_mercer_matches_brute(spark):
+    import math
+
+    from searchengine_spark.postings import (
+        corpus_stats, dictionary, doc_stats, term_frequencies,
+    )
+    from searchengine_spark.scoring import lm_jelinek_mercer_score
+
+    docs = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "join filter window"),
+         (3, "spark window window filter")],
+        "doc_id long, text string",
+    )
+    tf = term_frequencies(docs)
+    stats = doc_stats(tf)
+    dct = dictionary(tf)
+    total_cf = int(sum(r["cf"] for r in dct.collect()))
+    lam = 0.1
+    got = {
+        r["doc_id"]: r["score"]
+        for r in lm_jelinek_mercer_score(
+            spark, tf, stats, dct, "spark window", total_cf, lam=lam
+        ).collect()
+    }
+    raw = {
+        (r["doc_id"], r["term"]): r["tf"] for r in tf.collect()
+    }
+    cf = {r["term"]: r["cf"] for r in dct.collect()}
+    dl = {r["doc_id"]: r["doc_len"] for r in stats.collect()}
+    want = {}
+    for d in (1, 2, 3):
+        s = 0.0
+        for t in ("spark", "window"):
+            if (d, t) in raw:
+                s += math.log(
+                    1.0 + ((1 - lam) * raw[(d, t)] / dl[d])
+                    / (lam * (cf[t] / total_cf))
+                )
+        if s:
+            want[d] = s
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    # matched-terms-only: every contribution is positive, no clamp needed
+    assert all(v > 0 for v in got.values())
+    with pytest.raises(ValueError):
+        lm_jelinek_mercer_score(spark, tf, stats, dct, "spark", total_cf, lam=1.0)
