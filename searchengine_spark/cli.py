@@ -826,7 +826,7 @@ def _cmd_eval(args) -> None:
     spark = _spark(args)
     from pyspark.sql import functions as F
 
-    from .metrics import mean_average_precision, precision_at_k, recall
+    from .metrics import mean_average_precision, mrr, ndcg_at_k, precision_at_k, recall
     from .query.engine import SearchEngine
     from .sources import read_queries_tsv, read_qrels_csv
 
@@ -863,6 +863,10 @@ def _cmd_eval(args) -> None:
         out[f"p_at_{kk}"] = round(float(pk), 4) if pk is not None else None
     rec = recall(results, qrels).agg(F.avg("recall")).collect()[0][0]
     out["recall"] = round(float(rec), 4) if rec is not None else None
+    nd = ndcg_at_k(results, qrels, args.k).agg(F.avg("ndcg")).collect()[0][0]
+    out[f"ndcg_at_{args.k}"] = round(float(nd), 4) if nd is not None else None
+    rr = mrr(results, qrels).agg(F.avg("rr")).collect()[0][0]
+    out["mrr"] = round(float(rr), 4) if rr is not None else None
     print(json.dumps(out))
 
 

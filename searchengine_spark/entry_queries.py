@@ -2331,6 +2331,20 @@ def q_split_by_group(spark, sf_dir):
     )
 
 
+SHUFFLE_SHARDS_N = 4
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global corpus shuffle: shard + within-shard position
+    are pure md5 functions of doc_id — the training-shard writer's
+    coordinates, identical at any parallelism (SQL twin is exact)."""
+    from .ops.sampling import shuffle_shards
+
+    return shuffle_shards(
+        _docs(spark, sf_dir), SHUFFLE_SHARDS_N, seed=SAMPLE_SEED
+    ).select("doc_id", "shard", "pos")
+
+
 SORTED_K = 15
 
 
@@ -4404,6 +4418,62 @@ def q_sq_stored_topk(spark, sf_dir):
     )
 
 
+RESCORE_Q2 = "table scan"
+RESCORE_WINDOW = 60
+RESCORE_K = 20
+RESCORE_RW = 2.0  # power of two → qw·p + rw·s is float-exact in both engines
+
+
+def q_rescore_topk(spark, sf_dir):
+    """ES rescore API (two-phase): primary BM25 window of RESCORE_WINDOW
+    through the segment path, secondary BM25 over ONLY that window
+    (doc_filter allow-set), total-mode combine qw·p + rw·s (non-matching
+    window docs keep qw·p). Tie buffer + rounded re-rank."""
+    eng = _shared_index(spark, sf_dir)
+    hits = eng.rescore(
+        BM25_QUERY,
+        RESCORE_Q2,
+        k=RESCORE_K + 15,
+        window_size=RESCORE_WINDOW,
+        rescore_query_weight=RESCORE_RW,
+    )
+    return _topk_rounded(spark, hits, RESCORE_K)
+
+
+def _rescore_sql() -> str:
+    t1 = ", ".join(f"'{t}'" for t, _ in parse_query(BM25_QUERY))
+    t2 = ", ".join(f"'{t}'" for t, _ in parse_query(RESCORE_Q2))
+    bm = (
+        "SELECT tf.doc_id, sum(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))"
+        " * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * s.doc_len / c.avgdl)))"
+        " AS score FROM tf JOIN q{i} q USING (term) JOIN dict d USING (term)"
+        " JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c"
+        " GROUP BY tf.doc_id"
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q1 AS (SELECT unnest([{t1}]) AS term),
+q2 AS (SELECT unnest([{t2}]) AS term),
+prim AS ({bm.format(i=1)}),
+win AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM prim)
+  WHERE rn <= {RESCORE_WINDOW}),
+sec AS ({bm.format(i=2)})
+SELECT doc_id, score FROM (
+  SELECT w.doc_id,
+         round(w.score + {RESCORE_RW!r} * coalesce(s.score, 0.0), {ROUND_DP}) AS score
+  FROM win w LEFT JOIN sec s ON s.doc_id = w.doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {RESCORE_K}
+"""
+
+
 WAND_K = 50
 
 
@@ -4607,6 +4677,138 @@ def q_delete_compact_search(spark, sf_dir):
     )
 
 
+# -- rank_eval / terms_set / simhash near-dup (round 3, continued) ----------
+RANK_EVAL_K = 10
+RANK_EVAL_MOD = 3  # deterministic labels: y_true = 1 iff doc_id % MOD == 0
+
+TS_QUERY = "hash merge sort table"
+TS_K = 25
+
+
+def _ranked_batch(spark, sf_dir):
+    """(query, doc_id, rank) top-RANK_EVAL_K per batch query, rank over the
+    ROUNDED score (+doc_id tie-break) — engine-independent ranks, same
+    discipline as q_bm25_batch_topk."""
+    from pyspark.sql import Window
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score_batch(spark, tf, stats, dct, BATCH_QUERIES, n, avgdl)
+    rounded = scored.select(
+        F.col("query_id").alias("query"),
+        "doc_id",
+        F.round("score", ROUND_DP).alias("score"),
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RANK_EVAL_K)
+        .select("query", "doc_id", "rank")
+    )
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES ``_rank_eval`` panel: per-query P@k, recall, AP, nDCG@k, RR over
+    the batch queries' BM25 top-k against deterministic labels (doc_id ≡ 0
+    mod RANK_EVAL_MOD → relevant). The label rule is corpus-wide, so recall
+    denominators and IDCG depths are non-trivial (relevant set ≫ k) and a
+    metric that ignored unretrieved relevants would hash-mismatch."""
+    from .metrics import rank_eval
+
+    results = _ranked_batch(spark, sf_dir)
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .filter(F.pmod(F.col("doc_id"), F.lit(RANK_EVAL_MOD)) == 0)
+        .crossJoin(
+            spark.createDataFrame(
+                [(q,) for q in sorted(BATCH_QUERIES)], "query string"
+            )
+        )
+        .select("query", "doc_id", F.lit(1).alias("y_true"))
+    )
+    panel = rank_eval(results, labels, RANK_EVAL_K)
+    return panel.select(
+        "query",
+        *[F.round(c, ROUND_DP).alias(c) for c in ("p_at_k", "recall", "ap", "ndcg", "rr")],
+    )
+
+
+def _rank_eval_sql() -> str:
+    k, mod = RANK_EVAL_K, RANK_EVAL_MOD
+    return f"""
+WITH ranked AS (
+  SELECT query_id AS query, doc_id, rank,
+         CASE WHEN doc_id % {mod} = 0 THEN 1 ELSE 0 END AS rel
+  FROM ({_bm25_batch_sql(BATCH_QUERIES, k)})),
+nrel AS (SELECT count(*)::DOUBLE AS n_rel FROM documents WHERE doc_id % {mod} = 0),
+idcg AS (
+  SELECT sum(1.0 / log2(i + 1.0)) AS idcg
+  FROM (SELECT unnest(range(1, least({k}, (SELECT n_rel FROM nrel)::BIGINT) + 1)) AS i)),
+prec AS (
+  SELECT query, doc_id, rank, rel,
+         sum(rel) OVER (PARTITION BY query ORDER BY rank) / rank::DOUBLE AS p_r
+  FROM ranked)
+SELECT query,
+       round(sum(rel) / {k}.0, {ROUND_DP}) AS p_at_k,
+       round(sum(rel) / (SELECT n_rel FROM nrel), {ROUND_DP}) AS recall,
+       round(coalesce(sum(CASE WHEN rel = 1 THEN p_r END), 0.0)
+             / (SELECT n_rel FROM nrel), {ROUND_DP}) AS ap,
+       round(coalesce(sum(rel / log2(rank + 1.0)), 0.0)
+             / (SELECT idcg FROM idcg), {ROUND_DP}) AS ndcg,
+       round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0.0), {ROUND_DP}) AS rr
+FROM prec GROUP BY query
+"""
+
+
+def q_terms_set_topk(spark, sf_dir):
+    """ES ``terms_set``: match ≥ m(doc) of the 4 query terms where m is a
+    PER-DOC field (required = doc_id mod 3 + 1 → thresholds 1/2/3 all
+    exercised); score = plain BM25 OR. Rounded re-rank cut at TS_K."""
+    from pyspark.sql import Window
+    from .scoring import terms_set_score
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    required = _docs(spark, sf_dir).select(
+        "doc_id", (F.pmod(F.col("doc_id"), F.lit(3)) + 1).alias("required")
+    )
+    scored = terms_set_score(
+        spark, tf, stats, dct, TS_QUERY, required, n, avgdl
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TS_K)
+        .drop("rn")
+    )
+
+
+def _terms_set_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t, _ in parse_query(TS_QUERY))
+    return f"""
+SELECT doc_id, score FROM (
+  SELECT s.doc_id, s.score FROM ({_bm25_sql(TS_QUERY)}) s
+  JOIN (SELECT doc_id, count(DISTINCT term) AS matched
+        FROM ({_TF_SQL}) WHERE term IN ({terms}) GROUP BY doc_id) m
+    ON m.doc_id = s.doc_id
+  WHERE m.matched >= greatest(s.doc_id % 3 + 1, 1))
+ORDER BY score DESC, doc_id ASC
+LIMIT {TS_K}
+"""
+
+
+SIMHASH_NEARDUP_D = 6
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash Hamming-distance near-dup pairs (Manku WWW'07 banding):
+    d=SIMHASH_NEARDUP_D over the 60-bit signatures — d+1 bit-band buckets
+    generate candidates, bit_count(xor) verifies exactly. d=6 is the
+    selective band on the synthetic corpus (mean pairwise distance ≈19,
+    so ≤6 isolates template near-dups without going quadratic)."""
+    return dedup.simhash_neardup(_docs(spark, sf_dir), d=SIMHASH_NEARDUP_D)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_tf": q_doc_tf,
@@ -4674,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "resample_stratified": q_resample_stratified,
         "split_by_group": q_split_by_group,
+        "shuffle_shards": q_shuffle_shards,
         "code_tokens": q_code_tokens,
         "chain_tokens": q_chain_tokens,
         "code_search_topk": q_code_search_topk,
@@ -4688,6 +4891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_search": q_update_search,
         "boolean_not": q_boolean_not,
         "min_should_match": q_min_should_match,
+        "terms_set_topk": q_terms_set_topk,
+        "rescore_topk": q_rescore_topk,
+        "rank_eval": q_rank_eval,
+        "simhash_neardup": q_simhash_neardup,
         "wand_batch_topk": q_wand_batch_topk,
         "sharded_batch_topk": q_sharded_batch_topk,
         "bm25_prf": q_bm25_prf,
@@ -4783,7 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from . import didyoumean as _dym
     from .ops import bpe as _bpe
-    from .ops.sampling import split_by_group_sql
+    from .ops.sampling import shuffle_shards_sql, split_by_group_sql
 
     return {
         "doc_tf": _TF_SQL,
@@ -4868,6 +5075,13 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "split_by_group": (
             "SELECT doc_id, source, split FROM ("
             + split_by_group_sql("documents", by="source", seed=SAMPLE_SEED)
+            + ") t"
+        ),
+        "shuffle_shards": (
+            "SELECT doc_id, shard, pos FROM ("
+            + shuffle_shards_sql(
+                "documents", SHUFFLE_SHARDS_N, seed=SAMPLE_SEED
+            )
             + ") t"
         ),
         "code_tokens": _code_tf_sql(),
@@ -5021,6 +5235,12 @@ ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
         "update_search": _update_sql(UPDATE_QUERY.split(), UPDATE_K),
         "boolean_not": _boolean_not_sql(),
         "min_should_match": _min_should_match_sql(),
+        "terms_set_topk": _terms_set_sql(),
+        "rescore_topk": _rescore_sql(),
+        "rank_eval": _rank_eval_sql(),
+        "simhash_neardup": dedup.simhash_neardup_sql(
+            "documents", d=SIMHASH_NEARDUP_D
+        ),
         # two cursor-tiled pages must equal the plain top-2k
         "search_after": f"""
 SELECT doc_id, score FROM ({_bm25_sql(PAGE_QUERY)})

@@ -75,3 +75,81 @@ def mean_average_precision(results: DataFrame, qrels: DataFrame) -> float:
     ap = average_precision(results, qrels)
     row = ap.agg(F.avg("ap").alias("map")).collect()[0]
     return float(row["map"]) if row["map"] is not None else 0.0
+
+
+def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """(query, ndcg): normalized discounted cumulative gain at cut k with
+    the standard exponential gain (2^rel − 1)/log2(rank+1) — the ES
+    ``rank_eval`` / trec_eval formulation. ``y_true`` may be GRADED (any
+    non-negative integer); binary labels reduce to 1/log2(rank+1).
+
+    IDCG ranks the query's labeled relevant docs by grade descending and
+    cuts at k — a query whose relevant set is larger than k normalizes
+    against the best achievable PAGE, not the whole set (standard nDCG@k).
+    Queries with no relevant docs get ndcg = 0.0 (ES convention)."""
+    lab = _labeled(results.filter(F.col("rank") <= k), qrels)
+    gain = (F.pow(F.lit(2.0), F.col("y_true")) - 1.0) / F.log2(F.col("rank") + 1.0)
+    dcg = lab.groupBy("query").agg(F.sum(gain).alias("dcg"))
+    iw = Window.partitionBy("query").orderBy(F.desc("y_true"), F.asc("doc_id"))
+    ideal = (
+        qrels.filter(F.col("y_true") > 0)
+        .withColumn("irank", F.row_number().over(iw))
+        .filter(F.col("irank") <= k)
+        .withColumn(
+            "igain",
+            (F.pow(F.lit(2.0), F.col("y_true")) - 1.0) / F.log2(F.col("irank") + 1.0),
+        )
+        .groupBy("query")
+        .agg(F.sum("igain").alias("idcg"))
+    )
+    return (
+        results.select("query").distinct()
+        .join(dcg, "query", "left")
+        .join(F.broadcast(ideal), "query", "left")
+        .select(
+            "query",
+            F.when(
+                F.col("idcg").isNotNull() & (F.col("idcg") > 0),
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+
+
+def mrr(results: DataFrame, qrels: DataFrame) -> DataFrame:
+    """(query, rr): reciprocal rank of the FIRST relevant retrieved doc
+    (0.0 when no relevant doc was retrieved) — mean over queries is MRR,
+    the ES ``mean_reciprocal_rank`` rank_eval metric."""
+    first = (
+        _labeled(results, qrels)
+        .filter(F.col("y_true") > 0)
+        .groupBy("query")
+        .agg((1.0 / F.min("rank")).alias("rr"))
+    )
+    return (
+        results.select("query").distinct()
+        .join(first, "query", "left")
+        .select("query", F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr"))
+    )
+
+
+def rank_eval(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """Per-query metric panel — the ES ``_rank_eval`` API shape: one row per
+    query with (p_at_k, recall, ap, ndcg, rr). All five metrics come from
+    the SAME ranked results/labels frames, so the panel is one broadcast
+    join fan-out, no extra scans of the corpus. Queries whose metric is
+    undefined (no relevant docs / none retrieved) report 0.0 so the panel
+    is total over the query set."""
+    base = results.select("query").distinct()
+    out = (
+        base.join(precision_at_k(results, qrels, k), "query", "left")
+        .join(recall(results, qrels), "query", "left")
+        .join(average_precision(results, qrels), "query", "left")
+        .join(ndcg_at_k(results, qrels, k), "query", "left")
+        .join(mrr(results, qrels), "query", "left")
+    )
+    for c in ("p_at_k", "recall", "ap", "ndcg", "rr"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out

@@ -788,6 +788,129 @@ FROM bits GROUP BY doc_id
 """
 
 
+def _simhash_bands(d: int) -> list[tuple[int, int, int]]:
+    """(band, start_bit, width) decomposition of the 60-bit signature into
+    d+1 contiguous bands. Pigeonhole: two signatures within Hamming
+    distance d differ in ≤ d bands, so they agree EXACTLY on at least one
+    of the d+1 — band equality is a lossless blocking key (Manku, Jain &
+    Sarma, WWW'07 §3). Remainder bits widen the leading bands by 1."""
+    n_bands = d + 1
+    base, rem = divmod(SIMHASH_BITS, n_bands)
+    out, start = [], 0
+    for bi in range(n_bands):
+        width = base + (1 if bi < rem else 0)
+        out.append((bi, start, width))
+        start += width
+    return out
+
+
+def simhash_neardup(
+    df: DataFrame | None = None,
+    d: int = 3,
+    *,
+    signatures: DataFrame | None = None,
+    max_bucket: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``d`` — the
+    Manku/Jain/Sarma WWW'07 web-dedup design, relational form. Output
+    (doc_a, doc_b, hamming), doc_a < doc_b, exact (blocking is lossless):
+    the 60-bit signature splits into d+1 bit-bands; a pair within distance
+    d MUST agree exactly on ≥1 band (pigeonhole), so candidates come from
+    d+1 band-value equi-buckets — never an all-pairs join — and one
+    ``bit_count(xor)`` verifies the exact distance.
+
+    Same single-pass bucket shape as ``minhash_band_pairs``: signatures
+    computed ONCE, exploded to (band, band_val) keys, pairs generated
+    inside the bucket with array combinators (signature rides along, so
+    verification needs no join back). ``max_bucket`` caps degenerate
+    buckets (keeps the smallest doc_ids — at 100 TB a boilerplate band
+    value would otherwise go quadratic); the default is unreachable at
+    test scale so the DuckDB twin stays exact. At scale the bucket
+    cardinality is ~(d+1)·N over ~2^15-value keys per band — a uniform
+    shuffle, no hot keys beyond what the cap bounds."""
+    sig = signatures if signatures is not None else simhash(df, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.expr(
+                f"(simhash >> {start}) & {(1 << width) - 1}"
+            ).alias("band_val"),
+        )
+        for bi, start, width in _simhash_bands(d)
+    ]
+    exploded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.band_val")
+    buckets = exploded.groupBy("band", "band_val").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))),
+            1,
+            max_bucket,
+        ).alias("rows")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("rows"),
+            lambda x, i: F.transform(
+                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["simhash"].alias("sh_a"),
+                    y["doc_id"].alias("doc_b"),
+                    y["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size("rows") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
+        .distinct()
+        .withColumn("hamming", F.expr("cast(bit_count(sh_a ^ sh_b) as bigint)"))
+        .filter(F.col("hamming") <= d)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_neardup_sql(
+    table: str,
+    d: int = 3,
+    max_bucket: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``simhash_neardup`` INCLUDING the max_bucket cap
+    (smallest doc_ids per band bucket), band decomposition, and the exact
+    bit_count(xor) verification."""
+    band_vals = ", ".join(
+        f"({bi}, {start}, {width})" for bi, start, width in _simhash_bands(d)
+    )
+    return f"""
+WITH sig AS ({simhash_sql(table, id_col, text_col)}),
+bands(band, start, width) AS (VALUES {band_vals}),
+keys AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> start) & ((1::BIGINT << width) - 1) AS band_val
+  FROM sig, bands),
+ranked AS (
+  SELECT doc_id, simhash, band, band_val,
+         row_number() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS rn
+  FROM keys),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                  b.doc_id AS doc_b, b.simhash AS sh_b
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE a.rn <= {max_bucket} AND b.rn <= {max_bucket})
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {d}
+"""
+
+
 # ----------------------------------------------- exact duplicate spans
 def positional_shingles(
     df: DataFrame, w: int, id_col: str = "doc_id", text_col: str = "text"

@@ -139,6 +139,63 @@ WHERE {_hash_unit_sql(id_col, seed)} < {float(rate)!r}
 """
 
 
+def shuffle_shards(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` balanced shards with
+    a reproducible within-shard order — the "shuffle the corpus ONCE,
+    write ordered shards" step in front of training (data loaders then
+    stream shards sequentially; example order must not depend on how the
+    prep job happened to be partitioned).
+
+    Why not ``orderBy(rand(seed))``: Spark seeds rand per PARTITION, so
+    the permutation changes with input splits, AQE re-plans, and task
+    retries. Here both coordinates are pure functions of the row id:
+    h = md5(id‖seed); shard = int(h[:12], 16) mod n_shards; pos = rank of
+    h within the shard (full 32-hex ordering, id tie-break). Same
+    permutation at any parallelism, on any engine (SQL twin), and
+    re-runs are idempotent.
+
+    Scale shape: one shuffle (the per-shard rank window, keyed on shard —
+    ~|rows|/n_shards per window partition; pick n_shards ≥ executor count
+    at 100 TB so no window partition outgrows an executor). To persist:
+    ``out.repartition("shard").sortWithinPartitions("pos")
+    .write.partitionBy("shard")`` — readers get ordered files per shard.
+
+    Output: input columns + (shard int, pos long), pos 1-based dense
+    within each shard."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    out = df.withColumn("_h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("_h"), 1, _HEX_DIGITS), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
+
+
+def shuffle_shards_sql(
+    table: str, n_shards: int, id_col: str = "doc_id", seed: int = 0
+) -> str:
+    """DuckDB twin of ``shuffle_shards`` — identical md5 coordinates, so
+    shard assignment AND within-shard order match row for row."""
+    h = f"md5(CAST({id_col} AS VARCHAR) || ':{seed}')"
+    shard = (
+        f"(CAST(('0x' || substring({h}, 1, {_HEX_DIGITS})) AS BIGINT) % {n_shards})"
+    )
+    return f"""
+SELECT * EXCLUDE (_h),
+       row_number() OVER (PARTITION BY shard ORDER BY _h, {id_col})::BIGINT AS pos
+FROM (SELECT *, {h} AS _h, {shard}::INT AS shard FROM {table})
+"""
+
+
 def split_by_group(
     df: DataFrame,
     by: str,

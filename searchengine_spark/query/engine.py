@@ -2038,6 +2038,74 @@ class SearchEngine:
         out = maxsim_topk(tv, terms, k=k, dim=dim)
         return [(int(r["doc_id"]), float(r["score"])) for r in out.collect()]
 
+    _RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+    def rescore(
+        self,
+        query: str,
+        rescore_query: str,
+        k: int = 10,
+        window_size: int = 100,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        score_mode: str = "total",
+    ) -> list[tuple[int, float]]:
+        """Two-phase rescoring (the Elasticsearch ``rescore`` API): the
+        primary query retrieves its top ``window_size`` through the normal
+        pruned/WAND path, then the rescore query is scored ONLY over that
+        window (``doc_filter`` — the allow-set reaches the decode kernels,
+        so phase 2 touches a candidate-bounded slice of the index, never
+        the corpus) and the two scores combine per ``score_mode``:
+
+          total     qw·primary + rw·secondary      (ES default)
+          multiply  (qw·primary) · (rw·secondary)
+          avg/max/min over the two weighted scores
+
+        ES semantics kept: docs OUTSIDE the window are gone (rescoring
+        never resurrects rank > window_size); a window doc the rescore
+        query does NOT match keeps ``qw·primary`` under every mode (the
+        secondary leg simply isn't there to combine — pinned convention,
+        matching ES's total mode; ES leaves the non-matching case
+        undefined for the other modes).
+
+        The combine runs driver-side over ≤ window_size rows — same
+        bounded-candidate discipline as ``mmr_rerank``/``glove`` rerank;
+        both phases are ordinary distributed searches."""
+        if score_mode not in self._RESCORE_MODES:
+            raise ValueError(f"score_mode must be one of {self._RESCORE_MODES}")
+        if window_size < k:
+            raise ValueError("window_size must be >= k")
+        primary = self.search(query, k=window_size)
+        if not primary:
+            return []
+        ids = [d for d, _ in primary]
+        secondary = dict(
+            self.search(
+                rescore_query, k=window_size, doc_filter=ids, use_wand=False
+            )
+        )
+        qw, rw = float(query_weight), float(rescore_query_weight)
+        out = []
+        for d, p in primary:
+            wp = qw * p
+            if d in secondary:
+                ws = rw * secondary[d]
+                if score_mode == "total":
+                    s = wp + ws
+                elif score_mode == "multiply":
+                    s = wp * ws
+                elif score_mode == "avg":
+                    s = (wp + ws) / 2.0
+                elif score_mode == "max":
+                    s = max(wp, ws)
+                else:
+                    s = min(wp, ws)
+            else:
+                s = wp
+            out.append((d, s))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+
     def significant_terms(
         self,
         query: str,

@@ -738,6 +738,69 @@ def hit_counts(
     )
 
 
+def terms_set_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    query: str,
+    required_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES ``terms_set`` query: a doc matches iff it contains at least
+    ``m(doc)`` DISTINCT query terms, where m comes from a PER-DOC numeric
+    field (``minimum_should_match_field``) — the dynamic-threshold
+    generalization of ``min_should_match`` (whose constant-m form runs
+    index-natively in the kernels; the per-doc form is inherently a
+    metadata join, so it lives on the relational scorer).
+
+    ``required_df``: (doc_id, required). ES semantics kept exactly:
+      * docs absent from ``required_df`` (missing field) never match
+        (the inner join below),
+      * ``required <= 0`` matches on any single term (clamped to 1 —
+        a conjunction over zero terms is vacuous; ES behaves the same
+        because a doc reaches the scorer only via ≥1 posting),
+      * ``required > |query terms|`` can never match (no clamp-down —
+        ES documents this foot-gun and we reproduce it).
+    Score of a surviving doc = its plain BM25 OR score.
+
+    Plan shape: the matched-count aggregation and the BM25 sum run over
+    the SAME broadcast-filtered candidate frame (one shuffle on doc_id);
+    ``required_df`` joins the post-aggregation doc-level frame — at 100 TB
+    that is |candidates| rows against the metadata table on the doc_id
+    key, never a row-level blowup."""
+    qdf = _query_df(spark, query)
+    qstats = F.broadcast(qdf.join(dict_df, "term"))
+    cand = tf_df.join(qstats, "term").join(
+        stats_df.select("doc_id", "doc_len"), "doc_id"
+    )
+    idf = bm25_idf_col(n_docs)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    # _ordered_sum's sorted-term accumulation (bit-stable across
+    # parallelism levels), widened with the distinct-match count
+    per = cand.select(
+        "doc_id", "term", F.struct("term", per_term.alias("s")).alias("ts")
+    )
+    scored = per.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("ts")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+        F.count_distinct("term").alias("matched"),
+    )
+    req = required_df.select(
+        "doc_id", F.greatest(F.col("required"), F.lit(1)).alias("required")
+    )
+    return scored.join(req, "doc_id").filter(
+        F.col("matched") >= F.col("required")
+    ).select("doc_id", "score")
+
+
 # --------------------------------------------------------- function_score
 _FS_MODIFIERS = ("none", "ln1p", "sqrt", "square", "reciprocal")
 

@@ -77,6 +77,80 @@ def test_msm_boundaries(eng):
         eng.search(Q, k=5, mode="and", min_should_match=2)
 
 
+# ----------------------------------------------------- terms_set (per-doc m)
+def _scoring_ctx(spark, corpus):
+    from searchengine_spark.postings import dictionary, doc_stats, term_frequencies
+
+    tf = term_frequencies(corpus, "doc_id", "text")
+    stats = doc_stats(tf)
+    dct = dictionary(tf)
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")
+    ).collect()[0]
+    return tf, stats, dct, int(row["n"]), float(row["a"])
+
+
+def test_terms_set_matches_bruteforce(spark, corpus, eng, term_sets):
+    """Per-doc dynamic threshold: required(doc) = doc_id % 3 + 1. Survivors
+    are exactly {doc: |matched| >= required(doc)} with plain OR scores —
+    checked against the unconstrained ranking filtered in Python."""
+    from searchengine_spark.scoring import terms_set_score
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, corpus)
+    qterms = set(tokenize_py(Q))
+    required = corpus.select(
+        "doc_id", (F.pmod(F.col("doc_id"), F.lit(3)) + 1).alias("required")
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in terms_set_score(
+            spark, tf, stats, dct, Q, required, n, avgdl
+        ).collect()
+    }
+    base = dict(eng.search(Q, k=10_000, use_wand=False))
+    want = {
+        d: s
+        for d, s in base.items()
+        if len(qterms & term_sets[d]) >= (d % 3 + 1)
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-9
+    # thresholds actually vary the outcome: some docs survive at m=1 that
+    # fail at their own higher requirement
+    assert len(got) < len(base)
+    assert got
+
+
+def test_terms_set_missing_field_never_matches(spark, corpus, eng, term_sets):
+    """ES semantics: a doc without the minimum_should_match_field cannot
+    match (inner join); required > |query terms| can never match."""
+    from searchengine_spark.scoring import terms_set_score
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, corpus)
+    # only even doc_ids carry the field
+    required = corpus.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit(1).alias("required")
+    )
+    got = {r["doc_id"] for r in terms_set_score(
+        spark, tf, stats, dct, Q, required, n, avgdl
+    ).collect()}
+    assert got and all(d % 2 == 0 for d in got)
+    # required above the query's term count → empty
+    nq = len(set(tokenize_py(Q)))
+    req_hi = corpus.select("doc_id", F.lit(nq + 1).alias("required"))
+    assert terms_set_score(
+        spark, tf, stats, dct, Q, req_hi, n, avgdl
+    ).count() == 0
+    # required <= 0 clamps to 1 (any single match suffices)
+    req_zero = corpus.select("doc_id", F.lit(0).alias("required"))
+    base = dict(eng.search(Q, k=10_000, use_wand=False))
+    got0 = {r["doc_id"] for r in terms_set_score(
+        spark, tf, stats, dct, Q, req_zero, n, avgdl
+    ).collect()}
+    assert got0 == set(base)
+
+
 def test_msm_sharded_identical(spark, corpus, eng, tmp_path_factory):
     from searchengine_spark.query.sharded import ShardedEngine
 

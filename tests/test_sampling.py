@@ -228,3 +228,64 @@ def test_resample_monotone_threshold(spark):
 
     low, high = multiset(1.2), multiset(1.7)
     assert all(low[d] <= high.get(d, 0) for d in low)
+
+
+# ------------------------------------------------------- shuffle_shards
+def test_shuffle_shards_is_permutation(spark, docs):
+    """Every row lands in exactly one (shard, pos) cell; pos is dense
+    1..|shard| within each shard."""
+    from searchengine_spark.ops.sampling import shuffle_shards
+
+    out = shuffle_shards(docs, 4, seed=3).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shuffle_shards_partition_independent(spark, docs):
+    """The permutation is identical at any input partitioning — the whole
+    point vs orderBy(rand); also stable across repeated runs."""
+    from searchengine_spark.ops.sampling import shuffle_shards
+
+    base = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in shuffle_shards(docs, 4, seed=3).collect()
+    }
+    repart = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in shuffle_shards(docs.repartition(13), 4, seed=3).collect()
+    }
+    assert base == repart
+
+
+def test_shuffle_shards_balanced_and_seeded(spark, docs):
+    """Shards are hash-balanced (within 4 sigma of uniform) and a
+    different seed produces a different permutation."""
+    from searchengine_spark.ops.sampling import shuffle_shards
+
+    n = docs.count()
+    sizes = {
+        r["shard"]: r["c"]
+        for r in shuffle_shards(docs, 4, seed=3)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    exp = n / 4
+    for c in sizes.values():
+        assert abs(c - exp) < 4 * (exp ** 0.5) + 1
+    a = {r["doc_id"]: r["pos"] for r in shuffle_shards(docs, 4, seed=3).collect()}
+    b = {r["doc_id"]: r["pos"] for r in shuffle_shards(docs, 4, seed=4).collect()}
+    assert a != b
+
+
+def test_shuffle_shards_validation(spark, docs):
+    import pytest as _pt
+
+    from searchengine_spark.ops.sampling import shuffle_shards
+
+    with _pt.raises(ValueError):
+        shuffle_shards(docs, 0)
