@@ -230,6 +230,9 @@ def _cmd_search(args) -> None:
     t0 = time.perf_counter()
     if args.mode == "phrase":
         hits = eng.search_phrase(args.query, k=args.k)
+    elif args.mode == "phraseprefix":
+        hits = eng.search_phrase_prefix(args.query, k=args.k,
+                                        max_expansions=args.max_expansions)
     elif args.mode == "near":
         hits = eng.search_near(args.query, window=args.window, k=args.k,
                                ordered=args.ordered)
@@ -936,10 +939,12 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("-k", type=int, default=100)
     s.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "near", "spanfirst", "common",
-                 "wildcard", "regexp", "fuzzy", "mlt", "qs", "bool"],
+        choices=["or", "and", "phrase", "phraseprefix", "near", "spanfirst",
+                 "common", "wildcard", "regexp", "fuzzy", "mlt", "qs", "bool"],
         default="or",
-        help="spanfirst: phrase must end within the first --limit tokens; "
+        help="phraseprefix: last word is a prefix (search-as-you-type, "
+        "needs a --positions build); "
+        "spanfirst: phrase must end within the first --limit tokens; "
         "wildcard: --query is a glob (ind*); fuzzy: a single term; "
         "mlt: a source text to find similar docs for; bool: a JSON "
         "must/should/must_not/filter tree (range fields come from "

@@ -4418,6 +4418,63 @@ def q_sq_stored_topk(spark, sf_dir):
     )
 
 
+PP_FIXED = "table"
+PP_PREFIX = "s"
+PP_MAXEXP = 4
+PP_K = 25
+
+
+def q_phrase_prefix_topk(spark, sf_dir):
+    """ES match_phrase_prefix ("table s…"): dictionary expands the prefix
+    under the (df desc, term asc) cap — max_expansions=4 < the 6 s-terms,
+    so the cap ordering is in the hash — and the positional kernel
+    verifies fixed-term adjacency + completion. Score = fixed BM25 + best
+    completing expansion. Tie buffer + rounded re-rank."""
+    eng = _shared_index(spark, sf_dir, positional=True)
+    hits = eng.search_phrase_prefix(
+        f"{PP_FIXED} {PP_PREFIX}", k=PP_K + 15, max_expansions=PP_MAXEXP
+    )
+    return _topk_rounded(spark, hits, PP_K)
+
+
+def _phrase_prefix_sql() -> str:
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+exp AS (
+  SELECT term FROM dict WHERE term LIKE '{PP_PREFIX}%'
+  ORDER BY df DESC, term ASC LIMIT {PP_MAXEXP}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)),
+comp AS (
+  SELECT DISTINCT a.doc_id, b.term AS e
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{PP_FIXED}' AND b.term IN (SELECT term FROM exp)),
+u AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * s.doc_len / c.avgdl)) AS su
+  FROM tf JOIN dict d USING (term)
+  JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c),
+bestexp AS (
+  SELECT comp.doc_id, max(u.su) AS es
+  FROM comp JOIN u ON u.doc_id = comp.doc_id AND u.term = comp.e
+  GROUP BY comp.doc_id)
+SELECT doc_id, score FROM (
+  SELECT b.doc_id, round(f.su + b.es, {ROUND_DP}) AS score
+  FROM bestexp b JOIN u f ON f.doc_id = b.doc_id AND f.term = '{PP_FIXED}')
+ORDER BY score DESC, doc_id ASC
+LIMIT {PP_K}
+"""
+
+
 RESCORE_Q2 = "table scan"
 RESCORE_WINDOW = 60
 RESCORE_K = 20
@@ -4893,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match": q_min_should_match,
         "terms_set_topk": q_terms_set_topk,
         "rescore_topk": q_rescore_topk,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
         "rank_eval": q_rank_eval,
         "simhash_neardup": q_simhash_neardup,
         "wand_batch_topk": q_wand_batch_topk,
@@ -5237,6 +5295,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}
         "min_should_match": _min_should_match_sql(),
         "terms_set_topk": _terms_set_sql(),
         "rescore_topk": _rescore_sql(),
+        "phrase_prefix_topk": _phrase_prefix_sql(),
         "rank_eval": _rank_eval_sql(),
         "simhash_neardup": dedup.simhash_neardup_sql(
             "documents", d=SIMHASH_NEARDUP_D

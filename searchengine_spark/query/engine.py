@@ -872,6 +872,65 @@ class SearchEngine:
         return self._positional_query(phrase, k, doc_filter, make_kernel,
                                       global_stats)
 
+    def search_phrase_prefix(
+        self,
+        phrase: str,
+        k: int = 100,
+        max_expansions: int = 50,
+        doc_filter=None,
+    ) -> list[tuple[int, float]]:
+        """ES ``match_phrase_prefix`` (search-as-you-type): the LAST token
+        of ``phrase`` is a prefix; the dictionary expands it to at most
+        ``max_expansions`` completions ((df desc, term asc) cap — the same
+        rewrite discipline as wildcard/fuzzy), and a doc matches iff the
+        fixed tokens chain adjacently with some completion at the next
+        position. Requires a positional build.
+
+        Score = BM25 over the distinct fixed terms + max over COMPLETING
+        expansions of idf_e·u_e (pinned convention — see
+        ``score_group_phrase_prefix``). One pruned segment scan covers
+        fixed terms and all expansions; the per-group kernel resolves
+        matching and scoring with zero extra jobs."""
+        from .phrase import score_group_phrase_prefix
+
+        meta = self.meta
+        if not meta.has_positions:
+            raise ValueError(
+                "index was built without positions — rebuild with "
+                "with_positions=True for index-native positional queries"
+            )
+        # the last WHITESPACE token is the prefix and must NOT go through
+        # the analyzer (it is not a complete token — the tokenizer would
+        # drop a 1-char prefix and stemming would mangle a partial word);
+        # the fixed part gets the index's full analysis like any phrase
+        raw = phrase.strip().split()
+        if not raw:
+            return []
+        prefix = raw[-1].lower()
+        fixed = self._analyze(" ".join(raw[:-1]))
+        exps = self.expand_pattern(prefix + "*", max_expansions)
+        if not exps:
+            return []
+        all_terms = sorted(set(fixed) | set(exps))
+        dict_rows = self._resolve_terms(" ".join(all_terms))
+        present = {r["term"] for r in dict_rows}
+        if any(t not in present for t in set(fixed)):
+            return []  # a fixed term absent from the corpus → no match
+        idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+        buckets = sorted({int(r["bucket"]) for r in dict_rows})
+        blocks = self._pruned_blocks(buckets, sorted(idf))
+        mask = self._doc_mask(doc_filter)
+        exps_in = [e for e in exps if e in present]
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_group_phrase_prefix(
+                pdf, idf, meta.k1, meta.b, meta.avgdl, k, fixed, exps_in, mask
+            )
+
+        cand = blocks.groupBy("doc_range").applyInPandas(run_group, RESULT_SCHEMA)
+        rows = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
     def phrase_matching_docs(self, phrase: str, doc_filter=None) -> DataFrame:
         """FULL set of docs containing the exact phrase, as a distributed
         DataFrame[doc_id] (never collected): the phrase kernel with an

@@ -216,6 +216,92 @@ def score_group_span_first(
     return _score_matched(per_term, distinct, matched, idf, k1, b, avgdl, k)
 
 
+def score_group_phrase_prefix(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    fixed_terms: list[str],
+    expansions: list[str],
+    mask: DocMask | None = None,
+) -> pd.DataFrame:
+    """ES ``match_phrase_prefix``: the phrase's last slot matches ANY of
+    ``expansions`` (the dictionary completions of the typed prefix). A doc
+    matches iff the fixed terms chain adjacently and some expansion sits
+    at the next position.
+
+    Scoring convention (pinned — Lucene's MultiPhraseQuery blends union
+    freqs instead, which no SQL twin can reproduce bit-exactly): BM25 over
+    the DISTINCT fixed terms in ascending order, plus the MAX over
+    COMPLETING expansions (those that actually extend the phrase in this
+    doc) of idf_e·u_e — float max is evaluation-order independent, so the
+    score is deterministic across partitionings and engines.
+
+    ``fixed_terms`` may be empty (a bare-prefix query): every doc
+    containing any expansion matches, scored by the best expansion."""
+    distinct_fixed = sorted(set(fixed_terms))
+    per_term = _decode_positional(pdf, mask)
+    if any(t not in per_term for t in distinct_fixed):
+        return pd.DataFrame(_EMPTY)
+    exps = [e for e in sorted(set(expansions)) if e in per_term]
+    if not exps:
+        return pd.DataFrame(_EMPTY)
+
+    targets: np.ndarray | None = None
+    if fixed_terms:
+        common = _and_candidates(per_term, distinct_fixed, mask)
+        if len(common) == 0:
+            return pd.DataFrame(_EMPTY)
+        valid = _gpos(per_term, fixed_terms[0], common)
+        for term in fixed_terms[1:]:
+            valid = np.intersect1d(valid + np.uint64(1), _gpos(per_term, term, common))
+            if len(valid) == 0:
+                return pd.DataFrame(_EMPTY)
+        targets = (valid + np.uint64(1)).astype(np.int64)  # expansion slot
+    else:
+        common = np.unique(np.concatenate([per_term[e][0] for e in exps]))
+        keep = _keep(common, mask)
+        if keep is not None:
+            common = common[keep]
+        if len(common) == 0:
+            return pd.DataFrame(_EMPTY)
+
+    best = np.full(len(common), -np.inf)
+    for e in exps:
+        ge = _gpos_union(per_term, e, common)
+        if len(ge) == 0:
+            continue
+        if targets is not None:
+            pos = np.searchsorted(targets, ge)
+            hit = (pos < len(targets)) & (
+                targets[np.minimum(pos, len(targets) - 1)] == ge
+            )
+            ge = ge[hit]
+            if len(ge) == 0:
+                continue
+        slots_e = np.unique(ge >> np.int64(32)).astype(np.int64)
+        docs_e, tfs_e, dls_e, _ = per_term[e]
+        rows = np.searchsorted(docs_e, common[slots_e])
+        u = idf[e] * bm25_u(tfs_e[rows], dls_e[rows], k1, b, avgdl)
+        np.maximum.at(best, slots_e, u)
+    match_slots = np.flatnonzero(best > -np.inf)
+    if len(match_slots) == 0:
+        return pd.DataFrame(_EMPTY)
+    matched = common[match_slots]
+
+    acc = np.zeros(len(matched), dtype=np.float64)
+    for t in distinct_fixed:  # ascending order == oracle accumulation
+        docs, tfs, dls, _ = per_term[t]
+        rows = np.searchsorted(docs, matched)
+        acc += idf[t] * bm25_u(tfs[rows], dls[rows], k1, b, avgdl)
+    acc += best[match_slots]
+    signed = matched.view(np.int64)
+    order = np.lexsort((signed, -acc))[:k]
+    return pd.DataFrame({"doc_id": signed[order], "score": acc[order]})
+
+
 def score_group_near(
     pdf: pd.DataFrame,
     idf: dict[str, float],
