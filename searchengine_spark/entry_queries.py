@@ -4298,6 +4298,37 @@ def q_dedup_pipeline(spark, sf_dir):
     return dedup.dedup_pipeline(_docs(spark, sf_dir), w=3, tau=0.2)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keeper policy layer: same clusters as dedup_pipeline, but each
+    cluster keeps its highest-quality member (rounded quality ties →
+    smallest doc_id) instead of the min-id label artifact."""
+    docs = _docs(spark, sf_dir)
+    assign = dedup.dedup_pipeline(docs, w=3, tau=0.2)
+    q = textstats.quality_score(docs).select(
+        "doc_id", F.col("quality").alias("score")
+    )
+    return dedup.reassign_keepers(assign, q)
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH comp AS (SELECT * FROM ({dedup.dedup_pipeline_sql("documents", w=3, tau=0.2)}) t),
+q AS (SELECT doc_id, quality FROM ({textstats.quality_score_sql("documents")}) t2),
+lab AS (
+  SELECT c.doc_id, c.keep_doc_id, coalesce(q.quality, -1e308) AS s
+  FROM comp c LEFT JOIN q USING (doc_id)),
+best AS (
+  SELECT keep_doc_id, doc_id AS new_keeper FROM (
+    SELECT keep_doc_id, doc_id,
+           row_number() OVER (PARTITION BY keep_doc_id
+                              ORDER BY s DESC, doc_id ASC) AS rn
+    FROM lab)
+  WHERE rn = 1)
+SELECT c.doc_id, b.new_keeper AS keep_doc_id
+FROM comp c JOIN best b USING (keep_doc_id)
+"""
+
+
 def q_lsh_buckets(spark, sf_dir):
     return similarity.lsh_assign(_embs(spark, sf_dir), n_planes=8, dim=64)
 
@@ -4993,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pipeline": q_dedup_pipeline,
+        "dedup_keep_best": q_dedup_keep_best,
         "dup_spans": q_dup_spans,
         "maxsim_topk": q_maxsim_topk,
         "maxsim_rerank": q_maxsim_rerank,
@@ -5194,6 +5226,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),
         "dedup_minhash_pairs": dedup.minhash_band_pairs_sql("documents"),
         "dedup_pipeline": dedup.dedup_pipeline_sql("documents", w=3, tau=0.2),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "dup_spans": dedup.duplicate_spans_sql("documents", w=DUP_SPAN_W),
         "maxsim_topk": similarity.maxsim_topk_sql(_TF_SQL, MAXSIM_TERMS, k=20),
         "maxsim_rerank": similarity.maxsim_topk_sql(

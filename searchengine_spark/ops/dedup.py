@@ -680,6 +680,49 @@ def dedup_pipeline(
     )
 
 
+def reassign_keepers(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Curation-policy layer over ``dedup_components``' structural output:
+    re-pick each duplicate cluster's keeper as its HIGHEST-``score_col``
+    member (ties → smallest doc_id) instead of the smallest id. The
+    min-label keeper is an artifact of label propagation; a training-data
+    pipeline usually wants to keep the best-quality copy (longest, highest
+    quality_score, most recent) — this is that policy, applied as one
+    window over the |duplicate-set| rows, so corpus cost is zero.
+
+    ``assignments``: (doc_id, keep_doc_id) from ``dedup_pipeline`` /
+    ``dedup_components``. ``scores``: (doc_id, score) — any per-doc
+    ranking signal (e.g. ``textstats.quality_score``). Docs missing from
+    ``scores`` rank below every scored member (score −inf) but keep their
+    id tie-break. Output: same (doc_id, keep_doc_id) shape with keepers
+    re-pointed; component membership is untouched."""
+    from pyspark.sql import Window
+
+    lab = assignments.join(
+        scores.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")
+        ),
+        "doc_id",
+        "left",
+    ).withColumn("_s", F.coalesce(F.col("_s"), F.lit(float("-inf"))))
+    w = Window.partitionBy("keep_doc_id").orderBy(
+        F.desc("_s"), F.asc("doc_id")
+    )
+    best = (
+        lab.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("keep_doc_id"), F.col("doc_id").alias("new_keeper"))
+    )
+    return (
+        assignments.join(best, "keep_doc_id")
+        .select("doc_id", F.col("new_keeper").alias("keep_doc_id"))
+    )
+
+
 def dedup_pipeline_sql(
     table: str,
     n_hashes: int = 8,

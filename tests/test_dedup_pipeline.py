@@ -165,3 +165,56 @@ def test_mmr_rerank_diversifies(spark):
     assert [d for d, _ in out] == [1, 3, 4]  # 2 demoted: too similar to 1
     pure = mmr_rerank(hits, embs, lam=1.0, k=4)
     assert [d for d, _ in pure] == [1, 2, 3, 4]
+
+
+def test_reassign_keepers_picks_best_quality(spark):
+    """Toy clusters: keeper becomes the max-score member (tie -> smallest
+    id); membership is untouched; unscored docs rank last."""
+    from searchengine_spark.ops.dedup import reassign_keepers
+
+    assign = spark.createDataFrame(
+        # cluster A = {1,2,3} keeper 1; cluster B = {10,11} keeper 10
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, keep_doc_id long",
+    )
+    scores = spark.createDataFrame(
+        # cluster A: doc 3 best; cluster B: tie between 10 and 11 -> 10;
+        # doc 2 unscored -> ranks last in A
+        [(1, 0.5), (3, 0.9), (10, 0.7), (11, 0.7)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["doc_id"]: r["keep_doc_id"]
+        for r in reassign_keepers(assign, scores).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 10: 10, 11: 10}
+
+
+def test_reassign_keepers_preserves_membership(spark, dup_corpus):
+    """Real pipeline output: reassignment maps every doc of a cluster to
+    the SAME new keeper, and the partition of docs into clusters is
+    identical before and after."""
+    from searchengine_spark.ops import textstats
+    from searchengine_spark.ops.dedup import dedup_pipeline, reassign_keepers
+
+    assign = dedup_pipeline(dup_corpus, w=3, tau=0.2)
+    q = textstats.quality_score(dup_corpus).select(
+        "doc_id", F.col("quality").alias("score")
+    )
+    before = {r["doc_id"]: r["keep_doc_id"] for r in assign.collect()}
+    after = {
+        r["doc_id"]: r["keep_doc_id"]
+        for r in reassign_keepers(assign, q).collect()
+    }
+    assert set(before) == set(after)
+
+    def clusters(m):
+        inv = {}
+        for d, kd in m.items():
+            inv.setdefault(kd, set()).add(d)
+        return {frozenset(v) for v in inv.values()}
+
+    assert clusters(before) == clusters(after)
+    # every new keeper belongs to its own cluster
+    for d, kd in after.items():
+        assert after[kd] == kd
