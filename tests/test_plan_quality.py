@@ -244,3 +244,52 @@ def test_prepare_pipeline_has_no_cartesian(spark, docs):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     for c in handle:
         c.unpersist()
+
+
+def test_simhash_neardup_has_no_cross_join(docs):
+    """Band blocking must plan as bucket aggregation + in-bucket pair
+    generation — never an all-pairs join; verification is column math in
+    the same projection (no join back to the signatures)."""
+    from searchengine_spark.ops.dedup import simhash_neardup
+
+    plan = plan_of(simhash_neardup(docs, d=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "pairs must be generated inside the bucket (array combinators), "
+        "not via a self-join: " + plan
+    )
+
+
+def test_shuffle_shards_single_exchange(docs):
+    """The deterministic shuffle costs exactly ONE wide shuffle (the
+    per-shard rank window); shard/hash assignment is stateless column
+    math in the scan projection."""
+    from searchengine_spark.ops.sampling import shuffle_shards
+
+    plan = plan_of(shuffle_shards(docs, 8, seed=3))
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_terms_set_query_side_is_broadcast(spark, docs):
+    """terms_set keeps the bm25_score join shape: |q|-row query side
+    broadcast, required_df joined at the aggregated doc level."""
+    from searchengine_spark.postings import (
+        dictionary,
+        doc_stats,
+        term_frequencies,
+    )
+    from searchengine_spark.scoring import terms_set_score
+
+    tf = term_frequencies(docs, "doc_id", "text")
+    stats = doc_stats(tf)
+    dct = dictionary(tf)
+    required = docs.select(
+        "doc_id", (F.pmod(F.col("doc_id"), F.lit(3)) + 1).alias("required")
+    )
+    out = terms_set_score(
+        spark, tf, stats, dct, "hash merge sort table", required, 1000, 50.0
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
