@@ -831,6 +831,45 @@ FROM bits GROUP BY doc_id
 """
 
 
+def simhash_mapside(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bit-identical twin of ``simhash`` computed as ONE narrow projection
+    — no groupBy, no shuffle (a doc's signature depends only on its own
+    text, so the two hash aggregations of the relational form are
+    replaceable by nested array combinators). This is the STREAMING-safe
+    form: Structured Streaming forbids an aggregation in front of a
+    stateful operator in append mode, and at batch scale it turns the
+    signature stage into pure scan-speed column math. SQL-parsed lambdas
+    (unique variable names) — the PySpark 4.1 sibling-lambda cross-binding
+    pitfall doesn't apply."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize_raw_expr(F.col(text_col)).alias("_toks"),
+        )
+        .withColumn(
+            "_pairs",
+            F.expr(
+                "transform(array_distinct(_toks), t -> struct("
+                "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) as h, "
+                "cast(size(filter(_toks, x -> x = t)) as bigint) as tf))"
+            ),
+        )
+        .withColumn(
+            "simhash",
+            F.expr(
+                f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), "
+                "(acc, b) -> acc + IF("
+                "aggregate(_pairs, cast(0 as bigint), "
+                "(a, p) -> a + IF(((p.h >> b) & 1) = 1, p.tf, -p.tf)) > 0, "
+                "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+            ),
+        )
+        .select("doc_id", "simhash")
+    )
+
+
 def _simhash_bands(d: int) -> list[tuple[int, int, int]]:
     """(band, start_bit, width) decomposition of the 60-bit signature into
     d+1 contiguous bands. Pigeonhole: two signatures within Hamming

@@ -322,6 +322,104 @@ def streaming_minhash_dedup(
     )
 
 
+def _make_simhash_group(d: int):
+    """Per-(band, band_val) stateful kernel for EXACT streaming SimHash
+    near-dup: state = the unique uint64 signatures seen in this bucket; a
+    new doc hits iff some signature already in state (or earlier in this
+    batch — smaller doc_id) lies within Hamming distance ``d``. Unlike the
+    MinHash streaming kernel (candidate-level: bucket collision == hit),
+    the exact distance check runs right here — the bucket IS the candidate
+    set (pigeonhole), so the verdict is final, no second pass."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def popcounts(x: np.ndarray) -> np.ndarray:
+            # (n, m) uint64 → per-cell bit count (numpy<2 has no
+            # bitwise_count; unpackbits over the byte view is vectorized)
+            n, m = x.shape
+            if n == 0 or m == 0:
+                return np.zeros((n, m), dtype=np.int64)
+            bits = np.unpackbits(x.view(np.uint8).reshape(n, m * 8), axis=1)
+            return bits.reshape(n, m, 64).sum(axis=2, dtype=np.int64)
+
+        prior = np.empty(0, dtype=np.uint64)
+        if state.exists:
+            (packed,) = state.get
+            if packed:
+                prior = np.frombuffer(bytes(packed), dtype=np.uint64)
+        out = []
+        fresh: list[np.ndarray] = []
+        for pdf in pdfs:
+            batch = pdf.sort_values("doc_id")
+            sigs = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            allp = np.concatenate([prior, *fresh, sigs])
+            base = len(allp) - len(sigs)
+            pc = popcounts(sigs[:, None] ^ allp[None, :])
+            # row i may match state/earlier-batch sigs and, within this
+            # batch, strictly earlier rows (columns base..base+i-1)
+            col_ok = np.arange(len(allp))[None, :] < (
+                base + np.arange(len(sigs))[:, None]
+            )
+            hit = ((pc <= d) & col_ok).any(axis=1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"].to_numpy(),
+                        "band": batch["band"].to_numpy(),
+                        "hit": hit,
+                    }
+                )
+            )
+            fresh.append(sigs)
+        merged = np.unique(np.concatenate([prior, *fresh]))
+        state.update((merged.tobytes(),))
+        yield from out
+
+    return fn
+
+
+def streaming_simhash_dedup(
+    stream_df: DataFrame,
+    d: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stream → per-band verdict rows (doc_id, band, hit) with EXACT
+    Hamming-distance semantics: a doc is a near-dup of the stream's past
+    iff any row has hit=true (roll up with ``near_dup_verdicts``), and hits
+    are true distance-≤d matches, not just bucket collisions. Signatures
+    come from ``simhash_mapside`` — a narrow projection, legal in front of
+    the stateful operator — and the (d+1)-band pigeonhole routes every
+    qualifying pair through ≥1 shared (band, band_val) state shard, so the
+    per-bucket check is complete. State per shard: the bucket's unique
+    u64 signatures (8 B each)."""
+    from ..ops.dedup import _simhash_bands, simhash_mapside
+
+    sig = simhash_mapside(stream_df, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).cast("long").alias("band"),
+            F.expr(f"(simhash >> {start}) & {(1 << width) - 1}").alias(
+                "band_val"
+            ),
+        )
+        for bi, start, width in _simhash_bands(d)
+    ]
+    exploded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.band_val")
+    return exploded.groupBy("band", "band_val").applyInPandasWithState(
+        _make_simhash_group(d),
+        outputStructType=BAND_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def near_dup_verdicts(per_band: DataFrame) -> DataFrame:
     """(doc_id, is_dup) from the per-band verdict rows a
     ``streaming_minhash_dedup`` sink accumulated: one hash agg (max over

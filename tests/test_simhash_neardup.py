@@ -104,3 +104,17 @@ def test_neardup_hamming_zero_is_exact_signature_match(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = simhash_neardup(df, d=0).collect()
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_simhash_mapside_identical_and_shuffle_free(spark):
+    """The narrow-projection signature (the streaming-safe form) is
+    bit-identical to the two-aggregation relational form and plans with
+    zero Exchange."""
+    from searchengine_spark.ops.dedup import simhash_mapside
+
+    df = _corpus(spark, 250)
+    a = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_mapside(df).collect()}
+    assert a == b
+    plan = simhash_mapside(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

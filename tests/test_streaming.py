@@ -547,3 +547,70 @@ def test_streaming_minhash_dedup(spark, tmp_path):
     assert {i for i, dup in got2.items() if dup} == want2
     # sanity on the fixture itself: something IS flagged and something isn't
     assert want2 and want2 < {1, 2, 3, 4, 5, 6}
+
+
+def test_streaming_simhash_dedup(spark, tmp_path):
+    """EXACT streaming SimHash near-dup: with arrival order == doc_id
+    order the flagged set must equal {doc_b of every simhash_neardup pair}
+    over the union corpus — in-batch hits, cross-batch hits, and state
+    survival across a restart; and unlike LSH-candidate streaming, a
+    bucket collision at distance > d must NOT flag."""
+    from searchengine_spark.ops.dedup import simhash_neardup
+    from searchengine_spark.streaming.dedup import (
+        near_dup_verdicts,
+        streaming_simhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    alt = "completely different text about spark shuffle partitions and joins"
+    rows1 = [
+        (1, base),
+        (2, alt),
+        (3, base.replace("river", "creek")),   # near-dup of 1, same batch
+    ]
+    rows2 = [
+        (4, base.replace("dog", "cat")),       # near-dup of 1/3, prior batch
+        (5, "unrelated fresh content with many novel words in this sentence"),
+        (6, alt + " extra"),                   # near-dup of 2
+    ]
+    D = 14
+
+    src = str(tmp_path / "sh_src")
+    ckpt = str(tmp_path / "sh_ckpt")
+    sink = str(tmp_path / "sh_sink")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            streaming_simhash_dedup(stream, d=D)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per_band = spark.read.parquet(sink)
+        return {
+            r["doc_id"]: r["is_dup"]
+            for r in near_dup_verdicts(per_band).collect()
+        }
+
+    def batch_flags(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_b"] for r in simhash_neardup(df, d=D).collect()}
+
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(src)
+    got1 = drain()
+    assert set(got1) == {1, 2, 3}
+    assert {i for i, dup in got1.items() if dup} == batch_flags(rows1)
+
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    got2 = drain()
+    new = {i: dup for i, dup in got2.items() if i >= 4}
+    assert set(new) == {4, 5, 6}
+    want_union = batch_flags(rows1 + rows2)
+    assert {i for i, dup in new.items() if dup} == want_union - {1, 2, 3}
