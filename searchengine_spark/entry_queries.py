@@ -2143,6 +2143,42 @@ GROUP BY 1
 """
 
 
+PRANK_VALUES = [150.0, 300.0, 450.0]
+
+
+def q_facet_percentile_ranks(spark, sf_dir):
+    """percentile_ranks (ES — the inverse of percentiles): % of the match
+    set's n_chars at or below each probe value, per lang. Exact count
+    ratio, one hash agg."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_percentile_ranks(
+        FACET_QUERY, docs, "n_chars", PRANK_VALUES, by="lang", mode="or"
+    )
+    rcols = [c for c in out.columns if c.startswith("rank_")]
+    return out.select(
+        "lang", "n", *[F.round(c, ROUND_DP).alias(c) for c in rcols]
+    )
+
+
+def _facet_percentile_ranks_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    rexprs = ",\n       ".join(
+        f"round(100.0 * sum(CASE WHEN d.n_chars <= {float(v)!r} THEN 1 ELSE 0 END)"
+        f" / count(*), {ROUND_DP}) AS "
+        f"rank_{str(round(float(v), 4)).rstrip('0').rstrip('.')}"
+        for v in PRANK_VALUES
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.lang AS lang, count(*)::BIGINT AS n,
+       {rexprs}
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_facet_extended_stats(spark, sf_dir):
     """Extended stats (ES `extended_stats`): stats + sum_sq/var_pop/
     stddev_pop of n_chars per lang over the FULL OR-match set. Moments are
@@ -4951,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_date_histogram": q_facet_date_histogram,
         "facet_pipeline": q_facet_pipeline,
         "facet_percentiles": q_facet_percentiles,
+        "facet_percentile_ranks": q_facet_percentile_ranks,
         "facet_cardinality": q_facet_cardinality,
         "facet_extended_stats": q_facet_extended_stats,
         "top_hits": q_top_hits,
@@ -5148,6 +5185,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_date_histogram": _facet_date_histogram_sql(FACET_QUERY.split()),
         "facet_pipeline": _facet_pipeline_sql(FACET_QUERY.split()),
         "facet_percentiles": _facet_percentiles_sql(FACET_QUERY.split()),
+        "facet_percentile_ranks": _facet_percentile_ranks_sql(FACET_QUERY.split()),
         "facet_cardinality": _facet_cardinality_sql(FACET_QUERY.split()),
         "facet_extended_stats": _facet_extended_stats_sql(FACET_QUERY.split()),
         "top_hits": _top_hits_sql(BM25_QUERY, TOP_HITS_N),

@@ -1686,6 +1686,42 @@ class SearchEngine:
         ]
         return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
 
+    def facet_percentile_ranks(
+        self,
+        query: str,
+        metadata: DataFrame,
+        stat_col: str,
+        values: list[float],
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Percentile-ranks aggregation (Elasticsearch ``percentile_ranks``
+        — the inverse of ``facet_percentiles``): for each given value, the
+        percentage of the match set's ``stat_col`` values at or below it.
+        EXACT (one conditional-count aggregation per value inside a single
+        hash agg with map-side partials — no sort, no sketch), so the
+        DuckDB twin is a plain count ratio. Returns one row (or one per
+        ``by`` group) with n plus a rank_<v> column in [0, 100] per
+        requested value."""
+        if not values:
+            raise ValueError("values must be non-empty")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", stat_col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            (
+                100.0
+                * F.sum(
+                    F.when(F.col(stat_col) <= float(v), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias(f"rank_{str(round(float(v), 4)).rstrip('0').rstrip('.')}")
+            for v in values
+        ]
+        return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
+
     def facet_composite(
         self,
         query: str,

@@ -368,3 +368,29 @@ def test_date_histogram_pipeline_aggs(spark, corpus, eng):
 
     with _pt.raises(ValueError):
         eng.facet_date_histogram_pipeline("index merge", meta, "ts", window=0)
+
+
+def test_percentile_ranks_inverse_of_counts(spark, corpus, eng):
+    """percentile_ranks = 100·|{v ≤ probe}|/n over the match set, and it
+    inverts facet_percentiles: rank(pctl(p)) ≥ 100p."""
+    meta = corpus.select("doc_id", "n_chars", "lang")
+    probes = [150.0, 300.0]
+    out = eng.facet_percentile_ranks("stream", meta, "n_chars", probes).collect()[0]
+    matched = _truth_matched(spark, corpus, ["stream"], "or")
+    vals = [
+        r["n_chars"]
+        for r in corpus.filter(F.col("doc_id").isin(list(matched))).collect()
+    ]
+    assert out["n"] == len(vals)
+    for p in probes:
+        want = 100.0 * sum(1 for v in vals if v <= p) / len(vals)
+        key = f"rank_{str(round(p, 4)).rstrip('0').rstrip('.')}"
+        assert abs(out[key] - want) < 1e-9
+    # inverse property vs the percentiles facet
+    pct = eng.facet_percentiles("stream", meta, "n_chars", [0.5]).collect()[0]
+    r_of_median = (
+        100.0 * sum(1 for v in vals if v <= pct["p50"]) / len(vals)
+    )
+    assert r_of_median >= 50.0
+    with pytest.raises(ValueError):
+        eng.facet_percentile_ranks("stream", meta, "n_chars", [])
