@@ -520,6 +520,38 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+INNER_HITS = 3
+
+
+def q_collapse_inner_hits(spark, sf_dir):
+    """collapse + inner_hits: top COLLAPSE_K groups by their best doc,
+    each with its ≤INNER_HITS best docs and the in-group rank."""
+    from .scoring import collapse_inner_hits
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
+    return collapse_inner_hits(
+        scored, _docs(spark, sf_dir), COLLAPSE_FIELD, COLLAPSE_K,
+        inner_size=INNER_HITS, round_dp=ROUND_DP,
+    )
+
+
+def _collapse_inner_hits_sql(query: str, field: str, k: int, inner: int) -> str:
+    return f"""
+WITH scored AS ({_bm25_sql(query)}),
+j AS (SELECT d.{field} AS {field}, s.doc_id, s.score
+      FROM scored s JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY {field}
+                                   ORDER BY score DESC, doc_id ASC) AS inner_rank
+      FROM j),
+topg AS (SELECT {field} FROM r WHERE inner_rank = 1
+         ORDER BY score DESC, doc_id ASC LIMIT {k})
+SELECT r.{field}, r.doc_id, r.score, r.inner_rank::BIGINT AS inner_rank
+FROM r JOIN topg USING ({field})
+WHERE r.inner_rank <= {inner}
+"""
+
+
 PARENT_MODE = "sum"
 PARENT_K = 10
 
@@ -4946,6 +4978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jelinek_mercer": q_lm_jelinek_mercer,
         "lm_index_topk": q_lm_index_topk,
         "collapse_topk": q_collapse_topk,
+        "collapse_inner_hits": q_collapse_inner_hits,
         "function_score_topk": q_function_score_topk,
         "rank_feature_topk": q_rank_feature_topk,
         "random_score_topk": q_random_score_topk,
@@ -5135,6 +5168,9 @@ SELECT doc_id, score FROM ({_lm_dirichlet_sql(BM25_QUERY, LM_MU)})
 ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
 """,
         "collapse_topk": _collapse_sql(BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K),
+        "collapse_inner_hits": _collapse_inner_hits_sql(
+            BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K, INNER_HITS
+        ),
         "function_score_topk": _function_score_sql(BM25_QUERY, FS_K),
         "rank_feature_topk": _rank_feature_sql(BM25_QUERY, FS_K),
         "random_score_topk": _random_score_sql(BM25_QUERY, FS_K),

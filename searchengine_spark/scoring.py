@@ -582,6 +582,53 @@ def collapse_topk(
     )
 
 
+def collapse_inner_hits(
+    scored: DataFrame,
+    docs_df: DataFrame,
+    group_col: str,
+    k: int,
+    inner_size: int = 3,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Field collapsing WITH ``inner_hits`` (the full Elasticsearch
+    ``collapse`` response shape): the top ``k`` GROUPS ranked by their best
+    doc, each carrying up to ``inner_size`` of its own best docs. Output
+    (group, doc_id, score, inner_rank) — inner_rank 1 is the group's
+    headline hit, exactly `collapse_topk`'s row.
+
+    Same plan spine as ``collapse_topk`` (one window shuffle on the
+    collapse key over the |candidates| frame) plus a broadcast semi-join
+    of the ≤k winning group keys back onto the ranked rows — inner hits
+    never widen the shuffle, they only deepen the per-group cut."""
+    from pyspark.sql import Window
+
+    if inner_size < 1:
+        raise ValueError("inner_size must be >= 1")
+    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    joined = scored.select("doc_id", score.alias("score")).join(
+        docs_df.select("doc_id", F.col(group_col).alias("grp")), "doc_id"
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = joined.withColumn("inner_rank", F.row_number().over(w)).filter(
+        F.col("inner_rank") <= inner_size
+    )
+    top_groups = (
+        ranked.filter(F.col("inner_rank") == 1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("grp")
+    )
+    return (
+        ranked.join(F.broadcast(top_groups), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "doc_id",
+            "score",
+            F.col("inner_rank").cast("long").alias("inner_rank"),
+        )
+    )
+
+
 def parent_topk(
     scored: DataFrame,
     docs_df: DataFrame,

@@ -115,6 +115,45 @@ def test_collapse_keeps_best_per_group(spark, ctx, corpus):
     assert len({r["source"] for r in out}) == len(out)
 
 
+def test_collapse_inner_hits_shape_and_order(spark, ctx, corpus):
+    """inner_hits deepens the per-group cut without changing WHICH groups
+    win: rank-1 rows ≡ collapse_topk, each group carries ≤inner_size docs
+    in (score desc, doc_id asc) order, all from that group."""
+    from searchengine_spark.scoring import collapse_inner_hits
+
+    tf_df, stats, dct, n, avgdl = ctx
+    scored = bm25_score(spark, tf_df, stats, dct, QUERY, n, avgdl)
+    flat = collapse_topk(scored, corpus, "source", k=4, round_dp=5).collect()
+    deep = collapse_inner_hits(
+        scored, corpus, "source", k=4, inner_size=3, round_dp=5
+    ).collect()
+    heads = {
+        r["source"]: (r["doc_id"], r["score"])
+        for r in deep
+        if r["inner_rank"] == 1
+    }
+    assert heads == {r["source"]: (r["doc_id"], r["score"]) for r in flat}
+    by_group: dict[str, list] = {}
+    for r in sorted(deep, key=lambda r: (r["source"], r["inner_rank"])):
+        by_group.setdefault(r["source"], []).append((r["score"], r["doc_id"]))
+    rows = (
+        scored.select("doc_id", F.round("score", 5).alias("score"))
+        .join(corpus.select("doc_id", "source"), "doc_id")
+        .collect()
+    )
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append((-r["score"], r["doc_id"]))
+    for src, got in by_group.items():
+        assert len(got) <= 3
+        want = [(-ns, d) for ns, d in sorted(per_src[src])[:3]]
+        assert got == want
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        collapse_inner_hits(scored, corpus, "source", k=4, inner_size=0)
+
+
 def test_recency_blend_decays(spark, ctx, corpus):
     tf_df, stats, dct, n, avgdl = ctx
     scored = bm25_score(spark, tf_df, stats, dct, QUERY, n, avgdl).select(
