@@ -2352,6 +2352,40 @@ class SearchEngine:
             hits = [(d, s) for d, s in hits if d != exclude_doc_id]
         return hits[:k]
 
+    def more_like_this_by_id(
+        self,
+        doc_id: int,
+        k: int = 100,
+        max_terms: int = 25,
+        text_col: str | None = None,
+        doc_filter=None,
+        use_wand: bool = True,
+    ) -> list[tuple[int, float]]:
+        """MoreLikeThis addressed by STORED doc id (ES ``like: [{"_id"}]``):
+        point-fetch the source doc's text from the doc store (pruned to its
+        doc_part partition — one partition's files, not the corpus), then
+        the ordinary ``more_like_this`` with the source excluded. Requires
+        a ``store_source=True`` build; ``text_col`` defaults to the column
+        the index was built from."""
+        meta = self.meta
+        if not meta.has_source:
+            raise ValueError(
+                "more_like_this_by_id needs the doc store — build with "
+                "store_source=True (or pass the text to more_like_this)"
+            )
+        col = text_col or meta.source_text_col
+        rows = self.fetch([doc_id]).select(col).collect()
+        if not rows:
+            return []
+        return self.more_like_this(
+            rows[0][0] or "",
+            k=k,
+            max_terms=max_terms,
+            exclude_doc_id=doc_id,
+            doc_filter=doc_filter,
+            use_wand=use_wand,
+        )
+
     def search_df(self, query: str, k: int = 100, **kwargs) -> DataFrame:
         rows = self.search(query, k, **kwargs)
         return self.spark.createDataFrame(

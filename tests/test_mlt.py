@@ -68,3 +68,33 @@ def test_empty_and_oov_text(eng):
     assert eng.more_like_this("", k=5) == []
     assert eng.more_like_this("the and of", k=5) == []  # stopwords only
     assert eng.more_like_this("qqqq zzzz", k=5) == []  # OOV only
+
+
+def test_mlt_by_id_equals_mlt_on_fetched_text(spark, tmp_path):
+    """ES like-by-_id: fetch the stored text, run MLT, exclude the source.
+    Must equal more_like_this on the same text verbatim."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.query.engine import SearchEngine
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    eng = SearchEngine(spark, str(tmp_path / "mltid"))
+    eng.build_index_from_df(corpus, id_col="doc_id", text_col="text",
+                            n_buckets=4, range_bits=2, store_source=True)
+    src = corpus.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    want = eng.more_like_this(src, k=10, exclude_doc_id=7)
+    got = eng.more_like_this_by_id(7, k=10)
+    assert got == want
+    assert all(d != 7 for d, _ in got)
+    assert eng.more_like_this_by_id(10**9, k=5) == []  # unknown id
+
+    flat = SearchEngine(spark, str(tmp_path / "mltflat"))
+    flat.build_index_from_df(corpus.limit(50), id_col="doc_id",
+                             text_col="text", n_buckets=2, range_bits=1)
+    with _pt.raises(ValueError):
+        flat.more_like_this_by_id(7)
