@@ -789,6 +789,47 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+DECAY_FUNCTIONS = [
+    {"decay": {"type": "gauss", "field": "n_chars", "origin": 256.0,
+               "scale": 128.0, "decay": 0.5}, "weight": 2.0},
+    {"decay": {"type": "linear", "field": "n_chars", "origin": 0.0,
+               "scale": 1024.0, "offset": 64.0, "decay": 0.25},
+     "weight": 1.0},
+]
+DECAY_K = 30
+
+
+def q_decay_score_topk(spark, sf_dir):
+    """ES decay scoring (function_score gauss + linear on n_chars, summed,
+    added to BM25): value 1 at the origin, exactly `decay` at `scale`
+    away — document-length proximity priors as pure column math."""
+    from .scoring import function_score, topk
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl).select(
+        "doc_id", F.round("score", ROUND_DP).alias("score")
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    boosted = function_score(
+        scored, meta, DECAY_FUNCTIONS, score_mode="sum", boost_mode="sum",
+        round_dp=ROUND_DP,
+    )
+    return topk(boosted, DECAY_K)
+
+
+def _decay_score_sql(query: str, k: int) -> str:
+    from .scoring import function_score_sql
+
+    inner = function_score_sql(
+        _bm25_sql(query), "documents", DECAY_FUNCTIONS,
+        score_mode="sum", boost_mode="sum", round_dp=ROUND_DP,
+    )
+    return f"""
+SELECT doc_id, score FROM ({inner}) t
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_hit_counts(spark, sf_dir):
     """Batched total-hits counting: (query_id, or_hits, and_hits) for the
     whole batch in one job."""
@@ -4980,6 +5021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": q_collapse_topk,
         "collapse_inner_hits": q_collapse_inner_hits,
         "function_score_topk": q_function_score_topk,
+        "decay_score_topk": q_decay_score_topk,
         "rank_feature_topk": q_rank_feature_topk,
         "random_score_topk": q_random_score_topk,
         "pinned_topk": q_pinned_topk,
@@ -5172,6 +5214,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
             BM25_QUERY, COLLAPSE_FIELD, COLLAPSE_K, INNER_HITS
         ),
         "function_score_topk": _function_score_sql(BM25_QUERY, FS_K),
+        "decay_score_topk": _decay_score_sql(BM25_QUERY, DECAY_K),
         "rank_feature_topk": _rank_feature_sql(BM25_QUERY, FS_K),
         "random_score_topk": _random_score_sql(BM25_QUERY, FS_K),
         "pinned_topk": _pinned_sql(BM25_QUERY, PIN_IDS, FS_K),

@@ -868,13 +868,69 @@ def _fs_cond(flt: "dict | None"):
     return cond
 
 
+def _decay_consts(dc: dict) -> tuple[str, float, float, float, float]:
+    """Validate a decay spec and precompute its driver-side constants —
+    shared by the Column builder and the SQL twin so both engines evaluate
+    the exact same float expression."""
+    import math
+
+    typ = dc.get("type", "gauss")
+    scale = float(dc["scale"])
+    decay = float(dc.get("decay", 0.5))
+    if scale <= 0:
+        raise ValueError("decay scale must be > 0")
+    if not 0.0 < decay < 1.0:
+        raise ValueError("decay must be in (0, 1)")
+    origin = float(dc["origin"])
+    offset = float(dc.get("offset", 0.0))
+    if typ == "gauss":
+        c = 2.0 * (-scale * scale / (2.0 * math.log(decay)))  # 2σ²
+    elif typ == "exp":
+        c = math.log(decay) / scale  # λ
+    elif typ == "linear":
+        c = scale / (1.0 - decay)  # s'
+    else:
+        raise ValueError(
+            f"unknown decay type {typ!r} (supported: gauss, exp, linear)"
+        )
+    return typ, origin, offset, c, decay
+
+
 def _fs_value(fn: dict):
     """One function's per-doc value column: a bare {"weight": w} constant,
-    or field_value_factor = modifier(factor · coalesce(field, missing)) · w.
+    field_value_factor = modifier(factor · coalesce(field, missing)) · w,
+    or a decay function {"decay": {type, field, origin, scale, offset,
+    decay, missing}} — the three ES shapes on numeric distance
+    d = max(0, |value − origin| − offset):
+
+      gauss   exp(−d² / 2σ²),  σ² = −scale²/(2·ln(decay))
+      exp     exp(λ·d),        λ  = ln(decay)/scale
+      linear  max((s' − d)/s', 0),  s' = scale/(1 − decay)
+
+    so the value is 1 at the origin(±offset) and exactly ``decay`` at
+    ``scale`` away — ES's contract. ``missing`` defaults to the origin
+    (a doc without the field decays not at all rather than vanishing;
+    pass missing=∞-like values to invert that).
+
     The modifier set is pinned (ln1p is the NATURAL log — documented
     deviation from ES's log10 'log1p', chosen to match the engine's other
     ln-based scorers)."""
     w = float(fn.get("weight", 1.0))
+    if "decay" in fn:
+        dc = fn["decay"]
+        typ, origin, offset, c, _ = _decay_consts(dc)
+        raw = F.coalesce(
+            F.col(dc["field"]).cast("double"),
+            F.lit(float(dc.get("missing", origin))),
+        )
+        dist = F.greatest(F.abs(raw - F.lit(origin)) - F.lit(offset), F.lit(0.0))
+        if typ == "gauss":
+            x = F.exp(-(dist * dist) / F.lit(c))
+        elif typ == "exp":
+            x = F.exp(F.lit(c) * dist)
+        else:
+            x = F.greatest((F.lit(c) - dist) / F.lit(c), F.lit(0.0))
+        return x * F.lit(w)
     if "field_value_factor" not in fn:
         return F.lit(w)
     fvf = fn["field_value_factor"]
@@ -985,6 +1041,21 @@ def function_score_sql(
 
     def value_sql(fn):
         w = float(fn.get("weight", 1.0))
+        if "decay" in fn:
+            dc = fn["decay"]
+            typ, origin, offset, c, _ = _decay_consts(dc)
+            raw = (
+                f"coalesce(m.{dc['field']}::DOUBLE, "
+                f"{float(dc.get('missing', origin))!r})"
+            )
+            dist = f"greatest(abs(({raw}) - {origin!r}) - {offset!r}, 0.0)"
+            if typ == "gauss":
+                x = f"exp(-(({dist}) * ({dist})) / {c!r})"
+            elif typ == "exp":
+                x = f"exp({c!r} * ({dist}))"
+            else:
+                x = f"greatest(({c!r} - ({dist})) / {c!r}, 0.0)"
+            return f"({x}) * {w!r}"
         if "field_value_factor" not in fn:
             return f"{w!r}"
         fvf = fn["field_value_factor"]

@@ -316,3 +316,72 @@ def test_random_score_replace_is_bounded(spark, frames):
     import pytest as _pt
     with _pt.raises(ValueError):
         random_score(scored, boost_mode="avg")
+
+
+def test_decay_functions_match_python(spark):
+    """gauss/exp/linear decay on numeric distance vs pure-Python math:
+    value 1 at origin(±offset), exactly `decay` at `scale` away, linear
+    clamps to 0 past s'."""
+    import math
+
+    from searchengine_spark.scoring import function_score
+
+    rows = [(i, float(v)) for i, v in enumerate([0, 64, 128, 192, 256, 512, 1024, 2000])]
+    scored = spark.createDataFrame(
+        [(i, 1.0) for i, _ in rows], "doc_id long, score double"
+    )
+    meta = spark.createDataFrame(rows, "doc_id long, x double")
+
+    def py_decay(typ, v, origin, scale, offset, decay):
+        d = max(0.0, abs(v - origin) - offset)
+        if typ == "gauss":
+            s2 = -scale * scale / (2.0 * math.log(decay))
+            return math.exp(-(d * d) / (2.0 * s2))
+        if typ == "exp":
+            return math.exp(math.log(decay) / scale * d)
+        sp = scale / (1.0 - decay)
+        return max((sp - d) / sp, 0.0)
+
+    for typ in ("gauss", "exp", "linear"):
+        spec = {"decay": {"type": typ, "field": "x", "origin": 128.0,
+                          "scale": 256.0, "offset": 32.0, "decay": 0.5}}
+        out = {
+            r["doc_id"]: r["score"]
+            for r in function_score(
+                scored, meta, [spec], score_mode="sum", boost_mode="replace",
+                round_dp=9,
+            ).collect()
+        }
+        for i, v in rows:
+            want = round(
+                round(py_decay(typ, v, 128.0, 256.0, 32.0, 0.5), 9), 9
+            )
+            assert abs(out[i] - want) < 1e-9, (typ, v)
+        # contract points: 1 inside the offset, `decay` at scale away
+        assert abs(out[2] - 1.0) < 1e-9          # x=128 == origin
+        at_scale = py_decay(typ, 128.0 + 32.0 + 256.0, 128.0, 256.0, 32.0, 0.5)
+        assert abs(at_scale - 0.5) < 1e-12
+
+
+def test_decay_validation_and_missing(spark):
+    import pytest as _pt
+
+    from searchengine_spark.scoring import function_score
+
+    scored = spark.createDataFrame([(1, 2.0)], "doc_id long, score double")
+    meta = spark.createDataFrame([(1, None)], "doc_id long, x double")
+    # missing defaults to origin → no decay, value == weight
+    out = function_score(
+        scored, meta,
+        [{"decay": {"type": "gauss", "field": "x", "origin": 10.0,
+                    "scale": 5.0}, "weight": 4.0}],
+        score_mode="sum", boost_mode="replace",
+    ).collect()[0]["score"]
+    assert abs(out - 4.0) < 1e-9
+    for bad in (
+        {"type": "gauss", "field": "x", "origin": 0.0, "scale": 0.0},
+        {"type": "gauss", "field": "x", "origin": 0.0, "scale": 1.0, "decay": 1.0},
+        {"type": "cosine", "field": "x", "origin": 0.0, "scale": 1.0},
+    ):
+        with _pt.raises(ValueError):
+            function_score(scored, meta, [{"decay": bad}]).collect()
