@@ -2252,6 +2252,202 @@ GROUP BY 1
 """
 
 
+def q_facet_weighted_avg(spark, sf_dir):
+    """weighted_avg (ES): Σ(value·weight)/Σ(weight) of n_chars per lang
+    over the FULL OR-match set, weight = (doc_id % 7) + 1 — the ES script
+    weight as a JVM column expression, deterministic in both engines."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_weighted_avg(
+        FACET_QUERY, docs, "n_chars",
+        (F.col("doc_id") % 7 + 1), by="lang", mode="or",
+    )
+    return out.select(
+        "lang", "n", F.round("weighted_avg", ROUND_DP).alias("weighted_avg")
+    )
+
+
+def _facet_weighted_avg_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.lang AS lang, count(*)::BIGINT AS n,
+       round(sum(d.n_chars::DOUBLE * ((d.doc_id % 7) + 1))
+             / sum(((d.doc_id % 7) + 1)::DOUBLE), {ROUND_DP}) AS weighted_avg
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_facet_boxplot(spark, sf_dir):
+    """boxplot (ES): min/q1/q2/q3/max/iqr of n_chars per lang over the
+    FULL OR-match set — exact PERCENTILE_CONT quartiles (oracle: DuckDB
+    quantile_cont), one distributed aggregation."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_boxplot(FACET_QUERY, docs, "n_chars", by="lang", mode="or")
+    return out.select(
+        "lang", "n", "min", "max",
+        *[F.round(c, ROUND_DP).alias(c) for c in ("q1", "q2", "q3", "iqr")],
+    )
+
+
+def _facet_boxplot_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.lang AS lang, count(*)::BIGINT AS n,
+       min(d.n_chars) AS min, max(d.n_chars) AS max,
+       round(quantile_cont(d.n_chars, 0.25), {ROUND_DP}) AS q1,
+       round(quantile_cont(d.n_chars, 0.5), {ROUND_DP}) AS q2,
+       round(quantile_cont(d.n_chars, 0.75), {ROUND_DP}) AS q3,
+       round(quantile_cont(d.n_chars, 0.75)
+             - quantile_cont(d.n_chars, 0.25), {ROUND_DP}) AS iqr
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_facet_mad(spark, sf_dir):
+    """median_absolute_deviation (ES): median(|x − median(x)|) of n_chars
+    per lang over the FULL OR-match set. Exact two-pass (inner median
+    aggregated first, |groups|-row broadcast back), vs ES's one-pass
+    t-digest approximation — exactness is the oracle contract."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_median_absolute_deviation(
+        FACET_QUERY, docs, "n_chars", by="lang", mode="or"
+    )
+    return out.select("lang", "n", F.round("mad", ROUND_DP).alias("mad"))
+
+
+def _facet_mad_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+j AS (SELECT d.lang, d.n_chars FROM matched m JOIN documents d USING (doc_id)),
+med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM j GROUP BY 1)
+SELECT j.lang AS lang, count(*)::BIGINT AS n,
+       round(quantile_cont(abs(j.n_chars::DOUBLE - med.med), 0.5),
+             {ROUND_DP}) AS mad
+FROM j JOIN med USING (lang)
+GROUP BY 1
+"""
+
+
+def q_facet_string_stats(spark, sf_dir):
+    """string_stats (ES): count, min/max/avg length, and Shannon entropy
+    (bits) of the pooled character distribution of matched docs' text,
+    per lang — ES's show_distribution entropy over the FULL OR-match
+    set."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_string_stats(FACET_QUERY, docs, "text", by="lang", mode="or")
+    return out.select(
+        "lang", "n", "min_length", "max_length",
+        F.round("avg_length", ROUND_DP).alias("avg_length"),
+        F.round("entropy", ROUND_DP).alias("entropy"),
+    )
+
+
+def _facet_string_stats_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+j AS (SELECT d.lang, d.text FROM matched m JOIN documents d USING (doc_id)),
+lens AS (SELECT lang, count(*)::BIGINT AS n,
+                min(length(text)) AS min_length,
+                max(length(text)) AS max_length,
+                avg(length(text)) AS avg_length
+         FROM j GROUP BY 1),
+chars AS (SELECT lang, unnest(string_split(text, '')) AS ch FROM j),
+cc AS (SELECT lang, ch, count(*)::DOUBLE AS cnt FROM chars
+       WHERE ch <> '' GROUP BY 1, 2),
+ent AS (SELECT lang,
+               log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt) AS entropy
+        FROM cc GROUP BY 1)
+SELECT lens.lang AS lang, n, min_length, max_length,
+       round(avg_length, {ROUND_DP}) AS avg_length,
+       round(ent.entropy, {ROUND_DP}) AS entropy
+FROM lens JOIN ent USING (lang)
+"""
+
+
+TOPM_SIZE = 5
+
+
+def q_facet_top_metrics(spark, sf_dir):
+    """top_metrics (ES): lang/source of the 5 longest matched docs
+    (sort n_chars desc, ties doc_id asc — deterministic cut), via
+    TakeOrderedAndProject per-partition heaps."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return eng.facet_top_metrics(
+        FACET_QUERY, docs, "n_chars", ["lang", "source"],
+        size=TOPM_SIZE, ascending=False, mode="or",
+    )
+
+
+def _facet_top_metrics_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars,
+       d.lang AS lang, d.source AS source
+FROM matched m JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT {TOPM_SIZE}
+"""
+
+
+def q_facet_t_test(spark, sf_dir):
+    """t_test (ES, Welch/heteroscedastic — the ES default): t statistic
+    and Welch df between the en and de populations' n_chars within the
+    FULL OR-match set; one conditional-aggregate pass, no second scan."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_t_test(
+        FACET_QUERY, docs, "n_chars", "lang", "en", "de", mode="or"
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", ROUND_DP).alias("mean_a"),
+        F.round("mean_b", ROUND_DP).alias("mean_b"),
+        F.round("t", ROUND_DP).alias("t"),
+        F.round("df", ROUND_DP).alias("df"),
+    )
+
+
+def _facet_t_test_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+j AS (SELECT d.lang, d.n_chars::DOUBLE AS v
+      FROM matched m JOIN documents d USING (doc_id)),
+agg AS (SELECT
+  count(*) FILTER (lang = 'en')::BIGINT AS n_a,
+  count(*) FILTER (lang = 'de')::BIGINT AS n_b,
+  avg(v) FILTER (lang = 'en') AS mean_a,
+  avg(v) FILTER (lang = 'de') AS mean_b,
+  var_samp(v) FILTER (lang = 'en') AS va,
+  var_samp(v) FILTER (lang = 'de') AS vb
+FROM j)
+SELECT n_a, n_b,
+       round(mean_a, {ROUND_DP}) AS mean_a,
+       round(mean_b, {ROUND_DP}) AS mean_b,
+       round((mean_a - mean_b) / sqrt(va / n_a + vb / n_b), {ROUND_DP}) AS t,
+       round(pow(va / n_a + vb / n_b, 2)
+             / (pow(va / n_a, 2) / (n_a - 1)
+                + pow(vb / n_b, 2) / (n_b - 1)), {ROUND_DP}) AS df
+FROM agg
+"""
+
+
 def q_facet_extended_stats(spark, sf_dir):
     """Extended stats (ES `extended_stats`): stats + sum_sq/var_pop/
     stddev_pop of n_chars per lang over the FULL OR-match set. Moments are
@@ -5063,6 +5259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pipeline": q_facet_pipeline,
         "facet_percentiles": q_facet_percentiles,
         "facet_percentile_ranks": q_facet_percentile_ranks,
+        "facet_weighted_avg": q_facet_weighted_avg,
+        "facet_boxplot": q_facet_boxplot,
+        "facet_mad": q_facet_mad,
+        "facet_string_stats": q_facet_string_stats,
+        "facet_top_metrics": q_facet_top_metrics,
+        "facet_t_test": q_facet_t_test,
         "facet_cardinality": q_facet_cardinality,
         "facet_extended_stats": q_facet_extended_stats,
         "top_hits": q_top_hits,
@@ -5265,6 +5467,12 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_pipeline": _facet_pipeline_sql(FACET_QUERY.split()),
         "facet_percentiles": _facet_percentiles_sql(FACET_QUERY.split()),
         "facet_percentile_ranks": _facet_percentile_ranks_sql(FACET_QUERY.split()),
+        "facet_weighted_avg": _facet_weighted_avg_sql(FACET_QUERY.split()),
+        "facet_boxplot": _facet_boxplot_sql(FACET_QUERY.split()),
+        "facet_mad": _facet_mad_sql(FACET_QUERY.split()),
+        "facet_string_stats": _facet_string_stats_sql(FACET_QUERY.split()),
+        "facet_top_metrics": _facet_top_metrics_sql(FACET_QUERY.split()),
+        "facet_t_test": _facet_t_test_sql(FACET_QUERY.split()),
         "facet_cardinality": _facet_cardinality_sql(FACET_QUERY.split()),
         "facet_extended_stats": _facet_extended_stats_sql(FACET_QUERY.split()),
         "top_hits": _top_hits_sql(BM25_QUERY, TOP_HITS_N),

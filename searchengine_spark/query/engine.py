@@ -2018,6 +2018,233 @@ class SearchEngine:
             .limit(shard_size)
         )
 
+    def facet_weighted_avg(
+        self,
+        query: str,
+        metadata: DataFrame,
+        value_col: str,
+        weight_col,
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``weighted_avg`` aggregation over the FULL match
+        set: Σ(value·weight)/Σ(weight). ``weight_col`` is a column name or
+        an arbitrary Column expression (ES allows a script weight — the
+        expression form is that, JVM-side). One hash aggregation with
+        map-side partials over matched ids ⋈ metadata, the same
+        distributed shape as ``facet_stats``. Returns
+        DataFrame[(by,)? n, weighted_avg]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        j = m.join(metadata, "doc_id").select(
+            *( [by] if by else [] ),
+            F.col(value_col).cast("double").alias("_v"),
+            w.cast("double").alias("_w"),
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias(
+                "weighted_avg"
+            ),
+        ]
+        return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
+
+    def facet_boxplot(
+        self,
+        query: str,
+        metadata: DataFrame,
+        stat_col: str,
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``boxplot`` aggregation over the FULL match set:
+        min, q1, q2 (median), q3, max plus the derived IQR. EXACT
+        PERCENTILE_CONT quartiles (same contract and trade-off note as
+        ``facet_percentiles``: swap ``F.percentile_approx`` in at true
+        100 TB match-set scale — the call shape is identical and the
+        sketch merges map-side). One distributed aggregation. Returns
+        DataFrame[(by,)? n, min, q1, q2, q3, max, iqr]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", stat_col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        c = F.col(stat_col)
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.min(c).alias("min"),
+            F.percentile(c, F.lit(0.25)).alias("q1"),
+            F.percentile(c, F.lit(0.5)).alias("q2"),
+            F.percentile(c, F.lit(0.75)).alias("q3"),
+            F.max(c).alias("max"),
+            (
+                F.percentile(c, F.lit(0.75)) - F.percentile(c, F.lit(0.25))
+            ).alias("iqr"),
+        ]
+        return j.groupBy(by).agg(*aggs) if by else j.agg(*aggs)
+
+    def facet_median_absolute_deviation(
+        self,
+        query: str,
+        metadata: DataFrame,
+        stat_col: str,
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``median_absolute_deviation`` over the FULL match
+        set: median(|x − median(x)|), the robust dispersion measure. Two
+        distributed passes by necessity (the inner median must exist
+        before deviations do): pass 1 aggregates the per-group exact
+        median, pass 2 re-joins it (broadcast — it is |groups| rows) and
+        takes the median of absolute deviations. ES computes this on a
+        t-digest sketch in one pass; exactness is the oracle contract
+        here, and the same ``percentile_approx`` swap applies at scale.
+        Returns DataFrame[(by,)? n, mad]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", stat_col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        c = F.col(stat_col)
+        if by:
+            med = j.groupBy(by).agg(F.percentile(c, F.lit(0.5)).alias("_med"))
+            j2 = j.join(F.broadcast(med), by)
+        else:
+            med = j.agg(F.percentile(c, F.lit(0.5)).alias("_med"))
+            j2 = j.crossJoin(F.broadcast(med))
+        dev = F.abs(c.cast("double") - F.col("_med"))
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(dev, F.lit(0.5)).alias("mad"),
+        ]
+        return j2.groupBy(by).agg(*aggs) if by else j2.agg(*aggs)
+
+    def facet_string_stats(
+        self,
+        query: str,
+        metadata: DataFrame,
+        str_col: str,
+        by: str | None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``string_stats`` over the FULL match set: count,
+        min/max/avg string length, and the Shannon entropy (bits) of the
+        CHARACTER distribution pooled across all matched values — ES's
+        ``show_distribution`` entropy definition. Lengths are one hash
+        aggregation; entropy needs the per-character counts, computed by
+        exploding characters (a narrow generate, no extra shuffle beyond
+        its own aggregation) and folding −Σ p·log2 p. Both halves stay
+        map-side-combined; the join that reunites them moves |groups|
+        rows. Returns DataFrame[(by,)? n, min_length, max_length,
+        avg_length, entropy]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        cols = ["doc_id", str_col] + ([by] if by else [])
+        j = m.join(metadata.select(*cols), "doc_id")
+        c = F.col(str_col)
+        keys = [by] if by else []
+        lens = j.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.length(c)).alias("min_length"),
+            F.max(F.length(c)).alias("max_length"),
+            F.avg(F.length(c)).alias("avg_length"),
+        )
+        chars = (
+            j.select(*keys, F.explode(F.split(c, "")).alias("_ch"))
+            .filter(F.col("_ch") != "")
+            .groupBy(*keys, "_ch")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        ent = (
+            chars.groupBy(*keys)
+            .agg(
+                F.sum("_cnt").alias("_tot"),
+                F.sum(F.col("_cnt") * F.log2("_cnt")).alias("_clog"),
+            )
+            .select(
+                *keys,
+                (F.log2("_tot") - F.col("_clog") / F.col("_tot")).alias(
+                    "entropy"
+                ),
+            )
+        )
+        if by:
+            return lens.join(ent, by)
+        return lens.crossJoin(ent)
+
+    def facet_top_metrics(
+        self,
+        query: str,
+        metadata: DataFrame,
+        sort_col: str,
+        metric_cols: list[str],
+        size: int = 1,
+        ascending: bool = False,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``top_metrics``: the metric column values of the
+        ``size`` match-set rows ranked by ``sort_col`` (ties on doc_id
+        asc, so the cut is deterministic cross-engine). orderBy+limit →
+        TakeOrderedAndProject: per-partition heaps of ``size`` rows, no
+        global sort — the same plan shape ``search_sorted`` relies on.
+        Returns DataFrame[doc_id, <sort_col>, *metric_cols]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(
+            metadata.select("doc_id", sort_col, *metric_cols), "doc_id"
+        )
+        key = F.asc(sort_col) if ascending else F.desc(sort_col)
+        return j.orderBy(key, F.asc("doc_id")).limit(size)
+
+    def facet_t_test(
+        self,
+        query: str,
+        metadata: DataFrame,
+        value_col: str,
+        group_col: str,
+        group_a: str,
+        group_b: str,
+        by: None = None,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``t_test`` aggregation (heteroscedastic/Welch —
+        ES's default form) between two filter-defined populations of the
+        match set: t = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b) with SAMPLE
+        variances. Both populations reduce in ONE hash aggregation using
+        conditional aggregates (no second scan, no join); the t statistic
+        is pure column arithmetic on the single result row. Welch degrees
+        of freedom come back too so a caller can look up the p-value.
+        Returns DataFrame[n_a, n_b, mean_a, mean_b, t, df]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", value_col, group_col), "doc_id")
+        v = F.col(value_col).cast("double")
+        in_a = F.col(group_col) == group_a
+        in_b = F.col(group_col) == group_b
+        agg = j.agg(
+            F.count(F.when(in_a, 1)).alias("n_a"),
+            F.count(F.when(in_b, 1)).alias("n_b"),
+            F.avg(F.when(in_a, v)).alias("mean_a"),
+            F.avg(F.when(in_b, v)).alias("mean_b"),
+            F.var_samp(F.when(in_a, v)).alias("_va"),
+            F.var_samp(F.when(in_b, v)).alias("_vb"),
+        )
+        se_a = F.col("_va") / F.col("n_a")
+        se_b = F.col("_vb") / F.col("n_b")
+        se = se_a + se_b
+        t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se)
+        dof = (se * se) / (
+            se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+        )
+        return agg.select(
+            "n_a", "n_b", "mean_a", "mean_b", t.alias("t"), dof.alias("df")
+        )
+
     def stats(self) -> dict:
         """Index statistics (ES ``_stats`` / Lucene SegmentInfos analogue),
         served ENTIRELY from driver-side metadata — meta.json, the

@@ -8,6 +8,8 @@ entries' DuckDB twins."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -394,3 +396,125 @@ def test_percentile_ranks_inverse_of_counts(spark, corpus, eng):
     assert r_of_median >= 50.0
     with pytest.raises(ValueError):
         eng.facet_percentile_ranks("stream", meta, "n_chars", [])
+
+
+def _matched_vals(spark, corpus, terms, col="n_chars"):
+    ids = _truth_matched(spark, corpus, terms, "or")
+    return [
+        r
+        for r in corpus.filter(F.col("doc_id").isin(list(ids))).collect()
+    ]
+
+
+def test_weighted_avg_matches_python(spark, corpus, eng):
+    """weighted_avg = Σ(v·w)/Σ(w) with the scripted weight (doc_id%7)+1."""
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    num = sum(r["n_chars"] * ((r["doc_id"] % 7) + 1) for r in rows)
+    den = sum((r["doc_id"] % 7) + 1 for r in rows)
+    got = eng.facet_weighted_avg(
+        "merge sort", corpus, "n_chars", (F.col("doc_id") % 7 + 1)
+    ).collect()[0]
+    assert got["n"] == len(rows)
+    assert got["weighted_avg"] == pytest.approx(num / den)
+    # string weight_col form (self-weighted: Σv²/Σv)
+    got2 = eng.facet_weighted_avg(
+        "merge sort", corpus, "n_chars", "n_chars"
+    ).collect()[0]
+    num2 = sum(r["n_chars"] * r["n_chars"] for r in rows)
+    den2 = sum(r["n_chars"] for r in rows)
+    assert got2["weighted_avg"] == pytest.approx(num2 / den2)
+
+
+def test_boxplot_matches_numpy(spark, corpus, eng):
+    import numpy as np
+
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    got = {
+        r["lang"]: r
+        for r in eng.facet_boxplot(
+            "merge sort", corpus, "n_chars", by="lang"
+        ).collect()
+    }
+    assert set(got) == set(by_lang)
+    for lang, vals in by_lang.items():
+        g, a = got[lang], np.asarray(vals, dtype=float)
+        assert (g["min"], g["max"], g["n"]) == (min(vals), max(vals), len(vals))
+        for q, col in [(25, "q1"), (50, "q2"), (75, "q3")]:
+            assert g[col] == pytest.approx(
+                np.percentile(a, q, method="linear")
+            )
+        assert g["iqr"] == pytest.approx(g["q3"] - g["q1"])
+
+
+def test_mad_matches_numpy(spark, corpus, eng):
+    import numpy as np
+
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    a = np.asarray([r["n_chars"] for r in rows], dtype=float)
+    want = np.percentile(np.abs(a - np.percentile(a, 50)), 50)
+    got = eng.facet_median_absolute_deviation(
+        "merge sort", corpus, "n_chars"
+    ).collect()[0]
+    assert got["n"] == len(a)
+    assert got["mad"] == pytest.approx(want)
+
+
+def test_string_stats_entropy_matches_python(spark, corpus, eng):
+    import math
+    from collections import Counter
+
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    texts = [r["text"] for r in rows]
+    lens = [len(t) for t in texts]
+    cnt = Counter("".join(texts))
+    tot = sum(cnt.values())
+    want_ent = -sum((c / tot) * math.log2(c / tot) for c in cnt.values())
+    got = eng.facet_string_stats("merge sort", corpus, "text").collect()[0]
+    assert got["n"] == len(texts)
+    assert (got["min_length"], got["max_length"]) == (min(lens), max(lens))
+    assert got["avg_length"] == pytest.approx(sum(lens) / len(lens))
+    assert got["entropy"] == pytest.approx(want_ent)
+
+
+def test_top_metrics_cut_is_deterministic(spark, corpus, eng):
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    want = sorted(rows, key=lambda r: (-r["n_chars"], r["doc_id"]))[:3]
+    got = eng.facet_top_metrics(
+        "merge sort", corpus, "n_chars", ["lang"], size=3
+    ).collect()
+    assert [(r["doc_id"], r["n_chars"]) for r in got] == [
+        (r["doc_id"], r["n_chars"]) for r in want
+    ]
+    # ascending form takes the shortest
+    got_asc = eng.facet_top_metrics(
+        "merge sort", corpus, "n_chars", ["lang"], size=2, ascending=True
+    ).collect()
+    want_asc = sorted(rows, key=lambda r: (r["n_chars"], r["doc_id"]))[:2]
+    assert [r["doc_id"] for r in got_asc] == [r["doc_id"] for r in want_asc]
+
+
+def test_t_test_matches_welch_numpy(spark, corpus, eng):
+    import numpy as np
+
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    a = np.asarray(
+        [r["n_chars"] for r in rows if r["lang"] == "en"], dtype=float
+    )
+    b = np.asarray(
+        [r["n_chars"] for r in rows if r["lang"] == "de"], dtype=float
+    )
+    assert len(a) > 1 and len(b) > 1
+    se_a, se_b = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    want_t = (a.mean() - b.mean()) / math.sqrt(se_a + se_b)
+    want_df = (se_a + se_b) ** 2 / (
+        se_a**2 / (len(a) - 1) + se_b**2 / (len(b) - 1)
+    )
+    got = eng.facet_t_test(
+        "merge sort", corpus, "n_chars", "lang", "en", "de"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert got["t"] == pytest.approx(want_t)
+    assert got["df"] == pytest.approx(want_df)
