@@ -4663,6 +4663,8 @@ def _ann_layout(spark, sf_dir: str, kind: str) -> str:
             similarity.lsh_write(_embs(spark, sf_dir), path, n_planes=8, dim=64)
         elif kind == "sq":
             similarity.sq_write(_embs(spark, sf_dir), path)
+        elif kind == "bq":
+            similarity.bq_write(_embs(spark, sf_dir), path)
         elif kind == "pq":
             similarity.pq_write(_embs(spark, sf_dir), path)
         elif kind == "ivfpq":
@@ -4751,6 +4753,30 @@ def q_sq_stored_topk(spark, sf_dir):
     (cosine is scale-invariant) — must equal sq_topk exactly."""
     return similarity.sq_stored_topk(
         spark, _ann_layout(spark, sf_dir, "sq"), _QUERY_VEC, k=SQ_K
+    )
+
+
+BQ_K = 10
+BQ_RERANK = 50
+
+
+def q_bq_topk(spark, sf_dir):
+    """1-bit binary quantization (ES BBQ shape): Hamming coarse top-50 over
+    packed sign bits (bit_count(xor) on int64 words — 32x fewer bytes than
+    float32), exact-cosine rerank to top-10. Oracle recomputes per-dim
+    midrange thresholds and bit disagreements relationally."""
+    return similarity.bq_topk(
+        _embs(spark, sf_dir), _QUERY_VEC, k=BQ_K, rerank=BQ_RERANK
+    )
+
+
+def q_bq_stored_topk(spark, sf_dir):
+    """The stored BQ read path: coarse pass scans ONLY the bits column of
+    the materialized layout (plan-tested), thresholds persisted in the meta
+    sidecar — must equal bq_topk exactly."""
+    return similarity.bq_stored_topk(
+        spark, _ann_layout(spark, sf_dir, "bq"), _QUERY_VEC,
+        k=BQ_K, rerank=BQ_RERANK,
     )
 
 
@@ -5380,6 +5406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_quantize": q_sq_quantize,
         "sq_topk": q_sq_topk,
         "sq_stored_topk": q_sq_stored_topk,
+        "ann_bq_topk": q_bq_topk,
+        "bq_stored_topk": q_bq_stored_topk,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "pq_stored_topk": q_pq_stored_topk,
@@ -5644,6 +5672,12 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         ),
         # the int8 stored layout must reproduce the on-the-fly truth
         "sq_stored_topk": similarity.sq_topk_sql("embeddings", _QUERY_VEC, k=SQ_K),
+        "ann_bq_topk": similarity.bq_topk_sql(
+            "embeddings", _QUERY_VEC, k=BQ_K, rerank=BQ_RERANK
+        ),
+        "bq_stored_topk": similarity.bq_topk_sql(
+            "embeddings", _QUERY_VEC, k=BQ_K, rerank=BQ_RERANK
+        ),
         "wand_topk": f"""
 SELECT doc_id, score FROM ({_bm25_sql(BM25_QUERY)})
 ORDER BY score DESC, doc_id ASC LIMIT {WAND_K}

@@ -1559,3 +1559,220 @@ SELECT vec_id, list_id, cdist,
        vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
 FROM assigned
 """
+
+
+# ---------------------------------------------------------------------------
+# 1-bit binary quantization (ES BBQ / classic sign-bit BQ shape):
+# each dimension collapses to one bit (above / below the per-dim corpus
+# MIDRANGE), the bits pack into int64 words, and the coarse pass ranks by
+# Hamming distance computed as bit_count(xor) — pure JVM integer ops over
+# dim/64 longs per row, a 32x byte reduction vs float32. The coarse top-C
+# candidates are then reranked by EXACT cosine over the raw vectors, so the
+# final top-k quality is bounded only by coarse recall, never by the codec.
+#
+# The threshold is the per-dim midrange (min+max)/2 rather than the mean:
+# min/max are fold-order-INSENSITIVE, so Spark and the SQL oracle derive
+# bit-identical thresholds from the same float32 data (a mean would differ
+# in the last ulp between engines and could flip a bit for values on the
+# boundary). At 100 TB the thresholds come from one cheap min/max agg (or a
+# sample) and are ~dim floats — broadcast literals, never a join.
+# ---------------------------------------------------------------------------
+
+BQ_WORD = 64
+
+
+def bq_thresholds(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension midrange (min+max)/2 over the corpus — ~dim doubles,
+    one aggregation job. Exactly reproducible in any engine (min/max have
+    no fold-order sensitivity; the midpoint is one IEEE add + halve)."""
+    rows = (
+        df.select(F.posexplode(_as_double(vec_col)).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [(r["lo"] + r["hi"]) / 2.0 for r in rows]
+
+
+def _bq_bits_expr(vec_col: str, thresholds: list[float]) -> str:
+    """SQL expression packing sign bits (v > threshold) into int64 words,
+    little-endian within each word. Pure comparisons + shifts — whole-stage
+    codegen keeps this JVM-side."""
+    words = []
+    for w in range(0, len(thresholds), BQ_WORD):
+        terms = " + ".join(
+            f"IF(cast({vec_col}[{i}] as double) > cast({thresholds[i]!r} as double), "
+            f"shiftleft(1L, {i - w}), 0L)"
+            for i in range(w, min(w + BQ_WORD, len(thresholds)))
+        )
+        words.append(f"({terms})")
+    return "array(" + ", ".join(words) + ")"
+
+
+def bq_quantize(
+    df: DataFrame,
+    thresholds: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bits array<bigint>) — ceil(dim/64) words per vector."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_bq_bits_expr(vec_col, thresholds)).alias("bits"),
+    )
+
+
+def bq_py_bits(query_vec: list[float], thresholds: list[float]) -> list[int]:
+    """The identical packing driver-side, for query vectors (signed i64
+    words, matching Spark's bigint)."""
+    words = []
+    for w in range(0, len(thresholds), BQ_WORD):
+        acc = 0
+        for i in range(w, min(w + BQ_WORD, len(thresholds))):
+            if float(query_vec[i]) > thresholds[i]:
+                acc |= 1 << (i - w)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def _bq_hamming(bits_col: str, qwords: list[int]):
+    """Hamming distance to the packed query: Σ bit_count(word ^ qword)."""
+    qlit = "array(" + ", ".join(f"cast({w} as bigint)" for w in qwords) + ")"
+    return F.expr(
+        f"aggregate(zip_with({bits_col}, {qlit}, (bqx, bqy) -> bit_count(bqx ^ bqy)), "
+        "0, (bqa, bqb) -> bqa + bqb)"
+    )
+
+
+def _bq_rerank(
+    emb_src: DataFrame,
+    coarse: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine rerank of the coarse candidates: broadcast the ≤C-row
+    candidate list into the embedding scan (the join filters rows BEFORE the
+    cosine projection runs — distance math touches only candidates)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    j = emb_src.withColumnRenamed(id_col, "vec_id").join(
+        F.broadcast(coarse), "vec_id"
+    )
+    emb = _as_double(vec_col)
+    cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        j.select("vec_id", "hamming", F.round(cos, ROUND_DP).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def bq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    thresholds: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via 1-bit quantization: coarse top-``rerank``
+    by Hamming (ties doc asc — a deterministic cut), exact cosine rerank to
+    ``k``. ``rerank=|corpus|`` degenerates to exact search (tested)."""
+    thr = thresholds if thresholds is not None else bq_thresholds(df, id_col, vec_col)
+    qwords = bq_py_bits(query_vec, thr)
+    coarse = (
+        bq_quantize(df, thr, id_col, vec_col)
+        .select("vec_id", _bq_hamming("bits", qwords).alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    return _bq_rerank(df, coarse, query_vec, k, id_col, vec_col)
+
+
+def bq_write(
+    df: DataFrame,
+    path: str,
+    thresholds: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the BQ layout: (vec_id, bits, embedding) in one parquet —
+    parquet is columnar, so the coarse pass reads ONLY the bits column
+    (dim/8 bytes/row; plan-tested) and the rerank reads raw vectors for just
+    the broadcast candidate ids. Thresholds persist in the meta sidecar so
+    probes always binarize queries consistently with the stored bits."""
+    thr = thresholds if thresholds is not None else bq_thresholds(df, id_col, vec_col)
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_bq_bits_expr(vec_col, thr)).alias("bits"),
+        F.col(vec_col).alias("embedding"),
+    )
+    out.write.mode("overwrite").parquet(path)
+    _write_ann_meta(path, {"kind": "bq", "thresholds": thr, "id_col": id_col,
+                           "vec_col": vec_col})
+
+
+def bq_stored_topk(
+    spark, path: str, query_vec: list[float], k: int = 10, rerank: int = 50
+) -> DataFrame:
+    """Top-k over a ``bq_write`` layout — identical results to ``bq_topk``
+    (deterministic codec + persisted thresholds), but the coarse scan reads
+    int64 words instead of float32 vectors."""
+    meta = read_ann_meta(path)
+    assert meta["kind"] == "bq", f"not a BQ layout: {path}"
+    qwords = bq_py_bits(query_vec, meta["thresholds"])
+    stored = spark.read.parquet(path)
+    coarse = (
+        stored.select("vec_id", _bq_hamming("bits", qwords).alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    return _bq_rerank(
+        stored.select("vec_id", "embedding"), coarse, query_vec, k,
+        "vec_id", "embedding",
+    )
+
+
+def bq_topk_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Relational twin: per-dim midrange thresholds from the same data,
+    bit-disagreement count as Hamming (no packing needed for truth), same
+    deterministic coarse cut, same exact-cosine rerank."""
+    ql = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS emb FROM {table}),
+d AS (SELECT vec_id, CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+             unnest(emb) AS v
+      FROM e),
+thr AS (SELECT dim, (min(v) + max(v)) / 2 AS mid FROM d GROUP BY 1),
+q AS (SELECT CAST(generate_subscripts(ql, 1) - 1 AS INT) AS dim, unnest(ql) AS qv
+      FROM (SELECT {ql} AS ql)),
+ham AS (
+  SELECT d.vec_id,
+         sum(CASE WHEN (d.v > t.mid) <> (q.qv > t.mid) THEN 1 ELSE 0 END)::INT
+           AS hamming
+  FROM d JOIN thr t USING (dim) JOIN q USING (dim)
+  GROUP BY 1),
+coarse AS (SELECT vec_id, hamming FROM ham
+           ORDER BY hamming ASC, vec_id ASC LIMIT {rerank})
+SELECT c.vec_id AS vec_id, c.hamming AS hamming,
+       round(list_dot_product(e.emb, {ql})
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+FROM coarse c JOIN e USING (vec_id)
+ORDER BY cos DESC, vec_id ASC
+LIMIT {k}
+"""
