@@ -2569,6 +2569,53 @@ def q_sample_deterministic(spark, sf_dir):
     )
 
 
+DSIR_N = 60
+DSIR_SEED = 7
+DSIR_BUCKETS = 256
+DSIR_TARGET = "lang = 'en'"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-features log-likelihood ratio of target (lang='en') vs raw, per
+    doc — two hash aggregations and a broadcast of the 256-row λ model."""
+    from .ops.selection import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, DSIR_TARGET, n_buckets=DSIR_BUCKETS).select(
+        "doc_id", F.round("logw", 5).alias("logw")
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection: Gumbel-top-N over the importance weights — an exact
+    seeded sample without replacement ∝ softmax(logw), deterministic in
+    both engines (the Gumbel noise is an md5 hash of (doc_id, seed))."""
+    from .ops.selection import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs, DSIR_TARGET, DSIR_N, seed=DSIR_SEED, n_buckets=DSIR_BUCKETS
+    )
+
+
+def _dsir_weights_sql() -> str:
+    from .ops.selection import dsir_weights_sql
+
+    return dsir_weights_sql(
+        "documents", f"d.{DSIR_TARGET}", n_buckets=DSIR_BUCKETS
+    )
+
+
+def _dsir_select_sql() -> str:
+    from .ops.selection import dsir_select_sql
+
+    return dsir_select_sql(
+        "documents", f"d.{DSIR_TARGET}", DSIR_N, seed=DSIR_SEED,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
 RESAMPLE_RATES = {"en": 2.3, "de": 0.5, "es": 1.0}
 
 
@@ -5302,6 +5349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_stored_topk": q_geo_stored_topk,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "resample_stratified": q_resample_stratified,
         "split_by_group": q_split_by_group,
         "shuffle_shards": q_shuffle_shards,
@@ -5514,6 +5563,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "geo_stored_topk": _geo_topk_sql(),
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
+        "dsir_weights": _dsir_weights_sql(),
+        "dsir_select": _dsir_select_sql(),
         "resample_stratified": _resample_sql(),
         "split_by_group": (
             "SELECT doc_id, source, split FROM ("
