@@ -2448,6 +2448,203 @@ FROM agg
 """
 
 
+BSEL_HAVING_N, BSEL_HAVING_SUM = 19, 6300
+BSORT_SIZE, BSORT_FROM = 5, 2
+
+
+def _facet_buckets_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+b AS (SELECT d.source AS source, count(*)::BIGINT AS n,
+             sum(d.n_chars)::BIGINT AS sum, avg(d.n_chars) AS avg
+      FROM matched m JOIN documents d USING (doc_id)
+      GROUP BY 1)"""
+
+
+def q_facet_bucket_selector(spark, sf_dir):
+    """bucket_selector (ES pipeline agg): keep only the source buckets
+    whose aggregates pass the having-script — predicates on EXACT integer
+    metrics (n, sum) so the keep/drop decision is engine-independent."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_bucket_selector(
+        FACET_QUERY, docs, "source", "n_chars",
+        (F.col("n") >= BSEL_HAVING_N) & (F.col("sum") > BSEL_HAVING_SUM),
+        mode="or",
+    )
+    return out.select(
+        "source", "n", "sum", F.round("avg", ROUND_DP).alias("avg")
+    )
+
+
+def _facet_bucket_selector_sql(query_terms: list[str]) -> str:
+    return f"""{_facet_buckets_sql(query_terms)}
+SELECT source, n, sum, round(avg, {ROUND_DP}) AS avg
+FROM b WHERE n >= {BSEL_HAVING_N} AND sum > {BSEL_HAVING_SUM}
+"""
+
+
+def q_facet_bucket_sort(spark, sf_dir):
+    """bucket_sort (ES pipeline agg): source buckets ordered by their
+    summed n_chars (an exact integer — rank decisions are engine-
+    independent), paginated from=2 size=5, ties on the bucket key."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = eng.facet_bucket_sort(
+        FACET_QUERY, docs, "source", "n_chars",
+        sort_by="sum", ascending=False, size=BSORT_SIZE, from_=BSORT_FROM,
+        mode="or",
+    )
+    return out.select(
+        "source", "n", "sum", F.round("avg", ROUND_DP).alias("avg"),
+        F.col("bucket_rank").cast("long").alias("bucket_rank"),
+    )
+
+
+def _facet_bucket_sort_sql(query_terms: list[str]) -> str:
+    return f"""{_facet_buckets_sql(query_terms)}
+SELECT source, n, sum, round(avg, {ROUND_DP}) AS avg, bucket_rank
+FROM (SELECT *, row_number() OVER (ORDER BY sum DESC, source ASC)::BIGINT
+             AS bucket_rank
+      FROM b) r
+WHERE bucket_rank > {BSORT_FROM} AND bucket_rank <= {BSORT_FROM + BSORT_SIZE}
+"""
+
+
+def q_facet_geo_bounds(spark, sf_dir):
+    """geo_bounds (ES): bounding box (top/left/bottom/right) of the match
+    set's points — min/max only, exactly reproducible cross-engine."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_geo_bounds(FACET_QUERY, _geo_docs(spark, sf_dir), mode="or")
+
+
+_GEO_META_SQL = """
+SELECT doc_id,
+       (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+       (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+FROM documents"""
+
+
+def _facet_geo_bounds_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+g AS ({_GEO_META_SQL})
+SELECT count(*)::BIGINT AS n, max(lat) AS top, min(lon) AS "left",
+       min(lat) AS bottom, max(lon) AS "right"
+FROM matched m JOIN g USING (doc_id)
+"""
+
+
+def q_facet_geo_centroid(spark, sf_dir):
+    """geo_centroid (ES): flat arithmetic mean lat/lon of the match set's
+    points (ES's own definition), rounded for cross-engine hashing."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_geo_centroid(
+        FACET_QUERY, _geo_docs(spark, sf_dir), round_dp=ROUND_DP, mode="or"
+    )
+
+
+def _facet_geo_centroid_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+g AS ({_GEO_META_SQL})
+SELECT count(*)::BIGINT AS n, round(avg(lat), {ROUND_DP}) AS lat,
+       round(avg(lon), {ROUND_DP}) AS lon
+FROM matched m JOIN g USING (doc_id)
+"""
+
+
+DATE_RANGES = [
+    ("early", None, "2024-07-01"),
+    ("mid", "2024-07-01", "2025-01-01"),
+    ("late", "2025-01-01", None),
+]
+
+
+def q_facet_date_range(spark, sf_dir):
+    """date_range (ES): counts per named range (from inclusive, to
+    exclusive, open ends) over the match set's derived timestamps — all
+    ranges in ONE conditional-aggregation pass, empty ranges included."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_date_range(
+        FACET_QUERY, _date_meta(spark, sf_dir), "ts", DATE_RANGES, mode="or"
+    )
+
+
+def _facet_date_range_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    arms = []
+    for key, lo, hi in DATE_RANGES:
+        conds = []
+        if lo is not None:
+            conds.append(f"j.ts >= TIMESTAMP '{lo} 00:00:00'")
+        if hi is not None:
+            conds.append(f"j.ts < TIMESTAMP '{hi} 00:00:00'")
+        cond = " AND ".join(conds) or "TRUE"
+        arms.append(
+            f"SELECT '{key}' AS range_key, "
+            f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS n FROM j"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+meta AS (SELECT doc_id,
+                CAST(DATE '{DATE_HIST_EPOCH}'
+                     + CAST(doc_id % {DATE_HIST_MOD} AS INT) AS TIMESTAMP) AS ts
+         FROM documents),
+j AS (SELECT mt.ts AS ts FROM matched m JOIN meta mt USING (doc_id))
+{union}
+"""
+
+
+AUTO_HIST_TARGET = 24
+
+
+def q_facet_auto_date_histogram(spark, sf_dir):
+    """auto_date_histogram (ES): smallest ladder interval fitting the
+    match-set span into ≤24 buckets (fixed-second ladder — documented
+    deviation from ES's calendar steps, keeps edges exactly SQL-
+    reproducible), then one histogram pass."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_auto_date_histogram(
+        FACET_QUERY, _date_meta(spark, sf_dir), "ts",
+        target_buckets=AUTO_HIST_TARGET, mode="or",
+    )
+
+
+def _facet_auto_date_histogram_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    ladder = ", ".join(
+        f"({s})" for s in (1, 10, 60, 300, 1800, 3600, 10800, 43200,
+                           86400, 604800, 2592000, 31536000)
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms})),
+meta AS (SELECT doc_id,
+                CAST(DATE '{DATE_HIST_EPOCH}'
+                     + CAST(doc_id % {DATE_HIST_MOD} AS INT) AS TIMESTAMP) AS ts
+         FROM documents),
+ep AS (SELECT floor(epoch(mt.ts))::BIGINT AS e
+       FROM matched m JOIN meta mt USING (doc_id)),
+span AS (SELECT max(e) - min(e) AS s FROM ep),
+iv AS (SELECT coalesce(min(i), 31536000)::BIGINT AS interval
+       FROM (VALUES {ladder}) t(i), span
+       WHERE s // i + 1 <= {AUTO_HIST_TARGET})
+SELECT (e // interval) * interval AS bucket, count(*)::BIGINT AS n,
+       interval AS interval_sec
+FROM ep, iv
+GROUP BY 1, 3
+"""
+
+
 def q_facet_extended_stats(spark, sf_dir):
     """Extended stats (ES `extended_stats`): stats + sum_sq/var_pop/
     stddev_pop of n_chars per lang over the FULL OR-match set. Moments are
@@ -5340,6 +5537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_t_test": q_facet_t_test,
         "facet_cardinality": q_facet_cardinality,
         "facet_extended_stats": q_facet_extended_stats,
+        "facet_bucket_selector": q_facet_bucket_selector,
+        "facet_bucket_sort": q_facet_bucket_sort,
+        "facet_geo_bounds": q_facet_geo_bounds,
+        "facet_geo_centroid": q_facet_geo_centroid,
+        "facet_date_range": q_facet_date_range,
+        "facet_auto_date_histogram": q_facet_auto_date_histogram,
         "top_hits": q_top_hits,
         "rrf_fusion": q_rrf_fusion,
         "decontamination": q_decontamination,
@@ -5552,6 +5755,12 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "facet_t_test": _facet_t_test_sql(FACET_QUERY.split()),
         "facet_cardinality": _facet_cardinality_sql(FACET_QUERY.split()),
         "facet_extended_stats": _facet_extended_stats_sql(FACET_QUERY.split()),
+        "facet_bucket_selector": _facet_bucket_selector_sql(FACET_QUERY.split()),
+        "facet_bucket_sort": _facet_bucket_sort_sql(FACET_QUERY.split()),
+        "facet_geo_bounds": _facet_geo_bounds_sql(FACET_QUERY.split()),
+        "facet_geo_centroid": _facet_geo_centroid_sql(FACET_QUERY.split()),
+        "facet_date_range": _facet_date_range_sql(FACET_QUERY.split()),
+        "facet_auto_date_histogram": _facet_auto_date_histogram_sql(FACET_QUERY.split()),
         "top_hits": _top_hits_sql(BM25_QUERY, TOP_HITS_N),
         "rrf_fusion": _rrf_fusion_sql(BM25_QUERY),
         "decontamination": dedup.contaminated_pairs_sql(

@@ -2245,6 +2245,198 @@ class SearchEngine:
             "n_a", "n_b", "mean_a", "mean_b", t.alias("t"), dof.alias("df")
         )
 
+    def _facet_metric_buckets(
+        self, query, metadata, by, stat_col, mode, rewriter, doc_filter
+    ) -> DataFrame:
+        """Shared terms-bucket frame for the bucket-pipeline aggs:
+        (by, n, sum, avg) per bucket over the FULL match set — one hash
+        aggregation, map-side partials."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", stat_col, by), "doc_id")
+        return j.groupBy(by).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(stat_col).alias("sum"),
+            F.avg(stat_col).alias("avg"),
+        )
+
+    def facet_bucket_selector(
+        self,
+        query: str,
+        metadata: DataFrame,
+        by: str,
+        stat_col: str,
+        having,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``bucket_selector`` pipeline aggregation: keep only
+        the terms buckets whose aggregated metrics satisfy ``having`` — a
+        Column or SQL string over the bucket frame's ``n``/``sum``/``avg``
+        (ES's bucket_path script, JVM-side). The filter runs on the
+        |buckets|-row aggregated frame, so it costs nothing at any corpus
+        size. Returns DataFrame[by, n, sum, avg] for surviving buckets."""
+        b = self._facet_metric_buckets(
+            query, metadata, by, stat_col, mode, rewriter, doc_filter
+        )
+        pred = F.expr(having) if isinstance(having, str) else having
+        return b.filter(pred)
+
+    def facet_bucket_sort(
+        self,
+        query: str,
+        metadata: DataFrame,
+        by: str,
+        stat_col: str,
+        sort_by: str = "avg",
+        ascending: bool = False,
+        size: int = 10,
+        from_: int = 0,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``bucket_sort`` pipeline aggregation: order the
+        terms buckets by one of their metrics (``n``/``sum``/``avg``) and
+        truncate with from/size pagination (ties on the bucket key asc, so
+        the page cut is deterministic cross-engine). The rank window runs
+        on the aggregated |buckets|-row frame — single-partition there is
+        correct by construction, exactly like the date-histogram pipeline.
+        Returns DataFrame[by, n, sum, avg, bucket_rank]."""
+        if sort_by not in ("n", "sum", "avg"):
+            raise ValueError(f"sort_by must be n/sum/avg, got {sort_by!r}")
+        b = self._facet_metric_buckets(
+            query, metadata, by, stat_col, mode, rewriter, doc_filter
+        )
+        key = F.asc(sort_by) if ascending else F.desc(sort_by)
+        w = Window.orderBy(key, F.asc(by))
+        ranked = b.withColumn("bucket_rank", F.row_number().over(w))
+        return ranked.filter(
+            (F.col("bucket_rank") > from_) & (F.col("bucket_rank") <= from_ + size)
+        )
+
+    def facet_geo_bounds(
+        self,
+        query: str,
+        geo_meta: DataFrame,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``geo_bounds``: the bounding box of the match
+        set's points — top-left (max lat, min lon) / bottom-right (min lat,
+        max lon). min/max only, so the result is exactly reproducible in
+        any engine (no fold-order sensitivity). One aggregation. Returns
+        DataFrame[n, top, left, bottom, right]."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(geo_meta.select("doc_id", "lat", "lon"), "doc_id")
+        return j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("lat").alias("top"),
+            F.min("lon").alias("left"),
+            F.min("lat").alias("bottom"),
+            F.max("lon").alias("right"),
+        )
+
+    def facet_geo_centroid(
+        self,
+        query: str,
+        geo_meta: DataFrame,
+        round_dp: int = 5,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``geo_centroid``: arithmetic mean lat/lon of the
+        match set's points (ES's definition — a flat average, not a
+        spherical centroid; same deliberate simplification). Returns
+        DataFrame[n, lat, lon] with the means rounded for cross-engine
+        hashing."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(geo_meta.select("doc_id", "lat", "lon"), "doc_id")
+        return j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("lat"), round_dp).alias("lat"),
+            F.round(F.avg("lon"), round_dp).alias("lon"),
+        )
+
+    def facet_date_range(
+        self,
+        query: str,
+        metadata: DataFrame,
+        ts_col: str,
+        ranges: list[tuple[str, str | None, str | None]],
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``date_range`` aggregation: doc counts per named
+        range [(key, from, to)] with ES's from-INclusive / to-EXclusive
+        bounds; open ends via None. All ranges reduce in ONE conditional
+        aggregation pass (no per-range scan); empty ranges still return
+        (count 0), matching ES. Returns DataFrame[range_key, n]."""
+        if not ranges:
+            raise ValueError("ranges must hold ≥1 (key, from, to) triple")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", ts_col), "doc_id")
+        ts = F.col(ts_col)
+        aggs = []
+        for key, lo, hi in ranges:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (ts >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                cond = cond & (ts < F.lit(hi).cast("timestamp"))
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(key))
+        wide = j.agg(*aggs)
+        stack = ", ".join(f"'{k}', {k}" for k, _, _ in ranges)
+        return wide.selectExpr(
+            f"stack({len(ranges)}, {stack}) AS (range_key, n)"
+        )
+
+    AUTO_HIST_LADDER = (
+        1, 10, 60, 300, 1800, 3600, 10800, 43200,
+        86400, 604800, 2592000, 31536000,
+    )
+
+    def facet_auto_date_histogram(
+        self,
+        query: str,
+        metadata: DataFrame,
+        ts_col: str,
+        target_buckets: int = 10,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Elasticsearch ``auto_date_histogram``: pick the smallest interval
+        from a fixed ladder (1s…1y; ES uses calendar steps — fixed seconds
+        here, a documented simplification that keeps bucket edges exactly
+        reproducible in SQL) such that the match set's time span fits in
+        ``target_buckets`` buckets, then histogram on it. The span probe is
+        min/max epoch-seconds (exact integers — no fold-order hazard); it
+        shares one aggregation with nothing else, so the op is two jobs
+        total. Returns DataFrame[bucket, n, interval_sec] with the bucket
+        as the epoch-second lower edge."""
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", ts_col), "doc_id").select(
+            F.unix_timestamp(F.col(ts_col)).alias("_epoch")
+        )
+        lohi = j.agg(F.min("_epoch").alias("lo"), F.max("_epoch").alias("hi")).collect()[0]
+        if lohi["lo"] is None:
+            raise ValueError("no matching docs with a timestamp")
+        span = int(lohi["hi"]) - int(lohi["lo"])
+        interval = next(
+            (s for s in self.AUTO_HIST_LADDER if span // s + 1 <= target_buckets),
+            self.AUTO_HIST_LADDER[-1],
+        )
+        bucket = (F.floor(F.col("_epoch") / interval) * interval).cast("long")
+        return (
+            j.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bucket", "n", F.lit(interval).cast("long").alias("interval_sec"))
+        )
+
     def stats(self) -> dict:
         """Index statistics (ES ``_stats`` / Lucene SegmentInfos analogue),
         served ENTIRELY from driver-side metadata — meta.json, the

@@ -518,3 +518,113 @@ def test_t_test_matches_welch_numpy(spark, corpus, eng):
     assert (got["n_a"], got["n_b"]) == (len(a), len(b))
     assert got["t"] == pytest.approx(want_t)
     assert got["df"] == pytest.approx(want_df)
+
+
+def test_bucket_selector_matches_python(spark, corpus, eng):
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    got = {
+        r["source"]: (r["n"], r["sum"])
+        for r in eng.facet_bucket_selector(
+            "merge sort", corpus, "source", "n_chars",
+            (F.col("n") >= 2) & (F.col("sum") > 300),
+        ).collect()
+    }
+    want = {
+        s: (len(v), sum(v))
+        for s, v in by_src.items()
+        if len(v) >= 2 and sum(v) > 300
+    }
+    assert got == want
+    # SQL-string having form
+    got2 = {
+        r["source"]
+        for r in eng.facet_bucket_selector(
+            "merge sort", corpus, "source", "n_chars", "n >= 2 AND sum > 300"
+        ).collect()
+    }
+    assert got2 == set(want)
+
+
+def test_bucket_sort_pagination(spark, corpus, eng):
+    rows = _matched_vals(spark, corpus, ["merge", "sort"])
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_chars"]
+    ranked = sorted(by_src.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = eng.facet_bucket_sort(
+        "merge sort", corpus, "source", "n_chars",
+        sort_by="sum", size=3, from_=1,
+    ).collect()
+    assert [(r["source"], r["sum"], r["bucket_rank"]) for r in got] == [
+        (s, v, i + 2) for i, (s, v) in enumerate(ranked[1:4])
+    ]
+    with pytest.raises(ValueError):
+        eng.facet_bucket_sort("merge sort", corpus, "source", "n_chars",
+                              sort_by="median")
+
+
+def _geo(corpus):
+    return corpus.select(
+        "doc_id",
+        (F.expr("doc_id * 7919 % 18000") / 100.0 - 90.0).alias("lat"),
+        (F.expr("doc_id * 104729 % 36000") / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def test_geo_bounds_and_centroid(spark, corpus, eng):
+    ids = _truth_matched(spark, corpus, ["merge", "sort"], "or")
+    pts = [((d * 7919 % 18000) / 100.0 - 90.0, (d * 104729 % 36000) / 100.0 - 180.0)
+           for d in ids]
+    b = eng.facet_geo_bounds("merge sort", _geo(corpus)).collect()[0]
+    assert b["n"] == len(pts)
+    assert (b["top"], b["bottom"]) == (max(p[0] for p in pts), min(p[0] for p in pts))
+    assert (b["left"], b["right"]) == (min(p[1] for p in pts), max(p[1] for p in pts))
+    c = eng.facet_geo_centroid("merge sort", _geo(corpus)).collect()[0]
+    assert c["lat"] == pytest.approx(sum(p[0] for p in pts) / len(pts), abs=1e-4)
+    assert c["lon"] == pytest.approx(sum(p[1] for p in pts) / len(pts), abs=1e-4)
+
+
+def _ts_meta(corpus):
+    return corpus.select(
+        "doc_id",
+        F.expr(
+            "cast(date_add(date '2024-01-01', cast(doc_id % 90 as int)) as timestamp)"
+        ).alias("ts"),
+    )
+
+
+def test_date_range_bounds_semantics(spark, corpus, eng):
+    import datetime
+
+    ids = _truth_matched(spark, corpus, ["merge", "sort"], "or")
+    days = {d: d % 90 for d in ids}
+    epoch = datetime.date(2024, 1, 1)
+    cut = (datetime.date(2024, 2, 1) - epoch).days
+    got = {r["range_key"]: r["n"] for r in eng.facet_date_range(
+        "merge sort", _ts_meta(corpus), "ts",
+        [("jan", None, "2024-02-01"), ("feb_on", "2024-02-01", None),
+         ("none", "2030-01-01", None)],
+    ).collect()}
+    want_jan = sum(1 for v in days.values() if v < cut)
+    assert got == {"jan": want_jan, "feb_on": len(days) - want_jan, "none": 0}
+    with pytest.raises(ValueError):
+        eng.facet_date_range("merge sort", _ts_meta(corpus), "ts", [])
+
+
+def test_auto_date_histogram_picks_interval(spark, corpus, eng):
+    ids = _truth_matched(spark, corpus, ["merge", "sort"], "or")
+    span = (max(d % 90 for d in ids) - min(d % 90 for d in ids)) * 86400
+    rows = eng.facet_auto_date_histogram(
+        "merge sort", _ts_meta(corpus), "ts", target_buckets=10
+    ).collect()
+    iv = rows[0]["interval_sec"]
+    # the chosen interval is the smallest ladder step fitting 10 buckets
+    ladder = SearchEngine.AUTO_HIST_LADDER
+    assert iv == next(s for s in ladder if span // s + 1 <= 10)
+    assert sum(r["n"] for r in rows) == len(ids)
+    assert len(rows) <= 10
+    for r in rows:
+        assert r["bucket"] % iv == 0
