@@ -243,6 +243,9 @@ def main() -> None:
     timed("ann_sq_topk", lambda: similarity.sq_topk(embs, _QUERY_VEC, k=25).collect())
     timed("ann_sq_write", lambda: similarity.sq_write(embs, f"{ann_dir}/sq"))
     timed("ann_sq_stored_topk", lambda: similarity.sq_stored_topk(spark, f"{ann_dir}/sq", _QUERY_VEC, k=25).collect())
+    # 1-bit binary quantization: 32× coarse-scan byte reduction + exact rerank
+    timed("ann_bq_write", lambda: similarity.bq_write(embs, f"{ann_dir}/bq"))
+    timed("ann_bq_stored_topk", lambda: similarity.bq_stored_topk(spark, f"{ann_dir}/bq", _QUERY_VEC, k=10, rerank=100).collect())
 
     def text_stats():
         textstats.token_count(docs).count()
@@ -339,6 +342,14 @@ def main() -> None:
         lambda: sample_stratified(
             docs, {"en": 0.2, "fr": 0.6, "zh": 1.0}, by="lang", default_rate=0.05
         ).count(),
+    )
+    # DSIR importance resampling: feature hashing + λ model + Gumbel top-N
+    from searchengine_spark.ops.selection import dsir_select
+
+    timed(
+        "dsir_select",
+        lambda: dsir_select(docs, "lang = 'en'", 500, seed=7,
+                            n_buckets=512).count(),
     )
 
     # training-data pipeline surfaces: exact line dedup (one hash agg),

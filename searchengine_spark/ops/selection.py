@@ -94,12 +94,20 @@ def dsir_logratio(
     text_col: str = "text",
     n_buckets: int = 512,
     alpha: float = 1.0,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(feat, lam): add-α smoothed log-likelihood ratio of the hashed
     bag-of-features model fit on target rows vs ALL rows. ``target_pred``
-    is a Column or SQL-string predicate over ``df``'s columns."""
+    is a Column or SQL-string predicate over ``df``'s columns.
+    ``features`` lets a caller share one (persisted) feature stream
+    between the model fit and the weight pass — at corpus scale the
+    tokenize+hash scan is the dominant cost and must not run twice."""
     pred = F.expr(target_pred) if isinstance(target_pred, str) else target_pred
-    feats = hashed_features(df, id_col, text_col, n_buckets)
+    feats = (
+        features
+        if features is not None
+        else hashed_features(df, id_col, text_col, n_buckets)
+    )
     flags = df.select(F.col(id_col).alias("doc_id"), pred.alias("_t"))
     j = feats.join(flags, "doc_id")
     per_feat = j.groupBy("feat").agg(
@@ -128,9 +136,19 @@ def dsir_weights(
 ) -> DataFrame:
     """(doc_id, logw): per-document log importance weight — the feature
     stream joined (broadcast: λ is ≤ n_buckets rows) with the log-ratio
-    model, summed per doc. Docs with no features keep logw = 0."""
-    lam = dsir_logratio(df, target_pred, id_col, text_col, n_buckets, alpha)
-    feats = hashed_features(df, id_col, text_col, n_buckets)
+    model, summed per doc. Docs with no features keep logw = 0.
+
+    The feature stream is computed ONCE and persisted across the model
+    fit and the weight pass (two downstream aggregations over the same
+    tokenize+hash scan — without the persist the corpus would be read and
+    tokenized twice)."""
+    feats = hashed_features(df, id_col, text_col, n_buckets).persist()
+    # NOTE: the persist is released lazily by Spark's LRU; dsir_logratio's
+    # totals collect() materializes it, so the weight pass below reuses the
+    # cached stream instead of re-tokenizing the corpus.
+    lam = dsir_logratio(
+        df, target_pred, id_col, text_col, n_buckets, alpha, features=feats
+    )
     w = feats.join(F.broadcast(lam), "feat").groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("lam")).alias("logw")
     )
