@@ -4070,6 +4070,44 @@ def _license_detect_sql() -> str:
     )
 
 
+WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 4, 5, 2
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS, Schleimer et al. 2003): per-doc local fingerprint
+    set — k-gram hashes, windowed min with rightmost tie-break; guarantees
+    detection of any shared run ≥ w+k−1 tokens. Per-doc windows only —
+    the single shuffle is the doc repartition, hashes fixed-width strings
+    before it."""
+    from .ops.code import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+def _winnow_fps_sql() -> str:
+    from .ops.code import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("documents", WINNOW_K, WINNOW_W)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Code-clone pair detection over the winnowing fingerprints: pairs
+    ranked by distinct shared fingerprint hashes (one hash equi-join, the
+    MOSS index shape)."""
+    from .ops.code import winnow_fingerprints, winnow_pairs
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W)
+    return winnow_pairs(fps, min_shared=WINNOW_MIN_SHARED)
+
+
+def _winnow_pairs_sql() -> str:
+    from .ops.code import winnow_pairs_sql
+
+    return winnow_pairs_sql(_winnow_fps_sql(), WINNOW_MIN_SHARED)
+
+
 RETENTION_PERIOD_S = 86_400
 
 
@@ -5611,6 +5649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_imports": q_code_imports,
         "code_quality": q_code_quality,
         "license_detect": q_license_detect,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -5834,6 +5874,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "code_imports": _code_imports_sql(),
         "code_quality": _code_quality_sql(),
         "license_detect": _license_detect_sql(),
+        "winnow_fingerprints": _winnow_fps_sql(),
+        "winnow_pairs": _winnow_pairs_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

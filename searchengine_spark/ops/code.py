@@ -371,3 +371,172 @@ FROM (
   FROM {table}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document-fingerprinting algorithm): hash every k-token shingle,
+# slide a window of w consecutive shingle hashes, keep the MINIMUM hash of
+# each window (rightmost on ties, the paper's robust-winnowing choice).
+# Guarantee: any shared token run of length >= w + k - 1 produces at least
+# one shared fingerprint — unlike MinHash this is LOCAL (it tells you the
+# positions), which is what code-clone / license-propagation tooling needs.
+#
+# Relational shape: tokenize → posexplode → k-gram via lead() inside the
+# per-doc window (no self-join) → md5 hash AS A FIXED-WIDTH HEX STRING
+# (fixed-width hex compares like the number it encodes, so min() needs no
+# numeric type and the (hash, rightmost-pos) tie-break packs into ONE
+# string key: hash-hex + zero-padded inverted position) → windowed min →
+# distinct. Everything partitions by doc_id — the single shuffle is the
+# per-doc repartition the window needs; hashes are fixed-width strings
+# BEFORE it, so shuffle rows never carry the gram text.
+# ---------------------------------------------------------------------------
+
+_WPOS_MAX = 999_999  # position inversion base (docs <= 1M tokens; guarded)
+_GSEP = "\x01"  # gram joiner: tokens can't contain it, so no join ambiguity
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp, pos): winnowing fingerprint set — ``fp`` the 60-bit
+    shingle hash (hex string), ``pos`` the 0-based token position of the
+    selected shingle. Deterministic: window minima break ties to the
+    RIGHTMOST position, and the selection set is order-independent."""
+    from pyspark.sql import Window
+
+    from ..tokenizer import tokenize_raw_expr
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_raw_expr(F.col(text_col))).alias("pos", "tok"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        _GSEP, *([F.col("tok")] + [F.lead("tok", i).over(dw) for i in range(1, k)])
+    )
+    # lead() returns NULL past the end; concat_ws skips NULLs, so guard by
+    # requiring the k-th token to exist (pos <= n_tokens - k)
+    last = F.lead("tok", k - 1).over(dw)
+    kg = (
+        toks.select(
+            "doc_id", "pos",
+            F.substring(F.md5(gram), 1, 15).alias("h"),
+            last.alias("_guard"),
+        )
+        .where(F.col("_guard").isNotNull())
+        .drop("_guard")
+    )
+    # pack (hash, rightmost tie-break) into one fixed-width sortable string
+    key = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(_WPOS_MAX) - F.col("pos")).cast("string"), 6, "0"),
+    )
+    kw = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    sel = (
+        kg.select(
+            "doc_id", "pos", key.alias("key"),
+            F.count(F.lit(1)).over(n_grams).alias("_n"),
+        )
+        .withColumn("_sel", F.min("key").over(kw))
+        .where(F.col("pos") <= F.col("_n") - w)  # full windows only
+        .select("doc_id", F.col("_sel").alias("key"))
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        F.substring("key", 1, 15).alias("fp"),
+        (F.lit(_WPOS_MAX) - F.substring("key", 16, 6).cast("int")).alias("pos"),
+    )
+
+
+def winnow_pairs(fps: DataFrame, min_shared: int = 2) -> DataFrame:
+    """(doc_a, doc_b, shared): document pairs ranked by the number of
+    DISTINCT shared fingerprint hashes (a < b). The join key is the
+    60-bit hash — collisions are possible and acceptable (MOSS treats the
+    fingerprint index the same way); verify exact spans downstream with
+    ``dedup.duplicate_spans`` if needed. The only wide op is the hash
+    equi-join; a fingerprint shared by f docs yields f*(f-1)/2 pairs, so
+    cap pathological hashes upstream at 10^12 scale (same playbook as the
+    MinHash bucket cap)."""
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp").distinct()
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp").distinct()
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin — same tokenizer CTE, same lead/min windows, same
+    packed-string tie-break, same chr(1) gram joiner."""
+    from ..tokenizer import STOPWORDS, TOKEN_PATTERN
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    leads = " || chr(1) || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER dwin" for i in range(1, k)]
+    )
+    return f"""
+WITH tok_lists AS (
+  SELECT {id_col} AS doc_id,
+         [t FOR t IN regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}')
+          IF t NOT IN ({stop_list})] AS l
+  FROM {table}),
+toks AS (
+  SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+         unnest(l) AS tok
+  FROM tok_lists),
+kg AS (
+  SELECT doc_id, pos,
+         substr(md5({leads}), 1, 15) AS h,
+         lead(tok, {k - 1}) OVER dwin AS guard
+  FROM toks
+  WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos)),
+keyed AS (
+  SELECT doc_id, pos,
+         h || lpad(CAST({_WPOS_MAX} - pos AS VARCHAR), 6, '0') AS key,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM kg WHERE guard IS NOT NULL),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS key
+  FROM keyed
+  QUALIFY pos <= n - {w})
+SELECT doc_id, substr(key, 1, 15) AS fp,
+       {_WPOS_MAX} - CAST(substr(key, 16, 6) AS INT) AS pos
+FROM sel
+"""
+
+
+def winnow_pairs_sql(fps_sql: str, min_shared: int = 2) -> str:
+    return f"""
+WITH fps AS ({fps_sql}),
+a AS (SELECT DISTINCT doc_id AS doc_a, fp FROM fps),
+b AS (SELECT DISTINCT doc_id AS doc_b, fp FROM fps)
+SELECT doc_a, doc_b, count(*)::BIGINT AS shared
+FROM a JOIN b USING (fp)
+WHERE doc_a < doc_b
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
