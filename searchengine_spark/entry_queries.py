@@ -4108,6 +4108,72 @@ def _winnow_pairs_sql() -> str:
     return winnow_pairs_sql(_winnow_fps_sql(), WINNOW_MIN_SHARED)
 
 
+# Multi-line prose fixture for the C4 cleanup rules (the sf corpus is
+# single-line punctuation-free prose, so every corpus doc would trivially
+# fail the line filters — fixture makes each rule observable). Covers:
+# a clean keeper, a short-line drop, a no-punctuation drop, a <3-kept-lines
+# page drop, lorem-ipsum boilerplate, curly-brace code page, quote-ending
+# lines, empty doc, and whitespace-padded lines.
+C4_FIXTURE = [
+    (1, "This is the first good sentence of the page.\n"
+        "Here is another line that clearly ends with punctuation!\n"
+        "And a third full sentence keeps the whole page alive.\n"
+        "Finally a fourth one so the page is comfortably kept."),
+    (2, "Too short.\nAlso tiny!\nMenu Home About Contact\n"
+        "Only this single line is long enough to survive the word filter."),
+    (3, "this line has plenty of words but no terminal punctuation\n"
+        "neither does this second one despite also being quite long"),
+    (4, "One surviving sentence is not enough to keep a page.\n"
+        "A second surviving sentence is still not quite enough."),
+    (5, "Lorem ipsum dolor sit amet, consectetur adipiscing elit sed do.\n"
+        "Even with three other perfectly fine long sentences right here.\n"
+        "The boilerplate phrase above disqualifies the entire page.\n"
+        "So none of these otherwise acceptable lines can save it."),
+    (6, "function main() { return 0; } is code and pages with braces go.\n"
+        "Another long and well punctuated line follows the code line.\n"
+        "And one more long sentence that would otherwise be retained."),
+    (7, "She said the quote should also count as terminal \"punctuation\"\n"
+        "A plain long sentence follows the quoted line right here.\n"
+        "Then the page closes with one more complete long sentence."),
+    (8, ""),
+    (9, "   Leading whitespace must be trimmed before the checks run.   \n"
+        "Trailing spaces after the period should not break the rule.   \n"
+        "A final ordinary sentence completes this whitespace page."),
+]
+
+
+def _c4_fixture_df(spark) -> DataFrame:
+    return spark.createDataFrame(C4_FIXTURE, "doc_id long, text string")
+
+
+def _c4_vals() -> str:
+    return ", ".join(
+        "({}, '{}')".format(
+            i, t.replace("'", "''").replace("\n", "' || chr(10) || '")
+        )
+        for i, t in C4_FIXTURE
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 heuristic cleanup (Raffel et al. 2020 §2.2): per-line terminal
+    punctuation + ≥5-word filters, ≥3-surviving-lines page rule, lorem
+    ipsum / curly-brace boilerplate page drops — all whole-stage-codegen
+    string/array exprs, zero shuffle (scan-bound at 10^12 pages)."""
+    from .ops.textstats import c4_clean
+
+    return c4_clean(_c4_fixture_df(spark))
+
+
+def _c4_clean_sql() -> str:
+    from .ops.textstats import c4_clean_sql
+
+    return (
+        f"WITH c4_docs(doc_id, text) AS (VALUES {_c4_vals()})\n"
+        + c4_clean_sql("c4_docs")
+    )
+
+
 RETENTION_PERIOD_S = 86_400
 
 
@@ -5651,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": q_license_detect,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "c4_clean": q_c4_clean,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -5876,6 +5943,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "license_detect": _license_detect_sql(),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_pairs": _winnow_pairs_sql(),
+        "c4_clean": _c4_clean_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", w=3, tau=0.2),

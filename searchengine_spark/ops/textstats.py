@@ -282,3 +282,90 @@ SELECT {id_col} AS doc_id,
                       / greatest(length(lower({text_col})), 1)), {ROUND_DP}) AS quality
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleanup (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning…" §2.2 — the public C4 pipeline rules):
+#   * keep only lines ending in terminal punctuation (. ! ? ")
+#   * keep only lines with ≥ 5 whitespace words
+#   * drop the whole page if < 3 lines survive
+#   * drop pages containing "lorem ipsum" (case-insensitive) or "{"
+# Everything is string/array expressions inside whole-stage codegen — one
+# map pass, zero shuffle; at 10^12 pages this stage is scan-bound.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 5
+C4_MIN_LINES = 3
+_C4_PUNCT = "('.', '!', '?', '\"')"
+
+
+def c4_clean(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_kept, has_boiler, keep): C4 line
+    filters + page verdict. ``clean_text`` is the surviving lines joined
+    with newlines (empty when none survive); ``has_boiler`` flags the
+    lorem-ipsum / curly-brace page rules; ``keep`` is the full C4 verdict."""
+    lines = f"split({text_col}, '\\n')"
+    kept = (
+        f"filter({lines}, c4l -> "
+        f"right(trim(c4l), 1) IN {_C4_PUNCT} "
+        f"AND size(filter(split(trim(c4l), ' '), c4w -> c4w <> ''))"
+        f" >= {C4_MIN_WORDS})"
+    )
+    boiler = (
+        f"(contains(lower({text_col}), 'lorem ipsum') "
+        f"OR contains({text_col}, '{{'))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+        F.expr(f"size({lines})").alias("n_lines"),
+        F.expr(f"size({kept})").alias("n_kept"),
+        F.expr(boiler).alias("has_boiler"),
+        F.expr(
+            f"size({kept}) >= {C4_MIN_LINES} AND NOT {boiler}"
+        ).alias("keep"),
+    )
+
+
+def c4_clean_py(text: str) -> tuple[str, int, int, bool, bool]:
+    """Pure-Python reference of the identical rules (test twin)."""
+    lines = text.split("\n")
+    kept = [
+        ln for ln in lines
+        if ln.strip()[-1:] in (".", "!", "?", '"')
+        and len([w for w in ln.strip().split(" ") if w]) >= C4_MIN_WORDS
+    ]
+    boiler = "lorem ipsum" in text.lower() or "{" in text
+    return (
+        "\n".join(kept), len(lines), len(kept), boiler,
+        len(kept) >= C4_MIN_LINES and not boiler,
+    )
+
+
+def c4_clean_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin — same rules as list expressions."""
+    lines = f"string_split({text_col}, chr(10))"
+    kept = (
+        f"list_filter({lines}, c4l -> "
+        f"right(trim(c4l), 1) IN {_C4_PUNCT} "
+        f"AND len(list_filter(string_split(trim(c4l), ' '), c4w -> c4w <> ''))"
+        f" >= {C4_MIN_WORDS})"
+    )
+    boiler = (
+        f"(contains(lower({text_col}), 'lorem ipsum') "
+        f"OR contains({text_col}, '{{'))"
+    )
+    return f"""
+SELECT {id_col} AS doc_id,
+       coalesce(array_to_string({kept}, chr(10)), '') AS clean_text,
+       len({lines})::INT AS n_lines,
+       len({kept})::INT AS n_kept,
+       {boiler} AS has_boiler,
+       (len({kept}) >= {C4_MIN_LINES} AND NOT {boiler}) AS keep
+FROM {table}
+"""

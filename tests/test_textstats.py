@@ -68,3 +68,60 @@ def test_repetition_matches_duckdb(spark):
         con.execute("INSERT INTO documents VALUES (?, ?)", [d, t])
     want = sorted(con.execute(repetition_stats_sql("documents")).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleanup (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_clean_matches_python_twin(spark):
+    from searchengine_spark.entry_queries import C4_FIXTURE
+    from searchengine_spark.ops.textstats import c4_clean, c4_clean_py
+
+    df = spark.createDataFrame(C4_FIXTURE, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert set(got) == {d for d, _ in C4_FIXTURE}
+    for doc_id, text in C4_FIXTURE:
+        clean, n_lines, n_kept, boiler, keep = c4_clean_py(text)
+        r = got[doc_id]
+        assert r["clean_text"] == clean, doc_id
+        assert r["n_lines"] == n_lines, doc_id
+        assert r["n_kept"] == n_kept, doc_id
+        assert r["has_boiler"] == boiler, doc_id
+        assert r["keep"] == keep, doc_id
+    # each rule is observable: keeper, short lines, no punct, <3 kept,
+    # lorem ipsum, braces, quote-terminal, empty, whitespace-trim
+    verdicts = {d: got[d]["keep"] for d, _ in C4_FIXTURE}
+    assert verdicts == {
+        1: True, 2: False, 3: False, 4: False, 5: False,
+        6: False, 7: True, 8: False, 9: True,
+    }
+    assert got[5]["has_boiler"] and got[6]["has_boiler"]
+    assert got[9]["n_kept"] == 3  # trim before checks
+
+
+def test_c4_clean_matches_duckdb(spark):
+    import duckdb
+
+    from searchengine_spark.entry_queries import (
+        C4_FIXTURE,
+        _c4_clean_sql,
+        q_c4_clean,
+    )
+
+    got = sorted(
+        (tuple(r) for r in q_c4_clean(spark, "").collect()),
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(_c4_clean_sql()).fetchall())
+    assert got == want
+
+
+def test_c4_clean_plan_is_shuffle_free(spark):
+    from searchengine_spark.entry_queries import C4_FIXTURE
+    from searchengine_spark.ops.textstats import c4_clean
+
+    df = spark.createDataFrame(C4_FIXTURE, "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
