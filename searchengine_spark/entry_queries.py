@@ -4556,6 +4556,12 @@ def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-level quality rules (Rae et al. 2021 §A1.1): every
+    rule an observable column + combined keep verdict, one codegen map pass."""
+    return textstats.gopher_quality(_docs(spark, sf_dir))
+
+
 SIGTEXT_TERMS = ["spark", "stream"]
 
 
@@ -5734,6 +5740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
+        "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "significant_terms_by_category": q_significant_terms_by_category,
         "significant_text": q_significant_text,
@@ -5969,6 +5976,7 @@ USING (doc_id)
         "fingerprint": textstats.fingerprint_sql("documents"),
         "lang_id": textstats.lang_id_sql("documents"),
         "quality_score": textstats.quality_score_sql("documents"),
+        "gopher_quality": textstats.gopher_quality_sql("documents"),
         "repetition_stats": textstats.repetition_stats_sql("documents"),
         "sorted_search": _sorted_search_sql(FACET_QUERY.split()),
         "percolate": _percolate_sql(),

@@ -369,3 +369,205 @@ SELECT {id_col} AS doc_id,
        (len({kept}) >= {C4_MIN_LINES} AND NOT {boiler}) AS keep
 FROM {table}
 """
+
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", Appendix A1.1
+# — the non-repetition half; ``repetition_stats`` above covers the
+# dup-line / dup-ngram half). A page is kept iff:
+#   * 50 <= word count <= 100,000
+#   * 3 <= mean word length <= 10
+#   * '#' symbol-to-word ratio <= 0.1 and ellipsis-to-word ratio <= 0.1
+#   * <= 90% of lines start with a bullet ('•', '-', '*')
+#   * <= 30% of lines end with an ellipsis ('…' or '...')
+#   * >= 80% of words contain at least one alphabetic character
+#   * >= 2 of the 8 required stop words appear
+# One map pass of string/array expressions — whole-stage codegen, zero
+# shuffle; scan-bound at 10^12 pages like the C4 stage above.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLETS = "('•', '-', '*')"
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+    bullet_frac, ellipsis_line_frac, alpha_frac, stop_hits, keep): every
+    Gopher rule as an observable column plus the combined verdict."""
+    words = f"filter(split(trim({text_col}), '\\\\s+'), gqw -> gqw <> '')"
+    nw = f"size({words})"
+    nw1 = f"greatest({nw}, 1)"
+    mean_len = (
+        f"round(aggregate({words}, 0L, (gqa, gqx) -> gqa + length(gqx))"
+        f" / cast({nw1} AS double), {ROUND_DP})"
+    )
+    n_hash = f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+    n_ell = (
+        f"((length({text_col}) - length(replace({text_col}, '…', '')))"
+        f" + (length({text_col}) - length(replace({text_col}, '...', ''))) DIV 3)"
+    )
+    lines = f"filter(split({text_col}, '\\n'), gql -> trim(gql) <> '')"
+    nl1 = f"greatest(size({lines}), 1)"
+    bullet = (
+        f"round(size(filter({lines}, gqb -> left(trim(gqb), 1) IN"
+        f" {_GOPHER_BULLETS})) / cast({nl1} AS double), {ROUND_DP})"
+    )
+    ell_line = (
+        f"round(size(filter({lines}, gqe -> right(trim(gqe), 1) = '…'"
+        f" OR right(trim(gqe), 3) = '...')) / cast({nl1} AS double), {ROUND_DP})"
+    )
+    alpha = (
+        f"round(size(filter({words}, gqv -> gqv rlike '[a-zA-Z]'))"
+        f" / cast({nw1} AS double), {ROUND_DP})"
+    )
+    stops_arr = "array(" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + ")"
+    lwords = f"filter(split(lower(trim({text_col})), '\\\\s+'), gqy -> gqy <> '')"
+    stop_hits = f"size(filter({stops_arr}, gqs -> array_contains({lwords}, gqs)))"
+    keep = (
+        f"{nw} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+        f" AND {mean_len} BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}"
+        f" AND {n_hash} / cast({nw1} AS double) <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {n_ell} / cast({nw1} AS double) <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {bullet} <= {GOPHER_MAX_BULLET_FRAC}"
+        f" AND {ell_line} <= {GOPHER_MAX_ELLIPSIS_FRAC}"
+        f" AND {alpha} >= {GOPHER_MIN_ALPHA_FRAC}"
+        f" AND {stop_hits} >= {GOPHER_MIN_STOP_HITS}"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(nw).cast("long").alias("n_words"),
+        F.expr(mean_len).alias("mean_word_len"),
+        F.expr(f"round({n_hash} / cast({nw1} AS double), {ROUND_DP})").alias("hash_ratio"),
+        F.expr(f"round({n_ell} / cast({nw1} AS double), {ROUND_DP})").alias("ellipsis_ratio"),
+        F.expr(bullet).alias("bullet_frac"),
+        F.expr(ell_line).alias("ellipsis_line_frac"),
+        F.expr(alpha).alias("alpha_frac"),
+        F.expr(stop_hits).cast("long").alias("stop_hits"),
+        F.expr(keep).alias("keep"),
+    )
+
+
+def gopher_quality_py(text: str) -> dict:
+    """Pure-Python reference of the identical rules (test twin)."""
+    dp = 10 ** ROUND_DP
+
+    def rnd(x: float) -> float:
+        return int(x * dp + 0.5) / dp  # HALF_UP like Spark/DuckDB round()
+
+    words = [w for w in text.strip().split() if w]
+    nw, nw1 = len(words), max(len(words), 1)
+    mean_len = rnd(sum(len(w) for w in words) / nw1)
+    n_hash = text.count("#")
+    n_ell = text.count("…") + text.count("...")
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    nl1 = max(len(lines), 1)
+    bullet = rnd(
+        sum(1 for ln in lines if ln.strip()[:1] in ("•", "-", "*")) / nl1
+    )
+    ell_line = rnd(
+        sum(
+            1
+            for ln in lines
+            if ln.strip().endswith("…") or ln.strip().endswith("...")
+        )
+        / nl1
+    )
+    alpha = rnd(
+        sum(1 for w in words if any(c.isascii() and c.isalpha() for c in w))
+        / nw1
+    )
+    lwords = set(text.strip().lower().split())
+    stop_hits = sum(1 for s in GOPHER_STOPS if s in lwords)
+    keep = (
+        GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+        and GOPHER_MIN_MEAN_LEN <= mean_len <= GOPHER_MAX_MEAN_LEN
+        and n_hash / nw1 <= GOPHER_MAX_SYMBOL_RATIO
+        and n_ell / nw1 <= GOPHER_MAX_SYMBOL_RATIO
+        and bullet <= GOPHER_MAX_BULLET_FRAC
+        and ell_line <= GOPHER_MAX_ELLIPSIS_FRAC
+        and alpha >= GOPHER_MIN_ALPHA_FRAC
+        and stop_hits >= GOPHER_MIN_STOP_HITS
+    )
+    return {
+        "n_words": nw,
+        "mean_word_len": mean_len,
+        "hash_ratio": rnd(n_hash / nw1),
+        "ellipsis_ratio": rnd(n_ell / nw1),
+        "bullet_frac": bullet,
+        "ellipsis_line_frac": ell_line,
+        "alpha_frac": alpha,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
+def gopher_quality_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin — same rules as list expressions."""
+    words = f"list_filter(string_split_regex(trim({text_col}), '\\s+'), gqw -> gqw <> '')"
+    nw = f"len({words})"
+    nw1 = f"greatest({nw}, 1)"
+    mean_len = (
+        f"round(coalesce(list_sum(list_transform({words}, gqx -> length(gqx))), 0)"
+        f" / {nw1}::DOUBLE, {ROUND_DP})"
+    )
+    n_hash = f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+    n_ell = (
+        f"((length({text_col}) - length(replace({text_col}, '…', '')))"
+        f" + (length({text_col}) - length(replace({text_col}, '...', ''))) // 3)"
+    )
+    lines = f"list_filter(string_split({text_col}, chr(10)), gql -> trim(gql) <> '')"
+    nl1 = f"greatest(len({lines}), 1)"
+    bullet = (
+        f"round(len(list_filter({lines}, gqb -> left(trim(gqb), 1) IN"
+        f" {_GOPHER_BULLETS})) / {nl1}::DOUBLE, {ROUND_DP})"
+    )
+    ell_line = (
+        f"round(len(list_filter({lines}, gqe -> right(trim(gqe), 1) = '…'"
+        f" OR right(trim(gqe), 3) = '...')) / {nl1}::DOUBLE, {ROUND_DP})"
+    )
+    alpha = (
+        f"round(len(list_filter({words}, gqv -> regexp_matches(gqv, '[a-zA-Z]')))"
+        f" / {nw1}::DOUBLE, {ROUND_DP})"
+    )
+    stops_list = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
+    lwords = (
+        f"list_filter(string_split_regex(lower(trim({text_col})), '\\s+'),"
+        f" gqy -> gqy <> '')"
+    )
+    stop_hits = f"len(list_filter({stops_list}, gqs -> list_contains({lwords}, gqs)))"
+    keep = (
+        f"{nw} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+        f" AND {mean_len} BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}"
+        f" AND {n_hash} / {nw1}::DOUBLE <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {n_ell} / {nw1}::DOUBLE <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {bullet} <= {GOPHER_MAX_BULLET_FRAC}"
+        f" AND {ell_line} <= {GOPHER_MAX_ELLIPSIS_FRAC}"
+        f" AND {alpha} >= {GOPHER_MIN_ALPHA_FRAC}"
+        f" AND {stop_hits} >= {GOPHER_MIN_STOP_HITS}"
+    )
+    return f"""
+SELECT {id_col} AS doc_id,
+       {nw}::BIGINT AS n_words,
+       {mean_len} AS mean_word_len,
+       round({n_hash} / {nw1}::DOUBLE, {ROUND_DP}) AS hash_ratio,
+       round({n_ell} / {nw1}::DOUBLE, {ROUND_DP}) AS ellipsis_ratio,
+       {bullet} AS bullet_frac,
+       {ell_line} AS ellipsis_line_frac,
+       {alpha} AS alpha_frac,
+       {stop_hits}::BIGINT AS stop_hits,
+       ({keep}) AS keep
+FROM {table}
+"""

@@ -125,3 +125,75 @@ def test_c4_clean_plan_is_shuffle_free(spark):
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+_KEEPER = (
+    "the quick brown fox jumps over that lazy dog to have fun with friends "
+    "and colleagues of note while the other animals watch from afar " * 3
+)
+GOPHER_FIXTURE = [
+    (1, _KEEPER),                                 # clean keeper
+    (2, "the cat sat and that was all of it."),   # < 50 words
+    (3, " ".join(["extraordinarily"] * 60)),      # mean word len > 10 (+ stops)
+    (4, _KEEPER + " " + " ".join(["#"] * 9)),     # '#' ratio > 0.1
+    (5, "\n".join(["• " + _KEEPER[:80]] * 10)),   # > 90% bullet lines
+    (6, _KEEPER + "\n" + "\n".join(               # > 30% ellipsis lines
+        ["so the story trails off here..."] * 3)),
+    (7, _KEEPER + " " + " ".join(["12345"] * 30)),  # alpha frac < 0.8
+    (8, " ".join(["cat dog fox run"] * 15)),      # stop_hits < 2
+    (9, ""),                                      # empty
+    (10, _KEEPER + " …… " + " ".join(["x…"] * 8)),  # '…' ratio > 0.1
+]
+
+
+def test_gopher_quality_matches_python_twin(spark):
+    from searchengine_spark.ops.textstats import gopher_quality, gopher_quality_py
+
+    df = spark.createDataFrame(GOPHER_FIXTURE, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    for doc_id, text in GOPHER_FIXTURE:
+        want = gopher_quality_py(text)
+        have = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert have == want, (doc_id, have, want)
+    verdicts = {d: got[d]["keep"] for d, _ in GOPHER_FIXTURE}
+    assert verdicts == {
+        1: True, 2: False, 3: False, 4: False, 5: False,
+        6: False, 7: False, 8: False, 9: False, 10: False,
+    }
+    # each non-keeper fails through its intended rule
+    assert got[2]["n_words"] < 50
+    assert got[3]["mean_word_len"] > 10
+    assert got[4]["hash_ratio"] > 0.1
+    assert got[5]["bullet_frac"] > 0.9
+    assert got[6]["ellipsis_line_frac"] > 0.3
+    assert got[7]["alpha_frac"] < 0.8
+    assert got[8]["stop_hits"] < 2
+    assert got[10]["ellipsis_ratio"] > 0.1
+
+
+def test_gopher_quality_matches_duckdb(spark):
+    import duckdb
+
+    from searchengine_spark.ops.textstats import gopher_quality, gopher_quality_sql
+
+    df = spark.createDataFrame(GOPHER_FIXTURE, "doc_id long, text string")
+    got = sorted(tuple(r) for r in gopher_quality(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for d, t in GOPHER_FIXTURE:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [d, t])
+    want = sorted(tuple(r) for r in con.execute(gopher_quality_sql("documents")).fetchall())
+    assert got == want
+
+
+def test_gopher_quality_plan_is_shuffle_free(spark):
+    from searchengine_spark.ops.textstats import gopher_quality
+
+    df = spark.createDataFrame(GOPHER_FIXTURE, "doc_id long, text string")
+    plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
