@@ -2852,6 +2852,57 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+MIX_WEIGHTS = {
+    "src0": 0.45, "src1": 0.25, "src2": 0.15,
+    "src3": 0.08, "src4": 0.05, "src5": 0.02,
+}
+MIX_BUDGET = 9_000.0
+MIX_EPOCHS = 2.0
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget data recipe (LLaMA/DoReMi mixing step): waterfill the
+    budget over sources by target weight, saturating low-capacity sources
+    at max_epochs and redistributing — closed form via two window cumsums
+    over |sources| rows; the only corpus-scale work is one map-side-combined
+    token-count aggregation."""
+    from .ops.sampling import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir), MIX_BUDGET, MIX_WEIGHTS, max_epochs=MIX_EPOCHS,
+    )
+
+
+def _mixture_plan_sql() -> str:
+    from .ops.sampling import mixture_plan_sql
+
+    return mixture_plan_sql(
+        "documents", MIX_BUDGET, MIX_WEIGHTS, max_epochs=MIX_EPOCHS,
+    )
+
+
+def q_mixture_apply(spark, sf_dir):
+    """Materialized data recipe: waterfilled plan → per-source epoch
+    rates → deterministic repeat/subsample expansion (narrow explode, no
+    shuffle). The only corpus-scale work is one token-count aggregation
+    plus one stateless expansion pass."""
+    from .ops.sampling import mixture_apply
+
+    return mixture_apply(
+        _docs(spark, sf_dir), MIX_BUDGET, MIX_WEIGHTS, max_epochs=MIX_EPOCHS,
+        seed=11,
+    ).select("doc_id", "source", "copy")
+
+
+def _mixture_apply_sql() -> str:
+    from .ops.sampling import mixture_apply_sql
+
+    inner = mixture_apply_sql(
+        "documents", MIX_BUDGET, MIX_WEIGHTS, max_epochs=MIX_EPOCHS, seed=11,
+    )
+    return f"SELECT doc_id, source, copy FROM ({inner})"
+
+
 def _sample_sql(rate_by_lang: dict | None) -> str:
     from .ops.sampling import _DENOM, _HEX_DIGITS
 
@@ -3506,6 +3557,62 @@ pos AS (
 matches AS (
   SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
   WHERE a.term = '{t1}' AND b.term = '{t2}' AND abs(a.p - b.p) <= {window})
+SELECT s.doc_id AS doc_id, s.score AS score
+FROM scored s JOIN matches USING (doc_id)
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+SPAN_NEAR_WINDOW = 4
+
+
+def q_span_near_topk(spark, sf_dir):
+    """Lucene SpanNearQuery with in_order=true: the query terms in QUERY
+    order with last-first position span ≤ window on the filtered token
+    stream — ordered proximity, strictly between exact phrase (adjacency)
+    and unordered NEAR. Candidates/decode/BM25 identical to phrase; the
+    chain DP in score_group_near verifies order (query/phrase.py:354-374).
+    Parity: Lucene SpanNearQuery / the reference's phrase searcher relaxed
+    by slop."""
+    from pyspark.sql import Window
+
+    eng = _shared_index(spark, sf_dir, positional=True)
+    rows = eng.search_near(
+        PHRASE_QUERY, window=SPAN_NEAR_WINDOW, ordered=True, k=PHRASE_K + 10
+    )
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows] or [], "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        df.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PHRASE_K)
+        .drop("rn")
+    )
+
+
+def _span_near_sql(query: str, window: int, k: int) -> str:
+    """Ordered 2-term span-near twin: positions in query order
+    (b.p > a.p) with span b.p - a.p ≤ window, BM25 join like phrase."""
+    from .tokenizer import tokenize_py
+
+    t1, t2 = tokenize_py(query)  # QUERY order, not sorted
+    toks = (
+        f"[t FOR t IN regexp_extract_all(lower(text), '{TOKEN_PATTERN}') "
+        f"IF t NOT IN ({_STOP_SQL})]"
+    )
+    bm25 = _bm25_sql(" ".join(sorted(set(tokenize_py(query)))))
+    return f"""
+WITH scored AS ({bm25}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)),
+matches AS (
+  SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+    AND b.p > a.p AND b.p - a.p <= {window})
 SELECT s.doc_id AS doc_id, s.score AS score
 FROM scored s JOIN matches USING (doc_id)
 ORDER BY s.score DESC, s.doc_id ASC
@@ -5617,6 +5724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_topk": q_span_first_topk,
         "common_terms_topk": q_common_terms_topk,
         "near_topk": q_near_topk,
+        "span_near_topk": q_span_near_topk,
         "bm25f_topk": q_bm25f_topk,
         "combined_fields_topk": q_combined_fields_topk,
         "multi_match_topk": q_multi_match_topk,
@@ -5662,6 +5770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_stored_topk": q_geo_stored_topk,
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        "mixture_plan": q_mixture_plan,
+        "mixture_apply": q_mixture_apply,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "resample_stratified": q_resample_stratified,
@@ -5831,6 +5941,9 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "span_first_topk": _span_first_sql(PHRASE_QUERY, SPAN_LIMIT, PHRASE_K),
         "common_terms_topk": _common_terms_sql(COMMON_QUERY, COMMON_CUTOFF, COMMON_K),
         "near_topk": _near_sql(PHRASE_QUERY, NEAR_WINDOW, PHRASE_K),
+        "span_near_topk": _span_near_sql(
+            PHRASE_QUERY, SPAN_NEAR_WINDOW, PHRASE_K
+        ),
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
         "combined_fields_topk": _combined_fields_sql(BM25F_QUERY, BM25F_K),
         "multi_match_topk": _multi_match_sql(BM25F_QUERY, BM25F_K),
@@ -5886,6 +5999,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "geo_stored_topk": _geo_topk_sql(),
         "sample_deterministic": _sample_sql(None),
         "sample_stratified": _sample_sql(STRAT_RATES),
+        "mixture_plan": _mixture_plan_sql(),
+        "mixture_apply": _mixture_apply_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "dsir_select": _dsir_select_sql(),
         "resample_stratified": _resample_sql(),

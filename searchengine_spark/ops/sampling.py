@@ -334,3 +334,265 @@ SELECT t.* , unnest(range({nc}))::INT AS copy
 FROM {table} t
 WHERE {nc} > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning (the LLaMA/DoReMi "data recipe" step):
+# given target mixture WEIGHTS over sources, a total token BUDGET, and a
+# repetition cap (max epochs per source), solve per-source token
+# allocations by waterfilling — a source whose capacity (tokens ×
+# max_epochs) can't fill its proportional share saturates, and its
+# shortfall is redistributed to the remaining sources in weight
+# proportion. Closed form: sort sources by capacity/weight ascending; the
+# saturated set is a prefix of that order, found with two window cumsums —
+# fully relational, no driver loop, O(|sources|) state. The token count is
+# ONE map-side-combined aggregation over the corpus; at 10^12 rows that
+# scan dominates and the plan itself is free.
+# ---------------------------------------------------------------------------
+
+
+def _ws_tokens(text_col: str):
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def mixture_plan(
+    df: DataFrame,
+    budget_tokens: float,
+    weights: dict,
+    max_epochs: float = 1.0,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, tokens_avail, weight, alloc_tokens, epochs, share): the
+    waterfilled data recipe. ``epochs`` is the repetition factor the
+    trainer should apply (≤ max_epochs); ``share`` is alloc/budget.
+    Σ alloc = min(budget, Σ capacity) exactly."""
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    if not weights or any(v <= 0 for v in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positives")
+    z = float(sum(weights.values()))
+    norm = {k: float(v) / z for k, v in sorted(weights.items())}
+    b = float(budget_tokens)
+
+    w_col = F.lit(None).cast("double")
+    for key, w in norm.items():
+        w_col = F.when(F.col(by) == key, F.lit(w)).otherwise(w_col)
+
+    counts = (
+        df.filter(F.col(by).isin(*norm))
+        .groupBy(F.col(by).alias("source"))
+        .agg(F.sum(_ws_tokens(text_col)).cast("long").alias("tokens_avail"))
+    )
+    base = counts.select(
+        "source",
+        "tokens_avail",
+        w_col.alias("weight"),
+        (F.col("tokens_avail").cast("double") * F.lit(float(max_epochs))).alias(
+            "capacity"
+        ),
+    ).withColumn("ratio", F.col("capacity") / F.col("weight"))
+
+    ordw = (
+        Window.orderBy("ratio", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "*",
+        F.sum("capacity").over(ordw).alias("cum_c"),
+        F.sum("weight").over(ordw).alias("cum_w"),
+    )
+    sat = cum.withColumn(
+        "saturated",
+        F.col("ratio")
+        <= (F.lit(b) - (F.col("cum_c") - F.col("capacity")))
+        / (F.lit(1.0) - (F.col("cum_w") - F.col("weight"))),
+    )
+    full = (
+        Window.orderBy("ratio", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    lev = sat.select(
+        "*",
+        F.max(F.when(F.col("saturated"), F.col("cum_c")).otherwise(0.0))
+        .over(full)
+        .alias("sat_c"),
+        F.max(F.when(F.col("saturated"), F.col("cum_w")).otherwise(0.0))
+        .over(full)
+        .alias("sat_w"),
+    )
+    alloc = F.when(F.col("saturated"), F.col("capacity")).otherwise(
+        F.col("weight")
+        * (F.lit(b) - F.col("sat_c"))
+        / (F.lit(1.0) - F.col("sat_w"))
+    )
+    return lev.select(
+        "source",
+        "tokens_avail",
+        F.round("weight", 5).alias("weight"),
+        F.round(alloc, 5).alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens_avail"), 5).alias("epochs"),
+        F.round(alloc / F.lit(b), 5).alias("share"),
+    )
+
+
+def mixture_apply(
+    df: DataFrame,
+    budget_tokens: float,
+    weights: dict,
+    max_epochs: float = 1.0,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize the data recipe: solve ``mixture_plan`` (a |sources|-row
+    plan, collected to the driver) and expand the corpus with
+    ``resample_stratified`` at each source's planned epoch rate — a source
+    at 1.8 epochs emits every doc once plus a deterministic 80% hash-subset
+    a second time; sources outside the plan are dropped (rate 0). Output =
+    input columns + ``copy``.
+
+    Token-level note: the realized token count per source is the epoch
+    rate × tokens_avail in expectation only — the fractional epoch selects
+    docs by the id hash, not by length. That is the standard trainer
+    behaviour (repeat factors apply to documents); exact-token trimming
+    belongs to the sequence packer downstream.
+
+    Scale shape: the plan is one map-side-combined aggregation + |sources|
+    rows on the driver; the expansion is the same stateless narrow
+    explode as ``resample_stratified``. No join, no shuffle. Epoch rates
+    are rounded to 5 dp before thresholding so the multiset is engine-
+    portable (the SQL twin rounds identically)."""
+    plan = mixture_plan(
+        df, budget_tokens, weights, max_epochs=max_epochs, by=by,
+        text_col=text_col,
+    ).collect()
+    rates = {r["source"]: float(r["epochs"]) for r in plan}
+    return resample_stratified(
+        df, rates, by=by, id_col=id_col, seed=seed, default_rate=0.0
+    )
+
+
+def mixture_apply_sql(
+    table: str,
+    budget_tokens: float,
+    weights: dict,
+    max_epochs: float = 1.0,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of ``mixture_apply``: the plan CTE (identical to
+    ``mixture_plan_sql``) joined back to the table, same 5-dp-rounded
+    epoch rate, same md5 copy expansion — the output multiset matches row
+    for row."""
+    plan = mixture_plan_sql(
+        table, budget_tokens, weights, max_epochs=max_epochs, by=by,
+        text_col=text_col,
+    )
+    u = _hash_unit_sql(f"t.{id_col}", seed)
+    nc = (
+        "(floor(p.epochs)::INT + CASE WHEN "
+        f"({u}) < (p.epochs - floor(p.epochs)) THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH plan AS ({plan})
+SELECT t.*, unnest(range({nc}))::INT AS copy
+FROM {table} t JOIN plan p ON t.{by} = p.source
+WHERE {nc} > 0
+"""
+
+
+def mixture_plan_py(
+    tokens: dict, budget_tokens: float, weights: dict, max_epochs: float = 1.0
+) -> dict:
+    """Pure-Python iterative waterfilling (test twin): repeatedly saturate
+    any source whose proportional share exceeds capacity, renormalize the
+    rest. Returns source → alloc tokens."""
+    z = float(sum(weights.values()))
+    norm = {k: float(v) / z for k, v in weights.items() if k in tokens}
+    cap = {k: tokens[k] * float(max_epochs) for k in norm}
+    alloc, remaining, rem_b = {}, dict(norm), float(budget_tokens)
+    while remaining:
+        zz = sum(remaining.values())
+        over = {
+            k for k in remaining if cap[k] < remaining[k] / zz * rem_b
+        }
+        if not over:
+            for k in remaining:
+                alloc[k] = remaining[k] / zz * rem_b
+            break
+        for k in over:
+            alloc[k] = cap[k]
+            rem_b -= cap[k]
+            del remaining[k]
+    return alloc
+
+
+def mixture_plan_sql(
+    table: str,
+    budget_tokens: float,
+    weights: dict,
+    max_epochs: float = 1.0,
+    by: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin — identical normalization (done here in Python and
+    embedded as literals, so no cross-engine float-sum drift), identical
+    window shapes."""
+    z = float(sum(weights.values()))
+    norm = {k: float(v) / z for k, v in sorted(weights.items())}
+    b = float(budget_tokens)
+    keys = ", ".join(f"'{k}'" for k in norm)
+    w_case = "CASE " + " ".join(
+        f"WHEN {by} = '{k}' THEN {w!r}::DOUBLE" for k, w in norm.items()
+    ) + " END"
+    toks = (
+        f"CASE WHEN trim({text_col}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({text_col}), '\\s+')) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT {by} AS source, CAST(sum({toks}) AS BIGINT) AS tokens_avail,
+         {w_case} AS weight
+  FROM {table} WHERE {by} IN ({keys}) GROUP BY {by}
+), base AS (
+  SELECT *, tokens_avail::DOUBLE * {float(max_epochs)!r} AS capacity,
+         tokens_avail::DOUBLE * {float(max_epochs)!r} / weight AS ratio
+  FROM t
+), cum AS (
+  SELECT *,
+         sum(capacity) OVER (ORDER BY ratio, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+         sum(weight) OVER (ORDER BY ratio, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM base
+), sat AS (
+  SELECT *, ratio <= ({b!r} - (cum_c - capacity))
+                     / (1.0 - (cum_w - weight)) AS saturated
+  FROM cum
+), lev AS (
+  SELECT *,
+         max(CASE WHEN saturated THEN cum_c ELSE 0.0 END) OVER () AS sat_c,
+         max(CASE WHEN saturated THEN cum_w ELSE 0.0 END) OVER () AS sat_w
+  FROM sat
+)
+SELECT source, tokens_avail, round(weight, 5) AS weight,
+       round(CASE WHEN saturated THEN capacity
+                  ELSE weight * ({b!r} - sat_c) / (1.0 - sat_w) END, 5)
+         AS alloc_tokens,
+       round(CASE WHEN saturated THEN capacity
+                  ELSE weight * ({b!r} - sat_c) / (1.0 - sat_w) END
+             / tokens_avail, 5) AS epochs,
+       round(CASE WHEN saturated THEN capacity
+                  ELSE weight * ({b!r} - sat_c) / (1.0 - sat_w) END
+             / {b!r}, 5) AS share
+FROM lev
+"""

@@ -289,3 +289,143 @@ def test_shuffle_shards_validation(spark, docs):
 
     with _pt.raises(ValueError):
         shuffle_shards(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# mixture_plan: token-budget waterfilling
+# ---------------------------------------------------------------------------
+
+# sources with engineered token counts: "w" repeated n times per doc
+_MIX_TOKENS = {"a": 120, "b": 400, "c": 60, "d": 900}
+_MIX_WEIGHTS = {"a": 0.4, "b": 0.3, "c": 0.2, "d": 0.1}
+
+
+def _mix_df(spark):
+    rows = [
+        (i, src, " ".join(["w"] * n))
+        for i, (src, n) in enumerate(_MIX_TOKENS.items())
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_plan_matches_iterative_twin(spark):
+    from searchengine_spark.ops.sampling import mixture_plan, mixture_plan_py
+
+    for budget, eps in [(700.0, 1.0), (700.0, 2.0), (300.0, 1.0), (5000.0, 3.0)]:
+        got = {
+            r["source"]: r["alloc_tokens"]
+            for r in mixture_plan(
+                _mix_df(spark), budget, _MIX_WEIGHTS, max_epochs=eps
+            ).collect()
+        }
+        want = mixture_plan_py(_MIX_TOKENS, budget, _MIX_WEIGHTS, max_epochs=eps)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-4, (budget, eps, k, got, want)
+        total_cap = sum(n * eps for n in _MIX_TOKENS.values())
+        assert abs(sum(got.values()) - min(budget, total_cap)) < 1e-3
+
+
+def test_mixture_plan_invariants(spark):
+    from searchengine_spark.ops.sampling import mixture_plan
+
+    rows = mixture_plan(
+        _mix_df(spark), 700.0, _MIX_WEIGHTS, max_epochs=2.0
+    ).collect()
+    for r in rows:
+        cap = r["tokens_avail"] * 2.0
+        assert r["alloc_tokens"] <= cap + 1e-6
+        assert r["epochs"] <= 2.0 + 1e-6
+        assert abs(r["share"] - r["alloc_tokens"] / 700.0) < 1e-4
+    # c (60 tokens, weight .2 → target 140 > cap 120) must saturate
+    byc = {r["source"]: r for r in rows}
+    assert abs(byc["c"]["alloc_tokens"] - 120.0) < 1e-6
+    assert abs(byc["c"]["epochs"] - 2.0) < 1e-6
+
+
+def test_mixture_plan_matches_duckdb(spark):
+    import duckdb
+
+    from searchengine_spark.ops.sampling import mixture_plan, mixture_plan_sql
+
+    df = _mix_df(spark)
+    got = sorted(
+        tuple(r)
+        for r in mixture_plan(df, 700.0, _MIX_WEIGHTS, max_epochs=2.0).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)"
+    )
+    for row in df.collect():
+        con.execute("INSERT INTO documents VALUES (?, ?, ?)", list(row))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            mixture_plan_sql("documents", 700.0, _MIX_WEIGHTS, max_epochs=2.0)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_mixture_apply_matches_duckdb(spark):
+    import duckdb
+
+    from searchengine_spark.ops.sampling import mixture_apply, mixture_apply_sql
+
+    df = _mix_df(spark)
+    got = sorted(
+        tuple(r)
+        for r in mixture_apply(
+            df, 700.0, _MIX_WEIGHTS, max_epochs=2.0, seed=3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)"
+    )
+    for row in df.collect():
+        con.execute("INSERT INTO documents VALUES (?, ?, ?)", list(row))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            mixture_apply_sql("documents", 700.0, _MIX_WEIGHTS, max_epochs=2.0, seed=3)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_mixture_apply_epochs_semantics(spark):
+    from searchengine_spark.ops.sampling import mixture_apply, mixture_plan
+
+    # many single-token docs per source so fractional epochs are visible
+    rows = []
+    i = 0
+    for src, n in [("a", 50), ("b", 200)]:
+        for _ in range(n):
+            rows.append((i, src, "w"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"a": 0.5, "b": 0.5}
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(df, 200.0, weights, max_epochs=2.0).collect()
+    }
+    out = mixture_apply(df, 200.0, weights, max_epochs=2.0).groupBy("source").count()
+    counts = {r["source"]: r["count"] for r in out.collect()}
+    # a saturates at 2 epochs -> exactly 100 copies; b gets 100/200=0.5
+    # epochs -> a hash-subset, so |b| is near 100 but not exact
+    assert counts["a"] == 100
+    assert abs(plan["b"]["epochs"] - 0.5) < 1e-6
+    assert 70 <= counts["b"] <= 130
+    # every copy index within floor(epochs)
+    from pyspark.sql import functions as F
+
+    mx = (
+        mixture_apply(df, 200.0, weights, max_epochs=2.0)
+        .groupBy("source")
+        .agg(F.max("copy").alias("m"))
+        .collect()
+    )
+    assert {r["source"]: r["m"] for r in mx} == {"a": 1, "b": 0}
