@@ -388,6 +388,22 @@ def q_top_terms(spark, sf_dir):
     )
 
 
+HH_K, HH_M = 15, 64
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Certified heavy hitters: per-batch truncated summaries + candidate-
+    only exact verification (the top-k path whose shuffle carries ≤
+    m·batches keys instead of the vocabulary). The certificate makes the
+    approximate structure exactly testable — on this corpus E = 0 and the
+    output IS the exact weighted top-k the SQL twin computes."""
+    out, info = sketch.heavy_hitters(
+        _tf(spark, sf_dir), "term", k=HH_K, m=HH_M, weight_col="tf"
+    )
+    assert info["certified"], info  # the driver gate relies on exactness
+    return out
+
+
 def q_bm25_scores(spark, sf_dir):
     tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
     scored = bm25_score(spark, tf, stats, dct, BM25_QUERY, n, avgdl)
@@ -410,6 +426,97 @@ def q_bm25_batch_topk(spark, sf_dir):
         rounded.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= BATCH_K)
     )
+
+
+# fixed LTR blend for the scoring driver entry: power-of-two weights so the
+# engine's float fold and the SQL twin's in-expression multiply are
+# bit-identical (same rule as query-string boosts)
+LTR_WEIGHTS = {
+    "bm25": 2.0, "coverage": 0.5, "idf_sum": 0.25, "_intercept": 0.125,
+}
+LTR_K = 10
+
+
+def q_ltr_features(spark, sf_dir):
+    """LTR feature logging (ES `sltr` feature sets): per-(query, doc)
+    bm25 / idf_sum / tf_sum / matched / coverage / doc_len_norm / log_tf
+    for the whole query batch in ONE broadcast-join aggregation — the
+    input table for the closed-form ridge trainer (ltr.ltr_train_linear,
+    pytest-verified against numpy lstsq)."""
+    from .ltr import ltr_features
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    return ltr_features(
+        spark, tf, stats, dct, BATCH_QUERIES, n, avgdl, round_dp=ROUND_DP
+    )
+
+
+def q_ltr_topk(spark, sf_dir):
+    """Linear LTR scoring pass over the logged features with a FIXED
+    learned blend (power-of-two weights; the runtime-trained path is
+    pytest-verified — data-dependent weights can't live in a static SQL
+    oracle). Rank decided on the rounded score like the other batch
+    entries."""
+    from .ltr import ltr_features, ltr_score
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    feats = ltr_features(
+        spark, tf, stats, dct, BATCH_QUERIES, n, avgdl, round_dp=ROUND_DP
+    )
+    return ltr_score(feats, LTR_WEIGHTS, k=LTR_K, round_dp=ROUND_DP)
+
+
+def _ltr_features_sql(queries: dict[str, str], k1=1.5, b=0.75) -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{t}', {len(parse_query(q))})"
+        for qid, q in sorted(queries.items())
+        for t, _ in parse_query(q)
+    )
+    idf = "ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))"
+    s_bm25 = (
+        f"{idf} * (tf.tf * ({k1} + 1.0))"
+        f" / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))"
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(query_id, term, qlen) AS (VALUES {qrows})
+SELECT q.query_id AS query_id, tf.doc_id AS doc_id,
+       round(sum({s_bm25}), {ROUND_DP}) AS bm25,
+       round(sum({idf}), {ROUND_DP}) AS idf_sum,
+       sum(tf.tf)::BIGINT AS tf_sum,
+       count(*)::BIGINT AS matched,
+       round(count(*)::DOUBLE / q.qlen, {ROUND_DP}) AS coverage,
+       round(s.doc_len / c.avgdl, {ROUND_DP}) AS doc_len_norm,
+       round(ln(1.0 + sum(tf.tf)::DOUBLE / s.doc_len), {ROUND_DP}) AS log_tf
+FROM tf
+JOIN q USING (term)
+JOIN dict d USING (term)
+JOIN stats s ON s.doc_id = tf.doc_id
+CROSS JOIN corpus c
+GROUP BY q.query_id, tf.doc_id, q.qlen, s.doc_len, c.n, c.avgdl
+"""
+
+
+def _ltr_topk_sql(queries: dict[str, str], weights: dict, k: int) -> str:
+    feats = _ltr_features_sql(queries)
+    terms = [repr(float(weights.get("_intercept", 0.0))) + "::DOUBLE"]
+    for c, w in sorted(weights.items()):
+        if c != "_intercept":
+            terms.append(f"{float(w)!r} * {c}")
+    score = " + ".join(terms)
+    return f"""
+WITH f AS ({feats}),
+scored AS (SELECT query_id, doc_id, round({score}, {ROUND_DP}) AS score
+           FROM f),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank
+FROM r WHERE rank <= {k}
+"""
 
 
 def q_inner_scores(spark, sf_dir):
@@ -5696,6 +5803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary": q_dictionary,
         "corpus_stats": q_corpus_stats,
         "top_terms": q_top_terms,
+        "heavy_hitters": q_heavy_hitters,
         "bm25_scores": q_bm25_scores,
         "bm25_batch_topk": q_bm25_batch_topk,
         "lm_dirichlet": q_lm_dirichlet,
@@ -5725,6 +5833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms_topk,
         "near_topk": q_near_topk,
         "span_near_topk": q_span_near_topk,
+        "ltr_features": q_ltr_features,
+        "ltr_topk": q_ltr_topk,
         "bm25f_topk": q_bm25f_topk,
         "combined_fields_topk": q_combined_fields_topk,
         "multi_match_topk": q_multi_match_topk,
@@ -5906,6 +6016,13 @@ def oracle_sql() -> dict[str, str]:
         "dictionary": _DICT_SQL,
         "corpus_stats": f"SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), {ROUND_DP}) AS avgdl FROM ({_STATS_SQL})",
         "top_terms": f"SELECT term, df, cf FROM ({_DICT_SQL}) ORDER BY cf DESC, term ASC LIMIT 20",
+        "heavy_hitters": f"""
+SELECT item, cnt,
+       row_number() OVER (ORDER BY cnt DESC, item ASC)::BIGINT AS rank
+FROM (SELECT term AS item, sum(tf)::BIGINT AS cnt FROM ({_TF_SQL})
+      GROUP BY term) t
+ORDER BY cnt DESC, item ASC LIMIT {HH_K}
+""",
         "bm25_scores": _bm25_sql(BM25_QUERY),
         "bm25_batch_topk": _bm25_batch_sql(BATCH_QUERIES, BATCH_K),
         "lm_dirichlet": _lm_dirichlet_sql(BM25_QUERY, LM_MU),
@@ -5944,6 +6061,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
         "span_near_topk": _span_near_sql(
             PHRASE_QUERY, SPAN_NEAR_WINDOW, PHRASE_K
         ),
+        "ltr_features": _ltr_features_sql(BATCH_QUERIES),
+        "ltr_topk": _ltr_topk_sql(BATCH_QUERIES, LTR_WEIGHTS, LTR_K),
         "bm25f_topk": _bm25f_sql(BM25F_QUERY, BM25F_K),
         "combined_fields_topk": _combined_fields_sql(BM25F_QUERY, BM25F_K),
         "multi_match_topk": _multi_match_sql(BM25F_QUERY, BM25F_K),

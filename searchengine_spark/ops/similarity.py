@@ -1776,3 +1776,90 @@ FROM coarse c JOIN e USING (vec_id)
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def ann_append(
+    df: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> None:
+    """Incrementally grow ANY stored ANN layout (`lsh_write` / `ivf_write` /
+    `sq_write` / `pq_write` / `bq_write` / `ivfpq_write`): re-encode the NEW
+    vectors with the layout's PINNED quantizer from the meta sidecar and
+    append their rows/partitions. Readers (`*_stored_topk`) see old + new
+    with semantics identical to a full rewrite, because every codec here is
+    a pure function of (vector, pinned parameters) — no retraining, no
+    compaction, no rewrite of existing partitions.
+
+    Scale shape: one narrow encode pass over the new batch + a clustered
+    partitioned append (`repartition(partition key)` for the partitioned
+    kinds, same file-explosion guard as the writers). The quantizer is
+    NEVER refit on append — drift between the pinned quantizer and a
+    shifting vector distribution degrades recall, not correctness, and is
+    fixed by a full rewrite (the ANN analogue of index compaction).
+
+    ``id_col``/``vec_col`` override the sidecar's recorded names when the
+    incoming frame differs (sq8 layouts predating vec_col recording default
+    to "embedding")."""
+    meta = read_ann_meta(path)
+    kind = meta["kind"]
+    idc = id_col or meta.get("id_col", "vec_id")
+    vc = vec_col or meta.get("vec_col", "embedding")
+    if kind == "lsh":
+        assigned = lsh_assign(df, meta["n_planes"], meta["dim"], idc, vc)
+        out = df.join(assigned.withColumnRenamed("vec_id", idc), idc)
+        out.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(path)
+    elif kind == "ivf":
+        assigned = ivf_assign(
+            df, meta["n_lists"], meta["dim"], idc, vc, meta["centroids"]
+        )
+        out = df.join(assigned.withColumnRenamed("vec_id", idc), idc)
+        out.repartition("list_id").write.mode("append").partitionBy(
+            "list_id"
+        ).parquet(path)
+    elif kind == "sq8":
+        out = sq_quantize(df, idc, vc).select(
+            "vec_id", "scale", F.col("qvec").cast("array<tinyint>").alias("qvec")
+        )
+        out.write.mode("append").parquet(path)
+    elif kind == "pq":
+        out = pq_encode(
+            df, meta["m"], meta["ks"], meta["dim"], idc, vc, meta["codebooks"]
+        ).select("vec_id", F.col("codes").cast("array<tinyint>").alias("codes"))
+        out.write.mode("append").parquet(path)
+    elif kind == "bq":
+        out = df.select(
+            F.col(idc).alias("vec_id"),
+            F.expr(_bq_bits_expr(vc, meta["thresholds"])).alias("bits"),
+            F.col(vc).alias("embedding"),
+        )
+        out.write.mode("append").parquet(path)
+    elif kind == "ivfpq":
+        cvecs, books = meta["centroids"], meta["codebooks"]
+        assigned = ivf_assign(df, meta["n_lists"], meta["dim"], idc, vc, cvecs)
+        base = df.join(assigned.withColumnRenamed("vec_id", idc), idc)
+        resid = base.select(
+            F.col(idc).alias("vec_id"),
+            "list_id",
+            _residual_col(_as_double(vc), F.col("list_id"), cvecs).alias("resid"),
+        )
+        codes = pq_encode(
+            resid, meta["m"], meta["ks"], meta["dim"], "vec_id", "resid", books
+        )
+        out = (
+            resid.select("vec_id", "list_id")
+            .join(codes, "vec_id")
+            .select(
+                "vec_id",
+                F.col("codes").cast("array<tinyint>").alias("codes"),
+                "list_id",
+            )
+        )
+        out.repartition("list_id").write.mode("append").partitionBy(
+            "list_id"
+        ).parquet(path)
+    else:
+        raise ValueError(f"unknown ANN layout kind: {kind!r} at {path}")

@@ -365,3 +365,113 @@ def read_hll(spark, sketch_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: distributed top-k with an EXACTNESS CERTIFICATE.
+#
+# The scale problem: exact top-k terms needs a groupBy over every distinct
+# key — at 10^12 tokens the shuffle carries the whole vocabulary. The
+# classic fix (Misra-Gries / SpaceSaving) keeps a truncated summary per
+# worker and merges summaries; the cost is an error bound instead of an
+# exact answer. This implementation gets BOTH: per-arrow-batch truncated
+# exact summaries (top-m by local count, plus the largest DROPPED count as
+# that batch's miss bound), a candidate union + error budget E = Σ batch
+# bounds, then ONE exact aggregation restricted to the candidate set
+# (broadcast semi-join — the shuffle carries ≤ m·batches keys, not the
+# vocabulary). If the k-th verified count exceeds E, no non-candidate can
+# outrank it and the result is PROVABLY the exact top-k; otherwise the
+# optional fallback recomputes the full exact aggregation (correctness
+# never depends on the data's skew).
+# ---------------------------------------------------------------------------
+
+
+_HH_SUMMARY_SCHEMA = "item string, cnt long, thr long"
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 10,
+    m: int = 256,
+    weight_col: str | None = None,
+    exact_fallback: bool = True,
+):
+    """Top-k items by (weighted) count with an exactness certificate.
+
+    Returns ``(topk_df, info)`` where topk_df is (item, cnt, rank) —
+    rank over (cnt desc, item asc) — and info is
+    ``{"certified": bool, "e_bound": int, "n_candidates": int,
+    "fallback": bool}``. ``m`` is the per-batch summary width: larger m →
+    bigger candidate union, smaller miss bound E, more likely certified.
+
+    Scale shape: pass 1 is a narrow mapInPandas (no shuffle) emitting
+    ≤ m+1 rows per arrow batch; the candidate union and E are one tiny
+    aggregation over those summaries; pass 2 is a hash agg over the
+    broadcast-semi-joined candidate rows only. The full-vocabulary
+    shuffle happens ONLY in the (data-dependent) fallback."""
+    import pandas as pd
+
+    if k <= 0 or m <= 0:
+        raise ValueError("k and m must be positive")
+    w = weight_col
+
+    def summarize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if w is None:
+                counts = pdf[item_col].value_counts()
+            else:
+                counts = pdf.groupby(item_col)[w].sum()
+                counts = counts.sort_values(ascending=False)
+            top = counts.iloc[:m]
+            thr = int(counts.iloc[m]) if len(counts) > m else 0
+            yield pd.DataFrame(
+                {
+                    "item": list(top.index) + [None],
+                    "cnt": list(top.astype("int64")) + [0],
+                    "thr": [0] * len(top) + [thr],
+                }
+            )
+
+    cols = [item_col] + ([w] if w else [])
+    summaries = df.select(*cols).mapInPandas(
+        summarize, schema=_HH_SUMMARY_SCHEMA
+    )
+    stats = summaries.agg(
+        F.sum("thr").alias("e"),
+        F.count(F.when(F.col("item").isNotNull(), 1)).alias("nc"),
+    ).collect()[0]
+    e_bound = int(stats["e"] or 0)
+    cand = summaries.filter(F.col("item").isNotNull()).select("item").distinct()
+
+    wexpr = F.sum(F.col(w)).cast("long") if w else F.count(F.lit(1)).cast("long")
+    exact = (
+        df.join(F.broadcast(cand), df[item_col] == cand["item"], "left_semi")
+        .groupBy(F.col(item_col).alias("item"))
+        .agg(wexpr.alias("cnt"))
+    )
+    top_rows = exact.orderBy(F.desc("cnt"), F.asc("item")).limit(k).collect()
+    n_candidates = int(cand.count())
+    kth = int(top_rows[-1]["cnt"]) if len(top_rows) >= k else 0
+    certified = e_bound == 0 or (len(top_rows) >= k and kth > e_bound)
+
+    info = {
+        "certified": bool(certified),
+        "e_bound": e_bound,
+        "n_candidates": n_candidates,
+        "fallback": False,
+    }
+    spark = df.sparkSession
+    if not certified and exact_fallback:
+        full = df.groupBy(F.col(item_col).alias("item")).agg(wexpr.alias("cnt"))
+        top_rows = full.orderBy(F.desc("cnt"), F.asc("item")).limit(k).collect()
+        info["fallback"] = True
+        info["certified"] = True
+    out = spark.createDataFrame(
+        [(r["item"], int(r["cnt"]), i + 1) for i, r in enumerate(top_rows)]
+        or [],
+        "item string, cnt long, rank long",
+    )
+    return out, info

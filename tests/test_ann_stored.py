@@ -366,3 +366,61 @@ def test_ivfpq_topk_sql_requires_codebooks():
     twin refuses and points at the meta sidecar."""
     with pytest.raises(ValueError, match="pinned codebooks"):
         S.ivfpq_topk_sql("embeddings", [0.0] * 64, k=5)
+
+
+# --------------------------- incremental append ----------------------------
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("kind", ["lsh", "ivf", "sq8", "pq", "bq", "ivfpq"])
+def test_ann_append_equals_full_rewrite(spark, embs, qvec, tmp_path, kind):
+    """write(half) + ann_append(other half) must be READER-IDENTICAL to
+    write(all): every codec is a pure function of (vector, pinned params),
+    so growing the layout never changes existing rows or probe semantics."""
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / f"{kind}_inc")
+    full = str(tmp_path / f"{kind}_full")
+
+    writers = {
+        "lsh": lambda df, p: S.lsh_write(df, p, n_planes=6, dim=64),
+        "ivf": lambda df, p: S.ivf_write(df, p, n_lists=8, dim=64),
+        "sq8": lambda df, p: S.sq_write(df, p),
+        "pq": lambda df, p: S.pq_write(df, p, m=8, ks=16, dim=64),
+        "bq": lambda df, p: S.bq_write(
+            df, p, thresholds=[0.0] * 64
+        ),  # pinned thresholds: append must not refit them on the new half
+        "ivfpq": lambda df, p: S.ivfpq_write(
+            df, p, n_lists=8, m=8, ks=16, dim=64,
+            codebooks=S._pq_default_books(8, 16, 64),
+        ),
+    }
+    readers = {
+        "lsh": lambda p: S.lsh_stored_topk(spark, p, qvec, k=12, hamming=1),
+        "ivf": lambda p: S.ivf_stored_topk(spark, p, qvec, k=12, nprobe=3),
+        "sq8": lambda p: S.sq_stored_topk(spark, p, qvec, k=12),
+        "pq": lambda p: S.pq_stored_topk(spark, p, qvec, k=12),
+        "bq": lambda p: S.bq_stored_topk(spark, p, qvec, k=8, rerank=40),
+        "ivfpq": lambda p: S.ivfpq_stored_topk(spark, p, qvec, k=12, nprobe=3),
+    }
+
+    writers[kind](half_a, inc)
+    S.ann_append(half_b, inc)
+    writers[kind](embs, full)
+
+    assert _rows(readers[kind](inc)) == _rows(readers[kind](full))
+    # the sidecar still describes the layout after the append
+    assert S.read_ann_meta(inc)["kind"] == ("sq8" if kind == "sq8" else kind)
+
+
+def test_ann_append_unknown_kind_refused(spark, embs, tmp_path):
+    p = str(tmp_path / "weird")
+    S.lsh_write(embs.limit(4), p, n_planes=4, dim=64)
+    meta = S.read_ann_meta(p)
+    meta["kind"] = "hnsw"
+    S._write_ann_meta(p, meta)
+    with pytest.raises(ValueError, match="unknown ANN layout kind"):
+        S.ann_append(embs.limit(4), p)

@@ -243,3 +243,81 @@ def test_stream_hll_folds_to_batch_sketch(spark, tmp_path):
     shutil.copytree(epochs[0], sk / "epoch=999")
     refolded = sorted(map(tuple, read_hll(spark, str(sk)).collect()))
     assert refolded == want
+
+
+# --------------------------- heavy hitters ---------------------------------
+
+
+def _exact_topk(rows, k):
+    from collections import Counter
+
+    c = Counter()
+    for item, n in rows:
+        c[item] += n
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(item, cnt, i + 1) for i, (item, cnt) in enumerate(ranked)]
+
+
+def test_heavy_hitters_certified_on_skew(spark):
+    """Zipf-ish data with small m: the heads dominate every batch summary,
+    E stays below the k-th count, and the CERTIFIED output equals exact
+    top-k (no fallback scan)."""
+    rows = [(f"h{i}", 1) for i in range(5) for _ in range(400 - 40 * i)]
+    rows += [(f"t{i}", 1) for i in range(60)]  # singleton tail
+    df = spark.createDataFrame(rows, "item string, w int").repartition(8)
+    out, info = sketch.heavy_hitters(df, "item", k=3, m=8)
+    assert info["certified"] and not info["fallback"]
+    assert info["e_bound"] < 400
+    assert [tuple(r) for r in out.collect()] == _exact_topk(rows, 3)
+
+
+def test_heavy_hitters_fallback_on_uniform(spark):
+    """Uniform data with tiny m: the miss bound E swamps the k-th count,
+    certification fails, and the fallback full aggregation still returns
+    the exact answer (flagged)."""
+    rows = [(f"u{i:03d}", 1) for i in range(300) for _ in range(2)]
+    df = spark.createDataFrame(rows, "item string, w int").repartition(4)
+    out, info = sketch.heavy_hitters(df, "item", k=5, m=2)
+    assert info["fallback"] and info["certified"]
+    assert [tuple(r) for r in out.collect()] == _exact_topk(rows, 5)
+
+
+def test_heavy_hitters_no_fallback_flag(spark):
+    rows = [(f"u{i:03d}", 1) for i in range(300) for _ in range(2)]
+    df = spark.createDataFrame(rows, "item string, w int").repartition(4)
+    out, info = sketch.heavy_hitters(df, "item", k=5, m=2, exact_fallback=False)
+    assert not info["certified"] and not info["fallback"]
+    # uncertified-but-returned candidates still carry EXACT counts
+    exact = dict(
+        (i, c) for i, c, _ in _exact_topk(rows, 300)
+    )
+    for r in out.collect():
+        assert exact[r["item"]] == r["cnt"]
+
+
+def test_heavy_hitters_weighted_equals_exploded(spark):
+    """weight_col=w must equal the row-per-occurrence computation."""
+    rows = [("a", 5), ("b", 3), ("a", 4), ("c", 9), ("b", 1), ("d", 2)]
+    wdf = spark.createDataFrame(rows, "item string, w int")
+    exploded = spark.createDataFrame(
+        [(i,) for i, n in rows for _ in range(n)], "item string"
+    )
+    got_w, info_w = sketch.heavy_hitters(wdf, "item", k=4, m=16, weight_col="w")
+    got_e, info_e = sketch.heavy_hitters(exploded, "item", k=4, m=16)
+    assert info_w["certified"] and info_e["certified"]
+    assert [tuple(r) for r in got_w.collect()] == [tuple(r) for r in got_e.collect()]
+
+
+def test_heavy_hitters_fewer_than_k(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    out, info = sketch.heavy_hitters(df, "item", k=10, m=4)
+    assert info["certified"]
+    assert [tuple(r) for r in out.collect()] == [("a", 2, 1), ("b", 1, 2)]
+
+
+def test_heavy_hitters_validation(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        sketch.heavy_hitters(df, "item", k=0)
+    with pytest.raises(ValueError):
+        sketch.heavy_hitters(df, "item", k=1, m=0)
