@@ -163,6 +163,30 @@ def main() -> None:
 
     timed("bm25_relational", relational)
 
+    def ltr_pipeline():
+        # LTR end-to-end: feature logging for the 12-query batch (one
+        # broadcast-join agg), closed-form ridge fit (one moment agg +
+        # driver solve), linear rescore + per-query top-k
+        from searchengine_spark.ltr import (
+            FEATURES, ltr_features, ltr_score, ltr_train_linear,
+        )
+
+        tf = term_frequencies(docs, "doc_id", "text").cache()
+        stats = doc_stats(tf).cache()
+        dct = dictionary(tf).cache()
+        n, avgdl = corpus_stats(stats)
+        batch = {f"q{i:02d}": q for i, q in enumerate(BENCH_QUERIES)}
+        feats = ltr_features(spark, tf, stats, dct, batch, n, avgdl).cache()
+        labeled = feats.withColumn(
+            "label", 2.0 * F.col("bm25") + 0.5 * F.col("coverage")
+        )
+        w = ltr_train_linear(labeled, FEATURES, "label")
+        ltr_score(feats, w, k=100).collect()
+        for d in (tf, stats, dct, feats):
+            d.unpersist()
+
+    timed("ltr", ltr_pipeline)
+
     # positional build + index-native phrase queries (separate component so
     # index_build stays comparable across rounds)
     peng = SearchEngine(spark, os.path.join(idx_dir, "pidx"))

@@ -456,6 +456,16 @@ def _cmd_stats(args) -> None:
     print(json.dumps(st))
 
 
+def _cmd_verify(args) -> None:
+    spark = _spark(args)
+    from .index.verify import verify_index
+
+    report = verify_index(spark, args.index, deep=args.deep)
+    print(json.dumps(report))
+    if not report["ok"]:
+        raise SystemExit(1)
+
+
 def _cmd_reindex(args) -> None:
     spark = _spark(args)
     from .index.build import reindex
@@ -1050,6 +1060,16 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--sharded", action="store_true",
                     help="--index is a sharded layout; aggregate across shards")
     st.set_defaults(fn=_cmd_stats)
+
+    vf = sub.add_parser(
+        "verify",
+        help="index integrity check (fsck): meta/manifest/segments/"
+             "dictionary/docstats consistency; --deep decodes every block",
+    )
+    vf.add_argument("--index", required=True)
+    vf.add_argument("--deep", action="store_true",
+                    help="distributed decode of every block + df crosscheck")
+    vf.set_defaults(fn=_cmd_verify)
 
     ri = sub.add_parser(
         "reindex",

@@ -175,6 +175,8 @@ def ltr_train_linear(
     exprs += [F.sum(x[i] * y).alias(f"xy_{i}") for i in range(k)]
     exprs += [F.sum(y).alias("sy"), F.count(F.lit(1)).alias("n")]
     row = features.agg(*exprs).collect()[0]
+    if int(row["n"]) == 0:
+        raise ValueError("empty feature table — nothing to fit")
 
     A = np.zeros((k + 1, k + 1))
     bvec = np.zeros(k + 1)

@@ -1778,6 +1778,62 @@ LIMIT {k}
 """
 
 
+def _ann_encode(df, meta: dict, idc: str, vc: str):
+    """Encode a batch of raw vectors for a stored layout with its PINNED
+    quantizer: returns (encoded DataFrame, partition column or None).
+    Shared by batch ``ann_append`` and streaming ``stream_ann_append`` —
+    every codec is a pure function of (vector, pinned params)."""
+    kind = meta["kind"]
+    if kind == "lsh":
+        assigned = lsh_assign(df, meta["n_planes"], meta["dim"], idc, vc)
+        return df.join(assigned.withColumnRenamed("vec_id", idc), idc), "bucket"
+    if kind == "ivf":
+        assigned = ivf_assign(
+            df, meta["n_lists"], meta["dim"], idc, vc, meta["centroids"]
+        )
+        return df.join(assigned.withColumnRenamed("vec_id", idc), idc), "list_id"
+    if kind == "sq8":
+        out = sq_quantize(df, idc, vc).select(
+            "vec_id", "scale", F.col("qvec").cast("array<tinyint>").alias("qvec")
+        )
+        return out, None
+    if kind == "pq":
+        out = pq_encode(
+            df, meta["m"], meta["ks"], meta["dim"], idc, vc, meta["codebooks"]
+        ).select("vec_id", F.col("codes").cast("array<tinyint>").alias("codes"))
+        return out, None
+    if kind == "bq":
+        out = df.select(
+            F.col(idc).alias("vec_id"),
+            F.expr(_bq_bits_expr(vc, meta["thresholds"])).alias("bits"),
+            F.col(vc).alias("embedding"),
+        )
+        return out, None
+    if kind == "ivfpq":
+        cvecs, books = meta["centroids"], meta["codebooks"]
+        assigned = ivf_assign(df, meta["n_lists"], meta["dim"], idc, vc, cvecs)
+        base = df.join(assigned.withColumnRenamed("vec_id", idc), idc)
+        resid = base.select(
+            F.col(idc).alias("vec_id"),
+            "list_id",
+            _residual_col(_as_double(vc), F.col("list_id"), cvecs).alias("resid"),
+        )
+        codes = pq_encode(
+            resid, meta["m"], meta["ks"], meta["dim"], "vec_id", "resid", books
+        )
+        out = (
+            resid.select("vec_id", "list_id")
+            .join(codes, "vec_id")
+            .select(
+                "vec_id",
+                F.col("codes").cast("array<tinyint>").alias("codes"),
+                "list_id",
+            )
+        )
+        return out, "list_id"
+    raise ValueError(f"unknown ANN layout kind: {kind!r}")
+
+
 def ann_append(
     df: DataFrame,
     path: str,
@@ -1803,63 +1859,55 @@ def ann_append(
     incoming frame differs (sq8 layouts predating vec_col recording default
     to "embedding")."""
     meta = read_ann_meta(path)
-    kind = meta["kind"]
     idc = id_col or meta.get("id_col", "vec_id")
     vc = vec_col or meta.get("vec_col", "embedding")
-    if kind == "lsh":
-        assigned = lsh_assign(df, meta["n_planes"], meta["dim"], idc, vc)
-        out = df.join(assigned.withColumnRenamed("vec_id", idc), idc)
-        out.repartition("bucket").write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(path)
-    elif kind == "ivf":
-        assigned = ivf_assign(
-            df, meta["n_lists"], meta["dim"], idc, vc, meta["centroids"]
+    try:
+        out, part = _ann_encode(df, meta, idc, vc)
+    except ValueError as e:
+        raise ValueError(f"{e} at {path}") from None
+    w = out.repartition(part).write.mode("append") if part else out.write.mode("append")
+    (w.partitionBy(part) if part else w).parquet(path)
+
+
+def stream_ann_append(
+    spark,
+    source_dir: str,
+    path: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>",
+    id_col: str | None = None,
+    vec_col: str | None = None,
+):
+    """Maintain a stored ANN layout over a Structured Stream of new
+    vectors: each micro-batch is encoded with the layout's pinned
+    quantizer and lands in ``path/epoch=<id>/`` (OVERWRITE per epoch — a
+    replayed batch after crash rewrites the same directory, so ingestion
+    is exactly-once), partitioned by bucket/list_id inside the epoch for
+    the partitioned kinds, so the stored readers' partition pruning holds
+    per epoch. Readers (`*_stored_topk`) work UNCHANGED: parquet partition
+    discovery layers epoch above the probe key.
+
+    The layout must be stream-initialized — run the matching ``*_write``
+    on an EMPTY slice first (``lsh_write(df.limit(0), path, …)``) so the
+    sidecar exists and every data file lives under an epoch (a non-empty
+    batch base would mix directory depths). Returns the StreamingQuery."""
+    meta = read_ann_meta(path)
+    idc = id_col or meta.get("id_col", "vec_id")
+    vc = vec_col or meta.get("vec_col", "embedding")
+
+    def fold(batch_df, epoch_id: int) -> None:
+        out, part = _ann_encode(batch_df, meta, idc, vc)
+        w = (
+            out.repartition(part).write.mode("overwrite")
+            if part
+            else out.write.mode("overwrite")
         )
-        out = df.join(assigned.withColumnRenamed("vec_id", idc), idc)
-        out.repartition("list_id").write.mode("append").partitionBy(
-            "list_id"
-        ).parquet(path)
-    elif kind == "sq8":
-        out = sq_quantize(df, idc, vc).select(
-            "vec_id", "scale", F.col("qvec").cast("array<tinyint>").alias("qvec")
-        )
-        out.write.mode("append").parquet(path)
-    elif kind == "pq":
-        out = pq_encode(
-            df, meta["m"], meta["ks"], meta["dim"], idc, vc, meta["codebooks"]
-        ).select("vec_id", F.col("codes").cast("array<tinyint>").alias("codes"))
-        out.write.mode("append").parquet(path)
-    elif kind == "bq":
-        out = df.select(
-            F.col(idc).alias("vec_id"),
-            F.expr(_bq_bits_expr(vc, meta["thresholds"])).alias("bits"),
-            F.col(vc).alias("embedding"),
-        )
-        out.write.mode("append").parquet(path)
-    elif kind == "ivfpq":
-        cvecs, books = meta["centroids"], meta["codebooks"]
-        assigned = ivf_assign(df, meta["n_lists"], meta["dim"], idc, vc, cvecs)
-        base = df.join(assigned.withColumnRenamed("vec_id", idc), idc)
-        resid = base.select(
-            F.col(idc).alias("vec_id"),
-            "list_id",
-            _residual_col(_as_double(vc), F.col("list_id"), cvecs).alias("resid"),
-        )
-        codes = pq_encode(
-            resid, meta["m"], meta["ks"], meta["dim"], "vec_id", "resid", books
-        )
-        out = (
-            resid.select("vec_id", "list_id")
-            .join(codes, "vec_id")
-            .select(
-                "vec_id",
-                F.col("codes").cast("array<tinyint>").alias("codes"),
-                "list_id",
-            )
-        )
-        out.repartition("list_id").write.mode("append").partitionBy(
-            "list_id"
-        ).parquet(path)
-    else:
-        raise ValueError(f"unknown ANN layout kind: {kind!r} at {path}")
+        (w.partitionBy(part) if part else w).parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -424,3 +424,33 @@ def test_ann_append_unknown_kind_refused(spark, embs, tmp_path):
     S._write_ann_meta(p, meta)
     with pytest.raises(ValueError, match="unknown ANN layout kind"):
         S.ann_append(embs.limit(4), p)
+
+
+def test_stream_ann_append_matches_batch_layout(spark, embs, qvec, tmp_path):
+    """Streamed vector ingestion: empty-initialized IVF layout + two
+    micro-batches == batch ivf_write over the union, through the UNCHANGED
+    stored reader (parquet partition discovery layers epoch above
+    list_id). Epoch overwrite makes crash replay exactly-once."""
+    src = str(tmp_path / "vsrc")
+    inc = str(tmp_path / "ivf_stream")
+    full = str(tmp_path / "ivf_batch")
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+
+    S.ivf_write(embs.limit(0), inc, n_lists=8, dim=64)  # sidecar only
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    q = S.stream_ann_append(
+        spark, src, inc, str(tmp_path / "ck"),
+        schema="vec_id long, embedding array<float>",
+    )
+    try:
+        q.processAllAvailable()
+        half_b.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    S.ivf_write(embs, full, n_lists=8, dim=64)
+    got = _rows(S.ivf_stored_topk(spark, inc, qvec, k=12, nprobe=3))
+    want = _rows(S.ivf_stored_topk(spark, full, qvec, k=12, nprobe=3))
+    assert got == want and len(got) == 12
