@@ -346,6 +346,20 @@ def main() -> None:
     from searchengine_spark.ops.similarity import maxsim_topk
 
     timed("dup_spans", lambda: dedup.duplicate_spans(docs, w=8).count())
+
+    # trigram-accelerated regex search over raw text (Zoekt shape):
+    # build the trigram layout once, then a pruned-candidate + verify query
+    from searchengine_spark.trigram import build_trigram_index, trigram_search
+
+    tg_dir = tempfile.mkdtemp(prefix="bench_tg_") + "/tg"
+    timed("grep_build", lambda: build_trigram_index(docs, tg_dir, n_buckets=32))
+    timed(
+        "grep_query",
+        lambda: trigram_search(
+            spark, tg_dir, docs, "merge (sort|join)", k=500
+        ).count(),
+    )
+    shutil.rmtree(os.path.dirname(tg_dir), ignore_errors=True)
     timed(
         "maxsim_topk",
         lambda: maxsim_topk(

@@ -466,6 +466,51 @@ def _cmd_verify(args) -> None:
         raise SystemExit(1)
 
 
+def _load_grep_corpus(spark, args):
+    from .corpus import with_doc_id
+
+    corpus = spark.read.parquet(args.input)
+    if args.id_col not in corpus.columns:
+        corpus = with_doc_id(corpus)  # (repo,path,commit,lang,content) hint
+    return corpus
+
+
+def _cmd_grep_build(args) -> None:
+    spark = _spark(args)
+    import time
+
+    from .trigram import build_trigram_index
+
+    corpus = _load_grep_corpus(spark, args)
+    t0 = time.time()
+    build_trigram_index(
+        corpus, args.index, id_col=args.id_col, text_col=args.text_col,
+        n_buckets=args.buckets,
+    )
+    print(json.dumps({"built": args.index, "sec": round(time.time() - t0, 2)}))
+
+
+def _cmd_grep(args) -> None:
+    spark = _spark(args)
+    import time
+
+    from .trigram import required_trigrams, trigram_search
+
+    corpus = _load_grep_corpus(spark, args)
+    t0 = time.time()
+    rows = trigram_search(
+        spark, args.index, corpus, args.pattern, k=args.k,
+        id_col=args.id_col, text_col=args.text_col,
+        allow_full_scan=args.allow_full_scan,
+    ).collect()
+    print(json.dumps({
+        "pattern": args.pattern,
+        "required_trigrams": sorted(required_trigrams(args.pattern)),
+        "sec": round(time.time() - t0, 2),
+        "hits": [int(r["doc_id"]) for r in rows],
+    }))
+
+
 def _cmd_reindex(args) -> None:
     spark = _spark(args)
     from .index.build import reindex
@@ -1060,6 +1105,34 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--sharded", action="store_true",
                     help="--index is a sharded layout; aggregate across shards")
     st.set_defaults(fn=_cmd_stats)
+
+    gb = sub.add_parser(
+        "grep-build",
+        help="build a trigram index over RAW text for regex search "
+             "(Zoekt/Code Search shape)",
+    )
+    gb.add_argument("--input", required=True)
+    gb.add_argument("--index", required=True)
+    gb.add_argument("--id-col", default="doc_id")
+    gb.add_argument("--text-col", default="content")
+    gb.add_argument("--buckets", type=int, default=32)
+    gb.set_defaults(fn=_cmd_grep_build)
+
+    gq = sub.add_parser(
+        "grep",
+        help="trigram-accelerated exact regex search (candidates from the "
+             "pruned trigram postings, regex verify on candidates only)",
+    )
+    gq.add_argument("--input", required=True, help="the corpus the index was built from")
+    gq.add_argument("--index", required=True)
+    gq.add_argument("--pattern", required=True)
+    gq.add_argument("-k", type=int, default=100)
+    gq.add_argument("--id-col", default="doc_id")
+    gq.add_argument("--text-col", default="content")
+    gq.add_argument("--allow-full-scan", action="store_true",
+                    help="accept a full regex scan when the pattern has no "
+                         "required literal trigram")
+    gq.set_defaults(fn=_cmd_grep)
 
     vf = sub.add_parser(
         "verify",

@@ -97,6 +97,39 @@ def _shared_index(spark: SparkSession, sf_dir: str, positional: bool = False):
     return SearchEngine(spark, path)
 
 
+_TRIGRAM: dict[str, str] = {}
+TRIGRAM_PATTERN = "merge (sort|join)"
+TRIGRAM_K = 200
+
+
+def _trigram_index(spark: SparkSession, sf_dir: str) -> str:
+    """ONE trigram index per sf_dir per process (same sharing rule as
+    _shared_index)."""
+    from .trigram import build_trigram_index
+
+    path = _TRIGRAM.get(sf_dir)
+    if path is None:
+        path = _tmpdir("seidx_trigram_") + "/tg"
+        build_trigram_index(_docs(spark, sf_dir), path, n_buckets=16)
+        _TRIGRAM[sf_dir] = path
+    return path
+
+
+def q_trigram_regexp(spark, sf_dir):
+    """Zoekt-style trigram-accelerated regex search over RAW source text:
+    required-trigram candidates (conservative AND/OR literal algebra,
+    property-tested) from the bucket-pruned postings scan, exact-regex
+    verify on candidates only — identical result to the full regex scan
+    the SQL twin runs, reading only the required trigrams' partitions."""
+    from .trigram import trigram_search
+
+    out = trigram_search(
+        spark, _trigram_index(spark, sf_dir), _docs(spark, sf_dir),
+        TRIGRAM_PATTERN, k=TRIGRAM_K,
+    )
+    return out.select("doc_id")
+
+
 _SHARDED: dict[str, str] = {}
 N_SHARDS = 3
 
@@ -5840,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_topk": q_multi_match_topk,
         "wildcard_topk": q_wildcard_topk,
         "regexp_topk": q_regexp_topk,
+        "trigram_regexp": q_trigram_regexp,
         "fuzzy_topk": q_fuzzy_topk,
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
@@ -6070,6 +6104,11 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
             WILDCARD_PATTERN, WILDCARD_MAX_EXP, WILDCARD_K
         ),
         "regexp_topk": _regexp_sql(RX_PATTERN, RX_MAX_EXP, RX_K),
+        "trigram_regexp": f"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
+ORDER BY doc_id LIMIT {TRIGRAM_K}
+""",
         "fuzzy_topk": _fuzzy_sql(
             FUZZY_TERM, FUZZY_MAX_EDITS, FUZZY_MAX_EXP, FUZZY_K
         ),

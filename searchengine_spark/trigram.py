@@ -1,0 +1,278 @@
+"""Trigram-accelerated regular-expression search over raw source text —
+the Zoekt / Google Code Search design (R. Cox, "Regular Expression
+Matching with a Trigram Index") re-expressed relationally.
+
+The term index (``index/build.py``) answers TOKEN queries; code search
+needs raw-substring/regex matching ("every caller of ``foo_bar(``",
+"``TODO[:(]``") where tokenization destroys the signal. The classic scale
+answer is a position-free trigram inverted index plus a conservative
+query planner:
+
+* **build**: every distinct 3-char window of the raw text → (trigram,
+  doc_id) postings, written partitioned by a hash bucket of the trigram so
+  a query's trigram list prunes partitions (same layout discipline as the
+  term segments and the stored ANN probes);
+* **plan**: extract a set of REQUIRED literal trigrams from the pattern
+  with the AND/OR algebra — concatenation unions requirements, alternation
+  INTERSECTS its branches (a trigram is required only if every branch
+  needs it), ``?``/``*``/``{0,…}`` drop the preceding atom's requirement,
+  ``+`` keeps it, classes/dots/escapes/anchors contribute nothing and
+  break literal runs. The extractor is CONSERVATIVE by construction —
+  every true match contains all extracted trigrams — so candidates ⊇
+  matches and the verify step keeps exactness (property-tested against
+  brute-force regex over random pattern/corpus pairs);
+* **query**: candidates = docs containing ALL required trigrams (trigram +
+  bucket IN-filters prune the postings scan; one count-matching hash
+  aggregation), then the REAL regex verifies candidates only (semi-join
+  into the corpus scan). A pattern with no extractable trigram (``a.*b``,
+  pure classes) degenerates to a full regex scan — refused unless
+  ``allow_full_scan=True``, the same explicit-opt-in rule as the quadratic
+  near-dup kernels.
+
+Scale shape at 10^12 files: postings are distinct (doc, trigram) pairs —
+linear in corpus bytes, one narrow explode + one distinct with map-side
+partials + one clustered partitioned write; a query reads only the
+required trigrams' buckets, shuffles only their filtered postings, and
+runs the regex on candidates only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRIGRAM_BUCKETS = 32
+
+
+# --------------------------------------------------------------------------
+# conservative required-trigram extraction
+# --------------------------------------------------------------------------
+
+
+def _trigrams(s: str) -> set[str]:
+    return {s[i:i + 3] for i in range(len(s) - 2)}
+
+
+def _branch_set(runs: list[str]) -> set[str]:
+    out: set[str] = set()
+    for r in runs:
+        out |= _trigrams(r)
+    return out
+
+
+def _parse_alt(pat: str, i: int) -> tuple[set[str], int]:
+    """Parse an alternation until ')' or end; returns (required trigram
+    set, index of the terminator). Concat unions, '|' intersects."""
+    n = len(pat)
+    branch_sets: list[set[str]] = []
+    req: set[str] = set()  # current branch's requirement
+    cur = ""  # current literal run
+
+    def flush():
+        nonlocal cur, req
+        req |= _trigrams(cur)
+        cur = ""
+
+    def drop_last_atom():
+        # a quantifier made the previous literal char optional: keep the
+        # run up to (not including) it
+        nonlocal cur, req
+        head = cur[:-1]
+        cur = ""
+        req |= _trigrams(head)
+
+    while i < n:
+        c = pat[i]
+        if c == ")":
+            break
+        if c == "|":
+            flush()
+            branch_sets.append(req)
+            req = set()
+            i += 1
+        elif c == "(":
+            flush()
+            j = i + 1
+            if pat.startswith("?:", j):
+                j += 2
+            sub_req, j = _parse_alt(pat, j)
+            if j >= n or pat[j] != ")":
+                raise ValueError(f"unbalanced group in pattern: {pat!r}")
+            j += 1
+            optional = False
+            if j < n and pat[j] in "?*":
+                optional = True
+                j += 1
+            elif j < n and pat[j] == "+":
+                j += 1
+            elif j < n and pat[j] == "{":
+                k = pat.find("}", j)
+                body = pat[j + 1:k] if k != -1 else "0"
+                if body.split(",")[0].strip() in ("", "0"):
+                    optional = True
+                j = k + 1 if k != -1 else j + 1
+            if not optional:
+                req |= sub_req
+            i = j
+        elif c == "\\":
+            flush()  # \d, \., \w … — not a plain literal byte here
+            i += 2
+            if i < n and pat[i] in "?*+":
+                i += 1
+        elif c == "[":
+            flush()
+            k = i + 1
+            if k < n and pat[k] == "^":
+                k += 1
+            if k < n and pat[k] == "]":
+                k += 1
+            k = pat.find("]", k)
+            if k == -1:
+                raise ValueError(f"unbalanced class in pattern: {pat!r}")
+            i = k + 1
+            if i < n and pat[i] in "?*+":
+                i += 1
+        elif c in "?*":
+            drop_last_atom()
+            i += 1
+        elif c == "{":
+            k = pat.find("}", i)
+            body = pat[i + 1:k] if k != -1 else "0"
+            if body.split(",")[0].strip() in ("", "0"):
+                drop_last_atom()
+            else:
+                # min ≥ 1 keeps the atom required, but repeats can be
+                # inserted after it — the literal run must BREAK here
+                # ("ab{1,3}c" must not claim trigram "abc")
+                flush()
+            i = k + 1 if k != -1 else i + 1
+        elif c == "+":
+            # at-least-one keeps the atom required, but "ab+c" matches
+            # "abbc" — break the run so "abc" is never claimed
+            flush()
+            i += 1
+        elif c in "^$.":
+            flush()
+            i += 1
+        else:
+            cur += c
+            i += 1
+    flush()
+    branch_sets.append(req)
+    return set.intersection(*branch_sets), i
+
+
+def required_trigrams(pattern: str) -> set[str]:
+    """The conservative required-trigram set: every document matching
+    ``pattern`` (Java/RE2 common subset) contains ALL returned trigrams.
+    May be empty — then only a full scan answers the query exactly."""
+    req, i = _parse_alt(pattern, 0)
+    if i != len(pattern):
+        raise ValueError(f"unbalanced ')' in pattern: {pattern!r}")
+    return req
+
+
+# --------------------------------------------------------------------------
+# index build + search
+# --------------------------------------------------------------------------
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "_trigram_meta.json")
+
+
+def build_trigram_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = TRIGRAM_BUCKETS,
+) -> None:
+    """(trigram, doc_id) distinct postings over the RAW text (case
+    preserved — code search is case-exact), written partitioned by
+    ``bucket = pmod(xxhash64(trigram), n_buckets)``. One narrow trigram
+    explode (array_distinct dedups in-row before the shuffle) + one
+    distinct with map-side partials + one clustered partitioned write."""
+    tg = F.explode(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+                f" i -> substring({text_col}, i, 3))"
+            )
+        )
+    ).alias("trigram")
+    posts = (
+        df.select(F.col(id_col).alias("doc_id"), tg)
+        .distinct()
+        .withColumn("bucket", F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)))
+    )
+    posts.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+    os.replace(tmp, _meta_path(path))
+
+
+def _buckets_for(spark: SparkSession, trigrams: list[str], n_buckets: int) -> list[int]:
+    """Bucket ids for a trigram list via one local-relation expression —
+    the Python side never re-implements xxhash64."""
+    rows = (
+        spark.createDataFrame([(t,) for t in trigrams], "trigram string")
+        .select(F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    )
+    return sorted({int(r["b"]) for r in rows})
+
+
+def trigram_search(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    pattern: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allow_full_scan: bool = False,
+) -> DataFrame:
+    """Exact regex match set (first ``k`` doc_ids ascending) over the raw
+    text, trigram-accelerated: required-trigram candidates from the
+    partition-pruned postings scan, regex verification ONLY on candidates.
+    Exact because the planner is conservative; patterns with an empty
+    requirement need the full regex scan and are refused without
+    ``allow_full_scan=True``."""
+    req = sorted(required_trigrams(pattern))
+    docs = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    if not req:
+        if not allow_full_scan:
+            raise ValueError(
+                f"pattern {pattern!r} has no required literal trigram — a "
+                "full regex scan is needed; pass allow_full_scan=True to "
+                "accept that cost"
+            )
+        verified = docs.filter(F.col("_text").rlike(pattern))
+        return verified.select("doc_id").orderBy("doc_id").limit(k)
+    with open(_meta_path(path)) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    buckets = _buckets_for(spark, req, n_buckets)
+    posts = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("trigram").isin(req))
+    )
+    cand = (
+        posts.groupBy("doc_id")
+        .agg(F.countDistinct("trigram").alias("_nt"))
+        .filter(F.col("_nt") == len(req))
+        .select("doc_id")
+    )
+    verified = docs.join(cand, "doc_id", "left_semi").filter(
+        F.col("_text").rlike(pattern)
+    )
+    return verified.select("doc_id").orderBy("doc_id").limit(k)

@@ -1,0 +1,159 @@
+"""Trigram-accelerated regex search (trigram.py): the required-trigram
+extractor must be CONSERVATIVE (every regex match contains all claimed
+trigrams — property-tested against Python re over random pattern/text
+pairs), and trigram_search must equal the brute-force full regex scan
+while reading only the required trigrams' bucket partitions."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.trigram import (
+    build_trigram_index,
+    required_trigrams,
+    trigram_search,
+)
+
+PATTERN_CASES = {
+    # pattern → expected required trigrams
+    "merge (sort|join)": {"mer", "erg", "rge", "ge "},
+    "(foo|foobar)": {"foo"},
+    "foo.*barz": {"foo", "bar", "arz"},
+    "abc?": set(),           # 'c' optional → run "ab" too short
+    "ab+cd": set(),          # "abbcd" matches without "abc"
+    "abcd+": {"abc", "bcd"},  # 'd' repeats but ≥1 is present: both required
+    "ab{1,3}cd": set(),      # repeatable 'b' breaks the run
+    "ab{0,3}cd": set(),      # and optional 'b' drops it entirely
+    "[Tt]odor": {"odo", "dor"},
+    "a.*b": set(),
+    r"foo\d+bar": {"foo", "bar"},
+    "^merge sort$": {"mer", "erg", "rge", "ge ", "e s", " so", "sor", "ort"},
+    "(?:hash)join": {"has", "ash", "joi", "oin"},
+    "(abc)+xyz": {"abc", "xyz"},
+    "(abc)*xyz": {"xyz"},
+    "plain": {"pla", "lai", "ain"},
+}
+
+
+@pytest.mark.parametrize("pattern,want", sorted(PATTERN_CASES.items()))
+def test_required_trigrams_cases(pattern, want):
+    assert required_trigrams(pattern) == want
+
+
+def test_unbalanced_patterns_refused():
+    for bad in ("a(bc", "a)b(", "a[bc"):
+        with pytest.raises(ValueError):
+            required_trigrams(bad)
+
+
+def test_extractor_is_conservative_property():
+    """For random (pattern, text) pairs: text matches pattern ⇒ text
+    contains every required trigram. 2k seeded trials over a pattern
+    grammar exercising every operator the parser handles."""
+    rng = random.Random(1234)
+    alphabet = "abcxyz"
+
+    def rand_literal(lo=1, hi=5):
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(lo, hi)))
+
+    def rand_pattern(depth=0):
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            r = rng.random()
+            if r < 0.45 or depth >= 2:
+                parts.append(rand_literal())
+            elif r < 0.65:
+                parts.append(f"({rand_pattern(depth + 1)}|{rand_pattern(depth + 1)})")
+            elif r < 0.75:
+                parts.append(f"({rand_pattern(depth + 1)}){rng.choice('?*+')}")
+            elif r < 0.85:
+                parts.append(rand_literal(1, 2) + rng.choice("?*+"))
+            elif r < 0.95:
+                parts.append("[" + rand_literal(1, 3) + "]")
+            else:
+                parts.append(".")
+        return "".join(parts)
+
+    checked = 0
+    for _ in range(400):
+        pat = rand_pattern()
+        try:
+            creg = re.compile(pat)
+            req = required_trigrams(pat)
+        except (re.error, ValueError):
+            continue
+        for _ in range(5):
+            text = "".join(rng.choice(alphabet + " ") for _ in range(rng.randint(5, 40)))
+            if creg.search(text):
+                checked += 1
+                for t in req:
+                    assert t in text, (pat, req, text)
+    assert checked > 100  # the property actually exercised matches
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def tg_path(spark, docs, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("tg") / "idx")
+    build_trigram_index(docs, p, n_buckets=16)
+    return p
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    ["merge (sort|join)", "customer", "stream[a-z]* merge", "hash (scan )?join"],
+)
+def test_search_equals_brute_force(spark, docs, tg_path, pattern):
+    got = [r["doc_id"] for r in trigram_search(
+        spark, tg_path, docs, pattern, k=1000
+    ).collect()]
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("text").rlike(pattern)).select("doc_id").collect()
+    )[:1000]
+    assert got == want
+    assert len(got) > 0, f"vacuous pattern {pattern!r}"
+
+
+def test_full_scan_gated(spark, docs, tg_path):
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        trigram_search(spark, tg_path, docs, "a.?b", k=10)
+    got = [r["doc_id"] for r in trigram_search(
+        spark, tg_path, docs, "a.?b", k=50, allow_full_scan=True
+    ).collect()]
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("text").rlike("a.?b")).select("doc_id").collect()
+    )[:50]
+    assert got == want
+
+
+def test_postings_scan_is_partition_pruned(spark, docs, tg_path):
+    """The candidate scan must read only the required trigrams' bucket
+    partitions — numFiles < total, PartitionFilters on bucket."""
+    from searchengine_spark.trigram import _buckets_for, _meta_path
+    import json
+
+    req = sorted(required_trigrams("merge (sort|join)"))
+    n_buckets = json.load(open(_meta_path(tg_path)))["n_buckets"]
+    buckets = _buckets_for(spark, req, n_buckets)
+    pruned = (
+        spark.read.parquet(tg_path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("trigram").isin(req))
+    )
+    pruned.collect()
+    leaf = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    scanned = int(leaf.metrics().apply("numFiles").value())
+    total = len(spark.read.parquet(tg_path).inputFiles())
+    assert 0 < scanned < total, (scanned, total)
