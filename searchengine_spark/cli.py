@@ -485,7 +485,7 @@ def _cmd_grep_build(args) -> None:
     t0 = time.time()
     build_trigram_index(
         corpus, args.index, id_col=args.id_col, text_col=args.text_col,
-        n_buckets=args.buckets,
+        n_buckets=args.buckets, fold_case=args.fold_case,
     )
     print(json.dumps({"built": args.index, "sec": round(time.time() - t0, 2)}))
 
@@ -501,7 +501,7 @@ def _cmd_grep(args) -> None:
     rows = trigram_search(
         spark, args.index, corpus, args.pattern, k=args.k,
         id_col=args.id_col, text_col=args.text_col,
-        allow_full_scan=args.allow_full_scan,
+        allow_full_scan=args.allow_full_scan, where=args.where,
     ).collect()
     print(json.dumps({
         "pattern": args.pattern,
@@ -1116,6 +1116,8 @@ def main(argv: list[str] | None = None) -> None:
     gb.add_argument("--id-col", default="doc_id")
     gb.add_argument("--text-col", default="content")
     gb.add_argument("--buckets", type=int, default=32)
+    gb.add_argument("--fold-case", action="store_true",
+                    help="case-insensitive layout (queries verify with (?i))")
     gb.set_defaults(fn=_cmd_grep_build)
 
     gq = sub.add_parser(
@@ -1132,6 +1134,8 @@ def main(argv: list[str] | None = None) -> None:
     gq.add_argument("--allow-full-scan", action="store_true",
                     help="accept a full regex scan when the pattern has no "
                          "required literal trigram")
+    gq.add_argument("--where", default=None,
+                    help="metadata pre-filter on the corpus, e.g. \"lang = 'py'\"")
     gq.set_defaults(fn=_cmd_grep)
 
     vf = sub.add_parser(

@@ -190,17 +190,21 @@ def build_trigram_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = TRIGRAM_BUCKETS,
+    fold_case: bool = False,
 ) -> None:
     """(trigram, doc_id) distinct postings over the RAW text (case
-    preserved — code search is case-exact), written partitioned by
+    preserved by default — code search is case-exact; ``fold_case=True``
+    lowercases the trigram stream for Zoekt-style case-insensitive layouts
+    and queries verify with ``(?i)``), written partitioned by
     ``bucket = pmod(xxhash64(trigram), n_buckets)``. One narrow trigram
     explode (array_distinct dedups in-row before the shuffle) + one
     distinct with map-side partials + one clustered partitioned write."""
+    src = f"lower({text_col})" if fold_case else text_col
     tg = F.explode(
         F.array_distinct(
             F.expr(
                 f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
-                f" i -> substring({text_col}, i, 3))"
+                f" i -> substring({src}, i, 3))"
             )
         )
     ).alias("trigram")
@@ -214,7 +218,11 @@ def build_trigram_index(
     ).parquet(path)
     tmp = _meta_path(path) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+        json.dump(
+            {"n_buckets": n_buckets, "id_col": id_col,
+             "fold_case": fold_case},
+            f,
+        )
     os.replace(tmp, _meta_path(path))
 
 
@@ -238,14 +246,35 @@ def trigram_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     allow_full_scan: bool = False,
+    where=None,
 ) -> DataFrame:
     """Exact regex match set (first ``k`` doc_ids ascending) over the raw
     text, trigram-accelerated: required-trigram candidates from the
     partition-pruned postings scan, regex verification ONLY on candidates.
     Exact because the planner is conservative; patterns with an empty
     requirement need the full regex scan and are refused without
-    ``allow_full_scan=True``."""
+    ``allow_full_scan=True``.
+
+    On a ``fold_case=True`` layout the required trigrams fold to lowercase
+    and verification runs ``(?i)`` — Zoekt's case-insensitive mode. A
+    pattern already case-folded loses nothing; mixed-case literals still
+    prune (their lowercase trigrams are required in the folded stream).
+
+    ``where`` (optional predicate on the corpus frame, e.g.
+    ``"lang = 'py'"`` or a Column) composes AS A PRE-FILTER: it restricts
+    the verify scan; candidates outside it are dropped by the semi-join's
+    corpus side — the ES knn-filter composition rule."""
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    fold = bool(meta.get("fold_case", False))
     req = sorted(required_trigrams(pattern))
+    if fold:
+        req = sorted({t.lower() for t in req})
+    rx = f"(?i){pattern}" if fold else pattern
+    if where is not None:
+        corpus = corpus.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
     docs = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
@@ -256,10 +285,9 @@ def trigram_search(
                 "full regex scan is needed; pass allow_full_scan=True to "
                 "accept that cost"
             )
-        verified = docs.filter(F.col("_text").rlike(pattern))
+        verified = docs.filter(F.col("_text").rlike(rx))
         return verified.select("doc_id").orderBy("doc_id").limit(k)
-    with open(_meta_path(path)) as f:
-        n_buckets = json.load(f)["n_buckets"]
+    n_buckets = meta["n_buckets"]
     buckets = _buckets_for(spark, req, n_buckets)
     posts = (
         spark.read.parquet(path)
@@ -273,6 +301,6 @@ def trigram_search(
         .select("doc_id")
     )
     verified = docs.join(cand, "doc_id", "left_semi").filter(
-        F.col("_text").rlike(pattern)
+        F.col("_text").rlike(rx)
     )
     return verified.select("doc_id").orderBy("doc_id").limit(k)

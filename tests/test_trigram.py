@@ -157,3 +157,41 @@ def test_postings_scan_is_partition_pruned(spark, docs, tg_path):
     scanned = int(leaf.metrics().apply("numFiles").value())
     total = len(spark.read.parquet(tg_path).inputFiles())
     assert 0 < scanned < total, (scanned, total)
+
+
+def test_fold_case_layout(spark, docs, tmp_path):
+    """fold_case layout: 'MERGE (SORT|JOIN)' finds the lowercase corpus
+    matches (verify runs (?i)); the same pattern on the case-exact layout
+    finds nothing."""
+    from searchengine_spark.trigram import build_trigram_index as build
+
+    ci = str(tmp_path / "tg_ci")
+    build(docs, ci, n_buckets=8, fold_case=True)
+    got = [r["doc_id"] for r in trigram_search(
+        spark, ci, docs, "MERGE (SORT|JOIN)", k=1000
+    ).collect()]
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("text").rlike("(?i)MERGE (SORT|JOIN)")
+        ).select("doc_id").collect()
+    )[:1000]
+    assert got == want and len(got) > 0
+
+
+def test_case_exact_layout_misses_uppercase(spark, docs, tg_path):
+    got = trigram_search(spark, tg_path, docs, "MERGE (SORT|JOIN)", k=10)
+    assert got.count() == 0  # corpus is lowercase; case-exact finds nothing
+
+
+def test_where_predicate_composes(spark, docs, tg_path):
+    got = [r["doc_id"] for r in trigram_search(
+        spark, tg_path, docs, "merge (sort|join)", k=1000, where="lang = 'en'"
+    ).collect()]
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter("lang = 'en'")
+        .filter(F.col("text").rlike("merge (sort|join)"))
+        .select("doc_id").collect()
+    )[:1000]
+    assert got == want and len(got) > 0
