@@ -2295,6 +2295,71 @@ GROUP BY 1
 """
 
 
+SDIFF_LAG = 2
+MULTI_TERMS_K = 12
+
+
+def q_facet_serial_diff(spark, sf_dir):
+    """ES serial_diff pipeline agg: lag-2 differencing over the monthly
+    histogram (NULL first two buckets, like ES); the window runs on the
+    |buckets|-row aggregated frame."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_date_histogram_serial_diff(
+        FACET_QUERY, _date_meta(spark, sf_dir), "ts",
+        unit=DATE_HIST_UNIT, lag=SDIFF_LAG,
+    )
+
+
+def _facet_serial_diff_sql(query_terms: list[str]) -> str:
+    inner = _facet_date_histogram_sql(query_terms)
+    return f"""
+SELECT bucket, n, n - lag(n, {SDIFF_LAG}) OVER (ORDER BY bucket) AS sdiff
+FROM ({inner}) h
+"""
+
+
+def q_facet_stats_bucket(spark, sf_dir):
+    """ES stats_bucket (generalizes avg/sum/min/max_bucket): one row of
+    stats over the sibling monthly histogram's bucket counts."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_stats_bucket(
+        FACET_QUERY, _date_meta(spark, sf_dir), "ts",
+        unit=DATE_HIST_UNIT, round_dp=ROUND_DP,
+    )
+
+
+def _facet_stats_bucket_sql(query_terms: list[str]) -> str:
+    inner = _facet_date_histogram_sql(query_terms)
+    return f"""
+SELECT count(*)::BIGINT AS buckets, min(n) AS min_n, max(n) AS max_n,
+       sum(n) AS sum_n, round(avg(n), {ROUND_DP}) AS avg_n
+FROM ({inner}) h
+"""
+
+
+def q_facet_multi_terms(spark, sf_dir):
+    """ES multi_terms: compound-key (lang, source) buckets of the match
+    set, top-k by count with deterministic (count desc, keys asc) ties."""
+    eng = _shared_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return eng.facet_multi_terms(
+        FACET_QUERY, docs, ["lang", "source"], k=MULTI_TERMS_K
+    )
+
+
+def _facet_multi_terms_sql(query_terms: list[str]) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS ({_TF_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms}))
+SELECT d.lang AS lang, d.source AS source, count(*)::BIGINT AS n
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY n DESC, lang ASC, source ASC
+LIMIT {MULTI_TERMS_K}
+"""
+
+
 PIPE_WINDOW = 3
 
 
@@ -5889,6 +5954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_matrix_stats": q_facet_matrix_stats,
         "facet_date_histogram": q_facet_date_histogram,
         "facet_pipeline": q_facet_pipeline,
+        "facet_serial_diff": q_facet_serial_diff,
+        "facet_stats_bucket": q_facet_stats_bucket,
+        "facet_multi_terms": q_facet_multi_terms,
         "facet_percentiles": q_facet_percentiles,
         "facet_percentile_ranks": q_facet_percentile_ranks,
         "facet_weighted_avg": q_facet_weighted_avg,
@@ -6130,6 +6198,9 @@ ORDER BY doc_id LIMIT {TRIGRAM_K}
         ),
         "facet_date_histogram": _facet_date_histogram_sql(FACET_QUERY.split()),
         "facet_pipeline": _facet_pipeline_sql(FACET_QUERY.split()),
+        "facet_serial_diff": _facet_serial_diff_sql(FACET_QUERY.split()),
+        "facet_stats_bucket": _facet_stats_bucket_sql(FACET_QUERY.split()),
+        "facet_multi_terms": _facet_multi_terms_sql(FACET_QUERY.split()),
         "facet_percentiles": _facet_percentiles_sql(FACET_QUERY.split()),
         "facet_percentile_ranks": _facet_percentile_ranks_sql(FACET_QUERY.split()),
         "facet_weighted_avg": _facet_weighted_avg_sql(FACET_QUERY.split()),

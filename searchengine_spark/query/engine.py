@@ -1653,6 +1653,85 @@ class SearchEngine:
             F.round(F.avg("n").over(mov), round_dp).alias("moving_avg"),
         )
 
+    def facet_date_histogram_serial_diff(
+        self,
+        query: str,
+        metadata: DataFrame,
+        ts_col: str,
+        unit: str = "month",
+        lag: int = 1,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """ES ``serial_diff`` pipeline agg: n − lag(n, ``lag``) over the
+        date-histogram buckets (NULL for the first ``lag`` buckets, like
+        ES). lag=1 is the derivative; lag=seasonal-period removes
+        seasonality. Same |buckets|-row unpartitioned-window rule as
+        facet_date_histogram_pipeline. Returns [bucket, n, sdiff]."""
+        from pyspark.sql import Window
+
+        if lag < 1:
+            raise ValueError("lag must be ≥ 1")
+        h = self.facet_date_histogram(
+            query, metadata, ts_col, unit, mode, rewriter, doc_filter
+        )
+        w = Window.orderBy("bucket")
+        return h.select(
+            "bucket", "n", (F.col("n") - F.lag("n", lag).over(w)).alias("sdiff")
+        )
+
+    def facet_stats_bucket(
+        self,
+        query: str,
+        metadata: DataFrame,
+        ts_col: str,
+        unit: str = "month",
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+        round_dp: int = 5,
+    ) -> DataFrame:
+        """ES ``stats_bucket`` (generalizing avg/sum/min/max_bucket): ONE
+        row of statistics over the sibling histogram's bucket values —
+        buckets, min_n, max_n, sum_n, avg_n. The second-level aggregation
+        runs on the |buckets|-row frame; the corpus-scale work is the
+        histogram itself."""
+        h = self.facet_date_histogram(
+            query, metadata, ts_col, unit, mode, rewriter, doc_filter
+        )
+        return h.agg(
+            F.count(F.lit(1)).cast("long").alias("buckets"),
+            F.min("n").alias("min_n"),
+            F.max("n").alias("max_n"),
+            F.sum("n").alias("sum_n"),
+            F.round(F.avg("n"), round_dp).alias("avg_n"),
+        )
+
+    def facet_multi_terms(
+        self,
+        query: str,
+        metadata: DataFrame,
+        by_cols: list[str],
+        k: int = 10,
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """ES ``multi_terms``: bucket the match set by a COMPOUND key
+        (e.g. (lang, source)) and keep the top-k buckets by doc count —
+        one hash aggregation with map-side partials, then a
+        TakeOrderedAndProject cut (count desc, keys asc — deterministic).
+        Returns [*by_cols, n]."""
+        if not by_cols:
+            raise ValueError("by_cols must name at least one column")
+        m = self.matching_docs(query, mode, rewriter, doc_filter)
+        j = m.join(metadata.select("doc_id", *by_cols), "doc_id")
+        counts = j.groupBy(*by_cols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return counts.orderBy(
+            F.desc("n"), *[F.asc(c) for c in by_cols]
+        ).limit(k)
+
     def facet_percentiles(
         self,
         query: str,

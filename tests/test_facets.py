@@ -628,3 +628,56 @@ def test_auto_date_histogram_picks_interval(spark, corpus, eng):
     assert len(rows) <= 10
     for r in rows:
         assert r["bucket"] % iv == 0
+
+
+def test_serial_diff_stats_bucket_multi_terms(spark, corpus, eng):
+    """The three sibling aggs added round 3: serial_diff (lag-2
+    differencing), stats_bucket (one-row stats over bucket values), and
+    multi_terms (compound-key top buckets) — all brute-checked from the
+    plain histogram / match set."""
+    meta = corpus.select(
+        "doc_id",
+        F.expr(
+            "cast(date_add(date '2024-01-01', cast(doc_id % 200 as int))"
+            " as timestamp)"
+        ).alias("ts"),
+    )
+    plain = sorted(
+        (r["bucket"], r["n"])
+        for r in eng.facet_date_histogram("index merge", meta, "ts").collect()
+    )
+    got = {
+        r["bucket"]: r["sdiff"]
+        for r in eng.facet_date_histogram_serial_diff(
+            "index merge", meta, "ts", lag=2
+        ).collect()
+    }
+    for i, (b, n) in enumerate(plain):
+        want = None if i < 2 else n - plain[i - 2][1]
+        assert got[b] == want, b
+
+    sb = eng.facet_stats_bucket("index merge", meta, "ts").collect()[0]
+    ns = [n for _, n in plain]
+    assert (sb["buckets"], sb["min_n"], sb["max_n"], sb["sum_n"]) == (
+        len(ns), min(ns), max(ns), sum(ns)
+    )
+    assert abs(sb["avg_n"] - round(sum(ns) / len(ns), 5)) < 1e-9
+
+    mt = eng.facet_multi_terms(
+        "index merge", corpus, ["lang", "source"], k=5
+    ).collect()
+    from collections import Counter
+
+    matched = _truth_matched(spark, corpus, ["index", "merge"], "or")
+    truth = Counter(
+        (r["lang"], r["source"])
+        for r in corpus.select("doc_id", "lang", "source").collect()
+        if r["doc_id"] in matched
+    )
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [((r["lang"], r["source"]), r["n"]) for r in mt] == want
+
+    with pytest.raises(ValueError):
+        eng.facet_date_histogram_serial_diff("index merge", meta, "ts", lag=0)
+    with pytest.raises(ValueError):
+        eng.facet_multi_terms("index merge", corpus, [], k=5)
