@@ -304,3 +304,126 @@ def trigram_search(
         F.col("_text").rlike(rx)
     )
     return verified.select("doc_id").orderBy("doc_id").limit(k)
+
+
+def trigram_append(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally grow a trigram layout with NEW documents: their
+    distinct trigrams append into the same bucket partitions (no pinned
+    state beyond n_buckets/fold_case — the codec is a pure function of the
+    text), reader-identical to a full rebuild over the union. Same
+    contract as ``ops.similarity.ann_append``; duplicate doc_ids are the
+    caller's concern (append-only ids, or tombstone upstream)."""
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    src = f"lower({text_col})" if meta.get("fold_case") else text_col
+    tg = F.explode(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+                f" i -> substring({src}, i, 3))"
+            )
+        )
+    ).alias("trigram")
+    posts = (
+        df.select(F.col(id_col).alias("doc_id"), tg)
+        .distinct()
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("trigram"), F.lit(meta["n_buckets"]))
+        )
+    )
+    posts.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def trigram_search_batch(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    patterns: dict[str, str],
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batched grep: every pattern of the batch answered in ONE postings
+    scan + ONE verify pass — (pattern_id, doc_id) for the first ``k``
+    matches per pattern. The trigram filter is the UNION of the patterns'
+    required sets; per-pattern candidacy is a count-match against each
+    pattern's own requirement; verification joins the candidate (pattern,
+    doc) pairs to the corpus once and applies each pattern's regex via a
+    column-valued rlike. Patterns with an empty requirement are rejected
+    (run them individually with allow_full_scan).
+
+    The batch analogue of ``search_batch`` for the term index: scan,
+    shuffle, and verify amortize across the batch — the 100 TB throughput
+    shape for query streams."""
+    from pyspark.sql import Window
+
+    if not patterns:
+        raise ValueError("empty pattern batch")
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    fold = bool(meta.get("fold_case", False))
+    req_rows = []
+    nreq = {}
+    for pid, pat in sorted(patterns.items()):
+        req = sorted(required_trigrams(pat))
+        if fold:
+            req = sorted({t.lower() for t in req})
+        if not req:
+            raise ValueError(
+                f"pattern {pid}={pat!r} has no required trigram — run it "
+                "individually with allow_full_scan=True"
+            )
+        nreq[pid] = len(req)
+        req_rows += [(pid, t) for t in req]
+    all_tri = sorted({t for _, t in req_rows})
+    buckets = _buckets_for(spark, all_tri, meta["n_buckets"])
+
+    reqs = F.broadcast(
+        spark.createDataFrame(req_rows, "pattern_id string, trigram string")
+    )
+    need = F.broadcast(
+        spark.createDataFrame(
+            [(p, n) for p, n in nreq.items()], "pattern_id string, need int"
+        )
+    )
+    pats = F.broadcast(
+        spark.createDataFrame(
+            [(p, ("(?i)" if fold else "") + rx) for p, rx in sorted(patterns.items())],
+            "pattern_id string, rx string",
+        )
+    )
+    posts = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("trigram").isin(all_tri))
+    )
+    cand = (
+        posts.join(reqs, "trigram")
+        .groupBy("pattern_id", "doc_id")
+        .agg(F.countDistinct("trigram").alias("_nt"))
+        .join(need, "pattern_id")
+        .filter(F.col("_nt") == F.col("need"))
+        .select("pattern_id", "doc_id")
+    )
+    docs = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    verified = (
+        cand.join(docs, "doc_id")
+        .join(pats, "pattern_id")
+        .filter(F.expr("_text rlike rx"))
+        .select("pattern_id", "doc_id")
+    )
+    w = Window.partitionBy("pattern_id").orderBy("doc_id")
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

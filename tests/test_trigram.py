@@ -195,3 +195,48 @@ def test_where_predicate_composes(spark, docs, tg_path):
         .select("doc_id").collect()
     )[:1000]
     assert got == want and len(got) > 0
+
+
+def test_trigram_append_equals_full_rebuild(spark, docs, tmp_path):
+    from searchengine_spark.trigram import trigram_append
+
+    inc = str(tmp_path / "tg_inc")
+    full = str(tmp_path / "tg_full")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    build_trigram_index(half_a, inc, n_buckets=8)
+    trigram_append(half_b, inc)
+    build_trigram_index(docs, full, n_buckets=8)
+    pat = "merge (sort|join)"
+    got = [r["doc_id"] for r in trigram_search(spark, inc, docs, pat, k=1000).collect()]
+    want = [r["doc_id"] for r in trigram_search(spark, full, docs, pat, k=1000).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_batch_grep_equals_sequential(spark, docs, tg_path):
+    from searchengine_spark.trigram import trigram_search_batch
+
+    pats = {
+        "p1": "merge (sort|join)",
+        "p2": "customer",
+        "p3": "hash (scan )?join",
+    }
+    out = trigram_search_batch(spark, tg_path, docs, pats, k=1000).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["pattern_id"], []).append(r["doc_id"])
+    for pid, pat in pats.items():
+        want = [
+            r["doc_id"]
+            for r in trigram_search(spark, tg_path, docs, pat, k=1000).collect()
+        ]
+        assert sorted(got.get(pid, [])) == want, pid
+
+
+def test_batch_grep_rejects_unplannable(spark, docs, tg_path):
+    from searchengine_spark.trigram import trigram_search_batch
+
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        trigram_search_batch(spark, tg_path, docs, {"p": "a.?b"})
+    with pytest.raises(ValueError, match="empty pattern batch"):
+        trigram_search_batch(spark, tg_path, docs, {})
