@@ -498,6 +498,24 @@ def _cmd_grep(args) -> None:
 
     corpus = _load_grep_corpus(spark, args)
     t0 = time.time()
+    if args.lines:
+        from .trigram import trigram_search_lines
+
+        rows = trigram_search_lines(
+            spark, args.index, corpus, args.pattern, k=args.k,
+            max_lines_per_doc=args.max_lines_per_doc,
+            id_col=args.id_col, text_col=args.text_col, where=args.where,
+        ).collect()
+        print(json.dumps({
+            "pattern": args.pattern,
+            "sec": round(time.time() - t0, 2),
+            "hits": [
+                {"doc_id": int(r["doc_id"]), "line_no": int(r["line_no"]),
+                 "line": r["line"]}
+                for r in rows
+            ],
+        }))
+        return
     rows = trigram_search(
         spark, args.index, corpus, args.pattern, k=args.k,
         id_col=args.id_col, text_col=args.text_col,
@@ -1136,6 +1154,9 @@ def main(argv: list[str] | None = None) -> None:
                          "required literal trigram")
     gq.add_argument("--where", default=None,
                     help="metadata pre-filter on the corpus, e.g. \"lang = 'py'\"")
+    gq.add_argument("--lines", action="store_true",
+                    help="grep -n output: matching lines with line numbers")
+    gq.add_argument("--max-lines-per-doc", type=int, default=5)
     gq.set_defaults(fn=_cmd_grep)
 
     vf = sub.add_parser(

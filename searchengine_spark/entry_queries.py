@@ -130,6 +130,21 @@ def q_trigram_regexp(spark, sf_dir):
     return out.select("doc_id")
 
 
+GREP_LINES_K, GREP_LINES_CAP = 20, 3
+
+
+def q_grep_lines(spark, sf_dir):
+    """grep -n over the corpus: matching lines with 1-based line numbers
+    from trigram-pruned candidate docs, capped per doc — the code-search
+    result surface (doc, line_no, line)."""
+    from .trigram import trigram_search_lines
+
+    return trigram_search_lines(
+        spark, _trigram_index(spark, sf_dir), _docs(spark, sf_dir),
+        TRIGRAM_PATTERN, k=GREP_LINES_K, max_lines_per_doc=GREP_LINES_CAP,
+    )
+
+
 _SHARDED: dict[str, str] = {}
 N_SHARDS = 3
 
@@ -5939,6 +5954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": q_wildcard_topk,
         "regexp_topk": q_regexp_topk,
         "trigram_regexp": q_trigram_regexp,
+        "grep_lines": q_grep_lines,
         "fuzzy_topk": q_fuzzy_topk,
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
@@ -6176,6 +6192,21 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
 SELECT doc_id FROM documents
 WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
 ORDER BY doc_id LIMIT {TRIGRAM_K}
+""",
+        "grep_lines": f"""
+WITH hits AS (SELECT doc_id, text FROM documents
+              WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
+              ORDER BY doc_id LIMIT {GREP_LINES_K}),
+lines AS (SELECT doc_id,
+                 generate_subscripts(string_split(text, chr(10)), 1)::BIGINT
+                   AS line_no,
+                 unnest(string_split(text, chr(10))) AS line
+          FROM hits)
+SELECT doc_id, line_no, line FROM lines
+WHERE regexp_matches(line, '{TRIGRAM_PATTERN}')
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY line_no)
+        <= {GREP_LINES_CAP}
+ORDER BY doc_id, line_no
 """,
         "fuzzy_topk": _fuzzy_sql(
             FUZZY_TERM, FUZZY_MAX_EDITS, FUZZY_MAX_EXP, FUZZY_K

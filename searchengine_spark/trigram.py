@@ -427,3 +427,52 @@ def trigram_search_batch(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def trigram_search_lines(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    pattern: str,
+    k: int = 100,
+    max_lines_per_doc: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where=None,
+) -> DataFrame:
+    """``grep -n`` over the corpus: (doc_id, line_no, line) for lines
+    matching the pattern, first ``max_lines_per_doc`` lines per doc
+    (line_no ascending), first ``k`` docs ascending — deterministic.
+    Candidates come from ``trigram_search`` (trigram-pruned + doc-level
+    regex verified), so the line explode runs on MATCHING docs only; the
+    per-line regex is the same pattern re-anchored to single lines.
+
+    Note the doc-level verify uses the raw pattern: a pattern that only
+    matches ACROSS a newline ('a\\nb') yields doc hits but no line hits —
+    the classic grep -n contract."""
+    with open(_meta_path(path)) as f:
+        fold = bool(json.load(f).get("fold_case", False))
+    rx = f"(?i){pattern}" if fold else pattern
+    docs_hit = trigram_search(
+        spark, path, corpus, pattern, k=k, id_col=id_col, text_col=text_col,
+        where=where,
+    )
+    from pyspark.sql import Window
+
+    src = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).join(docs_hit, "doc_id", "left_semi")
+    lines = src.select(
+        "doc_id",
+        F.posexplode(F.split("_text", "\n")).alias("_pos", "line"),
+    ).select(
+        "doc_id", (F.col("_pos") + 1).cast("long").alias("line_no"), "line"
+    )
+    matched = lines.filter(F.col("line").rlike(rx))
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_lines_per_doc)
+        .drop("rn")
+        .orderBy("doc_id", "line_no")
+    )

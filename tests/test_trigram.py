@@ -240,3 +240,34 @@ def test_batch_grep_rejects_unplannable(spark, docs, tg_path):
         trigram_search_batch(spark, tg_path, docs, {"p": "a.?b"})
     with pytest.raises(ValueError, match="empty pattern batch"):
         trigram_search_batch(spark, tg_path, docs, {})
+
+
+def test_grep_lines_multiline(spark, tmp_path):
+    """grep -n semantics on a multi-line corpus: matching lines with
+    1-based line numbers, capped per doc, brute-checked with Python re."""
+    from searchengine_spark.trigram import trigram_search_lines
+
+    rows = [
+        (1, "def foo():\n    return merge_sort(x)\n# merge sort here\npass"),
+        (2, "no match at all\njust text"),
+        (3, "merge sort\nmerge sort\nmerge sort\nmerge sort"),
+        (4, "tail line merge sort"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "tg_ml")
+    build_trigram_index(df, p, n_buckets=4)
+    got = [
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in trigram_search_lines(
+            spark, p, df, "merge.sort", k=10, max_lines_per_doc=2
+        ).collect()
+    ]
+    want = []
+    for doc_id, text in rows:
+        n = 0
+        for i, line in enumerate(text.split("\n"), 1):
+            if re.search("merge.sort", line) and n < 2:
+                want.append((doc_id, i, line))
+                n += 1
+    assert got == want
+    assert (3, 3, "merge sort") not in got  # per-doc cap enforced
