@@ -2352,6 +2352,28 @@ FROM ({inner}) h
 """
 
 
+PB_PS = [0.25, 0.5, 0.9]
+
+
+def q_facet_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket: exact PERCENTILE_CONT percentiles of the
+    sibling monthly histogram's bucket counts (one row, p25/p50/p90)."""
+    eng = _shared_index(spark, sf_dir)
+    return eng.facet_percentiles_bucket(
+        FACET_QUERY, _date_meta(spark, sf_dir), "ts", PB_PS,
+        unit=DATE_HIST_UNIT, round_dp=ROUND_DP,
+    )
+
+
+def _facet_percentiles_bucket_sql(query_terms: list[str]) -> str:
+    inner = _facet_date_histogram_sql(query_terms)
+    cols = ", ".join(
+        f"round(quantile_cont(n, {p}), {ROUND_DP}) AS p{int(p * 100):02d}"
+        for p in PB_PS
+    )
+    return f"SELECT {cols} FROM ({inner}) h"
+
+
 def q_facet_multi_terms(spark, sf_dir):
     """ES multi_terms: compound-key (lang, source) buckets of the match
     set, top-k by count with deterministic (count desc, keys asc) ties."""
@@ -5972,6 +5994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pipeline": q_facet_pipeline,
         "facet_serial_diff": q_facet_serial_diff,
         "facet_stats_bucket": q_facet_stats_bucket,
+        "facet_percentiles_bucket": q_facet_percentiles_bucket,
         "facet_multi_terms": q_facet_multi_terms,
         "facet_percentiles": q_facet_percentiles,
         "facet_percentile_ranks": q_facet_percentile_ranks,
@@ -6231,6 +6254,9 @@ ORDER BY doc_id, line_no
         "facet_pipeline": _facet_pipeline_sql(FACET_QUERY.split()),
         "facet_serial_diff": _facet_serial_diff_sql(FACET_QUERY.split()),
         "facet_stats_bucket": _facet_stats_bucket_sql(FACET_QUERY.split()),
+        "facet_percentiles_bucket": _facet_percentiles_bucket_sql(
+            FACET_QUERY.split()
+        ),
         "facet_multi_terms": _facet_multi_terms_sql(FACET_QUERY.split()),
         "facet_percentiles": _facet_percentiles_sql(FACET_QUERY.split()),
         "facet_percentile_ranks": _facet_percentile_ranks_sql(FACET_QUERY.split()),

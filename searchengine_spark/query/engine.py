@@ -1708,6 +1708,37 @@ class SearchEngine:
             F.round(F.avg("n"), round_dp).alias("avg_n"),
         )
 
+    def facet_percentiles_bucket(
+        self,
+        query: str,
+        metadata: DataFrame,
+        ts_col: str,
+        percentiles: list[float],
+        unit: str = "month",
+        mode: str = "or",
+        rewriter=None,
+        doc_filter=None,
+        round_dp: int = 5,
+    ) -> DataFrame:
+        """ES ``percentiles_bucket``: exact linear-interpolation percentiles
+        of the sibling histogram's bucket values — one row with a p<xx>
+        column per requested percentile (PERCENTILE_CONT semantics, same
+        exactness contract as facet_percentiles). Second-level agg on the
+        |buckets|-row frame."""
+        if not percentiles or not all(0.0 < p <= 1.0 for p in percentiles):
+            raise ValueError("percentiles must be fractions in (0, 1]")
+        h = self.facet_date_histogram(
+            query, metadata, ts_col, unit, mode, rewriter, doc_filter
+        )
+        return h.agg(
+            *[
+                F.round(F.percentile("n", p), round_dp).alias(
+                    f"p{int(p * 100):02d}"
+                )
+                for p in percentiles
+            ]
+        )
+
     def facet_multi_terms(
         self,
         query: str,
