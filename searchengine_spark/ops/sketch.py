@@ -436,8 +436,12 @@ def heavy_hitters(
             )
 
     cols = [item_col] + ([w] if w else [])
-    summaries = df.select(*cols).mapInPandas(
-        summarize, schema=_HH_SUMMARY_SCHEMA
+    # persisted: the summary pass is read three times (E/candidate-count
+    # agg, candidate distinct, and the verify join's broadcast side) — one
+    # mapInPandas scan instead of three; ≤ (m+1)·batches tiny rows
+    summaries = (
+        df.select(*cols).mapInPandas(summarize, schema=_HH_SUMMARY_SCHEMA)
+        .persist()
     )
     stats = summaries.agg(
         F.sum("thr").alias("e"),
@@ -469,6 +473,7 @@ def heavy_hitters(
         top_rows = full.orderBy(F.desc("cnt"), F.asc("item")).limit(k).collect()
         info["fallback"] = True
         info["certified"] = True
+    summaries.unpersist()
     out = spark.createDataFrame(
         [(r["item"], int(r["cnt"]), i + 1) for i, r in enumerate(top_rows)]
         or [],
