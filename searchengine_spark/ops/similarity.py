@@ -1854,6 +1854,9 @@ def ann_append(
     NEVER refit on append — drift between the pinned quantizer and a
     shifting vector distribution degrades recall, not correctness, and is
     fixed by a full rewrite (the ANN analogue of index compaction).
+    Parquet appends are NOT atomic for a concurrently listing reader —
+    run maintenance off the serving path, or use ``stream_ann_append``
+    whose per-epoch directories commit atomically per micro-batch.
 
     ``id_col``/``vec_col`` override the sidecar's recorded names when the
     incoming frame differs (sq8 layouts predating vec_col recording default

@@ -317,7 +317,10 @@ def trigram_append(
     state beyond n_buckets/fold_case — the codec is a pure function of the
     text), reader-identical to a full rebuild over the union. Same
     contract as ``ops.similarity.ann_append``; duplicate doc_ids are the
-    caller's concern (append-only ids, or tombstone upstream)."""
+    caller's concern (append-only ids, or tombstone upstream). Parquet
+    appends are NOT atomic for a concurrently listing reader — run
+    maintenance off the serving path (or snapshot the dir first), like the
+    term index does with its manifest/meta pointer swaps."""
     with open(_meta_path(path)) as f:
         meta = json.load(f)
     src = f"lower({text_col})" if meta.get("fold_case") else text_col
