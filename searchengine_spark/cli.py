@@ -498,6 +498,19 @@ def _cmd_grep(args) -> None:
 
     corpus = _load_grep_corpus(spark, args)
     t0 = time.time()
+    if args.facet:
+        from .trigram import trigram_match_counts
+
+        rows = trigram_match_counts(
+            spark, args.index, corpus, args.pattern, by=args.facet,
+            id_col=args.id_col, text_col=args.text_col,
+        ).collect()
+        print(json.dumps({
+            "pattern": args.pattern,
+            "sec": round(time.time() - t0, 2),
+            "facets": {r[args.facet]: int(r["n"]) for r in rows},
+        }))
+        return
     if args.lines:
         from .trigram import trigram_search_lines
 
@@ -1156,6 +1169,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="metadata pre-filter on the corpus, e.g. \"lang = 'py'\"")
     gq.add_argument("--lines", action="store_true",
                     help="grep -n output: matching lines with line numbers")
+    gq.add_argument("--facet", default=None,
+                    help="facet counts over the FULL match set by this column")
     gq.add_argument("--max-lines-per-doc", type=int, default=5)
     gq.set_defaults(fn=_cmd_grep)
 

@@ -130,6 +130,17 @@ def q_trigram_regexp(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_grep_facet(spark, sf_dir):
+    """Facet counts over the FULL grep match set (matches per lang) —
+    pruned candidates + regex verify, no k cut, one hash agg."""
+    from .trigram import trigram_match_counts
+
+    return trigram_match_counts(
+        spark, _trigram_index(spark, sf_dir), _docs(spark, sf_dir),
+        TRIGRAM_PATTERN, by="lang",
+    )
+
+
 GREP_LINES_K, GREP_LINES_CAP = 20, 3
 
 
@@ -5977,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_topk": q_regexp_topk,
         "trigram_regexp": q_trigram_regexp,
         "grep_lines": q_grep_lines,
+        "grep_facet": q_grep_facet,
         "fuzzy_topk": q_fuzzy_topk,
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
@@ -6215,6 +6227,11 @@ ORDER BY score DESC, doc_id ASC LIMIT {LM_INDEX_K}
 SELECT doc_id FROM documents
 WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
 ORDER BY doc_id LIMIT {TRIGRAM_K}
+""",
+        "grep_facet": f"""
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_PATTERN}')
+GROUP BY lang ORDER BY n DESC, lang ASC
 """,
         "grep_lines": f"""
 WITH hits AS (SELECT doc_id, text FROM documents

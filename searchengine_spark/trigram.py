@@ -479,3 +479,56 @@ def trigram_search_lines(
         .drop("rn")
         .orderBy("doc_id", "line_no")
     )
+
+
+def trigram_match_counts(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    pattern: str,
+    by: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Facet counts over the FULL regex match set: (by, n) per value of a
+    metadata column, n descending then value ascending — "how many matches
+    per repo/lang", the code-search analytics surface. Same pruned
+    candidates + verify as ``trigram_search`` but WITHOUT the k cut: the
+    aggregation wants the whole match set, and the regex still runs on
+    candidates only."""
+    req = sorted(required_trigrams(pattern))
+    if not req:
+        raise ValueError(
+            f"pattern {pattern!r} has no required literal trigram — facet "
+            "over a full-scan pattern by filtering the corpus directly"
+        )
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    if meta.get("fold_case"):
+        req = sorted({t.lower() for t in req})
+        pattern = f"(?i){pattern}"
+    buckets = _buckets_for(spark, req, meta["n_buckets"])
+    posts = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("trigram").isin(req))
+    )
+    cand = (
+        posts.groupBy("doc_id")
+        .agg(F.countDistinct("trigram").alias("_nt"))
+        .filter(F.col("_nt") == len(req))
+        .select("doc_id")
+    )
+    docs = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.col(by).alias("_by"),
+    )
+    verified = docs.join(cand, "doc_id", "left_semi").filter(
+        F.col("_text").rlike(pattern)
+    )
+    return (
+        verified.groupBy(F.col("_by").alias(by))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc(by))
+    )
