@@ -4452,6 +4452,33 @@ def _winnow_fps_sql() -> str:
     return winnow_fingerprints_sql("documents", WINNOW_K, WINNOW_W)
 
 
+FORK_TAU, FORK_MIN_SHARED = 0.001, 2
+
+
+def q_fork_pairs(spark, sf_dir):
+    """Repo-level fork detection (StarCoder dedup above file level):
+    source pairs ranked by winnowing-fingerprint containment
+    shared/min(|A|,|B|), boilerplate fingerprints capped out. tau is set
+    permissively here (the sf sources are unrelated, so containments are
+    tiny); the fork-vs-unrelated discrimination is pytest-tested on a
+    constructed fork corpus."""
+    from .ops.code import fork_pairs
+
+    return fork_pairs(
+        _docs(spark, sf_dir), "source", k=WINNOW_K, w=WINNOW_W,
+        tau=FORK_TAU, min_shared=FORK_MIN_SHARED, round_dp=ROUND_DP,
+    )
+
+
+def _fork_pairs_sql() -> str:
+    from .ops.code import fork_pairs_sql
+
+    return fork_pairs_sql(
+        _winnow_fps_sql(), "documents", "source",
+        tau=FORK_TAU, min_shared=FORK_MIN_SHARED, round_dp=ROUND_DP,
+    )
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Code-clone pair detection over the winnowing fingerprints: pairs
     ranked by distinct shared fingerprint hashes (one hash equi-join, the
@@ -5989,6 +6016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_regexp": q_trigram_regexp,
         "grep_lines": q_grep_lines,
         "grep_facet": q_grep_facet,
+        "fork_pairs": q_fork_pairs,
         "fuzzy_topk": q_fuzzy_topk,
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
@@ -6368,6 +6396,7 @@ ORDER BY doc_id, line_no
         "license_detect": _license_detect_sql(),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_pairs": _winnow_pairs_sql(),
+        "fork_pairs": _fork_pairs_sql(),
         "c4_clean": _c4_clean_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),

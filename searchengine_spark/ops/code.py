@@ -540,3 +540,109 @@ WHERE doc_a < doc_b
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def fork_pairs(
+    df: DataFrame,
+    group_col: str,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.5,
+    min_shared: int = 2,
+    max_groups_per_fp: int = 50,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Repo-level fork detection (the StarCoder/The-Stack dedup step above
+    file level): rank GROUP pairs (repo, site, source…) by winnowing-
+    fingerprint containment — ``shared / min(|A|, |B|)`` over each group's
+    DISTINCT fingerprint set — and keep pairs ≥ ``tau``. A fork that
+    renamed/moved files still shares most content fingerprints, which
+    file-level exact hashing misses.
+
+    Boilerplate guard: fingerprints present in more than
+    ``max_groups_per_fp`` groups (license headers, generated preambles)
+    are EXCLUDED from pair generation — the MOSS shared-corpus rule and
+    the same cap playbook as MinHash banding; at 10^12 files this is also
+    what bounds the f²/2 pair blowup of ubiquitous hashes.
+
+    Scale shape: fingerprints are per-doc windows (one doc-partitioned
+    shuffle), group sets one distinct, pair-gen one fp equi-join whose
+    width the cap bounds, containment a broadcast-size join against the
+    |groups|-row size table. Returns
+    (group_a, group_b, shared, n_a, n_b, containment) ordered by
+    containment desc, then names."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    member = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(group_col).alias("grp"))
+    gfp = fps.join(member, "doc_id").select("grp", "fp").distinct()
+    keep = (
+        gfp.groupBy("fp")
+        .agg(F.countDistinct("grp").alias("_ng"))
+        .where(F.col("_ng") <= max_groups_per_fp)
+        .select("fp")
+    )
+    gfp = gfp.join(keep, "fp", "left_semi")
+    sizes = gfp.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    a = gfp.select(F.col("grp").alias("group_a"), "fp")
+    b = gfp.select(F.col("grp").alias("group_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sz = F.broadcast(sizes)
+    out = (
+        pairs.join(sz.select(F.col("grp").alias("group_a"),
+                             F.col("n").alias("n_a")), "group_a")
+        .join(sz.select(F.col("grp").alias("group_b"),
+                        F.col("n").alias("n_b")), "group_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), round_dp),
+        )
+        .where(F.col("containment") >= tau)
+    )
+    return out.select(
+        "group_a", "group_b", "shared", "n_a", "n_b", "containment"
+    ).orderBy(F.desc("containment"), F.asc("group_a"), F.asc("group_b"))
+
+
+def fork_pairs_sql(
+    fps_sql: str,
+    table: str,
+    group_col: str,
+    tau: float = 0.5,
+    min_shared: int = 2,
+    max_groups_per_fp: int = 50,
+    round_dp: int = 5,
+) -> str:
+    """DuckDB twin of ``fork_pairs`` over the same fingerprint CTE."""
+    return f"""
+WITH fps AS ({fps_sql}),
+member AS (SELECT doc_id, {group_col} AS grp FROM {table}),
+gfp0 AS (SELECT DISTINCT m.grp, f.fp FROM fps f JOIN member m USING (doc_id)),
+keep AS (SELECT fp FROM gfp0 GROUP BY fp
+         HAVING count(DISTINCT grp) <= {max_groups_per_fp}),
+gfp AS (SELECT g.grp, g.fp FROM gfp0 g JOIN keep USING (fp)),
+sizes AS (SELECT grp, count(*) AS n FROM gfp GROUP BY grp),
+pairs AS (
+  SELECT a.grp AS group_a, b.grp AS group_b, count(*)::BIGINT AS shared
+  FROM gfp a JOIN gfp b USING (fp)
+  WHERE a.grp < b.grp
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared})
+SELECT p.group_a, p.group_b, p.shared,
+       sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+       round(p.shared / least(sa.n, sb.n), {round_dp}) AS containment
+FROM pairs p
+JOIN sizes sa ON sa.grp = p.group_a
+JOIN sizes sb ON sb.grp = p.group_b
+WHERE round(p.shared / least(sa.n, sb.n), {round_dp}) >= {tau}
+ORDER BY containment DESC, group_a ASC, group_b ASC
+"""

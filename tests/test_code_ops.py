@@ -82,3 +82,48 @@ def test_imports_three_way_identity(spark):
     assert ("include", "stdio.h") in by_doc[2] and ("include", "local/util.h") in by_doc[2]
     assert ("require", "lodash/fp") in by_doc[3] and ("import", "React") in by_doc[3]
     assert 4 not in by_doc  # 'important'/'importance' must not match
+
+
+def test_fork_pairs_detects_renamed_fork(spark):
+    """A fork (same content, files renamed/one modified) must pair with
+    its origin at high containment; an unrelated repo must not; a header
+    shared by ALL repos is boilerplate-capped out of pair generation."""
+    from searchengine_spark.ops.code import fork_pairs
+
+    header = "copyright license header apache version two"
+    bodies = [
+        "merge sort implementation with stable partition logic here",
+        "hash join build probe side with bloom filter pushdown",
+        "window aggregate frame pointer chasing elimination pass",
+        "columnar scan vectorized decode dictionary runlength",
+    ]
+    rows = []
+    for i, b in enumerate(bodies):  # origin repo A
+        rows.append((100 + i, "A", f"{header} {b}"))
+    for i, b in enumerate(bodies[:3]):  # fork B: 3 of 4 files kept
+        rows.append((200 + i, "B", f"{header} {b}"))
+    rows.append((203, "B", f"{header} totally rewritten custom kernel code"))
+    for i in range(4):  # unrelated repo C shares ONLY the header
+        rows.append((300 + i, "C",
+                     f"{header} unrelated text number {i} about nothing"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = fork_pairs(
+        df, "source", k=3, w=3, tau=0.4, min_shared=2, max_groups_per_fp=2
+    ).collect()
+    pairs = {(r["group_a"], r["group_b"]): r["containment"] for r in out}
+    assert ("A", "B") in pairs and pairs[("A", "B")] >= 0.4
+    assert ("A", "C") not in pairs and ("B", "C") not in pairs
+
+    # without the boilerplate cap the header fingerprints would link C too
+    uncapped = fork_pairs(
+        df, "source", k=3, w=3, tau=0.01, min_shared=1,
+        max_groups_per_fp=1000,
+    ).collect()
+    ug = {(r["group_a"], r["group_b"]) for r in uncapped}
+    assert ("A", "C") in ug  # the cap is what kept C out above
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fork_pairs(df, "source", tau=0.0)
