@@ -360,6 +360,14 @@ def main() -> None:
         ).count(),
     )
     shutil.rmtree(os.path.dirname(tg_dir), ignore_errors=True)
+
+    # repo-level fork detection: winnow fingerprints -> capped fp equi-join
+    from searchengine_spark.ops.code import fork_pairs
+
+    timed(
+        "fork_pairs",
+        lambda: fork_pairs(docs, "source", tau=0.001, min_shared=2).count(),
+    )
     timed(
         "maxsim_topk",
         lambda: maxsim_topk(

@@ -532,3 +532,53 @@ def trigram_match_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc(by))
     )
+
+
+def stream_trigram_append(
+    spark: SparkSession,
+    source_dir: str,
+    path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Maintain a trigram layout over a Structured Stream of new docs:
+    each micro-batch's postings land in ``path/epoch=<id>/bucket=…``
+    (OVERWRITE per epoch — crash replay rewrites the same directory, so
+    ingestion is exactly-once), and the readers work UNCHANGED (parquet
+    partition discovery layers epoch above bucket; the bucket IN-filter
+    prunes within every epoch). Initialize with an EMPTY build
+    (``build_trigram_index(df.limit(0), path, …)``) so the sidecar exists
+    and every data file lives under an epoch — the same contract as
+    ``ops.similarity.stream_ann_append``."""
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    src = f"lower({text_col})" if meta.get("fold_case") else text_col
+    nb = meta["n_buckets"]
+
+    def fold(batch_df, epoch_id: int) -> None:
+        tg = F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - 2,"
+                    f" 0)), i -> substring({src}, i, 3))"
+                )
+            )
+        ).alias("trigram")
+        posts = (
+            batch_df.select(F.col(id_col).alias("doc_id"), tg)
+            .distinct()
+            .withColumn("bucket", F.pmod(F.xxhash64("trigram"), F.lit(nb)))
+        )
+        posts.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -271,3 +271,32 @@ def test_grep_lines_multiline(spark, tmp_path):
                 n += 1
     assert got == want
     assert (3, 3, "merge sort") not in got  # per-doc cap enforced
+
+
+def test_stream_trigram_append_matches_batch(spark, docs, tmp_path):
+    """Streamed trigram ingestion: empty-initialized layout + two
+    micro-batches == a batch build over the union, through the unchanged
+    search path."""
+    from searchengine_spark.trigram import stream_trigram_append
+
+    src = str(tmp_path / "dsrc")
+    inc = str(tmp_path / "tg_stream")
+    full = str(tmp_path / "tg_batch2")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    half_b = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    build_trigram_index(docs.limit(0), inc, n_buckets=8)  # sidecar only
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    q = stream_trigram_append(spark, src, inc, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        half_b.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    build_trigram_index(docs, full, n_buckets=8)
+    pat = "merge (sort|join)"
+    got = [r["doc_id"] for r in trigram_search(spark, inc, docs, pat, k=1000).collect()]
+    want = [r["doc_id"] for r in trigram_search(spark, full, docs, pat, k=1000).collect()]
+    assert got == want and len(got) > 0
