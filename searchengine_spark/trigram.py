@@ -56,13 +56,6 @@ def _trigrams(s: str) -> set[str]:
     return {s[i:i + 3] for i in range(len(s) - 2)}
 
 
-def _branch_set(runs: list[str]) -> set[str]:
-    out: set[str] = set()
-    for r in runs:
-        out |= _trigrams(r)
-    return out
-
-
 def _parse_alt(pat: str, i: int) -> tuple[set[str], int]:
     """Parse an alternation until ')' or end; returns (required trigram
     set, index of the terminator). Concat unions, '|' intersects."""
