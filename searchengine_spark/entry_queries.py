@@ -130,6 +130,37 @@ def q_trigram_regexp(spark, sf_dir):
     return out.select("doc_id")
 
 
+GREP_BATCH = {
+    "g1": "merge (sort|join)",
+    "g2": "customer",
+    "g3": "hash (scan )?join",
+}
+GREP_BATCH_K = 100
+
+
+def q_grep_batch(spark, sf_dir):
+    """Batched grep: the whole pattern batch in ONE postings scan + ONE
+    column-valued-rlike verify pass — (pattern_id, doc_id), first k docs
+    per pattern."""
+    from .trigram import trigram_search_batch
+
+    return trigram_search_batch(
+        spark, _trigram_index(spark, sf_dir), _docs(spark, sf_dir),
+        GREP_BATCH, k=GREP_BATCH_K,
+    )
+
+
+def _grep_batch_sql() -> str:
+    parts = [
+        f"""
+SELECT '{pid}' AS pattern_id, doc_id FROM documents
+WHERE regexp_matches(text, '{pat}')
+ORDER BY doc_id LIMIT {GREP_BATCH_K}"""
+        for pid, pat in sorted(GREP_BATCH.items())
+    ]
+    return " UNION ALL ".join(f"({p})" for p in parts)
+
+
 def q_grep_facet(spark, sf_dir):
     """Facet counts over the FULL grep match set (matches per lang) —
     pruned candidates + regex verify, no k cut, one hash agg."""
@@ -6017,6 +6048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_lines": q_grep_lines,
         "grep_facet": q_grep_facet,
         "fork_pairs": q_fork_pairs,
+        "grep_batch": q_grep_batch,
         "fuzzy_topk": q_fuzzy_topk,
         "mlt_topk": q_mlt_topk,
         "facet_lang_or": q_facet_lang_or,
@@ -6397,6 +6429,7 @@ ORDER BY doc_id, line_no
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_pairs": _winnow_pairs_sql(),
         "fork_pairs": _fork_pairs_sql(),
+        "grep_batch": _grep_batch_sql(),
         "c4_clean": _c4_clean_sql(),
         "asof_join": _asof_join_sql(),
         "range_join": _range_join_sql(),
