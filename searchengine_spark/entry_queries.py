@@ -4389,6 +4389,103 @@ def _definitions_sql() -> str:
     )
 
 
+# Definition-dense fixture for the stored symbol layout (shared prefixes,
+# one name defined across four files, a duplicate def site inside doc 5,
+# every keyword family) — the sf corpus is prose, so symbol entries run on
+# this like code_definitions does on CODE_FIXTURE.
+SYMBOL_FIXTURE = [
+    (1, "def parse_tokens(s): pass\nclass ParseTree: pass"),
+    (2, "def parse_tokens(s, opts): pass\ndef parse_header(h): pass"),
+    (3, "fn parse_tokens(input) {}\nstruct ParseTree {}"),
+    (4, "class ParseError(Exception): pass\ndef parse_header(h): pass"),
+    (5, "def parse_tokens(x): return x\ndef parse_tokens(x, y): return y"),
+    (6, "func mergeRuns(rs) {}\ninterface Runner {}"),
+    (7, "function renderPage(doc) {}\nenum Color { RED }"),
+    (8, "trait Parser {}\nfn parse_header(h) {}"),
+    (9, "class Runner: pass\ndef run(self): pass"),
+    (10, "no definitions in this file at all"),
+]
+SYMBOL_LOOKUP_NAME = "parse_tokens"
+SYMBOL_PREFIX = "parse"
+SYMBOL_PREFIX_K = 5
+
+_SYMBOL_LAYOUT: list[str] = []
+
+
+def _symbol_layout(spark) -> str:
+    """ONE symbol layout build per process (same sharing rule as
+    _shared_index — the fixture is sf-independent)."""
+    from .ops.code import symbol_write
+
+    if not _SYMBOL_LAYOUT:
+        path = _tmpdir("sesym_") + "/symbols"
+        symbol_write(
+            spark.createDataFrame(SYMBOL_FIXTURE, "doc_id long, text string"),
+            path,
+            n_buckets=16,
+        )
+        _SYMBOL_LAYOUT.append(path)
+    return _SYMBOL_LAYOUT[0]
+
+
+def q_symbol_lookup(spark, sf_dir):
+    """Go-to-definition over the STORED symbol layout (ops/code.py
+    symbol_write/symbol_lookup): every def site of one name, read from a
+    single md5-bucket partition (partition-pruned; plan-tested in
+    tests/test_symbols.py). Duplicate sites preserved (doc 5 defines the
+    name twice = two rows)."""
+    from .ops.code import symbol_lookup
+
+    return symbol_lookup(spark, _symbol_layout(spark), SYMBOL_LOOKUP_NAME)
+
+
+def q_symbol_prefix(spark, sf_dir):
+    """Go-to-symbol suggest over the name-sorted stats sublayout: top-k
+    symbols by prefix, widest file spread first (StringStartsWith pushed
+    to the parquet scan; row-group pruning via the sorted layout)."""
+    from .ops.code import symbol_prefix_topk
+
+    return symbol_prefix_topk(
+        spark, _symbol_layout(spark), SYMBOL_PREFIX, k=SYMBOL_PREFIX_K
+    )
+
+
+def _symbol_defs_cte() -> str:
+    from .ops.code import definitions_sql
+
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in SYMBOL_FIXTURE
+    )
+    return (
+        f"WITH sym_docs(doc_id, text) AS (VALUES {vals}),\n"
+        f"sym_defs AS ({definitions_sql('sym_docs')})"
+    )
+
+
+def _symbol_lookup_sql() -> str:
+    return (
+        _symbol_defs_cte()
+        + f"\nSELECT doc_id, kind, name FROM sym_defs "
+        f"WHERE name = '{SYMBOL_LOOKUP_NAME}'"
+    )
+
+
+def _symbol_prefix_sql() -> str:
+    return (
+        _symbol_defs_cte()
+        + f""",
+sym_stats AS (
+  SELECT name, kind, count(*)::BIGINT AS n_defs,
+         count(DISTINCT doc_id)::BIGINT AS n_files
+  FROM sym_defs GROUP BY 1, 2)
+SELECT name, kind, n_defs, n_files FROM sym_stats
+WHERE name LIKE '{SYMBOL_PREFIX}%'
+ORDER BY n_files DESC, n_defs DESC, name ASC, kind ASC
+LIMIT {SYMBOL_PREFIX_K}"""
+    )
+
+
 # Multi-line source-file fixture for the quality/license ops (the sf
 # corpus is single-line prose, so a corpus-side check of line-shape
 # stats would be vacuous — same call as entity_tokens/code_tokens).
@@ -6151,6 +6248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention_cohorts": q_retention,
         "code_definitions": q_definitions,
+        "symbol_lookup": q_symbol_lookup,
+        "symbol_prefix": q_symbol_prefix,
         "code_imports": q_code_imports,
         "code_quality": q_code_quality,
         "license_detect": q_license_detect,
@@ -6423,6 +6522,8 @@ ORDER BY doc_id, line_no
         "funnel": __funnel_sql(),
         "retention_cohorts": _retention_sql(),
         "code_definitions": _definitions_sql(),
+        "symbol_lookup": _symbol_lookup_sql(),
+        "symbol_prefix": _symbol_prefix_sql(),
         "code_imports": _code_imports_sql(),
         "code_quality": _code_quality_sql(),
         "license_detect": _license_detect_sql(),

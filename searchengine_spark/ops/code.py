@@ -646,3 +646,119 @@ JOIN sizes sb ON sb.grp = p.group_b
 WHERE round(p.shared / least(sa.n, sb.n), {round_dp}) >= {tau}
 ORDER BY containment DESC, group_a ASC, group_b ASC
 """
+
+
+# ------------------------------------------------- stored symbol layout
+# Go-to-definition as a STORAGE problem (Sourcegraph's symbol sidecar /
+# ctags index; absent in the reference, which has no code surface at
+# all). At 10^12 files the definitions table is itself huge — billions
+# of rows — so point lookups ("where is parseQueryString defined?")
+# must not scan it. Two sublayouts under one root:
+#
+#   defs/   (doc_id, kind, name) partitionBy(sym_bucket): an exact-name
+#           lookup computes the bucket driver-side and reads ONE of
+#           n_buckets partitions — the scan's PartitionFilters prune the
+#           rest (plan-tested).
+#   stats/  (name, kind, n_defs, n_files) range-partitioned AND sorted
+#           by name: prefix suggest ("go to symbol: pars…") pushes
+#           StringStartsWith into the parquet scan, where the sorted
+#           layout makes row-group min/max pruning effective.
+#
+# The bucket function is the engine-portable md5 prefix (same idiom as
+# ops.sampling): Spark column expr and Python twin agree digit-for-digit,
+# so the reader can compute the target partition without a JVM call.
+
+_SYM_META = "_symbols_meta.json"
+
+
+def _sym_bucket_col(name_col: str, n_buckets: int):
+    h = F.conv(F.substring(F.md5(F.col(name_col)), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(n_buckets)).cast("int")
+
+
+def symbol_bucket_py(name: str, n_buckets: int) -> int:
+    """Python twin of ``_sym_bucket_col`` (driver-side partition choice)."""
+    import hashlib
+
+    return int(hashlib.md5(name.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def symbol_write(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the symbol layout for ``df``'s corpus. The pre-write
+    ``repartition(sym_bucket)`` clusters each bucket into one task's
+    output (at 100 TB size it as repartition(N, sym_bucket) to hit the
+    per-file target); stats/ is range-partitioned so each file owns a
+    contiguous name range and row-group pruning works for prefixes."""
+    import json
+    import os
+
+    defs = definitions(df, id_col, text_col)
+    (
+        defs.withColumn("sym_bucket", _sym_bucket_col("name", n_buckets))
+        .repartition("sym_bucket")
+        .write.mode("overwrite")
+        .partitionBy("sym_bucket")
+        .parquet(os.path.join(path, "defs"))
+    )
+    n_stats_parts = max(1, n_buckets // 8)
+    (
+        symbol_stats(defs)
+        .repartitionByRange(n_stats_parts, "name")
+        .sortWithinPartitions("name", "kind")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "stats"))
+    )
+    tmp = os.path.join(path, _SYM_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"kind": "symbols", "n_buckets": n_buckets, "id_col": id_col},
+            f,
+        )
+    os.replace(tmp, os.path.join(path, _SYM_META))
+
+
+def read_symbol_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _SYM_META)) as f:
+        return json.load(f)
+
+
+def symbol_lookup(spark, path: str, name: str) -> DataFrame:
+    """Go-to-definition: every definition site of ``name``, read from ONE
+    bucket partition (duplicates preserved — two def sites in one file
+    are two rows, same contract as ``definitions``)."""
+    import os
+
+    meta = read_symbol_meta(path)
+    b = symbol_bucket_py(name, int(meta["n_buckets"]))
+    return (
+        spark.read.parquet(os.path.join(path, "defs"))
+        .filter((F.col("sym_bucket") == b) & (F.col("name") == name))
+        .select("doc_id", "kind", "name")
+    )
+
+
+def symbol_prefix_topk(spark, path: str, prefix: str, k: int = 10) -> DataFrame:
+    """Go-to-symbol suggest: top-k symbols starting with ``prefix``,
+    widest spread first (n_files desc, n_defs desc, then name/kind for a
+    total order). The startswith filter is pushed to the parquet scan
+    (StringStartsWith in PushedFilters); the name-sorted layout turns it
+    into row-group pruning instead of a full stats read."""
+    import os
+
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    return (
+        stats.filter(F.col("name").startswith(prefix))
+        .orderBy(
+            F.desc("n_files"), F.desc("n_defs"), F.asc("name"), F.asc("kind")
+        )
+        .limit(k)
+    )

@@ -1,0 +1,108 @@
+"""Stored symbol layout (go-to-definition as storage): ``symbol_write``
+persists the definitions table partitioned by name bucket plus a
+name-sorted stats sublayout; readers must (a) match the compute-per-query
+``definitions`` path, and (b) prove in the PHYSICAL PLAN that an exact
+lookup partition-prunes to one bucket and a prefix suggest pushes
+StringStartsWith into the scan — the properties that keep point lookups
+O(1/n_buckets) on a billions-of-rows definitions table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.ops import code as C
+
+from test_ann_stored import files_scanned, plan_of
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(120):
+        body = f"def sym_{i}(x): return x\nclass Type{i % 7}: pass"
+        if i % 10 == 0:
+            # a second def site of the SAME name in the same file
+            body += f"\ndef sym_{i}(x, y): return y"
+        rows.append((i, body))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def sym_path(spark, corpus, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("symbols") / "layout")
+    C.symbol_write(corpus, p, n_buckets=16)
+    return p
+
+
+def test_bucket_twin_agrees_with_spark(spark):
+    names = [f"sym_{i}" for i in range(50)] + ["Type0", "parseQueryString"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["b"]
+        for r in df.select("name", C._sym_bucket_col("name", 16).alias("b")).collect()
+    }
+    for n in names:
+        assert got[n] == C.symbol_bucket_py(n, 16), n
+
+
+def test_lookup_matches_definitions(spark, corpus, sym_path):
+    for name in ("sym_3", "sym_10", "Type2"):
+        stored = sorted(
+            (r["doc_id"], r["kind"], r["name"])
+            for r in C.symbol_lookup(spark, sym_path, name).collect()
+        )
+        computed = sorted(
+            (r["doc_id"], r["kind"], r["name"])
+            for r in C.definitions(corpus).filter(F.col("name") == name).collect()
+        )
+        assert stored == computed and stored
+
+
+def test_lookup_preserves_duplicate_sites(spark, sym_path):
+    # doc 10 defines sym_10 twice — both sites must survive the layout
+    rows = C.symbol_lookup(spark, sym_path, "sym_10").collect()
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {10}
+
+
+def test_lookup_scan_is_partition_pruned(spark, sym_path):
+    import os
+
+    meta = C.read_symbol_meta(sym_path)
+    b = C.symbol_bucket_py("sym_3", meta["n_buckets"])
+    defs = spark.read.parquet(os.path.join(sym_path, "defs"))
+    pruned = defs.filter((F.col("sym_bucket") == b) & (F.col("name") == "sym_3"))
+    plan = plan_of(pruned)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "sym_bucket" in pf[0], plan
+    total = len(defs.inputFiles())
+    assert 0 < files_scanned(pruned) < total
+
+
+def test_prefix_topk_order_and_pushdown(spark, corpus, sym_path):
+    top = C.symbol_prefix_topk(spark, sym_path, "Type", k=3).collect()
+    # Type0..Type6 over 120 docs: Type0 lands in ~18 files (i%7==0), the
+    # rest ~17 — widest spread first, name ties broken ascending
+    assert [r["name"] for r in top] == ["Type0", "Type1", "Type2"]
+    assert top[0]["n_files"] >= top[1]["n_files"]
+    expected = (
+        C.definitions(corpus)
+        .filter(F.col("name").startswith("Type"))
+        .groupBy("name", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_defs"),
+            F.countDistinct("doc_id").alias("n_files"),
+        )
+        .orderBy(F.desc("n_files"), F.desc("n_defs"), "name", "kind")
+        .limit(3)
+        .collect()
+    )
+    assert [tuple(r) for r in top] == [tuple(r) for r in expected]
+    plan = plan_of(C.symbol_prefix_topk(spark, sym_path, "Type", k=3))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "StartsWith" in pushed[0], plan
+
+
+def test_prefix_topk_no_match_is_empty(spark, sym_path):
+    assert C.symbol_prefix_topk(spark, sym_path, "zzz_none", k=5).count() == 0
