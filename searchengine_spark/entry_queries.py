@@ -4404,6 +4404,10 @@ SYMBOL_FIXTURE = [
     (8, "trait Parser {}\nfn parse_header(h) {}"),
     (9, "class Runner: pass\ndef run(self): pass"),
     (10, "no definitions in this file at all"),
+    # reference-only docs (mention parse_tokens, never define it)
+    (11, "result = parse_tokens(raw) if raw else None"),
+    (12, "tokens = parse_tokens(line); count = len(tokens)"),
+    (13, "parse_tokens twice: parse_tokens(x) and parse_tokens(y)"),
 ]
 SYMBOL_LOOKUP_NAME = "parse_tokens"
 SYMBOL_PREFIX = "parse"
@@ -4484,6 +4488,109 @@ WHERE name LIKE '{SYMBOL_PREFIX}%'
 ORDER BY n_files DESC, n_defs DESC, name ASC, kind ASC
 LIMIT {SYMBOL_PREFIX_K}"""
     )
+
+
+def q_symbol_references(spark, sf_dir):
+    """Find-references (ops/code.py references): whole-word mentions per
+    doc minus definition sites — def-only docs land at n_refs 0, the
+    reference-only docs 11-13 carry their mention counts. At scale the
+    scan is candidate-restricted via the trigram index (composition
+    pytest-proven); here the fixture corpus is the scan."""
+    from .ops.code import references
+
+    return references(
+        spark.createDataFrame(SYMBOL_FIXTURE, "doc_id long, text string"),
+        SYMBOL_LOOKUP_NAME,
+    )
+
+
+def _symbol_references_sql() -> str:
+    return (
+        _symbol_defs_cte()
+        + f""",
+mentions AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\b{SYMBOL_LOOKUP_NAME}\\b'))::BIGINT
+           AS n_mentions
+  FROM sym_docs),
+dcnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_defs FROM sym_defs
+  WHERE name = '{SYMBOL_LOOKUP_NAME}' GROUP BY 1)
+SELECT m.doc_id, m.n_mentions,
+       coalesce(d.n_defs, 0)::BIGINT AS n_defs,
+       (m.n_mentions - coalesce(d.n_defs, 0))::BIGINT AS n_refs
+FROM mentions m LEFT JOIN dcnt d USING (doc_id)
+WHERE m.n_mentions > 0"""
+    )
+
+
+SYMBOL_BOOST = 2.0  # power-of-two: float fold bit-identical to the SQL twin
+
+
+def q_symbol_boosted_topk(spark, sf_dir):
+    """Symbol-aware ranking (ops/code.py symbol_boost — Zoekt ranks
+    definition hits above plain content hits): relational BM25 over the
+    code-analyzed fixture, then +boost per distinct query term among the
+    analyzed subtokens of each doc's defined names. parseQueryString's doc
+    defines three of the four query terms → it must outrank every
+    pure-content hit."""
+    from pyspark.sql import Window
+
+    from .ops.code import definitions, symbol_boost
+    from .tokenizer import analyze_text_expr
+
+    docs = _code_fixture_df(spark)
+    analyzed = docs.withColumn("text", analyze_text_expr(F.col("text"), "code"))
+    tf = term_frequencies(analyzed, "doc_id", "text", use_arrow_udf=False)
+    stats = doc_stats(tf)
+    dct = dictionary(tf)
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")
+    ).collect()[0]
+    scored = bm25_score(
+        spark, tf, stats, dct, CODE_QUERY, int(row["n"]), float(row["a"])
+    )
+    boosted = symbol_boost(
+        scored.select("doc_id", F.round("score", ROUND_DP).alias("score")),
+        definitions(docs),
+        CODE_QUERY,
+        boost=SYMBOL_BOOST,
+    )
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= CODE_K)
+    )
+
+
+def _symbol_boosted_sql() -> str:
+    from .ops.code import definitions_sql
+    from .tokenizer import STOPWORDS, TOKEN_PATTERN, analyze_py, duckdb_code_split
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in CODE_FIXTURE)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    qterms = ", ".join(f"'{t}'" for t in sorted(set(analyze_py(CODE_QUERY, "code"))))
+    boosted = f"b.score + {SYMBOL_BOOST!r} * coalesce(n_sym, 0)"
+    return f"""
+WITH bm AS ({_bm25_sql(CODE_QUERY, tf_sql=_code_tf_sql())}),
+code_docs2(doc_id, text) AS (VALUES {vals}),
+defs AS ({definitions_sql('code_docs2')}),
+sub AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower({duckdb_code_split('name')}),
+                  '{TOKEN_PATTERN}')) AS term
+    FROM defs) s(doc_id, term)
+  WHERE term NOT IN ({stop_list})),
+qt AS (SELECT unnest([{qterms}]) AS term),
+bst AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS n_sym
+        FROM sub JOIN qt USING (term) GROUP BY 1)
+SELECT b.doc_id AS doc_id, {boosted} AS score,
+       row_number() OVER (ORDER BY {boosted} DESC, b.doc_id ASC)::BIGINT AS rank
+FROM bm b LEFT JOIN bst USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {CODE_K}
+"""
 
 
 # Multi-line source-file fixture for the quality/license ops (the sf
@@ -6250,6 +6357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_definitions": q_definitions,
         "symbol_lookup": q_symbol_lookup,
         "symbol_prefix": q_symbol_prefix,
+        "symbol_boosted_topk": q_symbol_boosted_topk,
+        "symbol_references": q_symbol_references,
         "code_imports": q_code_imports,
         "code_quality": q_code_quality,
         "license_detect": q_license_detect,
@@ -6524,6 +6633,8 @@ ORDER BY doc_id, line_no
         "code_definitions": _definitions_sql(),
         "symbol_lookup": _symbol_lookup_sql(),
         "symbol_prefix": _symbol_prefix_sql(),
+        "symbol_boosted_topk": _symbol_boosted_sql(),
+        "symbol_references": _symbol_references_sql(),
         "code_imports": _code_imports_sql(),
         "code_quality": _code_quality_sql(),
         "license_detect": _license_detect_sql(),

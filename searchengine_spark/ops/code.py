@@ -762,3 +762,108 @@ def symbol_prefix_topk(spark, path: str, prefix: str, k: int = 10) -> DataFrame:
         )
         .limit(k)
     )
+
+
+def symbol_subtokens(defs: DataFrame, analyzer: str = "code") -> DataFrame:
+    """DISTINCT (doc_id, term): the analyzed subtokens of each doc's
+    defined names — symbols indexed under the SAME analyzer as content,
+    so query "parse" matches a doc defining ``parseQueryString``."""
+    from ..tokenizer import analyze_text_expr, tokenize_expr
+
+    return defs.select(
+        "doc_id",
+        F.explode(
+            tokenize_expr(analyze_text_expr(F.col("name"), analyzer))
+        ).alias("term"),
+    ).distinct()
+
+
+def symbol_boost(
+    scored: DataFrame,
+    defs: DataFrame,
+    query: str,
+    boost: float = 2.0,
+    analyzer: str = "code",
+) -> DataFrame:
+    """Symbol-aware ranking (Zoekt/Sourcegraph rank definition hits above
+    plain content hits; absent in the reference, which has no code
+    surface): score += boost · |{query terms among the analyzed subtokens
+    of the doc's defined names}|. Only candidates are boosted — under a
+    shared analyzer a definition's name is part of the content, so a
+    symbol match is always also a content match. ``scored`` is
+    (doc_id, score); round scores BEFORE boosting and use power-of-two
+    boosts so the fold is bit-identical to a SQL twin.
+
+    Scale shape: defs' subtoken explode is narrow; the query-term join is
+    a broadcast of O(|q|) rows filtering BEFORE the per-doc aggregation,
+    so the shuffle carries only docs that define a query term."""
+    from ..tokenizer import analyze_py
+
+    terms = sorted(set(analyze_py(query, analyzer)))
+    if not terms:
+        return scored.select("doc_id", "score")
+    spark = scored.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in terms], "term string")
+    )
+    n_sym = (
+        symbol_subtokens(defs, analyzer)
+        .join(qdf, "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_sym"))
+    )
+    return (
+        scored.join(n_sym, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score")
+            + F.lit(boost) * F.coalesce(F.col("n_sym"), F.lit(0)).cast("double"),
+        )
+        .select("doc_id", "score")
+    )
+
+
+def references(
+    df: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Find-references for a symbol: (doc_id, n_mentions, n_defs, n_refs)
+    for every doc mentioning ``name`` as a whole word — n_refs =
+    whole-word mentions minus definition sites (a def line mentions the
+    name too), so pure-reference docs have n_defs = 0.
+
+    ``candidates`` (a doc_id frame, e.g. ``trigram_search`` over the
+    literal name) semi-join-restricts the scan — the 10^12-file path: the
+    trigram index prunes to docs containing the name's trigrams, and only
+    those are regex-counted. Without it this is one linear corpus scan
+    (fine as a batch op; wrong as a per-query path at scale)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"not an identifier: {name!r}")
+    if candidates is not None:
+        df = df.join(
+            candidates.select(F.col(candidates.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+    pat = rf"\b{name}\b"
+    mentions = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        .cast("long")
+        .alias("n_mentions"),
+    ).filter(F.col("n_mentions") > 0)
+    dcnt = (
+        definitions(df, id_col, text_col)
+        .filter(F.col("name") == name)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_defs"))
+    )
+    return (
+        mentions.join(dcnt, "doc_id", "left")
+        .withColumn("n_defs", F.coalesce(F.col("n_defs"), F.lit(0)).cast("long"))
+        .withColumn("n_refs", (F.col("n_mentions") - F.col("n_defs")).cast("long"))
+        .select("doc_id", "n_mentions", "n_defs", "n_refs")
+    )

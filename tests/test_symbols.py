@@ -106,3 +106,79 @@ def test_prefix_topk_order_and_pushdown(spark, corpus, sym_path):
 
 def test_prefix_topk_no_match_is_empty(spark, sym_path):
     assert C.symbol_prefix_topk(spark, sym_path, "zzz_none", k=5).count() == 0
+
+
+def test_symbol_boost_promotes_definition_doc(spark):
+    # doc 1 DEFINES parseQueryString (subtokens parse/query/string); doc 2
+    # only mentions the words. Equal content scores → the boost must rank
+    # doc 1 first; doc 3 (no defs, no match) stays unboosted.
+    docs = spark.createDataFrame(
+        [
+            (1, "def parseQueryString(raw): pass"),
+            (2, "parse the query string by hand"),
+            (3, "unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 0.5)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in C.symbol_boost(
+            scored, C.definitions(docs), "parse query string", boost=2.0
+        ).collect()
+    }
+    assert out == {1: 7.0, 2: 1.0, 3: 0.5}  # 1.0 + 2.0 * 3 matched terms
+
+
+def test_symbol_boost_stopword_only_query_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(1, "def the_thing(): pass")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame([(1, 3.0)], "doc_id long, score double")
+    out = C.symbol_boost(scored, C.definitions(docs), "the of and", boost=2.0)
+    assert [(r["doc_id"], r["score"]) for r in out.collect()] == [(1, 3.0)]
+
+
+def test_references_counts_and_def_exclusion(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "def parse_tokens(s): pass"),                      # def only
+            (2, "x = parse_tokens(y)"),                            # ref only
+            (3, "parse_tokens(a); parse_tokens(b)"),               # two refs
+            (4, "parse_tokensish is a different identifier"),      # \b guard
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_mentions"], r["n_defs"], r["n_refs"])
+        for r in C.references(docs, "parse_tokens").collect()
+    }
+    assert out == {1: (1, 1, 0), 2: (1, 0, 1), 3: (2, 0, 2)}
+
+
+def test_references_trigram_candidates_composition(spark, tmp_path):
+    from searchengine_spark.trigram import build_trigram_index, trigram_search
+
+    rows = [(i, f"filler text number {i}") for i in range(40)]
+    rows += [(100, "def parse_tokens(s): pass"), (101, "y = parse_tokens(x)")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "tg")
+    build_trigram_index(docs, idx, n_buckets=4)
+    cand = trigram_search(
+        spark, idx, docs, r"\bparse_tokens\b", k=1000
+    )
+    full = sorted(tuple(r) for r in C.references(docs, "parse_tokens").collect())
+    pruned = sorted(
+        tuple(r)
+        for r in C.references(docs, "parse_tokens", candidates=cand).collect()
+    )
+    assert pruned == full and len(full) == 2
+
+
+def test_references_rejects_non_identifier(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        C.references(docs, "a.b*")
