@@ -973,6 +973,96 @@ def _cmd_refbench(args) -> None:
     print(json.dumps(out))
 
 
+def _cmd_symbols_build(args) -> None:
+    spark = _spark(args)
+    import time
+
+    from .ops.code import symbol_write
+
+    corpus = spark.read.parquet(args.input)
+    if args.id_col not in corpus.columns:
+        from .corpus import with_doc_id
+
+        corpus = with_doc_id(corpus)
+    t0 = time.time()
+    symbol_write(
+        corpus, args.output, n_buckets=args.buckets,
+        id_col=args.id_col, text_col=_pick_text_col(corpus, args.text_col),
+    )
+    print(json.dumps({"built": args.output, "sec": round(time.time() - t0, 2)}))
+
+
+def _pick_text_col(corpus, text_col: str) -> str:
+    """`content` for the source-code hint schema, else fall back to `text`
+    (the testdata documents schema) — same forgiveness as search's loader."""
+    if text_col in corpus.columns:
+        return text_col
+    if text_col == "content" and "text" in corpus.columns:
+        return "text"
+    raise SystemExit(f"text column {text_col!r} not in {corpus.columns}")
+
+
+def _cmd_defs(args) -> None:
+    spark = _spark(args)
+    from .ops.code import symbol_lookup
+
+    rows = symbol_lookup(spark, args.symbols, args.name).collect()
+    print(json.dumps({
+        "name": args.name,
+        "sites": [{"doc_id": r["doc_id"], "kind": r["kind"]} for r in rows],
+    }))
+
+
+def _cmd_symbol_suggest(args) -> None:
+    spark = _spark(args)
+    from .ops.code import symbol_prefix_topk
+
+    rows = symbol_prefix_topk(spark, args.symbols, args.prefix, k=args.n).collect()
+    print(json.dumps({
+        "prefix": args.prefix,
+        "symbols": [
+            {"name": r["name"], "kind": r["kind"], "n_defs": r["n_defs"],
+             "n_files": r["n_files"]}
+            for r in rows
+        ],
+    }))
+
+
+def _cmd_refs(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from .ops.code import references
+
+    corpus = spark.read.parquet(args.input)
+    if args.id_col not in corpus.columns:
+        from .corpus import with_doc_id
+
+        corpus = with_doc_id(corpus)
+    text_col = _pick_text_col(corpus, args.text_col)
+    cand = None
+    if args.grep_index:
+        from .trigram import trigram_search
+
+        cand = trigram_search(
+            spark, args.grep_index, corpus, rf"\b{args.name}\b",
+            k=max(args.k * 10, 1000), id_col=args.id_col, text_col=text_col,
+        )
+    out = references(
+        corpus, args.name, id_col=args.id_col, text_col=text_col,
+        candidates=cand,
+    )
+    rows = out.orderBy(F.desc("n_refs"), F.asc("doc_id")).limit(args.k).collect()
+    print(json.dumps({
+        "name": args.name,
+        "docs": [
+            {"doc_id": r["doc_id"], "n_refs": r["n_refs"],
+             "n_defs": r["n_defs"]}
+            for r in rows
+        ],
+    }))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="searchengine_spark")
     p.add_argument("--master", default=None, help="override spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -1381,6 +1471,45 @@ def main(argv: list[str] | None = None) -> None:
     rb.add_argument("--minimal-stopwords", action="store_true",
                     help="use the engine's 17-word set instead of nltk's")
     rb.set_defaults(fn=_cmd_refbench)
+
+    sy = sub.add_parser(
+        "symbols-build",
+        help="mine definitions and write the stored symbol layout",
+    )
+    sy.add_argument("--input", required=True, help="corpus parquet")
+    sy.add_argument("--output", required=True, help="symbol layout dir")
+    sy.add_argument("--id-col", default="doc_id")
+    sy.add_argument("--text-col", default="content")
+    sy.add_argument("--buckets", type=int, default=64)
+    sy.set_defaults(fn=_cmd_symbols_build)
+
+    gd = sub.add_parser(
+        "defs", help="go-to-definition: def sites of a name (one-bucket read)"
+    )
+    gd.add_argument("--symbols", required=True, help="symbol layout dir")
+    gd.add_argument("--name", required=True)
+    gd.set_defaults(fn=_cmd_defs)
+
+    sx = sub.add_parser(
+        "symbols", help="go-to-symbol suggest: top-k names by prefix"
+    )
+    sx.add_argument("--symbols", required=True, help="symbol layout dir")
+    sx.add_argument("--prefix", required=True)
+    sx.add_argument("-n", type=int, default=10)
+    sx.set_defaults(fn=_cmd_symbol_suggest)
+
+    rf = sub.add_parser(
+        "refs",
+        help="find-references: whole-word mentions minus def sites "
+        "(--grep-index restricts the scan to trigram candidates)",
+    )
+    rf.add_argument("--input", required=True, help="corpus parquet")
+    rf.add_argument("--name", required=True)
+    rf.add_argument("--grep-index", default=None)
+    rf.add_argument("--id-col", default="doc_id")
+    rf.add_argument("--text-col", default="content")
+    rf.add_argument("-k", type=int, default=50)
+    rf.set_defaults(fn=_cmd_refs)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -504,3 +504,46 @@ def test_snapshot_restore_commands(tmp_path, capsys):
     cli.main(["search", "--index", idx, "--query", "index merge", "-k", "3"])
     original_hits = json.loads(capsys.readouterr().out)["hits"]
     assert restored_hits and restored_hits == original_hits
+
+
+def test_symbols_and_refs_commands(tmp_path, capsys, spark):
+    """symbols-build → defs / symbols / refs (with and without the
+    trigram-candidate restriction) end-to-end."""
+    src = str(tmp_path / "code.parquet")
+    spark.createDataFrame(
+        [
+            (1, "def parse_tokens(s): pass"),
+            (2, "x = parse_tokens(y); parse_tokens(z)"),
+            (3, "class ParseTree: pass"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    sym = str(tmp_path / "sym")
+    cli.main(["symbols-build", "--input", src, "--output", sym,
+              "--buckets", "8", "--text-col", "text"])
+    assert json.loads(capsys.readouterr().out)["built"] == sym
+
+    cli.main(["defs", "--symbols", sym, "--name", "parse_tokens"])
+    d = json.loads(capsys.readouterr().out)
+    assert d["sites"] == [{"doc_id": 1, "kind": "function"}]
+
+    cli.main(["symbols", "--symbols", sym, "--prefix", "Parse", "-n", "5"])
+    s = json.loads(capsys.readouterr().out)
+    assert [x["name"] for x in s["symbols"]] == ["ParseTree"]
+
+    cli.main(["refs", "--input", src, "--name", "parse_tokens",
+              "--text-col", "text"])
+    full = json.loads(capsys.readouterr().out)
+    assert full["docs"] == [
+        {"doc_id": 2, "n_refs": 2, "n_defs": 0},
+        {"doc_id": 1, "n_refs": 0, "n_defs": 1},
+    ]
+
+    tg = str(tmp_path / "tg")
+    cli.main(["grep-build", "--input", src, "--index", tg,
+              "--text-col", "text"])
+    capsys.readouterr()
+    cli.main(["refs", "--input", src, "--name", "parse_tokens",
+              "--text-col", "text", "--grep-index", tg])
+    pruned = json.loads(capsys.readouterr().out)
+    assert pruned["docs"] == full["docs"]
