@@ -56,6 +56,14 @@ def _trigrams(s: str) -> set[str]:
     return {s[i:i + 3] for i in range(len(s) - 2)}
 
 
+class _Unplannable(Exception):
+    """Pattern uses a construct the literal algebra cannot bound (inline
+    flags like (?i), lookaround, named groups): any literal requirement
+    could be wrong — e.g. (?i)grep matches GREP, which contains neither
+    lowercase trigram. The planner degrades to the EMPTY requirement
+    (full-scan semantics) instead of a silently incomplete match set."""
+
+
 def _parse_alt(pat: str, i: int) -> tuple[set[str], int]:
     """Parse an alternation until ')' or end; returns (required trigram
     set, index of the terminator). Concat unions, '|' intersects."""
@@ -91,6 +99,10 @@ def _parse_alt(pat: str, i: int) -> tuple[set[str], int]:
             j = i + 1
             if pat.startswith("?:", j):
                 j += 2
+            elif j < n and pat[j] == "?":
+                # (?i)/(?s…) flags, (?=…)/(?!…) lookaround, (?P<…>) names:
+                # semantics the trigram algebra can't bound conservatively
+                raise _Unplannable(pat[i:])
             sub_req, j = _parse_alt(pat, j)
             if j >= n or pat[j] != ")":
                 raise ValueError(f"unbalanced group in pattern: {pat!r}")
@@ -122,8 +134,11 @@ def _parse_alt(pat: str, i: int) -> tuple[set[str], int]:
                 k += 1
             if k < n and pat[k] == "]":
                 k += 1
-            k = pat.find("]", k)
-            if k == -1:
+            # walk char-by-char: an ESCAPED ']' must not close the class
+            # ('[x\]]abc' would otherwise leak ']ab' as a false requirement)
+            while k < n and pat[k] != "]":
+                k += 2 if pat[k] == "\\" else 1
+            if k >= n:
                 raise ValueError(f"unbalanced class in pattern: {pat!r}")
             i = k + 1
             if i < n and pat[i] in "?*+":
@@ -161,8 +176,13 @@ def _parse_alt(pat: str, i: int) -> tuple[set[str], int]:
 def required_trigrams(pattern: str) -> set[str]:
     """The conservative required-trigram set: every document matching
     ``pattern`` (Java/RE2 common subset) contains ALL returned trigrams.
-    May be empty — then only a full scan answers the query exactly."""
-    req, i = _parse_alt(pattern, 0)
+    May be empty — then only a full scan answers the query exactly.
+    Constructs outside the algebra (inline flags, lookaround, named
+    groups) conservatively yield the empty set."""
+    try:
+        req, i = _parse_alt(pattern, 0)
+    except _Unplannable:
+        return set()
     if i != len(pattern):
         raise ValueError(f"unbalanced ')' in pattern: {pattern!r}")
     return req
@@ -175,6 +195,63 @@ def required_trigrams(pattern: str) -> set[str]:
 
 def _meta_path(path: str) -> str:
     return os.path.join(path, "_trigram_meta.json")
+
+
+def _postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fold_case: bool,
+    n_buckets: int,
+) -> DataFrame:
+    """Distinct (doc_id, trigram, bucket) postings — the ONE codec shared
+    by build, append, and the streaming fold. Docs shorter than 3 chars
+    have no trigrams and are filtered out (``sequence(1, len-2)`` would
+    otherwise step DOWNWARD for them and mint junk sub-3-char rows)."""
+    src = f"lower({text_col})" if fold_case else text_col
+    tg = F.explode(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 2),"
+                f" i -> substring({src}, i, 3))"
+            )
+        )
+    ).alias("trigram")
+    return (
+        df.filter(F.length(F.col(text_col)) >= 3)
+        .select(F.col(id_col).alias("doc_id"), tg)
+        .distinct()
+        .withColumn("bucket", F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)))
+    )
+
+
+def _layout_df(spark: SparkSession, path: str) -> DataFrame | None:
+    """The layout's postings frame, or None when no data file exists yet —
+    the documented empty-build initialization for streaming writes only
+    the sidecar (+_SUCCESS), and parquet cannot infer a schema from that.
+    Callers translate None into an empty result instead of crashing the
+    serving path during the startup window."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "infer schema" in str(e):
+            return None
+        raise
+    return df
+
+
+def _posts_or_empty(spark: SparkSession, path: str) -> DataFrame:
+    """The layout's postings, or a schema-stable EMPTY frame when only the
+    sidecar exists (pre-first-epoch startup window): searches then return
+    empty results instead of crashing on schema inference."""
+    df = _layout_df(spark, path)
+    if df is None:
+        return spark.createDataFrame(
+            [], "trigram string, doc_id long, bucket bigint"
+        )
+    return df
 
 
 def build_trigram_index(
@@ -192,20 +269,7 @@ def build_trigram_index(
     ``bucket = pmod(xxhash64(trigram), n_buckets)``. One narrow trigram
     explode (array_distinct dedups in-row before the shuffle) + one
     distinct with map-side partials + one clustered partitioned write."""
-    src = f"lower({text_col})" if fold_case else text_col
-    tg = F.explode(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
-                f" i -> substring({src}, i, 3))"
-            )
-        )
-    ).alias("trigram")
-    posts = (
-        df.select(F.col(id_col).alias("doc_id"), tg)
-        .distinct()
-        .withColumn("bucket", F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)))
-    )
+    posts = _postings(df, id_col, text_col, fold_case, n_buckets)
     posts.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(path)
@@ -283,7 +347,7 @@ def trigram_search(
     n_buckets = meta["n_buckets"]
     buckets = _buckets_for(spark, req, n_buckets)
     posts = (
-        spark.read.parquet(path)
+        _posts_or_empty(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("trigram").isin(req))
     )
@@ -316,21 +380,14 @@ def trigram_append(
     term index does with its manifest/meta pointer swaps."""
     with open(_meta_path(path)) as f:
         meta = json.load(f)
-    src = f"lower({text_col})" if meta.get("fold_case") else text_col
-    tg = F.explode(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
-                f" i -> substring({src}, i, 3))"
-            )
+    if any(e.startswith("epoch=") for e in os.listdir(path)):
+        raise ValueError(
+            f"{path} is a stream-maintained (epoch=*) layout — flat appends "
+            "beside epoch dirs break parquet partition discovery; keep "
+            "appending through stream_trigram_append"
         )
-    ).alias("trigram")
-    posts = (
-        df.select(F.col(id_col).alias("doc_id"), tg)
-        .distinct()
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("trigram"), F.lit(meta["n_buckets"]))
-        )
+    posts = _postings(
+        df, id_col, text_col, bool(meta.get("fold_case")), meta["n_buckets"]
     )
     posts.repartition("bucket").write.mode("append").partitionBy(
         "bucket"
@@ -396,7 +453,7 @@ def trigram_search_batch(
         )
     )
     posts = (
-        spark.read.parquet(path)
+        _posts_or_empty(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("trigram").isin(all_tri))
     )
@@ -502,7 +559,7 @@ def trigram_match_counts(
         pattern = f"(?i){pattern}"
     buckets = _buckets_for(spark, req, meta["n_buckets"])
     posts = (
-        spark.read.parquet(path)
+        _posts_or_empty(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("trigram").isin(req))
     )
@@ -547,23 +604,17 @@ def stream_trigram_append(
     ``ops.similarity.stream_ann_append``."""
     with open(_meta_path(path)) as f:
         meta = json.load(f)
-    src = f"lower({text_col})" if meta.get("fold_case") else text_col
+    if any(e.startswith("bucket=") for e in os.listdir(path)):
+        raise ValueError(
+            f"{path} holds a flat (bucket=*) layout — epoch dirs beside it "
+            "break parquet partition discovery; initialize the stream from "
+            "an EMPTY build (build_trigram_index(df.limit(0), …))"
+        )
+    fold_case = bool(meta.get("fold_case"))
     nb = meta["n_buckets"]
 
     def fold(batch_df, epoch_id: int) -> None:
-        tg = F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - 2,"
-                    f" 0)), i -> substring({src}, i, 3))"
-                )
-            )
-        ).alias("trigram")
-        posts = (
-            batch_df.select(F.col(id_col).alias("doc_id"), tg)
-            .distinct()
-            .withColumn("bucket", F.pmod(F.xxhash64("trigram"), F.lit(nb)))
-        )
+        posts = _postings(batch_df, id_col, text_col, fold_case, nb)
         posts.repartition("bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(f"{path}/epoch={epoch_id}")

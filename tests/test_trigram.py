@@ -36,6 +36,12 @@ PATTERN_CASES = {
     "(abc)+xyz": {"abc", "xyz"},
     "(abc)*xyz": {"xyz"},
     "plain": {"pla", "lai", "ain"},
+    # constructs outside the algebra degrade to EMPTY (full-scan), never
+    # to a wrong literal requirement
+    "(?i)grep": set(),        # inline flag: GREP matches, has no 'gre'
+    "(?i:grep)x": set(),
+    "(?=foo)bar": set(),      # lookahead
+    r"[x\]]abc": {"abc"},     # escaped ']' must not close the class early
 }
 
 
@@ -300,3 +306,68 @@ def test_stream_trigram_append_matches_batch(spark, docs, tmp_path):
     got = [r["doc_id"] for r in trigram_search(spark, inc, docs, pat, k=1000).collect()]
     want = [r["doc_id"] for r in trigram_search(spark, full, docs, pat, k=1000).collect()]
     assert got == want and len(got) > 0
+
+
+def test_inline_flag_pattern_full_scan_is_exact(spark, tmp_path):
+    """(?i) used to leak lowercase trigrams as required and silently DROP
+    uppercase matches; it must now degrade to the (gated) full scan and
+    return them."""
+    docs = spark.createDataFrame(
+        [(1, "THE GREP TOOL"), (2, "plain grep here"), (3, "nothing")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "tg")
+    build_trigram_index(docs, p, n_buckets=4)
+    with pytest.raises(ValueError, match="full regex scan"):
+        trigram_search(spark, p, docs, "(?i)grep", k=10)
+    got = sorted(
+        r["doc_id"]
+        for r in trigram_search(
+            spark, p, docs, "(?i)grep", k=10, allow_full_scan=True
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_short_docs_produce_no_postings(spark, tmp_path):
+    """Docs under 3 chars have no trigrams: sequence(1, len-2) used to
+    step DOWNWARD and mint junk '', 1- and 2-char rows."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abc")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "tg")
+    build_trigram_index(docs, p, n_buckets=2)
+    rows = spark.read.parquet(p).collect()
+    assert [(r["doc_id"], r["trigram"]) for r in rows] == [(3, "abc")]
+
+
+def test_append_layout_conflicts_are_refused(spark, tmp_path):
+    from searchengine_spark.trigram import trigram_append
+
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    # epoch layout → flat append refused
+    p1 = str(tmp_path / "stream_tg")
+    build_trigram_index(docs.limit(0), p1, n_buckets=2)
+    import os
+
+    os.makedirs(os.path.join(p1, "epoch=0"))
+    with pytest.raises(ValueError, match="stream-maintained"):
+        trigram_append(docs, p1)
+    # flat layout → stream append refused
+    from searchengine_spark.trigram import stream_trigram_append
+
+    p2 = str(tmp_path / "flat_tg")
+    build_trigram_index(docs, p2, n_buckets=2)
+    with pytest.raises(ValueError, match="flat"):
+        stream_trigram_append(
+            spark, str(tmp_path / "src"), p2, str(tmp_path / "ckpt")
+        )
+
+
+def test_search_on_empty_init_layout_returns_empty(spark, tmp_path):
+    """The documented streaming init (empty build) leaves only the sidecar;
+    searching during the startup window must return empty, not crash."""
+    docs = spark.createDataFrame([(1, "merge sort")], "doc_id long, text string")
+    p = str(tmp_path / "tg")
+    build_trigram_index(docs.limit(0), p, n_buckets=2)
+    assert trigram_search(spark, p, docs, "merge", k=5).collect() == []
