@@ -433,10 +433,24 @@ def winnow_fingerprints(
         .where(F.col("_guard").isNotNull())
         .drop("_guard")
     )
-    # pack (hash, rightmost tie-break) into one fixed-width sortable string
+    # pack (hash, rightmost tie-break) into one fixed-width sortable string.
+    # The 6-digit field holds positions ≤ _WPOS_MAX only — beyond it the
+    # inversion goes negative and '-' breaks the fixed-width sort, so the
+    # overflow must be LOUD, not a silently wrong fingerprint set (giant
+    # generated/minified files are exactly what this op dedups)
+    pos_ok = F.when(
+        F.col("pos") <= F.lit(_WPOS_MAX), F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"doc exceeds {_WPOS_MAX} k-grams — winnow position packing "
+                "would corrupt; chunk the doc (ops.packing.chunk_docs) first"
+            )
+        )
+    )
     key = F.concat(
         F.col("h"),
-        F.lpad((F.lit(_WPOS_MAX) - F.col("pos")).cast("string"), 6, "0"),
+        F.lpad((F.lit(_WPOS_MAX) - pos_ok).cast("string"), 6, "0"),
     )
     kw = (
         Window.partitionBy("doc_id")
@@ -514,7 +528,10 @@ kg AS (
   WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos)),
 keyed AS (
   SELECT doc_id, pos,
-         h || lpad(CAST({_WPOS_MAX} - pos AS VARCHAR), 6, '0') AS key,
+         h || lpad(CAST({_WPOS_MAX} -
+                   CASE WHEN pos <= {_WPOS_MAX} THEN pos
+                        ELSE error('doc exceeds winnow position bound')
+                   END AS VARCHAR), 6, '0') AS key,
          count(*) OVER (PARTITION BY doc_id) AS n
   FROM kg WHERE guard IS NOT NULL),
 sel AS (
@@ -698,6 +715,8 @@ def symbol_write(
     import json
     import os
 
+    # defs/ first, then stats/ FROM the written defs — the regex mine over
+    # every corpus byte (the dominant cost) runs once, not once per write
     defs = definitions(df, id_col, text_col)
     (
         defs.withColumn("sym_bucket", _sym_bucket_col("name", n_buckets))
@@ -706,9 +725,13 @@ def symbol_write(
         .partitionBy("sym_bucket")
         .parquet(os.path.join(path, "defs"))
     )
+    spark = df.sparkSession
+    written = spark.read.parquet(os.path.join(path, "defs")).select(
+        "doc_id", "kind", "name"
+    )
     n_stats_parts = max(1, n_buckets // 8)
     (
-        symbol_stats(defs)
+        symbol_stats(written)
         .repartitionByRange(n_stats_parts, "name")
         .sortWithinPartitions("name", "kind")
         .write.mode("overwrite")

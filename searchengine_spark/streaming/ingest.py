@@ -355,12 +355,16 @@ def _commit_epoch(
         text_col, analyze_text_expr(F.col(text_col), analyzer)
     )
     tf_source = term_positions if with_positions else term_frequencies
-    tf = tf_source(batch_df, id_col, text_col, use_arrow_udf=False)
+    # persist: the stats collect, the segment write, and the dictionary
+    # write each consume this frame — unpersisted, every micro-batch would
+    # re-tokenize and re-aggregate the batch three times
+    tf = tf_source(batch_df, id_col, text_col, use_arrow_udf=False).persist()
     stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     agg = stats.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tot")
     ).collect()[0]
     if not agg["n"]:
+        tf.unpersist()
         return
     # previous post-state comes from the MANIFEST (crash-consistent),
     # not from meta.json (which may lag by one epoch after a crash);
@@ -431,6 +435,7 @@ def _commit_epoch(
     merged.withColumn("idf", idf).withColumn("max_u", u_robust).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, dict_dir))
+    tf.unpersist()  # dictionary write was the last tf consumer
 
     # ---- COMMIT: manifest line (with post-state totals) first, then the
     # atomic meta swap. Everything before the append is idempotent
@@ -905,13 +910,26 @@ def merge_epochs_tiered(
         raise ValueError("max_segments must be ≥ 1")
     meta = IndexMeta.load(index_dir)
     _, epochs_since, compaction = _manifest_state(index_dir)
-    cand = [
-        (int(m["epoch"]), int(m.get("n_docs", 0)))
+    live = {
+        int(m["epoch"]): int(m.get("n_docs", 0))
         for m in epochs_since
         # a compacted base shares the epoch=0 partition value — never fold
         # a stream epoch that would collide with it
         if not (compaction is not None and int(m["epoch"]) == 0)
-    ]
+    }
+    # coalesce through PRIOR merge markers: stream_epoch lines are never
+    # consumed, so without this the candidate count never shrinks and
+    # every maintenance call past the budget re-merges the merged tier
+    # forever (no fixed point). A marker whose folded ids aren't all live
+    # predates the last compaction — skip it.
+    for m in read_manifest(index_dir):
+        if m.get("kind") != "merge":
+            continue
+        folded_prev = [int(e) for e in m.get("epochs_folded", [])]
+        if folded_prev and all(e in live for e in folded_prev):
+            total = sum(live.pop(e) for e in folded_prev)
+            live[int(m["merged_epoch"])] = total
+    cand = sorted(live.items())
     if len(cand) <= max_segments:
         return meta  # under budget — no-op
     n_fold = len(cand) - max_segments + 1

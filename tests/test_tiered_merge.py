@@ -182,3 +182,37 @@ def test_cli_merge_command(spark, tmp_path, capsys):
     assert len(_epoch_dirs(idx)) == 2
     cli.main(["search", "--index", idx, "--query", "spark merge", "-k", "5"])
     assert json.loads(capsys.readouterr().out)["hits"] == before
+
+
+def test_merge_reaches_fixed_point(spark, eng):
+    """Candidates must coalesce through prior merge markers: a second
+    maintenance call at the same budget is a NO-OP (stream_epoch manifest
+    lines are never consumed, so without the coalescing every call past
+    the budget re-merged the merged tier forever)."""
+    from searchengine_spark.index.build import read_manifest
+
+    meta1 = merge_epochs_tiered(spark, eng.index_dir, max_segments=3)
+    n_markers = sum(
+        1 for m in read_manifest(eng.index_dir) if m.get("kind") == "merge"
+    )
+    assert n_markers == 1
+    meta2 = merge_epochs_tiered(spark, eng.index_dir, max_segments=3)
+    assert meta2.segments_dir == meta1.segments_dir  # no new dir
+    assert sum(
+        1 for m in read_manifest(eng.index_dir) if m.get("kind") == "merge"
+    ) == 1  # no new marker — true no-op
+
+    # a NEW epoch past the budget folds incrementally (merged tier counts
+    # as ONE candidate of summed size), and results stay correct
+    append_docs(_df(spark, [(12, "spark fixpoint probe")]), eng.index_dir,
+                n_buckets=2, range_bits=1, with_positions=True)
+    meta3 = merge_epochs_tiered(spark, eng.index_dir, max_segments=3)
+    assert meta3.segments_dir != meta1.segments_dir
+    marker = [m for m in read_manifest(eng.index_dir)
+              if m.get("kind") == "merge"][-1]
+    # live tiers were {merged(3): 4 docs, 0: 4, 4: 3, 5: 1} → fold the two
+    # smallest (epochs 4 and 5) down to 3 dirs
+    assert marker["epochs_folded"] == [4, 5]
+    e2 = SearchEngine(spark, eng.index_dir)
+    assert {d for d, _ in e2.search("fixpoint", k=5)} == {12}
+    assert {d for d, _ in e2.search_phrase("merge sort", k=10)} == {5}
