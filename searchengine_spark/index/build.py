@@ -419,6 +419,16 @@ def build_index(
     t0 = time.perf_counter()
     done_buckets = {m["bucket"] for m in read_manifest(index_dir) if m["kind"] == "segment"}
     pending = [bkt for bkt in range(n_buckets) if bkt not in done_buckets]
+    # resume idempotence: the segment write (append) and the manifest rows
+    # are two steps — a crash between them leaves bucket dirs on disk with
+    # NO manifest row. Those buckets re-encode below; scrub their
+    # uncommitted dirs first or the re-append would duplicate every block
+    # (double-counted scores in every kernel). Buckets are disjoint across
+    # waves, so a pending bucket's dir holds only uncommitted data.
+    for bkt in pending:
+        d = os.path.join(seg_path, f"bucket={bkt}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     waves = [pending[i::n_waves] for i in range(n_waves)] if pending else []
     encode = _encode_group_fn(k1, b, meta.avgdl, block_size)
     for wave_i, wave in enumerate(waves):
@@ -459,6 +469,19 @@ def build_index(
                     "n_blocks": int(r["n_blocks"]),
                     "n_postings": int(r["n_postings"]),
                     "bytes": int(r["payload_bytes"]),
+                    "fingerprint": meta.fingerprint,
+                },
+            )
+        # buckets with zero staged terms (vocab smaller than n_buckets)
+        # emit no agg row — commit them explicitly or index_is_complete
+        # stays False forever and every later build re-submits a wave
+        for bkt in sorted(set(wave) - {int(r["bucket"]) for r in rows}):
+            _manifest_append(
+                index_dir,
+                {
+                    "kind": "segment", "bucket": int(bkt),
+                    "term_min": None, "term_max": None,
+                    "n_blocks": 0, "n_postings": 0, "bytes": 0,
                     "fingerprint": meta.fingerprint,
                 },
             )

@@ -32,6 +32,23 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cos(a, b):
+    """Guarded cosine: 0.0 when either vector has zero norm. The raw
+    division there is an ANSI-mode DIVIDE_BY_ZERO crash (or, with ANSI
+    off, a NaN that Spark sorts ABOVE every real double in DESC order —
+    an all-zero embedding would take rank 1 of every top-k). try_divide
+    yields NULL in both modes; the DuckDB twins yield NULL for the same
+    division and coalesce to the same 0.0."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(0.0)
+    )
+
+
+def _require_nonzero_query(query_vec):
+    if not any(float(v) != 0.0 for v in query_vec):
+        raise ValueError("zero query vector has no cosine direction")
+
+
 def _as_double(col):
     return F.col(col).cast("array<double>")
 
@@ -40,9 +57,10 @@ def cosine_topk(
     df: DataFrame, query_vec: list[float], k: int = 20, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Top-k by cosine to a literal query vector (tie-break id asc)."""
+    _require_nonzero_query(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     emb = _as_double(vec_col)
-    cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+    cos = _cos(emb, q)
     return (
         df.select(F.col(id_col).alias("vec_id"), F.round(cos, ROUND_DP).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -56,9 +74,9 @@ def cosine_topk_sql(
     ql = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
     return f"""
 SELECT {id_col} AS vec_id,
-       round(list_dot_product({vec_col}::DOUBLE[], {ql})
+       round(coalesce(list_dot_product({vec_col}::DOUBLE[], {ql})
              / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
-                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+                * sqrt(list_dot_product({ql}, {ql}))), 0.0), {ROUND_DP}) AS cos
 FROM {table}
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
@@ -132,7 +150,7 @@ def cosine_neardup(
         a = base.select(F.col("id").alias("vec_a"), F.col("v").alias("va"))
         b = base.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"))
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _cos(F.col("va"), F.col("vb"))
     return pairs.select("vec_a", "vec_b", F.round(cos, ROUND_DP).alias("cos")).filter(
         F.col("cos") >= tau
     )
@@ -183,9 +201,9 @@ def cosine_neardup_lsh_sql(
 ) -> str:
     assign = lsh_assign_sql(table, n_planes, dim, id_col, vec_col)
     cos = (
-        f"round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])"
+        f"round(coalesce(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])"
         f" / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))"
-        f" * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), {ROUND_DP})"
+        f" * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), 0.0), {ROUND_DP})"
     )
     return f"""
 WITH assigned AS ({assign}),
@@ -206,13 +224,13 @@ def cosine_neardup_sql(
 ) -> str:
     return f"""
 SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
-       round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
+       round(coalesce(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
              / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))
-                * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), {ROUND_DP}) AS cos
+                * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), 0.0), {ROUND_DP}) AS cos
 FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
-WHERE round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
+WHERE round(coalesce(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
             / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))
-               * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), {ROUND_DP}) >= {tau}
+               * sqrt(list_dot_product(b.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]))), 0.0), {ROUND_DP}) >= {tau}
 """
 
 
@@ -244,22 +262,27 @@ def lsh_assign(
 
 
 def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:
-    """Driver-side bucket of a query vector — bit-identical to lsh_assign
-    (same md5-derived planes, float64 math)."""
-    import hashlib
-
+    """Driver-side bucket of a query vector — bit-identical to lsh_assign:
+    the SAME pre-rounded plane literal (_plane_val) times the component,
+    in the same order. An inline ((h % 2000) - 1000) / 1000.0 would
+    associate as (v*m)/1000.0 and could round one ulp away from
+    v*(m/1000.0), flipping a near-zero sign bit into the wrong bucket."""
     bucket = 0
     for p in range(n_planes):
         dot = 0.0
         for d, v in enumerate(query_vec):
-            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
-            dot += float(v) * ((h % 2000) - 1000) / 1000.0
+            dot += float(v) * _plane_val(p, d)
         if dot > 0:
             bucket += 1 << p
     return bucket
 
 
 def _probe_buckets(center: int, n_planes: int, hamming: int) -> list[int]:
+    if not 0 <= hamming <= 2:
+        raise ValueError(
+            f"hamming={hamming} unsupported — multi-probe enumerates radius "
+            "<= 2 (wider probes: add planes or use the IVF layout)"
+        )
     out = {center}
     if hamming >= 1:
         out |= {center ^ (1 << p) for p in range(n_planes)}
@@ -319,9 +342,9 @@ cand AS (
   JOIN assigned a ON a.vec_id = t.{id_col}
   WHERE a.bucket IN ({probes}))
 SELECT {id_col} AS vec_id,
-       round(list_dot_product({vec_col}::DOUBLE[], {ql})
+       round(coalesce(list_dot_product({vec_col}::DOUBLE[], {ql})
              / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
-                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+                * sqrt(list_dot_product({ql}, {ql}))), 0.0), {ROUND_DP}) AS cos
 FROM cand
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
@@ -502,6 +525,8 @@ def ivf_train(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty sample")
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     # init: first n_lists distinct vectors
     seen: list[np.ndarray] = []
@@ -624,9 +649,9 @@ cand AS (
   JOIN assigned a ON a.vec_id = t.{id_col}
   WHERE a.list_id IN ({probes}))
 SELECT {id_col} AS vec_id,
-       round(list_dot_product({vec_col}::DOUBLE[], {ql})
+       round(coalesce(list_dot_product({vec_col}::DOUBLE[], {ql})
              / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
-                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+                * sqrt(list_dot_product({ql}, {ql}))), 0.0), {ROUND_DP}) AS cos
 FROM cand
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}
@@ -814,8 +839,8 @@ q AS (
               ELSE list_transform(emb, sqz -> 0.0) END AS qvec
   FROM s)
 SELECT vec_id,
-       round(list_dot_product(qvec, {ql})
-             / (sqrt(list_dot_product(qvec, qvec)) * {qn!r}), {ROUND_DP}) AS cos
+       round(coalesce(list_dot_product(qvec, {ql})
+             / (sqrt(list_dot_product(qvec, qvec)) * {qn!r}), 0.0), {ROUND_DP}) AS cos
 FROM q
 WHERE list_dot_product(qvec, qvec) > 0
 ORDER BY cos DESC, vec_id ASC
@@ -856,7 +881,11 @@ def mmr_rerank(
         n = np.linalg.norm(v)
         embs[r[id_col]] = v / n if n else v
     rel = {d: s for d, s in hits}
-    max_rel = max(rel.values()) or 1.0
+    # min-max normalize to [0, 1]: dividing by max(rel) would INVERT the
+    # relevance ordering when every candidate score is negative (opposite-
+    # halfspace cosine candidates), making MMR greedily pick worst-first
+    min_rel = min(rel.values())
+    span = (max(rel.values()) - min_rel) or 1.0
     cand = [d for d in ids if d in embs]
     selected: list[tuple[int, float]] = []
     while cand and len(selected) < k:
@@ -865,7 +894,7 @@ def mmr_rerank(
             sim = max(
                 (float(embs[d] @ embs[s]) for s, _ in selected), default=0.0
             )
-            score = lam * (rel[d] / max_rel) - (1.0 - lam) * sim
+            score = lam * ((rel[d] - min_rel) / span) - (1.0 - lam) * sim
             key = (score, -d)
             if best is None or key > best[0]:
                 best = (key, d, score)
@@ -905,6 +934,8 @@ def pq_train(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty sample")
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     books: list[list[list[float]]] = []
     for j in range(m):
@@ -1493,7 +1524,7 @@ def semantic_dedup(
         F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
         "list_id", F.col("cdist").alias("cb"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _cos(F.col("va"), F.col("vb"))
     dropped = (
         a.join(b, "list_id")
         .filter(F.col("a_id") != F.col("b_id"))
@@ -1536,9 +1567,9 @@ def semantic_dedup_sql(
 
     dists = ", ".join(sqd(c) for c in range(n_lists))
     cos = (
-        "round(list_dot_product(a.va, b.vb)"
+        "round(coalesce(list_dot_product(a.va, b.vb)"
         " / (sqrt(list_dot_product(a.va, a.va))"
-        f" * sqrt(list_dot_product(b.vb, b.vb))), {ROUND_DP})"
+        f" * sqrt(list_dot_product(b.vb, b.vb))), 0.0), {ROUND_DP})"
     )
     return f"""
 WITH pts AS (
@@ -1665,7 +1696,7 @@ def _bq_rerank(
         F.broadcast(coarse), "vec_id"
     )
     emb = _as_double(vec_col)
-    cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+    cos = _cos(emb, q)
     return (
         j.select("vec_id", "hamming", F.round(cos, ROUND_DP).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -1769,9 +1800,9 @@ ham AS (
 coarse AS (SELECT vec_id, hamming FROM ham
            ORDER BY hamming ASC, vec_id ASC LIMIT {rerank})
 SELECT c.vec_id AS vec_id, c.hamming AS hamming,
-       round(list_dot_product(e.emb, {ql})
+       round(coalesce(list_dot_product(e.emb, {ql})
              / (sqrt(list_dot_product(e.emb, e.emb))
-                * sqrt(list_dot_product({ql}, {ql}))), {ROUND_DP}) AS cos
+                * sqrt(list_dot_product({ql}, {ql}))), 0.0), {ROUND_DP}) AS cos
 FROM coarse c JOIN e USING (vec_id)
 ORDER BY cos DESC, vec_id ASC
 LIMIT {k}

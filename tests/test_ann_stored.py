@@ -454,3 +454,37 @@ def test_stream_ann_append_matches_batch_layout(spark, embs, qvec, tmp_path):
     got = _rows(S.ivf_stored_topk(spark, inc, qvec, k=12, nprobe=3))
     want = _rows(S.ivf_stored_topk(spark, full, qvec, k=12, nprobe=3))
     assert got == want and len(got) == 12
+
+
+def test_zero_norm_vectors_never_rank(spark):
+    """An all-zero embedding used to score NaN, which Spark sorts ABOVE
+    every real double in DESC order — rank 1 of every top-k."""
+    rows = [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.cosine_topk(df, [1.0, 0.0], k=3, vec_col="embedding").collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 3]
+    assert got[-1]["cos"] == 0.0  # guarded, not NaN
+    with pytest.raises(ValueError, match="zero query"):
+        S.cosine_topk(df, [0.0, 0.0], k=3)
+
+
+def test_probe_radius_over_two_is_refused():
+    with pytest.raises(ValueError, match="hamming=3"):
+        S._probe_buckets(0, 8, 3)
+
+
+def test_query_bucket_matches_lsh_assign_exactly(spark, embs):
+    assigned = {
+        r["vec_id"]: r["bucket"]
+        for r in S.lsh_assign(embs.limit(50), n_planes=8, dim=64).collect()
+    }
+    for r in embs.limit(50).collect():
+        assert S.query_bucket(list(r["embedding"]), 8) == assigned[r["vec_id"]]
+
+
+def test_train_on_empty_sample_is_refused(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty sample"):
+        S.ivf_train(empty)
+    with pytest.raises(ValueError, match="empty sample"):
+        S.pq_train(empty)

@@ -218,3 +218,16 @@ def test_reassign_keepers_preserves_membership(spark, dup_corpus):
     # every new keeper belongs to its own cluster
     for d, kd in after.items():
         assert after[kd] == kd
+
+
+def test_mmr_rerank_all_negative_scores(spark):
+    """Divide-by-max normalization inverted the relevance order when every
+    candidate score was negative; min-max normalization keeps it."""
+    from searchengine_spark.ops.similarity import mmr_rerank
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank([(1, -0.1), (2, -0.9)], embs, lam=1.0, k=2)
+    assert [d for d, _ in out] == [1, 2]  # most-relevant first

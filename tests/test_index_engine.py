@@ -306,3 +306,64 @@ def test_term_cache_eviction_keeps_current_query(built):
     # and the cache still serves the original query correctly afterwards
     assert eng.search(q, k=10) == want
     eng._term_cache_cap = 65536
+
+
+def test_resume_after_crash_between_write_and_manifest(spark, tmp_path):
+    """A kill AFTER a wave's segment append but BEFORE its manifest rows
+    left the bucket dir on disk with no commit record; resume used to
+    re-append and silently double every score. Simulated by deleting one
+    bucket's manifest rows from a complete build."""
+    import json
+
+    df = corpus_df(spark, 120, seed=13).cache()
+    idx = str(tmp_path / "idx")
+    build_index(spark, df, idx, range_bits=2, n_buckets=4, fresh=True)
+    eng = SearchEngine(spark, idx)
+    before = {q: eng.search(q, k=10) for q in QUERIES[:2]}
+    seg = os.path.join(idx, "segments")
+    n_blocks_before = spark.read.parquet(seg).count()
+
+    # tamper: drop bucket 1's segment rows (data stays on disk = the
+    # uncommitted crash window)
+    mf = os.path.join(idx, "manifest.jsonl")
+    rows = [json.loads(ln) for ln in open(mf)]
+    kept = [r for r in rows
+            if not (r.get("kind") == "segment" and r.get("bucket") == 1)]
+    assert len(kept) < len(rows)
+    with open(mf, "w") as f:
+        for r in kept:
+            f.write(json.dumps(r) + "\n")
+    assert not index_is_complete(idx)
+
+    build_index(spark, df, idx, range_bits=2, n_buckets=4)  # resume
+    assert index_is_complete(idx)
+    assert spark.read.parquet(seg).count() == n_blocks_before  # no dupes
+    eng2 = SearchEngine(spark, idx)
+    for q in QUERIES[:2]:
+        assert eng2.search(q, k=10) == before[q], q
+    df.unpersist()
+
+
+def test_empty_buckets_still_complete(spark, tmp_path):
+    """Vocabulary smaller than n_buckets: empty buckets must still commit
+    (zero-block manifest rows) or the index never reads as complete and
+    every build re-submits a useless wave."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, content string",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, range_bits=1, n_buckets=8, fresh=True)
+    assert index_is_complete(idx)
+    segs = [m for m in read_manifest(idx) if m["kind"] == "segment"]
+    assert {m["bucket"] for m in segs} == set(range(8))
+    empty = [m for m in segs if m["n_blocks"] == 0]
+    assert empty and all(m["n_postings"] == 0 for m in empty)
+    n_seg_rows = len(segs)
+    build_index(spark, docs, idx, range_bits=1, n_buckets=8)  # no-op resume
+    # no bucket re-committed (a fresh metrics row per call is fine)
+    assert sum(
+        1 for m in read_manifest(idx) if m["kind"] == "segment"
+    ) == n_seg_rows
+    eng = SearchEngine(spark, idx)
+    assert {d for d, _ in eng.search("alpha", k=20)} == set(range(10))
