@@ -385,6 +385,21 @@ def read_ann_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _ann_write(df, path, meta, id_col, vec_col):
+    """Encode with the layout's PINNED params and overwrite: every writer
+    trains/derives its params, builds the meta dict, and delegates here —
+    ONE encode path per kind, shared verbatim with ``ann_append`` /
+    ``stream_ann_append`` (``_ann_encode``), so batch writes and appends
+    can never encode differently for the same layout. Partitioned kinds
+    pre-repartition on the key (see the file-explosion note below)."""
+    out, part = _ann_encode(df, meta, id_col, vec_col)
+    if part:
+        out.repartition(part).write.mode("overwrite").partitionBy(part).parquet(path)
+    else:
+        out.write.mode("overwrite").parquet(path)
+    _write_ann_meta(path, meta)
+
+
 def lsh_write(
     df: DataFrame,
     path: str,
@@ -400,12 +415,11 @@ def lsh_write(
     T-task write emits up to T·2^n_planes small files, the classic
     partitioned-write file explosion (at 100 TB you'd repartition(N, bucket)
     with N sized to the per-file target)."""
-    assigned = lsh_assign(df, n_planes, dim, id_col, vec_col)
-    out = df.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
-    out.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
-    _write_ann_meta(
-        path, {"kind": "lsh", "n_planes": n_planes, "dim": dim,
-               "id_col": id_col, "vec_col": vec_col}
+    _ann_write(
+        df, path,
+        {"kind": "lsh", "n_planes": n_planes, "dim": dim,
+         "id_col": id_col, "vec_col": vec_col},
+        id_col, vec_col,
     )
 
 
@@ -448,14 +462,11 @@ def ivf_write(
     writer used are persisted in the meta sidecar (trained or hash-derived),
     so probe selection is always consistent with the stored assignment."""
     cvecs = centroids if centroids is not None else [_centroid(c, dim) for c in range(n_lists)]
-    assigned = ivf_assign(df, n_lists, dim, id_col, vec_col, cvecs)
-    out = df.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
-    # one clustered write per list (see lsh_write on the file-explosion why)
-    out.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(path)
-    _write_ann_meta(
-        path,
+    _ann_write(
+        df, path,
         {"kind": "ivf", "n_lists": n_lists, "dim": dim, "id_col": id_col,
          "vec_col": vec_col, "centroids": cvecs},
+        id_col, vec_col,
     )
 
 
@@ -769,11 +780,10 @@ def sq_write(
     """Materialize the SQ8 layout: (vec_id, scale, qvec array<tinyint>) —
     a quarter of the float32 bytes. Values are in [-127, 127] by
     construction, so the tinyint cast is lossless."""
-    out = sq_quantize(df, id_col, vec_col).select(
-        "vec_id", "scale", F.col("qvec").cast("array<tinyint>").alias("qvec")
+    _ann_write(
+        df, path, {"kind": "sq8", "levels": SQ_LEVELS, "id_col": id_col},
+        id_col, vec_col,
     )
-    out.write.mode("overwrite").parquet(path)
-    _write_ann_meta(path, {"kind": "sq8", "levels": SQ_LEVELS, "id_col": id_col})
 
 
 def sq_stored_topk(spark, path: str, query_vec: list[float], k: int = 20) -> DataFrame:
@@ -1070,13 +1080,10 @@ def pq_write(
     if ks > 128:
         raise ValueError("ks must be <= 128 for the tinyint code layout")
     books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
-    out = pq_encode(df, m, ks, dim, id_col, vec_col, books).select(
-        "vec_id", F.col("codes").cast("array<tinyint>").alias("codes")
-    )
-    out.write.mode("overwrite").parquet(path)
-    _write_ann_meta(
-        path,
+    _ann_write(
+        df, path,
         {"kind": "pq", "m": m, "ks": ks, "dim": dim, "codebooks": books},
+        id_col, vec_col,
     )
 
 
@@ -1195,33 +1202,22 @@ def ivfpq_write(
         if centroids is not None
         else [_centroid(c, dim) for c in range(n_lists)]
     )
-    assigned = ivf_assign(df, n_lists, dim, id_col, vec_col, cvecs)
-    base = df.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
-    resid = base.select(
-        F.col(id_col).alias("vec_id"),
-        "list_id",
-        _residual_col(_as_double(vec_col), F.col("list_id"), cvecs).alias("resid"),
-    )
     books = codebooks
     if books is None:
+        assigned = ivf_assign(df, n_lists, dim, id_col, vec_col, cvecs)
+        base = df.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
+        resid = base.select(
+            F.col(id_col).alias("vec_id"),
+            "list_id",
+            _residual_col(
+                _as_double(vec_col), F.col("list_id"), cvecs
+            ).alias("resid"),
+        )
         books = pq_train(
             resid, m, ks, dim, sample=train_sample, id_col="vec_id", vec_col="resid"
         )
-    codes = pq_encode(resid, m, ks, dim, "vec_id", "resid", books)
-    out = (
-        resid.select("vec_id", "list_id")
-        .join(codes, "vec_id")
-        .select(
-            "vec_id",
-            F.col("codes").cast("array<tinyint>").alias("codes"),
-            "list_id",
-        )
-    )
-    out.repartition("list_id").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(path)
-    _write_ann_meta(
-        path,
+    _ann_write(
+        df, path,
         {
             "kind": "ivfpq",
             "n_lists": n_lists,
@@ -1231,6 +1227,7 @@ def ivfpq_write(
             "centroids": cvecs,
             "codebooks": books,
         },
+        id_col, vec_col,
     )
 
 
@@ -1740,14 +1737,12 @@ def bq_write(
     the broadcast candidate ids. Thresholds persist in the meta sidecar so
     probes always binarize queries consistently with the stored bits."""
     thr = thresholds if thresholds is not None else bq_thresholds(df, id_col, vec_col)
-    out = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(_bq_bits_expr(vec_col, thr)).alias("bits"),
-        F.col(vec_col).alias("embedding"),
+    _ann_write(
+        df, path,
+        {"kind": "bq", "thresholds": thr, "id_col": id_col,
+         "vec_col": vec_col},
+        id_col, vec_col,
     )
-    out.write.mode("overwrite").parquet(path)
-    _write_ann_meta(path, {"kind": "bq", "thresholds": thr, "id_col": id_col,
-                           "vec_col": vec_col})
 
 
 def bq_stored_topk(

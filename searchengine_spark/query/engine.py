@@ -620,6 +620,10 @@ class SearchEngine:
             score_group_wand
             if use_wand and after is None and not ex_terms and u_fns is None
             and msm <= 1
+            # a rewriter may fold a NEGATIVE weight into idf — then
+            # idf*max_u is a LOWER bound and block-max pruning would drop
+            # true top-k docs; negative-weight queries take the exact path
+            and all(v >= 0.0 for v in idf.values())
             else score_group_vectorized
         )
         k1, b = meta.k1, meta.b

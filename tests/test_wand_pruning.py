@@ -213,3 +213,21 @@ def test_mask_reaches_the_sweep_kernel(spark, skewed_index):
                 assert ids.isdisjoint({0, 5, 10})
             if mask.included is not None:
                 assert all(d % 2 == 0 for d in ids)
+
+
+def test_negative_rewriter_weight_takes_exact_path(spark, tmp_path):
+    """A rewriter may fold a NEGATIVE weight into idf (demote a term);
+    idf*max_u is then a LOWER bound, so block-max pruning could drop true
+    top-k docs. Such queries must route to the exact kernel: results with
+    use_wand=True must equal use_wand=False exactly."""
+    from searchengine_spark.corpus import corpus_df
+    from searchengine_spark.query.engine import SearchEngine
+
+    df = corpus_df(spark, 300, seed=7)
+    idx = str(tmp_path / "idx")
+    eng = SearchEngine(spark, idx)
+    eng.build_index_from_df(df, n_buckets=4, range_bits=2)
+    demote = lambda q: [(t, -0.5 if t == "merge" else 1.0) for t, _ in q]
+    wand = eng.search("index merge", k=10, rewriter=demote, use_wand=True)
+    exact = eng.search("index merge", k=10, rewriter=demote, use_wand=False)
+    assert wand == exact and wand
