@@ -64,6 +64,12 @@ class BoolContext:
     metadata: DataFrame | None = None  # (doc_id, fields...) for range leaves
 
 
+
+def _sq(v) -> str:
+    """Escape for single-quoted SQL interpolation in the oracle twin — a
+    term containing a quote must not break (or rewrite) the generated SQL."""
+    return str(v).replace("'", "''")
+
 def _is_leaf(node: dict) -> bool:
     return "term" in node or "range" in node
 
@@ -194,6 +200,12 @@ def eval_tree(node: dict, leaves, round_dp: int = ROUND_DP) -> DataFrame:
     msm = node.get(
         "minimum_should_match", 0 if (must or filt) else 1
     )
+    if should and not (must or filt) and msm == 0 and             "minimum_should_match" in node:
+        raise ValueError(
+            "minimum_should_match=0 on a pure-should bool is ES match-all "
+            "semantics, which this engine does not implement — drop the "
+            "explicit 0 (default 1) or add a must/filter clause"
+        )
     base = None
     if must:
         base = must[0].select("doc_id", F.col("score").alias("s0"))
@@ -267,7 +279,7 @@ SELECT tf.doc_id,
              / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl)), {dp}) AS score
 FROM tf JOIN dict d USING (term) JOIN stats s ON s.doc_id = tf.doc_id
 CROSS JOIN corpus c
-WHERE tf.term = '{t}'"""
+WHERE tf.term = '{_sq(t)}'"""
     if "range" in node:
         r = node["range"]
         conds = ["TRUE"]
@@ -304,6 +316,11 @@ WHERE tf.term = '{t}'"""
     should = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("should", [])]
     must_not = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("must_not", [])]
     msm = node.get("minimum_should_match", 0 if (must or filt) else 1)
+    if should and not (must or filt) and msm == 0 and             "minimum_should_match" in node:
+        raise ValueError(
+            "minimum_should_match=0 on a pure-should bool is unsupported "
+            "(see eval_tree)"
+        )
     if must:
         froms = f"({must[0]}) m0"
         total = "m0.score"

@@ -58,11 +58,17 @@ def split_lines(
 ) -> DataFrame:
     """(doc_id, line_no, line): documents exploded into separator-delimited
     lines, 0-based positions, empty lines dropped. The input shape for
-    ``line_dedup``."""
+    ``line_dedup``. ``sep`` is a LITERAL separator (regex-escaped before
+    F.split — rejoin_lines concatenates it literally, so a metachar sep
+    like '|' must split literally too or the round-trip corrupts docs)."""
+    import re as _re
+
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("line_no", "line"),
         )
         .filter(F.length("line") > 0)
     )
@@ -405,6 +411,28 @@ def minhash_signatures(
     return row.select("doc_id", *mh)
 
 
+def minhash_band_keys(sig: "DataFrame", n_hashes: int, band_size: int) -> "DataFrame":
+    """(doc_id, band, band_hash): a signature frame exploded to its LSH
+    band keys — the ONE banding codec shared by pair generation, bucket
+    stats, and the streaming kernel (drifting copies would silently route
+    the same doc to different buckets across paths)."""
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(bi).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"mh{bi * band_size + j}" for j in range(band_size)]
+                )
+            ).alias("band_hash"),
+        )
+        for bi in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_hash")
+
+
 def minhash_band_pairs(
     df: DataFrame,
     n_hashes: int = 8,
@@ -427,19 +455,7 @@ def minhash_band_pairs(
     and at the default the cap is unreachable at test scale, keeping the
     DuckDB oracle exact."""
     sig = minhash_signatures(df, n_hashes, w, id_col, text_col)
-    n_bands = n_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[f"mh{bi * band_size + j}" for j in range(band_size)])
-            ).alias("band_hash"),
-        )
-        for bi in range(n_bands)
-    ]
-    exploded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_hash")
+    exploded = minhash_band_keys(sig, n_hashes, band_size)
     buckets = exploded.groupBy("band", "band_hash").agg(
         F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_bucket).alias("ids")
     )
@@ -513,19 +529,7 @@ def band_bucket_stats(
     run this (or ``dedup_pipeline(..., log_capped=True)``) to see how many
     buckets the approximation touched before trusting the pair set."""
     sig = minhash_signatures(df, n_hashes, w, id_col, text_col)
-    n_bands = n_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[f"mh{bi * band_size + j}" for j in range(band_size)])
-            ).alias("band_hash"),
-        )
-        for bi in range(n_bands)
-    ]
-    exploded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_hash")
+    exploded = minhash_band_keys(sig, n_hashes, band_size)
     return (
         exploded.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -604,7 +608,14 @@ def dedup_components(
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence checksum over xxhash64(label): works for STRING doc ids
+    # (URLs/UUIDs) too — F.sum over a string label is NULL (or an ANSI
+    # cast error), and NULL == NULL would end the loop after one round
+    # with partially-propagated labels
+    chksum = lambda frame: frame.agg(
+        F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = chksum(labels)
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -628,7 +639,7 @@ def dedup_components(
             labels.join(hop, "label", "left")
             .select("doc_id", F.coalesce(F.col("gl"), F.col("label")).alias("label"))
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = chksum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -266,9 +266,15 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     alpha = _hll_alpha(m)
     agg = registers.agg(
         F.count(F.lit(1)).alias("used"),
-        F.sum(F.pow(F.lit(2.0), (F.lit(rmax) - F.col("rho"))).cast("long")).alias(
-            "s_int"
-        ),
+        # coalesce: an EMPTY register table (empty corpus / pre-first-epoch
+        # stream) sums to NULL, which would null the whole estimate; with
+        # 0 the linear-counting branch correctly yields est = 0
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(rmax) - F.col("rho"))).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("s_int"),
     )
     scale = float(1 << rmax)
     est_raw = (
@@ -310,7 +316,7 @@ def hll_estimate_sql(registers_sql: str, p: int = 12) -> str:
     return f"""
 WITH r AS ({registers_sql}),
 agg AS (SELECT COUNT(*) AS used,
-               SUM((2.0 ** ({rmax} - rho))::BIGINT)::BIGINT AS s_int
+               COALESCE(SUM((2.0 ** ({rmax} - rho))::BIGINT)::BIGINT, 0) AS s_int
         FROM r)
 SELECT ROUND(CASE WHEN {alpha * m * m}::DOUBLE * {scale!r}
                        / (s_int + ({m} - used) * {scale!r}) <= {2.5 * m}
@@ -423,6 +429,15 @@ def heavy_hitters(
             if w is None:
                 counts = pdf[item_col].value_counts()
             else:
+                # the certificate arithmetic (long counts, Σ thr bound) is
+                # integer — a fractional weight would TRUNCATE the miss
+                # bound and could certify a wrong top-k; refuse loudly
+                if (pdf[w] % 1 != 0).any():
+                    raise ValueError(
+                        "heavy_hitters requires integer weights "
+                        f"(fractional values in {w!r}); scale them to "
+                        "integers upstream"
+                    )
                 counts = pdf.groupby(item_col)[w].sum()
                 counts = counts.sort_values(ascending=False)
             top = counts.iloc[:m]

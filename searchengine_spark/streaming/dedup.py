@@ -55,28 +55,31 @@ def _dedup_group(
         (packed,) = state.get
         if packed:
             seen = np.frombuffer(bytes(packed), dtype=f"S{_D}")  # sorted
-    out_ids, out_md5 = [], []
-    fresh: list[bytes] = []
-    for pdf in pdfs:
-        batch = pdf.sort_values("doc_id").drop_duplicates("text_md5", keep="first")
-        if not len(batch):
-            continue
-        raw = np.array([bytes.fromhex(h) for h in batch["text_md5"]], dtype=f"S{_D}")
+    # CONCAT FIRST: applyInPandasWithState chunks a group's rows into
+    # multiple pdfs, and per-chunk processing made the keeper choice (and,
+    # in the sibling kernels, membership itself) depend on where the Arrow
+    # chunk boundary fell — the batch-op contract is chunk-invariant
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    batch = whole.sort_values("doc_id").drop_duplicates("text_md5", keep="first")
+    if not len(batch):
+        yield pd.DataFrame({"doc_id": [], "text_md5": []})
+        return
+    raw = np.array([bytes.fromhex(h) for h in batch["text_md5"]], dtype=f"S{_D}")
+    if len(seen):
         pos = np.searchsorted(seen, raw)
-        present = (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)] == raw) if len(seen) else np.zeros(len(raw), dtype=bool)
-        # duplicates across pdfs within one batch: track newly-admitted too
-        if fresh:
-            fr = np.sort(np.array(fresh, dtype=f"S{_D}"))
-            p2 = np.searchsorted(fr, raw)
-            present |= (p2 < len(fr)) & (fr[np.minimum(p2, len(fr) - 1)] == raw)
-        for i in np.flatnonzero(~present):
-            out_ids.append(int(batch["doc_id"].iloc[i]))
-            out_md5.append(batch["text_md5"].iloc[i])
-            fresh.append(bytes(raw[i]))
-    if fresh:
-        merged = np.sort(np.concatenate([seen, np.array(fresh, dtype=f"S{_D}")]))
+        present = (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)] == raw)
+    else:
+        present = np.zeros(len(raw), dtype=bool)
+    keep = ~present
+    if keep.any():
+        merged = np.sort(np.concatenate([seen, raw[keep]]))
         state.update((merged.tobytes(),))
-    yield pd.DataFrame({"doc_id": out_ids, "text_md5": out_md5})
+    yield pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy()[keep],
+            "text_md5": batch["text_md5"].to_numpy()[keep],
+        }
+    )
 
 
 def streaming_exact_dedup(
@@ -139,32 +142,29 @@ class DedupListStateProcessor(StatefulProcessor):
 
         state_rows = [bytes(r["digest"]) for r in self.seen.get()]
         seen = np.sort(np.array(state_rows, dtype=f"S{_D}")) if state_rows else np.empty(0, dtype=f"S{_D}")
-        out_ids: list[int] = []
-        out_md5: list[str] = []
-        fresh: list[bytes] = []
-        for pdf in rows:
-            batch = pdf.sort_values("doc_id").drop_duplicates("text_md5", keep="first")
-            if not len(batch):
-                continue
-            raw = np.array([bytes.fromhex(h) for h in batch["text_md5"]], dtype=f"S{_D}")
+        # concat first — same chunk-invariance rule as _dedup_group: the
+        # min-doc_id keeper must not depend on Arrow chunk boundaries
+        whole = pd.concat(list(rows), ignore_index=True)
+        batch = whole.sort_values("doc_id").drop_duplicates("text_md5", keep="first")
+        if not len(batch):
+            yield pd.DataFrame({"doc_id": [], "text_md5": []})
+            return
+        raw = np.array([bytes.fromhex(h) for h in batch["text_md5"]], dtype=f"S{_D}")
+        if len(seen):
             pos = np.searchsorted(seen, raw)
-            present = (
-                (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)] == raw)
-                if len(seen)
-                else np.zeros(len(raw), dtype=bool)
-            )
-            if fresh:
-                fr = np.sort(np.array(fresh, dtype=f"S{_D}"))
-                p2 = np.searchsorted(fr, raw)
-                present |= (p2 < len(fr)) & (fr[np.minimum(p2, len(fr) - 1)] == raw)
-            for i in np.flatnonzero(~present):
-                out_ids.append(int(batch["doc_id"].iloc[i]))
-                out_md5.append(batch["text_md5"].iloc[i])
-                fresh.append(bytes(raw[i]))
-        if fresh:
+            present = (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)] == raw)
+        else:
+            present = np.zeros(len(raw), dtype=bool)
+        keep = ~present
+        if keep.any():
             # the incremental win: append ONLY the new digests
-            self.seen.appendList([(d,) for d in fresh])
-        yield pd.DataFrame({"doc_id": out_ids, "text_md5": out_md5})
+            self.seen.appendList([(bytes(dg),) for dg in raw[keep]])
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[keep],
+                "text_md5": batch["text_md5"].to_numpy()[keep],
+            }
+        )
 
     def close(self) -> None:
         pass
@@ -247,33 +247,30 @@ def _neardup_group(
         (packed,) = state.get
         if packed:
             seen = np.frombuffer(bytes(packed), dtype=f"S{_D}")  # sorted
-    out = []
-    fresh: list[np.ndarray] = []
-    for pdf in pdfs:
-        batch = pdf.sort_values("doc_id")
-        raw = np.array(
-            [bytes.fromhex(h) for h in batch["band_hash"]], dtype=f"S{_D}"
-        )
+    # concat first — per-chunk processing missed band collisions whose two
+    # holders landed in different Arrow chunks of the same micro-batch
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    batch = whole.sort_values("doc_id")
+    raw = np.array(
+        [bytes.fromhex(h) for h in batch["band_hash"]], dtype=f"S{_D}"
+    )
+    in_state = np.zeros(len(raw), dtype=bool)
+    if len(seen) and len(raw):
         idx = np.searchsorted(seen, raw)
-        in_state = np.zeros(len(raw), dtype=bool)
         mask = idx < len(seen)
         in_state[mask] = seen[idx[mask]] == raw[mask]
-        # earlier row in THIS batch (smaller doc_id) already claimed the
-        # bucket → later holders are hits too
-        dup_in_batch = pd.Series(raw).duplicated(keep="first").to_numpy()
-        out.append(
-            pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"].to_numpy(),
-                    "band": batch["band"].to_numpy(),
-                    "hit": in_state | dup_in_batch,
-                }
-            )
-        )
-        fresh.append(raw)
-    merged = np.unique(np.concatenate([seen, *fresh]))
+    # earlier row in THIS batch (smaller doc_id) already claimed the
+    # bucket → later holders are hits too
+    dup_in_batch = pd.Series(raw).duplicated(keep="first").to_numpy()
+    merged = np.unique(np.concatenate([seen, raw]))
     state.update((merged.tobytes(),))
-    yield from out
+    yield pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            "band": batch["band"].to_numpy(),
+            "hit": in_state | dup_in_batch,
+        }
+    )
 
 
 def streaming_minhash_dedup(
@@ -290,28 +287,14 @@ def streaming_minhash_dedup(
     ``near_dup_verdicts`` (or max(hit) per doc in foreachBatch). Signatures
     are the batch op's map-side expressions (no shuffle before the state
     exchange); one state round-trip per micro-batch."""
-    from ..ops.dedup import minhash_signatures
+    from ..ops.dedup import minhash_band_keys, minhash_signatures
 
     sig = minhash_signatures(stream_df, n_hashes, w, id_col, text_col)
-    n_bands = n_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(bi).cast("long").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[f"mh{bi * band_size + j}" for j in range(band_size)]
-                )
-            ).alias("band_hash"),
-        )
-        for bi in range(n_bands)
-    ]
-    exploded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
+    exploded = minhash_band_keys(sig, n_hashes, band_size).select(
         "doc_id",
-        "bk.band",
-        "bk.band_hash",
-        F.substring("bk.band_hash", 1, prefix_len).alias("pfx"),
+        "band",
+        "band_hash",
+        F.substring("band_hash", 1, prefix_len).alias("pfx"),
     )
     return exploded.groupBy("band", "pfx").applyInPandasWithState(
         _neardup_group,
@@ -322,7 +305,7 @@ def streaming_minhash_dedup(
     )
 
 
-def _make_simhash_group(d: int):
+def _make_simhash_group(d: int, max_bucket: int | None = None):
     """Per-(band, band_val) stateful kernel for EXACT streaming SimHash
     near-dup: state = the unique uint64 signatures seen in this bucket; a
     new doc hits iff some signature already in state (or earlier in this
@@ -350,33 +333,40 @@ def _make_simhash_group(d: int):
             (packed,) = state.get
             if packed:
                 prior = np.frombuffer(bytes(packed), dtype=np.uint64)
-        out = []
-        fresh: list[np.ndarray] = []
-        for pdf in pdfs:
-            batch = pdf.sort_values("doc_id")
-            sigs = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-            allp = np.concatenate([prior, *fresh, sigs])
-            base = len(allp) - len(sigs)
-            pc = popcounts(sigs[:, None] ^ allp[None, :])
-            # row i may match state/earlier-batch sigs and, within this
-            # batch, strictly earlier rows (columns base..base+i-1)
-            col_ok = np.arange(len(allp))[None, :] < (
-                base + np.arange(len(sigs))[:, None]
-            )
-            hit = ((pc <= d) & col_ok).any(axis=1)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": batch["doc_id"].to_numpy(),
-                        "band": batch["band"].to_numpy(),
-                        "hit": hit,
-                    }
-                )
-            )
-            fresh.append(sigs)
-        merged = np.unique(np.concatenate([prior, *fresh]))
+        # concat first (chunk-invariant verdicts, same rule as the other
+        # kernels), then SLAB the distance matrix: a dense
+        # |batch|x(|state|+|batch|) XOR matrix over a hot bucket is an
+        # executor OOM — bound the live allocation to |batch|x65536 cells
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        batch = whole.sort_values("doc_id")
+        sigs = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        allp = np.concatenate([prior, sigs])
+        base = len(prior)
+        n = len(sigs)
+        hit = np.zeros(n, dtype=bool)
+        row_lim = base + np.arange(n)  # row i may see columns < base+i
+        slab = 1 << 16
+        for lo in range(0, len(allp), slab):
+            cols = allp[lo : lo + slab]
+            pc = popcounts(sigs[:, None] ^ cols[None, :])
+            col_ok = (np.arange(lo, lo + len(cols))[None, :]
+                      < row_lim[:, None])
+            hit |= ((pc <= d) & col_ok).any(axis=1)
+        merged = np.unique(allp)
+        if max_bucket is not None and len(merged) > max_bucket:
+            # boilerplate bucket (the batch op's max_bucket rule): freeze
+            # state at the cap — verdicts stay correct against what IS
+            # retained; recall inside this bucket is capped, loudly
+            # documented, never an OOM
+            merged = merged[:max_bucket] if len(prior) < max_bucket else np.unique(prior)
         state.update((merged.tobytes(),))
-        yield from out
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "band": batch["band"].to_numpy(),
+                "hit": hit,
+            }
+        )
 
     return fn
 
@@ -386,6 +376,7 @@ def streaming_simhash_dedup(
     d: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Stream → per-band verdict rows (doc_id, band, hit) with EXACT
     Hamming-distance semantics: a doc is a near-dup of the stream's past
@@ -395,7 +386,11 @@ def streaming_simhash_dedup(
     the stateful operator — and the (d+1)-band pigeonhole routes every
     qualifying pair through ≥1 shared (band, band_val) state shard, so the
     per-bucket check is complete. State per shard: the bucket's unique
-    u64 signatures (8 B each)."""
+    u64 signatures (8 B each). ``max_bucket`` freezes a bucket's state at
+    the cap (hot boilerplate band values — the batch op's max_bucket
+    rule): verdicts stay exact against the retained signatures, recall
+    inside a frozen bucket is capped rather than state growing without
+    bound; the distance kernel is slab-bounded either way."""
     from ..ops.dedup import _simhash_bands, simhash_mapside
 
     sig = simhash_mapside(stream_df, id_col, text_col)
@@ -412,7 +407,7 @@ def streaming_simhash_dedup(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "simhash", "bk.band", "bk.band_val")
     return exploded.groupBy("band", "band_val").applyInPandasWithState(
-        _make_simhash_group(d),
+        _make_simhash_group(d, max_bucket),
         outputStructType=BAND_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

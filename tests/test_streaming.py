@@ -614,3 +614,79 @@ def test_streaming_simhash_dedup(spark, tmp_path):
     assert set(new) == {4, 5, 6}
     want_union = batch_flags(rows1 + rows2)
     assert {i for i, dup in new.items() if dup} == want_union - {1, 2, 3}
+
+
+class _StubState:
+    """Minimal GroupState stand-in for driving the kernels directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_dedup_kernel_is_chunk_invariant():
+    """The min-doc_id keeper must not depend on Arrow chunk boundaries:
+    doc 5 in chunk 1 and doc 2 (same hash) in chunk 2 → keeper is 2."""
+    import pandas as pd
+
+    from searchengine_spark.streaming.dedup import _dedup_group
+
+    h = "ab" * 16
+    st = _StubState()
+    chunks = [
+        pd.DataFrame({"doc_id": [5], "text_md5": [h]}),
+        pd.DataFrame({"doc_id": [2], "text_md5": [h]}),
+    ]
+    (out,) = list(_dedup_group(("ab",), iter(chunks), st))
+    assert list(out["doc_id"]) == [2]
+
+
+def test_neardup_kernel_sees_cross_chunk_collisions():
+    """A band-hash collision whose two holders land in different chunks of
+    one micro-batch must still mark the later doc as a hit."""
+    import pandas as pd
+
+    from searchengine_spark.streaming.dedup import _neardup_group
+
+    h = "cd" * 16
+    st = _StubState()
+    chunks = [
+        pd.DataFrame({"doc_id": [1], "band": [0], "band_hash": [h]}),
+        pd.DataFrame({"doc_id": [9], "band": [0], "band_hash": [h]}),
+    ]
+    (out,) = list(_neardup_group((0, "c"), iter(chunks), st))
+    verdict = dict(zip(out["doc_id"], out["hit"]))
+    assert verdict == {1: False, 9: True}
+
+
+def test_simhash_kernel_cap_and_slab():
+    """State freezes at max_bucket; verdicts stay exact against retained
+    signatures (and the slabbed kernel matches the dense one)."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_spark.streaming.dedup import _make_simhash_group
+
+    fn = _make_simhash_group(d=0, max_bucket=2)
+    st = _StubState()
+    sigs = np.array([10, 20, 30], dtype=np.uint64).view(np.int64)
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "band": [0, 0, 0],
+                        "simhash": sigs})
+    (out,) = list(fn((0, 0), iter([pdf]), st))
+    assert not out["hit"].any()  # three distinct signatures
+    assert len(np.frombuffer(bytes(st.get[0]), dtype=np.uint64)) == 2  # capped
+    # an exact repeat of a RETAINED signature still hits
+    pdf2 = pd.DataFrame({"doc_id": [4], "band": [0],
+                         "simhash": np.array([10], dtype=np.uint64).view(np.int64)})
+    (out2,) = list(fn((0, 0), iter([pdf2]), st))
+    assert bool(out2["hit"].iloc[0])
