@@ -394,12 +394,18 @@ class SearchEngine:
             return None
         return DocMask(excluded, included, upd, upd_wm)
 
-    def _analyze(self, query: str) -> list[str]:
+    def _analyze(self, query: str | list[str]) -> list[str]:
         """Query-side analysis under the INDEX's pinned analyzer
         (meta.analyzer — Lucene's rule: query and index must analyze
         identically or `getFooBar` would never match its own document).
         Returns the token list; every query surface tokenizes through
-        here."""
+        here. A pre-analyzed token LIST passes through verbatim: internal
+        surfaces re-feed terms that are already analyzer OUTPUT, and
+        re-running a non-idempotent analyzer (stem: classes→class→clas)
+        would turn them into dictionary misses that silently empty
+        phrase/query-string/common-terms/MLT results."""
+        if isinstance(query, (list, tuple)):
+            return list(query)
         from ..tokenizer import analyze_py
 
         return analyze_py(query, self.meta.analyzer)
@@ -591,7 +597,9 @@ class SearchEngine:
             from .wand import lm_u_fn
 
             c_total = float(meta.total_len or round(meta.n_docs * meta.avgdl))
-            qtf = dict(parse_query(query))
+            # qtf under the INDEX analyzer: the default tokenizer would
+            # produce different tokens on code/stem indexes and KeyError
+            qtf = dict(parse_query(self._analyze(query)))
             idf = {t: float(qtf[t]) for t in idf}  # LM weight = qtf
             u_fns = {
                 r["term"]: lm_u_fn(mu * (float(r["cf"]) / c_total), mu)
@@ -752,9 +760,16 @@ class SearchEngine:
 
         mask = self._doc_mask(doc_filter)
 
+        # same guard as search(): a rewriter-folded NEGATIVE weight turns
+        # the block-max bound into a lower bound — those batches must not
+        # theta-prune
+        safe_prune = prune and all(
+            v >= 0.0 for m in idfs.values() for v in m.values()
+        )
+
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_group_multi(pdf, idfs, k1, b, avgdl, k, prune=prune,
-                                     mode=mode, mask=mask)
+            return score_group_multi(pdf, idfs, k1, b, avgdl, k,
+                                     prune=safe_prune, mode=mode, mask=mask)
 
         cand = blocks.groupBy("doc_range").applyInPandas(run_group, batch_schema)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -794,7 +809,7 @@ class SearchEngine:
         terms = self._analyze(query)
         if not terms:
             return empty
-        dict_rows = self._resolve_terms(" ".join(sorted(set(terms))))
+        dict_rows = self._resolve_terms(sorted(set(terms)))
         if len(dict_rows) < len(set(terms)):
             return empty  # a query term is absent from the corpus → no match
         if global_stats is not None:
@@ -916,7 +931,7 @@ class SearchEngine:
         if not exps:
             return []
         all_terms = sorted(set(fixed) | set(exps))
-        dict_rows = self._resolve_terms(" ".join(all_terms))
+        dict_rows = self._resolve_terms(all_terms)
         present = {r["term"] for r in dict_rows}
         if any(t not in present for t in set(fixed)):
             return []  # a fixed term absent from the corpus → no match
@@ -993,19 +1008,29 @@ class SearchEngine:
             return b if a is None else a.join(b, "doc_id").select("doc_id")
 
         if p.must:
-            allow = intersect(allow, self.matching_docs(" ".join(p.must), mode="and"))
+            allow = intersect(allow, self.matching_docs(list(p.must), mode="and"))
         for ph in p.phrases:
             allow = intersect(allow, self.phrase_matching_docs(ph))
-        if p.filters or p.ranges:
+        if p.filters or p.ranges or p.neg_filters:
             if metadata is None:
                 raise ValueError(
-                    f"query string has field filters {p.filters + p.ranges} "
+                    "query string has field filters "
+                    f"{p.filters + p.neg_filters + p.ranges} "
                     "but no metadata DataFrame was provided"
                 )
             for f, v in p.filters:
                 allow = intersect(
                     allow,
                     metadata.filter(F.col(f) == v).select("doc_id"),
+                )
+            for f, v in p.neg_filters:
+                # ES must_not on a field filter: docs where the field is
+                # NOT the value (missing field counts as not-matching-it)
+                allow = intersect(
+                    allow,
+                    metadata.filter(
+                        (F.col(f) != v) | F.col(f).isNull()
+                    ).select("doc_id"),
                 )
             for f, lo, hi in p.ranges:
                 cond = F.lit(True)
@@ -1015,19 +1040,21 @@ class SearchEngine:
                     cond = cond & (F.col(f) <= _range_bound(hi))
                 allow = intersect(allow, metadata.filter(cond).select("doc_id"))
         rewriter = None
-        if p.boosts:
+        # boosts now records every mention (implicit 1.0 included, for the
+        # max-combine) — only a non-identity boost needs the rewriter
+        if any(w != 1.0 for w in p.boosts.values()):
             boosts = dict(p.boosts)
 
             def rewriter(qterms):
                 return [(t, boosts.get(t, 1.0)) for t, _ in qterms]
 
         return self.search(
-            " ".join(positive),
+            list(positive),
             k=k,
             use_wand=use_wand,
             rewriter=rewriter,
             doc_filter=allow,
-            exclude=" ".join(p.must_not),
+            exclude=list(p.must_not) if p.must_not else "",
             scorer=scorer,
             mu=mu,
             global_stats=global_stats,
@@ -1102,7 +1129,7 @@ class SearchEngine:
         if not low or low == all_terms:
             return self.search(query, k=k, use_wand=use_wand,
                                doc_filter=doc_filter)
-        matched = self.matching_docs(" ".join(low), mode="or",
+        matched = self.matching_docs(low, mode="or",
                                      doc_filter=doc_filter)
         return self.search(query, k=k, use_wand=use_wand, doc_filter=matched)
 
@@ -1131,7 +1158,7 @@ class SearchEngine:
         terms = self._analyze(query)
         if not terms:
             return empty
-        dict_rows = self._resolve_terms(" ".join(sorted(set(terms))), rewriter)
+        dict_rows = self._resolve_terms(sorted(set(terms)), rewriter)
         if not dict_rows:
             return empty
         resolved = sorted({r["term"] for r in dict_rows})
@@ -2322,7 +2349,7 @@ class SearchEngine:
         group_col: str,
         group_a: str,
         group_b: str,
-        by: None = None,
+        by: str | None = None,
         mode: str = "or",
         rewriter=None,
         doc_filter=None,
@@ -2334,13 +2361,16 @@ class SearchEngine:
         conditional aggregates (no second scan, no join); the t statistic
         is pure column arithmetic on the single result row. Welch degrees
         of freedom come back too so a caller can look up the p-value.
-        Returns DataFrame[n_a, n_b, mean_a, mean_b, t, df]."""
+        Returns DataFrame[n_a, n_b, mean_a, mean_b, t, df]; with ``by``,
+        one row per bucket (the by column leads), like every sibling
+        facet."""
         m = self.matching_docs(query, mode, rewriter, doc_filter)
-        j = m.join(metadata.select("doc_id", value_col, group_col), "doc_id")
+        meta_cols = ["doc_id", value_col, group_col] + ([by] if by else [])
+        j = m.join(metadata.select(*dict.fromkeys(meta_cols)), "doc_id")
         v = F.col(value_col).cast("double")
         in_a = F.col(group_col) == group_a
         in_b = F.col(group_col) == group_b
-        agg = j.agg(
+        agg = (j.groupBy(by) if by else j.groupBy()).agg(
             F.count(F.when(in_a, 1)).alias("n_a"),
             F.count(F.when(in_b, 1)).alias("n_b"),
             F.avg(F.when(in_a, v)).alias("mean_a"),
@@ -2355,9 +2385,10 @@ class SearchEngine:
         dof = (se * se) / (
             se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
         )
-        return agg.select(
-            "n_a", "n_b", "mean_a", "mean_b", t.alias("t"), dof.alias("df")
-        )
+        out_cols = ([by] if by else []) + [
+            "n_a", "n_b", "mean_a", "mean_b",
+        ]
+        return agg.select(*out_cols, t.alias("t"), dof.alias("df"))
 
     def _facet_metric_buckets(
         self, query, metadata, by, stat_col, mode, rewriter, doc_filter
@@ -2863,7 +2894,7 @@ class SearchEngine:
         tf = Counter(self._analyze(text))
         if not tf:
             return []
-        rows = self._resolve_terms(" ".join(sorted(tf)))
+        rows = self._resolve_terms(sorted(tf))
         scored = sorted(
             (
                 (-round(tf[r["term"]] * float(r["idf"]), 6), r["term"])
@@ -2875,7 +2906,7 @@ class SearchEngine:
             return []
         extra = 1 if exclude_doc_id is not None else 0
         hits = self.search(
-            " ".join(t for t, _ in selected),
+            [t for t, _ in selected],
             k=k + extra,
             use_wand=use_wand,
             doc_filter=doc_filter,

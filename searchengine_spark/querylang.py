@@ -53,6 +53,7 @@ class ParsedQueryString:
     must_not: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)
     filters: list[tuple[str, str]] = field(default_factory=list)
+    neg_filters: list[tuple[str, str]] = field(default_factory=list)
     ranges: list[tuple[str, str | None, str | None]] = field(default_factory=list)
     boosts: dict[str, float] = field(default_factory=dict)
     analyzer: str = "standard"  # pinned at parse time; phrase re-analysis uses it
@@ -92,9 +93,14 @@ def parse_query_string(qs: str, analyzer: str = "standard") -> ParsedQueryString
     out = ParsedQueryString(analyzer=analyzer)
 
     def boost_all(toks: list[str], w: float) -> None:
-        if w != 1.0:
-            for t in toks:
-                out.boosts[t] = max(out.boosts.get(t, 0.0), w)
+        # record EVERY mention: an unboosted clause carries the implicit
+        # 1.0, and the contract is max-combine across ALL clauses
+        # mentioning the term — 'stream stream^0.5' must boost by 1.0,
+        # not 0.5. Entries equal to 1.0 are identity downstream.
+        if w < 0.0:
+            raise ValueError(f"negative boost: ^{w}")
+        for t in toks:
+            out.boosts[t] = max(out.boosts.get(t, 0.0), w)
 
     for raw in _TOKEN_RE.findall(qs):
         m = _RANGE_RE.match(raw)
@@ -118,10 +124,17 @@ def parse_query_string(qs: str, analyzer: str = "standard") -> ParsedQueryString
                 out.phrases.append(ph)
                 boost_all(ptoks, boost)
             continue
-        if ":" in raw and not op:
+        if ":" in raw and not raw.startswith('"'):
             f, v = raw.split(":", 1)
             if f and v:
-                out.filters.append((f, v))
+                # +field:value is a (redundant) required filter; -field:value
+                # excludes docs where the field equals the value — silently
+                # parsing these as text terms required the literal WORDS
+                # 'field' and 'value' in the document body
+                if op == "-":
+                    out.neg_filters.append((f, v))
+                else:
+                    out.filters.append((f, v))
                 continue
         raw, boost = _split_boost(raw)
         toks = analyze_py(raw, analyzer)

@@ -117,6 +117,13 @@ def bm25_score_batch(
     ]
     if not rows:
         raise ValueError("empty query batch")
+    live = {qid for qid, _, _ in rows}
+    dead = sorted(set(queries) - live)
+    if dead:
+        # a stopword-only query contributes no rows and would silently
+        # VANISH from the batched output (indistinguishable from matching
+        # nothing) — name it instead; callers drop or rewrite it
+        raise ValueError(f"queries tokenized to nothing: {dead}")
     qdf = spark.createDataFrame(rows, "query_id string, term string, qtf int")
     qstats = F.broadcast(qdf.join(dict_df, "term"))
     cand = tf_df.join(qstats, "term").join(stats_df.select("doc_id", "doc_len"), "doc_id")
@@ -453,6 +460,8 @@ def dynamic_k(n_candidates: int) -> int:
 def anomaly_cutoff(scored: DataFrame, n_std: float = 1.0) -> DataFrame:
     """W5 (``Part C/ranker_glove.py:181-202``): keep score > mean − n·std."""
     stats = scored.agg(F.avg("score").alias("m"), F.stddev_pop("score").alias("s")).collect()[0]
+    if stats["m"] is None:  # empty match set — nothing to cut
+        return scored
     thr = float(stats["m"]) - n_std * float(stats["s"] or 0.0)
     return scored.filter(F.col("score") > thr)
 
@@ -714,11 +723,18 @@ def recency_blend(
     (doc_id, age) in any unit consistent with ``half_life``.
 
     The decay is a deterministic column product — no extra shuffle beyond
-    the (candidate-sized) join with the age column."""
+    the (candidate-sized) join with the age column. Docs with NO age row
+    keep their undecayed score (LEFT join — ES treats a missing field as
+    non-decaying; an inner join would make a score MODIFIER silently
+    shrink the match set, the bug authority_blend's left join avoids)."""
     lam = math.log(2.0) / float(half_life)
-    blended = F.col("score") * F.exp(-F.lit(lam) * F.col("age"))
+    blended = F.col("score") * F.exp(
+        -F.lit(lam) * F.coalesce(F.col("age"), F.lit(0.0))
+    )
     out = F.round(blended, round_dp) if round_dp is not None else blended
-    return scored.join(age_df, "doc_id").select("doc_id", out.alias("score"))
+    return scored.join(age_df, "doc_id", "left").select(
+        "doc_id", out.alias("score")
+    )
 
 
 def authority_blend(
@@ -777,11 +793,23 @@ def hit_counts(
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("matched"), F.first("n_terms").alias("n_terms"))
     )
-    return per_doc.groupBy("query_id").agg(
+    counted = per_doc.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("or_hits"),
         F.sum(F.when(F.col("matched") == F.col("n_terms"), 1).otherwise(0)).alias(
             "and_hits"
         ),
+    )
+    # a query whose terms are ALL out-of-vocabulary (or stopword-only)
+    # contributes no per_doc rows — a _count surface must report (0, 0),
+    # not silently drop the query_id from the output
+    spark2 = qdf.sparkSession
+    all_q = spark2.createDataFrame(
+        [(qid,) for qid in sorted(queries)], "query_id string"
+    )
+    return all_q.join(counted, "query_id", "left").select(
+        "query_id",
+        F.coalesce("or_hits", F.lit(0)).cast("long").alias("or_hits"),
+        F.coalesce("and_hits", F.lit(0)).cast("long").alias("and_hits"),
     )
 
 

@@ -43,3 +43,33 @@ def test_three_way_equality(spark):
     via_py = [stem_py(w) for w in words]
     assert via_expr == via_py
     assert via_udf == via_py
+
+
+def test_stem_index_surfaces_survive_reanalysis(spark, tmp_path):
+    """stem is NOT idempotent (classes→class→clas): surfaces that re-feed
+    already-analyzed terms (phrase, MLT, common-terms, query-string must)
+    must pass them through verbatim, not re-analyze — re-analysis turned
+    them into dictionary misses that silently emptied results."""
+    from searchengine_spark.query.engine import SearchEngine
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge classes quickly"),
+            (2, "merge payments daily"),
+            (3, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    eng = SearchEngine(spark, idx)
+    eng.build_index_from_df(
+        docs, id_col="doc_id", text_col="text",
+        n_buckets=2, range_bits=1, analyzer="stem", with_positions=True,
+    )
+    # phrase over a stem-analyzed index: 'classes' indexes as 'class';
+    # re-analysis would look up stem('class')='clas' and find nothing
+    assert {d for d, _ in eng.search_phrase("merge classes", k=5)} == {1}
+    # scorer='lm' builds qtf under the index analyzer (was a KeyError)
+    assert eng.search("merge classes", k=5, scorer="lm")
+    # MLT re-feeds selected (analyzed) terms
+    assert eng.more_like_this("merge classes quickly", k=5)
