@@ -824,6 +824,7 @@ def _cmd_didyoumean(args) -> None:
     out = suggest_phrase(
         df,
         args.query,
+        text_col=_pick_text_col(df, "content"),
         max_edits=args.max_edits,
         per_term=args.per_term,
         beam=args.beam,

@@ -37,14 +37,30 @@ ROUND_DP = 5
 
 
 def _candidates(uni: DataFrame, qterm: str, max_edits: int, per_term: int) -> DataFrame:
-    """(term, c, lev): the per_term closest vocabulary terms."""
+    """(term, c, lev): the per_term closest vocabulary terms. A position
+    with NO vocabulary term within max_edits keeps the ORIGINAL term as
+    its sole candidate (the ES phrase-suggester rule) — without it one
+    novel identifier emptied the whole beam and every suggestion."""
     w = Window.partitionBy().orderBy(F.asc("lev"), F.desc("c"), F.asc("term"))
-    return (
+    base = (
         uni.withColumn("lev", F.levenshtein(F.lit(qterm), F.col("term")))
         .filter(F.col("lev") <= int(max_edits))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= int(per_term))
         .drop("rnk")
+        .withColumn("fb", F.lit(0))
+    )
+    fallback = uni.sparkSession.createDataFrame(
+        [(qterm, 0, 0, 1)], "term string, c long, lev int, fb int"
+    )
+    n_real = F.sum(F.when(F.col("fb") == 0, 1).otherwise(0)).over(
+        Window.partitionBy()
+    )
+    return (
+        base.unionByName(fallback)
+        .withColumn("_n", n_real)
+        .filter((F.col("fb") == 0) | (F.col("_n") == 0))
+        .drop("fb", "_n")
     )
 
 
@@ -58,6 +74,8 @@ def suggest_phrase(
     alpha: float = 0.1,
     edit_penalty: float = 1.0,
     model: tuple[DataFrame, DataFrame, int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """(phrase, score): top-``top_n`` corrected phrases for ``query``.
 
@@ -77,7 +95,9 @@ def suggest_phrase(
     # and either way the cache is released before returning (the result
     # is collected, beam·top_n-bounded, so nothing lazy escapes)
     own_model = model is None
-    c_ab, uni, vocab = model if model is not None else bigram_lm_counts(df)
+    c_ab, uni, vocab = (
+        model if model is not None else bigram_lm_counts(df, id_col, text_col)
+    )
     if own_model:
         uni = uni.persist()
     a = float(alpha)
@@ -175,12 +195,17 @@ consts AS (SELECT (SELECT SUM(c) FROM uni)::DOUBLE AS n_uni,
     ]
     for i, q in enumerate(qterms):
         parts.append(
-            f"""cand_{i} AS (
+            f"""cand_base_{i} AS (
   SELECT term, c, lev FROM (
     SELECT term, c, levenshtein('{q}', term) AS lev,
            ROW_NUMBER() OVER (ORDER BY levenshtein('{q}', term) ASC,
                               c DESC, term ASC) AS rnk
-    FROM uni) WHERE lev <= {int(max_edits)} AND rnk <= {int(per_term)})"""
+    FROM uni) WHERE lev <= {int(max_edits)} AND rnk <= {int(per_term)}),
+cand_{i} AS (
+  SELECT * FROM cand_base_{i}
+  UNION ALL
+  SELECT '{q}' AS term, 0 AS c, 0 AS lev
+  WHERE NOT EXISTS (SELECT 1 FROM cand_base_{i}))"""
         )
     parts.append(
         f"""state_0 AS (

@@ -52,10 +52,15 @@ def make_spell_rewriter(vocab: set[str]) -> Rewriter:
         e1 = sorted(_edits1(term) & vocab)
         if e1:
             return e1[0]
-        for cand in sorted(_edits1(term)):
-            e2 = sorted(_edits1(cand) & vocab)
-            if e2:
-                return e2[0]
+        # distance 2: collect matches across ALL intermediates before
+        # choosing — returning the first intermediate's best match picked
+        # whichever candidate an arbitrary iteration order reached first,
+        # not the documented lexicographic minimum
+        e2: set[str] = set()
+        for cand in _edits1(term):
+            e2 |= _edits1(cand) & vocab
+        if e2:
+            return min(e2)
         return term
 
     def rewrite(qterms: list[tuple[str, int]]) -> list[tuple[str, float]]:

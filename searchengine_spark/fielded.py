@@ -214,8 +214,13 @@ def multi_match_best_fields(
         raise ValueError("fields must map ≥1 text column to a weight")
     n_docs = df.count()
     subs: list[DataFrame] = []
+    caches: list[DataFrame] = []
     for f_name in sorted(fields):
-        tf_f = term_frequencies(df, id_col=id_col, text_col=f_name)
+        # persisted: the emptiness probe, the field dictionary, and the
+        # BM25 scoring all consume this frame — unpersisted, each field
+        # tokenized the corpus ~3 times
+        tf_f = term_frequencies(df, id_col=id_col, text_col=f_name).persist()
+        caches.append(tf_f)
         stats_f = tf_f.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         len_sum = stats_f.agg(F.sum("doc_len").alias("s")).first()["s"] or 0
         if len_sum == 0:
@@ -234,6 +239,8 @@ def multi_match_best_fields(
             )
         )
     if not subs:
+        for c in caches:
+            c.unpersist()
         raise ValueError("every field tokenized to nothing")
     u = subs[0]
     for s in subs[1:]:
@@ -241,10 +248,13 @@ def multi_match_best_fields(
     agg = u.groupBy("doc_id").agg(
         F.max("score").alias("mx"), F.sum("score").alias("sm")
     )
-    return agg.select(
+    out = agg.select(
         "doc_id",
         F.round(
             F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx")),
             round_dp,
         ).alias("score"),
-    )
+    ).localCheckpoint()  # materialize off the field caches, then drop them
+    for c in caches:
+        c.unpersist()
+    return out

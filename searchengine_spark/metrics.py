@@ -8,7 +8,10 @@ expected values used in their asserts) and the harness join
 Inputs:
   results: (query, doc_id, rank)   rank 1-based (W4: row_number over
            (score desc, doc_id asc))
-  qrels:   (query, doc_id, y_true) 0/1 relevance labels
+  qrels:   (query, doc_id, y_true) relevance labels — the binary metrics
+           treat y_true > 0 as relevant (graded labels binarize, the same
+           rule ndcg/mrr already use; summing raw grades would let recall
+           exceed 1.0)
 
 All joins are broadcast-friendly (qrels are tiny relative to the corpus).
 """
@@ -37,17 +40,21 @@ def precision_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     """(query, p_at_k): fraction of top-k retrieved that are relevant
     (denominator k, as in ``Part A/metrics.py`` precision)."""
     lab = _labeled(results.filter(F.col("rank") <= k), qrels)
+    rel = (F.col("y_true") > 0).cast("int")  # graded labels binarize —
+    # summing raw grades would disagree with ndcg/mrr's y_true > 0 rule
     return lab.groupBy("query").agg(
-        (F.sum("y_true") / F.lit(float(k))).alias("p_at_k")
+        (F.sum(rel) / F.lit(float(k))).alias("p_at_k")
     )
 
 
 def recall(results: DataFrame, qrels: DataFrame) -> DataFrame:
     """(query, recall): retrieved relevant / all relevant (A8 rollup)."""
-    total = qrels.filter(F.col("y_true") == 1).groupBy("query").agg(
+    total = qrels.filter(F.col("y_true") > 0).groupBy("query").agg(
         F.count(F.lit(1)).alias("n_rel")
     )
-    got = _labeled(results, qrels).groupBy("query").agg(F.sum("y_true").alias("n_hit"))
+    got = _labeled(results, qrels).groupBy("query").agg(
+        F.sum((F.col("y_true") > 0).cast("int")).alias("n_hit")
+    )
     return got.join(total, "query").select(
         "query", (F.col("n_hit") / F.col("n_rel")).alias("recall")
     )
@@ -55,15 +62,17 @@ def recall(results: DataFrame, qrels: DataFrame) -> DataFrame:
 
 def average_precision(results: DataFrame, qrels: DataFrame) -> DataFrame:
     """(query, ap): mean over relevant retrieved docs of precision@rank."""
-    lab = _labeled(results, qrels)
+    lab = _labeled(results, qrels).withColumn(
+        "y_rel", (F.col("y_true") > 0).cast("int")
+    )
     w = Window.partitionBy("query").orderBy("rank")
-    prec_at_rank = F.sum("y_true").over(w) / F.col("rank")
+    prec_at_rank = F.sum("y_rel").over(w) / F.col("rank")
     per = lab.withColumn("p_r", prec_at_rank)
-    n_rel = qrels.filter(F.col("y_true") == 1).groupBy("query").agg(
+    n_rel = qrels.filter(F.col("y_true") > 0).groupBy("query").agg(
         F.count(F.lit(1)).alias("n_rel")
     )
     return (
-        per.filter(F.col("y_true") == 1)
+        per.filter(F.col("y_rel") == 1)
         .groupBy("query")
         .agg(F.sum("p_r").alias("sum_p"))
         .join(n_rel, "query")
@@ -137,11 +146,14 @@ def mrr(results: DataFrame, qrels: DataFrame) -> DataFrame:
 
 def rank_eval(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     """Per-query metric panel — the ES ``_rank_eval`` API shape: one row per
-    query with (p_at_k, recall, ap, ndcg, rr). All five metrics come from
-    the SAME ranked results/labels frames, so the panel is one broadcast
-    join fan-out, no extra scans of the corpus. Queries whose metric is
-    undefined (no relevant docs / none retrieved) report 0.0 so the panel
-    is total over the query set."""
+    query with (p_at_k, recall, ap, ndcg, rr). The five metrics each
+    consume the ranked results/labels frames, so both are PERSISTED for
+    the panel's duration — without that every metric re-scans the results
+    lineage (5+ scans of a potentially expensive ranked frame). Queries
+    whose metric is undefined (no relevant docs / none retrieved) report
+    0.0 so the panel is total over the query set."""
+    results = results.persist()
+    qrels = qrels.persist()
     base = results.select("query").distinct()
     out = (
         base.join(precision_at_k(results, qrels, k), "query", "left")
@@ -152,4 +164,7 @@ def rank_eval(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     )
     for c in ("p_at_k", "recall", "ap", "ndcg", "rr"):
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    out = out.localCheckpoint()  # materialize, then release the inputs
+    results.unpersist()
+    qrels.unpersist()
     return out

@@ -38,12 +38,13 @@ def percolate(
     where the doc matches under the query's mode ('or' = any term,
     'and' = every term; ``mode_col=None`` treats all queries as 'or').
     Same tokenizer as indexing/search on BOTH sides."""
-    dt = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokenize_expr(F.col(text_col))).alias("term"),
-        )
-        .distinct()
+    # NO .distinct() here: tokenize_expr already dedupes in-row
+    # (array_except), and a distinct would hash-shuffle the ENTIRE corpus
+    # token stream before the broadcast semi-join — the exact full-corpus
+    # shuffle the contract above rules out
+    dt = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_expr(F.col(text_col))).alias("term"),
     )
     mode = (
         F.lower(F.col(mode_col)) if mode_col is not None else F.lit("or")

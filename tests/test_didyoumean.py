@@ -77,3 +77,31 @@ def test_model_reuse_matches_inline_training(docs):
     a = _spark_suggest(docs, "spak stream")
     b = _spark_suggest(docs, "spak stream", model=model)
     assert a == b
+
+
+def test_oov_position_keeps_original_term(spark, duck_con=None):
+    """A position with NO vocabulary term within max_edits keeps the
+    original term (ES rule) — it used to empty the whole beam."""
+    import duckdb
+
+    from searchengine_spark.didyoumean import suggest_phrase, suggest_phrase_sql
+
+    docs = spark.createDataFrame(
+        [(1, "spark streams quickly"), (2, "spark streams daily")],
+        "doc_id long, text string",
+    )
+    got = suggest_phrase(docs, "sparl qqqqqqqqqqq streems", top_n=3).collect()
+    assert got, "beam must survive the OOV position"
+    assert all("qqqqqqqqqqq" in r["phrase"] for r in got)
+    # twin parity on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT * FROM (VALUES "
+        "(1, 'spark streams quickly'), (2, 'spark streams daily')"
+        ") t(doc_id, text)"
+    )
+    sql = suggest_phrase_sql("docs", "sparl qqqqqqqqqqq streems", top_n=3)
+    oracle = con.execute(sql).fetchall()
+    assert [(r["phrase"], r["score"]) for r in got] == [
+        (p, s) for p, s in oracle
+    ]

@@ -211,3 +211,13 @@ def test_prf_expansion_semantics(spark, sf_dir):
     for d, s in plain.items():
         assert abs(zero[d] - s) < 1e-9
     tf.unpersist()
+
+
+def test_spell_rewriter_distance2_lexicographic_tie():
+    """Distance-2 ties break to the LEXICOGRAPHIC minimum across ALL
+    intermediates (the documented contract), not whichever intermediate
+    iterates first."""
+    from searchengine_spark.expansion import make_spell_rewriter
+
+    r = make_spell_rewriter({"xya", "zda"})
+    assert r([("aaa", 1)]) == [("xya", 1.0)]
