@@ -36,15 +36,20 @@ def pack_docs(
     bin (group_id, bin_no). Within a group, docs concatenate in doc_id
     order; bins are full except each group's last. A doc longer than
     ``max_tokens`` spans several bins (its chunks stay contiguous).
-    Token counting is whitespace ``split`` — swap a tokenizer-true count
-    (e.g. ``ops.textstats.token_count``) for production use."""
+    Token counting is the shared whitespace count
+    (``textstats._ws_tokens_expr``: trim-empty → 0, runs of whitespace =
+    one separator) — ``split(text, ' ')`` returned ≥1 for EVERY string,
+    so the empty-doc filter never fired and phantom tokens inflated bin
+    spans. Swap a tokenizer-true count (``ops.textstats.token_count``)
+    for production use."""
+    from .textstats import _ws_tokens_expr
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     w = Window.partitionBy("group_id").orderBy("doc_id")
     sized = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+            _ws_tokens_expr(text_col).alias("n_tok"),
         )
         .filter(F.col("n_tok") > 0)
         .withColumn(
@@ -94,9 +99,11 @@ def pack_docs_sql(
     return f"""
 WITH sized AS (
   SELECT {id_col} AS doc_id,
-         len(string_split({text_col}, ' '))::BIGINT AS n_tok,
+         CASE WHEN trim({text_col}) = '' THEN 0
+              ELSE len(string_split_regex(trim({text_col}), '\s+'))
+         END::BIGINT AS n_tok,
          ((({id_col} % {n_groups}) + {n_groups}) % {n_groups})::BIGINT AS group_id
-  FROM {table} WHERE len(string_split({text_col}, ' ')) > 0),
+  FROM {table} WHERE trim({text_col}) != ''),
 spans AS (
   SELECT group_id, doc_id, n_tok,
          (sum(n_tok) OVER (PARTITION BY group_id ORDER BY doc_id))::BIGINT AS e,

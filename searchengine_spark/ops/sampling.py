@@ -33,8 +33,16 @@ def hash_unit(id_col, seed: int = 0):
     """Column expr: deterministic uniform [0, 1) from the row id —
     md5(id || ':' || seed) first 12 hex digits / 16^12. Engine-portable
     (the DuckDB twin is the same expression), partition-independent, and
-    monotone-threshold-stable (bigger rate ⊃ smaller rate, same seed)."""
-    h = F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(str(seed))))
+    monotone-threshold-stable (bigger rate ⊃ smaller rate, same seed).
+    A NULL id hashes as the empty string on BOTH engines (coalesce here,
+    coalesce in the twin) — concat_ws alone would skip the null AND its
+    separator while DuckDB's || propagates NULL, silently sampling
+    different sets across engines."""
+    h = F.md5(
+        F.concat_ws(
+            ":", F.coalesce(id_col.cast("string"), F.lit("")), F.lit(str(seed))
+        )
+    )
     return F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("double") / F.lit(
         _DENOM
     )
@@ -61,9 +69,9 @@ def sample_stratified(
     keep rate (strata absent from the map get ``default_rate``). One
     stateless filter pass; the rate table rides along as a broadcast-sized
     CASE expression."""
-    for v in rates.values():
+    for v in list(rates.values()) + [default_rate]:
         if not 0.0 <= v <= 1.0:
-            raise ValueError("rates must be in [0, 1]")
+            raise ValueError("rates (and default_rate) must be in [0, 1]")
     rate_col = F.lit(float(default_rate))
     for key, r in sorted(rates.items()):
         rate_col = F.when(F.col(by) == key, float(r)).otherwise(rate_col)
@@ -120,8 +128,8 @@ def targets_for_temperature(
 def _hash_unit_sql(id_col: str, seed: int = 0) -> str:
     """DuckDB twin of ``hash_unit`` as an expression string."""
     return (
-        f"CAST(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), "
-        f"1, {_HEX_DIGITS})) AS UBIGINT) / {_DENOM!r}"
+        f"CAST(('0x' || substring(md5(COALESCE(CAST({id_col} AS VARCHAR), '')"
+        f" || ':{seed}'), 1, {_HEX_DIGITS})) AS UBIGINT) / {_DENOM!r}"
     )
 
 
@@ -352,8 +360,10 @@ WHERE {nc} > 0
 
 
 def _ws_tokens(text_col: str):
-    t = F.trim(F.col(text_col))
-    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+    # ONE whitespace-token-count definition repo-wide (textstats owns it)
+    from .textstats import _ws_tokens_expr
+
+    return _ws_tokens_expr(text_col)
 
 
 def mixture_plan(
@@ -389,14 +399,24 @@ def mixture_plan(
         .groupBy(F.col(by).alias("source"))
         .agg(F.sum(_ws_tokens(text_col)).cast("long").alias("tokens_avail"))
     )
-    base = counts.select(
-        "source",
-        "tokens_avail",
-        w_col.alias("weight"),
-        (F.col("tokens_avail").cast("double") * F.lit(float(max_epochs))).alias(
-            "capacity"
-        ),
-    ).withColumn("ratio", F.col("capacity") / F.col("weight"))
+    # renormalize over the PRESENT sources (the py twin's `k in tokens`
+    # rule): with a weighted source absent from df, weights no longer sum
+    # to 1 and the closed-form denominators would under-allocate the
+    # budget — Σ alloc must stay min(budget, Σ capacity)
+    wall = Window.partitionBy()
+    base = (
+        counts.select(
+            "source",
+            "tokens_avail",
+            w_col.alias("w0"),
+            (
+                F.col("tokens_avail").cast("double") * F.lit(float(max_epochs))
+            ).alias("capacity"),
+        )
+        .withColumn("weight", F.col("w0") / F.sum("w0").over(wall))
+        .drop("w0")
+        .withColumn("ratio", F.col("capacity") / F.col("weight"))
+    )
 
     ordw = (
         Window.orderBy("ratio", "source")
@@ -431,12 +451,17 @@ def mixture_plan(
         * (F.lit(b) - F.col("sat_c"))
         / (F.lit(1.0) - F.col("sat_w"))
     )
+    # zero-token source: capacity 0 ⇒ alloc 0, and 0/0 is an ANSI
+    # DIVIDE_BY_ZERO crash (NULL in the DuckDB twin) — its epoch count is 0
+    epochs = F.when(
+        F.col("tokens_avail") > 0, alloc / F.col("tokens_avail")
+    ).otherwise(F.lit(0.0))
     return lev.select(
         "source",
         "tokens_avail",
         F.round("weight", 5).alias("weight"),
         F.round(alloc, 5).alias("alloc_tokens"),
-        F.round(alloc / F.col("tokens_avail"), 5).alias("epochs"),
+        F.round(epochs, 5).alias("epochs"),
         F.round(alloc / F.lit(b), 5).alias("share"),
     )
 
@@ -564,8 +589,11 @@ WITH t AS (
          {w_case} AS weight
   FROM {table} WHERE {by} IN ({keys}) GROUP BY {by}
 ), base AS (
-  SELECT *, tokens_avail::DOUBLE * {float(max_epochs)!r} AS capacity,
-         tokens_avail::DOUBLE * {float(max_epochs)!r} / weight AS ratio
+  SELECT source, tokens_avail,
+         weight / sum(weight) OVER () AS weight,
+         tokens_avail::DOUBLE * {float(max_epochs)!r} AS capacity,
+         tokens_avail::DOUBLE * {float(max_epochs)!r}
+           / (weight / sum(weight) OVER ()) AS ratio
   FROM t
 ), cum AS (
   SELECT *,
@@ -588,9 +616,10 @@ SELECT source, tokens_avail, round(weight, 5) AS weight,
        round(CASE WHEN saturated THEN capacity
                   ELSE weight * ({b!r} - sat_c) / (1.0 - sat_w) END, 5)
          AS alloc_tokens,
-       round(CASE WHEN saturated THEN capacity
-                  ELSE weight * ({b!r} - sat_c) / (1.0 - sat_w) END
-             / tokens_avail, 5) AS epochs,
+       round(CASE WHEN tokens_avail = 0 THEN 0.0
+                  WHEN saturated THEN capacity / tokens_avail
+                  ELSE weight * ({b!r} - sat_c) / (1.0 - sat_w)
+                       / tokens_avail END, 5) AS epochs,
        round(CASE WHEN saturated THEN capacity
                   ELSE weight * ({b!r} - sat_c) / (1.0 - sat_w) END
              / {b!r}, 5) AS share

@@ -280,13 +280,16 @@ def collocations(
     Output: (term_a, term_b, pair_count, pmi). Three map-side-combined
     count aggregations; the uni↔bi joins are |vocab|-sized.
     """
-    bi = _bigram_stream(df, id_col, text_col)
+    # persist: bi feeds both the pair counts and n_bi, uni feeds the two
+    # sides of the pair join and n_uni — unpersisted, the dominant
+    # tokenize+explode pass ran once per consumer
+    bi = _bigram_stream(df, id_col, text_col).persist()
     c_ab = bi.groupBy("term_a", "term_b").agg(
         F.count(F.lit(1)).alias("pair_count")
     )
     uni = df.select(
         F.explode(tokenize_raw_expr(F.col(text_col))).alias("term")
-    ).groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     n_bi = bi.count()
     n_uni = uni.agg(F.sum("c")).collect()[0][0]
     scored = (
@@ -307,11 +310,15 @@ def collocations(
             ),
         )
     )
-    return (
+    out = (
         scored.select("term_a", "term_b", "pair_count", "pmi")
         .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
         .limit(int(top_n))
+        .localCheckpoint()  # ≤ top_n rows; release the stream caches
     )
+    bi.unpersist()
+    uni.unpersist()
+    return out
 
 
 def collocations_sql(
@@ -493,6 +500,7 @@ def significant_text(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize_raw_expr(F.col(text_col)))).alias("term"),
     )
+    doc_terms = doc_terms.persist()  # hit-set probe, fg, and bg all scan it
     hits = doc_terms.filter(F.col("term").isin(qset)).select("doc_id").distinct()
     n_hits = hits.count()
     n_total = df.count()
@@ -518,12 +526,20 @@ def significant_text(
             ),
         )
     )
-    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("term"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= int(top_n))
-        .select("term", "doc_count", "bg_count", "score", "rnk")
+    # top-n via orderBy+limit (TakeOrderedAndProject: bounded heap per
+    # partition) — a partitionless row_number window would funnel the
+    # whole |vocab|-sized scored frame through ONE task; rnk is then
+    # derived on the tiny collected slice
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("term"))
+        .limit(int(top_n))
+        .select("term", "doc_count", "bg_count", "score")
     )
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("term"))
+    out = top.withColumn("rnk", F.row_number().over(w))
+    out = out.localCheckpoint()  # ≤ top_n rows; release the token cache
+    doc_terms.unpersist()
+    return out
 
 
 def significant_text_sql(

@@ -11,6 +11,8 @@ the cross-engine value-hash is stable.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -206,17 +208,28 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """Marker-word language ID: argmax of per-language marker hits over the
     whitespace-lowered token stream; tie-break lang asc; no hits → 'und'."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hits = {
-        lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
-        for lang, markers in _LANG_MARKERS.items()
-    }
-    en, es = hits["en"], hits["es"]
-    pred = (
-        F.when((en == 0) & (es == 0), "und")
-        .when(en >= es, "en")  # tie → 'en' (lang asc)
-        .otherwise("es")
+    # generic argmax over the marker table (extending _LANG_MARKERS now
+    # actually adds a language — the old code computed every language's
+    # hits and then hardcoded the en/es decision): max hits wins, ties
+    # break lang ASC, all-zero → 'und'
+    langs = sorted(_LANG_MARKERS)
+
+    def _hit(markers: tuple[str, ...]):
+        mk = tuple(markers)
+        # single-arg lambda: a second (default) parameter would be bound
+        # as the element INDEX by F.filter
+        return F.size(F.filter(words, lambda w: w.isin(*mk)))
+
+    hits = {lang: _hit(_LANG_MARKERS[lang]) for lang in langs}
+    best = hits[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, hits[lang])
+    pred = F.when(best == 0, "und")
+    for lang in langs:  # lang asc: first language reaching the max wins
+        pred = pred.when(hits[lang] == best, lang)
+    return df.select(
+        F.col(id_col).alias("doc_id"), pred.alias("lang_pred")
     )
-    return df.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
 
 
 def lang_id_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
@@ -227,13 +240,15 @@ def lang_id_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> s
             f"IF w IN ({lst})])"
         )
 
-    en = marker_sql(_LANG_MARKERS["en"])
-    es = marker_sql(_LANG_MARKERS["es"])
+    langs = sorted(_LANG_MARKERS)
+    exprs = {lang: marker_sql(_LANG_MARKERS[lang]) for lang in langs}
+    best = "greatest(" + ", ".join(exprs[lang] for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN {exprs[lang]} = {best} THEN '{lang}'" for lang in langs
+    )
     return f"""
 SELECT {id_col} AS doc_id,
-       CASE WHEN {en} = 0 AND {es} = 0 THEN 'und'
-            WHEN {en} >= {es} THEN 'en'
-            ELSE 'es' END AS lang_pred
+       CASE WHEN {best} = 0 THEN 'und' {whens} END AS lang_pred
 FROM {table}
 """
 
@@ -465,7 +480,10 @@ def gopher_quality_py(text: str) -> dict:
     def rnd(x: float) -> float:
         return int(x * dp + 0.5) / dp  # HALF_UP like Spark/DuckDB round()
 
-    words = [w for w in text.strip().split() if w]
+    # ASCII \s split like the Spark/DuckDB twins — Python str.split()
+    # also treats unicode whitespace (\xa0 in scraped HTML) as a
+    # separator and would disagree on n_words/mean_word_len/keep
+    words = [w for w in _re.split(r"[ \t\n\r\f\v]+", text.strip()) if w]
     nw, nw1 = len(words), max(len(words), 1)
     mean_len = rnd(sum(len(w) for w in words) / nw1)
     n_hash = text.count("#")
