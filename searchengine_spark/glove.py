@@ -44,11 +44,22 @@ def load_model_txt(path: str) -> dict[str, list[float]]:
     import numpy as np
 
     out: dict[str, list[float]] = {}
+    dim: int | None = None
     with open(path) as f:
-        for line in f:
-            parts = line.rstrip("\n").split(" ")
+        for ln, line in enumerate(f, 1):
+            parts = line.rstrip("\n").strip().split(" ")
             if len(parts) < 2:
                 continue
+            if dim is None:
+                dim = len(parts) - 1
+            elif len(parts) - 1 != dim:
+                # a word2vec-style "count dim" header (1-dim first line) or
+                # a ragged line would silently poison every downstream
+                # zip_with with NULL-padded distances
+                raise ValueError(
+                    f"{path}:{ln}: vector has {len(parts) - 1} dims, "
+                    f"expected {dim} — not a GloVe-format model file?"
+                )
             vec = np.asarray(parts[1:], dtype="float32")
             out[parts[0]] = [float(v) for v in vec]
     return out
@@ -87,9 +98,19 @@ def doc_vectors(
     ex = (
         tf_df.select("doc_id", "term")  # tf rows are already (doc, term)-unique
         .join(vdf, "term")
-        .select("doc_id", F.posexplode("vec").alias("dim", "val"))
+        .select("doc_id", "term", F.posexplode("vec").alias("dim", "val"))
     )
-    sums = ex.groupBy("doc_id", "dim").agg(F.sum("val").alias("s"))
+    # sorted-term fold, not a bare F.sum: an unordered shuffle sum is
+    # last-ulp order-dependent, and 1/euclid + max-normalization amplify
+    # that into rank flips across parallelism levels — the same bit-
+    # stability rule as scoring._ordered_sum
+    sums = ex.groupBy("doc_id", "dim").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "val"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["val"],
+        ).alias("s")
+    )
     arr = (
         sums.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"))
@@ -152,10 +173,14 @@ def glove_rerank(
     if qvec is None:
         ranked = total.select("doc_id", F.col("total").alias("score"))
         ranked = ranked.orderBy(F.desc("score"), F.asc("doc_id"))
-        return ranked.limit(k) if k else ranked
+        return ranked.limit(k) if k is not None else ranked
 
     dim = len(qvec)
-    dv = doc_vectors(spark, tf_df, stats_df, vectors)
+    # doc vectors over the CANDIDATE set only (the left join below keeps
+    # only candidates anyway): without the semi-join every query paid a
+    # full-corpus explode + two corpus-wide shuffles
+    cand_tf = tf_df.join(total.select("doc_id"), "doc_id", "left_semi")
+    dv = doc_vectors(spark, cand_tf, stats_df, vectors)
     zeros = F.array(*[F.lit(0.0)] * dim)
     joined = total.join(dv, "doc_id", "left").select(
         "doc_id", "total", F.coalesce(F.col("dvec"), zeros).alias("dvec")
@@ -177,13 +202,13 @@ def glove_rerank(
         ranked = total.select("doc_id", F.col("total").alias("score")).orderBy(
             F.desc("score"), F.asc("doc_id")
         )
-        return ranked.limit(k) if k else ranked
+        return ranked.limit(k) if k is not None else ranked
     max_rank, max_total = float(m["mr"]), float(m["mt"])
     final = 0.95 * (F.col("rank") / max_rank) + 0.05 * (F.col("total") / max_total)
     ranked = scored.select("doc_id", final.alias("score")).orderBy(
         F.desc("score"), F.asc("doc_id")
     )
-    return ranked.limit(k) if k else ranked
+    return ranked.limit(k) if k is not None else ranked
 
 
 def reference_oracle_rerank(

@@ -76,6 +76,11 @@ def ltr_features(
     ]
     if not rows:
         raise ValueError("empty query batch")
+    dead = sorted(set(queries) - {qid for qid, _, _ in rows})
+    if dead:
+        # same contract as scoring.bm25_score_batch: a stopword-only query
+        # would silently vanish from the feature log — name it instead
+        raise ValueError(f"queries tokenized to nothing: {dead}")
     qdf = spark.createDataFrame(rows, "query_id string, term string, qlen int")
     qstats = F.broadcast(qdf.join(dict_df, "term"))
     cand = tf_df.join(qstats, "term").join(
@@ -138,10 +143,15 @@ def ltr_training_set(
     joined onto the candidates; unlabeled candidates get label 0.0 (the
     standard implicit-negative convention — every retrieved-but-unjudged
     doc is a negative). qrels is tiny relative to candidates → broadcast."""
+    # duplicate judgments for one (query, doc) — merged assessor files —
+    # would fan out feature rows and double-count the doc in the trainer's
+    # moment sums: keep the max grade per pair
     lab = F.broadcast(
         qrels.select(
             "query_id", "doc_id", F.col(label_col).cast("double").alias("_y")
         )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("_y").alias("_y"))
     )
     return (
         features.join(lab, ["query_id", "doc_id"], "left")

@@ -232,7 +232,13 @@ def bpe_encode(
         )
         .select(
             "doc_id",
-            (F.col("tok_pos") * 1000 + F.col("sub_pos")).alias("pos"),
+            # 10^6 sub-slots per token: the token regex is unbounded, and a
+            # ~1500-char blob with few merges segments into >1000 pieces —
+            # at *1000 its tail overflowed into the NEXT token's range
+            # (colliding, misordered pos). A >10^6-piece token cannot
+            # exist at the regex's practical lengths; keep it long math.
+            (F.col("tok_pos").cast("long") * F.lit(1_000_000)
+             + F.col("sub_pos")).alias("pos"),
             "piece",
         )
     )

@@ -66,9 +66,21 @@ def nb_train(
         F.explode(tokenize_raw_expr(F.col(text_col))).alias("term"),
     )
     token_stats = toks.groupBy("label", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    class_stats = toks.groupBy("label").agg(
-        F.count_distinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    # class doc counts come from the SOURCE frame: an empty/stopword-only
+    # training doc emits no token rows, and counting docs off the token
+    # stream would drop it from its class's n_docs while the total
+    # denominator still includes it — priors would stop summing to 1 and
+    # penalize classes with short/boilerplate members
+    doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    class_stats = (
+        doc_counts.join(
+            toks.groupBy("label").agg(F.count(F.lit(1)).alias("n_tokens")),
+            "label",
+            "left",
+        )
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
     )
     vocab_size = toks.select("term").distinct().count()
     n_docs = df.count()
@@ -168,9 +180,15 @@ WITH tr AS (
   FROM (SELECT {label_col}, {id_col}, {toks} AS ts FROM {train_table}),
        unnest(ts) AS t(term)),
 token_stats AS (SELECT label, term, count(*)::BIGINT AS cnt FROM tr GROUP BY 1, 2),
+doc_counts AS (
+  SELECT {label_col} AS label, count(*)::BIGINT AS n_docs
+  FROM {train_table} GROUP BY 1),
 class_stats AS (
-  SELECT label, count(DISTINCT doc_id) AS n_docs, count(*)::BIGINT AS n_tokens
-  FROM tr GROUP BY 1),
+  SELECT dc.label, dc.n_docs,
+         coalesce(tk.n_tokens, 0)::BIGINT AS n_tokens
+  FROM doc_counts dc
+  LEFT JOIN (SELECT label, count(*)::BIGINT AS n_tokens
+             FROM tr GROUP BY 1) tk USING (label)),
 consts AS (
   SELECT (SELECT count(DISTINCT term) FROM tr) AS v,
          (SELECT count(*) FROM {train_table}) AS n),

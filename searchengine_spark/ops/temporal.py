@@ -38,7 +38,12 @@ def asof_join(
     carry = F.struct(
         F.col(ts_col).alias("ts"), *[F.col(c) for c in right_cols]
     )
-    r = right.select(
+    # a NULL join key matches NOTHING (the DuckDB ASOF twin's equality
+    # predicate never matches NULLs; the window would group all NULL keys
+    # into one partition and match them to each other) — dropping NULL-key
+    # RIGHT rows makes NULL-key left rows come back unmatched, the twin's
+    # exact behavior
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on), F.col(ts_col), F.lit(0).alias("_src"), carry.alias("_carry")
     )
     l = left.withColumn("_src", F.lit(1)).withColumn(
@@ -137,7 +142,11 @@ def range_join(
     p = points.withColumn(
         "_cell", F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bucket_us}")
     )
-    i = intervals.withColumn(
+    # guard BEFORE the explode: sequence(a, b) with a > b counts DOWN, so
+    # one inverted interval (end < start — corrupt row) would fan out into
+    # an unbounded descending cell list; empty [t, t) intervals match
+    # nothing either way and are dropped with them
+    i = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_cell",
         F.explode(
             F.sequence(

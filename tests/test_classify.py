@@ -157,3 +157,25 @@ def test_nb_sql_twin_keeps_oov_docs(spark):
         for r in nb_predict(nb_train(tr, "lang"), te).collect()
     }
     assert got_sql == got_spark
+
+
+def test_empty_training_docs_count_in_priors(spark):
+    """Docs with no tokens still belong to their class: priors must come
+    from source-frame doc counts (token-stream counting dropped them and
+    the priors stopped summing to 1)."""
+    import math
+
+    from searchengine_spark.ops.classify import nb_train
+
+    rows = (
+        [(i, "a", "") for i in range(30)]
+        + [(100 + i, "a", "real text here") for i in range(20)]
+        + [(200 + i, "b", "other words entirely") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = nb_train(df, label_col="lang")
+    priors = {
+        r["label"]: r["prior_log"] for r in model.class_stats.collect()
+    }
+    assert abs(priors["a"] - math.log(50 / 100)) < 1e-12
+    assert abs(priors["b"] - math.log(50 / 100)) < 1e-12

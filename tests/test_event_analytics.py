@@ -415,3 +415,50 @@ def test_retention_cohorts(spark):
         (d0, 0): 1, (d0, 2): 1,        # u1: day0 cohort, back on day2
         (d0 + 1, 0): 1, (d0 + 1, 1): 1,  # u2: day1 cohort, back day2
     }
+
+
+def test_range_join_drops_inverted_and_empty_intervals(spark):
+    """sequence(a, b) with a > b counts DOWN — one corrupt interval with
+    swapped bounds used to fan out into an unbounded cell explosion."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, "2020-01-01 00:30:00")], "pid long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [
+            (10, "2020-01-01 00:00:00", "2020-01-01 01:00:00"),  # valid
+            (11, "2020-01-01 00:00:00", "1970-01-02 00:00:00"),  # inverted
+            (12, "2020-01-01 00:30:00", "2020-01-01 00:30:00"),  # empty
+        ],
+        "iid long, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    out = range_join(
+        points, intervals, ts_col="ts", start_col="s", end_col="e",
+        bucket="1 HOUR", keys=(),
+    )
+    assert [r["iid"] for r in out.collect()] == [10]
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL join keys must come back UNMATCHED (the DuckDB ASOF twin's
+    equality never matches NULLs; the window used to group them)."""
+    from searchengine_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 5), (1, 5)], "uid int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(None, 3, 99), (1, 3, 7)], "uid int, ts int, v int"
+    )
+    out = {
+        (r["uid"], r["ts"]): r["r_v"]
+        for r in asof_join(
+            left, right, on="uid", ts_col="ts", right_cols=("v",),
+            prefix="r_",
+        ).collect()
+    }
+    assert out[(1, 5)] == 7
+    assert out[(None, 5)] is None
