@@ -35,7 +35,8 @@ from .build import IndexMeta, read_manifest
 
 _DEEP_SCHEMA = (
     "term string, bucket long, n_blocks long, n_postings long, "
-    "bad_ndocs long, bad_bounds long, bad_maxtf long, bad_order long"
+    "bad_ndocs long, bad_bounds long, bad_maxtf long, bad_order long, "
+    "bad_decode long"
 )
 
 
@@ -47,12 +48,19 @@ def _deep_decode(batches):
     for pdf in batches:
         rows: dict = {}
         for r in pdf.itertuples(index=False):
-            docs, tfs, _dls = decode_block(
-                r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
-            )
-            signed = docs.view("int64")  # stored first/last are signed views
             key = (r.term, int(r.bucket))
-            agg = rows.setdefault(key, [0, 0, 0, 0, 0, 0])
+            agg = rows.setdefault(key, [0, 0, 0, 0, 0, 0, 0])
+            try:
+                docs, tfs, _dls = decode_block(
+                    r.first_doc, r.n_docs, r.doc_bytes, r.tf_bytes, r.dl_bytes
+                )
+            except Exception:
+                # a truly corrupt payload must land in the REPORT, not
+                # crash the verification job with a task failure
+                agg[0] += 1
+                agg[6] += 1
+                continue
+            signed = docs.view("int64")  # stored first/last are signed views
             agg[0] += 1
             agg[1] += len(docs)
             if len(docs) != r.n_docs:
@@ -73,7 +81,7 @@ def _deep_decode(batches):
             ],
             columns=[
                 "term", "bucket", "n_blocks", "n_postings", "bad_ndocs",
-                "bad_bounds", "bad_maxtf", "bad_order",
+                "bad_bounds", "bad_maxtf", "bad_order", "bad_decode",
             ],
         )
 
@@ -100,10 +108,21 @@ def verify_index(spark, index_dir: str, deep: bool = False) -> dict:
     seg_dir = os.path.join(index_dir, meta.segments_dir)
     dict_dir = os.path.join(index_dir, meta.dictionary_dir)
     stats_dir = os.path.join(index_dir, "docstats")
-    for name, p in (("segments", seg_dir), ("dictionary", dict_dir),
-                    ("docstats", stats_dir)):
+    # epoch-layout (streamed/appended) indexes never write docstats — the
+    # epoch commit carries stats in meta/manifest instead; requiring the
+    # dir made EVERY healthy streamed index fail layout verification
+    epoch_layout = meta.stream_epochs > 0 or (
+        os.path.isdir(seg_dir)
+        and any(e.startswith("epoch=") for e in os.listdir(seg_dir))
+    )
+    required = [("segments", seg_dir), ("dictionary", dict_dir)]
+    if not epoch_layout:
+        required.append(("docstats", stats_dir))
+    for name, p in required:
         if not os.path.isdir(p):
             errors.append(f"{name} directory missing: {p}")
+    if epoch_layout and not os.path.isdir(stats_dir):
+        checks["docstats"] = "absent (epoch layout — stats live in meta)"
     manifest = read_manifest(index_dir)
     checks["manifest_rows"] = len(manifest)
     if not manifest:
@@ -117,17 +136,24 @@ def verify_index(spark, index_dir: str, deep: bool = False) -> dict:
                 "checks": checks}
 
     # -- stats -------------------------------------------------------------
-    stats = spark.read.parquet(stats_dir)
-    row = stats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tl")
-    ).collect()[0]
-    checks["docstats_rows"] = int(row["n"])
-    if int(row["n"]) != meta.n_docs:
-        errors.append(f"docstats rows {row['n']} != meta.n_docs {meta.n_docs}")
-    if int(row["tl"] or 0) != meta.total_len:
-        errors.append(
-            f"docstats Σdoc_len {row['tl']} != meta.total_len {meta.total_len}"
-        )
+    if epoch_layout and not os.path.isdir(stats_dir):
+        stats = None
+    else:
+        stats = spark.read.parquet(stats_dir)
+    if stats is not None:
+        row = stats.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tl")
+        ).collect()[0]
+        checks["docstats_rows"] = int(row["n"])
+        if int(row["n"]) != meta.n_docs:
+            errors.append(
+                f"docstats rows {row['n']} != meta.n_docs {meta.n_docs}"
+            )
+        if int(row["tl"] or 0) != meta.total_len:
+            errors.append(
+                f"docstats Σdoc_len {row['tl']} != meta.total_len "
+                f"{meta.total_len}"
+            )
     dct = spark.read.parquet(dict_dir)
     drow = dct.agg(
         F.count(F.lit(1)).alias("n"),
@@ -159,18 +185,21 @@ def verify_index(spark, index_dir: str, deep: bool = False) -> dict:
             F.sum("n_postings").alias("df_from_segments"),
             *[
                 F.sum(c).alias(c)
-                for c in ("bad_ndocs", "bad_bounds", "bad_maxtf", "bad_order")
+                for c in ("bad_ndocs", "bad_bounds", "bad_maxtf",
+                          "bad_order", "bad_decode")
             ],
         ).cache()
         bad = per_term.agg(
             F.sum("n_blocks").alias("blocks"),
             *[
                 F.sum(c).alias(c)
-                for c in ("bad_ndocs", "bad_bounds", "bad_maxtf", "bad_order")
+                for c in ("bad_ndocs", "bad_bounds", "bad_maxtf",
+                          "bad_order", "bad_decode")
             ],
         ).collect()[0]
         checks["blocks_decoded"] = int(bad["blocks"] or 0)
-        for c in ("bad_ndocs", "bad_bounds", "bad_maxtf", "bad_order"):
+        for c in ("bad_ndocs", "bad_bounds", "bad_maxtf", "bad_order",
+                  "bad_decode"):
             n = int(bad[c] or 0)
             checks[c] = n
             if n:

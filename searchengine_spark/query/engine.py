@@ -1172,7 +1172,7 @@ class SearchEngine:
         return blocks.groupBy("doc_range").applyInPandas(run_group, SNIPPET_SCHEMA)
 
     # -- wildcard / prefix queries ---------------------------------------------
-    def expand_pattern(self, pattern: str, max_expansions: int = 50) -> list[str]:
+    def expand_pattern(self, pattern: str, max_expansions: int | None = 50) -> list[str]:
         """Dictionary-backed wildcard expansion (Lucene ``PrefixQuery`` /
         ``WildcardQuery`` analogue): glob ``*`` (any run) / ``?`` (one char)
         against the term dictionary, capped at ``max_expansions`` by
@@ -1192,14 +1192,17 @@ class SearchEngine:
         d = self._load_dict()
         if head:
             d = d.filter(F.col("term").startswith(head))
-        rows = (
+        q = (
             d.filter(F.col("term").rlike(rx))
             .select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
-            .limit(max_expansions)
-            .collect()
         )
-        return sorted(r["term"] for r in rows)
+        # None = UNCAPPED (dictionary-sized, the broadcast-small side) —
+        # the sharded gather needs the full match set before its
+        # global-df cap, same rule as suggest(n=None)
+        if max_expansions is not None:
+            q = q.limit(max_expansions)
+        return sorted(r["term"] for r in q.collect())
 
     def search_wildcard(
         self,
@@ -1224,7 +1227,7 @@ class SearchEngine:
             rewriter=lambda _qterms: expanded,
         )
 
-    def expand_regexp(self, rx: str, max_expansions: int = 50) -> list[str]:
+    def expand_regexp(self, rx: str, max_expansions: int | None = 50) -> list[str]:
         """Dictionary-backed regexp expansion (Lucene ``RegexpQuery``
         analogue): anchored full-term match (the whole term must match, as
         in Lucene — wrap in ``.*`` yourself for substring semantics),
@@ -1261,14 +1264,17 @@ class SearchEngine:
         d = self._load_dict()
         if head:
             d = d.filter(F.col("term").startswith(head))
-        rows = (
+        q = (
             d.filter(F.col("term").rlike(anchored))
             .select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
-            .limit(max_expansions)
-            .collect()
         )
-        return sorted(r["term"] for r in rows)
+        # None = UNCAPPED (dictionary-sized, the broadcast-small side) —
+        # the sharded gather needs the full match set before its
+        # global-df cap, same rule as suggest(n=None)
+        if max_expansions is not None:
+            q = q.limit(max_expansions)
+        return sorted(r["term"] for r in q.collect())
 
     def search_regexp(
         self,
@@ -1299,7 +1305,7 @@ class SearchEngine:
         term: str,
         max_edits: int = 2,
         prefix_length: int = 0,
-        max_expansions: int = 50,
+        max_expansions: int | None = 50,
     ) -> list[tuple[str, float]]:
         """Dictionary-backed fuzzy expansion (Lucene ``FuzzyQuery``
         analogue): terms within ``max_edits`` Levenshtein distance of
@@ -1329,10 +1335,10 @@ class SearchEngine:
             .filter(F.col("boost") > 0)
             .select("term", "df", "dist", "boost")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-            .limit(max_expansions)
-            .collect()
         )
-        return sorted((r["term"], float(r["boost"])) for r in rows)
+        if max_expansions is not None:  # None = uncapped (sharded gather)
+            rows = rows.limit(max_expansions)
+        return sorted((r["term"], float(r["boost"])) for r in rows.collect())
 
     def suggest(self, prefix: str, n: int | None = 10) -> list[tuple[str, int]]:
         """Autocomplete: the ``n`` highest-df dictionary terms completing

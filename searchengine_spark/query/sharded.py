@@ -73,11 +73,16 @@ class ShardedEngine:
     @classmethod
     def open(cls, spark: SparkSession, base_dir: str) -> "ShardedEngine":
         """Open a layout written by ``build``: base_dir/shard-<i>."""
-        dirs = sorted(
+        # NUMERIC order: a lexicographic sort puts shard-10 before shard-2,
+        # and with >=10 shards the list index no longer matches the hash
+        # routing — deletes/appends/fetches would target the wrong shard
+        dirs = [
             os.path.join(base_dir, d)
-            for d in os.listdir(base_dir)
-            if d.startswith("shard-")
-        )
+            for d in sorted(
+                (d for d in os.listdir(base_dir) if d.startswith("shard-")),
+                key=lambda d: int(d.split("-", 1)[1]),
+            )
+        ]
         return cls(spark, dirs)
 
     @classmethod
@@ -214,6 +219,9 @@ class ShardedEngine:
 
         n = len(self.shards)
         total = 0
+        docs = docs.persist()  # n_shards routed filters + append_docs' own
+        # aggregation all scan the batch — unpersisted it tokenized twice
+        # per shard
         for s, eng in enumerate(self.shards):
             sub = docs.filter(shard_of(F.col(id_col), n) == s)
             n_sub = sub.count()
@@ -227,6 +235,7 @@ class ShardedEngine:
             )
             eng.refresh()
             total += n_sub
+        docs.unpersist()
         return total
 
     def _route_ids(self, doc_ids) -> list[list[int]]:
@@ -310,7 +319,9 @@ class ShardedEngine:
             n += m.n_docs
             total_len += int(m.total_len or round(m.n_docs * m.avgdl))
         df: dict[str, int] = {}
-        q = " ".join(sorted(set(terms)))
+        q = sorted(set(terms))  # pre-analyzed list: joining to a string
+        # would re-run a non-idempotent analyzer (stem: class→clas) and
+        # turn every sharded query surface into dictionary misses
         for s in self.shards:
             for r in s._resolve_terms(q):
                 df[r["term"]] = df.get(r["term"], 0) + int(r["df"])
@@ -420,9 +431,13 @@ class ShardedEngine:
         shard's dictionary matches, capped at ``max_expansions`` by GLOBAL
         df (a term common overall must win the cap even if rare in the
         shard that contributed it), then one global-stats search."""
+        # UNCAPPED per-shard expansion (None): a shard-local top-N could
+        # drop a term whose GLOBAL df belongs in the top-N before the
+        # global cap ever saw it — single-index identity demands the full
+        # union (dictionary-sized, the broadcast-small side)
         cand = sorted({
             t for s in self.shards
-            for t in s.expand_pattern(pattern, max_expansions)
+            for t in s.expand_pattern(pattern, None)
         })
         if not cand:
             return []
@@ -437,7 +452,7 @@ class ShardedEngine:
         global-df cap, global-stats search (same discipline as wildcard)."""
         cand = sorted({
             t for s in self.shards
-            for t in s.expand_regexp(rx, max_expansions)
+            for t in s.expand_regexp(rx, None)  # uncapped: see wildcard
         })
         if not cand:
             return []
@@ -455,7 +470,7 @@ class ShardedEngine:
         boosts: dict[str, float] = {}
         for s in self.shards:
             for t, w in s.expand_fuzzy(term, max_edits, prefix_length,
-                                       max_expansions):
+                                       None):  # uncapped: see wildcard
                 boosts[t] = w
         if not boosts:
             return []
@@ -522,10 +537,9 @@ class ShardedEngine:
             lists = [s.search(query, k=k, global_stats=gs, **kw)
                      for s in self.shards]
             return self._merge(lists, k)
-        low_q = " ".join(low)
         lists = [
             s.search(query, k=k, global_stats=gs,
-                     doc_filter=s.matching_docs(low_q, mode="or"), **kw)
+                     doc_filter=s.matching_docs(list(low), mode="or"), **kw)
             for s in self.shards
         ]
         return self._merge(lists, k)

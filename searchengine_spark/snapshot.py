@@ -172,22 +172,31 @@ def restore_index(
     errors = verify_snapshot(repo_dir, name)
     if errors:
         raise ValueError(f"snapshot {name} failed verification: {errors[:3]}")
-    if os.path.exists(target_dir):
-        if not overwrite:
-            raise ValueError(f"target exists (pass overwrite=True): {target_dir}")
-        shutil.rmtree(target_dir)
+    if os.path.exists(target_dir) and not overwrite:
+        raise ValueError(f"target exists (pass overwrite=True): {target_dir}")
     snap = os.path.join(repo_dir, name)
     staging = target_dir.rstrip("/") + ".restoring"
     if os.path.exists(staging):
         shutil.rmtree(staging)
     with open(os.path.join(snap, _MANIFEST)) as f:
         manifest = json.load(f)
+    # STAGE FIRST, remove the live target LAST: deleting before the copy
+    # meant a failed copy (disk full, crash) had already destroyed the
+    # previous working index — the crash-safety the docstring promises
     for e in manifest["files"]:
         src = os.path.join(snap, e["path"])
         dst = os.path.join(staging, e["path"])
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copyfile(src, dst)
-    os.rename(staging, target_dir)
+    if os.path.exists(target_dir):
+        old = target_dir.rstrip("/") + ".replaced"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(target_dir, old)  # aside, not gone — until the swap lands
+        os.rename(staging, target_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(staging, target_dir)
     return {
         "restored": target_dir,
         "n_files": manifest["n_files"],

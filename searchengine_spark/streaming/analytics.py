@@ -254,9 +254,13 @@ def funnel(
     Scale shape: one keyed equi-join per step (k-1 joins for a k-step
     funnel), each joining the per-user frontier (ONE row per user) against
     that step's events — never a cross join; per-user event volume drives
-    skew. Greedy earliest-qualifying chaining is the standard funnel
-    semantics (it maximizes reach under a horizon: any later choice of an
-    earlier step only shrinks the remaining window)."""
+    skew. Greedy earliest-qualifying chaining from the FIRST step-0 event
+    is the first-touch funnel (Amplitude's 'first touch' mode): for steps
+    AFTER the anchor, taking the earliest qualifying event never hurts,
+    but the step-0 anchor itself is pinned — a user whose first A→…
+    sequence misses the horizon is NOT retried from a later A (a
+    re-anchoring 'any-touch' funnel would count them; that variant needs
+    a per-anchor pass and is not offered here)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     from pyspark import StorageLevel

@@ -137,3 +137,20 @@ def test_cli_verify(idx, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     report = json.loads(out.stdout.strip().splitlines()[-1])
     assert report["ok"]
+
+
+def test_streamed_index_verifies_clean(spark, tmp_path):
+    """Epoch layouts never write docstats — verification must report ok
+    (stats live in meta), not a false 'directory missing' corruption."""
+    from searchengine_spark.index.verify import verify_index
+    from searchengine_spark.streaming.ingest import append_docs
+
+    idx = str(tmp_path / "sidx")
+    docs = spark.createDataFrame(
+        [(i, f"spark stream number {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    append_docs(docs, idx, n_buckets=2, range_bits=1)
+    rep = verify_index(spark, idx, deep=True)
+    assert rep["ok"], rep
+    assert "epoch layout" in str(rep["checks"].get("docstats", ""))

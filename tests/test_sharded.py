@@ -495,3 +495,23 @@ def test_alias_bool_pure_filter_restricts_to_member_docs(spark, corpus,
         assert len(ids) == len(set(ids)), tree
         want = single.search_bool(tree, k=n_docs + 50, metadata=meta_df)
         _assert_hits_equal(got, want)
+
+
+def test_open_orders_shards_numerically(spark, tmp_path):
+    """shard-10 sorts lexicographically before shard-2: with >=10 shards
+    the opened list order must still match the hash routing or deletes/
+    appends/fetches target the wrong shard."""
+    import os
+
+    from searchengine_spark.corpus import corpus_df
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    base = str(tmp_path / "many")
+    docs = corpus_df(spark, 120, seed=3)
+    built = ShardedEngine.build(spark, docs, base, 12, n_buckets=2,
+                                range_bits=1, text_col="content")
+    opened = ShardedEngine.open(spark, base)
+    assert [os.path.basename(s.index_dir) for s in opened.shards] == [
+        f"shard-{i}" for i in range(12)
+    ]
+    assert built.search("merge", k=5) == opened.search("merge", k=5)
