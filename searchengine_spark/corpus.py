@@ -239,16 +239,16 @@ def locality_ids(
             out[id_col] = packed.view(np.int64)
             yield out
 
-    # Do NOT unpersist here: the counts/offsets were collected against the
-    # cached partitioning, and the assignment pass is a separate query
-    # execution — without the cache it would re-run repartitionByRange with
-    # a fresh sampler whose boundaries need not match, mis-assigning ranks
-    # (duplicate ids). With the plan registered in the CacheManager both
-    # jobs read the SAME materialized partitions; the cache is LRU-evicted
-    # / freed when the caller unpersists sorted_df via the returned frame's
-    # lineage or the session ends. Recompute of a lost cached partition is
-    # safe: a given RDD instance's range boundaries are computed once.
-    return sorted_df.mapInPandas(assign, schema=schema)
+    # The counts/offsets were collected against the cached partitioning —
+    # the assignment pass MUST read those same materialized partitions (a
+    # fresh repartitionByRange sampler could draw different boundaries and
+    # mis-assign ranks). Materialize the assignment eagerly, then release
+    # the cache: the old "caller frees it via lineage" story had no public
+    # handle, so every call leaked one corpus-sized cached relation for
+    # the session lifetime.
+    out = sorted_df.mapInPandas(assign, schema=schema).localCheckpoint()
+    sorted_df.unpersist()
+    return out
 
 
 def impact_ids(

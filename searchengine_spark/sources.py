@@ -44,8 +44,11 @@ class CorpusSource:
     (SURVEY.md §7 — no Iceberg jars in this sandbox, tests use Parquet)."""
 
     def __init__(self, table: str | None = None, path: str | None = None):
-        if (table is None) == (path is None):
-            raise ValueError("exactly one of table/path required")
+        # truthiness, not `is None`: read() dispatches on truthiness, so an
+        # empty-string table would pass an is-None check here and then
+        # misroute to spark.read.parquet(None) far from this call site
+        if bool(table) == bool(path):
+            raise ValueError("exactly one of table/path required (non-empty)")
         self.table = table
         self.path = path
 

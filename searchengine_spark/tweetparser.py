@@ -67,7 +67,7 @@ shouldn shouldn't wasn wasn't weren weren't won won't wouldn wouldn't
 """.split())
 
 # ---------------------------------------------------------------- patterns
-_URL_RE = re.compile(r"https?://\S+")
+_URL_RE = re.compile(r"https?://\S+", re.I)  # HTTP:// too
 _HASHTAG_RE = re.compile(r"#\w+")
 _MENTION_RE = re.compile(r"@\w+")
 _TWEET_ID_RE = re.compile(r"\b\d{19,20}\b")
@@ -78,8 +78,16 @@ _NUM_RE = re.compile(r"\b\d+(?:\.\d+)?\b")
 _PCT_RE = re.compile(r"\b(\d+(?:\.\d+)?)\s*(?:%|percent|percentage)\b", re.I)
 _SCALE_RE = re.compile(r"\b(\d+(?:\.\d+)?)\s+(thousand|million|billion)\b", re.I)
 _MONTHS = "jan feb mar apr may jun jul aug sep oct nov dec".split()
+_MONTHS_FULL = (
+    "january february march april may june july august september october "
+    "november december".split()
+)
+# EXACT month names only (short or full), like the reference's explicit
+# alternation (``Part A/parser_module.py:345-357``) — a stem + [a-z]*匹
+# over-matched ANY word starting with a month stem ('novel 2019' →
+# 'nov2019', destroying the real token; 'decade 2020' → 'dec2020')
 _DATE_RE = re.compile(
-    r"\b(" + "|".join(m + r"(?:[a-z]*)" for m in _MONTHS) + r")\s+(\d{4})\b", re.I
+    r"\b(" + "|".join(_MONTHS_FULL + _MONTHS) + r")\s+(\d{4})\b", re.I
 )
 
 _SCALE_SUFFIX = {"thousand": "K", "million": "M", "billion": "B"}
@@ -111,9 +119,10 @@ def _bucket_number(tok: str) -> str:
 def _url_tokens(url: str) -> list[str]:
     """T9: scheme dropped, 'www.' stripped, host kept unless excluded,
     path split on non-word chars."""
-    body = re.sub(r"^https?://", "", url).rstrip("/")
+    body = re.sub(r"^https?://", "", url, flags=re.I).rstrip("/")
     host, _, path = body.partition("/")
-    host = host.removeprefix("www.").lower()
+    host = host.lower().removeprefix("www.")  # lower FIRST: 'WWW.' must
+    # strip too, and the EXCLUDED_HOSTS check below is lowercase
     if host in EXCLUDED_HOSTS:
         return []
     out = [host] if host else []
@@ -132,8 +141,8 @@ def _hashtag_tokens(tag: str) -> list[str]:
 def tweet_tokenize_py(text: str, stopset: frozenset[str] = _STOPSET) -> list[str]:
     """The tweet-mode token spec (pure Python = oracle for the UDF).
 
-    Order: date tokens → percent/scale normalization → pull special tokens
-    (URLs/hashtags/mentions) → strip RT + 19-20-digit tweet ids → plain words
+    Order: pull special tokens (URLs/hashtags/mentions) → date tokens →
+    percent/scale normalization → strip RT + 19-20-digit tweet ids → plain words
     (len>1, lowercased, domain-normalized) → number bucketing.
 
     ``stopset`` defaults to the engine's minimal set; pass
@@ -141,12 +150,9 @@ def tweet_tokenize_py(text: str, stopset: frozenset[str] = _STOPSET) -> list[str
     toks: list[str] = []
     rest = text
 
-    rest = _DATE_RE.sub(lambda m: f" {m.group(1)[:3].lower()}{m.group(2)} ", rest)
-    rest = _PCT_RE.sub(lambda m: f" {m.group(1)}% ", rest)
-    rest = _SCALE_RE.sub(
-        lambda m: f" {m.group(1)}{_SCALE_SUFFIX[m.group(2).lower()]} ", rest
-    )
-
+    # specials FIRST: date/pct/scale substitution on raw text could eat a
+    # hashtag body ('#May 2020' → bare '#', the '#may' token lost) or
+    # splice spaces inside a URL path ('/95%x')
     for url in _URL_RE.findall(rest):
         toks += _url_tokens(url)
     rest = _URL_RE.sub(" ", rest)
@@ -157,6 +163,12 @@ def tweet_tokenize_py(text: str, stopset: frozenset[str] = _STOPSET) -> list[str
 
     toks += [m.lower() for m in _MENTION_RE.findall(rest)]  # T8 passthrough
     rest = _MENTION_RE.sub(" ", rest)
+
+    rest = _DATE_RE.sub(lambda m: f" {m.group(1)[:3].lower()}{m.group(2)} ", rest)
+    rest = _PCT_RE.sub(lambda m: f" {m.group(1)}% ", rest)
+    rest = _SCALE_RE.sub(
+        lambda m: f" {m.group(1)}{_SCALE_SUFFIX[m.group(2).lower()]} ", rest
+    )
 
     rest = _TWEET_ID_RE.sub(" ", rest)  # T14
     rest = _RT_RE.sub(" ", rest)  # T14
