@@ -461,6 +461,34 @@ def main() -> None:
     timed("event_analytics", event_analytics)
     events.unpersist()
 
+    # symbol layer (round 3): definition mining → stored layout → pruned
+    # go-to-definition + prefix suggest + find-references over a synthetic
+    # code corpus (the sf docs are prose, so defs would be vacuous)
+    from searchengine_spark.ops import code as code_ops
+
+    code_rows = [
+        (i, f"def fn_{i % 997}(x):\n    return parse_{i % 31}(x)\n"
+            f"class Type{i % 53}: pass")
+        for i in range(n_docs)
+    ]
+    code_df = spark.createDataFrame(
+        code_rows, "doc_id long, text string"
+    ).repartition(cpus)
+    sym_dir = tempfile.mkdtemp(prefix="bench_sym_") + "/symbols"
+
+    def symbols_build():
+        code_ops.symbol_write(code_df, sym_dir, n_buckets=32)
+
+    timed("symbols_build", symbols_build)
+
+    def symbols_query():
+        code_ops.symbol_lookup(spark, sym_dir, "fn_7").count()
+        code_ops.symbol_prefix_topk(spark, sym_dir, "parse_", k=10).count()
+        code_ops.references(code_df, "parse_7").count()
+
+    timed("symbols_query", symbols_query)
+    shutil.rmtree(os.path.dirname(sym_dir), ignore_errors=True)
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(

@@ -890,3 +890,59 @@ def references(
         .withColumn("n_refs", (F.col("n_mentions") - F.col("n_defs")).cast("long"))
         .select("doc_id", "n_mentions", "n_defs", "n_refs")
     )
+
+
+def symbol_append(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally grow a symbol layout with NEW documents (same
+    contract family as ``similarity.ann_append`` / ``trigram_append``):
+    their definitions append into the same md5-bucket partitions —
+    reader-identical to a rebuild over the union because the bucket
+    function is pinned in the sidecar — and stats/ is recomputed FROM the
+    post-append defs/ (the stats sublayout is an aggregate, so append
+    can't patch it incrementally; it is |distinct symbols|-sized, far
+    smaller than the corpus). Duplicate doc_ids are the caller's concern
+    (append-only ids), and parquet appends are not atomic for a
+    concurrently listing reader — run maintenance off the serving path,
+    like the term index's epoch appends."""
+    import os
+
+    meta = read_symbol_meta(path)
+    n_buckets = int(meta["n_buckets"])
+    defs = definitions(df, id_col, text_col)
+    (
+        defs.withColumn("sym_bucket", _sym_bucket_col("name", n_buckets))
+        .repartition("sym_bucket")
+        .write.mode("append")
+        .partitionBy("sym_bucket")
+        .parquet(os.path.join(path, "defs"))
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(os.path.join(path, "defs")).select(
+        "doc_id", "kind", "name"
+    )
+    n_stats_parts = max(1, n_buckets // 8)
+    stats_dir = os.path.join(path, "stats")
+    stats_new = os.path.join(path, "stats_new")
+    (
+        symbol_stats(written)
+        .repartitionByRange(n_stats_parts, "name")
+        .sortWithinPartitions("name", "kind")
+        .write.mode("overwrite")
+        .parquet(stats_new)
+    )
+    # swap via rename pair — stats/ is derived data; a crash between the
+    # renames is repaired by re-running append's stats rebuild (defs/ is
+    # the source of truth and already committed)
+    import shutil
+
+    old = os.path.join(path, "stats_old")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(stats_dir, old)
+    os.rename(stats_new, stats_dir)
+    shutil.rmtree(old, ignore_errors=True)

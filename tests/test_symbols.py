@@ -182,3 +182,29 @@ def test_references_rejects_non_identifier(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         C.references(docs, "a.b*")
+
+
+def test_symbol_append_equals_rebuild(spark, tmp_path):
+    """Appended layout must be reader-identical to a fresh build over the
+    union (same contract as ann_append / trigram_append)."""
+    base = spark.createDataFrame(
+        [(i, f"def sym_{i}(x): pass") for i in range(40)],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(100 + i, f"def sym_{i % 5}(y): pass\nclass Late{i}: pass")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    inc = str(tmp_path / "inc")
+    C.symbol_write(base, inc, n_buckets=8)
+    C.symbol_append(extra, inc)
+    full = str(tmp_path / "full")
+    C.symbol_write(base.unionByName(extra), full, n_buckets=8)
+    for name in ("sym_3", "Late7"):
+        a = sorted(tuple(r) for r in C.symbol_lookup(spark, inc, name).collect())
+        b = sorted(tuple(r) for r in C.symbol_lookup(spark, full, name).collect())
+        assert a == b and a
+    a = [tuple(r) for r in C.symbol_prefix_topk(spark, inc, "sym_", k=5).collect()]
+    b = [tuple(r) for r in C.symbol_prefix_topk(spark, full, "sym_", k=5).collect()]
+    assert a == b
