@@ -70,14 +70,26 @@ def rrf_fuse(
 
     contribs = [
         truncate_rank(r).select(
-            *keys, (1.0 / (F.lit(float(rank_constant)) + F.col("r"))).alias("c")
+            *keys,
+            F.lit(i).alias("src"),
+            (1.0 / (F.lit(float(rank_constant)) + F.col("r"))).alias("c"),
         )
-        for r in rankings
+        for i, r in enumerate(rankings)
     ]
+    # sorted-source fold, not a bare F.sum: with 3+ rankings the shuffle-
+    # merge order of a doc's contributions is nondeterministic and float
+    # addition is order-sensitive — last-ulp drift could flip near-ties
+    # against the SQL twin (scoring._ordered_sum rule)
     fused = (
         reduce(DataFrame.unionByName, contribs)
         .groupBy(*keys)
-        .agg(F.sum("c").alias("score"))
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("score")
+        )
     )
     w_out = part.orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -78,7 +78,8 @@ def lemma_py(word: str) -> str:
 
 
 def lemma_tokens_py(tokens: list[str]) -> list[str]:
-    return [lemma_py(t) for t in tokens]
+    # NULL elements map to None like the Catalyst twin, not a crash
+    return [lemma_py(t) if t is not None else None for t in tokens]
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -24,7 +24,6 @@ class OracleIndex:
         self.tf: dict[object, Counter] = {}       # doc_id -> {term: tf}
         self.doc_len: dict[object, int] = {}
         self.df: Counter = Counter()
-        self.cf: Counter = Counter()
         self.postings: dict[str, list] = {}       # term -> [(doc_id, tf)]
 
     @classmethod
@@ -39,7 +38,6 @@ class OracleIndex:
             idx.doc_len[doc_id] = sum(counts.values())
             for term, tf in counts.items():
                 idx.df[term] += 1
-                idx.cf[term] += tf
                 idx.postings.setdefault(term, []).append((doc_id, tf))
         for plist in idx.postings.values():
             plist.sort()
@@ -51,6 +49,8 @@ class OracleIndex:
 
     @property
     def avgdl(self) -> float:
+        if not self.doc_len:  # empty corpus: every scorer returns []
+            return 0.0
         return sum(self.doc_len.values()) / len(self.doc_len)
 
     def idf(self, term: str) -> float:

@@ -21,8 +21,8 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → cores
-        inner = master.split("[")[-1].rstrip("]")
+        # local[N] → N; local[N,maxFailures] → N; local[*] → cores
+        inner = master.split("[")[-1].rstrip("]").split(",")[0]
         shuffle_partitions = cpus if inner == "*" or not inner.isdigit() else int(inner)
     builder = (
         SparkSession.builder.appName(app_name)

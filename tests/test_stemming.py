@@ -14,8 +14,8 @@ CASES = [
     ("joined", "join"),
     ("quickly", "quick"),
     ("tables", "table"),
-    ("national", "national"),      # 'ational' guard: stem 'n' too short → unchanged, stops
-    ("rational", "rational"),      # same guard ('r'); matched-suffix-stop semantics
+    ("national", "nation"),        # ational guard fails, tional falls through
+    ("rational", "ration"),        # same fall-through (ational guard fails on 'r')
     ("conditional", "condition"),
     ("optimization", "optimize"),
     ("agreement", "agree"),        # 'ement' → 'e': agre + e
@@ -73,3 +73,23 @@ def test_stem_index_surfaces_survive_reanalysis(spark, tmp_path):
     assert eng.search("merge classes", k=5, scorer="lm")
     # MLT re-feeds selected (analyzed) terms
     assert eng.more_like_this("merge classes quickly", k=5)
+
+
+@pytest.mark.parametrize("plural,singular", [
+    ("arguments", "argument"), ("organizations", "organization"),
+    ("statements", "statement"), ("achievements", "achievement"),
+    ("testings", "testing"), ("things", "thing"), ("moments", "moment"),
+    ("classes", "class"), ("payments", "payment"),
+])
+def test_plural_and_singular_conflate(plural, singular):
+    """The point of a stemmer: both forms of one word land on ONE index
+    term (the old table sent 'arguments'→'argument' but 'argument'→'argu',
+    so the two forms never matched each other)."""
+    assert stem_py(plural) == stem_py(singular), (
+        stem_py(plural), stem_py(singular)
+    )
+
+
+def test_final_ss_is_not_a_plural():
+    assert stem_py("class") == "class"
+    assert stem_py("dress") == "dress"
