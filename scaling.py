@@ -19,9 +19,11 @@ Methodology notes (both matter on this VM):
     brings its own memory bandwidth, so the lowest pair — below the
     bandwidth ceiling — is the one that predicts multi-executor scaling.
 
-The input is the sf documents table replicated REPLICATE× with remapped
-doc_ids (pure Spark, deterministic) so the job is compute-bound rather than
-overhead-bound. Writes BENCH_SCALING.md and prints one JSON line.
+The input is a SCALING_FILES-doc synthetic source-code corpus
+(``corpus.corpus_df_dist`` — deterministic, generated distributed) so the
+job is compute-bound rather than overhead-bound; set SCALING_CORPUS_DIR to
+reuse a pre-generated corpus. Writes BENCH_SCALING.md and prints one JSON
+line. The generated corpus dir is removed at the end of the run.
 """
 
 from __future__ import annotations
@@ -111,6 +113,7 @@ def run_level(cores: int, corpus_dir: str) -> dict:
 
 
 def main() -> None:
+    generated = not CORPUS_DIR
     corpus_dir = CORPUS_DIR or prepare_corpus()
     trials: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for t in range(TRIALS):
@@ -196,6 +199,9 @@ def main() -> None:
             "continuing to scale 8→32).\n"
         )
     print(json.dumps(out))
+    if generated:  # don't leak the multi-hundred-MB corpus into /tmp
+        shutil.rmtree(os.path.dirname(corpus_dir.rstrip("/")),
+                      ignore_errors=True)
 
 
 if __name__ == "__main__":

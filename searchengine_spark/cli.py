@@ -58,6 +58,8 @@ def _cmd_build(args) -> None:
     if args.synthetic:
         corpus = corpus_df(spark, args.synthetic)
     else:
+        if not args.input:
+            raise SystemExit("build: one of --input / --synthetic required")
         corpus = spark.read.parquet(args.input)
         if args.id_col not in corpus.columns:
             # (repo,path,commit,lang,content) source table → derive the
@@ -185,7 +187,8 @@ def _cmd_search(args) -> None:
         elif args.mode == "qs":
             meta_df = spark.read.parquet(args.metadata) if args.metadata else None
             hits = seng.search_query_string(args.query, k=args.k,
-                                            metadata=meta_df)
+                                            metadata=meta_df,
+                                            use_wand=not args.no_wand)
         elif args.mode == "bool":
             meta_df = None
             if args.metadata:
@@ -203,9 +206,15 @@ def _cmd_search(args) -> None:
             hits = seng.search_bool(json.loads(args.query), k=args.k,
                                     metadata=meta_df)
         else:
+            if args.scorer != "bm25":
+                # LM smoothing needs global cf/total_len, which the
+                # scatter-gather stats don't carry — refuse loudly
+                # rather than silently ranking with shard-local stats
+                raise SystemExit("--sharded supports --scorer bm25 only")
+            kw = {"exclude": args.exclude} if args.exclude else {}
             hits = seng.search(args.query, k=args.k, mode=args.mode,
                                use_wand=not args.no_wand,
-                               min_should_match=args.min_should_match)
+                               min_should_match=args.min_should_match, **kw)
         if args.fetch and hits:
             id_col = seng.shards[0].meta.source_id_col
             src = {r[id_col]: r.asDict()
@@ -494,6 +503,8 @@ def _cmd_grep(args) -> None:
     spark = _spark(args)
     import time
 
+    from pyspark.sql import functions as F
+
     from .trigram import required_trigrams, trigram_search
 
     corpus = _load_grep_corpus(spark, args)
@@ -501,6 +512,8 @@ def _cmd_grep(args) -> None:
     if args.facet:
         from .trigram import trigram_match_counts
 
+        if args.where:  # pre-filter composes exactly like search's where=
+            corpus = corpus.filter(F.expr(args.where))
         rows = trigram_match_counts(
             spark, args.index, corpus, args.pattern, by=args.facet,
             id_col=args.id_col, text_col=args.text_col,
@@ -518,6 +531,7 @@ def _cmd_grep(args) -> None:
             spark, args.index, corpus, args.pattern, k=args.k,
             max_lines_per_doc=args.max_lines_per_doc,
             id_col=args.id_col, text_col=args.text_col, where=args.where,
+            allow_full_scan=args.allow_full_scan,
         ).collect()
         print(json.dumps({
             "pattern": args.pattern,
@@ -934,13 +948,26 @@ def _cmd_eval(args) -> None:
         k=args.k,
     )
     batch_sec = time.perf_counter() - t0
+    # the composite "i:qid" stays the metric partition key — collapsing
+    # back to the bare id merged duplicate TSV rows into ONE partition
+    # with ranks 1..k twice (precision could exceed 1.0)
     rows = [
-        (int(qid.split(":", 1)[1]), str(doc), float(score), rank + 1)
+        (qid, str(doc), float(score), rank + 1)
         for qid, hits in hits_by_q.items()
         for rank, (doc, score) in enumerate(hits)
     ]
     results = spark.createDataFrame(
-        rows, "query int, doc_id string, score double, rank int"
+        rows, "query string, doc_id string, score double, rank int"
+    )
+    kdf = spark.createDataFrame(
+        [(f"{i}:{q['query_id']}", int(q["query_id"]))
+         for i, q in enumerate(queries)],
+        "query string, qid int",
+    )
+    qrels = (
+        kdf.join(
+            qrels.withColumnRenamed("query", "qid"), "qid"
+        ).select("query", "doc_id", "y_true")
     )
     out = {
         "n_queries": len(queries),
@@ -1041,14 +1068,29 @@ def _cmd_refs(args) -> None:
 
         corpus = with_doc_id(corpus)
     text_col = _pick_text_col(corpus, args.text_col)
-    cand = None
-    if args.grep_index:
-        from .trigram import trigram_search
+    import re as _re
 
-        cand = trigram_search(
-            spark, args.grep_index, corpus, rf"\b{args.name}\b",
-            k=max(args.k * 10, 1000), id_col=args.id_col, text_col=text_col,
-        )
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", args.name):
+        # references() would reject it anyway — fail BEFORE launching jobs
+        raise SystemExit(f"refs: not an identifier: {args.name!r}")
+    cand = None
+    cand_cap = 100_000
+    truncated = False
+    if args.grep_index:
+        from .trigram import required_trigrams, trigram_search
+
+        if required_trigrams(rf"\b{args.name}\b"):
+            cand = trigram_search(
+                spark, args.grep_index, corpus, rf"\b{args.name}\b",
+                k=cand_cap, id_col=args.id_col, text_col=text_col,
+            )
+            # trigram_search truncates at k in ASCENDING doc_id order — a
+            # silent cap would drop the most-referenced docs invisibly
+            n_cand = cand.count()
+            truncated = n_cand >= cand_cap
+            if truncated:
+                cand = None  # fall back to the exact full scan
+        # else: names < 3 chars have no required trigram — full scan
     out = references(
         corpus, args.name, id_col=args.id_col, text_col=text_col,
         candidates=cand,
@@ -1056,6 +1098,7 @@ def _cmd_refs(args) -> None:
     rows = out.orderBy(F.desc("n_refs"), F.asc("doc_id")).limit(args.k).collect()
     print(json.dumps({
         "name": args.name,
+        "full_scan": cand is None,
         "docs": [
             {"doc_id": r["doc_id"], "n_refs": r["n_refs"],
              "n_defs": r["n_defs"]}

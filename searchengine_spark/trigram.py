@@ -492,6 +492,7 @@ def trigram_search_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     where=None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """``grep -n`` over the corpus: (doc_id, line_no, line) for lines
     matching the pattern, first ``max_lines_per_doc`` lines per doc
@@ -508,7 +509,7 @@ def trigram_search_lines(
     rx = f"(?i){pattern}" if fold else pattern
     docs_hit = trigram_search(
         spark, path, corpus, pattern, k=k, id_col=id_col, text_col=text_col,
-        where=where,
+        where=where, allow_full_scan=allow_full_scan,
     )
     from pyspark.sql import Window
 
