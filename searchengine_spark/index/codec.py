@@ -135,7 +135,10 @@ def encode_terms_blocks(
     """Fully vectorized multi-term block encoder.
 
     Input: posting arrays sorted by (term, doc) — contiguous per-term slices
-    [term_starts[i], term_ends[i]) with term_ends[i] == term_starts[i+1].
+    [term_starts[i], term_ends[i]) with term_ends[i] == term_starts[i+1],
+    anchored at 0 and covering the whole array (term_starts[0] == 0 and
+    term_ends[-1] == len) — the tf/dl byte-offset math encodes the full
+    streams, so an unanchored slice would silently misalign payloads.
     Output: dict of per-block columns (term_idx, block_id, n_docs, first_doc,
     last_doc, max_u, doc_bytes, tf_bytes, dl_bytes) — byte-identical to
     calling ``encode_blocks`` per term (property-tested), but with every loop
@@ -144,6 +147,14 @@ def encode_terms_blocks(
     group round-trip.
     """
     n = len(docs_u64)
+    if len(term_starts) and (
+        int(term_starts[0]) != 0 or int(term_ends[-1]) != n
+    ):
+        raise ValueError(
+            "term slices must anchor at 0 and cover the posting arrays "
+            f"(got starts[0]={int(term_starts[0])}, ends[-1]="
+            f"{int(term_ends[-1])}, n={n})"
+        )
     lens = (term_ends - term_starts).astype(np.int64)
     nb_blocks = (lens + block_size - 1) // block_size
     total = int(nb_blocks.sum())

@@ -155,6 +155,12 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
+def _empty_batch_result() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"query_id": [], "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
+    )
+
+
 def _after_filter(
     signed: np.ndarray, acc: np.ndarray, after: "tuple[int, float] | None"
 ) -> np.ndarray:
@@ -411,9 +417,7 @@ def score_group_multi(
             res.insert(0, "query_id", qid)
             outs.append(res)
         if not outs:
-            return pd.DataFrame(
-                {"query_id": [], "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
-            )
+            return _empty_batch_result()
         return pd.concat(outs, ignore_index=True)
 
     if prune:
@@ -435,9 +439,7 @@ def score_group_multi(
             res.insert(0, "query_id", qid)
             outs.append(res)
         if not outs:
-            return pd.DataFrame(
-                {"query_id": [], "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
-            )
+            return _empty_batch_result()
         return pd.concat(outs, ignore_index=True)
 
     all_terms = sorted(pdf["term"].unique())
@@ -485,9 +487,7 @@ def score_group_multi(
         out_d.append(sg[idx])
         out_s.append(sc[idx])
     if not out_q:
-        return pd.DataFrame(
-            {"query_id": [], "doc_id": np.zeros(0, np.int64), "score": np.zeros(0)}
-        )
+        return _empty_batch_result()
     return pd.DataFrame(
         {
             "query_id": out_q,
@@ -573,6 +573,12 @@ def _and_vectorized(
         if len(need) == 0:
             return _empty_result()
         dt, ut_raw = decode_rows(sub, need)
+        if len(dt) == 0:
+            # every overlapping block decoded empty under the mask
+            # (deletes/updates/doc_filter) — the fancy-index membership
+            # below would index dt[-1] of a size-0 array; the exhaustive
+            # kernel returns empty here, so must we
+            return _empty_result()
         ut = idf[t] * ut_raw
         s2 = np.argsort(dt)
         dt, ut = dt[s2], ut[s2]
@@ -739,9 +745,7 @@ def _or_sweep(
     bnd = np.unique(np.concatenate([starts, ends]))
     n_int = len(bnd) - 1
     if n_int <= 0:
-        return pd.DataFrame(
-            {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
-        )
+        return _empty_result()
     delta = np.zeros(len(bnd) + 1, dtype=np.float64)
     # start indices clamped to the last interval: a start exactly at the max
     # boundary (only possible for the U64_MAX corner, where its end weight is
@@ -812,9 +816,7 @@ def _or_sweep(
                 allsc = np.concatenate(got_scores)
                 theta = float(np.partition(allsc, len(allsc) - k)[len(allsc) - k])
     if not got_docs:
-        return pd.DataFrame(
-            {"doc_id": np.zeros(0, dtype=np.int64), "score": np.zeros(0, dtype=np.float64)}
-        )
+        return _empty_result()
     docs = np.concatenate(got_docs)
     scores = np.concatenate(got_scores)
     signed = docs.view(np.int64)

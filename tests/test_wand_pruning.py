@@ -231,3 +231,27 @@ def test_negative_rewriter_weight_takes_exact_path(spark, tmp_path):
     wand = eng.search("index merge", k=10, rewriter=demote, use_wand=True)
     exact = eng.search("index merge", k=10, rewriter=demote, use_wand=False)
     assert wand == exact and wand
+
+
+def test_and_kernel_survives_fully_masked_term(spark, tmp_path):
+    """AND + deletes: when a non-rarest term's overlapping blocks decode
+    empty under the tombstone mask, the kernel must return empty like the
+    exhaustive path — it used to fancy-index a size-0 array (IndexError)."""
+    from searchengine_spark.query.engine import SearchEngine
+
+    docs = spark.createDataFrame(
+        # 'needle' only in docs 1-2; 'common' everywhere
+        [(1, "needle common"), (2, "needle common")]
+        + [(i, "common filler text") for i in range(3, 40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    eng = SearchEngine(spark, idx)
+    eng.build_index_from_df(docs, id_col="doc_id", text_col="text",
+                            n_buckets=2, range_bits=1)
+    eng.delete_docs([1, 2])  # tombstone every 'needle' holder
+    eng.refresh()
+    assert eng.search("needle common", k=10, mode="and",
+                      use_wand=True) == []
+    assert eng.search("needle common", k=10, mode="and",
+                      use_wand=False) == []
