@@ -200,7 +200,12 @@ def eval_tree(node: dict, leaves, round_dp: int = ROUND_DP) -> DataFrame:
     msm = node.get(
         "minimum_should_match", 0 if (must or filt) else 1
     )
-    if should and not (must or filt) and msm == 0 and             "minimum_should_match" in node:
+    if (
+        should
+        and not (must or filt)
+        and msm == 0
+        and "minimum_should_match" in node
+    ):
         raise ValueError(
             "minimum_should_match=0 on a pure-should bool is ES match-all "
             "semantics, which this engine does not implement — drop the "
@@ -316,7 +321,12 @@ WHERE tf.term = '{_sq(t)}'"""
     should = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("should", [])]
     must_not = [_node_sql(c, meta_table, dp, k1, b) for c in node.get("must_not", [])]
     msm = node.get("minimum_should_match", 0 if (must or filt) else 1)
-    if should and not (must or filt) and msm == 0 and             "minimum_should_match" in node:
+    if (
+        should
+        and not (must or filt)
+        and msm == 0
+        and "minimum_should_match" in node
+    ):
         raise ValueError(
             "minimum_should_match=0 on a pure-should bool is unsupported "
             "(see eval_tree)"

@@ -282,10 +282,18 @@ def _cmd_search(args) -> None:
                                        use_wand=not args.no_wand,
                                        scorer=args.scorer, mu=args.mu)
     else:
+        rewriter = None
+        if getattr(args, "synonyms", None):
+            from .expansion import make_thesaurus_rewriter
+
+            rewriter = make_thesaurus_rewriter(
+                path=None if args.synonyms == "bundled" else args.synonyms
+            )
         hits = eng.search(args.query, k=args.k, mode=args.mode,
                           use_wand=not args.no_wand, exclude=args.exclude,
                           scorer=args.scorer, mu=args.mu,
-                          min_should_match=args.min_should_match)
+                          min_should_match=args.min_should_match,
+                          rewriter=rewriter)
     if args.fetch and hits:
         id_col = eng.meta.source_id_col
         src = {r[id_col]: r.asDict() for r in eng.fetch([d for d, _ in hits]).collect()}
@@ -402,8 +410,9 @@ def _cmd_delete(args) -> None:
         ids = [int(x) for x in args.ids.split(",") if x.strip()]
         n = eng.delete_docs(ids)
     else:
-        rows = spark.read.parquet(args.input).select(args.id_col).collect()
-        n = eng.delete_docs([r[0] for r in rows])
+        # DataFrame path: tombstones are written distributed — the id
+        # column never collects to the driver (same rule as delete-by-query)
+        n = eng.delete_docs(spark.read.parquet(args.input).select(args.id_col))
     print(
         json.dumps(
             {
@@ -1175,6 +1184,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--max-edits", type=int, default=2,
                    help="fuzzy Levenshtein budget")
     s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--synonyms", default=None,
+                   help="expand query terms with synonyms at the 0.2 "
+                        "reference weight: 'bundled' = the in-repo English "
+                        "resource, else a path to a TSV of tab-separated "
+                        "groups (or/and modes only)")
     s.add_argument("--scorer", choices=["bm25", "lm"], default="bm25",
                    help="ranking function (or/and/qs modes): bm25 or LM Dirichlet")
     s.add_argument("--metadata", default=None,

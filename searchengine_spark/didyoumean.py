@@ -14,9 +14,12 @@ beam decisions are engine-independent (JVM vs DuckDB ``ln`` can differ in
 the last ulp); the DuckDB twin unrolls the same beam steps as CTEs.
 
 Scale shape: the vocabulary/model tables are |vocab|-sized; every
-candidate scan is ONE map pass over them (Levenshtein in JVM codegen) and
-every beam step joins a ≤beam×per_term-row frame against the broadcast
-model — the corpus itself is never touched at suggest time. Model
+candidate scan is a length-banded, THRESHOLDED-Levenshtein pass over the
+vocabulary topped by TakeOrderedAndProject (no unpartitioned window, no
+full-dictionary O(len²) distance — same pruning as
+``SearchEngine.expand_fuzzy``), and every beam step joins a
+≤beam×per_term-row frame against the broadcast model — the corpus itself
+is never touched at suggest time. Model
 training (``termstats.bigram_lm_counts``) is the one corpus pass, shared
 with the perplexity filter.
 
@@ -37,22 +40,38 @@ ROUND_DP = 5
 
 
 def _candidates(uni: DataFrame, qterm: str, max_edits: int, per_term: int) -> DataFrame:
-    """(term, c, lev): the per_term closest vocabulary terms. A position
-    with NO vocabulary term within max_edits keeps the ORIGINAL term as
-    its sole candidate (the ES phrase-suggester rule) — without it one
-    novel identifier emptied the whole beam and every suggestion."""
-    w = Window.partitionBy().orderBy(F.asc("lev"), F.desc("c"), F.asc("term"))
+    """(term, c, lev): the per_term closest vocabulary terms, pruned the
+    way ``SearchEngine.expand_fuzzy`` prunes: the length band
+    ``|len(t) − len(q)| ≤ max_edits`` cuts the vocabulary BEFORE the
+    O(len²) distance, the JVM levenshtein is THRESHOLDED at max_edits
+    (early bail-out, −1 past the cap), and the global rank is an
+    ``orderBy().limit()`` — Spark plans TakeOrderedAndProject (per-
+    partition heap + driver merge), not an unpartitioned window, so a
+    10⁸-term vocabulary never funnels through one partition. Ranking is
+    identical to the DuckDB twin's full-scan row_number (lev ASC is the
+    leading key, so the threshold filter cannot change the top set).
+    A position with NO vocabulary term within max_edits keeps the
+    ORIGINAL term as its sole candidate (the ES phrase-suggester rule) —
+    without it one novel identifier emptied the whole beam and every
+    suggestion."""
     base = (
-        uni.withColumn("lev", F.levenshtein(F.lit(qterm), F.col("term")))
-        .filter(F.col("lev") <= int(max_edits))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= int(per_term))
-        .drop("rnk")
+        uni.filter(
+            (F.length("term") >= len(qterm) - int(max_edits))
+            & (F.length("term") <= len(qterm) + int(max_edits))
+        )
+        .withColumn(
+            "lev", F.levenshtein(F.lit(qterm), F.col("term"), int(max_edits))
+        )
+        .filter(F.col("lev") >= 0)  # thresholded levenshtein → -1 past cap
+        .orderBy(F.asc("lev"), F.desc("c"), F.asc("term"))
+        .limit(int(per_term))
         .withColumn("fb", F.lit(0))
     )
     fallback = uni.sparkSession.createDataFrame(
         [(qterm, 0, 0, 1)], "term string, c long, lev int, fb int"
     )
+    # this window runs over a PROVABLY bounded frame (≤ per_term + 1 rows
+    # after the limit above) — the facets-style bounded-frame exemption
     n_real = F.sum(F.when(F.col("fb") == 0, 1).otherwise(0)).over(
         Window.partitionBy()
     )

@@ -3990,6 +3990,42 @@ def q_term_normalization(spark, sf_dir):
     )
 
 
+def q_porter2_stem(spark, sf_dir):
+    """Snowball-exact Porter2 stemming (T16 parity mode; ``porter2.py``,
+    the published-algorithm twin of the reference's nltk SnowballStemmer,
+    ``Part C/stemmer.py:4-14``): stem the published golden vocabulary with
+    the Arrow UDF. The oracle serves the PUBLISHED stems as a VALUES
+    table — transcribed from the snowballstem.org spec/sample, never
+    computed here — so the driver hash match certifies snowball-exact
+    output without needing a DuckDB stemmer (fts extension is offline)."""
+    from .porter2 import GOLDEN, porter2_term_udf
+
+    terms = spark.createDataFrame([(w,) for w, _ in GOLDEN], "term string")
+    return terms.select("term", porter2_term_udf(F.col("term")).alias("stem"))
+
+
+def _porter2_stem_sql() -> str:
+    from .porter2 import GOLDEN
+
+    vals = ", ".join(f"('{w}', '{s}')" for w, s in GOLDEN)
+    return f"SELECT term, stem FROM (VALUES {vals}) t(term, stem)"
+
+
+def q_porter2_corpus(spark, sf_dir):
+    """Porter2 over the real corpus vocabulary — rows-only driver check
+    (the iterative Snowball algorithm has no SQL twin; value correctness
+    is certified by ``porter2_stem``'s published-vector hash match and
+    tests/test_porter2.py)."""
+    from .porter2 import porter2_term_udf
+
+    return (
+        _tf(spark, sf_dir)
+        .select("term")
+        .distinct()
+        .select("term", porter2_term_udf(F.col("term")).alias("stem"))
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -6327,6 +6363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_batch_topk": q_sharded_batch_topk,
         "bm25_prf": q_bm25_prf,
         "term_normalization": q_term_normalization,
+        "porter2_stem": q_porter2_stem,
+        "porter2_corpus": q_porter2_corpus,
         "dedup_exact": q_exact_dedup,
         "locality_ids": q_locality_ids,
         "impact_ids": q_impact_ids,
@@ -6601,6 +6639,7 @@ ORDER BY doc_id, line_no
         "snippets": _snippet_sql(SNIPPET_QUERY.split(), SNIPPET_WINDOW),
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
+        "porter2_stem": _porter2_stem_sql(),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "locality_ids": _locality_ids_sql(),
         "impact_ids": _impact_ids_sql(),

@@ -12,7 +12,10 @@ nltk/spacy are not available in this environment, so:
   * spell-check is a pure-Python edit-distance-≤2 match against the index
     vocabulary (deterministic; same role as ``Part C/SpellChecker.py:10-24``)
   * thesaurus/WordNet are a static synonym dict with the reference's 0.2
-    expansion weight (``Part C/searcher_thesaurus.py:40``)
+    expansion weight (``Part C/searcher_thesaurus.py:40``); a bundled
+    hand-authored English resource (``resources/synonyms_en.tsv``, loaded
+    by ``load_synonyms``/``make_thesaurus_rewriter``) makes the variants
+    runnable without external data
   * GloVe embedding expansion (``Part C/searcher_glove.py:68-100``) is out of
     scope per SURVEY.md §1.1 (model row) — the hook signature supports it.
 """
@@ -67,6 +70,48 @@ def make_spell_rewriter(vocab: set[str]) -> Rewriter:
         return [(correct(t), 1.0) for t, _ in qterms]
 
     return rewrite
+
+
+def load_synonyms(path: str | None = None) -> dict[str, list[str]]:
+    """Load a synonym resource: one group per line, terms tab-separated
+    ('#' comments and blanks ignored); every term maps to the OTHER terms
+    of every group it appears in (groups sharing a term union, duplicates
+    dropped, output lists sorted — deterministic expansions). Default is
+    the BUNDLED hand-authored English resource
+    (``resources/synonyms_en.tsv``), which makes the reference's
+    thesaurus/WordNet searcher variants (``Part C/searcher_thesaurus.py:40``,
+    ``Part C/searcher_word_net.py:40-41``) runnable out of the box — the
+    reference reaches py-thesaurus/nltk-WordNet at query time; this is a
+    static in-repo equivalent of that lookup."""
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(__file__), "resources", "synonyms_en.tsv"
+        )
+    groups: list[list[str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            terms = [t.strip().lower() for t in line.split("\t") if t.strip()]
+            if len(terms) >= 2:
+                groups.append(terms)
+    out: dict[str, set[str]] = {}
+    for terms in groups:
+        uniq = set(terms)
+        for t in uniq:
+            out.setdefault(t, set()).update(uniq - {t})
+    return {t: sorted(syns) for t, syns in sorted(out.items())}
+
+
+def make_thesaurus_rewriter(
+    weight: float = EXPANSION_WEIGHT, path: str | None = None
+) -> Rewriter:
+    """The ``search_engine_3``/``search_engine_5`` parity rewriter: bundled
+    synonym expansion at the reference's 0.2 weight."""
+    return make_synonym_rewriter(load_synonyms(path), weight)
 
 
 def make_synonym_rewriter(

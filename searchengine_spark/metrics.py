@@ -151,9 +151,15 @@ def rank_eval(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     the panel's duration — without that every metric re-scans the results
     lineage (5+ scans of a potentially expensive ranked frame). Queries
     whose metric is undefined (no relevant docs / none retrieved) report
-    0.0 so the panel is total over the query set."""
-    results = results.persist()
-    qrels = qrels.persist()
+    0.0 so the panel is total over the query set. Frames the CALLER already
+    persisted are left alone (and left cached on return) — only caches this
+    function created are released."""
+    own_results = not results.is_cached
+    own_qrels = not qrels.is_cached
+    if own_results:
+        results = results.persist()
+    if own_qrels:
+        qrels = qrels.persist()
     base = results.select("query").distinct()
     out = (
         base.join(precision_at_k(results, qrels, k), "query", "left")
@@ -165,6 +171,8 @@ def rank_eval(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
     for c in ("p_at_k", "recall", "ap", "ndcg", "rr"):
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
     out = out.localCheckpoint()  # materialize, then release the inputs
-    results.unpersist()
-    qrels.unpersist()
+    if own_results:
+        results.unpersist()
+    if own_qrels:
+        qrels.unpersist()
     return out

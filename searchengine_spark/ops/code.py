@@ -921,13 +921,31 @@ def symbol_append(
         .partitionBy("sym_bucket")
         .parquet(os.path.join(path, "defs"))
     )
-    spark = df.sparkSession
+    rebuild_symbol_stats(df.sparkSession, path)
+
+
+def rebuild_symbol_stats(spark, path: str) -> None:
+    """Recompute stats/ from the committed defs/ WITHOUT appending any
+    definitions — both the tail of ``symbol_append`` and its crash-repair
+    entry point. A crash between the two renames below leaves defs/ (the
+    source of truth) committed but stats/ absent, with the previous stats
+    stranded as stats_old/; re-running THIS function (not symbol_append,
+    which would duplicate every defs row) restores the layout. Idempotent:
+    leftover stats_new/ / stats_old/ from an interrupted run are cleared
+    on entry, and a missing stats/ is tolerated."""
+    import os
+    import shutil
+
+    meta = read_symbol_meta(path)
+    n_buckets = int(meta["n_buckets"])
     written = spark.read.parquet(os.path.join(path, "defs")).select(
         "doc_id", "kind", "name"
     )
     n_stats_parts = max(1, n_buckets // 8)
     stats_dir = os.path.join(path, "stats")
     stats_new = os.path.join(path, "stats_new")
+    if os.path.exists(stats_new):
+        shutil.rmtree(stats_new)
     (
         symbol_stats(written)
         .repartitionByRange(n_stats_parts, "name")
@@ -936,13 +954,11 @@ def symbol_append(
         .parquet(stats_new)
     )
     # swap via rename pair — stats/ is derived data; a crash between the
-    # renames is repaired by re-running append's stats rebuild (defs/ is
-    # the source of truth and already committed)
-    import shutil
-
+    # renames is repaired by calling rebuild_symbol_stats(path) again
     old = os.path.join(path, "stats_old")
     if os.path.exists(old):
         shutil.rmtree(old)
-    os.rename(stats_dir, old)
+    if os.path.exists(stats_dir):
+        os.rename(stats_dir, old)
     os.rename(stats_new, stats_dir)
     shutil.rmtree(old, ignore_errors=True)

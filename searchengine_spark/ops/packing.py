@@ -96,7 +96,7 @@ def pack_docs_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB twin (same grouping, ordering, and span arithmetic)."""
-    return f"""
+    return rf"""
 WITH sized AS (
   SELECT {id_col} AS doc_id,
          CASE WHEN trim({text_col}) = '' THEN 0

@@ -65,9 +65,21 @@ def _range_bound(s: str):
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        tombstone_limit: int = 10_000_000,
+    ):
         self.spark = spark
         self.index_dir = index_dir
+        # churn bound: the query-time delete/update mask is a driver-held
+        # sorted-u64 array shipped with the kernel closure — cheap to ~10^7
+        # entries (80 MB). Past ``tombstone_limit`` raw tombstone rows the
+        # engine FOLDS them physically (compact_streamed_index) before
+        # building the mask, so the driver never holds an unbounded
+        # tombstone table no matter how much delete/update traffic arrives.
+        self.tombstone_limit = int(tombstone_limit)
         self._meta: IndexMeta | None = None
         self._meta_sig: tuple[int, int] | None = None
         self._dict_df: DataFrame | None = None
@@ -125,7 +137,14 @@ class SearchEngine:
         them and rebuilds the dictionary/meta (standard until-merge
         semantics, documented). Tombstones append as parquet under
         ``tombstones/``; readers pick them up via a directory fingerprint,
-        so deletes propagate across engine handles like meta changes do."""
+        so deletes propagate across engine handles like meta changes do.
+
+        ``doc_ids`` may be an iterable of ids (bounded explicit-list path)
+        or a single-column DataFrame — the DataFrame path writes the
+        tombstones DISTRIBUTED (executors → parquet append), so a
+        web-scale id set never materializes on the driver."""
+        if isinstance(doc_ids, DataFrame):
+            return self._write_tombstones_df(doc_ids, wm=None)
         return self._write_tombstones(doc_ids, wm=None)
 
     def delete_by_query(
@@ -173,6 +192,30 @@ class SearchEngine:
         self._tomb = None
         return len(ids)
 
+    def _write_tombstones_df(self, ids_df: DataFrame, wm: int | None) -> int:
+        """Distributed twin of ``_write_tombstones``: the id frame's FIRST
+        column flows straight from executors into the tombstone directory
+        (dedup is one partial-agg shuffle; no driver materialization of the
+        id set — the only driver value is the count). Same semantics:
+        ``wm=None`` plain delete, ``wm=E`` update tombstone."""
+        out = (
+            ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("doc_id"))
+            .where(F.col("doc_id").isNotNull())
+            .distinct()
+            .select("doc_id", F.lit(wm).cast("long").alias("wm"))
+            .persist()
+        )
+        try:
+            n = out.count()
+            if n:
+                out.write.mode("append").parquet(
+                    os.path.join(self.index_dir, "tombstones")
+                )
+                self._tomb = None
+        finally:
+            out.unpersist()
+        return n
+
     def update_docs(
         self,
         updates: DataFrame,
@@ -191,11 +234,15 @@ class SearchEngine:
         ``compact_streamed_index`` physically drops the superseded postings
         and rebuilds exact statistics. Requires an epoch-layout index
         (``append_docs``/``incremental_index`` builds, or a compacted one).
-        Returns the number of updated docs."""
+        Returns the number of updated docs.
+
+        The tombstone write is DISTRIBUTED (``_write_tombstones_df``): the
+        incoming id set never collects to the driver, so a 100 TB reindex
+        churn batch is executor-bounded end to end (``append_docs`` itself
+        only ever collects per-bucket manifest aggregates)."""
         from ..streaming.ingest import _manifest_state, append_docs
 
-        ids = [int(r[0]) for r in updates.select(id_col).collect()]
-        if not ids:
+        if updates.isEmpty():
             return 0
         epochs_all, _, compaction = _manifest_state(self.index_dir)
         wm = max(
@@ -208,9 +255,9 @@ class SearchEngine:
                 "update_docs needs an existing epoch-layout index "
                 "(nothing committed yet — use append_docs to create one)"
             )
-        self._write_tombstones(ids, wm=wm)
+        n = self._write_tombstones_df(updates.select(id_col), wm=wm)
         append_docs(updates, self.index_dir, id_col=id_col, text_col=text_col)
-        return len(ids)
+        return n
 
     def update_by_query(
         self,
@@ -321,7 +368,10 @@ class SearchEngine:
         int64 epoch watermarks (dead only in epochs ≤ wm — the superseded
         versions). Cached against the tombstone dir fingerprint. Collected
         to the driver and shipped with the kernel closure — fine to ~10^7
-        entries; past that, compact. A doc both deleted and updated is
+        entries; past ``tombstone_limit`` raw rows the engine auto-compacts
+        first (``compact_streamed_index`` folds every tombstone physically
+        and empties the directory), so the driver table stays BOUNDED under
+        arbitrary delete/update churn. A doc both deleted and updated is
         plain-dead (the delete wins: it came after the update, or the
         update's new version was itself deleted). Pre-upgrade tombstone
         files (no ``wm`` column) read as plain deletes."""
@@ -340,6 +390,10 @@ class SearchEngine:
         )
         if self._tomb is not None and self._tomb[0] == sig:
             return self._tomb[1]
+        over_limit = (
+            bool(names)
+            and self._tombstone_rows(path, names) > self.tombstone_limit
+        )
         if not names:
             out = empty
         else:
@@ -371,8 +425,45 @@ class SearchEngine:
                 upd,
                 upd_wm,
             )
-        self._tomb = (sig, out)
+        if over_limit:
+            # churn bound crossed: fold the tombstones physically NOW so the
+            # steady-state driver mask stays ≤ tombstone_limit. Order
+            # matters for the in-flight query: the mask was read BEFORE the
+            # fold, and the pre-fold mask stays valid against both the old
+            # segments (the caller's already-planned scan; old dir survives
+            # one generation) and the new ones (masking a physically-dropped
+            # doc is a no-op) — so we return it as-is and only the NEXT
+            # query re-reads the now-empty tombstone dir. The one-time spike
+            # at the crossing is bounded by limit + the batch that crossed.
+            import logging
+
+            from ..streaming.ingest import compact_streamed_index
+
+            logging.getLogger(__name__).warning(
+                "tombstone table exceeds tombstone_limit=%d — folding via "
+                "compact_streamed_index",
+                self.tombstone_limit,
+            )
+            compact_streamed_index(self.spark, self.index_dir)
+            self._tomb = None  # next call re-reads the emptied dir
+        else:
+            self._tomb = (sig, out)
         return out
+
+    @staticmethod
+    def _tombstone_rows(path: str, names: list[str]) -> int:
+        """Total tombstone row count from parquet FOOTERS only — a
+        driver-local metadata read (no Spark job, no row data) used to
+        decide whether the mask fits the driver before loading it."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for n in names:
+            try:
+                total += pq.ParquetFile(os.path.join(path, n)).metadata.num_rows
+            except OSError:
+                continue  # racing compaction may remove files mid-scan
+        return total
 
     def _doc_mask(self, doc_filter=None) -> "DocMask | None":
         """Combine tombstones with an optional filtered-search allow-set

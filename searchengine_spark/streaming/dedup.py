@@ -357,8 +357,19 @@ def _make_simhash_group(d: int, max_bucket: int | None = None):
             # boilerplate bucket (the batch op's max_bucket rule): freeze
             # state at the cap — verdicts stay correct against what IS
             # retained; recall inside this bucket is capped, loudly
-            # documented, never an OOM
-            merged = merged[:max_bucket] if len(prior) < max_bucket else np.unique(prior)
+            # documented, never an OOM. Retention is MONOTONE: every
+            # previously-retained prior signature stays (a doc that hit
+            # once keeps hitting); new signatures only fill remaining room,
+            # smallest-first for a deterministic, arrival-order-free choice
+            # among THIS batch's admissions.
+            prior_u = np.unique(prior)
+            if len(prior_u) >= max_bucket:
+                merged = prior_u
+            else:
+                fresh = np.setdiff1d(np.unique(sigs), prior_u, assume_unique=True)
+                merged = np.unique(
+                    np.concatenate([prior_u, fresh[: max_bucket - len(prior_u)]])
+                )
         state.update((merged.tobytes(),))
         yield pd.DataFrame(
             {

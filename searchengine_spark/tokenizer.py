@@ -119,7 +119,7 @@ _CODE_RULES: tuple[tuple[str, str], ...] = (
 )
 _CODE_RES = [(re.compile(p), r"\1 \2") for p, _ in _CODE_RULES]
 
-ANALYZERS = ("standard", "code", "stem")
+ANALYZERS = ("standard", "code", "stem", "porter2")
 
 
 def parse_analyzer(analyzer: str) -> tuple[str, ...]:
@@ -127,8 +127,11 @@ def parse_analyzer(analyzer: str) -> tuple[str, ...]:
     left to right as TEXT→TEXT transforms before the standard tokenizer:
     ``code`` splits identifiers, ``stem`` tokenizes + suffix-stems +
     rejoins (so downstream tokenization/positions see the stemmed stream),
-    ``standard`` is identity. 'code+stem' = split identifiers, then stem
-    the resulting parts — the chain a stemmed code index wants."""
+    ``porter2`` is the snowball-exact variant of ``stem`` (Arrow UDF —
+    see ``porter2.py``; no DuckDB twin, so its oracle checks are
+    golden-vector pytest + rows-only), ``standard`` is identity.
+    'code+stem' = split identifiers, then stem the resulting parts — the
+    chain a stemmed code index wants."""
     stages = tuple(s for s in analyzer.split("+") if s)
     for s in stages:
         if s not in ANALYZERS:
@@ -164,6 +167,10 @@ def analyze_py(text: str, analyzer: str = "standard") -> list[str]:
             text = code_split_py(text)
         elif stage == "stem":
             text = " ".join(stem_py(t) for t in tokenize_py(text))
+        elif stage == "porter2":
+            from .porter2 import stem_en
+
+            text = " ".join(stem_en(t) for t in tokenize_py(text))
     return tokenize_py(text)
 
 
@@ -180,6 +187,10 @@ def analyze_text_expr(col: Column, analyzer: str = "standard") -> Column:
             col = code_split_expr(col)
         elif stage == "stem":
             col = F.array_join(stem_expr(tokenize_raw_expr(col)), " ")
+        elif stage == "porter2":
+            from .porter2 import porter2_text_udf
+
+            col = porter2_text_udf()(col)
     return col
 
 
@@ -191,6 +202,12 @@ def duckdb_analyze_text(expr: str, analyzer: str = "standard") -> str:
     for stage in parse_analyzer(analyzer):
         if stage == "code":
             expr = duckdb_code_split(expr)
+        elif stage == "porter2":
+            raise ValueError(
+                "the porter2 stage has no DuckDB twin (iterative Snowball "
+                "algorithm) — its correctness gate is the golden-vector "
+                "pytest (tests/test_porter2.py) and rows-only driver checks"
+            )
         elif stage == "stem":
             toks = (
                 f"list_filter(regexp_extract_all(lower({expr}), "

@@ -83,7 +83,7 @@ _MONTHS_FULL = (
     "november december".split()
 )
 # EXACT month names only (short or full), like the reference's explicit
-# alternation (``Part A/parser_module.py:345-357``) — a stem + [a-z]*匹
+# alternation (``Part A/parser_module.py:345-357``) — a stem + [a-z]* suffix
 # over-matched ANY word starting with a month stem ('novel 2019' →
 # 'nov2019', destroying the real token; 'decade 2020' → 'dec2020')
 _DATE_RE = re.compile(

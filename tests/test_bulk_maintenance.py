@@ -1,0 +1,156 @@
+"""Distributed bulk maintenance: DataFrame-shaped delete/update batches must
+never materialize the id set on the driver (the tombstone write is an
+executor-side parquet append, like ``delete_by_query``), and the query-time
+tombstone mask must stay BOUNDED under arbitrary churn — past
+``tombstone_limit`` raw rows the engine folds tombstones physically via
+``compact_streamed_index`` before the next mask build.
+
+Reference anchor: the reference's only maintenance story is rebuild-the-index
+(`Part C/indexer.py:91-108`); distributed tombstones are the engine-hardening
+this corpus size needs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.query.engine import SearchEngine
+from searchengine_spark.streaming.ingest import append_docs
+
+Q = "spark join stream"
+COLLECT_CAP = 64  # manifest/stat aggregates are ≤ n_buckets rows; id sets are not
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+
+
+def _build(spark, corpus, tmp_path, name, **kw):
+    eng = SearchEngine(spark, str(tmp_path / name))
+    eng.build_index_from_df(
+        corpus, id_col="doc_id", text_col="text", n_buckets=4, range_bits=2, **kw
+    )
+    return eng
+
+
+def _cap_driver_materialization(monkeypatch, cap=COLLECT_CAP):
+    """Any .collect()/.toPandas() during the patched region must return ≤cap
+    rows — bulk ids flowing through the driver trip the assert loudly."""
+    import pyspark.sql as psql
+
+    orig_collect = psql.DataFrame.collect
+    orig_topandas = psql.DataFrame.toPandas
+
+    def capped_collect(self):
+        rows = orig_collect(self)
+        assert len(rows) <= cap, (
+            f"driver collect() of {len(rows)} rows exceeds the {cap}-row bound"
+        )
+        return rows
+
+    def capped_topandas(self):
+        pdf = orig_topandas(self)
+        assert len(pdf) <= cap, (
+            f"driver toPandas() of {len(pdf)} rows exceeds the {cap}-row bound"
+        )
+        return pdf
+
+    monkeypatch.setattr(psql.DataFrame, "collect", capped_collect)
+    monkeypatch.setattr(psql.DataFrame, "toPandas", capped_topandas)
+
+
+# -------------------------------------------------------- distributed delete
+def test_delete_docs_dataframe_matches_list_path(spark, tmp_path, corpus):
+    e1 = _build(spark, corpus, tmp_path, "idx_list")
+    e2 = _build(spark, corpus, tmp_path, "idx_df")
+    dead = [d for d, _ in e1.search(Q, k=20)][::2]
+    assert e1.delete_docs(dead) == len(dead)
+    ids_df = spark.createDataFrame([(d,) for d in dead], "doc_id long")
+    assert e2.delete_docs(ids_df) == len(dead)
+    for q in [Q, "stream window", "filter"]:
+        assert e1.search(q, k=15) == e2.search(q, k=15), q
+
+
+def test_delete_docs_dataframe_never_collects_ids(
+    spark, tmp_path, corpus, monkeypatch
+):
+    eng = _build(spark, corpus, tmp_path, "idx")
+    ids_df = corpus.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    n_expect = ids_df.count()
+    assert n_expect > COLLECT_CAP
+    _cap_driver_materialization(monkeypatch)
+    assert eng.delete_docs(ids_df) == n_expect
+    # dedup happened distributed: repeat rows add nothing
+    assert eng.delete_docs(ids_df) == n_expect  # tombstones append (dedup at mask)
+
+
+def test_delete_docs_dataframe_null_and_dup_rows(spark, tmp_path, corpus):
+    eng = _build(spark, corpus, tmp_path, "idx")
+    ids_df = spark.createDataFrame(
+        [(1,), (1,), (None,), (2,)], "doc_id long"
+    )
+    assert eng.delete_docs(ids_df) == 2
+    hits = {d for d, _ in eng.search(Q, k=50)}
+    assert hits.isdisjoint({1, 2})
+
+
+# -------------------------------------------------------- distributed update
+def test_update_docs_never_collects_ids(spark, tmp_path, monkeypatch):
+    rows = [(i, f"spark join term{i % 7}") for i in range(300)]
+    df = lambda r: spark.createDataFrame(r, "doc_id long, text string")  # noqa: E731
+    idx = str(tmp_path / "uidx")
+    append_docs(df(rows), idx, n_buckets=2, range_bits=1)
+    eng = SearchEngine(spark, idx)
+
+    updates = df([(i, f"merge sort term{i % 7}") for i in range(0, 300, 2)])
+    _cap_driver_materialization(monkeypatch)
+    assert eng.update_docs(updates) == 150
+    monkeypatch.undo()
+    assert {d for d, _ in eng.search("merge", k=200)} == set(range(0, 300, 2))
+    assert all(d % 2 for d, _ in eng.search("spark", k=300))
+
+
+# ------------------------------------------------------ bounded tombstone mask
+def test_tombstone_mask_auto_compacts_past_limit(spark, tmp_path, corpus):
+    eng = _build(spark, corpus, tmp_path, "idx")
+    eng.tombstone_limit = 40
+    survivors_eng = _build(
+        spark,
+        corpus.filter(F.col("doc_id") >= 100),
+        tmp_path,
+        "idx_survivors",
+    )
+    # two waves of churn crossing the limit (100 raw tombstone rows > 40)
+    eng.delete_docs(corpus.select("doc_id").filter(F.col("doc_id") < 60))
+    eng.delete_docs([d for d in range(60, 100)])
+    tomb_dir = os.path.join(eng.index_dir, "tombstones")
+    assert len(os.listdir(tomb_dir)) > 0
+
+    hits = eng.search(Q, k=25)
+    # the crossing folded every tombstone physically: dir consumed…
+    assert not any(n.endswith(".parquet") for n in os.listdir(tomb_dir))
+    # …results identical to the pre-fold mask AND to a fresh survivor build
+    assert {d for d, _ in hits}.isdisjoint(range(100))
+    eng.refresh()
+    assert eng.meta.n_docs == survivors_eng.meta.n_docs
+    for q in [Q, "stream window"]:
+        got = [d for d, _ in eng.search(q, k=25)]
+        want = [d for d, _ in survivors_eng.search(q, k=25)]
+        assert got == want, q
+    # steady state: the next mask build sees an empty dir (bounded driver)
+    assert eng._tombstones() == (None, None, None)
+
+
+def test_tombstone_mask_stays_driver_resident_below_limit(spark, tmp_path, corpus):
+    eng = _build(spark, corpus, tmp_path, "idx")
+    before = eng.search(Q, k=10)
+    eng.delete_docs([before[0][0]])
+    assert eng.search(Q, k=5)
+    tomb_dir = os.path.join(eng.index_dir, "tombstones")
+    # below the limit nothing folds — tombstone files persist
+    assert any(n.endswith(".parquet") for n in os.listdir(tomb_dir))

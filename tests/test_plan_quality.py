@@ -293,3 +293,23 @@ def test_terms_set_query_side_is_broadcast(spark, docs):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_didyoumean_candidates_pruned_no_window(spark, docs):
+    """The phrase-suggester's per-term candidate scan must carry the
+    expand_fuzzy pruning: length-band filter ahead of a THRESHOLDED
+    levenshtein, global rank via TakeOrderedAndProject — and no Window
+    operator anywhere in the candidate plan (the old shape ranked the
+    full vocabulary through an unpartitioned window per query term)."""
+    from searchengine_spark.didyoumean import _candidates
+    from searchengine_spark.ops.termstats import bigram_lm_counts
+
+    _, uni, _ = bigram_lm_counts(docs, "doc_id", "text")
+    base = _candidates(uni, "spark", 2, 5).filter(F.col("fb") == 0)
+    plan = plan_of(base)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "levenshtein" in plan and "length(term" in plan, plan
+    # the length band must sit in the SAME stage as (or before) the
+    # levenshtein, and no global-sort/window may rank the vocabulary
+    assert "Window" not in plan, plan
+    assert plan.count("Sort ") == 0 or "TakeOrderedAndProject" in plan, plan

@@ -1,0 +1,81 @@
+"""Bundled synonym resource (`resources/synonyms_en.tsv`) — makes the
+reference's thesaurus/WordNet searcher variants (`Part C/
+searcher_thesaurus.py:40`, `searcher_word_net.py:40-41`) runnable without
+external data: loader semantics, and the 0.2-weight expansion changing
+ranking exactly the way the reference's rule does (synonym-only docs enter
+the result set below exact-term docs)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from searchengine_spark.expansion import (
+    EXPANSION_WEIGHT,
+    load_synonyms,
+    make_thesaurus_rewriter,
+)
+from searchengine_spark.query.engine import SearchEngine
+
+ROWS = [
+    (1, "the fast train left early"),          # exact query term
+    (2, "a quick rapid response fleet"),       # synonyms only
+    (3, "slow freight and heavy cargo"),       # unrelated
+    (4, "fast quick service all day"),         # exact + synonym
+]
+
+
+def test_loader_groups_are_bidirectional_and_merged():
+    syn = load_synonyms()
+    assert "quick" in syn["fast"] and "fast" in syn["quick"]
+    # 'fast' appears in several groups — memberships union, self excluded
+    assert "speedy" in syn["fast"] and "swift" in syn["fast"]
+    assert "fast" not in syn["fast"]
+    assert all(lst == sorted(lst) for lst in syn.values())
+    assert len(syn) > 300  # a real resource, not a stub
+
+
+def test_rewriter_weights_match_reference_rule():
+    rw = make_thesaurus_rewriter()
+    out = dict(rw([("fast", 1)]))
+    assert out["fast"] == 1.0
+    assert out["quick"] == EXPANSION_WEIGHT
+    # an expanded term that is ALSO a query term keeps full weight
+    out2 = dict(rw([("fast", 1), ("quick", 1)]))
+    assert out2["quick"] == 1.0
+
+
+def test_expansion_changes_ranking_like_the_reference(spark, tmp_path):
+    eng = SearchEngine(spark, str(tmp_path / "syn_idx"))
+    eng.build_index_from_df(
+        spark.createDataFrame(ROWS, "doc_id long, text string"),
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+    )
+    plain = [d for d, _ in eng.search("fast", k=10)]
+    assert set(plain) == {1, 4}  # no synonym docs without expansion
+    expanded = eng.search("fast", k=10, rewriter=make_thesaurus_rewriter())
+    ids = [d for d, _ in expanded]
+    assert 2 in ids  # synonym-only doc now matches…
+    scores = dict(expanded)
+    # …but at the reduced 0.2 weight it cannot outrank an exact-term doc
+    assert scores[2] < min(scores[1], scores[4])
+
+
+def test_cli_synonyms_flag(spark, tmp_path):
+    idx = str(tmp_path / "cli_syn_idx")
+    eng = SearchEngine(spark, idx)
+    eng.build_index_from_df(
+        spark.createDataFrame(ROWS, "doc_id long, text string"),
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "searchengine_spark.cli", "search",
+         "--index", idx, "--query", "fast", "-k", "10",
+         "--synonyms", "bundled"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+
+    hits = json.loads(out.stdout.strip().splitlines()[-1])["hits"]
+    assert {h["doc_id"] for h in hits} == {1, 2, 4}
