@@ -13,6 +13,7 @@ Subpackages:
   tweetparser — tweet-mode parity parser (SURVEY §2.2 T5-T15)
   expansion   — query rewriters: spell / synonym / embedding 2-NN (§2.11)
   stemming    — opt-in T16 stemmer (py / Arrow UDF / Catalyst expr)
+  porter2     — snowball-exact English stemmer (published Porter2 algorithm)
   metrics     — MAP / P@k / recall as DataFrame ops
   oracle      — pure-Python rank-identity oracle
 """

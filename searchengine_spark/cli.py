@@ -1138,9 +1138,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="store token positions (enables --mode phrase)")
     b.add_argument("--fresh", action="store_true")
     b.add_argument("--analyzer", default="standard",
-                   help="'+'-chain of standard|code|stem, e.g. 'code+stem'. "
-                   "code: split camelCase/acronym/snake_case identifiers; "
-                   "stem: suffix-stem the token stream "
+                   help="'+'-chain of standard|code|stem|porter2, e.g. "
+                   "'code+stem'. code: split camelCase/acronym/snake_case "
+                   "identifiers; stem: suffix-stem the token stream; "
+                   "porter2: snowball-exact English stemming "
                    "(pinned in meta; queries analyze identically)")
     b.add_argument("--store-source", action="store_true",
                    help="persist raw corpus rows partitioned by low id bits "

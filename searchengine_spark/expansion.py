@@ -45,25 +45,36 @@ def _edits1(word: str) -> set[str]:
     return set(deletes + transposes + replaces + inserts)
 
 
-def make_spell_rewriter(vocab: set[str]) -> Rewriter:
-    """OOV terms → closest in-vocab term at edit distance ≤2 (deterministic:
-    distance-1 beats distance-2, ties broken lexicographically)."""
+def make_spell_rewriter(
+    vocab: set[str], freq: dict[str, int] | None = None
+) -> Rewriter:
+    """OOV terms → closest in-vocab term at edit distance ≤2. Deterministic
+    ranking: distance-1 beats distance-2; within a distance band,
+    HIGHEST corpus frequency wins when ``freq`` is given (the reference's
+    pyspellchecker rule — ``Part C/SpellChecker.py:10-24`` ranks
+    candidates by word probability; pass the dictionary's cf), ties and
+    the no-freq fallback break lexicographically."""
+
+    def best(cands: set[str]) -> str:
+        if freq is None:
+            return min(cands)
+        return min(cands, key=lambda t: (-freq.get(t, 0), t))
 
     def correct(term: str) -> str:
         if term in vocab:
             return term
-        e1 = sorted(_edits1(term) & vocab)
+        e1 = _edits1(term) & vocab
         if e1:
-            return e1[0]
+            return best(e1)
         # distance 2: collect matches across ALL intermediates before
         # choosing — returning the first intermediate's best match picked
         # whichever candidate an arbitrary iteration order reached first,
-        # not the documented lexicographic minimum
+        # not the documented minimum
         e2: set[str] = set()
         for cand in _edits1(term):
             e2 |= _edits1(cand) & vocab
         if e2:
-            return min(e2)
+            return best(e2)
         return term
 
     def rewrite(qterms: list[tuple[str, int]]) -> list[tuple[str, float]]:

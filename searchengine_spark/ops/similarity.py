@@ -1039,15 +1039,36 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """(vec_id, score): asymmetric-distance top-k — encode + ADC in one
     pass (use ``pq_write``/``pq_stored_topk`` for the stored-codes scan).
     score = Σ_j lut[j][code_j] (approximate inner product), rounded and
-    ranked (score DESC, vec_id ASC) via TakeOrderedAndProject."""
+    ranked (score DESC, vec_id ASC) via TakeOrderedAndProject.
+
+    ``rerank=R``: ADC retrieves the coarse top-R, then the true winners
+    come from an EXACT cosine pass over only those R rows (score = exact
+    cosine) — the standard ADC+R composition (Jégou et al. 2011 §VI). Use
+    it whenever neighbors differ at sub-quantization-error scale: raw ADC
+    resolves coarse geometry but not fine intra-cluster order (measured
+    recall cliff in BENCH_SCALING.md §ANN recall), while ADC+R restores
+    ≥0.9 recall at R≈20·k for the cost of R exact distances."""
     books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
     lut = _pq_lut(books, query_vec)
     codes = pq_encode(df, m, ks, dim, id_col, vec_col, books)
-    return _pq_adc(codes, lut, k)
+    coarse = _pq_adc(codes, lut, k if rerank is None else max(int(rerank), k))
+    if rerank is None:
+        return coarse
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    j = df.withColumnRenamed(id_col, "vec_id").join(
+        F.broadcast(coarse.select("vec_id")), "vec_id"
+    )
+    cos = _cos(_as_double(vec_col), q)
+    return (
+        j.select("vec_id", F.round(cos, ROUND_DP).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(int(k))
+    )
 
 
 def _pq_adc(codes: DataFrame, lut: list[list[float]], k: int) -> DataFrame:
@@ -1145,6 +1166,7 @@ def pq_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
 ) -> str:
     books = codebooks if codebooks is not None else _pq_default_books(m, ks, dim)
     lut = _pq_lut(books, query_vec)
@@ -1153,9 +1175,21 @@ def pq_topk_sql(
         f"([{', '.join(repr(v) for v in t)}]::DOUBLE[])[codes[{j + 1}] + 1]"
         for j, t in enumerate(lut)
     )
-    return f"""
+    adc = f"""
 SELECT vec_id, ROUND({terms}, 5) AS score
 FROM ({enc}) enc
+ORDER BY score DESC, vec_id ASC
+LIMIT {int(k if rerank is None else max(int(rerank), k))}
+"""
+    if rerank is None:
+        return adc
+    ql = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
+    return f"""
+SELECT t.{id_col} AS vec_id,
+       round(coalesce(list_dot_product(t.{vec_col}::DOUBLE[], {ql})
+             / (sqrt(list_dot_product(t.{vec_col}::DOUBLE[], t.{vec_col}::DOUBLE[]))
+                * sqrt(list_dot_product({ql}, {ql}))), 0.0), {ROUND_DP}) AS score
+FROM {table} t JOIN ({adc}) coarse ON coarse.vec_id = t.{id_col}
 ORDER BY score DESC, vec_id ASC
 LIMIT {int(k)}
 """

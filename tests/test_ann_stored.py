@@ -488,3 +488,46 @@ def test_train_on_empty_sample_is_refused(spark):
         S.ivf_train(empty)
     with pytest.raises(ValueError, match="empty sample"):
         S.pq_train(empty)
+
+
+# ---------------------------------------------------------------------------
+# PQ exact-rerank (ADC+R — Jégou et al. 2011 §VI)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_rerank_recovers_exact_topk(spark, embs, qvec):
+    """ADC alone cannot order neighbors inside one codeword cell; with
+    rerank=R big enough to cover the true top-k's ADC rank, the output IS
+    the exact cosine top-k (score = exact cosine)."""
+    books = S.pq_train(embs, sample=256)
+    n = embs.count()
+    exact = [
+        (r["vec_id"], r["cos"])
+        for r in S.cosine_topk(embs, qvec, k=10).collect()
+    ]
+    reranked = [
+        (r["vec_id"], r["score"])
+        for r in S.pq_topk(embs, qvec, k=10, codebooks=books, rerank=n).collect()
+    ]
+    assert reranked == exact  # rerank=|corpus| degenerates to exact search
+
+
+def test_pq_rerank_sql_twin(spark, embs, qvec):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("embeddings", embs.toPandas())
+    books = S.pq_train(embs, sample=256)
+    s = [
+        (r["vec_id"], r["score"])
+        for r in S.pq_topk(
+            embs, qvec, k=5, codebooks=books, rerank=50
+        ).collect()
+    ]
+    o = [
+        (i, float(v))
+        for i, v in con.execute(
+            S.pq_topk_sql("embeddings", qvec, k=5, codebooks=books, rerank=50)
+        ).fetchall()
+    ]
+    assert s == o

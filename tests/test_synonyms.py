@@ -79,3 +79,21 @@ def test_cli_synonyms_flag(spark, tmp_path):
 
     hits = json.loads(out.stdout.strip().splitlines()[-1])["hits"]
     assert {h["doc_id"] for h in hits} == {1, 2, 4}
+
+
+def test_spell_rewriter_frequency_ranking():
+    """Reference parity (`Part C/SpellChecker.py:10-24`): among equal-
+    distance corrections the corpus-frequent word wins; without a
+    frequency table the lexicographic fallback holds."""
+    from searchengine_spark.expansion import make_spell_rewriter
+
+    vocab = {"stream", "streak", "strean_x", "dream"}
+    # 'strea' → distance-1 of both 'stream' and 'streak'
+    no_freq = make_spell_rewriter(vocab)
+    assert dict(no_freq([("strea", 1)])) == {"streak": 1.0}  # lexicographic
+    freq = make_spell_rewriter(vocab, {"stream": 900, "streak": 3})
+    assert dict(freq([("strea", 1)])) == {"stream": 1.0}  # frequency wins
+    # in-vocab terms never rewritten, distance-2 also frequency-ranked
+    assert dict(freq([("dream", 1)])) == {"dream": 1.0}
+    f2 = make_spell_rewriter({"brook", "broke"}, {"broke": 5, "brook": 50})
+    assert dict(f2([("brxxk", 1)])) == {"brook": 1.0}

@@ -75,7 +75,7 @@ def main() -> None:
     t0 = time.time()
     centroids = ivf_train(vecs, n_lists=64, sample=4096)
     books8 = pq_train(vecs, m=8, ks=16, dim=DIM, sample=4096)
-    books16 = pq_train(vecs, m=16, ks=16, dim=DIM, sample=4096)
+    books256 = pq_train(vecs, m=8, ks=256, dim=DIM, sample=8192)
     train_sec = time.time() - t0
 
     def ids_of(df):
@@ -96,8 +96,10 @@ def main() -> None:
         ("ivf p=2", lambda qv: ivf_topk(vecs, qv, k=K, n_lists=64, nprobe=2, centroids=centroids)),
         ("ivf p=4", lambda qv: ivf_topk(vecs, qv, k=K, n_lists=64, nprobe=4, centroids=centroids)),
         ("ivf p=8", lambda qv: ivf_topk(vecs, qv, k=K, n_lists=64, nprobe=8, centroids=centroids)),
-        ("pq m=8", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=16, dim=DIM, codebooks=books8)),
-        ("pq m=16", lambda qv: pq_topk(vecs, qv, k=K, m=16, ks=16, dim=DIM, codebooks=books16)),
+        ("pq raw ks=16", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=16, dim=DIM, codebooks=books8)),
+        ("pq raw ks=256", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=256, dim=DIM, codebooks=books256)),
+        ("pq+rerank200 ks=16", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=16, dim=DIM, codebooks=books8, rerank=200)),
+        ("pq+rerank200 ks=256", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=256, dim=DIM, codebooks=books256, rerank=200)),
     ]:
         hits, t0 = 0, time.time()
         for qv, truth in zip(queries, exact):
