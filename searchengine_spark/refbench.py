@@ -115,17 +115,26 @@ def load_benchmark(spark: SparkSession, data_dir: str = REF_DATA_DIR):
     return corpus, queries, labels
 
 
-def tweet_tf(corpus: DataFrame, nltk_stopwords: bool = True) -> DataFrame:
+def tweet_tf(
+    corpus: DataFrame, nltk_stopwords: bool = True, stem: bool = False
+) -> DataFrame:
     """(doc_id, text) → (doc_id, term, tf) via the tweet-mode tokenizer with
     the reference-faithful nltk stopword set (``parser_module.py:14``);
     empty parses dropped (T19). ``nltk_stopwords=False`` keeps the engine's
     minimal set instead (measured: slightly BETTER MAP — the claim-like
-    queries benefit from "more"/"than"-style terms the reference filters)."""
+    queries benefit from "more"/"than"-style terms the reference filters).
+    ``stem=True`` is the reference's ``toStem`` switch
+    (``Part A/configuration.py:11`` → SnowballStemmer at
+    ``parse_sentence:219-227``): tokens pass through the snowball-exact
+    Porter2 UDF before aggregation, so index terms match what nltk's
+    stemmer would produce."""
+    tokens = tweet_tokenize(F.col("text"), nltk_stopwords=nltk_stopwords)
+    if stem:
+        from .porter2 import porter2_tokens_udf
+
+        tokens = porter2_tokens_udf(tokens)
     return (
-        corpus.select(
-            "doc_id",
-            tweet_tokenize(F.col("text"), nltk_stopwords=nltk_stopwords).alias("tokens"),
-        )
+        corpus.select("doc_id", tokens.alias("tokens"))
         .filter(F.size("tokens") > 0)
         .select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")
@@ -303,13 +312,19 @@ MIXES = {
 
 
 def run_refbench(
-    spark: SparkSession, data_dir: str = REF_DATA_DIR, nltk_stopwords: bool = True
+    spark: SparkSession,
+    data_dir: str = REF_DATA_DIR,
+    nltk_stopwords: bool = True,
+    stem: bool = False,
 ) -> dict:
-    """Build + batch-query + metrics; returns the harness report."""
+    """Build + batch-query + metrics; returns the harness report.
+    ``stem=True`` = the reference's opt-in ``toStem`` config (snowball
+    stemming on both index and query sides; no published band exists for
+    it — the reference's published runs used toStem=False)."""
     corpus, queries, labels = load_benchmark(spark, data_dir)
 
     t0 = time.perf_counter()
-    tf = tweet_tf(corpus, nltk_stopwords=nltk_stopwords)
+    tf = tweet_tf(corpus, nltk_stopwords=nltk_stopwords, stem=stem)
     tf.persist()
     stats = doc_stats(tf)
     stats.persist()
@@ -320,14 +335,18 @@ def run_refbench(
     build_sec = time.perf_counter() - t0
 
     qstop = NLTK_STOPWORDS if nltk_stopwords else None
-    qterms = {
-        int(r["query_id"]): sorted(
-            set(
-                tweet_tokenize_py(str(r["keywords"]), qstop)
-                if qstop
-                else tweet_tokenize_py(str(r["keywords"]))
-            )
+    if stem:
+        from .porter2 import stem_en
+
+    def _qtoks(text: str) -> list[str]:
+        toks = (
+            tweet_tokenize_py(text, qstop) if qstop else tweet_tokenize_py(text)
         )
+        # query analyzed under the SAME pinned config as the index
+        return [stem_en(t) for t in toks] if stem else toks
+
+    qterms = {
+        int(r["query_id"]): sorted(set(_qtoks(str(r["keywords"]))))
         for _, r in queries.iterrows()
     }
 
@@ -357,6 +376,7 @@ def run_refbench(
     out = {
         "data_dir": data_dir,
         "stopwords": "nltk" if nltk_stopwords else "minimal",
+        "stem": bool(stem),
         "n_docs": n_docs,
         "avgdl": round(avgdl, 3),
         "n_queries": len(qterms),

@@ -127,3 +127,23 @@ def test_metric_internal_consistency(report):
         # P@5 of a decent ranking beats overall labeled precision of the
         # full (junk-tailed) list for at least the blend scorers
         assert m["p_at_5"] > 0.4, name
+
+
+@needs_data
+def test_stemmed_config_runs_the_full_protocol(spark):
+    """The reference's opt-in ``toStem`` switch (``Part A/configuration.py:11``
+    → SnowballStemmer), run through the snowball-exact porter2 UDF on both
+    index and query sides. No published band exists (the reference's
+    published runs used toStem=False); measured 2026-08-21: cosine MAP
+    0.6655 vs 0.6811 unstemmed — stemming slightly HURTS this benchmark,
+    matching the reference's own choice of default-off. Asserted: the
+    protocol completes inside the reference's bounds with sane metrics."""
+    out = R.run_refbench(spark, stem=True)
+    assert out["stem"] is True
+    assert out["build_sec"] < 60  # the reference harness bound
+    sc = out["scorers"]
+    assert sc["cosine"]["map"] >= 0.60
+    assert sc["bm25"]["map"] >= 0.55
+    for m in sc.values():
+        assert m["recall"] >= 0.95
+        assert m["queries_with_results"] == 35
