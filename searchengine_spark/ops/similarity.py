@@ -301,12 +301,16 @@ def lsh_topk(
     k: int = 20,
     n_planes: int = 8,
     dim: int = 64,
-    hamming: int = 1,
+    hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: prune to the query's LSH bucket ± ``hamming`` bit
-    flips (multi-probe), brute-force cosine inside. The 100 TB path: the
+    flips (multi-probe), brute-force cosine inside. Default hamming=2:
+    measured at 1M clustered vectors (BENCH_SCALING.md §ANN recall),
+    hamming=1 recalls only 0.76@10 while hamming=2 reaches 0.98 for a
+    ~37/256-bucket probe footprint — the radius-1 ball misses true
+    neighbors whose noise flips two hyperplane signs. The 100 TB path: the
     bucket filter is a partition-prunable predicate when embeddings are
     written partitioned/bucketed by LSH bucket, so the scan touches
     (n_probes/2^n_planes) of the data instead of all of it."""
@@ -326,7 +330,7 @@ def lsh_topk_sql(
     k: int = 20,
     n_planes: int = 8,
     dim: int = 64,
-    hamming: int = 1,
+    hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
@@ -428,7 +432,7 @@ def lsh_stored_topk(
     path: str,
     query_vec: list[float],
     k: int = 20,
-    hamming: int = 1,
+    hamming: int = 2,
     where=None,
 ) -> DataFrame:
     """Top-k over a ``lsh_write`` layout. The probe-bucket IN-filter lands in

@@ -178,15 +178,16 @@ def _last_segdir(index_dir: str) -> str | None:
     return out
 
 
-def _load_tombstone_arrays(spark, index_dir: str):
-    """(tomb, upd, upd_wm, tomb_files): sorted-unique u64 plain-delete ids,
-    last-wins update ids + parallel watermarks (updates already deleted are
-    dropped), and the tombstone parquet files read — shared by compaction
-    and tiered merge."""
-    import numpy as np
+# A tombstone table at or below this many raw rows folds via the fast
+# zero-shuffle closure (arrays shipped with the decode kernel, ~8-16 B/row);
+# above it compaction switches to the JOIN fold so the driver never
+# materializes the set (a single delete_by_query can tombstone billions).
+FOLD_CLOSURE_BOUND = 2_000_000
 
+
+def _tombstone_files(index_dir: str) -> list[str]:
     tomb_dir = os.path.join(index_dir, "tombstones")
-    tomb_files = (
+    return (
         sorted(
             os.path.join(tomb_dir, n)
             for n in os.listdir(tomb_dir)
@@ -195,6 +196,31 @@ def _load_tombstone_arrays(spark, index_dir: str):
         if os.path.isdir(tomb_dir)
         else []
     )
+
+
+def _tombstone_row_total(tomb_files: list[str]) -> int:
+    """Raw row count from parquet FOOTERS only (driver-local metadata read,
+    no Spark job) — decides closure fold vs join fold."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in tomb_files:
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except OSError:
+            continue
+    return total
+
+
+def _load_tombstone_arrays(spark, index_dir: str, tomb_files=None):
+    """(tomb, upd, upd_wm, tomb_files): sorted-unique u64 plain-delete ids,
+    last-wins update ids + parallel watermarks (updates already deleted are
+    dropped), and the tombstone parquet files read — shared by compaction
+    and tiered merge."""
+    import numpy as np
+
+    if tomb_files is None:
+        tomb_files = _tombstone_files(index_dir)
     tomb, upd, upd_wm = None, None, None
     if tomb_files:
         tpdf = (
@@ -221,21 +247,28 @@ def _load_tombstone_arrays(spark, index_dir: str):
     return tomb, upd, upd_wm, tomb_files
 
 
-def _fold_schema(has_pos: bool) -> str:
+def _fold_schema(has_pos: bool, with_epoch: bool = False) -> str:
     schema = "bucket int, doc_range int, term string, doc_id long, tf long, doc_len long"
     if has_pos:
         schema += ", positions array<long>"
+    if with_epoch:
+        schema += ", epoch long"
     return schema
 
 
-def _fold_rows_fn(has_pos: bool, tomb, drop_mask):
+def _fold_rows_fn(has_pos: bool, tomb, drop_mask, emit_epoch: bool = False):
     """mapInPandas kernel: decode segment blocks back to posting rows,
     physically dropping postings dead under ``tomb`` (plain deletes) and
     ``drop_mask`` (update watermarks, evaluated at each block's ORIGINAL
     epoch — superseded versions die, current versions survive). The decode
     is numpy repeat/concatenate; postings never collect to the driver.
     Shared by ``compact_streamed_index`` (all epochs) and
-    ``merge_epochs_tiered`` (a folded subset)."""
+    ``merge_epochs_tiered`` (a folded subset).
+
+    ``emit_epoch=True`` is the JOIN-fold variant (tombstone sets too big
+    for a closure): no dropping here — every decoded row carries its
+    block's epoch (NULL on batch layouts) so a downstream anti-join/
+    watermark filter can apply the tombstones distributed."""
 
     def to_rows(batches):
         import numpy as np
@@ -293,6 +326,16 @@ def _fold_rows_fn(has_pos: bool, tomb, drop_mask):
             )
             if has_pos:
                 out["positions"] = pos_rows
+            if emit_epoch:
+                if "epoch" in pdf.columns:
+                    out["epoch"] = pd.array(
+                        np.repeat(
+                            pdf["epoch"].to_numpy(dtype=np.int64), n_kept
+                        ),
+                        dtype="Int64",
+                    )
+                else:  # batch layout: no epoch partition → NULL epoch
+                    out["epoch"] = pd.array([pd.NA] * len(out), dtype="Int64")
             yield out
 
     return to_rows
@@ -709,7 +752,20 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     from ..query.wand import DocMask, _alive_in_epoch, _not_excluded
 
     meta = IndexMeta.load(index_dir)
-    tomb, upd, upd_wm, tomb_files = _load_tombstone_arrays(spark, index_dir)
+    tomb_files = _tombstone_files(index_dir)
+    # the churn-proof path: past FOLD_CLOSURE_BOUND raw rows the tombstone
+    # set never touches the driver — it stays a DataFrame and applies to
+    # the decoded postings as an anti-join + watermark filter (Spark picks
+    # broadcast vs shuffle join; at billions of tombstones the shuffle is
+    # the correct and only plan). Below the bound the zero-shuffle closure
+    # fold is strictly faster and driver-safe.
+    join_fold = _tombstone_row_total(tomb_files) > FOLD_CLOSURE_BOUND
+    if join_fold:
+        tomb, upd, upd_wm = None, None, None
+    else:
+        tomb, upd, upd_wm, tomb_files = _load_tombstone_arrays(
+            spark, index_dir, tomb_files
+        )
     _ea, _, _cm = _manifest_state(index_dir)
     already_epoch_layout = bool(_ea) or _cm is not None
     if (
@@ -717,6 +773,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
         and not meta.stream_epochs
         and tomb is None
         and upd is None
+        and not join_fold
     ):
         # nothing to fold AND already epoch-layout → true no-op. A pure
         # batch build (no epoch lines, no compaction marker) falls through:
@@ -727,11 +784,41 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     blocks = spark.read.parquet(seg_dir)
     has_pos = meta.has_positions
     drop_mask = DocMask(upd=upd, upd_wm=upd_wm) if upd is not None else None
-    any_drop = tomb is not None or upd is not None
+    any_drop = tomb is not None or upd is not None or join_fold
 
-    postings = blocks.mapInPandas(
-        _fold_rows_fn(has_pos, tomb, drop_mask), _fold_schema(has_pos)
-    )
+    if join_fold:
+        tdf = spark.read.schema("doc_id long, wm long").parquet(*tomb_files)
+        plain_df = tdf.filter(F.col("wm").isNull()).select("doc_id").distinct()
+        upd_df = (
+            tdf.filter(F.col("wm").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.max("wm").alias("wm"))  # latest update wins
+            .join(plain_df, "doc_id", "left_anti")  # a delete overrides
+        )
+        decoded = blocks.mapInPandas(
+            _fold_rows_fn(has_pos, None, None, emit_epoch=True),
+            _fold_schema(has_pos, with_epoch=True),
+        )
+        # drop rules, identical to the closure kernel: plain-dead docs go
+        # entirely; updated docs lose rows whose epoch ≤ their watermark
+        # (NULL epoch — pre-epoch layout — counts as covered, matching
+        # _alive_in_epoch's None-epoch semantics)
+        postings = (
+            decoded.join(plain_df, "doc_id", "left_anti")
+            .join(upd_df, "doc_id", "left")
+            .filter(
+                F.col("wm").isNull()
+                | (F.col("epoch").isNotNull() & (F.col("epoch") > F.col("wm")))
+            )
+            .drop("wm", "epoch")
+        )
+        # bounded driver scalars for the manifest/fingerprint only
+        n_dead_join = plain_df.count() + upd_df.count()
+    else:
+        postings = blocks.mapInPandas(
+            _fold_rows_fn(has_pos, tomb, drop_mask), _fold_schema(has_pos)
+        )
+        n_dead_join = 0
 
     new_n_docs, new_total_len, new_avgdl = meta.n_docs, meta.total_len, meta.avgdl
     dict_rel = meta.dictionary_dir
@@ -803,7 +890,7 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
         meta.total_len = new_total_len
         meta.avgdl = new_avgdl
         meta.dictionary_dir = dict_rel
-        n_dead = (0 if tomb is None else len(tomb)) + (
+        n_dead = n_dead_join + (0 if tomb is None else len(tomb)) + (
             0 if upd is None else len(upd)
         )
         meta.fingerprint = f"{meta.fingerprint}-del{n_dead}"
@@ -827,7 +914,8 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
             "dictionary_dir": meta.dictionary_dir,
             "has_positions": bool(has_pos),
             "analyzer": meta.analyzer,
-            "tombstones_applied": (0 if tomb is None else int(len(tomb)))
+            "tombstones_applied": int(n_dead_join)
+            + (0 if tomb is None else int(len(tomb)))
             + (0 if upd is None else int(len(upd))),
             "ts": time.time(),
         },

@@ -154,3 +154,47 @@ def test_tombstone_mask_stays_driver_resident_below_limit(spark, tmp_path, corpu
     tomb_dir = os.path.join(eng.index_dir, "tombstones")
     # below the limit nothing folds — tombstone files persist
     assert any(n.endswith(".parquet") for n in os.listdir(tomb_dir))
+
+
+# -------------------------------------------------- join-fold compaction
+def test_join_fold_compaction_matches_closure_fold(spark, tmp_path, monkeypatch):
+    """Past FOLD_CLOSURE_BOUND tombstone rows, compaction folds via a
+    distributed anti-join + watermark filter instead of shipping driver
+    arrays in the decode closure. The two paths must produce identical
+    indexes: same surviving corpus stats, same search results (scores
+    included), same phrase results."""
+    import shutil
+
+    from searchengine_spark.streaming import ingest
+
+    rows = [(i, f"spark join term{i % 7} stream window") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx_a = str(tmp_path / "fold_a")
+    ingest.append_docs(df, idx_a, n_buckets=2, range_bits=1,
+                       with_positions=True)
+    eng = SearchEngine(spark, idx_a)
+    eng.update_docs(
+        spark.createDataFrame(
+            [(i, f"merge sort term{i % 5}") for i in range(0, 120, 3)],
+            "doc_id long, text string",
+        )
+    )
+    eng.delete_docs([i for i in range(0, 120, 4)])
+
+    idx_b = str(tmp_path / "fold_b")
+    shutil.copytree(idx_a, idx_b)
+
+    ingest.compact_streamed_index(spark, idx_a)  # closure fold (default)
+    monkeypatch.setattr(ingest, "FOLD_CLOSURE_BOUND", 0)
+    ingest.compact_streamed_index(spark, idx_b)  # join fold (forced)
+
+    ea, eb = SearchEngine(spark, idx_a), SearchEngine(spark, idx_b)
+    assert ea.meta.n_docs == eb.meta.n_docs
+    assert ea.meta.avgdl == eb.meta.avgdl
+    for q in ["spark join", "merge sort", "stream window", "term1"]:
+        assert ea.search(q, k=50) == eb.search(q, k=50), q
+    assert ea.search_phrase("merge sort", k=50) == eb.search_phrase(
+        "merge sort", k=50
+    )
+    # join fold consumed the tombstones physically, like the closure fold
+    assert ingest._tombstone_files(idx_b) == []

@@ -34,7 +34,7 @@ N_QUERIES = 10
 
 def synth_vectors(spark, n: int):
     """(vec_id, embedding): hash-derived clustered vectors, fully JVM-side.
-    center[c][i] ∈ [-1, 1); point = center + 0.15 · noise[id][i]."""
+    center[c][i] ∈ [-1, 1); point = center + 0.5 · noise[id][i]."""
     base = spark.range(n).select(F.col("id").alias("vec_id"))
     c = F.pmod(F.xxhash64("vec_id"), F.lit(N_CLUSTERS))
 
@@ -42,7 +42,7 @@ def synth_vectors(spark, n: int):
         return (F.pmod(F.xxhash64(*cols), F.lit(10000)) / 5000.0) - 1.0
 
     comps = [
-        (h01(c, F.lit(i)) + 0.15 * h01(F.col("vec_id"), F.lit(1000 + i))).alias(f"_{i}")
+        (h01(c, F.lit(i)) + 0.5 * h01(F.col("vec_id"), F.lit(1000 + i))).alias(f"_{i}")
         for i in range(DIM)
     ]
     return base.select(
@@ -52,12 +52,17 @@ def synth_vectors(spark, n: int):
 
 def main() -> None:
     from searchengine_spark.ops.similarity import (
+        _pq_adc,
+        _pq_lut,
+        _probe_buckets,
+        _query_lists,
         cosine_topk,
-        ivf_topk,
+        ivf_assign,
         ivf_train,
-        lsh_topk,
-        pq_topk,
+        lsh_assign,
+        pq_encode,
         pq_train,
+        query_bucket,
     )
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
@@ -72,14 +77,54 @@ def main() -> None:
     }
     queries = [qrows[q] for q in sorted(qrows)]
 
+    # Assignments and codes are QUERY-INDEPENDENT — computed once and
+    # cached, exactly like the stored layouts (`lsh_write`/`ivf_write`/
+    # `pq_write`) whose read path this sweep models; per-query cost is the
+    # probe filter + candidate scan, not a re-assignment of the corpus.
     t0 = time.time()
     centroids = ivf_train(vecs, n_lists=64, sample=4096)
     books8 = pq_train(vecs, m=8, ks=16, dim=DIM, sample=4096)
-    books256 = pq_train(vecs, m=8, ks=256, dim=DIM, sample=8192)
+    lsh_a = lsh_assign(vecs, 8, DIM).select("vec_id", "bucket").persist()
+    ivf_a = (
+        ivf_assign(vecs, 64, DIM, centroids=centroids)
+        .select("vec_id", "list_id")
+        .persist()
+    )
+    codes16 = pq_encode(vecs, m=8, ks=16, dim=DIM, codebooks=books8).persist()
+    for df in (lsh_a, ivf_a, codes16):
+        df.count()
     train_sec = time.time() - t0
 
     def ids_of(df):
         return [int(r[0]) for r in df.collect()]
+
+    def lsh_probe(qv, hamming):
+        probes = _probe_buckets(query_bucket(qv, 8), 8, hamming)
+        cand = vecs.join(
+            lsh_a.filter(F.col("bucket").isin(probes)).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        return cosine_topk(cand, qv, k=K)
+
+    def ivf_probe(qv, nprobe):
+        probes = _query_lists(qv, 64, nprobe, centroids)
+        cand = vecs.join(
+            ivf_a.filter(F.col("list_id").isin(probes)).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        return cosine_topk(cand, qv, k=K)
+
+    def pq_adc(qv, codes, books, rerank=None):
+        lut = _pq_lut(books, qv)
+        coarse = _pq_adc(codes, lut, K if rerank is None else rerank)
+        if rerank is None:
+            return coarse
+        cand = vecs.join(
+            F.broadcast(coarse.select("vec_id")), "vec_id", "left_semi"
+        )
+        return cosine_topk(cand, qv, k=K)
 
     exact: list[set[int]] = []
     t0 = time.time()
@@ -89,17 +134,16 @@ def main() -> None:
 
     sweeps = []
     for name, fn in [
-        ("lsh h=0", lambda qv: lsh_topk(vecs, qv, k=K, n_planes=8, dim=DIM, hamming=0)),
-        ("lsh h=1", lambda qv: lsh_topk(vecs, qv, k=K, n_planes=8, dim=DIM, hamming=1)),
-        ("lsh h=2", lambda qv: lsh_topk(vecs, qv, k=K, n_planes=8, dim=DIM, hamming=2)),
-        ("ivf p=1", lambda qv: ivf_topk(vecs, qv, k=K, n_lists=64, nprobe=1, centroids=centroids)),
-        ("ivf p=2", lambda qv: ivf_topk(vecs, qv, k=K, n_lists=64, nprobe=2, centroids=centroids)),
-        ("ivf p=4", lambda qv: ivf_topk(vecs, qv, k=K, n_lists=64, nprobe=4, centroids=centroids)),
-        ("ivf p=8", lambda qv: ivf_topk(vecs, qv, k=K, n_lists=64, nprobe=8, centroids=centroids)),
-        ("pq raw ks=16", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=16, dim=DIM, codebooks=books8)),
-        ("pq raw ks=256", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=256, dim=DIM, codebooks=books256)),
-        ("pq+rerank200 ks=16", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=16, dim=DIM, codebooks=books8, rerank=200)),
-        ("pq+rerank200 ks=256", lambda qv: pq_topk(vecs, qv, k=K, m=8, ks=256, dim=DIM, codebooks=books256, rerank=200)),
+        ("lsh h=0", lambda qv: lsh_probe(qv, 0)),
+        ("lsh h=1", lambda qv: lsh_probe(qv, 1)),
+        ("lsh h=2", lambda qv: lsh_probe(qv, 2)),
+        ("ivf p=1", lambda qv: ivf_probe(qv, 1)),
+        ("ivf p=2", lambda qv: ivf_probe(qv, 2)),
+        ("ivf p=4", lambda qv: ivf_probe(qv, 4)),
+        ("ivf p=8", lambda qv: ivf_probe(qv, 8)),
+        ("pq raw ks=16", lambda qv: pq_adc(qv, codes16, books8)),
+        ("pq+rerank200 ks=16", lambda qv: pq_adc(qv, codes16, books8, rerank=200)),
+        ("pq+rerank2000 ks=16", lambda qv: pq_adc(qv, codes16, books8, rerank=2000)),
     ]:
         hits, t0 = 0, time.time()
         for qv, truth in zip(queries, exact):
