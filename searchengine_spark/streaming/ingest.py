@@ -1026,16 +1026,47 @@ def merge_epochs_tiered(
     merged_id = max(folded_ids)
 
     seg_dir = os.path.join(index_dir, meta.segments_dir)
-    tomb, upd, upd_wm, _files = _load_tombstone_arrays(spark, index_dir)
-    drop_mask = DocMask(upd=upd, upd_wm=upd_wm) if upd is not None else None
     has_pos = meta.has_positions
-
     blocks = spark.read.parquet(seg_dir).filter(
         F.col("epoch").isin([int(e) for e in folded_ids])
     )
-    postings = blocks.mapInPandas(
-        _fold_rows_fn(has_pos, tomb, drop_mask), _fold_schema(has_pos)
-    )
+    tfiles = _tombstone_files(index_dir)
+    if _tombstone_row_total(tfiles) > FOLD_CLOSURE_BOUND:
+        # same churn bound as compaction: a tombstone set too big for the
+        # kernel closure applies as a distributed anti-join + watermark
+        # filter. Application is NOT optional here even though merge never
+        # consumes tombstone files — folding renumbers postings up to
+        # max(folded ids), so an unapplied update watermark inside the
+        # folded range would stop covering its superseded version.
+        tdf = spark.read.schema("doc_id long, wm long").parquet(*tfiles)
+        plain_df = tdf.filter(F.col("wm").isNull()).select("doc_id").distinct()
+        upd_df = (
+            tdf.filter(F.col("wm").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.max("wm").alias("wm"))
+            .join(plain_df, "doc_id", "left_anti")
+        )
+        decoded = blocks.mapInPandas(
+            _fold_rows_fn(has_pos, None, None, emit_epoch=True),
+            _fold_schema(has_pos, with_epoch=True),
+        )
+        postings = (
+            decoded.join(plain_df, "doc_id", "left_anti")
+            .join(upd_df, "doc_id", "left")
+            .filter(
+                F.col("wm").isNull()
+                | (F.col("epoch").isNotNull() & (F.col("epoch") > F.col("wm")))
+            )
+            .drop("wm", "epoch")
+        )
+    else:
+        tomb, upd, upd_wm, _files = _load_tombstone_arrays(
+            spark, index_dir, tfiles
+        )
+        drop_mask = DocMask(upd=upd, upd_wm=upd_wm) if upd is not None else None
+        postings = blocks.mapInPandas(
+            _fold_rows_fn(has_pos, tomb, drop_mask), _fold_schema(has_pos)
+        )
     encode = _encode_group_fn(meta.k1, meta.b, meta.avgdl, meta.block_size)
     enc = postings.groupBy("bucket", "doc_range").applyInPandas(
         encode, BLOCK_SCHEMA

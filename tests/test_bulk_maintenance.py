@@ -198,3 +198,39 @@ def test_join_fold_compaction_matches_closure_fold(spark, tmp_path, monkeypatch)
     )
     # join fold consumed the tombstones physically, like the closure fold
     assert ingest._tombstone_files(idx_b) == []
+
+
+def test_join_fold_tiered_merge_matches_closure_fold(spark, tmp_path, monkeypatch):
+    """Tiered merge under the join fold: folding renumbers postings up to
+    max(folded ids), so update watermarks MUST apply during the merge —
+    the join path has to keep exactly the closure path's survivors."""
+    import shutil
+
+    from searchengine_spark.streaming import ingest
+
+    df = lambda r: spark.createDataFrame(r, "doc_id long, text string")  # noqa: E731
+    idx_a = str(tmp_path / "tm_a")
+    # several small epochs so the merge has a tail to fold
+    ingest.append_docs(df([(i, f"spark join term{i % 5}") for i in range(30)]),
+                       idx_a, n_buckets=2, range_bits=1)
+    eng = SearchEngine(spark, idx_a)
+    for lo in (30, 60, 90):
+        ingest.append_docs(
+            df([(i, f"stream window term{i % 5}") for i in range(lo, lo + 30)]),
+            idx_a,
+        )
+    eng.update_docs(df([(i, f"merge sort term{i % 3}") for i in range(0, 120, 6)]))
+    eng.delete_docs([i for i in range(0, 120, 8)])
+
+    idx_b = str(tmp_path / "tm_b")
+    shutil.copytree(idx_a, idx_b)
+
+    ingest.merge_epochs_tiered(spark, idx_a, max_segments=2)  # closure fold
+    monkeypatch.setattr(ingest, "FOLD_CLOSURE_BOUND", 0)
+    ingest.merge_epochs_tiered(spark, idx_b, max_segments=2)  # join fold
+
+    ea, eb = SearchEngine(spark, idx_a), SearchEngine(spark, idx_b)
+    for q in ["spark join", "merge sort", "stream window", "term2"]:
+        assert ea.search(q, k=60) == eb.search(q, k=60), q
+    # superseded versions stayed dead after renumbering (watermark rule)
+    assert all(d % 6 for d, _ in eb.search("spark", k=60))
