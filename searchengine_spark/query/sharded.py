@@ -257,8 +257,26 @@ class ShardedEngine:
     def delete(self, doc_ids) -> int:
         """Tombstone-delete across shards: ids route to their owning shard
         (O(|ids|) job + |ids| tombstone rows total — NOT broadcast to every
-        shard, which would multiply tombstone state by N)."""
+        shard, which would multiply tombstone state by N). A single-column
+        DataFrame routes and writes fully DISTRIBUTED (per-shard filter on
+        the same JVM hash the build used → each shard's distributed
+        tombstone append) — a web-scale id set never touches the driver;
+        an explicit id list is the bounded-closure path."""
         self._require_routed("delete")
+        if isinstance(doc_ids, DataFrame):
+            n = len(self.shards)
+            id_col = doc_ids.columns[0]
+            ids = doc_ids.select(F.col(id_col).cast("long").alias("doc_id"))
+            ids = ids.persist()  # n_shards routed filters scan the batch
+            try:
+                return sum(
+                    eng.delete_docs(
+                        ids.filter(shard_of(F.col("doc_id"), n) == s)
+                    )
+                    for s, eng in enumerate(self.shards)
+                )
+            finally:
+                ids.unpersist()
         doc_ids = list(doc_ids)
         if not doc_ids:
             return 0

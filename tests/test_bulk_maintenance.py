@@ -234,3 +234,30 @@ def test_join_fold_tiered_merge_matches_closure_fold(spark, tmp_path, monkeypatc
         assert ea.search(q, k=60) == eb.search(q, k=60), q
     # superseded versions stayed dead after renumbering (watermark rule)
     assert all(d % 6 for d, _ in eb.search("spark", k=60))
+
+
+def test_sharded_delete_dataframe_routes_distributed(spark, tmp_path, monkeypatch):
+    """ShardedEngine.delete(DataFrame): ids route by the build's JVM hash
+    and tombstone each owning shard without any driver id collect; results
+    identical to the explicit-list path."""
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    sa = ShardedEngine.build(
+        spark, docs, str(tmp_path / "sh_a"), n_shards=3,
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+    )
+    sb = ShardedEngine.build(
+        spark, docs, str(tmp_path / "sh_b"), n_shards=3,
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+    )
+    dead = [d for d, _ in sa.search(Q, k=30)][::2]
+    assert sa.delete(dead) == len(dead)
+    ids_df = spark.createDataFrame([(d,) for d in dead], "doc_id long")
+    _cap_driver_materialization(monkeypatch)
+    assert sb.delete(ids_df) == len(dead)
+    monkeypatch.undo()
+    for q in [Q, "stream window"]:
+        assert sa.search(q, k=20) == sb.search(q, k=20), q
