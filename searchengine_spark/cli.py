@@ -322,37 +322,49 @@ def _cmd_search(args) -> None:
 
 def _cmd_append(args) -> None:
     spark = _spark(args)
-    from .streaming.ingest import append_docs
 
     t0 = time.perf_counter()
     df = spark.read.parquet(args.input)
-    epoch = append_docs(
-        df, args.index, id_col=args.id_col, text_col=args.text_col,
-        n_buckets=args.buckets, range_bits=args.range_bits,
-        with_positions=args.positions,
-    )
-    print(
-        json.dumps(
-            {
-                "appended": args.index,
-                "epoch": epoch,
-                "n_docs": df.count(),
-                "sec": round(time.perf_counter() - t0, 3),
-            }
+    if getattr(args, "sharded", False):
+        from .query.sharded import ShardedEngine
+
+        n = ShardedEngine.open(spark, args.index).append(
+            df, id_col=args.id_col, text_col=args.text_col
         )
-    )
+        out = {"appended": args.index, "sharded": True, "n_docs": n}
+    else:
+        from .streaming.ingest import append_docs
+
+        epoch = append_docs(
+            df, args.index, id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.buckets, range_bits=args.range_bits,
+            with_positions=args.positions,
+        )
+        out = {"appended": args.index, "epoch": epoch, "n_docs": df.count()}
+    out["sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(out))
 
 
 def _cmd_update(args) -> None:
     spark = _spark(args)
-    from .query.engine import SearchEngine
 
     t0 = time.perf_counter()
-    eng = SearchEngine(spark, args.index)
-    n = eng.update_docs(
-        spark.read.parquet(args.input),
-        id_col=args.id_col, text_col=args.text_col,
-    )
+    if getattr(args, "sharded", False):
+        from .query.sharded import ShardedEngine
+
+        eng = ShardedEngine.open(spark, args.index)
+        n = eng.update(
+            spark.read.parquet(args.input),
+            id_col=args.id_col, text_col=args.text_col,
+        )
+    else:
+        from .query.engine import SearchEngine
+
+        eng = SearchEngine(spark, args.index)
+        n = eng.update_docs(
+            spark.read.parquet(args.input),
+            id_col=args.id_col, text_col=args.text_col,
+        )
     print(
         json.dumps(
             {
@@ -398,9 +410,25 @@ def _cmd_update_by_query(args) -> None:
 
 def _cmd_delete(args) -> None:
     spark = _spark(args)
-    from .query.engine import SearchEngine
 
     t0 = time.perf_counter()
+    if getattr(args, "sharded", False):
+        from .query.sharded import ShardedEngine
+
+        seng = ShardedEngine.open(spark, args.index)
+        if getattr(args, "query", ""):
+            n = seng.delete_by_query(args.query, mode=args.mode)
+        elif args.ids:
+            n = seng.delete([int(x) for x in args.ids.split(",") if x.strip()])
+        else:
+            n = seng.delete(spark.read.parquet(args.input).select(args.id_col))
+        print(json.dumps({
+            "deleted": args.index, "sharded": True, "n_docs": n,
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+        return
+    from .query.engine import SearchEngine
+
     eng = SearchEngine(spark, args.index)
     if getattr(args, "query", ""):
         # _delete_by_query: the match set is tombstoned distributed —
@@ -1233,6 +1261,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--range-bits", type=int, default=6)
     ap.add_argument("--positions", action="store_true")
+    ap.add_argument("--sharded", action="store_true",
+                    help="treat --index as a sharded layout: route the batch "
+                         "to owning shards by the build's hash")
     ap.set_defaults(fn=_cmd_append)
 
     up = sub.add_parser("update", help="replace docs in place (delete old version + append new epoch)")
@@ -1240,6 +1271,9 @@ def main(argv: list[str] | None = None) -> None:
     up.add_argument("--index", required=True)
     up.add_argument("--id-col", default="doc_id")
     up.add_argument("--text-col", default="content")
+    up.add_argument("--sharded", action="store_true",
+                    help="treat --index as a sharded layout: each shard "
+                         "updates its routed slice")
     up.set_defaults(fn=_cmd_update)
 
     ubq = sub.add_parser(
@@ -1265,6 +1299,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="delete-by-query: tombstone the full match set (distributed write)")
     dl.add_argument("--mode", default="or", choices=["or", "and"],
                     help="match mode for --query")
+    dl.add_argument("--sharded", action="store_true",
+                    help="treat --index as a sharded layout: ids/match sets "
+                         "tombstone only their owning shard")
     dl.set_defaults(fn=_cmd_delete)
 
     cp = sub.add_parser("compact", help="fold epochs + tombstones into the canonical batch layout")

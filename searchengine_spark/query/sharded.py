@@ -285,6 +285,16 @@ class ShardedEngine:
             for eng, ids in zip(self.shards, self._route_ids(doc_ids))
         )
 
+    def delete_by_query(self, query: str, mode: str = "or") -> int:
+        """ES ``_delete_by_query`` across shards: each shard tombstones its
+        own match set with a distributed write (boolean matching is
+        corpus-stats-free, and routing keeps shard doc sets disjoint, so
+        the per-shard match sets union to exactly the global match set)."""
+        self._require_routed("delete_by_query")
+        return sum(
+            eng.delete_by_query(query, mode=mode) for eng in self.shards
+        )
+
     def update(
         self,
         updates: DataFrame,

@@ -261,3 +261,22 @@ def test_sharded_delete_dataframe_routes_distributed(spark, tmp_path, monkeypatc
     monkeypatch.undo()
     for q in [Q, "stream window"]:
         assert sa.search(q, k=20) == sb.search(q, k=20), q
+
+
+def test_sharded_delete_by_query_matches_single_index(spark, tmp_path):
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    seng = ShardedEngine.build(
+        spark, docs, str(tmp_path / "shq"), n_shards=3,
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+    )
+    single = _build(spark, docs, tmp_path, "sq_single")
+    n_s = seng.delete_by_query("merge sort", mode="and")
+    n_1 = single.delete_by_query("merge sort", mode="and")
+    assert n_s == n_1 > 0
+    assert [d for d, _ in seng.search(Q, k=20)] == [
+        d for d, _ in single.search(Q, k=20)
+    ]
