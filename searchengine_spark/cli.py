@@ -454,9 +454,22 @@ def _cmd_delete(args) -> None:
 
 def _cmd_compact(args) -> None:
     spark = _spark(args)
-    from .streaming.ingest import compact_streamed_index
 
     t0 = time.perf_counter()
+    if getattr(args, "sharded", False):
+        from .query.sharded import ShardedEngine
+
+        seng = ShardedEngine.open(spark, args.index)
+        seng.compact()
+        st = seng.stats()
+        print(json.dumps({
+            "compacted": args.index, "sharded": True,
+            "n_docs": st["n_docs"], "avgdl": round(st["avgdl"], 3),
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+        return
+    from .streaming.ingest import compact_streamed_index
+
     meta = compact_streamed_index(spark, args.index)
     print(
         json.dumps(
@@ -472,9 +485,21 @@ def _cmd_compact(args) -> None:
 
 def _cmd_merge(args) -> None:
     spark = _spark(args)
-    from .streaming.ingest import merge_epochs_tiered
 
     t0 = time.perf_counter()
+    if getattr(args, "sharded", False):
+        from .query.sharded import ShardedEngine
+
+        seng = ShardedEngine.open(spark, args.index)
+        seng.merge(max_segments=args.max_segments)
+        print(json.dumps({
+            "merged": args.index, "sharded": True,
+            "n_docs": seng.stats()["n_docs"],
+            "sec": round(time.perf_counter() - t0, 3),
+        }))
+        return
+    from .streaming.ingest import merge_epochs_tiered
+
     meta = merge_epochs_tiered(spark, args.index, max_segments=args.max_segments)
     print(
         json.dumps(
@@ -1306,6 +1331,8 @@ def main(argv: list[str] | None = None) -> None:
 
     cp = sub.add_parser("compact", help="fold epochs + tombstones into the canonical batch layout")
     cp.add_argument("--index", required=True)
+    cp.add_argument("--sharded", action="store_true",
+                    help="--index is a sharded layout; compact every shard")
     cp.set_defaults(fn=_cmd_compact)
 
     mg = sub.add_parser(
@@ -1315,6 +1342,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     mg.add_argument("--index", required=True)
     mg.add_argument("--max-segments", type=int, default=8)
+    mg.add_argument("--sharded", action="store_true",
+                    help="--index is a sharded layout; tier-merge every shard")
     mg.set_defaults(fn=_cmd_merge)
 
     st = sub.add_parser("stats", help="index statistics (driver-side metadata, no Spark job)")

@@ -312,6 +312,29 @@ class ShardedEngine:
                 total += eng.update_docs(sub, id_col=id_col, text_col=text_col)
         return total
 
+    def compact(self) -> None:
+        """Fold every shard's streamed epochs + tombstones into its
+        canonical layout — per-shard ``compact_streamed_index``, each with
+        its own crash-safe versioned-dir commit (shards never coordinate:
+        a crash mid-way leaves already-compacted shards serving the new
+        layout and the rest the old, both readable)."""
+        self._require_routed("compact")
+        from ..streaming.ingest import compact_streamed_index
+
+        for eng in self.shards:
+            compact_streamed_index(self.spark, eng.index_dir)
+            eng.refresh()
+
+    def merge(self, max_segments: int = 8) -> None:
+        """Per-shard tiered merge (Lucene TieredMergePolicy): bound each
+        shard's epoch-segment count without full rewrites."""
+        self._require_routed("merge")
+        from ..streaming.ingest import merge_epochs_tiered
+
+        for eng in self.shards:
+            merge_epochs_tiered(self.spark, eng.index_dir, max_segments)
+            eng.refresh()
+
     def stats(self) -> dict:
         """Aggregated index statistics: exact-int sums of the per-shard
         ``SearchEngine.stats()`` (driver-side metadata only — no Spark

@@ -280,3 +280,27 @@ def test_sharded_delete_by_query_matches_single_index(spark, tmp_path):
     assert [d for d, _ in seng.search(Q, k=20)] == [
         d for d, _ in single.search(Q, k=20)
     ]
+
+
+def test_sharded_compact_folds_every_shard(spark, tmp_path):
+    """ShardedEngine.compact: per-shard fold — deletes become physical,
+    aggregated stats drop to the survivor corpus, results match a fresh
+    sharded build of the survivors."""
+    from searchengine_spark.query.sharded import ShardedEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 240
+    )
+    seng = ShardedEngine.build(
+        spark, docs, str(tmp_path / "shc"), n_shards=3,
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+    )
+    seng.delete(docs.select("doc_id").filter(F.col("doc_id") < 80))
+    seng.compact()
+    assert seng.stats()["n_docs"] == docs.filter(F.col("doc_id") >= 80).count()
+    fresh = ShardedEngine.build(
+        spark, docs.filter(F.col("doc_id") >= 80), str(tmp_path / "shf"),
+        n_shards=3, id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+    )
+    for q in [Q, "stream window"]:
+        assert seng.search(q, k=20) == fresh.search(q, k=20), q
