@@ -14,7 +14,8 @@ Components (each timed, reported under "queries"):
   text_stats        — token_count + quality + lang_id + fingerprint
   …plus the round-2/3 additions: query_and / query_not / query_wand_batch,
   index_build_positional + query_phrase, query_qs (Lucene-style query
-  strings), dedup_pipeline, ann_*_write / ann_*_stored_topk, ann_sq_*
+  strings), dedup_pipeline, ann_*_write / ann_*_stored_topk, ann_sq_*;
+  round 4: porter2_analyze (snowball-exact stemming UDF over the corpus)
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -282,6 +283,18 @@ def main() -> None:
         textstats.repetition_stats(docs).count()
 
     timed("text_stats", text_stats)
+
+    # snowball-exact stemming over the corpus (round 4): the porter2 Arrow
+    # UDF applied to every doc's token stream — the analyzer-stage cost a
+    # stemmed index build pays on top of tokenize
+    from searchengine_spark.tokenizer import analyze_text_expr
+
+    timed(
+        "porter2_analyze",
+        lambda: docs.select(
+            F.length(analyze_text_expr(F.col("text"), "porter2")).alias("n")
+        ).agg(F.sum("n")).collect(),
+    )
 
     # corpus term analytics: significant terms + TF-IDF keywords (two df
     # aggs + window), PMI collocations and bigram-LM perplexity (map-side
