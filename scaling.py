@@ -167,6 +167,17 @@ def main() -> None:
         "pairs": pairs,
         "results_identical_across_levels": True,
     }
+    # preserve appended sections (ANN recall tables, round notes): keep
+    # everything from the KEEP marker to EOF across rewrites
+    keep_tail = ""
+    try:
+        with open("BENCH_SCALING.md") as f:
+            old = f.read()
+        marker = "<!-- keep-below: appended sections survive scaling reruns -->"
+        if marker in old:
+            keep_tail = old[old.index(marker):]
+    except OSError:
+        pass
     with open("BENCH_SCALING.md", "w") as f:
         f.write("# Scaling evidence: same job at multiple parallelism levels\n\n")
         f.write("Per driver instructions the two-cluster-size criterion is evidenced by\n")
@@ -198,6 +209,8 @@ def main() -> None:
             "(per-stage timings show the salted encode and segment write stages\n"
             "continuing to scale 8→32).\n"
         )
+        if keep_tail:
+            f.write("\n" + keep_tail)
     print(json.dumps(out))
     if generated:  # don't leak the multi-hundred-MB corpus into /tmp
         shutil.rmtree(os.path.dirname(corpus_dir.rstrip("/")),
