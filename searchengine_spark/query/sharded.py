@@ -312,6 +312,26 @@ class ShardedEngine:
                 total += eng.update_docs(sub, id_col=id_col, text_col=text_col)
         return total
 
+    def update_by_query(
+        self,
+        query: str,
+        transform,
+        mode: str = "or",
+        corpus_df: "DataFrame | None" = None,
+    ) -> int:
+        """ES ``_update_by_query`` across shards: each shard matches and
+        re-ingests its own slice (boolean matching is corpus-stats-free and
+        shard doc sets are disjoint, so per-shard match sets union to the
+        global one). ``corpus_df`` need not be pre-routed — each shard
+        semi-joins it against its own match set."""
+        self._require_routed("update_by_query")
+        total = 0
+        for eng in self.shards:
+            total += eng.update_by_query(
+                query, transform, mode=mode, corpus_df=corpus_df
+            )
+        return total
+
     def compact(self) -> None:
         """Fold every shard's streamed epochs + tombstones into its
         canonical layout — per-shard ``compact_streamed_index``, each with

@@ -304,3 +304,30 @@ def test_sharded_compact_folds_every_shard(spark, tmp_path):
     )
     for q in [Q, "stream window"]:
         assert seng.search(q, k=20) == fresh.search(q, k=20), q
+
+
+def test_sharded_update_by_query_matches_single_index(spark, tmp_path):
+    from searchengine_spark.query.sharded import ShardedEngine
+    from searchengine_spark.streaming.ingest import append_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 240
+    )
+    seng = ShardedEngine.build(
+        spark, docs, str(tmp_path / "shu"), n_shards=3,
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+        epoch_layout=True,
+    )
+    idx1 = str(tmp_path / "su_single")
+    append_docs(docs, idx1, n_buckets=2, range_bits=1)
+    single = SearchEngine(spark, idx1)
+
+    tf = lambda df: df.withColumn(  # noqa: E731
+        "text", F.concat(F.col("text"), F.lit(" patchedtoken"))
+    )
+    n_s = seng.update_by_query("stream window", tf, mode="and", corpus_df=docs)
+    n_1 = single.update_by_query("stream window", tf, mode="and", corpus_df=docs)
+    assert n_s == n_1 > 0
+    assert {d for d, _ in seng.search("patchedtoken", k=300)} == {
+        d for d, _ in single.search("patchedtoken", k=300)
+    }
