@@ -326,6 +326,12 @@ def _cmd_append(args) -> None:
     t0 = time.perf_counter()
     df = spark.read.parquet(args.input)
     if getattr(args, "sharded", False):
+        if args.positions:
+            raise SystemExit(
+                "append --sharded takes layout params (positions/buckets/"
+                "range-bits) from each shard's meta — drop --positions "
+                "(it would be silently ignored)"
+            )
         from .query.sharded import ShardedEngine
 
         n = ShardedEngine.open(spark, args.index).append(
@@ -383,14 +389,21 @@ def _cmd_update_by_query(args) -> None:
     spark = _spark(args)
     from pyspark.sql import functions as F
 
-    from .query.engine import SearchEngine
-
     t0 = time.perf_counter()
-    eng = SearchEngine(spark, args.index)
     if "=>" not in args.replace:
         raise SystemExit("--replace must look like 'pattern=>replacement'")
     pattern, repl = args.replace.split("=>", 1)
-    text_col = eng.meta.source_text_col or "text"
+    if getattr(args, "sharded", False):
+        from .query.sharded import ShardedEngine
+
+        eng = ShardedEngine.open(spark, args.index)
+        meta = eng.shards[0].meta  # analyzer/source layout is shard-uniform
+    else:
+        from .query.engine import SearchEngine
+
+        eng = SearchEngine(spark, args.index)
+        meta = eng.meta
+    text_col = meta.source_text_col or "text"
 
     def transform(df):
         return df.withColumn(text_col, F.regexp_replace(text_col, pattern, repl))
@@ -1313,6 +1326,9 @@ def main(argv: list[str] | None = None) -> None:
                      help="'pattern=>replacement' regexp over the text column")
     ubq.add_argument("--input", default="",
                      help="optional source-of-truth parquet (else the doc store)")
+    ubq.add_argument("--sharded", action="store_true",
+                     help="treat --index as a sharded layout: each shard "
+                          "matches + re-ingests its own slice")
     ubq.set_defaults(fn=_cmd_update_by_query)
 
     dl = sub.add_parser("delete", help="tombstone docs (removed from queries now, folded at compact)")

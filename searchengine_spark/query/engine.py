@@ -172,9 +172,41 @@ class SearchEngine:
                     os.path.join(self.index_dir, "tombstones")
                 )
                 self._tomb = None
+                self._maybe_fold_tombstones()
         finally:
             out.unpersist()
         return n
+
+    def _maybe_fold_tombstones(self) -> None:
+        """Write-side churn check: every tombstone write calls this, so the
+        table folds physically (``compact_streamed_index``) as soon as raw
+        rows cross ``tombstone_limit`` — including the flagship case of ONE
+        huge distributed ``delete_by_query``/``delete_docs(df)`` batch,
+        which then never reaches a query-time driver read at all (the fold
+        itself is the join-fold past FOLD_CLOSURE_BOUND: executor-bounded
+        end to end). The query-path check remains as the safety net for
+        writers that bypass this engine."""
+        from ..streaming.ingest import (
+            MaintenanceInProgress,
+            _tombstone_files,
+            _tombstone_row_total,
+            compact_streamed_index,
+        )
+
+        tfiles = _tombstone_files(self.index_dir)
+        if _tombstone_row_total(tfiles) <= self.tombstone_limit:
+            return
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "tombstone write crossed tombstone_limit=%d — folding now",
+            self.tombstone_limit,
+        )
+        try:
+            compact_streamed_index(self.spark, self.index_dir)
+        except MaintenanceInProgress:
+            pass  # a concurrent fold is already consuming the files
+        self._tomb = None
 
     def _write_tombstones(self, doc_ids, wm: int | None) -> int:
         """Append tombstone rows. ``wm=None`` → plain delete (dead in every
@@ -190,6 +222,7 @@ class SearchEngine:
             os.path.join(self.index_dir, "tombstones")
         )
         self._tomb = None
+        self._maybe_fold_tombstones()
         return len(ids)
 
     def _write_tombstones_df(self, ids_df: DataFrame, wm: int | None) -> int:
@@ -212,6 +245,7 @@ class SearchEngine:
                     os.path.join(self.index_dir, "tombstones")
                 )
                 self._tomb = None
+                self._maybe_fold_tombstones()
         finally:
             out.unpersist()
         return n
@@ -396,7 +430,9 @@ class SearchEngine:
         )
         if not names:
             out = empty
-        else:
+        elif not over_limit:
+            # fast path: raw rows fit the driver — one columnar read, the
+            # dedup/last-wins/override rules run in numpy
             pdf = (
                 self.spark.read.schema("doc_id long, wm long")
                 .parquet(path)
@@ -425,45 +461,107 @@ class SearchEngine:
                 upd,
                 upd_wm,
             )
+        else:
+            # churn bound crossed (an unchecked writer got past the
+            # write-side fold): the mask is O(DISTINCT docs), so dedup/
+            # last-wins/override reduce DISTRIBUTED and only one row per
+            # doc reaches the driver. A distinct count still over the
+            # limit means NO driver mask can exist — fold physically and
+            # raise an actionable error (the retry serves from the folded
+            # index with an empty mask).
+            out = self._tombstones_distributed_read(path)
         if over_limit:
-            # churn bound crossed: fold the tombstones physically NOW so the
-            # steady-state driver mask stays ≤ tombstone_limit. Order
-            # matters for the in-flight query: the mask was read BEFORE the
-            # fold, and the pre-fold mask stays valid against both the old
-            # segments (the caller's already-planned scan; old dir survives
-            # one generation) and the new ones (masking a physically-dropped
-            # doc is a no-op) — so we return it as-is and only the NEXT
-            # query re-reads the now-empty tombstone dir. The one-time spike
-            # at the crossing is bounded by limit + the batch that crossed.
+            # fold the tombstones physically NOW so the steady-state mask
+            # stays ≤ tombstone_limit. Order matters for the in-flight
+            # query: the mask was built BEFORE the fold, and the pre-fold
+            # mask stays valid against both the old segments (the caller's
+            # already-planned scan; old dir survives one generation) and
+            # the new ones (masking a physically-dropped doc is a no-op) —
+            # so we return it as-is and only the NEXT query re-reads the
+            # now-empty tombstone dir. If another process is already
+            # folding, serve with the mask we have and let its fold land.
             import logging
 
-            from ..streaming.ingest import compact_streamed_index
+            from ..streaming.ingest import (
+                MaintenanceInProgress,
+                compact_streamed_index,
+            )
 
             logging.getLogger(__name__).warning(
                 "tombstone table exceeds tombstone_limit=%d — folding via "
                 "compact_streamed_index",
                 self.tombstone_limit,
             )
-            compact_streamed_index(self.spark, self.index_dir)
+            try:
+                compact_streamed_index(self.spark, self.index_dir)
+            except MaintenanceInProgress:
+                pass  # concurrent fold in flight — it will consume the files
             self._tomb = None  # next call re-reads the emptied dir
         else:
             self._tomb = (sig, out)
         return out
 
+    def _tombstones_distributed_read(self, path: str):
+        """(plain, upd, upd_wm) via a DISTRIBUTED per-doc reduction: one
+        groupBy(doc_id) computes has-plain-delete + max watermark, so the
+        driver receives exactly one row per distinct tombstoned doc
+        regardless of raw row count. Raises (after folding) if even the
+        distinct set exceeds ``tombstone_limit`` — past that no driver-held
+        mask is possible and the only correct serve is post-fold."""
+        import numpy as np
+
+        agg = (
+            self.spark.read.schema("doc_id long, wm long")
+            .parquet(path)
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.col("wm").isNull().cast("int")).alias("has_plain"),
+                F.max("wm").alias("wm"),
+            )
+        )
+        pdf = agg.toPandas()
+        if len(pdf) > self.tombstone_limit:
+            from ..streaming.ingest import (
+                MaintenanceInProgress,
+                compact_streamed_index,
+            )
+
+            try:
+                compact_streamed_index(self.spark, self.index_dir)
+            except MaintenanceInProgress:
+                pass
+            self._tomb = None
+            raise RuntimeError(
+                f"{len(pdf)} distinct tombstoned docs exceed "
+                f"tombstone_limit={self.tombstone_limit}: no driver-held "
+                "mask can represent them. The tombstones have been folded "
+                "physically (compact_streamed_index) — retry the query; "
+                "it will serve from the folded segments."
+            )
+        ids = pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
+        plain_m = pdf["has_plain"].to_numpy() == 1
+        plain_ids = np.sort(ids[plain_m])
+        upd, upd_wm = None, None
+        um = ~plain_m & pdf["wm"].notna().to_numpy()
+        if um.any():
+            uid = ids[um]
+            uw = pdf["wm"].to_numpy(dtype="float64")[um].astype(np.int64)
+            order = np.argsort(uid)
+            upd, upd_wm = uid[order], uw[order]
+        return (
+            plain_ids if len(plain_ids) else None,
+            upd,
+            upd_wm,
+        )
+
     @staticmethod
     def _tombstone_rows(path: str, names: list[str]) -> int:
-        """Total tombstone row count from parquet FOOTERS only — a
-        driver-local metadata read (no Spark job, no row data) used to
-        decide whether the mask fits the driver before loading it."""
-        import pyarrow.parquet as pq
+        """Total tombstone row count from parquet FOOTERS only (delegates
+        to the maintenance layer's counter — one implementation for the
+        query path and the fold-mode decision)."""
+        from ..streaming.ingest import _tombstone_row_total
 
-        total = 0
-        for n in names:
-            try:
-                total += pq.ParquetFile(os.path.join(path, n)).metadata.num_rows
-            except OSError:
-                continue  # racing compaction may remove files mid-scan
-        return total
+        return _tombstone_row_total([os.path.join(path, n) for n in names])
 
     def _doc_mask(self, doc_filter=None) -> "DocMask | None":
         """Combine tombstones with an optional filtered-search allow-set

@@ -185,6 +185,91 @@ def _last_segdir(index_dir: str) -> str | None:
 FOLD_CLOSURE_BOUND = 2_000_000
 
 
+class MaintenanceInProgress(RuntimeError):
+    """Another process holds this index's maintenance lock (a compaction or
+    tiered merge is in flight)."""
+
+
+def _maintenance_lock_acquire(index_dir: str, stale_sec: float = 3600.0) -> str:
+    """Best-effort single-host mutual exclusion for segment-swapping
+    maintenance (compact / tiered merge): two concurrent folds would both
+    compute the same next segments_c{K} name, overwrite each other's dir,
+    and double-consume tombstone files. O_EXCL lock file under the index
+    dir; a lock older than ``stale_sec`` is presumed crashed and stolen
+    once. On a multi-host cluster an external coordinator owns this
+    decision — this file maps to that slot. Returns the lock path; raises
+    MaintenanceInProgress when held."""
+    lock = os.path.join(index_dir, ".maintenance.lock")
+    stole = False
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            finally:
+                os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # holder just released — retry the create
+            if age > stale_sec and not stole:
+                stole = True
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+                continue
+            raise MaintenanceInProgress(
+                f"maintenance lock held on {index_dir} "
+                f"(age {age:.0f}s; stale after {stale_sec:.0f}s)"
+            )
+
+
+def _join_fold_postings(spark, blocks, tomb_files: list[str], has_pos: bool):
+    """Decode ``blocks`` and apply a LARGE tombstone set distributed: plain
+    deletes as an anti-join, update watermarks as a per-doc max + epoch
+    filter (NULL epoch counts as covered — `_alive_in_epoch`'s None-epoch
+    rule). The tombstone-derived frames are PERSISTED (they feed two joins
+    plus the n_dead counts — unpersisted, every consumer would rescan the
+    multi-billion-row table). Returns ``(postings, n_dead, release)``;
+    call ``release()`` after the consuming writes have executed.
+    Shared by ``compact_streamed_index`` and ``merge_epochs_tiered`` so the
+    drop rules cannot diverge between them."""
+    tdf = spark.read.schema("doc_id long, wm long").parquet(*tomb_files)
+    plain_df = (
+        tdf.filter(F.col("wm").isNull()).select("doc_id").distinct().persist()
+    )
+    upd_df = (
+        tdf.filter(F.col("wm").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.max("wm").alias("wm"))  # latest update wins
+        .join(plain_df, "doc_id", "left_anti")  # a delete overrides
+        .persist()
+    )
+    n_dead = plain_df.count() + upd_df.count()
+    decoded = blocks.mapInPandas(
+        _fold_rows_fn(has_pos, None, None, emit_epoch=True),
+        _fold_schema(has_pos, with_epoch=True),
+    )
+    postings = (
+        decoded.join(plain_df, "doc_id", "left_anti")
+        .join(upd_df, "doc_id", "left")
+        .filter(
+            F.col("wm").isNull()
+            | (F.col("epoch").isNotNull() & (F.col("epoch") > F.col("wm")))
+        )
+        .drop("wm", "epoch")
+    )
+
+    def release() -> None:
+        plain_df.unpersist()
+        upd_df.unpersist()
+
+    return postings, n_dead, release
+
+
 def _tombstone_files(index_dir: str) -> list[str]:
     tomb_dir = os.path.join(index_dir, "tombstones")
     return (
@@ -705,6 +790,23 @@ def incremental_index(
 
 
 def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
+    """Serialized entry point: acquires the per-index maintenance lock
+    (``MaintenanceInProgress`` if a concurrent compact/merge holds it —
+    two folds racing would collide on the next versioned segments dir and
+    double-consume tombstones), then runs the fold below."""
+    lock = _maintenance_lock_acquire(index_dir)
+    try:
+        return _compact_streamed_index_impl(spark, index_dir)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _compact_streamed_index_impl(
+    spark: SparkSession, index_dir: str
+) -> "IndexMeta":
     """Fold all streamed epochs into the canonical batch segment layout.
 
     High epoch counts fragment posting lists (one short block run per term
@@ -786,34 +888,11 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     drop_mask = DocMask(upd=upd, upd_wm=upd_wm) if upd is not None else None
     any_drop = tomb is not None or upd is not None or join_fold
 
+    release_fold = None
     if join_fold:
-        tdf = spark.read.schema("doc_id long, wm long").parquet(*tomb_files)
-        plain_df = tdf.filter(F.col("wm").isNull()).select("doc_id").distinct()
-        upd_df = (
-            tdf.filter(F.col("wm").isNotNull())
-            .groupBy("doc_id")
-            .agg(F.max("wm").alias("wm"))  # latest update wins
-            .join(plain_df, "doc_id", "left_anti")  # a delete overrides
+        postings, n_dead_join, release_fold = _join_fold_postings(
+            spark, blocks, tomb_files, has_pos
         )
-        decoded = blocks.mapInPandas(
-            _fold_rows_fn(has_pos, None, None, emit_epoch=True),
-            _fold_schema(has_pos, with_epoch=True),
-        )
-        # drop rules, identical to the closure kernel: plain-dead docs go
-        # entirely; updated docs lose rows whose epoch ≤ their watermark
-        # (NULL epoch — pre-epoch layout — counts as covered, matching
-        # _alive_in_epoch's None-epoch semantics)
-        postings = (
-            decoded.join(plain_df, "doc_id", "left_anti")
-            .join(upd_df, "doc_id", "left")
-            .filter(
-                F.col("wm").isNull()
-                | (F.col("epoch").isNotNull() & (F.col("epoch") > F.col("wm")))
-            )
-            .drop("wm", "epoch")
-        )
-        # bounded driver scalars for the manifest/fingerprint only
-        n_dead_join = plain_df.count() + upd_df.count()
     else:
         postings = blocks.mapInPandas(
             _fold_rows_fn(has_pos, tomb, drop_mask), _fold_schema(has_pos)
@@ -895,6 +974,8 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
         )
         meta.fingerprint = f"{meta.fingerprint}-del{n_dead}"
         postings.unpersist()
+    if release_fold is not None:
+        release_fold()  # postings are materialized; drop the tombstone caches
 
     # marker first (commit point — later epochs derive their state relative
     # to it AND find the segments dir through it), then the atomic meta swap
@@ -944,6 +1025,22 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
 
 
 def merge_epochs_tiered(
+    spark: SparkSession, index_dir: str, max_segments: int = 8
+) -> "IndexMeta":
+    """Serialized entry point: same per-index maintenance lock as
+    ``compact_streamed_index`` (merge and compact both swap the segments
+    dir — they must never race each other)."""
+    lock = _maintenance_lock_acquire(index_dir)
+    try:
+        return _merge_epochs_tiered_impl(spark, index_dir, max_segments)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _merge_epochs_tiered_impl(
     spark: SparkSession, index_dir: str, max_segments: int = 8
 ) -> "IndexMeta":
     """Lucene TieredMergePolicy analogue: when more than ``max_segments``
@@ -1031,33 +1128,17 @@ def merge_epochs_tiered(
         F.col("epoch").isin([int(e) for e in folded_ids])
     )
     tfiles = _tombstone_files(index_dir)
+    release_fold = None
     if _tombstone_row_total(tfiles) > FOLD_CLOSURE_BOUND:
         # same churn bound as compaction: a tombstone set too big for the
         # kernel closure applies as a distributed anti-join + watermark
-        # filter. Application is NOT optional here even though merge never
+        # filter (shared helper — the drop rules must never diverge).
+        # Application is NOT optional here even though merge never
         # consumes tombstone files — folding renumbers postings up to
         # max(folded ids), so an unapplied update watermark inside the
         # folded range would stop covering its superseded version.
-        tdf = spark.read.schema("doc_id long, wm long").parquet(*tfiles)
-        plain_df = tdf.filter(F.col("wm").isNull()).select("doc_id").distinct()
-        upd_df = (
-            tdf.filter(F.col("wm").isNotNull())
-            .groupBy("doc_id")
-            .agg(F.max("wm").alias("wm"))
-            .join(plain_df, "doc_id", "left_anti")
-        )
-        decoded = blocks.mapInPandas(
-            _fold_rows_fn(has_pos, None, None, emit_epoch=True),
-            _fold_schema(has_pos, with_epoch=True),
-        )
-        postings = (
-            decoded.join(plain_df, "doc_id", "left_anti")
-            .join(upd_df, "doc_id", "left")
-            .filter(
-                F.col("wm").isNull()
-                | (F.col("epoch").isNotNull() & (F.col("epoch") > F.col("wm")))
-            )
-            .drop("wm", "epoch")
+        postings, _n_dead, release_fold = _join_fold_postings(
+            spark, blocks, tfiles, has_pos
         )
     else:
         tomb, upd, upd_wm, _files = _load_tombstone_arrays(
@@ -1082,6 +1163,8 @@ def merge_epochs_tiered(
     n_blocks = spark.read.parquet(
         os.path.join(new_dir, f"epoch={merged_id}")
     ).count()
+    if release_fold is not None:
+        release_fold()  # merged blocks are written; drop the tombstone caches
 
     # hard-link the UNMERGED epoch dirs into the new versioned dir —
     # metadata-only, the parquet bytes exist once on disk

@@ -116,7 +116,10 @@ def test_update_docs_never_collects_ids(spark, tmp_path, monkeypatch):
 
 
 # ------------------------------------------------------ bounded tombstone mask
-def test_tombstone_mask_auto_compacts_past_limit(spark, tmp_path, corpus):
+def test_tombstone_writes_fold_at_the_limit(spark, tmp_path, corpus):
+    """WRITE-side churn bound: a tombstone write crossing tombstone_limit
+    folds physically right there (even one huge distributed batch never
+    reaches a query-time driver read); below the limit files persist."""
     eng = _build(spark, corpus, tmp_path, "idx")
     eng.tombstone_limit = 40
     survivors_eng = _build(
@@ -125,25 +128,84 @@ def test_tombstone_mask_auto_compacts_past_limit(spark, tmp_path, corpus):
         tmp_path,
         "idx_survivors",
     )
-    # two waves of churn crossing the limit (100 raw tombstone rows > 40)
-    eng.delete_docs(corpus.select("doc_id").filter(F.col("doc_id") < 60))
-    eng.delete_docs([d for d in range(60, 100)])
     tomb_dir = os.path.join(eng.index_dir, "tombstones")
-    assert len(os.listdir(tomb_dir)) > 0
-
-    hits = eng.search(Q, k=25)
-    # the crossing folded every tombstone physically: dir consumed…
+    # wave 1: 60 rows > 40 → folds AT WRITE (dir consumed, stats reduced)
+    eng.delete_docs(corpus.select("doc_id").filter(F.col("doc_id") < 60))
     assert not any(n.endswith(".parquet") for n in os.listdir(tomb_dir))
-    # …results identical to the pre-fold mask AND to a fresh survivor build
-    assert {d for d, _ in hits}.isdisjoint(range(100))
+    # wave 2: 40 rows ≤ 40 → plain tombstones, no fold
+    eng.delete_docs([d for d in range(60, 100)])
+    assert any(n.endswith(".parquet") for n in os.listdir(tomb_dir))
+    # masked results == fresh survivor build; wave-3 crossing folds again
+    assert {d for d, _ in eng.search(Q, k=25)}.isdisjoint(range(100))
+    eng.delete_docs(corpus.select("doc_id").filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 101)
+    ))  # 41 raw rows > 40
+    assert not any(n.endswith(".parquet") for n in os.listdir(tomb_dir))
     eng.refresh()
-    assert eng.meta.n_docs == survivors_eng.meta.n_docs
-    for q in [Q, "stream window"]:
-        got = [d for d, _ in eng.search(q, k=25)]
-        want = [d for d, _ in survivors_eng.search(q, k=25)]
-        assert got == want, q
-    # steady state: the next mask build sees an empty dir (bounded driver)
+    assert eng.meta.n_docs == survivors_eng.meta.n_docs - 1
     assert eng._tombstones() == (None, None, None)
+
+
+def test_query_side_fold_serves_unchecked_writer_churn(spark, tmp_path, corpus):
+    """Safety net for writers that bypass the engine's write-side check:
+    raw rows over the reader's limit build the mask through the DISTRIBUTED
+    distinct reduction (driver holds one row per distinct doc), serve the
+    pre-fold mask, and fold for steady state."""
+    writer = _build(spark, corpus, tmp_path, "idx")  # default huge limit
+    dead = [int(r[0]) for r in
+            corpus.select("doc_id").filter(F.col("doc_id") < 30).collect()]
+    for _ in range(3):  # 90 raw rows, 30 distinct
+        writer.delete_docs(dead)
+    reader = SearchEngine(spark, writer.index_dir, tombstone_limit=50)
+    hits = reader.search(Q, k=25)  # raw 90 > 50, distinct 30 ≤ 50 → serves
+    assert {d for d, _ in hits}.isdisjoint(dead)
+    tomb_dir = os.path.join(writer.index_dir, "tombstones")
+    assert not any(n.endswith(".parquet") for n in os.listdir(tomb_dir))
+    reader.refresh()
+    assert reader.meta.n_docs == corpus.count() - len(dead)
+
+
+def test_query_side_fold_raises_past_distinct_cap_then_recovers(
+    spark, tmp_path, corpus
+):
+    """Distinct tombstoned docs beyond the reader's limit cannot fit any
+    driver mask: the engine folds physically and raises an actionable
+    error; the RETRY serves correctly from the folded segments."""
+    import pytest as _pytest
+
+    writer = _build(spark, corpus, tmp_path, "idx")
+    writer.delete_docs(corpus.select("doc_id").filter(F.col("doc_id") < 30))
+    reader = SearchEngine(spark, writer.index_dir, tombstone_limit=10)
+    with _pytest.raises(RuntimeError, match="distinct tombstoned docs"):
+        reader.search(Q, k=25)
+    hits = reader.search(Q, k=25)  # retry: folded index, empty mask
+    assert {d for d, _ in hits}.isdisjoint(range(30))
+    reader.refresh()
+    assert reader.meta.n_docs == corpus.count() - 30
+
+
+def test_maintenance_lock_blocks_concurrent_folds(spark, tmp_path, corpus):
+    import time as _time
+
+    from searchengine_spark.streaming.ingest import (
+        MaintenanceInProgress,
+        compact_streamed_index,
+    )
+
+    eng = _build(spark, corpus, tmp_path, "idx")
+    eng.delete_docs([1, 2, 3])
+    lock = os.path.join(eng.index_dir, ".maintenance.lock")
+    with open(lock, "w") as fh:
+        fh.write("99999 now\n")
+    with pytest.raises(MaintenanceInProgress):
+        compact_streamed_index(spark, eng.index_dir)
+    # a stale lock (crashed holder) is stolen and the fold proceeds
+    _time_old = _time.time() - 7200
+    os.utime(lock, (_time_old, _time_old))
+    compact_streamed_index(spark, eng.index_dir)
+    assert not os.path.exists(lock)
+    eng.refresh()
+    assert eng.meta.n_docs == corpus.count() - 3
 
 
 def test_tombstone_mask_stays_driver_resident_below_limit(spark, tmp_path, corpus):
