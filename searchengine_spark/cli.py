@@ -1296,8 +1296,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="content")
-    ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--range-bits", type=int, default=6)
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="creation only — ignored when the index exists "
+                         "(layout comes from its meta)")
+    ap.add_argument("--range-bits", type=int, default=6,
+                    help="creation only — ignored when the index exists")
     ap.add_argument("--positions", action="store_true")
     ap.add_argument("--sharded", action="store_true",
                     help="treat --index as a sharded layout: route the batch "

@@ -157,3 +157,26 @@ def test_porter2_has_no_duckdb_twin():
 
     with pytest.raises(ValueError, match="porter2"):
         duckdb_analyze_text("text", analyzer="porter2")
+
+
+def test_code_porter2_chain(spark, tmp_path):
+    """'code+porter2': identifier splitting then snowball stemming — the
+    chain a stemmed source-code index wants. camelCase query parts conflate
+    with morphological variants in other docs."""
+    from searchengine_spark.query.engine import SearchEngine
+
+    rows = [
+        (1, "def mergeSortedRuns(): pass"),
+        (2, "merging the sorted run lists"),
+        (3, "binary heap utilities"),
+    ]
+    eng = SearchEngine(spark, str(tmp_path / "cp2idx"))
+    eng.build_index_from_df(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        id_col="doc_id", text_col="text", n_buckets=2, range_bits=1,
+        analyzer="code+porter2",
+    )
+    # 'mergeSorted' → code-split 'merge sorted' → stems 'merg sort';
+    # doc 2's 'merging'/'sorted' stem identically
+    assert {d for d, _ in eng.search("mergeSorted", k=10, mode="and")} == {1, 2}
+    assert {d for d, _ in eng.search("heaps", k=10)} == {3}
