@@ -535,8 +535,9 @@ class SearchEngine:
                 f"{len(pdf)} distinct tombstoned docs exceed "
                 f"tombstone_limit={self.tombstone_limit}: no driver-held "
                 "mask can represent them. The tombstones have been folded "
-                "physically (compact_streamed_index) — retry the query; "
-                "it will serve from the folded segments."
+                "physically (compact_streamed_index — or a concurrent fold "
+                "is completing them) — retry the query; it will serve from "
+                "the folded segments."
             )
         ids = pdf["doc_id"].to_numpy(dtype="int64").view("uint64")
         plain_m = pdf["has_plain"].to_numpy() == 1
