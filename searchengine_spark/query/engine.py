@@ -2804,7 +2804,19 @@ class SearchEngine:
                 for r in rows[start:]
                 if r["kind"] == "stream_epoch"
             )
-        plain, upd, _wm = self._tombstones() or (None, None, None)
+        churn = self._churn_stats()
+        if churn["tombstone_raw_rows"] <= self.tombstone_limit:
+            plain, upd, _wm = self._tombstones() or (None, None, None)
+            n_deleted = 0 if plain is None else int(len(plain))
+            n_updated = 0 if upd is None else int(len(upd))
+            counts_exact = True
+        else:
+            # over the churn limit, exact distinct counts would need a Spark
+            # job (or trigger the fold) — stats stays a control-plane call:
+            # report the raw row count (churn dict) and mark inexact
+            plain = upd = None
+            n_deleted = n_updated = None
+            counts_exact = False
         size_bytes = 0
         for root, _dirs, files in os.walk(self.index_dir):
             for f in files:
@@ -2826,9 +2838,31 @@ class SearchEngine:
             "has_positions": meta.has_positions,
             "has_source": meta.has_source,
             "analyzer": meta.analyzer,
-            "n_deleted": 0 if plain is None else int(len(plain)),
-            "n_updated": 0 if upd is None else int(len(upd)),
+            "n_deleted": n_deleted,
+            "n_updated": n_updated,
+            "tombstone_counts_exact": counts_exact,
             "size_bytes": size_bytes,
+            **churn,
+        }
+
+    def _churn_stats(self) -> dict:
+        """Maintenance observability (driver-side metadata only): raw
+        tombstone rows, which fold mode the next compaction would use, and
+        whether a maintenance fold currently holds the index lock."""
+        from ..streaming.ingest import (
+            FOLD_CLOSURE_BOUND,
+            _tombstone_files,
+            _tombstone_row_total,
+        )
+
+        raw = _tombstone_row_total(_tombstone_files(self.index_dir))
+        return {
+            "tombstone_raw_rows": raw,
+            "tombstone_limit": self.tombstone_limit,
+            "next_fold_mode": "join" if raw > FOLD_CLOSURE_BOUND else "closure",
+            "maintenance_locked": os.path.exists(
+                os.path.join(self.index_dir, ".maintenance.lock")
+            ),
         }
 
     def _all_blocks(self) -> DataFrame:

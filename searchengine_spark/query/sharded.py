@@ -368,8 +368,12 @@ class ShardedEngine:
             "avgdl": total_len / n_docs if n_docs else 0.0,
             "total_len": total_len,
             "n_blocks": sum(p["n_blocks"] for p in per),
-            "n_deleted": sum(p["n_deleted"] for p in per),
-            "n_updated": sum(p["n_updated"] for p in per),
+            # None = a shard past its churn limit reported inexact counts
+            "n_deleted": sum(p["n_deleted"] or 0 for p in per),
+            "n_updated": sum(p["n_updated"] or 0 for p in per),
+            "tombstone_counts_exact": all(
+                p.get("tombstone_counts_exact", True) for p in per
+            ),
             "size_bytes": sum(p["size_bytes"] for p in per),
             "shards": per,
         }

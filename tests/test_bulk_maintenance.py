@@ -393,3 +393,23 @@ def test_sharded_update_by_query_matches_single_index(spark, tmp_path):
     assert {d for d, _ in seng.search("patchedtoken", k=300)} == {
         d for d, _ in single.search("patchedtoken", k=300)
     }
+
+
+def test_stats_reports_churn_regime_without_folding(spark, tmp_path, corpus):
+    """stats() stays a control-plane call at any churn level: below the
+    limit it reports exact tombstone counts; above it, the raw row count
+    with counts marked inexact — and it must NOT trigger the fold."""
+    eng = _build(spark, corpus, tmp_path, "idx")
+    eng.delete_docs([1, 2, 3])
+    st = eng.stats()
+    assert st["n_deleted"] == 3 and st["tombstone_counts_exact"] is True
+    assert st["next_fold_mode"] == "closure"
+    assert st["maintenance_locked"] is False
+    # unchecked-writer scenario: reader with a tiny limit
+    reader = SearchEngine(spark, eng.index_dir, tombstone_limit=1)
+    st2 = reader.stats()
+    assert st2["tombstone_counts_exact"] is False
+    assert st2["n_deleted"] is None
+    assert st2["tombstone_raw_rows"] == 3
+    tomb_dir = os.path.join(eng.index_dir, "tombstones")
+    assert any(n.endswith(".parquet") for n in os.listdir(tomb_dir))  # no fold
