@@ -180,3 +180,22 @@ def test_code_porter2_chain(spark, tmp_path):
     # doc 2's 'merging'/'sorted' stem identically
     assert {d for d, _ in eng.search("mergeSorted", k=10, mode="and")} == {1, 2}
     assert {d for d, _ in eng.search("heaps", k=10)} == {3}
+
+
+def test_stem_en_total_on_arbitrary_strings():
+    """Robustness: the stemmer is TOTAL — any unicode input returns a str
+    without raising (the tokenizer normally feeds it [a-z0-9_]+ tokens,
+    but rewriters and user code may not)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def run(word):
+        out = stem_en(word)
+        assert isinstance(out, str)
+        # lowercase-ascii words never grow by more than the +e rules allow
+        if word.isascii() and word.isalpha():
+            assert len(out) <= len(word) + 1
+
+    run()
