@@ -3970,6 +3970,47 @@ GROUP BY tf.doc_id
 """
 
 
+def q_bm25_thesaurus(spark, sf_dir):
+    """§2.11 thesaurus expansion end-to-end with the BUNDLED synonym
+    resource (the reference's ``search_engine_3``/``search_engine_5``
+    shape, ``Part C/searcher_thesaurus.py:40``): query terms keep weight
+    1.0, bundled synonyms enter at 0.2, and the weighted BM25 rescore is
+    value-hash-checked — the oracle receives the SAME (term, weight) pairs
+    as a VALUES table (they are loader-derived config from the static TSV,
+    an input to scoring, not an output of it)."""
+    from .expansion import make_thesaurus_rewriter, rewrite_query
+    from .scoring import bm25_weighted_score
+
+    weighted = rewrite_query(INNER_QUERY, make_thesaurus_rewriter())
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    out = bm25_weighted_score(spark, tf, stats, dct, weighted, n, avgdl)
+    return out.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def _bm25_thesaurus_sql(query: str, k1: float = 1.5, b: float = 0.75) -> str:
+    from .expansion import make_thesaurus_rewriter, rewrite_query
+
+    weighted = rewrite_query(query, make_thesaurus_rewriter())
+    vals = ", ".join(f"('{t}', {float(w)!r})" for t, w in sorted(weighted))
+    score = (
+        f"ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))"
+        f" * (tf.tf * ({k1} + 1.0))"
+        f" / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))"
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+expq AS (SELECT * FROM (VALUES {vals}) e(term, w))
+SELECT tf.doc_id AS doc_id,
+       round(sum(expq.w * {score}), {ROUND_DP}) AS score
+FROM tf JOIN expq USING (term) JOIN dict d ON d.term = tf.term
+JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
 def q_term_normalization(spark, sf_dir):
     """T16 + T17 over the real corpus vocabulary UNION a rule-covering word
     fixture: every distinct term with its stem and lemma — upgrades both
@@ -6365,6 +6406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_normalization": q_term_normalization,
         "porter2_stem": q_porter2_stem,
         "porter2_corpus": q_porter2_corpus,
+        "bm25_thesaurus": q_bm25_thesaurus,
         "dedup_exact": q_exact_dedup,
         "locality_ids": q_locality_ids,
         "impact_ids": q_impact_ids,
@@ -6640,6 +6682,7 @@ ORDER BY doc_id, line_no
         "bm25_prf": _bm25_prf_sql(BM25_QUERY),
         "term_normalization": _term_normalization_sql(),
         "porter2_stem": _porter2_stem_sql(),
+        "bm25_thesaurus": _bm25_thesaurus_sql(INNER_QUERY),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "locality_ids": _locality_ids_sql(),
         "impact_ids": _impact_ids_sql(),

@@ -440,6 +440,28 @@ def bm25_prf_score(
     weighted = prf_expanded_terms(
         spark, tf_df, stats_df, dict_df, query, n_docs, avgdl, k_docs, m_terms, beta
     )
+    return bm25_weighted_score(
+        spark, tf_df, stats_df, dict_df, weighted, n_docs, avgdl, k1, b
+    )
+
+
+def bm25_weighted_score(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats_df: DataFrame,
+    dict_df: DataFrame,
+    weighted: list[tuple[str, float]],
+    n_docs: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 over an explicitly WEIGHTED query ``[(term, w)]`` — the shared
+    relational tail of every §2.11 rewriter (PRF pooling, thesaurus/WordNet
+    synonym expansion at the 0.2 reference weight, spell rewrites): each
+    term's BM25 contribution scales by its weight, summed per doc in
+    sorted-term order (rank determinism). Same broadcast-query-side shape
+    as ``bm25_score`` at any corpus size."""
     qdf = F.broadcast(
         spark.createDataFrame(sorted(weighted), "term string, w double").join(
             dict_df, "term"
