@@ -413,3 +413,27 @@ def test_stats_reports_churn_regime_without_folding(spark, tmp_path, corpus):
     assert st2["tombstone_raw_rows"] == 3
     tomb_dir = os.path.join(eng.index_dir, "tombstones")
     assert any(n.endswith(".parquet") for n in os.listdir(tomb_dir))  # no fold
+
+
+def test_update_crossing_limit_folds_mid_update(spark, tmp_path):
+    """update_docs whose tombstone write crosses the limit: the fold runs
+    BETWEEN the tombstone write and the new-version append — old versions
+    drop physically (all their epochs ≤ the watermark), the append then
+    re-adds the docs as a fresh epoch, and stats come out exact."""
+    df = lambda r: spark.createDataFrame(r, "doc_id long, text string")  # noqa: E731
+    idx = str(tmp_path / "midx")
+    append_docs(df([(i, f"spark join term{i % 5}") for i in range(100)]),
+                idx, n_buckets=2, range_bits=1)
+    eng = SearchEngine(spark, idx)
+    eng.tombstone_limit = 30
+    assert eng.update_docs(
+        df([(i, f"merge sort term{i % 5}") for i in range(50)])
+    ) == 50
+    tomb_dir = os.path.join(idx, "tombstones")
+    assert not os.path.isdir(tomb_dir) or not any(
+        n.endswith(".parquet") for n in os.listdir(tomb_dir)
+    )
+    assert {d for d, _ in eng.search("merge", k=100)} == set(range(50))
+    assert {d for d, _ in eng.search("spark", k=100)} == set(range(50, 100))
+    eng.refresh()
+    assert eng.meta.n_docs == 100
