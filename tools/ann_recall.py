@@ -170,7 +170,7 @@ def main() -> None:
 
     lines = [
         "",
-        "## ANN recall at 1M vectors (round 4)",
+        f"## ANN recall at {n:,} vectors",
         "",
         f"{n:,} deterministic clustered vectors (dim {DIM}, 64 latent centers,",
         f"hash-derived — see tools/ann_recall.py), {len(queries)} queries, "
