@@ -3991,7 +3991,12 @@ def _bm25_thesaurus_sql(query: str, k1: float = 1.5, b: float = 0.75) -> str:
     from .expansion import make_thesaurus_rewriter, rewrite_query
 
     weighted = rewrite_query(query, make_thesaurus_rewriter())
-    vals = ", ".join(f"('{t}', {float(w)!r})" for t, w in sorted(weighted))
+    # escape single quotes: a synonym entry like "don't" must not break
+    # the VALUES literal (latent today — the bundled TSV is quote-free)
+    vals = ", ".join(
+        f"""('{t.replace("'", "''")}', {float(w)!r})"""
+        for t, w in sorted(weighted)
+    )
     score = (
         f"ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))"
         f" * (tf.tf * ({k1} + 1.0))"

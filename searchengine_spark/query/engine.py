@@ -2889,12 +2889,20 @@ class SearchEngine:
         which this engine does not persist — noted, not hidden."""
         from .wand import EXPLAIN_SCHEMA, explain_group
 
+        # Bind the segment scan BEFORE building the mask: _doc_mask may fold
+        # tombstones physically (auto-compaction), after which self.meta
+        # refreshes and _all_blocks would point at the POST-fold segments.
+        # The pre-fold mask's update watermarks are only valid against the
+        # pre-fold epoch numbering (the fold renumbers survivors to epoch 0,
+        # so a stale "dead iff epoch <= wm" rule would kill live docs) —
+        # same plan-blocks-first ordering search() uses.
+        blocks = self._all_blocks()
         mask = self._doc_mask(doc_ids)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return explain_group(pdf, mask)
 
-        return self._all_blocks().groupBy("doc_range").applyInPandas(
+        return blocks.groupBy("doc_range").applyInPandas(
             run_group, EXPLAIN_SCHEMA
         )
 
@@ -3026,13 +3034,17 @@ class SearchEngine:
         if fg_total == 0:
             return self.spark.createDataFrame([], out_schema)
         n = float(self.meta.n_docs)
+        # blocks BEFORE mask: _doc_mask may auto-fold, and the pre-fold
+        # mask's update watermarks are only consistent with the pre-fold
+        # segment generation (see term_vectors).
+        blocks = self._all_blocks()
         mask = self._doc_mask(None)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return explain_group(pdf, mask)
 
         pairs = (
-            self._all_blocks()
+            blocks
             .groupBy("doc_range")
             .applyInPandas(run_group, EXPLAIN_SCHEMA)
             .select("doc_id", "term")

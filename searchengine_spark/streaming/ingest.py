@@ -190,25 +190,35 @@ class MaintenanceInProgress(RuntimeError):
     tiered merge is in flight)."""
 
 
-def _maintenance_lock_acquire(index_dir: str, stale_sec: float = 3600.0) -> str:
+def _maintenance_lock_acquire(
+    index_dir: str, stale_sec: float = 3600.0
+) -> tuple[str, str]:
     """Best-effort single-host mutual exclusion for segment-swapping
     maintenance (compact / tiered merge): two concurrent folds would both
     compute the same next segments_c{K} name, overwrite each other's dir,
     and double-consume tombstone files. O_EXCL lock file under the index
     dir; a lock older than ``stale_sec`` is presumed crashed and stolen
     once. On a multi-host cluster an external coordinator owns this
-    decision — this file maps to that slot. Returns the lock path; raises
-    MaintenanceInProgress when held."""
+    decision — this file maps to that slot. Returns ``(lock_path, token)``
+    where ``token`` is a unique holder id written into the file — release
+    via ``_maintenance_lock_release``, which only removes the file while
+    it still carries this token (a fold running past ``stale_sec`` whose
+    lock was stolen must NOT delete the thief's lock, or a third process
+    would be admitted into the same segments_c{K} collision the lock
+    exists to prevent). Raises MaintenanceInProgress when held."""
+    import uuid
+
     lock = os.path.join(index_dir, ".maintenance.lock")
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
     stole = False
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
-                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.write(fd, f"{token} {time.time()}\n".encode())
             finally:
                 os.close(fd)
-            return lock
+            return lock, token
         except FileExistsError:
             try:
                 age = time.time() - os.stat(lock).st_mtime
@@ -225,6 +235,23 @@ def _maintenance_lock_acquire(index_dir: str, stale_sec: float = 3600.0) -> str:
                 f"maintenance lock held on {index_dir} "
                 f"(age {age:.0f}s; stale after {stale_sec:.0f}s)"
             )
+
+
+def _maintenance_lock_release(lock: str, token: str) -> None:
+    """Remove the lock file only while it still belongs to ``token``. If a
+    long fold overran ``stale_sec`` and another process stole the lock,
+    the file now carries the thief's token and must be left in place."""
+    try:
+        with open(lock) as fh:
+            holder = fh.read().split(" ", 1)[0]
+    except OSError:
+        return  # already stolen-and-released, or never created
+    if holder != token:
+        return  # stolen by a live process — its lock, not ours
+    try:
+        os.remove(lock)
+    except OSError:
+        pass
 
 
 def _join_fold_postings(spark, blocks, tomb_files: list[str], has_pos: bool):
@@ -794,14 +821,11 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     (``MaintenanceInProgress`` if a concurrent compact/merge holds it —
     two folds racing would collide on the next versioned segments dir and
     double-consume tombstones), then runs the fold below."""
-    lock = _maintenance_lock_acquire(index_dir)
+    lock, token = _maintenance_lock_acquire(index_dir)
     try:
         return _compact_streamed_index_impl(spark, index_dir)
     finally:
-        try:
-            os.remove(lock)
-        except OSError:
-            pass
+        _maintenance_lock_release(lock, token)
 
 
 def _compact_streamed_index_impl(
@@ -1030,14 +1054,11 @@ def merge_epochs_tiered(
     """Serialized entry point: same per-index maintenance lock as
     ``compact_streamed_index`` (merge and compact both swap the segments
     dir — they must never race each other)."""
-    lock = _maintenance_lock_acquire(index_dir)
+    lock, token = _maintenance_lock_acquire(index_dir)
     try:
         return _merge_epochs_tiered_impl(spark, index_dir, max_segments)
     finally:
-        try:
-            os.remove(lock)
-        except OSError:
-            pass
+        _maintenance_lock_release(lock, token)
 
 
 def _merge_epochs_tiered_impl(

@@ -437,3 +437,85 @@ def test_update_crossing_limit_folds_mid_update(spark, tmp_path):
     assert {d for d, _ in eng.search("spark", k=100)} == set(range(50, 100))
     eng.refresh()
     assert eng.meta.n_docs == 100
+
+
+def test_term_vectors_mask_survives_in_query_fold(spark, tmp_path):
+    """ADVICE r4 (medium): an in-query auto-fold renumbers surviving doc
+    versions to epoch 0; a pre-fold mask's update watermarks applied to the
+    POST-fold segments would kill those live docs. term_vectors must bind
+    its segment scan BEFORE the mask build (search()'s ordering) so the
+    pre-fold mask meets pre-fold epoch numbering."""
+    df = lambda r: spark.createDataFrame(r, "doc_id long, text string")  # noqa: E731
+    idx = str(tmp_path / "tvidx")
+    append_docs(df([(i, f"alpha beta term{i % 5}") for i in range(60)]),
+                idx, n_buckets=2, range_bits=1)
+    writer = SearchEngine(spark, idx)  # default huge limit: no write-side fold
+    # two update rounds -> 2 upd-tombstone rows per doc (raw 60, distinct 30)
+    assert writer.update_docs(
+        df([(i, f"gamma delta term{i % 5}") for i in range(30)])) == 30
+    assert writer.update_docs(
+        df([(i, f"omega sigma term{i % 5}") for i in range(30)])) == 30
+    reader = SearchEngine(spark, idx, tombstone_limit=40)  # raw 60 > 40 ≥ 30
+    tv = reader.term_vectors(list(range(30))).toPandas()
+    # the in-query fold must have consumed the tombstones…
+    tomb_dir = os.path.join(idx, "tombstones")
+    assert not any(n.endswith(".parquet") for n in os.listdir(tomb_dir))
+    # …and the LATEST versions of the updated docs are alive in the vectors
+    assert set(tv["doc_id"]) == set(range(30))
+    by_doc = tv.groupby("doc_id")["term"].apply(set)
+    for d in range(30):
+        assert "omega" in by_doc[d] and "sigma" in by_doc[d]
+        assert "alpha" not in by_doc[d] and "gamma" not in by_doc[d]
+    # fresh handle post-fold agrees (ground truth from the folded segments)
+    reader.refresh()
+    tv2 = reader.term_vectors(list(range(30))).toPandas()
+    assert set(tv2["doc_id"]) == set(range(30))
+
+
+def test_significant_terms_mask_survives_in_query_fold(spark, tmp_path):
+    """Same hazard through the significant_terms path (its postings scan
+    also runs over _all_blocks after the mask build)."""
+    df = lambda r: spark.createDataFrame(r, "doc_id long, text string")  # noqa: E731
+    idx = str(tmp_path / "stidx")
+    append_docs(
+        df([(i, "alpha beta " + ("signal noise" if i < 30 else "quiet calm"))
+            for i in range(60)]),
+        idx, n_buckets=2, range_bits=1)
+    writer = SearchEngine(spark, idx)
+    for _ in range(2):  # raw 60 upd rows, 30 distinct
+        assert writer.update_docs(
+            df([(i, "alpha beta signal noise") for i in range(30)])) == 30
+    reader = SearchEngine(spark, idx, tombstone_limit=40)
+    out = reader.significant_terms("alpha", min_fg=1, top_n=50).toPandas()
+    assert not any(n.endswith(".parquet")
+                   for n in os.listdir(os.path.join(idx, "tombstones")))
+    # the updated docs are alive: their distinctive terms must show up with
+    # the full 30-doc foreground frequency, not a masked-out 0
+    fg = dict(zip(out["term"], out["fg_df"]))
+    assert fg.get("signal") == 30 and fg.get("noise") == 30
+
+
+def test_lock_release_is_token_guarded(tmp_path):
+    """ADVICE r4 (low): a fold overrunning stale_sec has its lock stolen;
+    its release must NOT delete the thief's lock (that would admit a third
+    fold into the segments_c{K} collision)."""
+    import time as _time
+
+    from searchengine_spark.streaming.ingest import (
+        MaintenanceInProgress,
+        _maintenance_lock_acquire,
+        _maintenance_lock_release,
+    )
+
+    idx = str(tmp_path)
+    lock1, tok1 = _maintenance_lock_acquire(idx)
+    old = _time.time() - 7200
+    os.utime(lock1, (old, old))
+    lock2, tok2 = _maintenance_lock_acquire(idx)  # steals the stale lock
+    assert lock1 == lock2 and tok1 != tok2
+    _maintenance_lock_release(lock1, tok1)  # overrunning holder returns late
+    assert os.path.exists(lock2), "thief's lock must survive the late release"
+    with pytest.raises(MaintenanceInProgress):
+        _maintenance_lock_acquire(idx)
+    _maintenance_lock_release(lock2, tok2)  # rightful holder releases
+    assert not os.path.exists(lock2)

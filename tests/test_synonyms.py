@@ -97,3 +97,29 @@ def test_spell_rewriter_frequency_ranking():
     assert dict(freq([("dream", 1)])) == {"dream": 1.0}
     f2 = make_spell_rewriter({"brook", "broke"}, {"broke": 5, "brook": 50})
     assert dict(f2([("brxxk", 1)])) == {"brook": 1.0}
+
+
+def test_thesaurus_oracle_sql_escapes_quoted_synonyms(monkeypatch, tmp_path):
+    """ADVICE r4 (low): a synonym containing an apostrophe must be escaped
+    in the oracle's VALUES literal (latent — the bundled TSV is quote-free).
+    Route a quoted entry through a custom resource file and check duckdb
+    parses the generated SQL."""
+    import duckdb
+
+    from searchengine_spark import entry_queries as eq
+
+    tsv = tmp_path / "syn.tsv"
+    tsv.write_text("join\tdon't\n")
+    import searchengine_spark.expansion as ex
+    real = ex.make_thesaurus_rewriter
+    monkeypatch.setattr(
+        ex, "make_thesaurus_rewriter", lambda *a, **k: real(path=str(tsv))
+    )
+    sql = eq._bm25_thesaurus_sql("join")
+    assert "'don''t'" in sql and "'don't'" not in sql.replace("''", "")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, "
+        "'don''t join late'::VARCHAR AS text"
+    )
+    assert con.execute(sql).fetchall()  # parses and runs end-to-end
