@@ -505,6 +505,33 @@ def main() -> None:
     timed("symbols_query", symbols_query)
     shutil.rmtree(os.path.dirname(sym_dir), ignore_errors=True)
 
+    # maintenance under churn (round 5): epoch-layout index → 10%
+    # delete_by_query (distributed tombstone write) + 5% update_docs, sized
+    # so the delete CROSSES tombstone_limit and triggers the write-side
+    # join-free fold — compaction/fold throughput tracked round-over-round
+    # like everything else. Rank identity of the churned index vs a fresh
+    # survivor build is pinned in tests/test_bulk_maintenance.py.
+    from searchengine_spark.streaming.ingest import compact_streamed_index
+
+    churn_eng = SearchEngine(spark, os.path.join(idx_dir, "churn"))
+    churn_eng.build_index_from_df(
+        docs, id_col="doc_id", text_col="text", range_bits=4, n_buckets=16,
+        fresh=True,
+    )
+    compact_streamed_index(spark, churn_eng.index_dir)  # epoch layout
+    churn_eng.tombstone_limit = int(0.08 * n_docs)  # 10% delete crosses it
+
+    def maintenance_churn():
+        n_del = churn_eng.delete_by_query("window group order", mode="or")
+        upd = docs.filter(F.expr("doc_id % 20 = 1")).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+        )
+        n_upd = churn_eng.update_docs(upd)
+        hits = churn_eng.search(BENCH_QUERIES[0], k=100)
+        assert n_del > 0 and n_upd > 0 and hits
+
+    timed("maintenance_churn", maintenance_churn)
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(

@@ -1072,7 +1072,16 @@ def _cmd_refbench(args) -> None:
     if not data_available(args.data_dir):
         print(json.dumps({"err": f"benchmark data not found under {args.data_dir}"}))
         sys.exit(2)
-    out = run_refbench(spark, args.data_dir, nltk_stopwords=not args.minimal_stopwords)
+    if args.variants:
+        from .refbench import run_refbench_variants
+
+        out = run_refbench_variants(
+            spark, args.data_dir, nltk_stopwords=not args.minimal_stopwords
+        )
+    else:
+        out = run_refbench(
+            spark, args.data_dir, nltk_stopwords=not args.minimal_stopwords
+        )
     print(json.dumps(out))
 
 
@@ -1614,6 +1623,10 @@ def main(argv: list[str] | None = None) -> None:
     rb.add_argument("--data-dir", default="/root/reference/Part C/data")
     rb.add_argument("--minimal-stopwords", action="store_true",
                     help="use the engine's 17-word set instead of nltk's")
+    rb.add_argument("--variants", action="store_true",
+                    help="run the spell/thesaurus/WordNet rewriter variant "
+                         "family (reference engines 2/3/5) instead of the "
+                         "best-engine scorer family")
     rb.set_defaults(fn=_cmd_refbench)
 
     sy = sub.add_parser(

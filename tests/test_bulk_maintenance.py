@@ -519,3 +519,40 @@ def test_lock_release_is_token_guarded(tmp_path):
         _maintenance_lock_acquire(idx)
     _maintenance_lock_release(lock2, tok2)  # rightful holder releases
     assert not os.path.exists(lock2)
+
+
+def test_churned_index_rank_identical_to_fresh_survivor_build(spark, tmp_path):
+    """The bench `maintenance_churn` component's correctness twin: after
+    delete_by_query + update_docs + physical fold, the churned index must
+    rank (doc_id, score) IDENTICALLY to a fresh build of the equivalent
+    final corpus (survivors + updated texts) — compaction rebuilds corpus
+    stats from survivors, so no residual of the deleted/old versions may
+    leak into df/idf/avgdl or the postings."""
+    from searchengine_spark.streaming.ingest import compact_streamed_index
+
+    df = lambda r: spark.createDataFrame(r, "doc_id long, text string")  # noqa: E731
+    rows = [(i, f"spark join stream term{i % 7} extra{i % 3}") for i in range(200)]
+    idx = str(tmp_path / "churn")
+    eng = SearchEngine(spark, idx)
+    eng.build_index_from_df(df(rows), id_col="doc_id", text_col="text",
+                            n_buckets=4, range_bits=2)
+    compact_streamed_index(spark, idx)  # epoch layout
+    eng.refresh()
+    # churn: delete doc_id % 5 == 0, update doc_id % 5 == 1
+    eng.delete_docs([i for i, _ in rows if i % 5 == 0])
+    updated = [(i, f"merge sort stream term{i % 7}") for i, _ in rows if i % 5 == 1]
+    assert eng.update_docs(df(updated)) == len(updated)
+    compact_streamed_index(spark, idx)  # fold everything physically
+    eng.refresh()
+
+    final_rows = [(i, t) for i, t in rows if i % 5 not in (0, 1)] + updated
+    fresh = SearchEngine(spark, str(tmp_path / "fresh"))
+    fresh.build_index_from_df(df(final_rows), id_col="doc_id",
+                              text_col="text", n_buckets=4, range_bits=2)
+
+    assert eng.meta.n_docs == fresh.meta.n_docs == len(final_rows)
+    assert abs(eng.meta.avgdl - fresh.meta.avgdl) < 1e-9
+    for q in ("spark join stream", "merge sort", "term3 extra1"):
+        a = [(d, round(s, 9)) for d, s in eng.search(q, k=50)]
+        b = [(d, round(s, 9)) for d, s in fresh.search(q, k=50)]
+        assert a == b, q
