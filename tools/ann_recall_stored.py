@@ -44,6 +44,10 @@ def main() -> None:
     )
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # fixed n_lists means list SIZE (and probe bytes) grows with the
+    # corpus; the 100 TB deployment scales n_lists with n to hold list
+    # size — pass it explicitly to measure that regime
+    n_lists = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     spark = get_spark("ann-recall-stored", shuffle_partitions=32)
     vecs = synth_vectors(spark, n).repartition(32).persist()
     vecs.count()
@@ -57,8 +61,9 @@ def main() -> None:
 
     base = tempfile.mkdtemp(prefix="ann_stored_")
     t0 = time.time()
-    centroids = ivf_train(vecs, n_lists=64, sample=4096)
-    ivf_write(vecs, f"{base}/ivf", n_lists=64, dim=DIM, centroids=centroids)
+    centroids = ivf_train(vecs, n_lists=n_lists, sample=8192)
+    ivf_write(vecs, f"{base}/ivf", n_lists=n_lists, dim=DIM,
+              centroids=centroids)
     lsh_write(vecs, f"{base}/lsh", n_planes=8, dim=DIM)
     write_sec = time.time() - t0
     vecs.unpersist()  # the stored read path must not benefit from the cache
@@ -97,6 +102,7 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
     out = {
         "n_vectors": n,
+        "n_lists": n_lists,
         "dim": DIM,
         "k": K,
         "n_queries": len(queries),
@@ -108,7 +114,7 @@ def main() -> None:
 
     lines = [
         "",
-        f"## Stored-layout ANN probes at {n:,} vectors (round 5)",
+        f"## Stored-layout ANN probes at {n:,} vectors, {n_lists} IVF lists (round 5)",
         "",
         f"Same geometry as the §ANN sections above, but probed through the",
         f"PERSISTED `ivf_write`/`lsh_write` layouts (partition-pruned scan,",
