@@ -88,20 +88,125 @@ _DECODE_SCHEMA = StructType(
 )
 
 
+def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL PNG decode, pure stdlib (zlib): IHDR dims → IDAT inflate →
+    per-scanline unfilter (filters 0-4, the full spec set) → mean over raw
+    samples. Supports the non-interlaced 8-bit color types (gray / RGB /
+    gray+alpha / RGBA — what training-data pipelines actually store);
+    anything else raises ValueError so the caller can surface a clean
+    unsupported-format error rather than a wrong answer."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, bytearray()
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    channels_by_type = {0: 1, 2: 3, 4: 2, 6: 4}
+    if width is None or color_type not in channels_by_type:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, interlace={interlace})"
+        )
+    channels = channels_by_type[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    prev = bytearray(stride)
+    total = 0
+    for y in range(height):
+        off = y * (stride + 1)
+        filt = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0  # left
+            b = prev[x]  # up
+            c = prev[x - channels] if x >= channels else 0  # up-left
+            if filt == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif filt == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif filt == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif filt == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        total += sum(line)
+        prev = line
+    mean_pixel = round(total / (height * stride), 3) if height * stride else 0.0
+    return height, width, channels, mean_pixel
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL WAV decode via the stdlib ``wave`` module: (1, n_frames,
+    n_channels, mean |amplitude| normalized to [0, 255]) — the audio row
+    mapped onto the image-shaped decode schema (height 1, width = sample
+    count), so downstream resize/feature stages treat both uniformly."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        channels = w.getnchannels()
+        n_frames = w.getnframes()
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    if sampwidth == 2:
+        import array
+
+        samples = array.array("h")
+        samples.frombytes(frames[: len(frames) - len(frames) % 2])
+        mean = (
+            sum(abs(s) for s in samples) / len(samples) / 32768.0 * 255.0
+            if samples
+            else 0.0
+        )
+    elif sampwidth == 1:  # unsigned 8-bit
+        mean = (
+            sum(abs(b - 128) for b in frames) / len(frames) / 128.0 * 255.0
+            if frames
+            else 0.0
+        )
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    return 1, n_frames, channels, round(mean, 3)
+
+
 def _decode_payload(payload: bytes, decoder: str) -> tuple[int, int, int, float]:
     """Decode one media payload → (height, width, channels, mean_pixel).
 
-    'real' needs an image codec (PIL) — not in this container, so it raises
-    NotImplementedError (swap-in point for production). 'fake' derives a
-    deterministic pseudo-decode from sha256(payload): stable across engines,
-    executors, and runs."""
+    'real' decodes PNG (pure-stdlib zlib inflate + full filter set) and WAV
+    (stdlib ``wave``) end-to-end — golden-tested in test_multimodal.py —
+    and raises NotImplementedError for codec-requiring formats (JPEG/MP4/…
+    need PIL/ffmpeg, absent in this container; that error is the documented
+    swap-in point for production codecs). 'fake' derives a deterministic
+    pseudo-decode from sha256(payload): stable across engines, executors,
+    and runs."""
     if decoder == "real":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
         try:
             import PIL.Image  # noqa: F401
         except ImportError as e:  # pragma: no cover - container has no PIL
             raise NotImplementedError(
-                "real media decode requires an image codec (PIL) not present "
-                "in this container; use decoder='fake' for the deterministic stub"
+                "real decode covers PNG and WAV (stdlib); this payload needs "
+                "an external codec (PIL/ffmpeg) not present in this "
+                "container — use decoder='fake' for the deterministic stub"
             ) from e
         raise NotImplementedError("real decoder wiring point")  # pragma: no cover
     h = hashlib.sha256(payload).digest()

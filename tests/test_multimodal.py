@@ -143,3 +143,125 @@ def test_ivf_trained_clusters(spark):
     assert approx == exact  # query's cluster contains the entire true top-10
     # determinism of training
     assert cents == similarity.ivf_train(df, n_lists=3, n_iter=5, sample=120)
+
+
+def _png_bytes(pixels, channels=3, filters=None):
+    """Independent test-side PNG ENCODER (forward filters 0-4 per row) —
+    the decoder under test must invert it exactly. ``pixels``: list of
+    rows, each row a flat list of byte samples (len = width*channels)."""
+    import struct as st
+    import zlib
+
+    height, stride = len(pixels), len(pixels[0])
+    width = stride // channels
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = [0] * stride
+    for y, row in enumerate(pixels):
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                enc = row[x]
+            elif f == 1:
+                enc = (row[x] - a) & 0xFF
+            elif f == 2:
+                enc = (row[x] - b) & 0xFF
+            elif f == 3:
+                enc = (row[x] - (a + b) // 2) & 0xFF
+            else:  # 4 Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = (row[x] - pred) & 0xFF
+            raw.append(enc)
+        prev = row
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return st.pack(">I", len(data)) + body + st.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = st.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(samples, channels=1, framerate=8000):
+    import io
+    import struct as st
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(b"".join(st.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_png_decode_golden():
+    """Golden PNG: 2x2 RGB, filter 0, hand-computable mean."""
+    pixels = [[10, 20, 30, 40, 50, 60], [70, 80, 90, 100, 110, 120]]
+    h, w, c, mean = mm._decode_payload(_png_bytes(pixels), "real")
+    assert (h, w, c) == (2, 2, 3)
+    assert mean == round(sum(sum(r) for r in pixels) / 12, 3) == 65.0
+
+
+def test_real_png_decode_all_filters_roundtrip():
+    """Every PNG filter type (0-4) on a 5-row RGBA image: the test-side
+    forward encoder and the decoder's inverse must round-trip the mean."""
+    import random
+
+    rng = random.Random(11)
+    pixels = [[rng.randrange(256) for _ in range(4 * 4)] for _ in range(5)]
+    payload = _png_bytes(pixels, channels=4, filters=[0, 1, 2, 3, 4])
+    h, w, c, mean = mm._decode_payload(payload, "real")
+    assert (h, w, c) == (5, 4, 4)
+    expect = round(sum(sum(r) for r in pixels) / (5 * 16), 3)
+    assert mean == expect
+
+
+def test_real_png_rejects_unsupported():
+    payload = bytearray(_png_bytes([[1, 2, 3]], channels=3))
+    # corrupt bit depth 8 -> 16 inside IHDR (offset: 8 sig + 8 hdr + 8 dims)
+    payload[24] = 16
+    with pytest.raises(ValueError, match="bit_depth=16"):
+        mm._decode_payload(bytes(payload), "real")
+
+
+def test_real_wav_decode_golden():
+    samples = [0, 16384, -16384, 32767, -32768, 0]
+    h, w, c, mean = mm._decode_payload(_wav_bytes(samples), "real")
+    assert (h, c) == (1, 1)
+    assert w == len(samples)
+    expect = round(
+        sum(abs(s) for s in samples) / len(samples) / 32768.0 * 255.0, 3
+    )
+    assert mean == expect
+
+
+def test_real_decode_through_spark(spark):
+    """decode_media(decoder='real') end-to-end: PNG + WAV payloads in one
+    frame, real dims out; metadata sniffs png/riff magic on the same rows."""
+    png = _png_bytes([[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]])
+    wav = _wav_bytes([1000, -1000] * 50, channels=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav))], "doc_id long, payload binary"
+    )
+    meta = {r["doc_id"]: r["format"] for r in mm.media_metadata(df).collect()}
+    assert meta == {1: "png", 2: "riff"}
+    rows = {r["doc_id"]: r for r in mm.decode_media(df, decoder="real").collect()}
+    assert (rows[1]["height"], rows[1]["width"], rows[1]["channels"]) == (2, 2, 3)
+    assert rows[2]["height"] == 1 and rows[2]["width"] == 100
+    assert rows[1]["decoder"] == rows[2]["decoder"] == "real"
