@@ -3987,6 +3987,79 @@ def q_bm25_thesaurus(spark, sf_dir):
     return out.select("doc_id", F.round("score", ROUND_DP).alias("score"))
 
 
+#: misspellings of INNER_QUERY terms covering the spell bands: "hashh"
+#: (delete fix), "mergw" (replace fix), "tabel" (adjacent transposition —
+#: damerau distance 1), "sort" (in-vocab passthrough)
+SPELL_QUERY = "hashh mergw sort tabel"
+
+
+def q_bm25_spell(spark, sf_dir):
+    """§2.11 spell rewriter end-to-end (the reference's ``search_engine_2``
+    shape, ``Part C/searcher_spell_checker.py:39`` + ``SpellChecker.py``):
+    OOV query terms are corrected to the nearest in-vocabulary term within
+    edit distance ≤2, ranked corpus-frequency-first like pyspellchecker's
+    word-probability rule, then scored with BM25. UNLIKE ``bm25_thesaurus``
+    (whose expansion pairs are static config shipped to the oracle), the
+    CORRECTION itself is independently verified: the DuckDB oracle
+    re-derives each correction from the same parquet corpus with its own
+    ``damerau_levenshtein`` ranking — adjacent transposition counts 1 on
+    both sides (``_edits1`` includes transposes), so the two candidate
+    geometries agree by construction.
+
+    Scale note: the vocab collect here mirrors the reference's driver-side
+    pyspellchecker dictionary (bounded by |vocab|, not |corpus|); the
+    DISTRIBUTED twin of this resolution is ``didyoumean``'s length-banded
+    pruned join, already a driver entry."""
+    from .expansion import make_spell_rewriter, rewrite_query
+    from .scoring import bm25_weighted_score
+
+    tf, stats, dct, n, avgdl = _scoring_ctx(spark, sf_dir)
+    vocab_pdf = dct.select("term", "cf").toPandas()
+    rw = make_spell_rewriter(
+        set(vocab_pdf["term"]),
+        dict(zip(vocab_pdf["term"], vocab_pdf["cf"].astype(int))),
+    )
+    weighted = rewrite_query(SPELL_QUERY, rw)
+    out = bm25_weighted_score(spark, tf, stats, dct, weighted, n, avgdl)
+    return out.select("doc_id", F.round("score", ROUND_DP).alias("score"))
+
+
+def _bm25_spell_sql(query: str, k1: float = 1.5, b: float = 0.75) -> str:
+    """Independent-correction oracle for ``q_bm25_spell``: DuckDB picks each
+    query term's correction itself — in-vocab terms pass through, OOV terms
+    resolve to the vocab term minimizing (damerau_levenshtein, -cf, term)
+    within distance 2 — then scores plain BM25 over the corrected set."""
+    qvals = ", ".join(f"('{t.replace(chr(39), chr(39) * 2)}')"
+                      for t in sorted(set(query.split())))
+    score = (
+        f"ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))"
+        f" * (tf.tf * ({k1} + 1.0))"
+        f" / (tf.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / c.avgdl))"
+    )
+    return f"""
+WITH tf AS ({_TF_SQL}),
+stats AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM stats),
+dict AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1),
+q(qterm) AS (VALUES {qvals}),
+corr AS (
+  SELECT qterm, coalesce(
+    (SELECT d.term FROM dict d WHERE d.term = q.qterm),
+    (SELECT d.term FROM dict d
+      WHERE damerau_levenshtein(q.qterm, d.term) <= 2
+      ORDER BY damerau_levenshtein(q.qterm, d.term) ASC, d.cf DESC, d.term ASC
+      LIMIT 1),
+    qterm) AS term
+  FROM q),
+expq AS (SELECT DISTINCT term FROM corr)
+SELECT tf.doc_id AS doc_id,
+       round(sum({score}), {ROUND_DP}) AS score
+FROM tf JOIN expq USING (term) JOIN dict d ON d.term = tf.term
+JOIN stats s ON s.doc_id = tf.doc_id CROSS JOIN corpus c
+GROUP BY tf.doc_id
+"""
+
+
 def _bm25_thesaurus_sql(query: str, k1: float = 1.5, b: float = 0.75) -> str:
     from .expansion import make_thesaurus_rewriter, rewrite_query
 
@@ -6412,6 +6485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "porter2_stem": q_porter2_stem,
         "porter2_corpus": q_porter2_corpus,
         "bm25_thesaurus": q_bm25_thesaurus,
+        "bm25_spell": q_bm25_spell,
         "dedup_exact": q_exact_dedup,
         "locality_ids": q_locality_ids,
         "impact_ids": q_impact_ids,
@@ -6688,6 +6762,7 @@ ORDER BY doc_id, line_no
         "term_normalization": _term_normalization_sql(),
         "porter2_stem": _porter2_stem_sql(),
         "bm25_thesaurus": _bm25_thesaurus_sql(INNER_QUERY),
+        "bm25_spell": _bm25_spell_sql(SPELL_QUERY),
         "dedup_exact": dedup.exact_dedup_sql("documents"),
         "locality_ids": _locality_ids_sql(),
         "impact_ids": _impact_ids_sql(),

@@ -254,6 +254,38 @@ def _maintenance_lock_release(lock: str, token: str) -> None:
         pass
 
 
+class _LockHeartbeat:
+    """Daemon thread that touches the lock's mtime every ``interval`` sec
+    while the holder's fold runs, so a LIVE long fold (multi-hour join-fold
+    over billions of tombstone rows) never looks stale to a second process
+    — staleness then only ever means a genuinely crashed holder. Touching
+    stops the moment the file no longer carries our token (we were stolen
+    after a real stall, e.g. a SIGSTOP'd process resuming)."""
+
+    def __init__(self, lock: str, token: str, interval: float = 300.0):
+        import threading
+
+        self._lock, self._token = lock, token
+        self._stop = threading.Event()
+        self._interval = interval
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                with open(self._lock) as fh:
+                    if fh.read().split(" ", 1)[0] != self._token:
+                        return  # stolen — stop refreshing a thief's lock
+                os.utime(self._lock, None)
+            except OSError:
+                return  # released/removed — nothing left to keep fresh
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
 def _join_fold_postings(spark, blocks, tomb_files: list[str], has_pos: bool):
     """Decode ``blocks`` and apply a LARGE tombstone set distributed: plain
     deletes as an anti-join, update watermarks as a per-doc max + epoch
@@ -822,9 +854,11 @@ def compact_streamed_index(spark: SparkSession, index_dir: str) -> "IndexMeta":
     two folds racing would collide on the next versioned segments dir and
     double-consume tombstones), then runs the fold below."""
     lock, token = _maintenance_lock_acquire(index_dir)
+    hb = _LockHeartbeat(lock, token)
     try:
         return _compact_streamed_index_impl(spark, index_dir)
     finally:
+        hb.stop()
         _maintenance_lock_release(lock, token)
 
 
@@ -1055,9 +1089,11 @@ def merge_epochs_tiered(
     ``compact_streamed_index`` (merge and compact both swap the segments
     dir — they must never race each other)."""
     lock, token = _maintenance_lock_acquire(index_dir)
+    hb = _LockHeartbeat(lock, token)
     try:
         return _merge_epochs_tiered_impl(spark, index_dir, max_segments)
     finally:
+        hb.stop()
         _maintenance_lock_release(lock, token)
 
 

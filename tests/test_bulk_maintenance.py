@@ -556,3 +556,41 @@ def test_churned_index_rank_identical_to_fresh_survivor_build(spark, tmp_path):
         a = [(d, round(s, 9)) for d, s in eng.search(q, k=50)]
         b = [(d, round(s, 9)) for d, s in fresh.search(q, k=50)]
         assert a == b, q
+
+
+def test_lock_heartbeat_keeps_live_fold_unstealable(tmp_path):
+    """A live fold's heartbeat refreshes the lock mtime, so even a lock
+    older than stale_sec on paper cannot be stolen while the holder is
+    alive; the heartbeat stops refreshing the moment the file carries
+    someone else's token."""
+    import time as _time
+
+    from searchengine_spark.streaming.ingest import (
+        MaintenanceInProgress,
+        _LockHeartbeat,
+        _maintenance_lock_acquire,
+        _maintenance_lock_release,
+    )
+
+    idx = str(tmp_path)
+    lock, tok = _maintenance_lock_acquire(idx)
+    hb = _LockHeartbeat(lock, tok, interval=0.1)
+    try:
+        old = _time.time() - 7200
+        os.utime(lock, (old, old))  # simulate "looks stale"
+        _time.sleep(0.4)  # heartbeat refreshes it
+        assert _time.time() - os.stat(lock).st_mtime < 10
+        with pytest.raises(MaintenanceInProgress):
+            _maintenance_lock_acquire(idx)
+        # steal scenario: replace the file with a thief's token — the
+        # heartbeat must stop touching it
+        with open(lock, "w") as fh:
+            fh.write("thief:cafebabe 0\n")
+        os.utime(lock, (old, old))
+        _time.sleep(0.4)
+        assert os.stat(lock).st_mtime == pytest.approx(old, abs=2)
+    finally:
+        hb.stop()
+    _maintenance_lock_release(lock, tok)  # token mismatch → leaves the file
+    assert os.path.exists(lock)
+    os.remove(lock)

@@ -123,3 +123,37 @@ def test_thesaurus_oracle_sql_escapes_quoted_synonyms(monkeypatch, tmp_path):
         "'don''t join late'::VARCHAR AS text"
     )
     assert con.execute(sql).fetchall()  # parses and runs end-to-end
+
+
+def test_spell_entry_corrections_match_duckdb_geometry(spark):
+    """The bm25_spell driver entry's premise, pinned locally: the Python
+    _edits1-chain candidate geometry (transposition = 1 edit) must agree
+    with DuckDB's damerau_levenshtein ranking for the entry's query against
+    the real sf0.01 vocabulary."""
+    import duckdb
+
+    from searchengine_spark.entry_queries import SPELL_QUERY, _tf
+    from searchengine_spark.expansion import make_spell_rewriter, rewrite_query
+    from searchengine_spark.postings import dictionary
+
+    dct = dictionary(_tf(spark, "/root/testdata/sf0.01")).toPandas()
+    rw = make_spell_rewriter(
+        set(dct["term"]), dict(zip(dct["term"], dct["cf"].astype(int)))
+    )
+    py = {t for t, _ in rewrite_query(SPELL_QUERY, rw)}
+
+    con = duckdb.connect()
+    con.register("dict_df", dct)
+    sql_corr = set()
+    for qt in set(SPELL_QUERY.split()):
+        row = con.execute(
+            "SELECT coalesce("
+            "(SELECT term FROM dict_df WHERE term = ?),"
+            "(SELECT term FROM dict_df WHERE damerau_levenshtein(?, term) <= 2"
+            " ORDER BY damerau_levenshtein(?, term), cf DESC, term LIMIT 1),"
+            "?)",
+            [qt, qt, qt, qt],
+        ).fetchone()
+        sql_corr.add(row[0])
+    assert py == sql_corr
+    assert {"hash", "merge", "sort", "table"} == py  # the intended targets
