@@ -576,9 +576,12 @@ def run_refbench_variants(
                 ["query_id", "score", "doc_id"], ascending=[True, False, True]
             )
             # ranker.py:38-39 — keep the top round(0.9·n) per query
-            pdf = pdf.groupby("query_id", group_keys=False).apply(
-                lambda g: g.head(max(int(round(0.9 * len(g))), 1))
-            )
+            # (vectorized rank filter; numpy round is banker's like the
+            # reference's Python round)
+            rank = pdf.groupby("query_id").cumcount()
+            n_per = pdf.groupby("query_id")["doc_id"].transform("size")
+            keep_n = np.maximum(np.round(0.9 * n_per).astype(int), 1)
+            pdf = pdf[rank < keep_n]
             ranked = pdf.rename(
                 columns={"query_id": "query", "doc_id": "tweet"}
             )[["query", "tweet"]]
