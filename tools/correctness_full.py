@@ -56,7 +56,7 @@ def main() -> None:
 
     from searchengine_spark.session import get_spark
 
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "4"
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "5"
     prefixes = sys.argv[2:]
     spark = get_spark("correctness-full", shuffle_partitions=32)
     con = duckdb.connect()
