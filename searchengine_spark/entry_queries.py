@@ -4003,8 +4003,14 @@ def q_bm25_spell(spark, sf_dir):
     CORRECTION itself is independently verified: the DuckDB oracle
     re-derives each correction from the same parquet corpus with its own
     ``damerau_levenshtein`` ranking — adjacent transposition counts 1 on
-    both sides (``_edits1`` includes transposes), so the two candidate
-    geometries agree by construction.
+    both sides (``_edits1`` includes transposes). The two candidate
+    geometries agree on the analyzer's ``[a-z_0-9]`` alphabet for this
+    entry's pinned query (asserted against the real sf0.01 vocab in
+    tests/test_synonyms.py); known corner divergences on OTHER inputs —
+    vocab terms reachable only through characters outside the ``_edits1``
+    alphabet, or OSA-vs-chain composites like ca→ac→abc (chain distance 2,
+    OSA 3) — would surface as a driver hash mismatch, which is the point
+    of the independent oracle.
 
     Scale note: the vocab collect here mirrors the reference's driver-side
     pyspellchecker dictionary (bounded by |vocab|, not |corpus|); the

@@ -122,13 +122,20 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
             f"unsupported PNG (bit_depth={bit_depth}, interlace={interlace})"
         )
     channels = channels_by_type[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
     prev = bytearray(stride)
     total = 0
     for y in range(height):
         off = y * (stride + 1)
         filt = raw[off]
+        if filt > 4:
+            raise ValueError(f"invalid PNG filter type {filt}")
         line = bytearray(raw[off + 1 : off + 1 + stride])
         for x in range(stride):
             a = line[x - channels] if x >= channels else 0  # left
@@ -308,7 +315,16 @@ def frame_sample(
             for i, p in zip(pdf[id_col], pdf[bin_col]):
                 payload = bytes(p)
                 if decoder == "real":
-                    _decode_payload(payload, decoder)  # raises NotImplementedError
+                    # frame sampling is a VIDEO op: even the formats
+                    # _decode_payload now really decodes (PNG/WAV) have no
+                    # frames to sample, and video demux needs a codec
+                    # (ffmpeg) absent here — never fall through to the
+                    # hash stub under the 'real' flag
+                    raise NotImplementedError(
+                        "real frame sampling requires a video demuxer "
+                        "(ffmpeg) not present in this container; use "
+                        "decoder='fake' for the deterministic stub"
+                    )
                 hx = hashlib.sha256(payload).hexdigest()
                 duration_ms = 1000 + int(hx[18:26], 16) % 60_000
                 n = min(max_frames, max(1, duration_ms // every_ms))

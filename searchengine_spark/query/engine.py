@@ -2877,6 +2877,21 @@ class SearchEngine:
             )
         return self._seg_df
 
+    def _snapshot_blocks_mask(self, doc_filter=None):
+        """(blocks, mask) bound in the ONLY safe order: the segment scan
+        FIRST, the tombstone mask second. ``_doc_mask`` may physically fold
+        tombstones (auto-compaction past ``tombstone_limit``), after which
+        ``self.meta`` refreshes and a late ``_all_blocks()`` would point at
+        the POST-fold segments — against which the pre-fold mask's update
+        watermarks are invalid (the fold renumbers survivors to epoch 0, so
+        a stale "dead iff epoch ≤ wm" rule would kill live docs). Callers
+        that need the full scan + a mask MUST go through this helper so the
+        ordering invariant lives in one place instead of per-call-site
+        convention; the pruned search paths bind ``_pruned_blocks`` before
+        their mask for the same reason."""
+        blocks = self._all_blocks()
+        return blocks, self._doc_mask(doc_filter)
+
     def term_vectors(self, doc_ids) -> DataFrame:
         """Per-document term vectors straight off the index (Lucene
         ``Fields/TermVectors`` analogue): DataFrame[doc_id, term, tf, dl]
@@ -2889,15 +2904,7 @@ class SearchEngine:
         which this engine does not persist — noted, not hidden."""
         from .wand import EXPLAIN_SCHEMA, explain_group
 
-        # Bind the segment scan BEFORE building the mask: _doc_mask may fold
-        # tombstones physically (auto-compaction), after which self.meta
-        # refreshes and _all_blocks would point at the POST-fold segments.
-        # The pre-fold mask's update watermarks are only valid against the
-        # pre-fold epoch numbering (the fold renumbers survivors to epoch 0,
-        # so a stale "dead iff epoch <= wm" rule would kill live docs) —
-        # same plan-blocks-first ordering search() uses.
-        blocks = self._all_blocks()
-        mask = self._doc_mask(doc_ids)
+        blocks, mask = self._snapshot_blocks_mask(doc_ids)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return explain_group(pdf, mask)
@@ -3033,12 +3040,15 @@ class SearchEngine:
         fg_total = m.count()
         if fg_total == 0:
             return self.spark.createDataFrame([], out_schema)
+        # Snapshot EVERY index-derived input — n, the background dictionary,
+        # the segment scan — BEFORE the mask build: _doc_mask may auto-fold,
+        # after which self.meta refreshes and a late _load_dict()/meta read
+        # would mix post-fold background stats (survivors only) with the
+        # pre-fold foreground/n, skewing bgp per term. One consistent
+        # generation, the one the mask was built against.
         n = float(self.meta.n_docs)
-        # blocks BEFORE mask: _doc_mask may auto-fold, and the pre-fold
-        # mask's update watermarks are only consistent with the pre-fold
-        # segment generation (see term_vectors).
-        blocks = self._all_blocks()
-        mask = self._doc_mask(None)
+        bg = self._load_dict().select("term", F.col("df").alias("bg_df"))
+        blocks, mask = self._snapshot_blocks_mask(None)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return explain_group(pdf, mask)
@@ -3054,7 +3064,6 @@ class SearchEngine:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("fg_df"))
         )
-        bg = self._load_dict().select("term", F.col("df").alias("bg_df"))
         fgp = F.col("fg_df") / F.lit(float(fg_total))
         bgp = F.col("bg_df") / F.lit(n)
         return (

@@ -583,9 +583,14 @@ def test_lock_heartbeat_keeps_live_fold_unstealable(tmp_path):
         with pytest.raises(MaintenanceInProgress):
             _maintenance_lock_acquire(idx)
         # steal scenario: replace the file with a thief's token — the
-        # heartbeat must stop touching it
+        # heartbeat must stop touching it. Let a full interval pass after
+        # the write BEFORE backdating, so any read-token-then-utime pair
+        # already in flight (which read OUR token) has landed and the
+        # thread has since seen the thief token and exited — the mtime
+        # check below is then race-free.
         with open(lock, "w") as fh:
             fh.write("thief:cafebabe 0\n")
+        _time.sleep(0.3)
         os.utime(lock, (old, old))
         _time.sleep(0.4)
         assert os.stat(lock).st_mtime == pytest.approx(old, abs=2)

@@ -265,3 +265,66 @@ def test_real_decode_through_spark(spark):
     assert (rows[1]["height"], rows[1]["width"], rows[1]["channels"]) == (2, 2, 3)
     assert rows[2]["height"] == 1 and rows[2]["width"] == 100
     assert rows[1]["decoder"] == rows[2]["decoder"] == "real"
+
+
+def test_real_png_rejects_invalid_filter_byte():
+    payload = bytearray(_png_bytes([[1, 2, 3], [4, 5, 6]], channels=3))
+    # corrupt the first scanline's filter byte inside the IDAT stream
+    import struct as st
+    import zlib
+
+    # rebuild with a raw stream whose first filter byte is 9
+    raw = bytearray(b"\x09\x01\x02\x03\x00\x04\x05\x06")
+    def chunk(ctype, data):
+        body = ctype + data
+        return st.pack(">I", len(data)) + body + st.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type 9"):
+        mm._decode_payload(bad, "real")
+
+
+def test_real_png_rejects_corrupt_idat():
+    import struct as st
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return st.pack(">I", len(data)) + body + st.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x00notzlib")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        mm._decode_payload(bad, "real")
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))  # far too short
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG"):
+        mm._decode_payload(trunc, "real")
+
+
+def test_frame_sample_real_never_falls_through_to_stub(spark):
+    """decoder='real' on frame_sample must raise even for formats the
+    decoder CAN really decode (PNG/WAV have no frames to sample) — the
+    hash stub must never masquerade as real-decoder output."""
+    png = _png_bytes([[1, 2, 3]])
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        mm.frame_sample(df, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

@@ -89,6 +89,9 @@ def main() -> None:
             fn()
             out.append(round(time.perf_counter() - t0, 3))
         runs[name] = out
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps({
         "solo": runs,
         "best": {k: min(v) for k, v in runs.items()},
