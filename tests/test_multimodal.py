@@ -328,3 +328,38 @@ def test_frame_sample_real_never_falls_through_to_stub(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_real_png_roundtrip_property():
+    """Property test: random dims/channels/filter assignments round-trip
+    through the decoder with the exact pixel mean (the test-side encoder is
+    an independent forward implementation of the PNG filter spec)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        height=st.integers(1, 6),
+        width=st.integers(1, 6),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31),
+        data=st.data(),
+    )
+    def run(height, width, channels, seed, data):
+        import random
+
+        rng = random.Random(seed)
+        pixels = [
+            [rng.randrange(256) for _ in range(width * channels)]
+            for _ in range(height)
+        ]
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=height, max_size=height)
+        )
+        payload = _png_bytes(pixels, channels=channels, filters=filters)
+        h, w, c, mean = mm._decode_payload(payload, "real")
+        assert (h, w, c) == (height, width, channels)
+        total = sum(sum(r) for r in pixels)
+        assert mean == round(total / (height * width * channels), 3)
+
+    run()
